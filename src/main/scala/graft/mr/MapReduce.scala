@@ -1,0 +1,120 @@
+package graft.mr
+
+import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Faithful MapReduce compatibility surface.
+  *
+  * Mirrors the reference's plugin ABI (SURVEY §2.10):
+  *   - map:    (filename, contents) => Seq[(key, value)]
+  *     (func type at cmd/storage-node/main.go:585,717)
+  *   - reduce: (key, values) => value — holistic, receives the full
+  *     value list per key (cmd/storage-node/main.go:1243,1349)
+  *
+  * The reference distributed these as Go plugins looked up by hardcoded
+  * symbol names regardless of the requested func-id
+  * (cmd/storage-node/main.go:699,1225 — SURVEY U4); here the registry is
+  * an actual name→function map, and "distribution" is the Spark
+  * classpath.
+  *
+  * Execution collapses the reference's map-per-chunk → materialized
+  * double-hash shuffle → reduce → controller re-aggregation pipeline
+  * (manager.go:864-1173) into ONE Spark shuffle: `flatMap` →
+  * `groupByKey(key)` → `mapGroups(reduce)`. That is semantically the
+  * `-aggregate=true` mode — globally correct counts — without the
+  * duplicate-key-across-reducers quirk of the two-level file hash
+  * (SURVEY §1.4.2), which we intentionally do not replicate.
+  *
+  * Scale note: `mapGroups` streams each group's values through an
+  * iterator; the holistic `Seq[String]` signature forces buffering ONE
+  * group in memory (the reference buffered the entire reduce partition,
+  * cmd/storage-node/main.go:1318-1321 — strictly worse). Incremental
+  * reducers should register as [[ReduceAgg]]-style aggregators instead;
+  * word count ships both ways and the default path uses the
+  * partial-aggregating `groupBy().count()` when asked for counts.
+  */
+object MapReduce {
+  type MapFunc = (String, String) => Seq[(String, String)]
+  type ReduceFunc = (String, Seq[String]) => String
+
+  /** name → (map, reduce). Replaces the plugin registry
+    * (manager.go:1815-1864) with an in-process map. */
+  final class Registry {
+    private val maps = scala.collection.concurrent.TrieMap.empty[String, MapFunc]
+    private val reduces = scala.collection.concurrent.TrieMap.empty[String, ReduceFunc]
+    def registerMap(name: String, f: MapFunc): this.type = { maps(name) = f; this }
+    def registerReduce(name: String, f: ReduceFunc): this.type = { reduces(name) = f; this }
+    def map(name: String): MapFunc =
+      maps.getOrElse(name, throw new NoSuchElementException(s"map func '$name' not registered"))
+    def reduce(name: String): ReduceFunc =
+      reduces.getOrElse(name, throw new NoSuchElementException(s"reduce func '$name' not registered"))
+  }
+
+  /** Built-in functions: the word-count pair the reference ships
+    * (mapreduce/functions/wordcount.go). Tokenize on runs of
+    * non-letter/non-digit, lowercase, emit (token,"1"); reduce = count
+    * of values (wordcount.go:32,41-45). */
+  val builtins: Registry = new Registry()
+    .registerMap("wordcount", { (_, contents) =>
+      contents.split("[^\\p{L}\\p{N}]+").iterator
+        .filter(_.nonEmpty).map(w => (w.toLowerCase, "1")).toSeq
+    })
+    .registerReduce("wordcount", (_, values) => values.size.toString)
+
+  /** Run a MapReduce job over a DataFrame of (filename, contents) rows.
+    *
+    * Equivalent of `client mapreduce <in> <out> <map> <reduce>` with
+    * `-aggregate=true` (SURVEY §3.1). Returns (key, value) sorted by key
+    * — string sort, matching the reference's lexicographic output order
+    * (golden smallt_out.txt: "1, 10, 11, … 2, 20, …").
+    */
+  def runJob(input: Dataset[(String, String)],
+             mapId: String, reduceId: String,
+             registry: Registry = builtins,
+             numPartitions: Option[Int] = None): Dataset[(String, String)] = {
+    val spark = input.sparkSession
+    import spark.implicits._
+    val mf = registry.map(mapId)
+    val rf = registry.reduce(reduceId)
+    val mapped = input.flatMap { case (name, contents) => mf(name, contents) }
+    val shuffled = numPartitions match {
+      // explicit reducer count (the reference's `-reducers N`); default:
+      // let spark.sql.shuffle.partitions + AQE pick — better at scale.
+      case Some(n) => mapped.repartition(n, $"_1")
+      case None    => mapped
+    }
+    shuffled
+      .groupByKey(_._1)
+      .mapGroups { (key, it) => (key, rf(key, it.map(_._2).toSeq)) }
+      .orderBy($"_1")
+      .withColumnRenamed("_1", "key").withColumnRenamed("_2", "value")
+      .as[(String, String)]
+  }
+
+  /** Read text files the way the reference's map stage consumed chunks —
+    * except line-aligned (Spark `text`), which is strictly more correct
+    * than the reference's byte-exact 4 MiB chunking that split tokens at
+    * chunk boundaries (manager.go:405-411; SURVEY §1.4.1). At 100 TB the
+    * file splits are governed by spark.sql.files.maxPartitionBytes. */
+  def readTextInput(spark: SparkSession, path: String): Dataset[(String, String)] = {
+    import spark.implicits._
+    spark.read.textFile(path).map(line => (path, line))
+  }
+
+  /** Final text sink: `key\tvalue\n`, keys sorted — the reference's
+    * aggregated output format (cmd/storage-node/main.go:1328-1352,
+    * manager.go:1128-1135). `single=true` ≈ `-aggregate` one-file mode;
+    * false leaves one part per partition (A7/A8). */
+  def writeTsv(result: Dataset[(String, String)], path: String,
+               single: Boolean = false): Unit = {
+    val out = if (single) result.coalesce(1) else result
+    out.toDF("key", "value").orderBy("key")
+      .write.mode(SaveMode.Overwrite).option("sep", "\t").csv(path)
+  }
+
+  /** In-memory rendering of the final sink, for golden comparison. */
+  def renderTsv(result: Dataset[(String, String)]): String = {
+    result.orderBy("key").collect()
+      .map { case (k, v) => s"$k\t$v\n" }.mkString
+  }
+}

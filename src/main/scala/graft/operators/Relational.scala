@@ -1,0 +1,334 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Relational operator suite over the TPC-H-ish fixtures.
+  *
+  * The reference has no joins, windows, set ops, or expression language
+  * (SURVEY §2.3/§2.5/§2.7) — these are the engine-provided operators a
+  * user of a real analytics engine needs, expressed declaratively so
+  * Catalyst plans them (predicate pushdown, column pruning, join
+  * selection, AQE).
+  *
+  * Determinism discipline (the DuckDB oracle hash-compares values):
+  *   - Monetary doubles in the fixtures carry exactly 2 decimals, so
+  *     `CAST(x AS DECIMAL)` is exact and decimal sums are
+  *     order-independent — identical bits in Spark and DuckDB. Raw
+  *     double sums would differ by accumulation order; never used.
+  *   - Final doubles are produced by a single deterministic IEEE op
+  *     sequence from exact decimal inputs (e.g. `sum_dec::double / n`).
+  *   - Every ORDER BY / LIMIT / window carries a unique-key tiebreak.
+  *
+  * Scale notes per operator are inline.
+  */
+object Relational {
+
+  /** Exact decimal sum of a 2-dp monetary double, returned as double. */
+  private def dsum2(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** Exact decimal sum of a product of two 2-dp doubles (≤4 true
+    * decimals; scale 6 absorbs double rounding noise ~1e-10). */
+  private def dsum6(c: Column): Column =
+    sum(c.cast(DecimalType(24, 6))).cast("double")
+
+  private def ts(s: String): Column = lit(s).cast("timestamp")
+
+  /** TPC-H Q1-style pricing summary. One shuffle; HashAggregate does
+    * map-side partial agg, so at 100 TB the shuffle carries
+    * |partitions|×|groups| rows (groups ≈ 6), not |lineitem|. The
+    * shipdate filter is pushed to the parquet scan. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    li.filter(col("l_shipdate") <= ts("2001-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum2(col("l_quantity")).as("sum_qty"),
+        dsum2(col("l_extendedprice")).as("sum_base_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("sum_disc_price"),
+        dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")) * (lit(1.0) + col("l_tax"))).as("sum_charge"),
+        (dsum2(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        (dsum2(col("l_extendedprice")) / count(lit(1))).as("avg_price"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  def q1Oracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax) AS DECIMAL(24,6))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** TPC-H Q3-style: top unshipped orders by revenue for one segment.
+    * customer is filtered before the join (selectivity 1/5) and joined on
+    * o_custkey; at 100 TB both sides are large → shuffle hash join on the
+    * key, with AQE skew handling. Top-k via orderBy+limit: Spark plans
+    * TakeOrderedAndProject — per-partition heaps, no global sort. */
+  def q3Shipping(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select("c_custkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < ts("1998-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > ts("1998-01-01"))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    cust.join(ord, cust("c_custkey") === ord("o_custkey"))
+      .join(li, ord("o_orderkey") === li("l_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  def q3Oracle: String =
+    """SELECT l_orderkey, o_orderdate, o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND o_orderkey = l_orderkey
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > TIMESTAMP '1998-01-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey
+      |LIMIT 10""".stripMargin
+
+  /** TPC-H Q5-style: revenue per nation for one region/year, customer and
+    * supplier in the same nation. region+nation are broadcast (tiny at
+    * any scale); orders is filtered to one year before joining. */
+  def q5RegionRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val nat = Tables.nation(spark, dir)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") && col("o_orderdate") < ts("1997-01-01"))
+      .select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("n_name")
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  def q5Oracle: String =
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Global top-k without a global sort: TakeOrderedAndProject keeps a
+    * size-k heap per partition and merges k×partitions rows on the
+    * driver — O(k) driver memory at any scale. */
+  def topkOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(10)
+
+  def topkOracle: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** Ranking window: top-3 orders per customer. Single shuffle on
+    * o_custkey; rank filter applied before any further processing (at
+    * scale, WindowGroupLimit pushes the top-k into the sort). */
+  def windowRankOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(spark, dir)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .orderBy("o_custkey", "rk")
+  }
+
+  def windowRankOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |    row_number() OVER (PARTITION BY o_custkey
+      |                       ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |  FROM orders) t
+      |WHERE rk <= 3
+      |ORDER BY o_custkey, rk""".stripMargin
+
+  /** Running-total window (frame: unbounded preceding → current row) over
+    * an exact decimal sum. Restricted to 10 suppliers to keep the
+    * verification output small; the plan shape is scale-independent. */
+  def windowRunningQty(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.lineitem(spark, dir)
+      .filter(col("l_suppkey") <= 10)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_shipdate", "l_quantity")
+      .withColumn("running_qty",
+        sum(col("l_quantity").cast(DecimalType(18, 2))).over(w).cast("double"))
+      .orderBy("l_suppkey", "l_shipdate", "l_orderkey", "l_linenumber")
+  }
+
+  def windowRunningOracle: String =
+    """SELECT l_suppkey, l_orderkey, l_linenumber, l_shipdate, l_quantity,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)))
+      |    OVER (PARTITION BY l_suppkey
+      |          ORDER BY l_shipdate, l_orderkey, l_linenumber
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    AS running_qty
+      |FROM lineitem WHERE l_suppkey <= 10
+      |ORDER BY l_suppkey, l_shipdate, l_orderkey, l_linenumber""".stripMargin
+
+  /** DISTINCT — partial-aggregated like any groupBy. */
+  def distinctSegments(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select("c_mktsegment").distinct()
+      .orderBy("c_mktsegment")
+
+  def distinctSegmentsOracle: String =
+    "SELECT DISTINCT c_mktsegment FROM customer ORDER BY c_mktsegment"
+
+  /** UNION ALL + group (the reference's concat mode A7 ≈ UNION ALL). */
+  def setopUnionNations(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    c.unionAll(s).groupBy("nationkey").agg(count(lit(1)).as("n"))
+      .orderBy("nationkey")
+  }
+
+  def setopUnionOracle: String =
+    """SELECT nationkey, COUNT(*) AS n FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  UNION ALL SELECT s_nationkey AS nationkey FROM supplier) t
+      |GROUP BY nationkey ORDER BY nationkey""".stripMargin
+
+  /** INTERSECT — planned as a left-semi join over distinct keys. */
+  def setopIntersectNations(spark: SparkSession, dir: String): DataFrame = {
+    val c = Tables.customer(spark, dir).select(col("c_nationkey").as("nationkey"))
+    val s = Tables.supplier(spark, dir).select(col("s_nationkey").as("nationkey"))
+    c.intersect(s).orderBy("nationkey")
+  }
+
+  def setopIntersectOracle: String =
+    """SELECT nationkey FROM (
+      |  SELECT c_nationkey AS nationkey FROM customer
+      |  INTERSECT SELECT s_nationkey AS nationkey FROM supplier) t
+      |ORDER BY nationkey""".stripMargin
+
+  /** Scalar string-function battery (SURVEY §2.8 F1-F8 and beyond) —
+    * all codegen'd built-ins, no UDFs. */
+  def scalarStringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      upper(col("p_name")).as("name_u"),
+      lower(col("p_brand")).as("brand_l"),
+      length(col("p_name")).cast("long").as("name_len"),
+      substring(col("p_name"), 1, 4).as("name_pre"),
+      concat_ws("|", col("p_brand"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_name"), "[aeiou]", "_").as("name_novowel"),
+      reverse(col("p_brand")).as("brand_rev"),
+      lpad(col("p_size").cast("string"), 3, "0").as("size_pad"),
+      col("p_name").startsWith("red").as("is_red"),
+      md5(col("p_name")).as("name_md5"))
+      .orderBy("p_partkey")
+
+  def scalarStringOracle: String =
+    """SELECT p_partkey,
+      |  upper(p_name) AS name_u,
+      |  lower(p_brand) AS brand_l,
+      |  CAST(length(p_name) AS BIGINT) AS name_len,
+      |  substring(p_name, 1, 4) AS name_pre,
+      |  concat_ws('|', p_brand, p_type) AS brand_type,
+      |  regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_novowel,
+      |  reverse(p_brand) AS brand_rev,
+      |  lpad(CAST(p_size AS VARCHAR), 3, '0') AS size_pad,
+      |  p_name LIKE 'red%' AS is_red,
+      |  md5(p_name) AS name_md5
+      |FROM part ORDER BY p_partkey""".stripMargin
+
+  /** Scalar date/time-function battery. */
+  def scalarDatetimeFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir).select(
+      col("o_orderkey"),
+      year(col("o_orderdate")).cast("long").as("yr"),
+      quarter(col("o_orderdate")).cast("long").as("qtr"),
+      month(col("o_orderdate")).cast("long").as("mon"),
+      dayofmonth(col("o_orderdate")).cast("long").as("dom"),
+      date_format(col("o_orderdate"), "EEEE").as("dow_name"),
+      to_date(date_trunc("month", col("o_orderdate"))).as("month_start"),
+      date_add(to_date(col("o_orderdate")), 30).as("plus30"),
+      last_day(to_date(col("o_orderdate"))).as("month_end"),
+      datediff(to_date(col("o_orderdate")), to_date(lit("1995-01-01"))).cast("long").as("days_since"))
+      .orderBy("o_orderkey")
+
+  def scalarDatetimeOracle: String =
+    """SELECT o_orderkey,
+      |  CAST(EXTRACT(year FROM o_orderdate) AS BIGINT) AS yr,
+      |  CAST(EXTRACT(quarter FROM o_orderdate) AS BIGINT) AS qtr,
+      |  CAST(EXTRACT(month FROM o_orderdate) AS BIGINT) AS mon,
+      |  CAST(EXTRACT(day FROM o_orderdate) AS BIGINT) AS dom,
+      |  dayname(o_orderdate) AS dow_name,
+      |  CAST(date_trunc('month', o_orderdate) AS DATE) AS month_start,
+      |  CAST(o_orderdate AS DATE) + 30 AS plus30,
+      |  last_day(CAST(o_orderdate AS DATE)) AS month_end,
+      |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
+      |FROM orders ORDER BY o_orderkey""".stripMargin
+
+  /** Statistical aggregates with exact-decimal internals: variance is
+    * computed as (Σx² − (Σx)²/n)/(n−1) where Σx and Σx² are exact
+    * decimal sums — the final double expression is one deterministic
+    * IEEE op sequence, identical in both engines (a raw var_samp() would
+    * differ by accumulation order). */
+  def aggStatsAcctbal(spark: SparkSession, dir: String): DataFrame = {
+    val d = col("c_acctbal").cast(DecimalType(18, 2))
+    val sumD = sum(d).cast("double")
+    val sumSq = sum(d * d).cast("double")
+    val n = count(lit(1))
+    Tables.customer(spark, dir)
+      .groupBy("c_mktsegment")
+      .agg(
+        n.as("n"),
+        min(col("c_acctbal")).as("min_bal"),
+        max(col("c_acctbal")).as("max_bal"),
+        sumD.as("sum_bal"),
+        (sumD / n).as("avg_bal"),
+        ((sumSq - sumD * sumD / n) / (n - lit(1))).as("var_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  def aggStatsOracle: String =
+    """SELECT c_mktsegment,
+      |  COUNT(*) AS n,
+      |  min(c_acctbal) AS min_bal,
+      |  max(c_acctbal) AS max_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+      |  (CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |   - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+      |     * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+      |  / (COUNT(*) - 1) AS var_bal
+      |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+}

@@ -1,0 +1,107 @@
+#!/usr/bin/env python3
+"""Local mirror of the driver's correctness gate.
+
+Usage: python3 tools/local_verify.py [sfDir] [outDir]
+
+Assumes `sbt "runMain graft.Verify <sfDir> <outDir>"` has already been
+run (or run with --run to invoke it). For each query result parquet under
+outDir, runs the matching oracle SQL from oracle_sql.json in DuckDB over
+views of the sfDir tables, then compares:
+  - column name sets (driver sorts columns by name)
+  - row counts
+  - exact values row-by-row after sorting both frames by all columns
+
+This is a dev tool only — NOT part of the shipped library.
+"""
+import json
+import math
+import os
+import subprocess
+import sys
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def compare(name, spark_df, oracle_df):
+    issues = []
+    sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)
+    if sc != oc:
+        return [f"columns differ: spark={sc} oracle={oc}"]
+    if len(spark_df) != len(oracle_df):
+        issues.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
+        return issues
+    s = spark_df[sc].sort_values(by=sc, ignore_index=True)
+    o = oracle_df[oc].sort_values(by=oc, ignore_index=True)
+    for c in sc:
+        sv, ov = s[c], o[c]
+        mism = 0
+        first = None
+        for i in range(len(sv)):
+            a, b = sv.iloc[i], ov.iloc[i]
+            if a is None and b is None:
+                continue
+            if isinstance(a, float) and isinstance(b, float):
+                if math.isnan(a) and math.isnan(b):
+                    continue
+                eq = a == b  # exact — the driver hashes
+            else:
+                eq = str(a) == str(b)
+            if not eq:
+                mism += 1
+                if first is None:
+                    first = (i, a, b)
+        if mism:
+            issues.append(f"col {c}: {mism} mismatches, first at row "
+                          f"{first[0]}: spark={first[1]!r} oracle={first[2]!r}")
+    return issues
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    out_dir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+    if "--run" in sys.argv:
+        subprocess.run(["sbt", "-batch",
+                        f'runMain graft.Verify {sf_dir} {out_dir}'],
+                       cwd="/root/repo", check=True)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    with open(os.path.join(out_dir, "oracle_sql.json")) as f:
+        oracles = json.load(f)
+    names = sorted(d for d in os.listdir(out_dir)
+                   if os.path.isdir(os.path.join(out_dir, d)))
+    n_pass = n_fail = n_noracle = 0
+    for name in names:
+        pq = os.path.join(out_dir, name)
+        spark_df = duckdb.connect().execute(
+            f"SELECT * FROM '{pq}/*.parquet'").df()
+        if name not in oracles:
+            n_noracle += 1
+            print(f"  [rows-only] {name}: {len(spark_df)} rows "
+                  f"{'OK' if len(spark_df) > 0 else '** EMPTY **'}")
+            continue
+        try:
+            oracle_df = con.execute(oracles[name]).df()
+        except Exception as e:
+            n_fail += 1
+            print(f"  [FAIL] {name}: oracle SQL error: {e}")
+            continue
+        issues = compare(name, spark_df, oracle_df)
+        if issues:
+            n_fail += 1
+            print(f"  [FAIL] {name}:")
+            for i in issues:
+                print(f"     - {i}")
+        else:
+            n_pass += 1
+            print(f"  [pass] {name}: {len(spark_df)} rows")
+    print(f"\n{n_pass} pass, {n_fail} fail, {n_noracle} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
