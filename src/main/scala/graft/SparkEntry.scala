@@ -4,6 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{EventOps, Relational, WordCount}
+import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.mr.MapReduce
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -54,6 +55,26 @@ object SparkEntry {
     "json_extract_events" -> EventOps.jsonExtract _,
     "time_window_events" -> EventOps.timeWindow _,
     "sessionize_events" -> EventOps.sessionize _,
+    // ── LLM-pipeline: text analysis ──
+    "token_count" -> TextAnalysis.tokenCount _,
+    "text_quality" -> TextAnalysis.textQuality _,
+    "lang_id" -> TextAnalysis.langId _,
+    "doc_fingerprint" -> TextAnalysis.fingerprint _,
+    // ── LLM-pipeline: deduplication ──
+    "dedup_exact" -> Dedup.exact _,
+    "dedup_bag" -> Dedup.bag _,
+    "dedup_minhash_signatures" -> Dedup.minhashSignatures _,
+    "dedup_minhash_pairs" -> Dedup.minhashPairs _,
+    "dedup_simhash" -> Dedup.simhash _,
+    "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    // ── LLM-pipeline: similarity search ──
+    "sim_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
+    "sim_lsh_buckets" -> Similarity.lshBuckets _,
+    "sim_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    // ── LLM-pipeline: multimodal columns ──
+    "multimodal_meta" -> Multimodal.meta _,
+    "multimodal_features" -> Multimodal.features _,
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -85,5 +106,21 @@ object SparkEntry {
     "json_extract_events" -> EventOps.jsonExtractOracle,
     "time_window_events" -> EventOps.timeWindowOracle,
     "sessionize_events" -> EventOps.sessionizeOracle,
+    "token_count" -> TextAnalysis.tokenCountOracle,
+    "text_quality" -> TextAnalysis.textQualityOracle,
+    "lang_id" -> TextAnalysis.langIdOracle,
+    "doc_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "dedup_exact" -> Dedup.exactOracle,
+    "dedup_bag" -> Dedup.bagOracle,
+    "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,
+    "dedup_minhash_pairs" -> Dedup.minhashPairsOracle,
+    "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_embedding" -> Dedup.embeddingNearDupOracle,
+    "sim_brute_topk" -> Similarity.bruteForceTopKOracle,
+    "sim_lsh_buckets" -> Similarity.lshBucketsOracle,
+    "sim_ann_lsh" -> Similarity.annLshOracle,
+    "multimodal_meta" -> Multimodal.metaOracle,
+    // multimodal_features: decode is a stub, not SQL semantics → rows-only
   )
 }

@@ -1,0 +1,272 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators: exact, bag-of-words, MinHash(+LSH), SimHash,
+  * n-gram Jaccard, embedding-cosine.
+  *
+  * Scale design: signature computation (MinHash, SimHash, fingerprints)
+  * is a pure per-row projection — NO shuffle, no pairwise work. Only
+  * candidate-pair generation shuffles, and it shuffles on (band,
+  * band_key) so each bucket is tiny; verification joins touch candidate
+  * pairs only, never the O(n²) cross product. That is the standard
+  * LSH recipe that holds at 100 TB (the brute-force embedding variant
+  * is explicitly the small-side baseline; the LSH path replaces it at
+  * scale).
+  *
+  * Hash parity with the DuckDB oracle: token hash = first 8 hex chars
+  * of md5, parsed as an integer — identical in both engines — then
+  * exact 64-bit modular arithmetic for the permutations. Never Spark's
+  * murmur3 `hash()` (engine-private).
+  */
+object Dedup {
+
+  private def toks(c: Column): Column = TextAnalysis.tokens(c)
+  private val tokensSql =
+    raw"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), w -> w <> '')"
+
+  // ── exact dedup ──
+
+  /** Hash-groupBy on raw text: keeper = min doc_id per group. Map-side
+    * partial agg keeps the shuffle at one row per distinct text per
+    * partition. */
+  def exact(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .select(md5(col("text")).as("text_md5"), col("keeper"), col("n_copies"))
+      .orderBy("keeper")
+
+  def exactOracle: String =
+    """SELECT md5(text) AS text_md5, min(doc_id) AS keeper,
+      |  COUNT(*) AS n_copies
+      |FROM documents GROUP BY text ORDER BY keeper""".stripMargin
+
+  /** Bag-of-words dedup: same distinct token set = duplicate (catches
+    * reordered content). Groups on the bag fingerprint. */
+  def bag(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        md5(array_join(array_sort(array_distinct(toks(col("text")))), " ")).as("bag_md5"))
+      .groupBy("bag_md5")
+      .agg(min(col("doc_id")).as("keeper"), count(lit(1)).as("n_copies"))
+      .orderBy("keeper")
+
+  def bagOracle: String =
+    s"""SELECT md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_md5,
+       |  min(doc_id) AS keeper, COUNT(*) AS n_copies
+       |FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t
+       |GROUP BY 1 ORDER BY keeper""".stripMargin
+
+  // ── MinHash ──
+
+  val NumPerms = 16
+  val MinhashPrime = 2147483647L // 2^31-1; a*h+b stays < 2^63
+
+  /** Per-token hash: first 8 md5 hex chars as int, mod p. */
+  private def tokHash(w: Column): Column =
+    conv(substring(md5(w), 1, 8), 16, 10).cast("long") % MinhashPrime
+
+  private def tokHashSql(w: String): String =
+    s"(CAST(concat('0x', substr(md5($w), 1, 8)) AS BIGINT) % $MinhashPrime)"
+
+  private def permA(k: Column): Column = lit(4099L) * k + 8191L
+  private def permB(k: Column): Column = lit(9973L) * k + 104729L
+
+  /** 16-permutation MinHash signature over the distinct token set,
+    * computed entirely inside one projection (higher-order functions,
+    * no explode, no shuffle): sig[k] = min_w ((a_k·h(w)+b_k) mod p). */
+  def signatureCol(text: Column): Column = {
+    val hs = transform(array_distinct(toks(text)), w => tokHash(w))
+    transform(sequence(lit(0L), lit(NumPerms - 1L)), k =>
+      array_min(transform(hs, h => (permA(k) * h + permB(k)) % MinhashPrime)))
+  }
+
+  /** Signatures, exploded to (doc_id, k, mh) rows for verification. */
+  def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(signatureCol(col("text"))))
+      .select(col("doc_id"), col("pos").cast("long").as("k"), col("col").as("mh"))
+      .orderBy("doc_id", "k")
+
+  def minhashSignaturesOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM documents),
+       |th AS (SELECT doc_id, ${tokHashSql("w")} AS h
+       |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) u),
+       |sig AS (SELECT doc_id, k,
+       |       MIN(((4099*k + 8191) * h + (9973*k + 104729)) % $MinhashPrime) AS mh
+       |       FROM th CROSS JOIN range(${NumPerms}) r(k)
+       |       GROUP BY doc_id, k)
+       |SELECT doc_id, CAST(k AS BIGINT) AS k, CAST(mh AS BIGINT) AS mh
+       |FROM sig ORDER BY doc_id, k""".stripMargin
+
+  // ── MinHash-LSH candidate pairs ──
+
+  val NumBands = 8 // 8 bands × 2 rows
+
+  /** LSH near-dup pairs: band the signature (8 bands × 2), bucket-join
+    * on (band, band-key), then estimate Jaccard as the fraction of
+    * equal signature components. The only shuffle keys are band
+    * buckets; the pairwise join never sees non-colliding docs. */
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), signatureCol(col("text")).as("sig"))
+    val rowsPerBand = NumPerms / NumBands
+    val bands = docs.select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+          md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_key"))
+    val a = bands.select(col("band_id"), col("band_key"),
+      col("doc_id").as("d1"), col("sig").as("sig1"))
+    val b = bands.select(col("band_id"), col("band_key"),
+      col("doc_id").as("d2"), col("sig").as("sig2"))
+    a.join(b, Seq("band_id", "band_key")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
+          bool => bool)).cast("double") / NumPerms).as("est_jaccard"))
+      .distinct()
+      .filter(col("est_jaccard") >= 0.5)
+      .orderBy("d1", "d2")
+  }
+
+  def minhashPairsOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM documents),
+       |th AS (SELECT doc_id, ${tokHashSql("w")} AS h
+       |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) u),
+       |sig AS (SELECT doc_id, k,
+       |       MIN(((4099*k + 8191) * h + (9973*k + 104729)) % $MinhashPrime) AS mh
+       |       FROM th CROSS JOIN range(${NumPerms}) r(k)
+       |       GROUP BY doc_id, k),
+       |band AS (SELECT doc_id, k // 2 AS band_id,
+       |       md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS band_key
+       |       FROM sig GROUP BY doc_id, k // 2),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM band a JOIN band b
+       |         ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |        AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.d1, c.d2,
+       |       CAST(COUNT(*) FILTER (s1.mh = s2.mh) AS DOUBLE) / ${NumPerms} AS est_jaccard
+       |       FROM cand c
+       |       JOIN sig s1 ON s1.doc_id = c.d1
+       |       JOIN sig s2 ON s2.doc_id = c.d2 AND s1.k = s2.k
+       |       GROUP BY c.d1, c.d2)
+       |SELECT d1, d2, est_jaccard FROM est
+       |WHERE est_jaccard >= 0.5 ORDER BY d1, d2""".stripMargin
+
+  // ── SimHash ──
+
+  val SimhashBits = 32
+
+  /** 32-bit SimHash over the distinct token set: bit b of the signature
+    * is 1 iff Σ_w (2·bit_b(h(w))−1) > 0. Pure projection, no shuffle. */
+  def simhash(spark: SparkSession, dir: String): DataFrame = {
+    val hs = transform(array_distinct(toks(col("text"))),
+      w => conv(substring(md5(w), 1, 8), 16, 10).cast("long"))
+    // h < 2^32 and 2^b ≤ 2^31, so h / 2^b is a pure binary shift —
+    // exact in double arithmetic; floor+%2 extracts bit b.
+    def bitOf(h: Column, b: Column): Column =
+      floor(h / pow(lit(2.0), b)).cast("long") % 2L
+    val sig = aggregate(
+      sequence(lit(0), lit(SimhashBits - 1)), lit(0L),
+      (acc, b) => acc + when(
+        aggregate(hs, lit(0L), (s, h) => s + bitOf(h, b) * 2L - 1L) > 0L,
+        pow(lit(2.0), b).cast("long")).otherwise(0L))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), sig.as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  def simhashOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM documents),
+       |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h
+       |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) u),
+       |bits AS (SELECT doc_id, b,
+       |       CASE WHEN SUM(((h // (1::BIGINT << b)) % 2) * 2 - 1) > 0
+       |            THEN (1::BIGINT << b) ELSE 0 END AS bitval
+       |       FROM th CROSS JOIN range(${SimhashBits}) r(b)
+       |       GROUP BY doc_id, b)
+       |SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash
+       |FROM bits GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── word n-gram Jaccard ──
+
+  /** Exact 3-gram Jaccard over candidate pairs (restricted id range for
+    * the verification query; at scale the candidate set comes from the
+    * LSH pass, never a cross product). Jaccard = |∩| / (|A|+|B|−|∩|) —
+    * exact integers, one IEEE division. */
+  def ngramJaccard(spark: SparkSession, dir: String, maxDocId: Long = 100): DataFrame = {
+    val ws = toks(col("text"))
+    // trigrams by index; docs with <3 tokens contribute no grams (a
+    // bare sequence(1, n-2) would count DOWN for n<3 — guard it)
+    val docs = Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxDocId)
+      .select(col("doc_id"), ws.as("ws"))
+      .select(col("doc_id"),
+        when(size(col("ws")) >= 3,
+          array_distinct(transform(sequence(lit(1), size(col("ws")) - 2),
+            i => concat_ws(" ",
+              element_at(col("ws"), i),
+              element_at(col("ws"), i + 1),
+              element_at(col("ws"), i + 2)))))
+          .otherwise(array().cast("array<string>")).as("grams"))
+    val exploded = docs.select(col("doc_id"), col("grams"),
+        explode(col("grams")).as("g"))
+      .select(col("doc_id"), size(col("grams")).as("n"), col("g"))
+    val a = exploded.select(col("doc_id").as("d1"), col("n").as("n1"), col("g"))
+    val b = exploded.select(col("doc_id").as("d2"), col("n").as("n2"), col("g"))
+    a.join(b, Seq("g")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2", "n1", "n2")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+      .orderBy("d1", "d2")
+  }
+
+  def ngramJaccardOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, $tokensSql AS ws FROM documents WHERE doc_id < 100),
+       |tri AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+       |  FROM toks),
+       |g AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM tri)
+       |SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |  CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) AS jaccard
+       |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
+       |GROUP BY a.doc_id, b.doc_id, a.n, b.n
+       |ORDER BY d1, d2""".stripMargin
+
+  // ── embedding-cosine near-dup ──
+
+  /** Brute-force cosine near-dup pairs above a threshold — the exact
+    * baseline. At scale this becomes: normalize once, LSH-bucket
+    * (Similarity.lshBucket), pair only within buckets. */
+  def embeddingNearDup(spark: SparkSession, dir: String,
+                       threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), Similarity.norm(col("v")).as("nrm"))
+    val a = e.select(col("vec_id").as("d1"), col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2"))
+    a.crossJoin(b).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
+  def embeddingNearDupOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+      |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+      |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+      |SELECT d1, d2, cos_sim FROM p WHERE cos_sim >= 0.4
+      |ORDER BY d1, d2""".stripMargin
+}

@@ -1,0 +1,154 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over embedding columns (ArrayType(FloatType),
+  * cast to double for engine-independent arithmetic).
+  *
+  * Two paths, as a 100 TB pipeline needs:
+  *   - brute-force exact top-k: broadcast the (small) query set,
+  *     score every vector in one map stage, TakeOrdered per query.
+  *     Linear scan — the correctness baseline and still the right
+  *     plan when the query set is small and the corpus is scanned
+  *     once.
+  *   - LSH-bucketed ANN: deterministic random-hyperplane signs give
+  *     each vector a bucket id in one projection; candidates are
+  *     joined within buckets only. Sub-linear candidate sets; the
+  *     bucket id doubles as a partitioning key so the join shuffles
+  *     each vector once.
+  *
+  * Scores are rounded to 6 decimals BEFORE ranking so that sub-ulp
+  * summation differences between engines can't flip an ordering.
+  */
+object Similarity {
+
+  /** Sequential left-to-right dot product — deterministic fold. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(v: Column): Column = sqrt(dot(v, v))
+
+  private def embeddingsD(spark: SparkSession, dir: String): DataFrame =
+    Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
+
+  /** Exact top-k neighbors for each query vector (vec_id < numQueries),
+    * by cosine. The query set is broadcast — no shuffle of the corpus;
+    * ranking uses a per-query window over the scored scan. */
+  def bruteForceTopK(spark: SparkSession, dir: String,
+                     numQueries: Int = 5, k: Int = 10): DataFrame = {
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
+  def bruteForceTopKOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+      |scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cos_sim
+      |  FROM n q, n e WHERE q.vec_id < 5 AND e.vec_id <> q.vec_id),
+      |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+      |    row_number() OVER (PARTITION BY query_id
+      |                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+      |FROM ranked WHERE rk <= 10 ORDER BY query_id, rk""".stripMargin
+
+  // ── LSH (random-hyperplane) bucketing ──
+
+  val NumPlanes = 8
+
+  /** Deterministic ±1 hyperplane component for plane p, dimension j:
+    * parity of a fixed integer mix — engine-independent. */
+  private def planeSign(p: Int, j: Column): Column =
+    when((j * 2654435761L + lit(p.toLong) * 40503L) % 97 % 2 === 0, 1.0).otherwise(-1.0)
+
+  /** Bucket id: bit p = sign(v · plane_p) — 8 planes → 256 buckets,
+    * computed in one projection per row. */
+  def lshBucket(v: Column): Column =
+    (0 until NumPlanes).map { p =>
+      val proj = aggregate(
+        zip_with(v, sequence(lit(0L), lit(63L)), (x, j) => x * planeSign(p, j)),
+        lit(0.0), (acc, x) => acc + x)
+      when(proj > 0, lit(1L) * (1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** Bucket histogram — the data-distribution check for the ANN path. */
+  def lshBuckets(spark: SparkSession, dir: String): DataFrame =
+    embeddingsD(spark, dir)
+      .select(lshBucket(col("v")).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_vectors"))
+      .orderBy("bucket")
+
+  def lshBucketsOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS (SELECT vec_id, p,
+       |    list_sum(list_transform(range(64), j ->
+       |      v[j+1] * (CASE WHEN (j * 2654435761 + p * 40503) % 97 % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END))) AS s
+       |  FROM e CROSS JOIN range(${NumPlanes}) r(p)),
+       |bucket AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id)
+       |SELECT bucket, COUNT(*) AS n_vectors FROM bucket
+       |GROUP BY bucket ORDER BY bucket""".stripMargin
+
+  /** ANN: top-k within the query's own LSH bucket — the sub-linear
+    * scale path (misses cross-bucket neighbors by design; recall is
+    * tuned by NumPlanes / multi-probe). */
+  def annLsh(spark: SparkSession, dir: String,
+             numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
+        lshBucket(col("v")).as("bucket"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("bucket"))
+    val scored = e.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
+  def annLshOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS (SELECT vec_id, p,
+       |    list_sum(list_transform(range(64), j ->
+       |      v[j+1] * (CASE WHEN (j * 2654435761 + p * 40503) % 97 % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END))) AS s
+       |  FROM e CROSS JOIN range(${NumPlanes}) r(p)),
+       |bucket AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, b.bucket
+       |  FROM e JOIN bucket b ON e.vec_id = b.vec_id),
+       |scored AS (SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cos_sim
+       |  FROM n q JOIN n e ON q.bucket = e.bucket AND e.vec_id <> q.vec_id
+       |  WHERE q.vec_id < 5),
+       |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+}
