@@ -26,9 +26,11 @@ import graft.Tables
   */
 object Similarity {
 
-  /** Sequential left-to-right dot product — deterministic fold. */
+  /** Sequential left-to-right dot product — deterministic fold, as a
+    * native codegen'd expression (graft.functions.DotProduct): HOF
+    * lambdas would run interpreted and dominate pairwise scoring. */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    graft.functions.DotProduct(a, b)
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 

@@ -1,0 +1,79 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.Event
+
+class StreamingSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("windowed counts emit completed windows and drop late data") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.windowedCounts(mem.toDF(), watermark = "10 minutes")
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // hour-0 events, then advance watermark well past hour 0
+      mem.addData(
+        Event(1, ts(5), 1, "click", 1.0),
+        Event(2, ts(20), 1, "click", 2.0),
+        Event(3, ts(40), 2, "view", 3.0))
+      q.processAllAvailable()
+      mem.addData(Event(4, ts(150), 1, "click", 4.0)) // hour 2 → watermark 2:20-0:10
+      q.processAllAvailable()
+      val rows = spark.table("wc_out").collect()
+      // hour-0 windows are now final and emitted exactly once
+      val clicks = rows.find(r => r.getString(1) == "click" &&
+        r.getTimestamp(0) == ts(0))
+      assert(clicks.isDefined && clicks.get.getLong(2) == 2)
+      assert(clicks.get.getDouble(3) == 3.0)
+      // a late hour-0 event behind the watermark must be dropped
+      mem.addData(Event(5, ts(30), 9, "click", 99.0))
+      q.processAllAvailable()
+      val after = spark.table("wc_out").collect()
+        .filter(r => r.getString(1) == "click" && r.getTimestamp(0) == ts(0))
+      assert(after.length == 1 && after.head.getLong(2) == 2,
+        "late event behind watermark must not create or update the closed window")
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes sessions on gap and on timeout") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStream.sessionize(mem.toDS(), gapMinutes = 30)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append).start()
+    try {
+      // user 1: two events 5 min apart (one session), then a 60-min gap
+      // event → closes the first session within the batch
+      mem.addData(
+        Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(5), 1, "click", 2.0),
+        Event(3, ts(65), 1, "click", 4.0))
+      q.processAllAvailable()
+      val s1 = spark.table("sess_out").as[EventStream.SessionOut].collect()
+      assert(s1.length == 1)
+      assert(s1.head.n_events == 2 && s1.head.session_value == 3.0)
+      assert(s1.head.session_start == ts(0) && s1.head.session_end == ts(5))
+      // advance event time far enough that the trailing session
+      // (last=65) times out: watermark must pass 65+30
+      mem.addData(Event(9, ts(200), 2, "view", 0.0))
+      q.processAllAvailable()
+      mem.addData(Event(10, ts(210), 2, "view", 0.0)) // one more batch to fire timeout
+      q.processAllAvailable()
+      val s2 = spark.table("sess_out").as[EventStream.SessionOut].collect()
+      assert(s2.length >= 2, s"expected timed-out session, got ${s2.toSeq}")
+      val timedOut = s2.filter(_.user_id == 1).maxBy(_.session_start.getTime)
+      assert(timedOut.n_events == 1 && timedOut.session_value == 4.0)
+    } finally q.stop()
+  }
+}

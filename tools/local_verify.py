@@ -37,26 +37,12 @@ def compare(name, spark_df, oracle_df):
     s = spark_df[sc].sort_values(by=sc, ignore_index=True)
     o = oracle_df[oc].sort_values(by=oc, ignore_index=True)
     for c in sc:
-        sv, ov = s[c], o[c]
-        mism = 0
-        first = None
-        for i in range(len(sv)):
-            a, b = sv.iloc[i], ov.iloc[i]
-            if a is None and b is None:
-                continue
-            if isinstance(a, float) and isinstance(b, float):
-                if math.isnan(a) and math.isnan(b):
-                    continue
-                eq = a == b  # exact — the driver hashes
-            else:
-                eq = str(a) == str(b)
-            if not eq:
-                mism += 1
-                if first is None:
-                    first = (i, a, b)
-        if mism:
-            issues.append(f"col {c}: {mism} mismatches, first at row "
-                          f"{first[0]}: spark={first[1]!r} oracle={first[2]!r}")
+        sv, ov = s[c].astype(str), o[c].astype(str)
+        neq = (sv != ov)
+        if neq.any():
+            i = int(neq.idxmax())
+            issues.append(f"col {c}: {int(neq.sum())} mismatches, first at "
+                          f"row {i}: spark={s[c].iloc[i]!r} oracle={o[c].iloc[i]!r}")
     return issues
 
 
