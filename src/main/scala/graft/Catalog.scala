@@ -1,0 +1,54 @@
+package graft
+
+import scala.collection.concurrent.TrieMap
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Named-dataset catalog mirroring the reference DFS's flat keyed
+  * namespace (SURVEY §2.1 S1/S3/S7/S8):
+  *
+  *   - `put(key, df)`    ≈ upload: register a dataset under a string key
+  *     (`client upload`, manager.go:385-429)
+  *   - `get(key)`        ≈ download (`client download`, manager.go:316-325)
+  *   - `list(prefix)`    ≈ `ListFiles(prefix)` — `strings.HasPrefix`
+  *     semantics (manager.go:353-363)
+  *   - `delete(key)`     ≈ `DeleteFile` (manager.go:328-350)
+  *
+  * Chunking, replication, placement, scrubbing (SURVEY §2.11 I1-I7) are
+  * deliberately absent: the storage layer (HDFS/S3 via `persist`) owns
+  * them. `put` registers a lazy logical plan, not materialized bytes —
+  * at 100 TB a catalog entry is a view over partitioned parquet, and
+  * `persist`/`load` are the materialization boundary.
+  */
+final class Catalog(spark: SparkSession) {
+  private val entries = TrieMap.empty[String, DataFrame]
+
+  def put(key: String, df: DataFrame): Unit = {
+    require(key.nonEmpty, "empty key")
+    entries(key) = df
+  }
+
+  def get(key: String): DataFrame =
+    entries.getOrElse(key, throw new NoSuchElementException(s"no dataset '$key'"))
+
+  def exists(key: String): Boolean = entries.contains(key)
+
+  /** Keys with the given prefix, sorted (reference lists are sorted
+    * string keys). */
+  def list(prefix: String = ""): Seq[String] =
+    entries.keys.filter(_.startsWith(prefix)).toSeq.sorted
+
+  def delete(key: String): Boolean = entries.remove(key).isDefined
+
+  /** Materialize an entry to parquet (the durable layer owns
+    * replication/integrity, as HDFS did for the reference's chunks). */
+  def persist(key: String, path: String): Unit =
+    get(key).write.mode(SaveMode.Overwrite).parquet(path)
+
+  /** Load a parquet path and register it. */
+  def load(key: String, path: String): DataFrame = {
+    val df = spark.read.parquet(path)
+    put(key, df)
+    df
+  }
+}

@@ -51,7 +51,9 @@ object SparkEntry {
     "scalar_string_funcs" -> Relational.scalarStringFuncs _,
     "scalar_datetime_funcs" -> Relational.scalarDatetimeFuncs _,
     "agg_stats_acctbal" -> Relational.aggStatsAcctbal _,
+    "percentile_price" -> Relational.percentilePrice _,
     // ── event/time/JSON operators ──
+    "asof_error_click" -> EventOps.asofErrorClick _,
     "json_extract_events" -> EventOps.jsonExtract _,
     "time_window_events" -> EventOps.timeWindow _,
     "sessionize_events" -> EventOps.sessionize _,
@@ -103,6 +105,8 @@ object SparkEntry {
     "scalar_string_funcs" -> Relational.scalarStringOracle,
     "scalar_datetime_funcs" -> Relational.scalarDatetimeOracle,
     "agg_stats_acctbal" -> Relational.aggStatsOracle,
+    "percentile_price" -> Relational.percentilePriceOracle,
+    "asof_error_click" -> EventOps.asofErrorClickOracle,
     "json_extract_events" -> EventOps.jsonExtractOracle,
     "time_window_events" -> EventOps.timeWindowOracle,
     "sessionize_events" -> EventOps.sessionizeOracle,

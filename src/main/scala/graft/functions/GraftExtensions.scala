@@ -1,0 +1,37 @@
+package graft.functions
+
+import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.DotProductExpr
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * functions into the SQL function registry, so
+  * `spark.sql("SELECT graft_dot(a, b) ...")` works alongside the
+  * Column API.
+  *
+  * Wire up with:
+  * {{{
+  *   SparkSession.builder().withExtensions(new GraftExtensions) ...
+  * }}}
+  * or `spark.sql.extensions=graft.functions.GraftExtensions`, or
+  * imperatively on an existing session via [[GraftFunctions.register]].
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction(GraftFunctions.dotFunction)
+  }
+}
+
+object GraftFunctions {
+  private[functions] val dotFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_dot"),
+    new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
+    (exprs: Seq[Expression]) => DotProductExpr(exprs.head, exprs(1)))
+
+  /** Imperative registration on a live session. */
+  def register(spark: SparkSession): Unit =
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_dot", exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+}

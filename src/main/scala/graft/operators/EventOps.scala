@@ -74,6 +74,48 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** As-of join within the event stream: for each 'error' event, the
+    * most recent strictly-earlier 'click' by the same user.
+    *
+    * Composed from built-ins (SURVEY §7 preference (a)): union the two
+    * event roles, one window pass partitioned by user ordered by time
+    * with an ignore-nulls last() over the preceding frame — a single
+    * shuffle on user_id, no range join blowup. This is the standard
+    * scalable as-of formulation: state per partition is one running
+    * value, so it holds at any scale (vs. an O(n·m) inequality join).
+    */
+  def asofErrorClick(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    Tables.events(spark, dir)
+      .filter(col("event_type").isin("error", "click"))
+      .withColumn("click_us",
+        when(col("event_type") === "click", unix_micros(col("ts"))))
+      .withColumn("prev_click_us", last(col("click_us"), ignoreNulls = true).over(byUser))
+      .filter(col("event_type") === "error" && col("prev_click_us").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        timestamp_micros(col("prev_click_us")).as("prev_click_ts"),
+        (unix_micros(col("ts")) - col("prev_click_us")).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  def asofErrorClickOracle: String =
+    """WITH ec AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS click_us
+      |  FROM events WHERE event_type IN ('error', 'click')),
+      |w AS (
+      |  SELECT event_id, user_id, ts, event_type,
+      |    last_value(click_us IGNORE NULLS) OVER (
+      |      PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_click_us
+      |  FROM ec)
+      |SELECT event_id, user_id, ts,
+      |  make_timestamp(prev_click_us) AS prev_click_ts,
+      |  epoch_us(ts) - prev_click_us AS gap_us
+      |FROM w WHERE event_type = 'error' AND prev_click_us IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+
   def sessionizeOracle: String =
     """WITH lagged AS (
       |  SELECT user_id, event_id, ts, value,

@@ -319,6 +319,29 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Exact percentiles (linear interpolation) per group. Both engines
+    * interpolate between the same 2-decimal order statistics, so values
+    * land on a 4-decimal grid — round(4) erases last-ulp differences
+    * without tie risk. Exact percentile is a sort-based aggregate; at
+    * 100 TB one would switch to approx_percentile (t-digest) — kept
+    * exact here because the oracle is exact. */
+  def percentilePrice(spark: SparkSession, dir: String): DataFrame = {
+    def pct(p: Double, name: String) =
+      round(percentile(col("o_totalprice"), lit(p)), 4).as(name)
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"))
+      .orderBy("o_orderpriority")
+  }
+
+  def percentilePriceOracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS n,
+      |  round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+      |  round(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+      |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def aggStatsOracle: String =
     """SELECT c_mktsegment,
       |  COUNT(*) AS n,

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.mr.MapReduce
+
+class CatalogSpec extends SparkSpec {
+
+  test("catalog put/get/list/delete mirror DFS namespace semantics") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    cat.put("data/a", Seq(1, 2).toDF("x"))
+    cat.put("data/b", Seq(3).toDF("x"))
+    cat.put("other/c", Seq(4).toDF("x"))
+    assert(cat.list("data/") == Seq("data/a", "data/b"))
+    assert(cat.list() == Seq("data/a", "data/b", "other/c"))
+    assert(cat.get("data/a").count() == 2)
+    assert(cat.exists("data/b"))
+    assert(cat.delete("data/b"))
+    assert(!cat.exists("data/b"))
+    assert(!cat.delete("data/b"))
+    assert(cat.list("data/") == Seq("data/a"))
+    intercept[NoSuchElementException](cat.get("nope"))
+  }
+
+  test("catalog persist/load round-trip through parquet") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val dir = Files.createTempDirectory("graft-cat").toString
+    cat.put("t", Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    cat.persist("t", s"$dir/t")
+    val back = cat.load("t2", s"$dir/t")
+    assert(back.orderBy("id").collect().map(_.getLong(0)).toSeq == Seq(1L, 2L))
+  }
+
+  test("TSV sink: single-file aggregate mode vs multi-part mode") {
+    import spark.implicits._
+    val result = MapReduce.runJob(
+      Seq(("f", "b a a c b a")).toDS(), "wordcount", "wordcount")
+    val dir = Files.createTempDirectory("graft-tsv").toString
+    // -aggregate=true ≈ one merged sorted file (SURVEY A6)
+    MapReduce.writeTsv(result, s"$dir/single", single = true)
+    val files = new java.io.File(s"$dir/single").listFiles()
+      .filter(_.getName.startsWith("part-"))
+    assert(files.length == 1)
+    val content = new String(Files.readAllBytes(files.head.toPath))
+    assert(content == "a\t3\nb\t2\nc\t1\n")
+    // -aggregate=false ≈ R part files (SURVEY A7/A8); content identical
+    MapReduce.writeTsv(result, s"$dir/multi", single = false)
+    val multi = spark.read.option("sep", "\t")
+      .csv(s"$dir/multi").as[(String, String)].collect().toMap
+    assert(multi == Map("a" -> "3", "b" -> "2", "c" -> "1"))
+  }
+
+  test("graft_dot is callable from SQL after extension registration") {
+    graft.functions.GraftFunctions.register(spark)
+    val r = spark.sql(
+      "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
+      .collect()(0).getDouble(0)
+    assert(r == 32.0)
+  }
+}
