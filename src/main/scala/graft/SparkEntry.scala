@@ -52,8 +52,14 @@ object SparkEntry {
     "scalar_datetime_funcs" -> Relational.scalarDatetimeFuncs _,
     "agg_stats_acctbal" -> Relational.aggStatsAcctbal _,
     "percentile_price" -> Relational.percentilePrice _,
+    "rollup_revenue" -> Relational.rollupRevenue _,
+    "semi_anti_parts" -> Relational.semiAntiParts _,
+    "left_join_order_counts" -> Relational.leftJoinOrderCounts _,
+    "collect_nations" -> Relational.collectNations _,
+    "pivot_status" -> Relational.pivotStatus _,
     // ── event/time/JSON operators ──
     "asof_error_click" -> EventOps.asofErrorClick _,
+    "malformed_filter" -> EventOps.malformedFilter _,
     "json_extract_events" -> EventOps.jsonExtract _,
     "time_window_events" -> EventOps.timeWindow _,
     "sessionize_events" -> EventOps.sessionize _,
@@ -106,7 +112,13 @@ object SparkEntry {
     "scalar_datetime_funcs" -> Relational.scalarDatetimeOracle,
     "agg_stats_acctbal" -> Relational.aggStatsOracle,
     "percentile_price" -> Relational.percentilePriceOracle,
+    "rollup_revenue" -> Relational.rollupRevenueOracle,
+    "semi_anti_parts" -> Relational.semiAntiPartsOracle,
+    "left_join_order_counts" -> Relational.leftJoinOrderCountsOracle,
+    "collect_nations" -> Relational.collectNationsOracle,
+    "pivot_status" -> Relational.pivotStatusOracle,
     "asof_error_click" -> EventOps.asofErrorClickOracle,
+    "malformed_filter" -> EventOps.malformedFilterOracle,
     "json_extract_events" -> EventOps.jsonExtractOracle,
     "time_window_events" -> EventOps.timeWindowOracle,
     "sessionize_events" -> EventOps.sessionizeOracle,

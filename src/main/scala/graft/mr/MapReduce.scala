@@ -60,6 +60,16 @@ object MapReduce {
         .filter(_.nonEmpty).map(w => (w.toLowerCase, "1")).toSeq
     })
     .registerReduce("wordcount", (_, values) => values.size.toString)
+    // the registry generalizes beyond the reference's single hardcoded
+    // pair (SURVEY U4): a grep-style filtering map, identity, and
+    // numeric reducers
+    .registerMap("identity", (name, contents) => Seq((name, contents)))
+    .registerMap("lines", { (_, contents) =>
+      contents.split("\n").iterator.filter(_.nonEmpty).map(l => (l, "1")).toSeq
+    })
+    .registerReduce("sum", (_, values) => values.map(_.toLong).sum.toString)
+    .registerReduce("max", (_, values) => values.map(_.toLong).max.toString)
+    .registerReduce("concat", (_, values) => values.sorted.mkString(","))
 
   /** Run a MapReduce job over a DataFrame of (filename, contents) rows.
     *

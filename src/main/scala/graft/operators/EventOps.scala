@@ -52,6 +52,45 @@ object EventOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2 ORDER BY hour_ts, event_type""".stripMargin
 
+  /** Malformed-record filter (SURVEY P4): the reference skipped
+    * undecodable JSON lines with a warning
+    * (cmd/storage-node/main.go:1292-1296); the engine-equivalent is
+    * null-on-malformed parsing + an explicit filter/count. To exercise
+    * it deterministically, every third props payload is corrupted
+    * (truncated) before parsing; the query reports parsed vs malformed
+    * per event type. */
+  def malformedFilter(spark: SparkSession, dir: String): DataFrame = {
+    val corrupted = when(col("event_id") % 3 === 0,
+      substring(col("props"), lit(1), length(col("props")) - 2))
+      .otherwise(col("props"))
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(corrupted, "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_total"),
+        count(col("k")).as("n_parsed"),
+        sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_malformed"),
+        sum(col("k")).as("sum_k"))
+      .orderBy("event_type")
+  }
+
+  def malformedFilterOracle: String =
+    """WITH c AS (
+      |  SELECT event_type,
+      |    CASE WHEN event_id % 3 = 0
+      |         THEN substring(props, 1, length(props) - 2)
+      |         ELSE props END AS props
+      |  FROM events),
+      |p AS (
+      |  SELECT event_type,
+      |    CASE WHEN json_valid(props)
+      |         THEN CAST(json_extract_string(props, '$.k') AS BIGINT) END AS k
+      |  FROM c)
+      |SELECT event_type, COUNT(*) AS n_total, COUNT(k) AS n_parsed,
+      |  CAST(SUM(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_malformed,
+      |  CAST(SUM(k) AS BIGINT) AS sum_k
+      |FROM p GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Gap-based sessionization (30-min inactivity gap): lag → new-session
     * flag → running sum = session index → per-session aggregates. Two
     * window passes over ONE shuffle (both windows partition by user_id,

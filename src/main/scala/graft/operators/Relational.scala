@@ -342,6 +342,123 @@ object Relational {
       |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** ROLLUP hierarchy (region → nation) with grouping flags. Subtotal
+    * rows carry NULL keys; keys are coalesced to '(all)' and tagged
+    * with grouping_id so the result is unambiguous (and hashable). */
+  def rollupRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+    val ord = Tables.orders(spark, dir).select("o_custkey", "o_totalprice")
+    ord.join(cust, col("o_custkey") === col("c_custkey"))
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"), dsum2(col("o_totalprice")).as("revenue"))
+      .select(coalesce(col("r_name"), lit("(all)")).as("region"),
+        coalesce(col("n_name"), lit("(all)")).as("nation"),
+        col("gid"), col("n_orders"), col("revenue"))
+      .orderBy("gid", "region", "nation")
+  }
+
+  def rollupRevenueOracle: String =
+    """SELECT coalesce(r_name, '(all)') AS region,
+      |  coalesce(n_name, '(all)') AS nation,
+      |  CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS BIGINT) AS gid,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders, customer, nation, region
+      |WHERE o_custkey = c_custkey AND c_nationkey = n_nationkey
+      |  AND n_regionkey = r_regionkey
+      |GROUP BY ROLLUP (r_name, n_name)
+      |ORDER BY gid, region, nation""".stripMargin
+
+  /** Semi + anti joins: parts ordered at least once (semi) but never
+    * shipped in 1995-Q1 (anti). Planned as left-semi/left-anti hash
+    * joins — no row multiplication, the build side is the distinct key
+    * set, and the anti side's date filter is pushed to its scan. */
+  def semiAntiParts(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables.part(spark, dir).select("p_partkey", "p_name")
+    val li = Tables.lineitem(spark, dir)
+    val q1_1995 = li
+      .filter(col("l_shipdate") >= ts("1995-01-01") && col("l_shipdate") < ts("1995-04-01"))
+      .select("l_partkey")
+    val ordered = part.join(li.select("l_partkey"),
+      col("p_partkey") === col("l_partkey"), "left_semi")
+    ordered.join(q1_1995, col("p_partkey") === col("l_partkey"), "left_anti")
+      .select(col("p_partkey"), col("p_name"))
+      .orderBy("p_partkey")
+  }
+
+  def semiAntiPartsOracle: String =
+    """SELECT p_partkey, p_name FROM part
+      |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem
+      |    WHERE l_partkey = p_partkey
+      |      AND l_shipdate >= TIMESTAMP '1995-01-01'
+      |      AND l_shipdate < TIMESTAMP '1995-04-01')
+      |ORDER BY p_partkey""".stripMargin
+
+  /** LEFT OUTER join + conditional count: orders per customer including
+    * zero-order customers (count of a nullable column skips nulls in
+    * both engines). */
+  def leftJoinOrderCounts(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_mktsegment")
+    val bigOrders = Tables.orders(spark, dir)
+      .filter(col("o_totalprice") > 400000.0)
+      .select("o_custkey", "o_orderkey")
+    cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg(count(col("o_orderkey")).as("n_big_orders"))
+      .orderBy("c_custkey")
+  }
+
+  def leftJoinOrderCountsOracle: String =
+    """SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_big_orders
+      |FROM customer LEFT JOIN orders
+      |  ON c_custkey = o_custkey AND o_totalprice > 400000.0
+      |GROUP BY c_custkey, c_mktsegment ORDER BY c_custkey""".stripMargin
+
+  /** Deterministic string aggregation: sorted nation list per region.
+    * collect_list is order-nondeterministic at scale — always sort the
+    * collected array before joining. */
+  def collectNations(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir)
+    nat.join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name").as("region"))
+      .agg(array_join(array_sort(collect_list(col("n_name"))), ",").as("nations"),
+        count(lit(1)).as("n_nations"))
+      .orderBy("region")
+  }
+
+  def collectNationsOracle: String =
+    """SELECT r_name AS region,
+      |  string_agg(n_name, ',' ORDER BY n_name) AS nations,
+      |  COUNT(*) AS n_nations
+      |FROM nation, region WHERE n_regionkey = r_regionkey
+      |GROUP BY r_name ORDER BY region""".stripMargin
+
+  /** Portable pivot: order counts per priority × status via conditional
+    * aggregation (the formulation that any engine executes as one
+    * grouped scan — Spark's .pivot() plans the same shape). */
+  def pivotStatus(spark: SparkSession, dir: String): DataFrame = {
+    def cnt(status: String) =
+      count(when(col("o_orderstatus") === status, 1)).as(s"n_$status")
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(cnt("F"), cnt("O"), cnt("P"))
+      .orderBy("o_orderpriority")
+  }
+
+  def pivotStatusOracle: String =
+    """SELECT o_orderpriority,
+      |  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_F,
+      |  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_O,
+      |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P
+      |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   def aggStatsOracle: String =
     """SELECT c_mktsegment,
       |  COUNT(*) AS n,
