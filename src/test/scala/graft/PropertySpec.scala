@@ -1,0 +1,60 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.mr.MapReduce
+
+/** Property-based invariants (SURVEY §5): tokenizer/count laws that
+  * must hold for any input, not just the fixtures. Runs the map
+  * function locally (same closure the cluster runs) — the distributed
+  * paths are covered by the golden + partitioning suites. */
+class PropertySpec extends SparkSpec {
+
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(100), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val wcMap = MapReduce.builtins.map("wordcount")
+  private val text: Gen[String] =
+    Gen.listOf(Gen.oneOf(
+      Gen.alphaNumStr.map(_.take(8)),
+      Gen.oneOf(" ", "\n", "\t", ".", ",", "—", "…", "'")))
+      .map(_.mkString)
+
+  test("wordcount map: token count is preserved by counting") {
+    check(Prop.forAll(text) { s =>
+      val kvs = wcMap("f", s)
+      kvs.groupBy(_._1).values.map(_.size).sum == kvs.length
+    })
+  }
+
+  test("wordcount map: tokens are lowercase, non-empty, letter/digit only") {
+    check(Prop.forAll(text) { s =>
+      wcMap("f", s).forall { case (tok, one) =>
+        one == "1" && tok.nonEmpty && tok == tok.toLowerCase &&
+          tok.forall(c => Character.isLetter(c) || Character.isDigit(c))
+      }
+    })
+  }
+
+  test("wordcount map: concatenation with a separator is additive") {
+    check(Prop.forAll(text, text) { (a, b) =>
+      val joined = wcMap("f", a + " " + b)
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      val parts = (wcMap("f", a) ++ wcMap("f", b))
+        .groupBy(_._1).view.mapValues(_.size).toMap
+      joined == parts
+    })
+  }
+
+  test("sum reducer equals numeric sum regardless of value order") {
+    val rf = MapReduce.builtins.reduce("sum")
+    check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))) { vals =>
+      val asStrings = vals.map(_.toString)
+      rf("k", asStrings).toLong == vals.sum &&
+        rf("k", scala.util.Random.shuffle(asStrings)) == rf("k", asStrings)
+    })
+  }
+}
