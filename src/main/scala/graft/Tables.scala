@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 
 /** Loaders for the driver-generated parquet fixtures (TESTDATA.md).
   *
@@ -32,4 +32,30 @@ object Tables {
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+
+  // ── typed surface (case-class Encoders) for compile-time field
+  //    checks where per-row logic warrants it ──
+
+  case class Lineitem(l_orderkey: Long, l_partkey: Long, l_suppkey: Long,
+                      l_linenumber: Int, l_quantity: Double,
+                      l_extendedprice: Double, l_discount: Double, l_tax: Double,
+                      l_returnflag: String, l_linestatus: String,
+                      l_shipdate: java.sql.Timestamp)
+
+  case class Order(o_orderkey: Long, o_custkey: Long, o_orderstatus: String,
+                   o_totalprice: Double, o_orderdate: java.sql.Timestamp,
+                   o_orderpriority: String)
+
+  case class Document(doc_id: Long, text: String, lang: String,
+                      source: String, n_chars: Long)
+
+  def lineitemDS(s: SparkSession, d: String): Dataset[Lineitem] = {
+    import s.implicits._; lineitem(s, d).as[Lineitem]
+  }
+  def ordersDS(s: SparkSession, d: String): Dataset[Order] = {
+    import s.implicits._; orders(s, d).as[Order]
+  }
+  def documentsDS(s: SparkSession, d: String): Dataset[Document] = {
+    import s.implicits._; documents(s, d).as[Document]
+  }
 }

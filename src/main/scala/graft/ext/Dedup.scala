@@ -148,8 +148,8 @@ object Dedup {
       col("doc_id").as("d2"), col("sig").as("sig2"))
     a.join(b, Seq("band_id", "band_key")).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        (size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y),
-          bool => bool)).cast("double") / NumPerms).as("est_jaccard"))
+        (graft.functions.ArrayEqCount(col("sig1"), col("sig2")).cast("double")
+          / NumPerms).as("est_jaccard"))
       .distinct()
       .filter(col("est_jaccard") >= PairThreshold)
       .orderBy("d1", "d2")

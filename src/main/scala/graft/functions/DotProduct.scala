@@ -1,11 +1,17 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ColumnShim, DotProductExpr}
+import org.apache.spark.sql.graft.{ArrayEqCountExpr, ColumnShim, DotProductExpr}
 
 /** Public Column surface for the native codegen'd dot product
   * (see org.apache.spark.sql.graft.DotProductExpr for the rationale). */
 object DotProduct {
   def apply(a: Column, b: Column): Column =
     ColumnShim.column(DotProductExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
+}
+
+/** Count of pairwise-equal positions in two long arrays (codegen'd). */
+object ArrayEqCount {
+  def apply(a: Column, b: Column): Column =
+    ColumnShim.column(ArrayEqCountExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
 }
