@@ -29,6 +29,25 @@ class MapReduceSpec extends SparkSpec {
     assert(out == Map("k1" -> "v1,v2", "k2" -> "v3"))
   }
 
+  test("incremental Aggregator reducers agree with holistic reducers") {
+    import spark.implicits._
+    val input = Seq(
+      ("f1", "a b a c b a"),
+      ("f2", "a c d")).toDS()
+    val holistic = MapReduce.runJob(input, "wordcount", "wordcount")
+      .collect().toMap
+    val incremental = graft.mr.ReduceAgg
+      .runJobIncremental(input, "wordcount", graft.mr.ReduceAgg.countAgg)
+      .collect().toMap
+    assert(incremental == holistic)
+    // partial aggregation appears in the plan (the reference shuffled
+    // every (word,"1") pair — SURVEY §2.4 notes the combiner is absent)
+    val plan = graft.mr.ReduceAgg
+      .runJobIncremental(input, "wordcount", graft.mr.ReduceAgg.countAgg)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial"), s"expected partial agg in:\n$plan")
+  }
+
   test("salted join equals plain join") {
     import spark.implicits._
     // skewed large side: key 1 dominates
