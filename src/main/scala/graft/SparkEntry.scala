@@ -53,6 +53,7 @@ object SparkEntry {
     "agg_stats_acctbal" -> Relational.aggStatsAcctbal _,
     "percentile_price" -> Relational.percentilePrice _,
     "rollup_revenue" -> Relational.rollupRevenue _,
+    "cube_status_priority" -> Relational.cubeStatusPriority _,
     "semi_anti_parts" -> Relational.semiAntiParts _,
     "left_join_order_counts" -> Relational.leftJoinOrderCounts _,
     "collect_nations" -> Relational.collectNations _,
@@ -80,6 +81,8 @@ object SparkEntry {
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_buckets" -> Similarity.lshBuckets _,
     "sim_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
+    "sim_ivf_assign" -> Similarity.ivfAssign _,
+    "sim_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     // ── LLM-pipeline: multimodal columns ──
     "multimodal_meta" -> Multimodal.meta _,
     "multimodal_features" -> Multimodal.features _,
@@ -113,6 +116,7 @@ object SparkEntry {
     "agg_stats_acctbal" -> Relational.aggStatsOracle,
     "percentile_price" -> Relational.percentilePriceOracle,
     "rollup_revenue" -> Relational.rollupRevenueOracle,
+    "cube_status_priority" -> Relational.cubeStatusPriorityOracle,
     "semi_anti_parts" -> Relational.semiAntiPartsOracle,
     "left_join_order_counts" -> Relational.leftJoinOrderCountsOracle,
     "collect_nations" -> Relational.collectNationsOracle,
@@ -136,6 +140,8 @@ object SparkEntry {
     "sim_brute_topk" -> Similarity.bruteForceTopKOracle,
     "sim_lsh_buckets" -> Similarity.lshBucketsOracle,
     "sim_ann_lsh" -> Similarity.annLshOracle,
+    "sim_ivf_assign" -> Similarity.ivfAssignOracle,
+    "sim_ann_ivf" -> Similarity.annIvfOracle,
     "multimodal_meta" -> Multimodal.metaOracle,
     // multimodal_features: decode is a stub, not SQL semantics → rows-only
   )

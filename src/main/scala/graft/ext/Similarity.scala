@@ -131,6 +131,98 @@ object Similarity {
       .orderBy("query_id", "rk")
   }
 
+  // ── IVF (inverted-file) ANN ──
+
+  val NumLists = 16
+  val NProbe = 2
+
+  /** Coarse quantizer: the first NumLists vectors serve as
+    * deterministic data-sampled centroids (a production build would
+    * k-means them; the plan shape — broadcast centroids, one scored
+    * scan, argmax per row — is identical). */
+  private def withAssignments(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+    val cents = e.filter(col("vec_id") < NumLists)
+      .select(col("vec_id").as("list_id"), col("v").as("cv"), col("nrm").as("cn"))
+    val w = Window.partitionBy("vec_id")
+      .orderBy(col("centroid_sim").desc, col("list_id"))
+    e.crossJoin(broadcast(cents))
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"),
+        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("centroid_sim"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= NProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"),
+        col("centroid_sim"), col("rk").cast("long").as("probe_rank"))
+  }
+
+  /** IVF list assignment: every vector's primary list (probe_rank 1). */
+  def ivfAssign(spark: SparkSession, dir: String): DataFrame =
+    withAssignments(spark, dir)
+      .filter(col("probe_rank") === 1)
+      .select(col("vec_id"), col("list_id").cast("long").as("list_id"),
+        col("centroid_sim"))
+      .orderBy("vec_id")
+
+  /** IVF ANN: probe the query's NProbe nearest lists, score only the
+    * vectors whose PRIMARY list is probed — candidate set ≈
+    * NProbe/NumLists of the corpus, the sub-linear scale path. */
+  def annIvf(spark: SparkSession, dir: String,
+             numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val assign = withAssignments(spark, dir)
+    val members = assign.filter(col("probe_rank") === 1)
+      .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
+    val queries = assign
+      .filter(col("vec_id") >= NumLists && col("vec_id") < NumLists + numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), col("list_id"))
+    val scored = queries.join(members, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+      .distinct() // a candidate may appear via both probed lists
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
+  private val ivfCommonSql: String =
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |cents AS (SELECT vec_id AS list_id, v AS cv, nrm AS cn FROM n
+       |          WHERE vec_id < ${NumLists}),
+       |scoredc AS (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+       |    round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS centroid_sim,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |                       ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+       |                                c.list_id) AS probe_rank
+       |  FROM n CROSS JOIN cents c)""".stripMargin
+
+  def ivfAssignOracle: String =
+    s"""WITH $ivfCommonSql
+       |SELECT vec_id, CAST(list_id AS BIGINT) AS list_id, centroid_sim
+       |FROM scoredc WHERE probe_rank = 1 ORDER BY vec_id""".stripMargin
+
+  def annIvfOracle: String =
+    s"""WITH $ivfCommonSql,
+       |members AS (SELECT list_id, vec_id, v, nrm FROM scoredc WHERE probe_rank = 1),
+       |queries AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, list_id
+       |  FROM scoredc
+       |  WHERE probe_rank <= ${NProbe}
+       |    AND vec_id >= ${NumLists} AND vec_id < ${NumLists + 5}),
+       |scored AS (SELECT DISTINCT q.query_id, m.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.qv, m.v) / (q.qn * m.nrm), 6) AS cos_sim
+       |  FROM queries q JOIN members m ON q.list_id = m.list_id
+       |   AND m.vec_id <> q.query_id),
+       |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
   def annLshOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |proj AS (SELECT vec_id, p,

@@ -374,6 +374,29 @@ object Relational {
       |GROUP BY ROLLUP (r_name, n_name)
       |ORDER BY gid, region, nation""".stripMargin
 
+  /** CUBE over two dimensions — all four grouping combinations in one
+    * pass (Spark expands to a union of partial aggregates internally;
+    * still a single scan + one shuffle). */
+  def cubeStatusPriority(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .select(coalesce(col("o_orderstatus"), lit("(all)")).as("status"),
+        coalesce(col("o_orderpriority"), lit("(all)")).as("priority"),
+        col("gid"), col("n"), col("total"))
+      .orderBy("gid", "status", "priority")
+
+  def cubeStatusPriorityOracle: String =
+    """SELECT coalesce(o_orderstatus, '(all)') AS status,
+      |  coalesce(o_orderpriority, '(all)') AS priority,
+      |  CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS BIGINT) AS gid,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, status, priority""".stripMargin
+
   /** Semi + anti joins: parts ordered at least once (semi) but never
     * shipped in 1995-Q1 (anti). Planned as left-semi/left-anti hash
     * joins — no row multiplication, the build side is the distinct key

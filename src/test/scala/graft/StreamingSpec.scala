@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStream
@@ -42,6 +43,43 @@ class StreamingSpec extends SparkSpec {
         .filter(r => r.getString(1) == "click" && r.getTimestamp(0) == ts(0))
       assert(after.length == 1 && after.head.getLong(2) == 2,
         "late event behind watermark must not create or update the closed window")
+    } finally q.stop()
+  }
+
+  test("file-source streaming agg matches the batch time_window result") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // stream the real events parquet: ts arrives as raw nanos (same
+    // nanosAsLong path as the batch loader), converted before windowing
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // FileStreamSource wants a directory; stage the single parquet file
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$sf0001/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val q = graft.streaming.EventStream
+      .windowedCounts(stream, watermark = "0 seconds")
+      .writeStream.format("memory").queryName("file_wc")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete)
+      .start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_wc")
+        .select(col("window_start"), col("event_type"), col("n"), col("sum_value"))
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      val batch = graft.operators.EventOps.timeWindow(spark, sf0001)
+        .select(col("hour_ts"), col("event_type"), col("n"), col("sum_value"))
+        .as[(java.sql.Timestamp, String, Long, Double)].collect().toSet
+      assert(streamed == batch,
+        s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
     } finally q.stop()
   }
 
