@@ -1,0 +1,69 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** End-to-end training-data curation pipeline composing the ext
+  * operators — the shape a 100 TB corpus actually runs:
+  *
+  *   1. fingerprint + exact/bag dedup (hash groupBy, keeper = min id)
+  *   2. quality filter (pure projection thresholds)
+  *   3. near-dup removal via MinHash-LSH pairs (keep the smaller id of
+  *      each high-similarity pair)
+  *   4. per-doc token/subword accounting for budget packing
+  *
+  * Stage order matters at scale: cheap exact dedup shrinks the corpus
+  * before the (shuffling) LSH stage; quality filtering is a projection
+  * and goes wherever it prunes most. Every stage is a DataFrame
+  * transform — the whole pipeline is one lazy plan until the sink.
+  */
+object Pipeline {
+
+  case class CurationStats(n_input: Long, n_after_exact: Long,
+                           n_after_quality: Long, n_after_neardup: Long,
+                           total_tokens: Long)
+
+  /** Curate the documents table: returns (curated corpus, stage stats).
+    * Thresholds tuned for the fixture corpus; parameters in a real run. */
+  def curate(spark: SparkSession, dir: String,
+             minTokens: Long = 10, maxStopwordRatio: Double = 0.9,
+             nearDupThreshold: Double = 0.9): (DataFrame, CurationStats) = {
+    val docs = Tables.documents(spark, dir)
+    val nInput = docs.count()
+
+    // 1. exact dedup on normalized text (keeper = min doc_id)
+    val keepers = docs
+      .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .withColumn("keeper",
+        min(col("doc_id")).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("norm")))
+      .filter(col("doc_id") === col("keeper"))
+      .drop("norm", "keeper")
+    val nExact = keepers.count()
+
+    // 2. quality filter (projection-only)
+    val ws = TextAnalysis.tokens(col("text"))
+    val quality = keepers
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(ws, w => w.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+          .cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= minTokens && col("stop_ratio") <= maxStopwordRatio)
+      .drop("stop_ratio")
+    val nQuality = quality.count()
+
+    // 3. near-dup removal: drop the larger id of each LSH pair
+    val drops = Dedup.minhashPairs(spark, dir)
+      .filter(col("est_jaccard") >= nearDupThreshold)
+      .select(col("d2").as("doc_id")).distinct()
+    val curated = quality.join(drops, Seq("doc_id"), "left_anti")
+    val nFinal = curated.count()
+
+    // 4. token accounting
+    val totalTokens = curated.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+
+    (curated, CurationStats(nInput, nExact, nQuality, nFinal, totalTokens))
+  }
+}

@@ -47,6 +47,33 @@ class FormatsSpec extends SparkSpec {
     assert(row.getAs[Array[Byte]](1).toSeq == Seq[Byte](1, 2, 3))
   }
 
+  test("partitioned parquet write prunes partitions on read") {
+    val dir = Files.createTempDirectory("graft-part").toString
+    val orders = Tables.orders(spark, sf0001)
+      .withColumn("o_year", org.apache.spark.sql.functions.year(
+        org.apache.spark.sql.functions.col("o_orderdate")))
+    orders.write.partitionBy("o_year").mode("overwrite").parquet(s"$dir/orders")
+    val pruned = spark.read.parquet(s"$dir/orders")
+      .filter(col("o_year") === 1996)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(o_year"),
+      s"expected partition pruning in:\n$scan")
+    assert(pruned.count() ==
+      orders.filter(col("o_year") === 1996).count())
+  }
+
+  test("curation pipeline composes dedup + quality + near-dup stages") {
+    val (curated, stats) = graft.ext.Pipeline.curate(spark, sf0001)
+    assert(stats.n_input == 500)
+    assert(stats.n_after_exact <= stats.n_input)
+    assert(stats.n_after_quality <= stats.n_after_exact)
+    assert(stats.n_after_neardup <= stats.n_after_quality)
+    assert(stats.n_after_neardup > 0 && stats.total_tokens > 0)
+    assert(curated.count() == stats.n_after_neardup)
+    // curated docs keep the full original schema
+    assert(curated.columns.contains("text") && curated.columns.contains("doc_id"))
+  }
+
   test("bucketed tables join without an exchange") {
     import spark.implicits._
     // clean any leftover table/location from an earlier aborted run
