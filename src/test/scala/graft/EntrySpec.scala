@@ -1,0 +1,33 @@
+package graft
+
+class EntrySpec extends SparkSpec {
+  test("driver contract: entry() returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("driver contract: every oracleSql key has a queries entry") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("driver contract: all queries run and return rows at sf0.001") {
+    val empty = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val n = fn(spark, sf0001).count()
+      if (n == 0) Some(name) else None
+    }
+    // dedup_minhash_pairs may legitimately be empty at tiny scale; all
+    // others must produce rows
+    assert(empty.forall(_ == "dedup_minhash_pairs"), s"empty results: $empty")
+  }
+
+  test("approximate sketches land within tolerance of exact counts") {
+    import org.apache.spark.sql.functions._
+    val li = Tables.lineitem(spark, sf0001)
+    val row = li.agg(
+      countDistinct(col("l_partkey")).as("exact"),
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx")).collect()(0)
+    val (exact, approx) = (row.getLong(0), row.getLong(1))
+    assert(math.abs(approx - exact).toDouble / exact < 0.1,
+      s"approx $approx vs exact $exact")
+  }
+}
