@@ -73,7 +73,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exact _,
     "dedup_bag" -> Dedup.bag _,
     "dedup_minhash_signatures" -> Dedup.minhashSignatures _,
-    "dedup_minhash_pairs" -> Dedup.minhashPairs _,
+    "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),

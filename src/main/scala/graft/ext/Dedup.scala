@@ -132,7 +132,8 @@ object Dedup {
     * goes quadratic (measured 83M joined rows with 2-row bands vs 5.5M
     * with 8-row bands at sf0.1). Wide bands = high precision, recall
     * limited to near-identical sets — the right trade for dedup. */
-  def minhashPairs(spark: SparkSession, dir: String): DataFrame = {
+  def minhashPairs(spark: SparkSession, dir: String,
+                   threshold: Double = PairThreshold): DataFrame = {
     val docs = signatureRows(spark, dir)
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
@@ -151,7 +152,7 @@ object Dedup {
         (graft.functions.ArrayEqCount(col("sig1"), col("sig2")).cast("double")
           / NumPerms).as("est_jaccard"))
       .distinct()
-      .filter(col("est_jaccard") >= PairThreshold)
+      .filter(col("est_jaccard") >= threshold)
       .orderBy("d1", "d2")
   }
 
@@ -164,9 +165,9 @@ object Dedup {
        |       MIN(((4099*k + 8191) * h + (9973*k + 104729)) % $MinhashPrime) AS mh
        |       FROM th CROSS JOIN range(${NumPerms}) r(k)
        |       GROUP BY doc_id, k),
-       |band AS (SELECT doc_id, k // 8 AS band_id,
+       |band AS (SELECT doc_id, k // ${NumPerms / NumBands} AS band_id,
        |       md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS band_key
-       |       FROM sig GROUP BY doc_id, k // 8),
+       |       FROM sig GROUP BY doc_id, k // ${NumPerms / NumBands}),
        |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
        |       FROM band a JOIN band b
        |         ON a.band_id = b.band_id AND a.band_key = b.band_key
@@ -254,9 +255,11 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  def ngramJaccardOracle: String =
+  def ngramJaccardOracle: String = ngramJaccardOracle(100)
+
+  def ngramJaccardOracle(maxDocId: Long): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, $tokensSql AS ws FROM documents WHERE doc_id < 100),
+       |  SELECT doc_id, $tokensSql AS ws FROM documents WHERE doc_id < $maxDocId),
        |tri AS (SELECT doc_id,
        |    list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
        |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
@@ -287,12 +290,14 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  def embeddingNearDupOracle: String =
-    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-      |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
-      |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
-      |  FROM n a, n b WHERE a.vec_id < b.vec_id)
-      |SELECT d1, d2, cos_sim FROM p WHERE cos_sim >= 0.4
-      |ORDER BY d1, d2""".stripMargin
+  def embeddingNearDupOracle: String = embeddingNearDupOracle(0.4)
+
+  def embeddingNearDupOracle(threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |p AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM n a, n b WHERE a.vec_id < b.vec_id)
+       |SELECT d1, d2, cos_sim FROM p WHERE cos_sim >= $threshold
+       |ORDER BY d1, d2""".stripMargin
 }

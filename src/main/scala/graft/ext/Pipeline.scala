@@ -43,7 +43,8 @@ object Pipeline {
       .drop("norm", "keeper")
     val nExact = keepers.count()
 
-    // 2. quality filter (projection-only)
+    // 2. quality filter (projection-only). Persisted: reused by the
+    // survivor-join below and the final stats.
     val ws = TextAnalysis.tokens(col("text"))
     val quality = keepers
       .withColumn("n_tokens", size(ws).cast("long"))
@@ -52,17 +53,25 @@ object Pipeline {
           .cast("double") / col("n_tokens"))
       .filter(col("n_tokens") >= minTokens && col("stop_ratio") <= maxStopwordRatio)
       .drop("stop_ratio")
+      .persist()
     val nQuality = quality.count()
 
-    // 3. near-dup removal: drop the larger id of each LSH pair
-    val drops = Dedup.minhashPairs(spark, dir)
-      .filter(col("est_jaccard") >= nearDupThreshold)
+    // 3. near-dup removal: greedy keep-the-smaller-id, but only drop d2
+    // when its partner d1 SURVIVED the earlier stages — otherwise a
+    // pair whose keeper was already removed (low quality) would delete
+    // both copies and lose the content entirely. (Transitive chains
+    // A≈B≈C may keep C when B was dropped — the standard greedy
+    // trade-off vs. full connected components.)
+    val survivors = quality.select(col("doc_id").as("d1"))
+    val drops = Dedup.minhashPairs(spark, dir, threshold = nearDupThreshold)
+      .join(survivors, Seq("d1"), "left_semi")
       .select(col("d2").as("doc_id")).distinct()
-    val curated = quality.join(drops, Seq("doc_id"), "left_anti")
+    val curated = quality.join(drops, Seq("doc_id"), "left_anti").persist()
     val nFinal = curated.count()
 
     // 4. token accounting
     val totalTokens = curated.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    quality.unpersist()
 
     (curated, CurationStats(nInput, nExact, nQuality, nFinal, totalTokens))
   }

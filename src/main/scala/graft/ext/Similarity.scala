@@ -80,11 +80,14 @@ object Similarity {
     when((j * 2654435761L + lit(p.toLong) * 40503L) % 97 % 2 === 0, 1.0).otherwise(-1.0)
 
   /** Bucket id: bit p = sign(v · plane_p) — 8 planes → 256 buckets,
-    * computed in one projection per row. */
+    * computed in one projection per row. Plane indices derive from the
+    * vector's own length (zip_with against a longer index array would
+    * null-pad and zero every bucket). */
   def lshBucket(v: Column): Column =
     (0 until NumPlanes).map { p =>
       val proj = aggregate(
-        zip_with(v, sequence(lit(0L), lit(63L)), (x, j) => x * planeSign(p, j)),
+        zip_with(v, sequence(lit(0L), (size(v) - 1).cast("long")),
+          (x, j) => x * planeSign(p, j)),
         lit(0.0), (acc, x) => acc + x)
       when(proj > 0, lit(1L) * (1L << p)).otherwise(lit(0L))
     }.reduce(_ + _)
@@ -99,7 +102,7 @@ object Similarity {
   def lshBucketsOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |proj AS (SELECT vec_id, p,
-       |    list_sum(list_transform(range(64), j ->
+       |    list_sum(list_transform(range(len(v)), j ->
        |      v[j+1] * (CASE WHEN (j * 2654435761 + p * 40503) % 97 % 2 = 0
        |                     THEN 1.0 ELSE -1.0 END))) AS s
        |  FROM e CROSS JOIN range(${NumPlanes}) r(p)),
@@ -226,7 +229,7 @@ object Similarity {
   def annLshOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |proj AS (SELECT vec_id, p,
-       |    list_sum(list_transform(range(64), j ->
+       |    list_sum(list_transform(range(len(v)), j ->
        |      v[j+1] * (CASE WHEN (j * 2654435761 + p * 40503) % 97 % 2 = 0
        |                     THEN 1.0 ELSE -1.0 END))) AS s
        |  FROM e CROSS JOIN range(${NumPlanes}) r(p)),

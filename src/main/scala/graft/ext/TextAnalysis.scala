@@ -64,12 +64,15 @@ object TextAnalysis {
     val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
     val nDistinct = size(array_distinct(ws)).cast("long")
     val sumLen = aggregate(ws, lit(0L), (acc, w) => acc + length(w).cast("long"))
+    // ratios are NULL (not NaN) for zero-token docs — matches SQL
+    // division semantics so the oracle hash-compares
+    def safe(x: Column): Column = when(nTok =!= 0, x)
     Tables.documents(spark, dir).select(
       col("doc_id"),
       nTok.as("n_tokens"),
-      (sumLen.cast("double") / nTok).as("avg_token_len"),
-      (nStop.cast("double") / nTok).as("stopword_ratio"),
-      (nDistinct.cast("double") / nTok).as("distinct_ratio"))
+      safe(sumLen.cast("double") / nTok).as("avg_token_len"),
+      safe(nStop.cast("double") / nTok).as("stopword_ratio"),
+      safe(nDistinct.cast("double") / nTok).as("distinct_ratio"))
       .orderBy("doc_id")
   }
 
@@ -77,10 +80,10 @@ object TextAnalysis {
     s"""SELECT doc_id,
        |  CAST(len(ws) AS BIGINT) AS n_tokens,
        |  CAST(COALESCE(list_sum(list_transform(ws, w -> CAST(length(w) AS BIGINT))), 0) AS DOUBLE)
-       |    / len(ws) AS avg_token_len,
+       |    / NULLIF(len(ws), 0) AS avg_token_len,
        |  CAST(len(list_filter(ws, w -> w IN ($stopwordsSqlList))) AS DOUBLE)
-       |    / len(ws) AS stopword_ratio,
-       |  CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) AS distinct_ratio
+       |    / NULLIF(len(ws), 0) AS stopword_ratio,
+       |  CAST(len(list_distinct(ws)) AS DOUBLE) / NULLIF(len(ws), 0) AS distinct_ratio
        |FROM (SELECT doc_id, text, $tokensSql AS ws FROM documents) t
        |ORDER BY doc_id""".stripMargin
 

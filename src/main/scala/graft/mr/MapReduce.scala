@@ -87,15 +87,25 @@ object MapReduce {
     val mf = registry.map(mapId)
     val rf = registry.reduce(reduceId)
     val mapped = input.flatMap { case (name, contents) => mf(name, contents) }
-    val shuffled = numPartitions match {
-      // explicit reducer count (the reference's `-reducers N`); default:
-      // let spark.sql.shuffle.partitions + AQE pick — better at scale.
-      case Some(n) => mapped.repartition(n, $"_1")
-      case None    => mapped
+    val reduced = numPartitions match {
+      // explicit reducer count (the reference's `-reducers N`): shuffle
+      // once on the key column, then group on that same column so the
+      // HashPartitioning(key, n) satisfies the aggregation's required
+      // distribution — no second exchange. (groupByKey would append its
+      // own key expression and re-shuffle.)
+      case Some(n) =>
+        mapped.toDF("key", "value")
+          .repartition(n, $"key")
+          .groupBy($"key").agg(collect_list($"value").as("values"))
+          .as[(String, Seq[String])]
+          .map { case (k, vs) => (k, rf(k, vs)) }
+      // default: one shuffle sized by spark.sql.shuffle.partitions +
+      // AQE coalescing — better at scale than a fixed N.
+      case None =>
+        mapped.groupByKey(_._1)
+          .mapGroups { (key, it) => (key, rf(key, it.map(_._2).toSeq)) }
     }
-    shuffled
-      .groupByKey(_._1)
-      .mapGroups { (key, it) => (key, rf(key, it.map(_._2).toSeq)) }
+    reduced
       .orderBy($"_1")
       .withColumnRenamed("_1", "key").withColumnRenamed("_2", "value")
       .as[(String, String)]

@@ -315,7 +315,8 @@ object Relational {
         max(col("c_acctbal")).as("max_bal"),
         sumD.as("sum_bal"),
         (sumD / n).as("avg_bal"),
-        ((sumSq - sumD * sumD / n) / (n - lit(1))).as("var_bal"))
+        // sample variance is undefined for n=1: NULL, matching SQL
+        when(n > 1, (sumSq - sumD * sumD / n) / (n - lit(1))).as("var_bal"))
       .orderBy("c_mktsegment")
   }
 
@@ -489,9 +490,10 @@ object Relational {
       |  max(c_acctbal) AS max_bal,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS sum_bal,
       |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_bal,
+      |  CASE WHEN COUNT(*) > 1 THEN
       |  (CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2)) * CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
       |   - CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
       |     * CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
-      |  / (COUNT(*) - 1) AS var_bal
+      |  / (COUNT(*) - 1) END AS var_bal
       |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 }

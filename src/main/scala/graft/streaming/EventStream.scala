@@ -74,7 +74,13 @@ object EventStream {
               val t = e.ts.getTime
               cur match {
                 case Some(s) if t - s.last <= gapMs =>
-                  cur = Some(s.copy(last = t, n = s.n + 1, total = s.total + e.value))
+                  // a late-but-in-watermark event may predate s.last
+                  // (cross-batch reordering): widen the session, never
+                  // shrink it — last must stay monotone or a following
+                  // in-order event would see a phantom gap
+                  cur = Some(s.copy(start = math.min(s.start, t),
+                    last = math.max(s.last, t),
+                    n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
                   closed += SessionOut(userId, new Timestamp(s.start),
                     new Timestamp(s.last), s.n, s.total)
