@@ -69,6 +69,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQuality _,
     "lang_id" -> TextAnalysis.langId _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
+    "array_funcs" -> TextAnalysis.arrayFuncs _,
     // ── LLM-pipeline: deduplication ──
     "dedup_exact" -> Dedup.exact _,
     "dedup_bag" -> Dedup.bag _,
@@ -130,6 +131,7 @@ object SparkEntry {
     "text_quality" -> TextAnalysis.textQualityOracle,
     "lang_id" -> TextAnalysis.langIdOracle,
     "doc_fingerprint" -> TextAnalysis.fingerprintOracle,
+    "array_funcs" -> TextAnalysis.arrayFuncsOracle,
     "dedup_exact" -> Dedup.exactOracle,
     "dedup_bag" -> Dedup.bagOracle,
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,

@@ -131,6 +131,36 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ── array / null-handling function battery ──
+
+  /** Array and null-handling functions over the token arrays (the
+    * reference has no array/map functions at all — SURVEY §2.8). All
+    * engine-portable: size/slice/sort/contains/distinct + coalesce/
+    * nullif. */
+  def arrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    Tables.documents(spark, dir).select(
+      col("doc_id"),
+      size(ws).cast("long").as("n"),
+      array_join(slice(ws, 1, 3), "_").as("first3"),
+      array_join(slice(array_sort(array_distinct(ws)), 1, 2), "_").as("top2_sorted"),
+      array_contains(ws, "the").as("has_the"),
+      element_at(ws, -1).as("last_tok"),
+      coalesce(nullif(col("lang"), lit("en")), lit("english")).as("lang_or_english"))
+      .orderBy("doc_id")
+  }
+
+  def arrayFuncsOracle: String =
+    s"""SELECT doc_id,
+       |  CAST(len(ws) AS BIGINT) AS n,
+       |  array_to_string(ws[1:3], '_') AS first3,
+       |  array_to_string(list_sort(list_distinct(ws))[1:2], '_') AS top2_sorted,
+       |  list_contains(ws, 'the') AS has_the,
+       |  ws[-1] AS last_tok,
+       |  coalesce(nullif(lang, 'en'), 'english') AS lang_or_english
+       |FROM (SELECT doc_id, lang, $tokensSql AS ws FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+
   // ── document fingerprinting ──
 
   /** Two content fingerprints per doc:
