@@ -78,6 +78,8 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    // transitive dup-group resolution (iterative — rows-only check)
+    "dedup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
     // ── LLM-pipeline: similarity search ──
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_buckets" -> Similarity.lshBuckets _,

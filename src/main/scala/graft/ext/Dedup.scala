@@ -271,6 +271,54 @@ object Dedup {
        |GROUP BY a.doc_id, b.doc_id, a.n, b.n
        |ORDER BY d1, d2""".stripMargin
 
+  // ── duplicate-group resolution (connected components) ──
+
+  /** Resolve near-dup PAIRS into duplicate GROUPS: connected components
+    * by iterative min-label propagation. Each doc's label converges to
+    * the smallest doc_id reachable through the pair graph, so "keep one
+    * per group" is `label == doc_id` — the transitive-closure answer
+    * the greedy per-pair drop approximates.
+    *
+    * Scale: O(diameter) joins; each iteration shuffles |edges| rows.
+    * Near-dup graphs have tiny diameters (dup clusters are cliques-ish),
+    * so maxIter=10 converges in practice; the loop exits early on a
+    * fixpoint. checkpoint-free because lineage depth is bounded by
+    * maxIter. */
+  def duplicateGroups(spark: SparkSession, dir: String,
+                      threshold: Double = PairThreshold,
+                      maxIter: Int = 10): DataFrame = {
+    import spark.implicits._
+    val pairs = minhashPairs(spark, dir, threshold)
+      .select(col("d1"), col("d2")).persist()
+    // undirected edges, both directions
+    val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
+      .toDF("src", "dst").persist()
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      // candidate label per node: min of own and neighbors' labels
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .groupBy(col("dst").as("doc_id"))
+        .agg(min(col("label")).as("nlabel"))
+      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .persist()
+      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
+        .filter(col("label") =!= col("old")).limit(1).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      i += 1
+    }
+    pairs.unpersist(); edges.unpersist()
+    labels.select(col("doc_id"), col("label").as("group_id"))
+      .orderBy("doc_id")
+  }
+
   // ── embedding-cosine near-dup ──
 
   /** Brute-force cosine near-dup pairs above a threshold — the exact

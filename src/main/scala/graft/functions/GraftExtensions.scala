@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.DotProductExpr
+import org.apache.spark.sql.graft.{ArrayEqCountExpr, DotProductExpr}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * functions into the SQL function registry, so
@@ -20,6 +20,7 @@ import org.apache.spark.sql.graft.DotProductExpr
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotFunction)
+    e.injectFunction(GraftFunctions.eqCountFunction)
   }
 }
 
@@ -30,8 +31,18 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
     (exprs: Seq[Expression]) => DotProductExpr(exprs.head, exprs(1)))
 
+  private[functions] val eqCountFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_array_eq_count"),
+    new ExpressionInfo(classOf[ArrayEqCountExpr].getName, "graft_array_eq_count"),
+    (exprs: Seq[Expression]) => ArrayEqCountExpr(exprs.head, exprs(1)))
+
   /** Imperative registration on a live session. */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_dot", exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "graft_array_eq_count",
+      exprs => ArrayEqCountExpr(exprs.head, exprs(1)), "scala_udf")
+  }
 }

@@ -60,5 +60,9 @@ class CatalogSpec extends SparkSpec {
       "SELECT graft_dot(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
       .collect()(0).getDouble(0)
     assert(r == 32.0)
+    val c = spark.sql(
+      "SELECT graft_array_eq_count(array(1L, 2L, 3L), array(1L, 9L, 3L)) AS c")
+      .collect()(0).getInt(0)
+    assert(c == 2)
   }
 }

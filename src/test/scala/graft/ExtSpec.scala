@@ -50,6 +50,22 @@ class ExtSpec extends SparkSpec {
     assert(planted == 3)
   }
 
+  test("duplicate groups: labels are transitive and idempotent") {
+    val groups = Dedup.duplicateGroups(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(groups.size == 500)
+    // every label is itself a group member whose own label is the root
+    groups.values.toSet.foreach { (g: Long) => assert(groups(g) == g) }
+    // labels never exceed the member id (min-propagation invariant)
+    groups.foreach { case (d, g) => assert(g <= d) }
+    // consistency with the pair graph: both ends of any pair share a group
+    val pairs = Dedup.minhashPairs(spark, sf0001).collect()
+    pairs.foreach { r =>
+      assert(groups(r.getLong(0)) == groups(r.getLong(1)),
+        s"pair ${r.getLong(0)},${r.getLong(1)} split across groups")
+    }
+  }
+
   test("brute-force top-k: nearest neighbor of a vector is itself-like vector") {
     val topk = Similarity.bruteForceTopK(spark, sf0001, numQueries = 3, k = 5)
     val rows = topk.collect()
