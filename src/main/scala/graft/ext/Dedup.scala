@@ -90,9 +90,10 @@ object Dedup {
   /** (doc_id, k, mh) signature rows, codegen-friendly: one md5 per
     * (doc, distinct token), then a hash aggregate whose map-side
     * combine reduces |docs|×|tokens|×|perms| rows to |docs|×|perms|
-    * before any shuffle. */
-  private def signatureRows(spark: SparkSession, dir: String): DataFrame =
-    Tables.documents(spark, dir)
+    * before any shuffle. Takes any (doc_id, text) frame so callers can
+    * run LSH on an already-filtered corpus. */
+  def signatureRows(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("w"))
       .select(col("doc_id"), tokHash(col("w")).as("h"))
       .select(col("doc_id"), col("h"),
@@ -102,7 +103,7 @@ object Dedup {
 
   /** Signatures as (doc_id, k, mh) rows for verification. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
-    signatureRows(spark, dir).orderBy("doc_id", "k")
+    signatureRows(Tables.documents(spark, dir)).orderBy("doc_id", "k")
 
   def minhashSignaturesOracle: String =
     s"""WITH toks AS (
@@ -132,9 +133,15 @@ object Dedup {
     * goes quadratic (measured 83M joined rows with 2-row bands vs 5.5M
     * with 8-row bands at sf0.1). Wide bands = high precision, recall
     * limited to near-identical sets — the right trade for dedup. */
-  def minhashPairs(spark: SparkSession, dir: String,
-                   threshold: Double = PairThreshold): DataFrame = {
-    val docs = signatureRows(spark, dir)
+  def minhashPairs(spark: SparkSession, dir: String): DataFrame =
+    minhashPairs(Tables.documents(spark, dir), PairThreshold)
+
+  def minhashPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
+    minhashPairs(Tables.documents(spark, dir), threshold)
+
+  /** LSH pairs over any (doc_id, text) frame. */
+  def minhashPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+    val docs = signatureRows(corpus)
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
         s => s.getField("mh")).as("sig"))
@@ -286,15 +293,20 @@ object Dedup {
     * maxIter. */
   def duplicateGroups(spark: SparkSession, dir: String,
                       threshold: Double = PairThreshold,
-                      maxIter: Int = 10): DataFrame = {
-    import spark.implicits._
+                      maxIter: Int = 50): DataFrame = {
     val pairs = minhashPairs(spark, dir, threshold)
       .select(col("d1"), col("d2")).persist()
     // undirected edges, both directions
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").persist()
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label")).persist()
+    // each iteration eagerly localCheckpoints: without lineage
+    // truncation the logical plan nests one level per iteration and
+    // planning cost/driver memory grow without bound (observed OOM at
+    // sf0.1). Checkpoint blocks are reclaimed by the ContextCleaner
+    // once unreferenced.
+    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(true)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -306,16 +318,21 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint(true)
       val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
         .filter(col("label") =!= col("old")).limit(1).count()
-      labels.unpersist()
       labels = next
       converged = changed == 0
       i += 1
     }
+    val out = labels
     pairs.unpersist(); edges.unpersist()
-    labels.select(col("doc_id"), col("label").as("group_id"))
+    if (!converged)
+      System.err.println(
+        s"[dedup] duplicateGroups hit maxIter=$maxIter before fixpoint; " +
+          "group ids may be non-canonical for components with diameter " +
+          s"> $maxIter")
+    out.select(col("doc_id"), col("label").as("group_id"))
       .orderBy("doc_id")
   }
 

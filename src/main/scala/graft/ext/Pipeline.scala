@@ -56,21 +56,20 @@ object Pipeline {
       .persist()
     val nQuality = quality.count()
 
-    // 3. near-dup removal: greedy keep-the-smaller-id, but only drop d2
-    // when its partner d1 SURVIVED the earlier stages — otherwise a
-    // pair whose keeper was already removed (low quality) would delete
-    // both copies and lose the content entirely. (Transitive chains
-    // A≈B≈C may keep C when B was dropped — the standard greedy
-    // trade-off vs. full connected components.)
-    val survivors = quality.select(col("doc_id").as("d1"))
-    val drops = Dedup.minhashPairs(spark, dir, threshold = nearDupThreshold)
-      .join(survivors, Seq("d1"), "left_semi")
+    // 3. near-dup removal over the SURVIVORS only (LSH on the already-
+    // shrunk corpus — the dominant shuffle never sees dropped docs).
+    // Greedy keep-the-smaller-id per pair; both endpoints are
+    // survivors by construction, so no content is lost. (Transitive
+    // chains A≈B≈C may keep C when B was dropped — the standard greedy
+    // trade-off vs. Dedup.duplicateGroups' connected components.)
+    val drops = Dedup.minhashPairs(quality, threshold = nearDupThreshold)
       .select(col("d2").as("doc_id")).distinct()
     val curated = quality.join(drops, Seq("doc_id"), "left_anti").persist()
     val nFinal = curated.count()
 
-    // 4. token accounting
-    val totalTokens = curated.agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    // 4. token accounting (sum over zero rows is NULL, not 0)
+    val totalTokens = Option(curated.agg(sum(col("n_tokens"))).collect()(0).get(0))
+      .map(_.asInstanceOf[Long]).getOrElse(0L)
     quality.unpersist()
 
     (curated, CurationStats(nInput, nExact, nQuality, nFinal, totalTokens))

@@ -118,7 +118,11 @@ object MapReduce {
     * file splits are governed by spark.sql.files.maxPartitionBytes. */
   def readTextInput(spark: SparkSession, path: String): Dataset[(String, String)] = {
     import spark.implicits._
-    spark.read.textFile(path).map(line => (path, line))
+    // the reference ABI passes the REAL source file name to the map
+    // function — a directory input must not collapse into one key
+    spark.read.text(path)
+      .select(input_file_name(), col("value"))
+      .as[(String, String)]
   }
 
   /** Final text sink: `key\tvalue\n`, keys sorted — the reference's
@@ -128,8 +132,12 @@ object MapReduce {
   def writeTsv(result: Dataset[(String, String)], path: String,
                single: Boolean = false): Unit = {
     val out = if (single) result.coalesce(1) else result
+    // raw text sink, not the CSV writer: csv() would quote/escape keys
+    // containing quotes or tabs, diverging from the reference's raw
+    // `key\tvalue\n` bytes (cmd/storage-node/main.go:1351)
     out.toDF("key", "value").orderBy("key")
-      .write.mode(SaveMode.Overwrite).option("sep", "\t").csv(path)
+      .select(concat_ws("\t", col("key"), col("value")))
+      .write.mode(SaveMode.Overwrite).text(path)
   }
 
   /** In-memory rendering of the final sink, for golden comparison. */

@@ -58,11 +58,16 @@ object EventStream {
       .flatMapGroupsWithState[SessionState, SessionOut](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (userId: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          // session_value totals are 2-dp inputs accumulated in double;
+          // round at emit so the result matches the batch twin's
+          // decimal(18,2) sum regardless of micro-batch boundaries
+          def emit(s: SessionState): SessionOut =
+            SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last),
+              s.n, math.rint(s.total * 100) / 100)
           if (state.hasTimedOut) {
             val s = state.get
             state.remove()
-            Iterator.single(SessionOut(userId, new Timestamp(s.start),
-              new Timestamp(s.last), s.n, s.total))
+            Iterator.single(emit(s))
           } else {
             // merge the batch's events into per-user sessions in event
             // order; emit every session closed by a following event,
@@ -82,8 +87,7 @@ object EventStream {
                     last = math.max(s.last, t),
                     n = s.n + 1, total = s.total + e.value))
                 case Some(s) =>
-                  closed += SessionOut(userId, new Timestamp(s.start),
-                    new Timestamp(s.last), s.n, s.total)
+                  closed += emit(s)
                   cur = Some(SessionState(t, t, 1, e.value))
                 case None =>
                   cur = Some(SessionState(t, t, 1, e.value))
