@@ -26,7 +26,13 @@ final class Catalog(spark: SparkSession) {
   def put(key: String, df: DataFrame): Unit = {
     require(key.nonEmpty, "empty key")
     entries(key) = df
+    // also expose to spark.sql — slashes in DFS-style keys become
+    // underscores for the SQL identifier
+    df.createOrReplaceTempView(sqlName(key))
   }
+
+  /** SQL view name for a catalog key. */
+  def sqlName(key: String): String = key.replaceAll("[^A-Za-z0-9_]", "_")
 
   def get(key: String): DataFrame =
     entries.getOrElse(key, throw new NoSuchElementException(s"no dataset '$key'"))
@@ -38,7 +44,11 @@ final class Catalog(spark: SparkSession) {
   def list(prefix: String = ""): Seq[String] =
     entries.keys.filter(_.startsWith(prefix)).toSeq.sorted
 
-  def delete(key: String): Boolean = entries.remove(key).isDefined
+  def delete(key: String): Boolean = {
+    val existed = entries.remove(key).isDefined
+    if (existed) spark.catalog.dropTempView(sqlName(key))
+    existed
+  }
 
   /** Materialize an entry to parquet (the durable layer owns
     * replication/integrity, as HDFS did for the reference's chunks). */

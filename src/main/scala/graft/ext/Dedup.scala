@@ -307,22 +307,29 @@ object Dedup {
     // once unreferenced.
     var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
       .localCheckpoint(true)
+    // labels only ever decrease, so Σlabel strictly decreases until the
+    // fixpoint — convergence detection is one aggregate on the (small)
+    // label table instead of a join against the previous iteration
+    def labelSum(df: DataFrame): Long =
+      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate label per node: min of own and neighbors' labels
+      // candidate label per node: min of own and neighbors' labels.
+      // labels is |docs| rows vs |edges| — broadcast it.
       val viaNeighbors = edges
-        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
+        .join(broadcast(labels.withColumnRenamed("doc_id", "src")), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
       val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
         .select(col("doc_id"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
         .localCheckpoint(true)
-      val changed = next.join(labels.withColumnRenamed("label", "old"), Seq("doc_id"))
-        .filter(col("label") =!= col("old")).limit(1).count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum == prevSum
+      prevSum = nextSum
       i += 1
     }
     val out = labels

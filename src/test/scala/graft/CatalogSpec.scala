@@ -25,6 +25,30 @@ class CatalogSpec extends SparkSpec {
     intercept[NoSuchElementException](cat.get("nope"))
   }
 
+  test("catalog entries are queryable via spark.sql") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    cat.put("sql/demo", Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
+    val n = spark.sql("SELECT count(*) AS n FROM sql_demo").collect()(0).getLong(0)
+    assert(n == 2)
+    cat.delete("sql/demo")
+    intercept[Exception](spark.sql("SELECT * FROM sql_demo").collect())
+  }
+
+  test("salted aggregation equals direct aggregation on skewed keys") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    val skewed = (1 to 5000).map(i => (if (i <= 4500) "hot" else s"k$i", i.toDouble))
+      .toDF("key", "v")
+    val direct = skewed.groupBy("key")
+      .agg(count(lit(1)).as("n"), sum(col("v").cast(DecimalType(18, 2))).as("total"))
+    val salted = graft.operators.SkewAgg.saltedCountSum(
+      skewed, "key", col("v").cast(DecimalType(18, 2)))
+    assert(salted.count() == direct.count())
+    assert(salted.except(direct).isEmpty && direct.except(salted).isEmpty)
+  }
+
   test("catalog persist/load round-trip through parquet") {
     import spark.implicits._
     val cat = new Catalog(spark)
