@@ -49,6 +49,7 @@ object SparkEntry {
     "setop_union_nations" -> Relational.setopUnionNations _,
     "setop_intersect_nations" -> Relational.setopIntersectNations _,
     "scalar_string_funcs" -> Relational.scalarStringFuncs _,
+    "scalar_string_funcs2" -> Relational.scalarStringFuncs2 _,
     "scalar_datetime_funcs" -> Relational.scalarDatetimeFuncs _,
     "agg_stats_acctbal" -> Relational.aggStatsAcctbal _,
     "percentile_price" -> Relational.percentilePrice _,
@@ -115,6 +116,7 @@ object SparkEntry {
     "setop_union_nations" -> Relational.setopUnionOracle,
     "setop_intersect_nations" -> Relational.setopIntersectOracle,
     "scalar_string_funcs" -> Relational.scalarStringOracle,
+    "scalar_string_funcs2" -> Relational.scalarString2Oracle,
     "scalar_datetime_funcs" -> Relational.scalarDatetimeOracle,
     "agg_stats_acctbal" -> Relational.aggStatsOracle,
     "percentile_price" -> Relational.percentilePriceOracle,

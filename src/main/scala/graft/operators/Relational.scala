@@ -269,6 +269,35 @@ object Relational {
       |  md5(p_name) AS name_md5
       |FROM part ORDER BY p_partkey""".stripMargin
 
+  /** Second scalar string battery: regex extraction, split-part,
+    * position, translate/repeat/trim — rounding out §2.8 beyond what
+    * the reference ever had. */
+  def scalarStringFuncs2(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      regexp_extract(col("p_name"), "(\\w+) (\\w+)", 2).as("name_word2"),
+      regexp_extract(col("p_name"), "(q)(z)", 1).as("no_match"),
+      split_part(col("p_type"), lit("A"), lit(1)).as("type_pre_a"),
+      instr(col("p_name"), "id").cast("long").as("id_pos"),
+      translate(col("p_brand"), "Br", "Xy").as("brand_tr"),
+      repeat(col("p_brand"), 2).as("brand_2x"),
+      ltrim(rtrim(concat(lit("  "), col("p_name"), lit("  ")))).as("trimmed"),
+      initcap(col("p_name")).as("name_cap"))
+      .orderBy("p_partkey")
+
+  def scalarString2Oracle: String =
+    """SELECT p_partkey,
+      |  regexp_extract(p_name, '(\w+) (\w+)', 2) AS name_word2,
+      |  regexp_extract(p_name, '(q)(z)', 1) AS no_match,
+      |  split_part(p_type, 'A', 1) AS type_pre_a,
+      |  CAST(strpos(p_name, 'id') AS BIGINT) AS id_pos,
+      |  translate(p_brand, 'Br', 'Xy') AS brand_tr,
+      |  repeat(p_brand, 2) AS brand_2x,
+      |  ltrim(rtrim(concat('  ', p_name, '  '))) AS trimmed,
+      |  array_to_string(list_transform(string_split(p_name, ' '),
+      |    w -> upper(w[1:1]) || lower(w[2:])), ' ') AS name_cap
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   /** Scalar date/time-function battery. */
   def scalarDatetimeFuncs(spark: SparkSession, dir: String): DataFrame =
     Tables.orders(spark, dir).select(
