@@ -79,7 +79,7 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
-    // transitive dup-group resolution (iterative — rows-only check)
+    // transitive dup-group resolution (iterative min-label propagation)
     "dedup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
     // ── LLM-pipeline: similarity search ──
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
@@ -141,6 +141,7 @@ object SparkEntry {
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,
     "dedup_minhash_pairs" -> Dedup.minhashPairsOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_groups" -> Dedup.duplicateGroupsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupOracle,
     "sim_brute_topk" -> Similarity.bruteForceTopKOracle,

@@ -343,6 +343,43 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Oracle for duplicateGroups: the same LSH pair graph, resolved by a
+    * recursive CTE that enumerates reachable labels and takes the min
+    * per node — exact connected components, feasible at verification
+    * scale (the state space is Σ|component|² label pairs). */
+  def duplicateGroupsOracle: String =
+    s"""WITH RECURSIVE
+       |toks AS (
+       |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM documents),
+       |th AS (SELECT doc_id, ${tokHashSql("w")} AS h
+       |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) u),
+       |sig AS (SELECT doc_id, k,
+       |       MIN(((4099*k + 8191) * h + (9973*k + 104729)) % $MinhashPrime) AS mh
+       |       FROM th CROSS JOIN range($NumPerms) r(k)
+       |       GROUP BY doc_id, k),
+       |band AS (SELECT doc_id, k // ${NumPerms / NumBands} AS band_id,
+       |       md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS band_key
+       |       FROM sig GROUP BY doc_id, k // ${NumPerms / NumBands}),
+       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM band a JOIN band b
+       |         ON a.band_id = b.band_id AND a.band_key = b.band_key
+       |        AND a.doc_id < b.doc_id),
+       |est AS (SELECT c.d1, c.d2,
+       |       CAST(COUNT(*) FILTER (s1.mh = s2.mh) AS DOUBLE) / $NumPerms AS est_jaccard
+       |       FROM cand c
+       |       JOIN sig s1 ON s1.doc_id = c.d1
+       |       JOIN sig s2 ON s2.doc_id = c.d2 AND s1.k = s2.k
+       |       GROUP BY c.d1, c.d2),
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM est WHERE est_jaccard >= $PairThreshold
+       |          UNION ALL
+       |          SELECT d2, d1 FROM est WHERE est_jaccard >= $PairThreshold),
+       |reach AS (SELECT doc_id, doc_id AS label FROM documents
+       |          UNION
+       |          SELECT e.dst AS doc_id, r.label
+       |          FROM reach r JOIN edges e ON r.doc_id = e.src)
+       |SELECT doc_id, CAST(min(label) AS BIGINT) AS group_id
+       |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ── embedding-cosine near-dup ──
 
   /** Brute-force cosine near-dup pairs above a threshold — the exact
