@@ -77,6 +77,7 @@ object SparkEntry {
     "dedup_minhash_signatures" -> Dedup.minhashSignatures _,
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
     "dedup_simhash" -> Dedup.simhash _,
+    "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
     // transitive dup-group resolution (iterative min-label propagation)
@@ -141,6 +142,7 @@ object SparkEntry {
     "dedup_minhash_signatures" -> Dedup.minhashSignaturesOracle,
     "dedup_minhash_pairs" -> Dedup.minhashPairsOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
+    "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dedup_groups" -> Dedup.duplicateGroupsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupOracle,

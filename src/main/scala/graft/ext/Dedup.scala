@@ -278,6 +278,52 @@ object Dedup {
        |GROUP BY a.doc_id, b.doc_id, a.n, b.n
        |ORDER BY d1, d2""".stripMargin
 
+  /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes;
+    * docs sharing any byte are candidates; verify by Hamming distance
+    * (bit_count of xor). Same LSH discipline as MinHash pairs — the
+    * cross product never materializes, only byte-bucket collisions. */
+  def simhashPairs(spark: SparkSession, dir: String,
+                   maxHamming: Int = 6): DataFrame = {
+    val sigs = simhash(spark, dir) // (doc_id, simhash), already sorted
+    val bands = sigs.select(col("doc_id"), col("simhash"),
+        explode(sequence(lit(0), lit(3))).as("band_id"))
+      .withColumn("band_val",
+        floor(col("simhash") / pow(lit(2.0), col("band_id") * 8)).cast("long") % 256L)
+    val a = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("d1"), col("simhash").as("s1"))
+    val b = bands.select(col("band_id"), col("band_val"),
+      col("doc_id").as("d2"), col("simhash").as("s2"))
+    a.join(b, Seq("band_id", "band_val")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+      .orderBy("d1", "d2")
+  }
+
+  def simhashPairsOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM documents),
+       |th AS (SELECT doc_id, CAST(concat('0x', substr(md5(w), 1, 8)) AS BIGINT) AS h
+       |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) u),
+       |bits AS (SELECT doc_id, b,
+       |       CASE WHEN SUM(((h // (1::BIGINT << b)) % 2) * 2 - 1) > 0
+       |            THEN (1::BIGINT << b) ELSE 0 END AS bitval
+       |       FROM th CROSS JOIN range($SimhashBits) r(b)
+       |       GROUP BY doc_id, b),
+       |sig AS (SELECT doc_id, CAST(SUM(bitval) AS BIGINT) AS simhash
+       |       FROM bits GROUP BY doc_id),
+       |band AS (SELECT doc_id, simhash, band_id,
+       |       (simhash // (1::BIGINT << (band_id * 8))) % 256 AS band_val
+       |       FROM sig CROSS JOIN range(4) rb(band_id)),
+       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
+       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+       |       FROM band a JOIN band b
+       |         ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |        AND a.doc_id < b.doc_id)
+       |SELECT d1, d2, hamming FROM pairs
+       |WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin
+
   // ── duplicate-group resolution (connected components) ──
 
   /** Resolve near-dup PAIRS into duplicate GROUPS: connected components
