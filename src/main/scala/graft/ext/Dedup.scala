@@ -326,67 +326,101 @@ object Dedup {
 
   // ── duplicate-group resolution (connected components) ──
 
-  /** Resolve near-dup PAIRS into duplicate GROUPS: connected components
-    * by iterative min-label propagation. Each doc's label converges to
-    * the smallest doc_id reachable through the pair graph, so "keep one
-    * per group" is `label == doc_id` — the transitive-closure answer
-    * the greedy per-pair drop approximates.
+  /** Resolve near-dup PAIRS into duplicate GROUPS: exact connected
+    * components over the pair graph. Each doc's group_id is the
+    * smallest doc_id reachable through the pair graph, so "keep one
+    * per group" is `group_id == doc_id` — the transitive-closure
+    * answer the greedy per-pair drop approximates.
     *
-    * Scale: O(diameter) joins; each iteration shuffles |edges| rows.
-    * Near-dup graphs have tiny diameters (dup clusters are cliques-ish),
-    * so maxIter=10 converges in practice; the loop exits early on a
-    * fixpoint. checkpoint-free because lineage depth is bounded by
-    * maxIter. */
+    * Scale design (what must hold at 100 TB):
+    *   - only PAIR ENDPOINTS enter the iteration. Docs with no
+    *     near-dup edge — the overwhelming majority of a real corpus —
+    *     never join; they get `group_id = doc_id` by a final left
+    *     join. Iterated state is O(|endpoints|), not O(|corpus|).
+    *   - min-label propagation with POINTER JUMPING: label ←
+    *     min(label, min neighbor label, label(label)). The shortcut
+    *     join halves label-chain depth each round, so convergence is
+    *     O(log diameter) rounds, not O(diameter).
+    *   - no broadcast hints: both joins shuffle on their keys; AQE
+    *     chooses broadcast only when a side is measured small.
+    *   - ONE Spark job per iteration: the next label table is lazily
+    *     localCheckpointed and the convergence aggregate is the action
+    *     that materializes it. Lineage truncates every iteration, so
+    *     plan depth stays constant (unbounded nesting OOMs the driver).
+    *   - exact convergence detection: labels are monotonically
+    *     non-increasing node ids, so Σlabel strictly decreases until
+    *     the fixpoint — equal consecutive sums ⟺ no label changed.
+    *
+    * Throws if maxIter is hit before the fixpoint (with pointer
+    * jumping that needs diameter > 2^maxIter); use
+    * [[duplicateGroupsWithStatus]] to inspect instead. */
   def duplicateGroups(spark: SparkSession, dir: String,
                       threshold: Double = PairThreshold,
-                      maxIter: Int = 50): DataFrame = {
+                      maxIter: Int = 20): DataFrame = {
+    val (out, converged, iters) =
+      duplicateGroupsWithStatus(spark, dir, threshold, maxIter)
+    if (!converged)
+      throw new IllegalStateException(
+        s"duplicateGroups hit maxIter=$iters before fixpoint; " +
+          "group ids would be non-canonical")
+    out
+  }
+
+  /** As [[duplicateGroups]], returning (groups, converged, iterations)
+    * so pipelines can detect a degraded result programmatically. */
+  def duplicateGroupsWithStatus(spark: SparkSession, dir: String,
+                                threshold: Double = PairThreshold,
+                                maxIter: Int = 20): (DataFrame, Boolean, Int) = {
     val pairs = minhashPairs(spark, dir, threshold)
       .select(col("d1"), col("d2")).persist()
     // undirected edges, both directions
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").persist()
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    // each iteration eagerly localCheckpoints: without lineage
-    // truncation the logical plan nests one level per iteration and
-    // planning cost/driver memory grow without bound (observed OOM at
-    // sf0.1). Checkpoint blocks are reclaimed by the ContextCleaner
-    // once unreferenced.
-    var labels = docs.select(col("doc_id"), col("doc_id").as("label"))
-      .localCheckpoint(true)
-    // labels only ever decrease, so Σlabel strictly decreases until the
-    // fixpoint — convergence detection is one aggregate on the (small)
-    // label table instead of a join against the previous iteration
-    def labelSum(df: DataFrame): Long =
-      df.agg(sum(col("label"))).collect()(0).getLong(0)
+    // Σlabel over the current table; null on an empty endpoint set.
+    // This action is also what materializes each lazy checkpoint.
+    def labelSum(df: DataFrame): Long = {
+      val r = df.agg(sum(col("label"))).first()
+      if (r.isNullAt(0)) 0L else r.getLong(0)
+    }
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .select(col("doc_id"), col("doc_id").as("label"))
+      .localCheckpoint(false)
     var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // candidate label per node: min of own and neighbors' labels.
-      // labels is |docs| rows vs |edges| — broadcast it.
+      // min over neighbors' labels
       val viaNeighbors = edges
-        .join(broadcast(labels.withColumnRenamed("doc_id", "src")), Seq("src"))
+        .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
         .agg(min(col("label")).as("nlabel"))
-      val next = labels.join(viaNeighbors, Seq("doc_id"), "left")
+      // pointer jump: label(label(v)) — label values are themselves
+      // endpoint ids, so they resolve against the same table
+      val jump = labels
+        .select(col("doc_id").as("label"), col("label").as("jlabel"))
+      val next = labels
+        .join(viaNeighbors, Seq("doc_id"), "left")
+        .join(jump, Seq("label"), "left")
         .select(col("doc_id"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .localCheckpoint(true)
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("jlabel"), col("label"))).as("label"))
+        .localCheckpoint(false)
       val nextSum = labelSum(next)
-      labels = next
       converged = nextSum == prevSum
       prevSum = nextSum
+      labels = next
       i += 1
     }
-    val out = labels
-    pairs.unpersist(); edges.unpersist()
-    if (!converged)
-      System.err.println(
-        s"[dedup] duplicateGroups hit maxIter=$maxIter before fixpoint; " +
-          "group ids may be non-canonical for components with diameter " +
-          s"> $maxIter")
-    out.select(col("doc_id"), col("label").as("group_id"))
+    // non-endpoint docs are their own group; labels is checkpointed so
+    // the candidate-pair caches can be released now
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val out = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("group_id"))
       .orderBy("doc_id")
+    pairs.unpersist(); edges.unpersist()
+    (out, converged, i)
   }
 
   /** Oracle for duplicateGroups: the same LSH pair graph, resolved by a

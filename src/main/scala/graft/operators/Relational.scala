@@ -349,19 +349,70 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
-  /** Exact percentiles (linear interpolation) per group. Both engines
-    * interpolate between the same 2-decimal order statistics, so values
-    * land on a 4-decimal grid — round(4) erases last-ulp differences
-    * without tie risk. Exact percentile is a sort-based aggregate; at
-    * 100 TB one would switch to approx_percentile (t-digest) — kept
-    * exact here because the oracle is exact. */
+  /** Exact percentiles (linear interpolation) per group, without the
+    * two usual scale hazards: no holistic aggregation buffer (the old
+    * `percentile()` agg held every group value in one buffer) and no
+    * per-group window over the full table (numGroups-wide parallelism
+    * collapse).
+    *
+    * Plan: rows are range-bucketed by value within each group
+    * (`width_bucket` over the group's min/max — deterministic, no
+    * sampling, retry-safe), ranked within each (group, bucket) — many
+    * bounded window partitions instead of one per group — and the
+    * global rank is the bucket-prefix offset (a window over the tiny
+    * (group, bucket) count table) plus the local row_number. Only the
+    * two bracketing order statistics per requested percentile join
+    * back; interpolation matches quantile_cont: pos = p·(n−1),
+    * v = v_lo + frac·(v_hi − v_lo). Both engines interpolate between
+    * the same 2-decimal order statistics, so values land on a
+    * 4-decimal grid — round(4) erases last-ulp differences without
+    * tie risk. (A production build would pick bucket bounds from a
+    * sample to even out skew; equi-width bounds only affect balance,
+    * never correctness.) */
   def percentilePrice(spark: SparkSession, dir: String): DataFrame = {
-    def pct(p: Double, name: String) =
-      round(percentile(col("o_totalprice"), lit(p)), 4).as(name)
-    Tables.orders(spark, dir)
-      .groupBy("o_orderpriority")
-      .agg(count(lit(1)).as("n"),
-        pct(0.25, "p25"), pct(0.5, "p50"), pct(0.75, "p75"))
+    val numBuckets = 64
+    val vals = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+    val stats = vals.groupBy("g")
+      .agg(count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    // deterministic monotone bucket id per (group, value)
+    val bucketed = vals.join(broadcast(stats), Seq("g"))
+      .select(col("g"), col("v"),
+        when(col("vmin") === col("vmax"), lit(1L))
+          .otherwise(width_bucket(col("v"), col("vmin"), col("vmax"), lit(numBuckets)))
+          .as("bkt"))
+    val wLocal = Window.partitionBy("g", "bkt").orderBy("v")
+    val withRn = bucketed.withColumn("rn", row_number().over(wLocal).cast("long"))
+    // prefix offsets over the tiny (group, bucket) count table
+    val wOff = Window.partitionBy("g").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("g", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("g", "bkt", "off")
+    val ranked = withRn.join(broadcast(offsets), Seq("g", "bkt"))
+      .select(col("g"), col("v"), (col("off") + col("rn")).as("rk"))
+    // bracketing order statistics per percentile: pos = p·(n−1), ranks
+    // floor(pos)+1 and ceil(pos)+1 (1-indexed)
+    val targets = stats.select(col("g"), col("n"),
+        explode(array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("pos")).cast("long") + 1)
+      .withColumn("hi", ceil(col("pos")).cast("long") + 1)
+      .withColumn("frac", col("pos") - floor(col("pos")))
+    val needed = targets
+      .select(col("g"), explode(array(col("lo"), col("hi"))).as("rk")).distinct()
+    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    targets
+      .join(valueAt.select(col("g"), col("rk").as("lo"), col("v").as("v_lo")), Seq("g", "lo"))
+      .join(valueAt.select(col("g"), col("rk").as("hi"), col("v").as("v_hi")), Seq("g", "hi"))
+      .select(col("g"), col("n"), col("p"),
+        round(col("v_lo") + col("frac") * (col("v_hi") - col("v_lo")), 4).as("pv"))
+      .groupBy("g")
+      .agg(max(col("n")).as("n"),
+        max(when(col("p") === 0.25, col("pv"))).as("p25"),
+        max(when(col("p") === 0.5, col("pv"))).as("p50"),
+        max(when(col("p") === 0.75, col("pv"))).as("p75"))
+      .select(col("g").as("o_orderpriority"), col("n"), col("p25"), col("p50"), col("p75"))
       .orderBy("o_orderpriority")
   }
 
