@@ -79,7 +79,9 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
-    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDup(s, dir)),
+    // LSH-bucketed variant is the headline (no cross product); the
+    // brute-force exact form stays as the test-only cross-check
+    "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupLsh(s, dir)),
     // transitive dup-group resolution (iterative min-label propagation)
     "dedup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
     // ── LLM-pipeline: similarity search ──
@@ -145,13 +147,14 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dedup_groups" -> Dedup.duplicateGroupsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
-    "dedup_embedding" -> Dedup.embeddingNearDupOracle,
+    "dedup_embedding" -> Dedup.embeddingNearDupLshOracle,
     "sim_brute_topk" -> Similarity.bruteForceTopKOracle,
     "sim_lsh_buckets" -> Similarity.lshBucketsOracle,
     "sim_ann_lsh" -> Similarity.annLshOracle,
     "sim_ivf_assign" -> Similarity.ivfAssignOracle,
     "sim_ann_ivf" -> Similarity.annIvfOracle,
     "multimodal_meta" -> Multimodal.metaOracle,
-    // multimodal_features: decode is a stub, not SQL semantics → rows-only
+    // stub decode is deterministic byte arithmetic → fully oracled
+    "multimodal_features" -> Multimodal.featuresOracle,
   )
 }

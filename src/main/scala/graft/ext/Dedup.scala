@@ -479,6 +479,50 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  /** LSH-bucketed cosine near-dup pairs — the scale path and the
+    * headline query: vectors are bucketed by deterministic
+    * random-hyperplane signs (one projection per row), candidates pair
+    * only within a bucket, and the exact cosine verifies each
+    * candidate. No cross product ever materializes; recall is bounded
+    * by bucket collisions (near-identical vectors collide with high
+    * probability), which is the standard ANN-dedup trade. */
+  def embeddingNearDupLsh(spark: SparkSession, dir: String,
+                          threshold: Double = 0.4): DataFrame = {
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .select(col("vec_id"), col("v"), Similarity.norm(col("v")).as("nrm"),
+        Similarity.lshBucket(col("v")).as("bucket"))
+    val a = e.select(col("bucket"), col("vec_id").as("d1"),
+      col("v").as("v1"), col("nrm").as("n1"))
+    val b = e.select(col("bucket"), col("vec_id").as("d2"),
+      col("v").as("v2"), col("nrm").as("n2"))
+    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"),
+        round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= threshold)
+      .orderBy("d1", "d2")
+  }
+
+  def embeddingNearDupLshOracle: String = embeddingNearDupLshOracle(0.4)
+
+  def embeddingNearDupLshOracle(threshold: Double): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |proj AS (SELECT vec_id, p,
+       |    list_sum(list_transform(range(len(v)), j ->
+       |      v[j+1] * (CASE WHEN (j * 2654435761 + p * 40503) % 97 % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END))) AS s
+       |  FROM e CROSS JOIN range(${Similarity.NumPlanes}) r(p)),
+       |bucket AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, b.bucket
+       |  FROM e JOIN bucket b ON e.vec_id = b.vec_id),
+       |p2 AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT d1, d2, cos_sim FROM p2 WHERE cos_sim >= $threshold
+       |ORDER BY d1, d2""".stripMargin
+
   def embeddingNearDupOracle: String = embeddingNearDupOracle(0.4)
 
   def embeddingNearDupOracle(threshold: Double): String =

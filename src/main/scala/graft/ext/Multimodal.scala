@@ -50,18 +50,23 @@ object Multimodal {
   // the container format (JPEG/PNG/WAV...) here. The fake derives
   // "dimensions" and a feature vector from the bytes so tests are
   // stable and the full pipeline (schema → batch → features) runs.
+  // Features are exact integer byte-bin sums with ONE double division
+  // and float cast at the end — order-independent and reproducible
+  // bit-for-bit by any engine (the DuckDB oracle recomputes them), so
+  // the features query is fully hash-verifiable despite the stub.
   // ──────────────────────────────────────────────────────────────────
   private[ext] def decodeStub(payload: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val n = payload.length
     val width = 1 + (n % 64)
     val height = 1 + ((n / 64) % 64)
     val channels = 3
-    val feats = new Array[Float](8)
+    val bins = new Array[Long](8)
     var i = 0
     while (i < n) {
-      feats(i % 8) += (payload(i) & 0xff) / 255.0f
+      bins(i % 8) += (payload(i) & 0xff)
       i += 1
     }
+    val feats = Array.tabulate(8)(j => (bins(j) / 255.0).toFloat)
     (width, height, channels, feats)
   }
 
@@ -105,14 +110,39 @@ object Multimodal {
       |  md5(text) AS payload_md5
       |FROM documents ORDER BY asset_id""".stripMargin
 
-  /** Feature pipeline output as a DataFrame (rows-only verification —
-    * the decode is a stub, not SQL semantics). */
+  /** Feature pipeline output as a DataFrame. The stub decode is
+    * deterministic byte arithmetic, so the whole pipeline — decode,
+    * resize, feature vector — hash-verifies against the DuckDB oracle
+    * below. */
   def features(spark: SparkSession, dir: String): DataFrame = {
     resizeStub(extractFeatures(assets(spark, dir))).toDF()
       .select(col("asset_id"), col("kind"), col("n_bytes"),
         col("width"), col("height"), col("channels"),
-        round(element_at(col("features"), 1), 4).as("f0"),
+        round(element_at(col("features"), 1).cast("double"), 4).as("f0"),
         size(col("features")).as("n_features"))
       .orderBy("asset_id")
   }
+
+  /** Oracle: recomputes the stub decode in SQL. Byte i of the payload
+    * is read from the hex dump (2 chars per byte); bin 0 sums bytes at
+    * positions i ≡ 0 (mod 8); f0 = round(float(bin0 / 255.0), 4) —
+    * the same double division + float cast the stub performs. The
+    * resize halves width/height (integer division, floor 1) and keeps
+    * feature index 0, leaving 4 of 8 components. */
+  def featuresOracle: String =
+    """WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+      |    hex(CAST(text AS BLOB)) AS hx FROM documents),
+      |idx AS (SELECT doc_id, hx, unnest(range(0, n, 8)) AS i FROM d),
+      |s AS (SELECT doc_id,
+      |    SUM(CAST('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2) AS BIGINT)) AS b0
+      |  FROM idx GROUP BY doc_id)
+      |SELECT d.doc_id AS asset_id, 'image/fake' AS kind,
+      |  CAST(d.n AS BIGINT) AS n_bytes,
+      |  CAST(greatest(1, (1 + d.n % 64) // 2) AS INTEGER) AS width,
+      |  CAST(greatest(1, (1 + (d.n // 64) % 64) // 2) AS INTEGER) AS height,
+      |  CAST(3 AS INTEGER) AS channels,
+      |  round(CAST(CAST(CAST(COALESCE(s.b0, 0) AS DOUBLE) / 255.0 AS REAL) AS DOUBLE), 4) AS f0,
+      |  CAST(4 AS INTEGER) AS n_features
+      |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
+      |ORDER BY asset_id""".stripMargin
 }

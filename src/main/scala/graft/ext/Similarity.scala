@@ -38,6 +38,27 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** Exact bounded top-k per query over a (query_id, neighbor_id,
+    * cos_sim) frame. A single `Window.partitionBy(query_id)` would
+    * funnel the whole scored corpus into numQueries partitions — a
+    * parallelism collapse at scale. Instead: pre-prune to the top k
+    * within each of `shards` deterministic neighbor-hash shards
+    * (parallelism scales with the corpus), then rank the ≤ shards·k
+    * survivors per query. Identical result to the single window: a
+    * row outside its shard's top k cannot be in the global top k. */
+  private def topKPerQuery(scored: DataFrame, k: Int, shards: Int = 64): DataFrame = {
+    val pre = Window
+      .partitionBy(col("query_id"), pmod(hash(col("neighbor_id")), lit(shards)))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val pruned = scored.withColumn("prk", row_number().over(pre))
+      .filter(col("prk") <= k).drop("prk")
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    pruned.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= k)
+      .orderBy("query_id", "rk")
+  }
+
   /** Exact top-k neighbors for each query vector (vec_id < numQueries),
     * by cosine. The query set is broadcast — no shuffle of the corpus;
     * ranking uses a per-query window over the scored scan. */
@@ -50,11 +71,7 @@ object Similarity {
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .orderBy("query_id", "rk")
+    topKPerQuery(scored, k)
   }
 
   def bruteForceTopKOracle: String =
@@ -127,11 +144,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .orderBy("query_id", "rk")
+    topKPerQuery(scored, k)
   }
 
   // ── IVF (inverted-file) ANN ──
@@ -184,11 +197,7 @@ object Similarity {
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
       .distinct() // a candidate may appear via both probed lists
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
-      .orderBy("query_id", "rk")
+    topKPerQuery(scored, k)
   }
 
   private val ivfCommonSql: String =

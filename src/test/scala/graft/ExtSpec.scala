@@ -79,6 +79,15 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("embedding LSH near-dup pairs are a subset of the brute-force pairs") {
+    def keys(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val brute = keys(Dedup.embeddingNearDup(spark, sf0001))
+    val lsh = keys(Dedup.embeddingNearDupLsh(spark, sf0001))
+    assert(lsh.subsetOf(brute),
+      s"LSH produced pairs absent from the exact baseline: ${lsh.diff(brute).take(3)}")
+  }
+
   test("lsh bucket: identical vectors land in the same bucket") {
     val b = Similarity.lshBuckets(spark, sf0001)
     val total = b.agg(sum(col("n_vectors"))).collect()(0).getLong(0)

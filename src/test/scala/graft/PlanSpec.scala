@@ -29,4 +29,37 @@ class PlanSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"))
   }
+
+  test("no headline query plans a cartesian product") {
+    // dedup_groups iterates driver-side (checkpoint boundaries), so the
+    // optimized plan is the right level to inspect for the rest; skip it
+    // and mr_wordcount (RDD-backed) whose plans aren't pure Catalyst.
+    // A cross join whose build side is an explicitly-broadcast bounded
+    // table (e.g. 16 IVF centroids, 5 query vectors) is a deliberate
+    // scored scan, not a blow-up — only an UN-broadcast cross is fatal.
+    val skip = Set("dedup_groups")
+    SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
+      val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
+      val badCross = plan.linesIterator.exists(l =>
+        l.contains("Join Cross") && !l.contains("strategy=broadcast"))
+      assert(!badCross && !plan.contains("CartesianProduct"),
+        s"$name plans an un-broadcast cartesian product:\n$plan")
+    }
+  }
+
+  test("similarity ranking pre-prunes in sharded window partitions") {
+    // the scored corpus must hit a (query_id, shard) pre-prune window
+    // before the final per-query ranking ever sees it
+    Seq(
+      ext.Similarity.bruteForceTopK(spark, sf0001),
+      ext.Similarity.annLsh(spark, sf0001)).foreach { df =>
+      // the alias collapses in the executed plan, so match the shard
+      // expression shape (pmod(hash(...)) feeding a partial group limit)
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("pmod(hash("),
+        s"sharded pre-prune window missing from plan:\n$plan")
+      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+        s"partial window group limit missing from plan:\n$plan")
+    }
+  }
 }
