@@ -31,8 +31,15 @@ final class Catalog(spark: SparkSession) {
     df.createOrReplaceTempView(sqlName(key))
   }
 
-  /** SQL view name for a catalog key. */
-  def sqlName(key: String): String = key.replaceAll("[^A-Za-z0-9_]", "_")
+  /** SQL view name for a catalog key. Injective: distinct keys that
+    * sanitize identically ('a/b', 'a.b', 'a_b') are disambiguated by a
+    * short digest of the raw key, and the fixed prefix keeps the
+    * identifier starting with a letter even for keys like '1table'. */
+  def sqlName(key: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(key.getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    s"g_${key.replaceAll("[^A-Za-z0-9_]", "_")}_$digest"
+  }
 
   def get(key: String): DataFrame =
     entries.getOrElse(key, throw new NoSuchElementException(s"no dataset '$key'"))

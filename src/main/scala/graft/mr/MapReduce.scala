@@ -128,16 +128,46 @@ object MapReduce {
   /** Final text sink: `key\tvalue\n`, keys sorted — the reference's
     * aggregated output format (cmd/storage-node/main.go:1328-1352,
     * manager.go:1128-1135). `single=true` ≈ `-aggregate` one-file mode;
-    * false leaves one part per partition (A7/A8). */
+    * false leaves one part per partition (A7/A8). When `outputKey` is
+    * set in multi-part mode, part files are renamed to the reference's
+    * `<outputKey>-reduce-<i>` layout (manager.go:1732-1764). */
   def writeTsv(result: Dataset[(String, String)], path: String,
-               single: Boolean = false): Unit = {
-    val out = if (single) result.coalesce(1) else result
+               single: Boolean = false,
+               outputKey: Option[String] = None): Unit = {
     // raw text sink, not the CSV writer: csv() would quote/escape keys
     // containing quotes or tabs, diverging from the reference's raw
     // `key\tvalue\n` bytes (cmd/storage-node/main.go:1351)
-    out.toDF("key", "value").orderBy("key")
+    val sorted = result.toDF("key", "value").orderBy("key")
       .select(concat_ws("\t", col("key"), col("value")))
-      .write.mode(SaveMode.Overwrite).text(path)
+    // single-file mode must coalesce AFTER the sort: the range
+    // exchange the sort inserts would otherwise re-split the data into
+    // shuffle-partition-many files. Coalescing a range-sorted result
+    // reads its partitions in index order, so global order survives.
+    val out = if (single) sorted.coalesce(1) else sorted
+    out.write.mode(SaveMode.Overwrite).text(path)
+    if (!single) outputKey.foreach(renameToReduceParts(path, _))
+  }
+
+  /** Rename Spark `part-NNNNN-*` files to `<outputKey>-reduce-<i>` —
+    * the reference's per-reducer file ABI (manager.go:1732-1764).
+    * Partition index order is preserved (part names sort by index), so
+    * reducer i's rows stay in `<outputKey>-reduce-<i>`. Local/HDFS-style
+    * file URIs only — at 100 TB on object storage keep Spark's native
+    * part layout and let the consumer glob. */
+  private def renameToReduceParts(path: String, outputKey: String): Unit = {
+    val dir = new java.io.File(path)
+    val parts = Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.getName.startsWith("part-") && !f.getName.endsWith(".crc"))
+      .sortBy(_.getName)
+    parts.zipWithIndex.foreach { case (f, i) =>
+      // drop the checksum sidecar: the renamed file no longer matches
+      // its `.part-*.crc` name and would fail Hadoop's local-FS read
+      val crc = new java.io.File(dir, s".${f.getName}.crc")
+      if (crc.exists()) crc.delete()
+      val target = new java.io.File(dir, s"$outputKey-reduce-$i")
+      if (!f.renameTo(target))
+        throw new java.io.IOException(s"rename ${f.getName} -> ${target.getName} failed")
+    }
   }
 
   /** In-memory rendering of the final sink, for golden comparison. */

@@ -17,11 +17,20 @@ import org.apache.spark.sql.functions._
 object SkewAgg {
 
   /** count + decimal-exact sum per key, computed as salted partials
-    * then merged. Result is identical to a direct groupBy. */
+    * then merged. Result is identical to a direct groupBy.
+    *
+    * The salt is derived from ROW CONTENT (hash of every column), never
+    * from rand()/monotonically_increasing_id(): a nondeterministic
+    * expression feeding a shuffle re-salts rows on task retry while
+    * surviving reducer output is reused — the classic double-count /
+    * drop hazard (same rationale as SkewJoin's deterministic salt).
+    * Fully identical rows share a bucket, so a key whose skew comes
+    * from one exact row repeated N times won't split further — callers
+    * with such data should pass a disambiguator column in `df`. */
   def saltedCountSum(df: DataFrame, key: String, value: Column,
                      buckets: Int = 16): DataFrame = {
     df
-      .withColumn("__salt", pmod(hash(col(key), monotonically_increasing_id()), lit(buckets)))
+      .withColumn("__salt", pmod(hash(df.columns.map(col).toSeq: _*), lit(buckets)))
       .groupBy(col(key), col("__salt"))
       .agg(count(lit(1)).as("__n"), sum(value).as("__s"))
       .groupBy(col(key))

@@ -29,10 +29,31 @@ class CatalogSpec extends SparkSpec {
     import spark.implicits._
     val cat = new Catalog(spark)
     cat.put("sql/demo", Seq((1L, "x"), (2L, "y")).toDF("id", "s"))
-    val n = spark.sql("SELECT count(*) AS n FROM sql_demo").collect()(0).getLong(0)
+    val view = cat.sqlName("sql/demo")
+    val n = spark.sql(s"SELECT count(*) AS n FROM $view").collect()(0).getLong(0)
     assert(n == 2)
     cat.delete("sql/demo")
-    intercept[Exception](spark.sql("SELECT * FROM sql_demo").collect())
+    intercept[Exception](spark.sql(s"SELECT * FROM $view").collect())
+  }
+
+  test("sqlName is injective for keys that sanitize identically") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    val keys = Seq("a/b", "a.b", "a_b", "1table")
+    assert(keys.map(cat.sqlName).distinct.size == keys.size)
+    // colliding-sanitization keys coexist as separate views
+    cat.put("a/b", Seq(1).toDF("x"))
+    cat.put("a.b", Seq(2, 3).toDF("x"))
+    cat.put("1table", Seq(4).toDF("x"))
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${cat.sqlName("a/b")}")
+      .collect()(0).getLong(0) == 1)
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${cat.sqlName("a.b")}")
+      .collect()(0).getLong(0) == 2)
+    // deleting one key leaves the other's view intact
+    cat.delete("a/b")
+    assert(spark.sql(s"SELECT count(*) AS n FROM ${cat.sqlName("a.b")}")
+      .collect()(0).getLong(0) == 2)
+    keys.filter(cat.exists).foreach(cat.delete)
   }
 
   test("salted aggregation equals direct aggregation on skewed keys") {
@@ -76,6 +97,42 @@ class CatalogSpec extends SparkSpec {
     val multi = spark.read.option("sep", "\t")
       .csv(s"$dir/multi").as[(String, String)].collect().toMap
     assert(multi == Map("a" -> "3", "b" -> "2", "c" -> "1"))
+  }
+
+  test("TSV single-file mode holds without AQE partition coalescing") {
+    // the range sort fans out to all shuffle partitions; coalesce(1)
+    // after the sort must still yield ONE globally-sorted file even
+    // when AQE isn't shrinking the exchange behind the scenes
+    import spark.implicits._
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val result = (1 to 500).map(i => (f"k$i%04d", i.toString)).toDS()
+      val dir = Files.createTempDirectory("graft-tsv-noaqe").toString
+      MapReduce.writeTsv(result, s"$dir/single", single = true)
+      val files = new java.io.File(s"$dir/single").listFiles()
+        .filter(_.getName.startsWith("part-"))
+      assert(files.length == 1, s"expected 1 part file, got ${files.length}")
+      val keys = scala.io.Source.fromFile(files.head).getLines()
+        .map(_.split("\t")(0)).toSeq
+      assert(keys == keys.sorted && keys.size == 500)
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
+  test("TSV multi-part mode renames to <outputKey>-reduce-<i> (A8 ABI)") {
+    import spark.implicits._
+    val result = (1 to 100).map(i => (f"k$i%03d", i.toString)).toDS()
+    val dir = Files.createTempDirectory("graft-tsv-a8").toString
+    MapReduce.writeTsv(result, s"$dir/out", single = false,
+      outputKey = Some("wc"))
+    val names = new java.io.File(s"$dir/out").listFiles().map(_.getName)
+      .filter(n => !n.startsWith(".") && n != "_SUCCESS")
+    assert(names.nonEmpty && names.forall(_.matches("wc-reduce-\\d+")), names.mkString(","))
+    assert(names.map(_.stripPrefix("wc-reduce-").toInt).sorted.toSeq ==
+      (0 until names.length).toSeq)
+    // rows survive the rename byte-for-byte
+    val rows = names.flatMap(n =>
+      scala.io.Source.fromFile(new java.io.File(s"$dir/out", n)).getLines())
+    assert(rows.length == 100)
   }
 
   test("graft_dot is callable from SQL after extension registration") {
