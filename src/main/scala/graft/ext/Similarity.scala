@@ -151,16 +151,66 @@ object Similarity {
 
   val NumLists = 16
   val NProbe = 2
+  val LloydIters = 3
 
-  /** Coarse quantizer: the first NumLists vectors serve as
-    * deterministic data-sampled centroids (a production build would
-    * k-means them; the plan shape — broadcast centroids, one scored
-    * scan, argmax per row — is identical). */
-  private def withAssignments(spark: SparkSession, dir: String): DataFrame = {
+  /** k-means coarse quantizer: seeds = the first NumLists vectors
+    * (deterministic), refined by exactly [[LloydIters]] Lloyd
+    * iterations — fixed count, no convergence test, so any engine
+    * re-running the same arithmetic lands on identical centroids.
+    *
+    * Engine-independence discipline (the oracle mirrors each step):
+    *   - assignment: cosine sim rounded to 6 decimals BEFORE the
+    *     argmax, ties to the lower list_id;
+    *   - new centroid: per-dimension mean as an EXACT decimal(38,18)
+    *     sum (a raw double sum would depend on Spark's partition
+    *     order) cast to double, divided by the member count, rounded
+    *     to 9 decimals;
+    *   - a list that captures no vectors keeps its previous centroid.
+    *
+    * Scale shape: each iteration is one corpus scan against a
+    * broadcast 16-row centroid table + a (NumLists × dim)-row
+    * aggregate; the only driver state is the centroid matrix itself
+    * (16 × 64 doubles — bounded, like a convergence aggregate). */
+  private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
     val e = embeddingsD(spark, dir)
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
-    val cents = e.filter(col("vec_id") < NumLists)
-      .select(col("vec_id").as("list_id"), col("v").as("cv"), col("nrm").as("cn"))
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < NumLists)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    for (_ <- 1 to LloydIters) {
+      val c = cents.toDF("list_id", "cv")
+        .select(col("list_id"), col("cv"), norm(col("cv")).as("cn"))
+      val w = Window.partitionBy("vec_id")
+        .orderBy(col("centroid_sim").desc, col("list_id"))
+      val assigned = e.crossJoin(broadcast(c))
+        .select(col("vec_id"), col("v"), col("list_id"),
+          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("centroid_sim"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+      val means = assigned
+        .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
+        .groupBy(col("list_id"), col("dim"))
+        .agg(round(sum(col("x").cast(DecimalType(38, 18))).cast("double")
+          / count(lit(1)), 9).as("m"))
+        .collect()
+      val byList = means.groupBy(_.getLong(0)).map { case (lid, rs) =>
+        lid -> rs.sortBy(_.getInt(1)).map(_.getDouble(2)).toSeq
+      }
+      cents = cents.map { case (lid, old) => (lid, byList.getOrElse(lid, old)) }
+    }
+    cents
+  }
+
+  /** Vectors scored against the k-means centroids: one corpus scan
+    * against the broadcast centroid table, argmax per row. */
+  private def withAssignments(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+    val cents = kmeansCentroids(spark, dir).toDF("list_id", "cv")
+      .select(col("list_id"), col("cv"), norm(col("cv")).as("cn"))
     val w = Window.partitionBy("vec_id")
       .orderBy(col("centroid_sim").desc, col("list_id"))
     e.crossJoin(broadcast(cents))
@@ -200,17 +250,40 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  private val ivfCommonSql: String =
+  /** Mirrors [[kmeansCentroids]]: seeds c0 = first NumLists vectors,
+    * then LloydIters unrolled assign→mean rounds with the identical
+    * rounding discipline (sim round 6 / tie on list_id; decimal-exact
+    * per-dim sums, mean round 9; empty lists keep old centroids). */
+  private val ivfCommonSql: String = {
+    val iters = (1 to LloydIters).map { i =>
+      s"""a$i AS (SELECT n.vec_id, n.v, c.list_id,
+         |    row_number() OVER (PARTITION BY n.vec_id
+         |      ORDER BY round(list_dot_product(n.v, c.cv)
+         |                     / (n.nrm * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
+         |               c.list_id) AS rk
+         |  FROM n CROSS JOIN c${i - 1} c),
+         |x$i AS (SELECT list_id, UNNEST(range(len(v))) AS dim, UNNEST(v) AS x
+         |  FROM a$i WHERE rk = 1),
+         |m$i AS (SELECT list_id, dim,
+         |    round(CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9) AS m
+         |  FROM x$i GROUP BY list_id, dim),
+         |nc$i AS (SELECT list_id, list(m ORDER BY dim) AS cv FROM m$i GROUP BY list_id),
+         |c$i AS (SELECT p.list_id, COALESCE(nc.cv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN nc$i nc USING (list_id))""".stripMargin
+    }.mkString(",\n")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-       |cents AS (SELECT vec_id AS list_id, v AS cv, nrm AS cn FROM n
-       |          WHERE vec_id < ${NumLists}),
+       |c0 AS (SELECT vec_id AS list_id, v AS cv FROM e WHERE vec_id < ${NumLists}),
+       |$iters,
+       |cents AS (SELECT list_id, cv, sqrt(list_dot_product(cv, cv)) AS cn
+       |  FROM c${LloydIters}),
        |scoredc AS (SELECT n.vec_id, n.v, n.nrm, c.list_id,
        |    round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS centroid_sim,
        |    row_number() OVER (PARTITION BY n.vec_id
        |                       ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
        |                                c.list_id) AS probe_rank
        |  FROM n CROSS JOIN cents c)""".stripMargin
+  }
 
   def ivfAssignOracle: String =
     s"""WITH $ivfCommonSql

@@ -88,6 +88,23 @@ class ExtSpec extends SparkSpec {
       s"LSH produced pairs absent from the exact baseline: ${lsh.diff(brute).take(3)}")
   }
 
+  test("k-means centroids: Lloyd iterations move every seed and stay deterministic") {
+    val c1 = Similarity.kmeansCentroids(spark, sf0001)
+    val c2 = Similarity.kmeansCentroids(spark, sf0001)
+    assert(c1 == c2, "centroids must be bit-identical across runs")
+    assert(c1.size == Similarity.NumLists)
+    assert(c1.forall(_._2.size == 64))
+    // the refined centroids are means, not corpus vectors: each seed
+    // captures >= itself (sim 1.0 at iteration 1), so every list is
+    // non-empty and its mean moves off the raw seed vector
+    val seeds = graft.Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") < Similarity.NumLists)
+      .orderBy("vec_id").collect()
+      .map(_.getSeq[Float](1).map(_.toDouble))
+    assert(c1.map(_._2).zip(seeds).exists { case (c, s) => c != s },
+      "Lloyd iterations left every centroid on its seed")
+  }
+
   test("lsh bucket: identical vectors land in the same bucket") {
     val b = Similarity.lshBuckets(spark, sf0001)
     val total = b.agg(sum(col("n_vectors"))).collect()(0).getLong(0)
