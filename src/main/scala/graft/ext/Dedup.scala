@@ -1,6 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -122,6 +123,18 @@ object Dedup {
   val NumBands = 2 // 2 bands × 8 rows
   val PairThreshold = 0.75
 
+  /** Bucket-size cap: an LSH bucket larger than this switches from
+    * all-pairs to STAR topology — every member pairs only with the
+    * bucket's min-doc_id representative. A degenerate corpus (tiny
+    * vocabulary, mass-duplicated boilerplate) otherwise puts thousands
+    * of docs in one bucket and the candidate join goes quadratic
+    * (measured 3,866 docs in ONE bucket at sf0.1 ≈ 15M joined rows per
+    * band). Star keeps the candidate count linear in the bucket size
+    * and — for the near-identical docs that cause such buckets —
+    * preserves exactly the connectivity that duplicate-group
+    * resolution needs (member↔rep edges verify at est≈1). */
+  val MaxBucket = 64
+
   /** LSH near-dup pairs: band the signature (2 bands × 8), bucket-join
     * on (band, band-key), then estimate Jaccard as the fraction of
     * equal signature components. The only shuffle keys are band
@@ -139,8 +152,11 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     minhashPairs(Tables.documents(spark, dir), threshold)
 
-  /** LSH pairs over any (doc_id, text) frame. */
-  def minhashPairs(corpus: DataFrame, threshold: Double): DataFrame = {
+  /** LSH pairs over any (doc_id, text) frame. Buckets at or below
+    * `maxBucket` pair all-vs-all; larger buckets go star (see
+    * [[MaxBucket]]), so no bucket ever contributes O(n²) candidates. */
+  def minhashPairs(corpus: DataFrame, threshold: Double,
+                   maxBucket: Int = MaxBucket): DataFrame = {
     val docs = signatureRows(corpus)
       .groupBy("doc_id")
       .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
@@ -150,11 +166,24 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
           md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
       .select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_key"))
-    val a = bands.select(col("band_id"), col("band_key"),
-      col("doc_id").as("d1"), col("sig").as("sig1"))
-    val b = bands.select(col("band_id"), col("band_key"),
-      col("doc_id").as("d2"), col("sig").as("sig2"))
-    a.join(b, Seq("band_id", "band_key")).filter(col("d1") < col("d2"))
+    val sized = bands.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy("band_id", "band_key")))
+    val small = sized.filter(col("bn") <= maxBucket)
+    val smallPairs = small
+      .select(col("band_id"), col("band_key"), col("doc_id").as("d1"), col("sig").as("sig1"))
+      .join(small.select(col("band_id"), col("band_key"),
+        col("doc_id").as("d2"), col("sig").as("sig2")), Seq("band_id", "band_key"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("sig1"), col("sig2"))
+    val big = sized.filter(col("bn") > maxBucket)
+    val reps = big.groupBy("band_id", "band_key")
+      .agg(min(struct(col("doc_id"), col("sig"))).as("rep"))
+      .select(col("band_id"), col("band_key"),
+        col("rep.doc_id").as("d1"), col("rep.sig").as("sig1"))
+    val starPairs = big.join(reps, Seq("band_id", "band_key"))
+      .filter(col("doc_id") > col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"), col("sig1"), col("sig").as("sig2"))
+    smallPairs.union(starPairs)
       .select(col("d1"), col("d2"),
         (graft.functions.ArrayEqCount(col("sig1"), col("sig2")).cast("double")
           / NumPerms).as("est_jaccard"))
@@ -175,10 +204,19 @@ object Dedup {
        |band AS (SELECT doc_id, k // ${NumPerms / NumBands} AS band_id,
        |       md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS band_key
        |       FROM sig GROUP BY doc_id, k // ${NumPerms / NumBands}),
-       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |       FROM band a JOIN band b
+       |sized AS (SELECT doc_id, band_id, band_key,
+       |       COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn FROM band),
+       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM sized a JOIN sized b
        |         ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |        AND a.doc_id < b.doc_id),
+       |        AND a.doc_id < b.doc_id
+       |       WHERE a.bn <= $MaxBucket
+       |       UNION
+       |       SELECT r.d1, m.doc_id AS d2
+       |       FROM (SELECT band_id, band_key, MIN(doc_id) AS d1 FROM sized
+       |             WHERE bn > $MaxBucket GROUP BY band_id, band_key) r
+       |       JOIN sized m ON m.band_id = r.band_id AND m.band_key = r.band_key
+       |        AND m.doc_id > r.d1),
        |est AS (SELECT c.d1, c.d2,
        |       CAST(COUNT(*) FILTER (s1.mh = s2.mh) AS DOUBLE) / ${NumPerms} AS est_jaccard
        |       FROM cand c
@@ -283,17 +321,33 @@ object Dedup {
     * (bit_count of xor). Same LSH discipline as MinHash pairs — the
     * cross product never materializes, only byte-bucket collisions. */
   def simhashPairs(spark: SparkSession, dir: String,
-                   maxHamming: Int = 6): DataFrame = {
+                   maxHamming: Int = 6,
+                   maxBucket: Int = MaxBucket): DataFrame = {
     val sigs = simhash(spark, dir) // (doc_id, simhash), already sorted
     val bands = sigs.select(col("doc_id"), col("simhash"),
         explode(sequence(lit(0), lit(3))).as("band_id"))
       .withColumn("band_val",
         floor(col("simhash") / pow(lit(2.0), col("band_id") * 8)).cast("long") % 256L)
-    val a = bands.select(col("band_id"), col("band_val"),
-      col("doc_id").as("d1"), col("simhash").as("s1"))
-    val b = bands.select(col("band_id"), col("band_val"),
-      col("doc_id").as("d2"), col("simhash").as("s2"))
-    a.join(b, Seq("band_id", "band_val")).filter(col("d1") < col("d2"))
+    val sized = bands.withColumn("bn",
+      count(lit(1)).over(Window.partitionBy("band_id", "band_val")))
+    val small = sized.filter(col("bn") <= maxBucket)
+    val smallPairs = small
+      .select(col("band_id"), col("band_val"), col("doc_id").as("d1"), col("simhash").as("s1"))
+      .join(small.select(col("band_id"), col("band_val"),
+        col("doc_id").as("d2"), col("simhash").as("s2")), Seq("band_id", "band_val"))
+      .filter(col("d1") < col("d2"))
+      .select(col("d1"), col("d2"), col("s1"), col("s2"))
+    // oversized byte-band buckets pair members with the bucket's min
+    // doc only (star) — see MaxBucket
+    val big = sized.filter(col("bn") > maxBucket)
+    val reps = big.groupBy("band_id", "band_val")
+      .agg(min(struct(col("doc_id"), col("simhash"))).as("rep"))
+      .select(col("band_id"), col("band_val"),
+        col("rep.doc_id").as("d1"), col("rep.simhash").as("s1"))
+    val starPairs = big.join(reps, Seq("band_id", "band_val"))
+      .filter(col("doc_id") > col("d1"))
+      .select(col("d1"), col("doc_id").as("d2"), col("s1"), col("simhash").as("s2"))
+    smallPairs.union(starPairs)
       .select(col("d1"), col("d2"),
         bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
       .distinct()
@@ -316,11 +370,22 @@ object Dedup {
        |band AS (SELECT doc_id, simhash, band_id,
        |       (simhash // (1::BIGINT << (band_id * 8))) % 256 AS band_val
        |       FROM sig CROSS JOIN range(4) rb(band_id)),
-       |pairs AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2,
-       |       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-       |       FROM band a JOIN band b
+       |sized AS (SELECT doc_id, simhash, band_id, band_val,
+       |       COUNT(*) OVER (PARTITION BY band_id, band_val) AS bn FROM band),
+       |pairs AS (SELECT DISTINCT d1, d2,
+       |       CAST(bit_count(xor(s1, s2)) AS BIGINT) AS hamming FROM (
+       |       SELECT a.doc_id AS d1, b.doc_id AS d2, a.simhash AS s1, b.simhash AS s2
+       |       FROM sized a JOIN sized b
        |         ON a.band_id = b.band_id AND a.band_val = b.band_val
-       |        AND a.doc_id < b.doc_id)
+       |        AND a.doc_id < b.doc_id
+       |       WHERE a.bn <= $MaxBucket
+       |       UNION
+       |       SELECT r.d1, m.doc_id, r.s1, m.simhash
+       |       FROM (SELECT band_id, band_val, MIN(doc_id) AS d1,
+       |                    arg_min(simhash, doc_id) AS s1 FROM sized
+       |             WHERE bn > $MaxBucket GROUP BY band_id, band_val) r
+       |       JOIN sized m ON m.band_id = r.band_id AND m.band_val = r.band_val
+       |        AND m.doc_id > r.d1) u)
        |SELECT d1, d2, hamming FROM pairs
        |WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin
 
@@ -440,10 +505,19 @@ object Dedup {
        |band AS (SELECT doc_id, k // ${NumPerms / NumBands} AS band_id,
        |       md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS band_key
        |       FROM sig GROUP BY doc_id, k // ${NumPerms / NumBands}),
-       |cand AS (SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-       |       FROM band a JOIN band b
+       |sized AS (SELECT doc_id, band_id, band_key,
+       |       COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn FROM band),
+       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |       FROM sized a JOIN sized b
        |         ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |        AND a.doc_id < b.doc_id),
+       |        AND a.doc_id < b.doc_id
+       |       WHERE a.bn <= $MaxBucket
+       |       UNION
+       |       SELECT r.d1, m.doc_id AS d2
+       |       FROM (SELECT band_id, band_key, MIN(doc_id) AS d1 FROM sized
+       |             WHERE bn > $MaxBucket GROUP BY band_id, band_key) r
+       |       JOIN sized m ON m.band_id = r.band_id AND m.band_key = r.band_key
+       |        AND m.doc_id > r.d1),
        |est AS (SELECT c.d1, c.d2,
        |       CAST(COUNT(*) FILTER (s1.mh = s2.mh) AS DOUBLE) / $NumPerms AS est_jaccard
        |       FROM cand c

@@ -88,6 +88,19 @@ class ExtSpec extends SparkSpec {
       s"LSH produced pairs absent from the exact baseline: ${lsh.diff(brute).take(3)}")
   }
 
+  test("LSH bucket cap keeps a degenerate corpus linear (star topology)") {
+    import spark.implicits._
+    val n = 200L
+    // 200 identical docs — one bucket per band, far over the cap; the
+    // uncapped join would emit n(n-1)/2 = 19900 pairs
+    val corpus = (0L until n).map(i => (i, "same exact boilerplate text row"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(corpus, 0.75, maxBucket = 16).collect()
+    assert(pairs.length == n - 1, s"expected star pairs, got ${pairs.length}")
+    assert(pairs.forall(r => r.getLong(0) == 0L), "all pairs must anchor at the rep doc")
+    assert(pairs.forall(r => r.getDouble(2) == 1.0))
+  }
+
   test("k-means centroids: Lloyd iterations move every seed and stay deterministic") {
     val c1 = Similarity.kmeansCentroids(spark, sf0001)
     val c2 = Similarity.kmeansCentroids(spark, sf0001)
