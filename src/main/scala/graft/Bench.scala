@@ -28,7 +28,7 @@ object Bench {
 
     // min of N iterations per query: one GC pause / noisy-neighbor
     // spike shouldn't masquerade as a plan regression
-    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "2").toInt
+    val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iterations).flatMap { _ =>
         val t0 = System.nanoTime()

@@ -65,6 +65,10 @@ object SparkEntry {
     "json_extract_events" -> EventOps.jsonExtract _,
     "time_window_events" -> EventOps.timeWindow _,
     "sessionize_events" -> EventOps.sessionize _,
+    // Structured Streaming twin run to completion over a bounded file
+    // stream — oracled against the SAME SQL as the batch window agg
+    "stream_window_events" -> ((s, dir) =>
+      graft.streaming.EventStream.windowedCountsOverFiles(s, dir)),
     // ── LLM-pipeline: text analysis ──
     "token_count" -> TextAnalysis.tokenCount _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -134,6 +138,7 @@ object SparkEntry {
     "json_extract_events" -> EventOps.jsonExtractOracle,
     "time_window_events" -> EventOps.timeWindowOracle,
     "sessionize_events" -> EventOps.sessionizeOracle,
+    "stream_window_events" -> EventOps.timeWindowOracle,
     "token_count" -> TextAnalysis.tokenCountOracle,
     "text_quality" -> TextAnalysis.textQualityOracle,
     "lang_id" -> TextAnalysis.langIdOracle,

@@ -42,6 +42,41 @@ object EventStream {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** The streaming windowed agg run to completion over the events
+    * table as a bounded file stream — this is the driver-oracled
+    * streaming query: identical output contract to the batch
+    * EventOps.timeWindow (1-hour tumbling windows align to epoch
+    * hours, exactly date_trunc('hour')), so it verifies against the
+    * SAME DuckDB oracle. Complete mode because a bounded stream's
+    * final window never passes the watermark in append mode. */
+  def windowedCountsOverFiles(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    // FileStreamSource wants a DIRECTORY of files (the unit a real
+    // deployment tails); stage the single test parquet into one
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_stream_wc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = windowedCounts(stream, watermark = "0 seconds")
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .select(col("window_start").as("hour_ts"), col("event_type"),
+        col("n"), col("sum_value"))
+      .orderBy("hour_ts", "event_type")
+  }
+
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState + event-time timeout): a session closes
     * when the watermark passes last-event + gap; closed sessions are
