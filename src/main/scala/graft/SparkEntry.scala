@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{EventOps, Relational, WordCount}
-import graft.ext.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.mr.MapReduce
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -83,6 +83,8 @@ object SparkEntry {
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
+    // full-corpus LSH candidates verified by exact trigram Jaccard
+    "dedup_lsh_verified" -> ((s, dir) => Dedup.lshVerifiedJaccard(s, dir)),
     // LSH-bucketed variant is the headline (no cross product); the
     // brute-force exact form stays as the test-only cross-check
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupLsh(s, dir)),
@@ -97,6 +99,14 @@ object SparkEntry {
     // ── LLM-pipeline: multimodal columns ──
     "multimodal_meta" -> Multimodal.meta _,
     "multimodal_features" -> Multimodal.features _,
+    // ── LLM-pipeline: deterministic sampling ──
+    "sample_bernoulli" -> ((s, dir) => Sampling.bernoulliSample(s, dir)),
+    "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
+    // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
+    "stream_dedup_docs" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingDedup(s, dir)),
+    // ── scalar battery 3: numeric / conditional / bitwise ──
+    "scalar_numeric_funcs" -> Relational.scalarNumericFuncs _,
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -152,6 +162,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dedup_groups" -> Dedup.duplicateGroupsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
+    "dedup_lsh_verified" -> Dedup.lshVerifiedJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupLshOracle,
     "sim_brute_topk" -> Similarity.bruteForceTopKOracle,
     "sim_lsh_buckets" -> Similarity.lshBucketsOracle,
@@ -161,5 +172,9 @@ object SparkEntry {
     "multimodal_meta" -> Multimodal.metaOracle,
     // stub decode is deterministic byte arithmetic → fully oracled
     "multimodal_features" -> Multimodal.featuresOracle,
+    "sample_bernoulli" -> Sampling.bernoulliSampleOracle,
+    "sample_stratified" -> Sampling.stratifiedSampleOracle,
+    "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
+    "scalar_numeric_funcs" -> Relational.scalarNumericOracle,
   )
 }

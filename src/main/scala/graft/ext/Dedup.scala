@@ -192,8 +192,11 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
-  def minhashPairsOracle: String =
-    s"""WITH toks AS (
+  /** Shared CTE stack (tokens → signatures → capped candidate pairs →
+    * estimated jaccard) reused by the pairs, groups, and verified
+    * oracles. */
+  private def minhashEstCtes: String =
+    s"""toks AS (
        |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM documents),
        |th AS (SELECT doc_id, ${tokHashSql("w")} AS h
        |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) u),
@@ -222,7 +225,10 @@ object Dedup {
        |       FROM cand c
        |       JOIN sig s1 ON s1.doc_id = c.d1
        |       JOIN sig s2 ON s2.doc_id = c.d2 AND s1.k = s2.k
-       |       GROUP BY c.d1, c.d2)
+       |       GROUP BY c.d1, c.d2)""".stripMargin
+
+  def minhashPairsOracle: String =
+    s"""WITH $minhashEstCtes
        |SELECT d1, d2, est_jaccard FROM est
        |WHERE est_jaccard >= $PairThreshold ORDER BY d1, d2""".stripMargin
 
@@ -272,12 +278,12 @@ object Dedup {
     * the verification query; at scale the candidate set comes from the
     * LSH pass, never a cross product). Jaccard = |∩| / (|A|+|B|−|∩|) —
     * exact integers, one IEEE division. */
-  def ngramJaccard(spark: SparkSession, dir: String, maxDocId: Long = 100): DataFrame = {
+  /** Distinct word trigram set per doc; docs with <3 tokens contribute
+    * no grams (a bare sequence(1, n-2) would count DOWN for n<3 —
+    * guard it). */
+  private def trigramSets(docs: DataFrame): DataFrame = {
     val ws = toks(col("text"))
-    // trigrams by index; docs with <3 tokens contribute no grams (a
-    // bare sequence(1, n-2) would count DOWN for n<3 — guard it)
-    val docs = Tables.documents(spark, dir)
-      .filter(col("doc_id") < maxDocId)
+    docs
       .select(col("doc_id"), ws.as("ws"))
       .select(col("doc_id"),
         when(size(col("ws")) >= 3,
@@ -287,6 +293,11 @@ object Dedup {
               element_at(col("ws"), i + 1),
               element_at(col("ws"), i + 2)))))
           .otherwise(array().cast("array<string>")).as("grams"))
+  }
+
+  def ngramJaccard(spark: SparkSession, dir: String, maxDocId: Long = 100): DataFrame = {
+    val docs = trigramSets(Tables.documents(spark, dir)
+      .filter(col("doc_id") < maxDocId))
     val exploded = docs.select(col("doc_id"), col("grams"),
         explode(col("grams")).as("g"))
       .select(col("doc_id"), size(col("grams")).as("n"), col("g"))
@@ -315,6 +326,52 @@ object Dedup {
        |FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id
        |GROUP BY a.doc_id, b.doc_id, a.n, b.n
        |ORDER BY d1, d2""".stripMargin
+
+  /** The full-corpus composition ngramJaccard only demonstrates:
+    * MinHash-LSH proposes candidates (linear-bounded by the bucket
+    * cap), exact trigram Jaccard verifies ONLY those candidates —
+    * the O(n²) gram self-join never happens, so this runs over the
+    * whole corpus with no id restriction. Gram explosion is further
+    * semi-join-restricted to candidate endpoints. */
+  def lshVerifiedJaccard(spark: SparkSession, dir: String,
+                         minJaccard: Double = 0.5): DataFrame = {
+    val documents = Tables.documents(spark, dir)
+    val cands = minhashPairs(documents, PairThreshold).select(col("d1"), col("d2"))
+    val endpoints = cands.select(col("d1").as("doc_id"))
+      .union(cands.select(col("d2").as("doc_id"))).distinct()
+    val exploded = trigramSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
+      .select(col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("g"))
+    cands
+      .join(exploded.select(col("doc_id").as("d1"), col("n").as("n1"), col("g")), Seq("d1"))
+      .join(exploded.select(col("doc_id").as("d2"), col("n").as("n2"), col("g")), Seq("d2", "g"))
+      .groupBy("d1", "d2", "n1", "n2")
+      .agg(count(lit(1)).as("inter"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+      .filter(col("jaccard") >= minJaccard)
+      .orderBy("d1", "d2")
+  }
+
+  def lshVerifiedJaccardOracle: String = lshVerifiedJaccardOracle(0.5)
+
+  def lshVerifiedJaccardOracle(minJaccard: Double): String =
+    s"""WITH $minhashEstCtes,
+       |pairs AS (SELECT d1, d2 FROM est WHERE est_jaccard >= $PairThreshold),
+       |tokseq AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |tri AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+       |  FROM tokseq),
+       |g AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM tri),
+       |inter AS (SELECT p.d1, p.d2, a.n AS n1, b.n AS n2, COUNT(*) AS inter
+       |  FROM pairs p
+       |  JOIN g a ON a.doc_id = p.d1
+       |  JOIN g b ON b.doc_id = p.d2 AND b.g = a.g
+       |  GROUP BY p.d1, p.d2, a.n, b.n)
+       |SELECT d1, d2, jaccard FROM (
+       |  SELECT d1, d2, CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
+       |  FROM inter) j
+       |WHERE jaccard >= $minJaccard ORDER BY d1, d2""".stripMargin
 
   /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes;
     * docs sharing any byte are candidates; verify by Hamming distance
@@ -494,36 +551,7 @@ object Dedup {
     * scale (the state space is Σ|component|² label pairs). */
   def duplicateGroupsOracle: String =
     s"""WITH RECURSIVE
-       |toks AS (
-       |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM documents),
-       |th AS (SELECT doc_id, ${tokHashSql("w")} AS h
-       |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) u),
-       |sig AS (SELECT doc_id, k,
-       |       MIN(((4099*k + 8191) * h + (9973*k + 104729)) % $MinhashPrime) AS mh
-       |       FROM th CROSS JOIN range($NumPerms) r(k)
-       |       GROUP BY doc_id, k),
-       |band AS (SELECT doc_id, k // ${NumPerms / NumBands} AS band_id,
-       |       md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS band_key
-       |       FROM sig GROUP BY doc_id, k // ${NumPerms / NumBands}),
-       |sized AS (SELECT doc_id, band_id, band_key,
-       |       COUNT(*) OVER (PARTITION BY band_id, band_key) AS bn FROM band),
-       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
-       |       FROM sized a JOIN sized b
-       |         ON a.band_id = b.band_id AND a.band_key = b.band_key
-       |        AND a.doc_id < b.doc_id
-       |       WHERE a.bn <= $MaxBucket
-       |       UNION
-       |       SELECT r.d1, m.doc_id AS d2
-       |       FROM (SELECT band_id, band_key, MIN(doc_id) AS d1 FROM sized
-       |             WHERE bn > $MaxBucket GROUP BY band_id, band_key) r
-       |       JOIN sized m ON m.band_id = r.band_id AND m.band_key = r.band_key
-       |        AND m.doc_id > r.d1),
-       |est AS (SELECT c.d1, c.d2,
-       |       CAST(COUNT(*) FILTER (s1.mh = s2.mh) AS DOUBLE) / $NumPerms AS est_jaccard
-       |       FROM cand c
-       |       JOIN sig s1 ON s1.doc_id = c.d1
-       |       JOIN sig s2 ON s2.doc_id = c.d2 AND s1.k = s2.k
-       |       GROUP BY c.d1, c.d2),
+       |$minhashEstCtes,
        |edges AS (SELECT d1 AS src, d2 AS dst FROM est WHERE est_jaccard >= $PairThreshold
        |          UNION ALL
        |          SELECT d2, d1 FROM est WHERE est_jaccard >= $PairThreshold),

@@ -326,6 +326,54 @@ object Relational {
       |  CAST(date_diff('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS BIGINT) AS days_since
       |FROM orders ORDER BY o_orderkey""".stripMargin
 
+  /** Scalar numeric / conditional / bitwise battery. Transcendentals
+    * (sqrt, ln, power) are rounded to 6 decimals — libm last-ulp
+    * differences between engines sit ~10 orders below that; integer
+    * and decimal ops are exact as-is. */
+  def scalarNumericFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      abs(col("c_acctbal")).as("abal"),
+      signum(col("c_acctbal")).cast("double").as("sgn"),
+      floor(col("c_acctbal")).cast("long").as("fl"),
+      ceil(col("c_acctbal")).cast("long").as("ce"),
+      round(col("c_acctbal"), 1).as("r1"),
+      (col("c_custkey") % 7).cast("long").as("m7"),
+      round(sqrt(abs(col("c_acctbal"))), 6).as("sq"),
+      round(log(col("c_custkey").cast("double") + 1.0), 6).as("lg"),
+      round(pow((col("c_custkey") % 10).cast("double"), 2.0), 6).as("pw"),
+      greatest(col("c_acctbal"), lit(0.0)).as("gt0"),
+      least(col("c_acctbal"), lit(0.0)).as("lt0"),
+      coalesce(expr("nullif(c_mktsegment, 'BUILDING')"), lit("-")).as("seg_nb"),
+      when(col("c_acctbal") < 0, "neg")
+        .when(col("c_acctbal") < 5000, "mid")
+        .otherwise("high").as("bal_band"),
+      col("c_custkey").bitwiseAND(lit(255L)).cast("long").as("band255"),
+      shiftleft(col("c_custkey") % 16, 2).cast("long").as("shl"),
+      col("c_custkey").bitwiseXOR(lit(21L)).cast("long").as("bxor"))
+      .orderBy("c_custkey")
+
+  def scalarNumericOracle: String =
+    """SELECT c_custkey,
+      |  abs(c_acctbal) AS abal,
+      |  CAST(sign(c_acctbal) AS DOUBLE) AS sgn,
+      |  CAST(floor(c_acctbal) AS BIGINT) AS fl,
+      |  CAST(ceil(c_acctbal) AS BIGINT) AS ce,
+      |  round(c_acctbal, 1) AS r1,
+      |  CAST(c_custkey % 7 AS BIGINT) AS m7,
+      |  round(sqrt(abs(c_acctbal)), 6) AS sq,
+      |  round(ln(c_custkey + 1.0), 6) AS lg,
+      |  round(power(c_custkey % 10, 2.0), 6) AS pw,
+      |  greatest(c_acctbal, 0.0) AS gt0,
+      |  least(c_acctbal, 0.0) AS lt0,
+      |  COALESCE(NULLIF(c_mktsegment, 'BUILDING'), '-') AS seg_nb,
+      |  CASE WHEN c_acctbal < 0 THEN 'neg'
+      |       WHEN c_acctbal < 5000 THEN 'mid' ELSE 'high' END AS bal_band,
+      |  CAST(c_custkey & 255 AS BIGINT) AS band255,
+      |  CAST((c_custkey % 16) << 2 AS BIGINT) AS shl,
+      |  CAST(xor(c_custkey, 21) AS BIGINT) AS bxor
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** Statistical aggregates with exact-decimal internals: variance is
     * computed as (Σx² − (Σx)²/n)/(n−1) where Σx and Σx² are exact
     * decimal sums — the final double expression is one deterministic

@@ -1,0 +1,52 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types._
+
+/** Streaming document operators — the incremental twins of the batch
+  * dedup pass, for corpora that arrive continuously (crawl output,
+  * log shipping) rather than as a static snapshot.
+  */
+object DocStream {
+
+  private val docSchema = StructType(Seq(
+    StructField("doc_id", LongType), StructField("text", StringType),
+    StructField("lang", StringType), StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
+  /** Streaming exact dedup: incrementally maintain, per content
+    * fingerprint, the keeper (min doc_id) and the copy count. The
+    * state store holds one entry per DISTINCT fingerprint — the
+    * deduped corpus size, not the stream length — sharded across
+    * executors by the groupBy shuffle like any aggregation state.
+    *
+    * A deterministic keeper (min doc_id) rather than streaming
+    * `dropDuplicates` (which keeps the arbitrary first arrival):
+    * retries and batch boundaries can't change the winner, and the
+    * result is exactly the batch dedup answer on the same data, so it
+    * verifies against the same SQL. Complete mode over a bounded file
+    * stream for the oracle run; at scale this runs in update mode
+    * with a sink that upserts by fingerprint. */
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
+    // FileStreamSource wants a directory (the unit a deployment tails)
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-docstream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
+    val deduped = stream
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    val name = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = deduped.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name).orderBy("fp")
+  }
+
+  def streamingDedupOracle: String =
+    """SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
+      |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
+}
