@@ -107,6 +107,9 @@ object SparkEntry {
       graft.streaming.DocStream.streamingDedup(s, dir)),
     // ── scalar battery 3: numeric / conditional / bitwise ──
     "scalar_numeric_funcs" -> Relational.scalarNumericFuncs _,
+    // ── window battery + explicit grouping sets ──
+    "window_funcs_orders" -> Relational.windowFuncsOrders _,
+    "grouping_sets_orders" -> Relational.groupingSetsOrders _,
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -176,5 +179,7 @@ object SparkEntry {
     "sample_stratified" -> Sampling.stratifiedSampleOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "scalar_numeric_funcs" -> Relational.scalarNumericOracle,
+    "window_funcs_orders" -> Relational.windowFuncsOracle,
+    "grouping_sets_orders" -> Relational.groupingSetsOracle,
   )
 }

@@ -21,6 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction(GraftFunctions.dotFunction)
     e.injectFunction(GraftFunctions.eqCountFunction)
+    e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
   }
 }
 
@@ -44,5 +45,11 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "graft_array_eq_count",
       exprs => ArrayEqCountExpr(exprs.head, exprs(1)), "scala_udf")
+    // optimizer injection point for sessions whose builder we don't own
+    if (!spark.sessionState.experimentalMethods.extraOptimizations
+        .contains(graft.plans.RewriteHofDotProduct)) {
+      spark.sessionState.experimentalMethods.extraOptimizations ++=
+        Seq(graft.plans.RewriteHofDotProduct)
+    }
   }
 }

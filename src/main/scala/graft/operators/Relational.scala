@@ -178,6 +178,70 @@ object Relational {
       |WHERE rk <= 3
       |ORDER BY o_custkey, rk""".stripMargin
 
+  /** Window-function battery: lead/lag/ntile/percent_rank/cume_dist/
+    * first/last over per-customer order sequences. percent_rank and
+    * cume_dist are exact integer-ratio divisions — engine-identical;
+    * ORDER BY keys are unique (totalprice ties broken by orderkey) so
+    * every rank function is deterministic. */
+  def windowFuncsOrders(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val wFrame = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") <= 200)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("prev_key", lag(col("o_orderkey"), 1).over(w))
+      .withColumn("next_key", lead(col("o_orderkey"), 1).over(w))
+      .withColumn("quartile", ntile(4).over(w).cast("long"))
+      .withColumn("pct_rank", percent_rank().over(w))
+      .withColumn("cume", cume_dist().over(w))
+      .withColumn("top_key", first(col("o_orderkey")).over(wFrame))
+      .withColumn("bottom_key", last(col("o_orderkey")).over(wFrame))
+      .orderBy(col("o_custkey"), col("o_totalprice").desc, col("o_orderkey"))
+  }
+
+  def windowFuncsOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_orderkey, 1) OVER w AS prev_key,
+      |  lead(o_orderkey, 1) OVER w AS next_key,
+      |  CAST(ntile(4) OVER w AS BIGINT) AS quartile,
+      |  percent_rank() OVER w AS pct_rank,
+      |  cume_dist() OVER w AS cume,
+      |  first_value(o_orderkey) OVER wf AS top_key,
+      |  last_value(o_orderkey) OVER wf AS bottom_key
+      |FROM orders WHERE o_custkey <= 200
+      |WINDOW w AS (PARTITION BY o_custkey
+      |             ORDER BY o_totalprice DESC, o_orderkey),
+      |       wf AS (PARTITION BY o_custkey
+      |              ORDER BY o_totalprice DESC, o_orderkey
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_custkey, o_totalprice DESC, o_orderkey""".stripMargin
+
+  /** GROUPING SETS with grouping_id: the explicit-sets form rollup and
+    * cube only special-case — (status,priority), (status), (priority),
+    * () — plus the grouping marker needed to tell a real NULL from a
+    * superaggregate row. */
+  def groupingSetsOrders(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderstatus"), col("o_orderpriority"),
+        col("o_totalprice").cast(DecimalType(18, 2)).as("p"))
+      .groupingSets(
+        Seq(Seq(col("o_orderstatus"), col("o_orderpriority")),
+          Seq(col("o_orderstatus")), Seq(col("o_orderpriority")), Seq()),
+        col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("p")).cast("double").as("revenue"),
+        grouping_id().cast("long").as("gid"))
+      .orderBy(col("gid"), col("o_orderstatus"), col("o_orderpriority"))
+
+  def groupingSetsOracle: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |  CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid
+      |FROM orders
+      |GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority),
+      |  (o_orderstatus), (o_orderpriority), ())
+      |ORDER BY gid, o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""".stripMargin
+
   /** Running-total window (frame: unbounded preceding → current row) over
     * an exact decimal sum. Restricted to 10 suppliers to keep the
     * verification output small; the plan shape is scale-independent. */

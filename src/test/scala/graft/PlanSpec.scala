@@ -47,6 +47,23 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("optimizer rule rewrites the HOF dot product to the codegen'd kernel") {
+    import org.apache.spark.sql.functions._
+    graft.functions.GraftFunctions.register(spark)
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val hof = e.select(col("vec_id"),
+      aggregate(zip_with(col("v"), col("v"), (x, y) => x * y),
+        lit(0.0), (s, x) => s + x).as("dp"))
+    val plan = hof.queryExecution.optimizedPlan.toString
+    assert(plan.contains("graft_dot"), s"rewrite rule did not fire:\n$plan")
+    // identical fold order → identical doubles, not just close
+    val native = e.select(col("vec_id"),
+      graft.functions.DotProduct(col("v"), col("v")).as("dp"))
+    assert(hof.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
+      native.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
+  }
+
   test("similarity ranking pre-prunes in sharded window partitions") {
     // the scored corpus must hit a (query_id, shard) pre-prune window
     // before the final per-query ranking ever sees it
