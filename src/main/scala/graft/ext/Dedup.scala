@@ -166,8 +166,13 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
           md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
       .select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_key"))
+    // the banded-signature table feeds FOUR plan references (both
+    // sides of the small-bucket self-join, the big-bucket members, and
+    // the reps); without a persist each reference re-runs the whole
+    // signature pipeline — 4 corpus scans at 100 TB
     val sized = bands.withColumn("bn",
       count(lit(1)).over(Window.partitionBy("band_id", "band_key")))
+      .persist()
     val small = sized.filter(col("bn") <= maxBucket)
     val smallPairs = small
       .select(col("band_id"), col("band_key"), col("doc_id").as("d1"), col("sig").as("sig1"))
@@ -194,10 +199,12 @@ object Dedup {
 
   /** Shared CTE stack (tokens → signatures → capped candidate pairs →
     * estimated jaccard) reused by the pairs, groups, and verified
-    * oracles. */
-  private def minhashEstCtes: String =
+    * oracles; `src` is the (doc_id, text) relation to mine. */
+  private def minhashEstCtes: String = minhashEstCtes("documents")
+
+  private def minhashEstCtes(src: String): String =
     s"""toks AS (
-       |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM documents),
+       |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM $src),
        |th AS (SELECT doc_id, ${tokHashSql("w")} AS h
        |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) u),
        |sig AS (SELECT doc_id, k,
@@ -332,15 +339,30 @@ object Dedup {
     * cap), exact trigram Jaccard verifies ONLY those candidates —
     * the O(n²) gram self-join never happens, so this runs over the
     * whole corpus with no id restriction. Gram explosion is further
-    * semi-join-restricted to candidate endpoints. */
+    * semi-join-restricted to candidate endpoints.
+    *
+    * Exact dedup runs FIRST (one keeper — min doc_id — per identical
+    * text): byte-identical copies are already jaccard-1 duplicates, so
+    * LSH-verifying them is pure waste — on a boilerplate-heavy corpus
+    * they dominate the candidate set and the verify join. The same
+    * ordering Pipeline.curate uses. */
   def lshVerifiedJaccard(spark: SparkSession, dir: String,
                          minJaccard: Double = 0.5): DataFrame = {
+    val keeper = min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("text"))))
     val documents = Tables.documents(spark, dir)
-    val cands = minhashPairs(documents, PairThreshold).select(col("d1"), col("d2"))
+      .select(col("doc_id"), col("text"), keeper.as("k"))
+      .filter(col("doc_id") === col("k"))
+      .select(col("doc_id"), col("text"))
+    // candidates feed 3 references (join spine + both endpoint sides)
+    // and grams feed 2 — persist both or the LSH pass re-runs per use
+    val cands = minhashPairs(documents, PairThreshold)
+      .select(col("d1"), col("d2")).persist()
     val endpoints = cands.select(col("d1").as("doc_id"))
       .union(cands.select(col("d2").as("doc_id"))).distinct()
     val exploded = trigramSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
       .select(col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("g"))
+      .persist()
     cands
       .join(exploded.select(col("doc_id").as("d1"), col("n").as("n1"), col("g")), Seq("d1"))
       .join(exploded.select(col("doc_id").as("d2"), col("n").as("n2"), col("g")), Seq("d2", "g"))
@@ -355,9 +377,14 @@ object Dedup {
   def lshVerifiedJaccardOracle: String = lshVerifiedJaccardOracle(0.5)
 
   def lshVerifiedJaccardOracle(minJaccard: Double): String =
-    s"""WITH $minhashEstCtes,
+    s"""WITH keepers AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
+       |    FROM documents) d WHERE doc_id = k),
+       |${minhashEstCtes("keepers")},
        |pairs AS (SELECT d1, d2 FROM est WHERE est_jaccard >= $PairThreshold),
-       |tokseq AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |tokseq AS (SELECT doc_id, $tokensSql AS ws FROM keepers),
        |tri AS (SELECT doc_id,
        |    list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
        |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
@@ -385,8 +412,10 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("band_id"))
       .withColumn("band_val",
         floor(col("simhash") / pow(lit(2.0), col("band_id") * 8)).cast("long") % 256L)
+    // persisted for the same 4-reference reason as minhashPairs
     val sized = bands.withColumn("bn",
       count(lit(1)).over(Window.partitionBy("band_id", "band_val")))
+      .persist()
     val small = sized.filter(col("bn") <= maxBucket)
     val smallPairs = small
       .select(col("band_id"), col("band_val"), col("doc_id").as("d1"), col("simhash").as("s1"))

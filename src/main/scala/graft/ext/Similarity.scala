@@ -174,8 +174,12 @@ object Similarity {
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
+    // the corpus is re-scored once per Lloyd iteration — cache it for
+    // the loop, release before returning (driver-blocking, so the
+    // unpersist is safe here, unlike in lazily-returned queries)
     val e = embeddingsD(spark, dir)
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+      .persist()
     var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < NumLists)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
@@ -200,6 +204,7 @@ object Similarity {
       }
       cents = cents.map { case (lid, old) => (lid, byList.getOrElse(lid, old)) }
     }
+    e.unpersist()
     cents
   }
 
@@ -235,7 +240,9 @@ object Similarity {
     * NProbe/NumLists of the corpus, the sub-linear scale path. */
   def annIvf(spark: SparkSession, dir: String,
              numQueries: Int = 5, k: Int = 5): DataFrame = {
-    val assign = withAssignments(spark, dir)
+    // assignments feed both the member lists and the query probes —
+    // persist or the centroid-scoring scan runs twice
+    val assign = withAssignments(spark, dir).persist()
     val members = assign.filter(col("probe_rank") === 1)
       .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
     val queries = assign
