@@ -110,6 +110,9 @@ object SparkEntry {
     // ── window battery + explicit grouping sets ──
     "window_funcs_orders" -> Relational.windowFuncsOrders _,
     "grouping_sets_orders" -> Relational.groupingSetsOrders _,
+    // ── TPC-H classics: pure-scan agg and 4-way join top-k ──
+    "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
+    "q10_returned_items" -> Relational.q10ReturnedItems _,
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -181,5 +184,7 @@ object SparkEntry {
     "scalar_numeric_funcs" -> Relational.scalarNumericOracle,
     "window_funcs_orders" -> Relational.windowFuncsOracle,
     "grouping_sets_orders" -> Relational.groupingSetsOracle,
+    "q6_forecast_revenue" -> Relational.q6Oracle,
+    "q10_returned_items" -> Relational.q10Oracle,
   )
 }

@@ -24,6 +24,24 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("partial_sum"), "map-side partial aggregation expected")
   }
 
+  test("q6 pushes all three predicates and shuffles only the 1-row merge") {
+    val plan = operators.Relational.q6ForecastRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the PushedFilters list is elided in toString — assert its head
+    // plus the full predicate set on the data Filter node
+    assert(plan.contains("PushedFilters: [IsNotNull(l_shipdate)"))
+    assert(plan.contains(">= 0.05)") && plan.contains("<= 0.07)")
+      && plan.contains("< 24.0)"), s"missing pushed predicates:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"q6 must only single-partition-merge, never hash-shuffle:\n$plan")
+  }
+
+  test("q10 plans a bounded top-k, not a full sort") {
+    val plan = operators.Relational.q10ReturnedItems(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), s"expected top-k operator:\n$plan")
+  }
+
   test("q5 joins broadcast the dimension tables") {
     val plan = operators.Relational.q5RegionRevenue(spark, sf0001)
       .queryExecution.executedPlan.toString
