@@ -69,6 +69,10 @@ object SparkEntry {
     // stream — oracled against the SAME SQL as the batch window agg
     "stream_window_events" -> ((s, dir) =>
       graft.streaming.EventStream.windowedCountsOverFiles(s, dir)),
+    // stateful streaming sessionizer over a bounded stream (sentinel
+    // flush closes trailing sessions) ≡ the batch gap sessionization
+    "stream_sessionize_events" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeOverFiles(s, dir)),
     // ── LLM-pipeline: text analysis ──
     "token_count" -> TextAnalysis.tokenCount _,
     "text_quality" -> TextAnalysis.textQuality _,
@@ -79,6 +83,7 @@ object SparkEntry {
     "dedup_exact" -> Dedup.exact _,
     "dedup_bag" -> Dedup.bag _,
     "dedup_minhash_signatures" -> Dedup.minhashSignatures _,
+    "dedup_shingle_signatures" -> ((s, dir) => Dedup.shingleSignatures(s, dir)),
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
@@ -110,9 +115,12 @@ object SparkEntry {
     // ── window battery + explicit grouping sets ──
     "window_funcs_orders" -> Relational.windowFuncsOrders _,
     "grouping_sets_orders" -> Relational.groupingSetsOrders _,
-    // ── TPC-H classics: pure-scan agg and 4-way join top-k ──
+    // ── TPC-H classics: pure-scan agg, 4-way join top-k, promo ratio ──
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
     "q10_returned_items" -> Relational.q10ReturnedItems _,
+    "q14_promo_effect" -> Relational.q14PromoEffect _,
+    // ── embedding compression audit ──
+    "embedding_quantize" -> Similarity.embeddingQuantize _,
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -181,10 +189,15 @@ object SparkEntry {
     "sample_bernoulli" -> Sampling.bernoulliSampleOracle,
     "sample_stratified" -> Sampling.stratifiedSampleOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
+    "stream_sessionize_events" ->
+      graft.streaming.EventStream.sessionizeOverFilesOracle,
     "scalar_numeric_funcs" -> Relational.scalarNumericOracle,
     "window_funcs_orders" -> Relational.windowFuncsOracle,
     "grouping_sets_orders" -> Relational.groupingSetsOracle,
     "q6_forecast_revenue" -> Relational.q6Oracle,
     "q10_returned_items" -> Relational.q10Oracle,
+    "q14_promo_effect" -> Relational.q14Oracle,
+    "embedding_quantize" -> Similarity.embeddingQuantizeOracle,
+    "dedup_shingle_signatures" -> Dedup.shingleSignaturesOracle,
   )
 }

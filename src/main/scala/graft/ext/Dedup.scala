@@ -106,6 +106,46 @@ object Dedup {
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
     signatureRows(Tables.documents(spark, dir)).orderBy("doc_id", "k")
 
+  /** Character 5-gram (shingle) MinHash signatures — the
+    * tokenizer-free variant: robust to languages without word
+    * boundaries and to punctuation-level edits that word-token
+    * signatures miss. Same permutation family and plan shape as the
+    * word form (explode → codegen hash → partial-agg min); docs
+    * shorter than the shingle width contribute no rows. */
+  def shingleSignatures(spark: SparkSession, dir: String,
+                        width: Int = 5): DataFrame = {
+    val t = lower(col("text"))
+    val shingles = when(length(t) >= width,
+      array_distinct(transform(sequence(lit(1), length(t) - (width - 1)),
+        i => t.substr(i, lit(width)))))
+      .otherwise(array().cast("array<string>"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(shingles).as("s"))
+      .select(col("doc_id"), tokHash(col("s")).as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0L), lit(NumPerms - 1L))).as("k"))
+      .groupBy("doc_id", "k")
+      .agg(min((permA(col("k")) * col("h") + permB(col("k"))) % MinhashPrime).as("mh"))
+      .orderBy("doc_id", "k")
+  }
+
+  def shingleSignaturesOracle: String = shingleSignaturesOracle(5)
+
+  def shingleSignaturesOracle(width: Int): String =
+    s"""WITH sh AS (
+       |  SELECT doc_id, list_distinct(list_transform(
+       |    range(greatest(length(lower(text)) - ${width - 1}, 0)),
+       |    i -> substr(lower(text), CAST(i + 1 AS BIGINT), $width))) AS ss
+       |  FROM documents),
+       |th AS (SELECT doc_id, ${tokHashSql("s")} AS h
+       |       FROM (SELECT doc_id, unnest(ss) AS s FROM sh) u),
+       |sig AS (SELECT doc_id, k,
+       |       MIN(((4099*k + 8191) * h + (9973*k + 104729)) % $MinhashPrime) AS mh
+       |       FROM th CROSS JOIN range(${NumPerms}) r(k)
+       |       GROUP BY doc_id, k)
+       |SELECT doc_id, CAST(k AS BIGINT) AS k, CAST(mh AS BIGINT) AS mh
+       |FROM sig ORDER BY doc_id, k""".stripMargin
+
   def minhashSignaturesOracle: String =
     s"""WITH toks AS (
        |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM documents),

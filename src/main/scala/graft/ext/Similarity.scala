@@ -147,6 +147,52 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  // ── int8 quantization (embedding compression) ──
+
+  /** Symmetric per-vector int8 quantization: scale = max|x|/127,
+    * q_i = round(x_i/scale), plus the reconstruction-error audit a
+    * compression pass needs. Pure per-row projection (no shuffle);
+    * rounding is an explicit floor(x + 0.5) so both engines round
+    * halves identically (library round() tie rules differ). The
+    * quantized array stays internal; the query emits the audit
+    * columns (checksum, scale, max error). */
+  def embeddingQuantize(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsD(spark, dir)
+    val zeros = transform(col("v"), _ => lit(0L))
+    e.select(col("vec_id"), col("v"), size(col("v")).cast("long").as("n_dims"),
+        (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"))
+      .withColumn("q", when(col("scale") === 0, zeros)
+        .otherwise(transform(col("v"),
+          x => floor(x / col("scale") + 0.5).cast("long"))))
+      // raw error first, display rounding in a SEPARATE select: a
+      // `round(...).as("scale")` alias in the same projection would be
+      // lateral-column-alias-resolved by the error expression, which
+      // must see the exact scale
+      .select(col("vec_id"), col("n_dims"), col("scale"),
+        aggregate(col("q"), lit(0L), (a, x) => a + x).as("sum_q"),
+        array_max(zip_with(col("q"), col("v"),
+          (a, b) => abs(a.cast("double") * col("scale") - b))).as("max_err"))
+      .select(col("vec_id"), col("n_dims"), round(col("scale"), 9).as("scale"),
+        col("sum_q"), round(col("max_err"), 9).as("max_err"))
+      .orderBy("vec_id")
+  }
+
+  def embeddingQuantizeOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |s AS (SELECT vec_id, v, len(v) AS n_dims,
+      |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM e),
+      |qt AS (SELECT vec_id, v, n_dims, scale,
+      |    CASE WHEN scale = 0 THEN list_transform(v, x -> CAST(0 AS BIGINT))
+      |         ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS BIGINT))
+      |    END AS q
+      |  FROM s)
+      |SELECT vec_id, CAST(n_dims AS BIGINT) AS n_dims,
+      |  round(scale, 9) AS scale,
+      |  CAST(list_sum(q) AS BIGINT) AS sum_q,
+      |  round(list_max(list_transform(range(len(v)),
+      |    i -> abs(q[i+1] * scale - v[i+1]))), 9) AS max_err
+      |FROM qt ORDER BY vec_id""".stripMargin
+
   // ── IVF (inverted-file) ANN ──
 
   val NumLists = 16

@@ -236,6 +236,36 @@ object Relational {
       |ORDER BY revenue DESC, c_custkey
       |LIMIT 20""".stripMargin
 
+  /** TPC-H Q14-style: promotion revenue share for one month — the
+    * conditional-aggregate ratio over a fact⨝dimension join. part is
+    * unhinted: size-based planning broadcasts it while it fits and
+    * degrades to a shuffle join at scale. */
+  def q14PromoEffect(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-03-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val rev = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(Tables.part(spark, dir).select("p_partkey", "p_type"),
+        col("l_partkey") === col("p_partkey"))
+      .agg((lit(100.0)
+        * sum(when(col("p_type").startsWith("PROMO"), rev)
+            .otherwise(lit(0.0)).cast(DecimalType(24, 6))).cast("double")
+        / sum(rev.cast(DecimalType(24, 6))).cast("double")).as("promo_revenue_pct"))
+  }
+
+  def q14Oracle: String =
+    """SELECT 100.0 *
+      |  CAST(SUM(CAST(CASE WHEN p_type LIKE 'PROMO%'
+      |                     THEN l_extendedprice * (1.0 - l_discount)
+      |                     ELSE 0.0 END AS DECIMAL(24,6))) AS DOUBLE) /
+      |  CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE)
+      |  AS promo_revenue_pct
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey
+      |  AND l_shipdate >= TIMESTAMP '1996-03-01'
+      |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
+
   /** Window-function battery: lead/lag/ntile/percent_rank/cume_dist/
     * first/last over per-customer order sequences. percent_rank and
     * cume_dist are exact integer-ratio divisions — engine-identical;

@@ -27,6 +27,18 @@ object EventStream {
 
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+  // session boundaries are tracked in epoch MICROseconds: the event
+  // timestamps carry microsecond precision and a millis-based state
+  // would emit truncated session_start/end (breaking oracle parity)
+  private def toMicros(t: Timestamp): Long =
+    t.getTime * 1000L + (t.getNanos % 1000000) / 1000L
+
+  private def toTimestamp(us: Long): Timestamp = {
+    val t = new Timestamp(Math.floorDiv(us, 1000000L) * 1000L)
+    t.setNanos(Math.floorMod(us, 1000000L).toInt * 1000)
+    t
+  }
+
   /** Tumbling 1-hour windowed counts with a 10-minute watermark: late
     * events beyond the watermark are dropped and their window's state
     * evicted — bounded state regardless of stream length. Append mode
@@ -86,7 +98,7 @@ object EventStream {
                  gapMinutes: Int = 30,
                  watermark: String = "10 minutes"): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
-    val gapMs = gapMinutes * 60000L
+    val gapUs = gapMinutes * 60000000L
     events
       .withWatermark("ts", watermark)
       .groupByKey(_.user_id)
@@ -97,7 +109,7 @@ object EventStream {
           // round at emit so the result matches the batch twin's
           // decimal(18,2) sum regardless of micro-batch boundaries
           def emit(s: SessionState): SessionOut =
-            SessionOut(userId, new Timestamp(s.start), new Timestamp(s.last),
+            SessionOut(userId, toTimestamp(s.start), toTimestamp(s.last),
               s.n, math.rint(s.total * 100) / 100)
           if (state.hasTimedOut) {
             val s = state.get
@@ -107,13 +119,13 @@ object EventStream {
             // merge the batch's events into per-user sessions in event
             // order; emit every session closed by a following event,
             // keep the trailing one in state with a gap timeout
-            val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
             var cur = state.getOption
             val closed = Seq.newBuilder[SessionOut]
             sorted.foreach { e =>
-              val t = e.ts.getTime
+              val t = toMicros(e.ts)
               cur match {
-                case Some(s) if t - s.last <= gapMs =>
+                case Some(s) if t - s.last <= gapUs =>
                   // a late-but-in-watermark event may predate s.last
                   // (cross-batch reordering): widen the session, never
                   // shrink it — last must stay monotone or a following
@@ -130,10 +142,81 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              state.setTimeoutTimestamp(s.last + gapMs)
+              // event-time timeout is millisecond-granular
+              state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
             }
             closed.result().iterator
           }
       }
   }
+
+  /** The streaming sessionizer run to completion over the events table
+    * as a bounded file stream — driver-oracled like
+    * [[windowedCountsOverFiles]]. Append mode never emits a user's
+    * trailing session on a bounded stream (no later batch advances the
+    * watermark past its timeout), so a sentinel "flush" event per user
+    * — gap + 1 h after the last real event — closes every real session
+    * in-batch; sentinel sessions themselves stay in state and are
+    * never emitted, and the output is filtered to real session starts
+    * anyway. Result ≡ the batch gap-sessionization, so it verifies
+    * against the same session SQL. */
+  def sessionizeOverFiles(spark: org.apache.spark.sql.SparkSession,
+                          dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = graft.Tables.events(spark, dir)
+    val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val sentinelUs = maxUs + (gapMinutes + 60L) * 60000000L
+    val sentinels = batch.select(col("user_id")).distinct()
+      .select((col("user_id") + 1000000000L).as("event_id"),
+        lit(sentinelUs * 1000L).as("ts"), // raw nanos, like the fixture
+        col("user_id"), lit("flush").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-sess-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess-sentinel")
+    sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, streamDir.resolve("sentinels.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .as[Event]
+    val name = s"graft_stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = sessionize(stream, gapMinutes)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally q.stop()
+    spark.table(name)
+      .filter(unix_micros(col("session_start")) < sentinelUs)
+      .orderBy("user_id", "session_start")
+  }
+
+  def sessionizeOverFilesOracle: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sessions AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+      |FROM sessions GROUP BY user_id, session_id
+      |ORDER BY user_id, session_start""".stripMargin
 }
