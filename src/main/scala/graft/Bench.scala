@@ -31,6 +31,10 @@ object Bench {
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val times = (1 to iterations).flatMap { _ =>
+        // drop cached intermediates between runs: CacheManager matches
+        // re-built plans by canonical form, so a warm iteration would
+        // measure the cache, not the plan
+        spark.catalog.clearCache()
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()

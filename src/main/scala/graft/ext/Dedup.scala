@@ -192,6 +192,42 @@ object Dedup {
   def minhashPairs(spark: SparkSession, dir: String, threshold: Double): DataFrame =
     minhashPairs(Tables.documents(spark, dir), threshold)
 
+  /** Capped candidate pairs within LSH buckets — the one bucket-cap
+    * topology shared by every pair generator. `banded` carries the
+    * bucket key columns, an id column, and payload columns; buckets at
+    * or below `maxBucket` pair all-vs-all, larger buckets go star
+    * (every member pairs with the min-id rep — see [[MaxBucket]]).
+    * Output: (d1, d2, <payload>1…, <payload>2…) with d1 < d2.
+    *
+    * The banded table feeds FOUR plan references (both sides of the
+    * small-bucket self-join, the big-bucket members, and the reps);
+    * without a persist each reference re-runs the upstream signature
+    * pipeline — 4 corpus scans at 100 TB. */
+  private def cappedBucketPairs(banded: DataFrame, keyCols: Seq[String],
+                                idCol: String, payloadCols: Seq[String],
+                                maxBucket: Int): DataFrame = {
+    val out = col("d1") +: col("d2") +:
+      (payloadCols.map(c => col(s"${c}1")) ++ payloadCols.map(c => col(s"${c}2")))
+    val sized = banded.withColumn("__bn",
+      count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
+      .persist()
+    def side(n: Int) = sized.filter(col("__bn") <= maxBucket).select(
+      keyCols.map(col) ++ (col(idCol).as(s"d$n") +:
+        payloadCols.map(c => col(c).as(s"$c$n"))): _*)
+    val smallPairs = side(1).join(side(2), keyCols)
+      .filter(col("d1") < col("d2"))
+    val big = sized.filter(col("__bn") > maxBucket)
+    val reps = big.groupBy(keyCols.map(col): _*)
+      .agg(min(struct(col(idCol) +: payloadCols.map(col): _*)).as("__rep"))
+      .select(keyCols.map(col) ++ (col(s"__rep.$idCol").as("d1") +:
+        payloadCols.map(c => col(s"__rep.$c").as(s"${c}1"))): _*)
+    val starPairs = big.join(reps, keyCols)
+      .filter(col(idCol) > col("d1"))
+      .withColumn("d2", col(idCol))
+      .withColumns(payloadCols.map(c => s"${c}2" -> col(c)).toMap)
+    smallPairs.select(out: _*).union(starPairs.select(out: _*))
+  }
+
   /** LSH pairs over any (doc_id, text) frame. Buckets at or below
     * `maxBucket` pair all-vs-all; larger buckets go star (see
     * [[MaxBucket]]), so no bucket ever contributes O(n²) candidates. */
@@ -206,29 +242,7 @@ object Dedup {
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
           md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
       .select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_key"))
-    // the banded-signature table feeds FOUR plan references (both
-    // sides of the small-bucket self-join, the big-bucket members, and
-    // the reps); without a persist each reference re-runs the whole
-    // signature pipeline — 4 corpus scans at 100 TB
-    val sized = bands.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy("band_id", "band_key")))
-      .persist()
-    val small = sized.filter(col("bn") <= maxBucket)
-    val smallPairs = small
-      .select(col("band_id"), col("band_key"), col("doc_id").as("d1"), col("sig").as("sig1"))
-      .join(small.select(col("band_id"), col("band_key"),
-        col("doc_id").as("d2"), col("sig").as("sig2")), Seq("band_id", "band_key"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("sig1"), col("sig2"))
-    val big = sized.filter(col("bn") > maxBucket)
-    val reps = big.groupBy("band_id", "band_key")
-      .agg(min(struct(col("doc_id"), col("sig"))).as("rep"))
-      .select(col("band_id"), col("band_key"),
-        col("rep.doc_id").as("d1"), col("rep.sig").as("sig1"))
-    val starPairs = big.join(reps, Seq("band_id", "band_key"))
-      .filter(col("doc_id") > col("d1"))
-      .select(col("d1"), col("doc_id").as("d2"), col("sig1"), col("sig").as("sig2"))
-    smallPairs.union(starPairs)
+    cappedBucketPairs(bands, Seq("band_id", "band_key"), "doc_id", Seq("sig"), maxBucket)
       .select(col("d1"), col("d2"),
         (graft.functions.ArrayEqCount(col("sig1"), col("sig2")).cast("double")
           / NumPerms).as("est_jaccard"))
@@ -452,30 +466,10 @@ object Dedup {
         explode(sequence(lit(0), lit(3))).as("band_id"))
       .withColumn("band_val",
         floor(col("simhash") / pow(lit(2.0), col("band_id") * 8)).cast("long") % 256L)
-    // persisted for the same 4-reference reason as minhashPairs
-    val sized = bands.withColumn("bn",
-      count(lit(1)).over(Window.partitionBy("band_id", "band_val")))
-      .persist()
-    val small = sized.filter(col("bn") <= maxBucket)
-    val smallPairs = small
-      .select(col("band_id"), col("band_val"), col("doc_id").as("d1"), col("simhash").as("s1"))
-      .join(small.select(col("band_id"), col("band_val"),
-        col("doc_id").as("d2"), col("simhash").as("s2")), Seq("band_id", "band_val"))
-      .filter(col("d1") < col("d2"))
-      .select(col("d1"), col("d2"), col("s1"), col("s2"))
-    // oversized byte-band buckets pair members with the bucket's min
-    // doc only (star) — see MaxBucket
-    val big = sized.filter(col("bn") > maxBucket)
-    val reps = big.groupBy("band_id", "band_val")
-      .agg(min(struct(col("doc_id"), col("simhash"))).as("rep"))
-      .select(col("band_id"), col("band_val"),
-        col("rep.doc_id").as("d1"), col("rep.simhash").as("s1"))
-    val starPairs = big.join(reps, Seq("band_id", "band_val"))
-      .filter(col("doc_id") > col("d1"))
-      .select(col("d1"), col("doc_id").as("d2"), col("s1"), col("simhash").as("s2"))
-    smallPairs.union(starPairs)
+    cappedBucketPairs(bands, Seq("band_id", "band_val"), "doc_id",
+        Seq("simhash"), maxBucket)
       .select(col("d1"), col("d2"),
-        bit_count(col("s1").bitwiseXOR(col("s2"))).cast("long").as("hamming"))
+        bit_count(col("simhash1").bitwiseXOR(col("simhash2"))).cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
       .orderBy("d1", "d2")
@@ -658,18 +652,15 @@ object Dedup {
     * by bucket collisions (near-identical vectors collide with high
     * probability), which is the standard ANN-dedup trade. */
   def embeddingNearDupLsh(spark: SparkSession, dir: String,
-                          threshold: Double = 0.4): DataFrame = {
+                          threshold: Double = 0.4,
+                          maxBucket: Int = MaxBucket): DataFrame = {
     val e = Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
       .select(col("vec_id"), col("v"), Similarity.norm(col("v")).as("nrm"),
         Similarity.lshBucket(col("v")).as("bucket"))
-    val a = e.select(col("bucket"), col("vec_id").as("d1"),
-      col("v").as("v1"), col("nrm").as("n1"))
-    val b = e.select(col("bucket"), col("vec_id").as("d2"),
-      col("v").as("v2"), col("nrm").as("n2"))
-    a.join(b, Seq("bucket")).filter(col("d1") < col("d2"))
+    cappedBucketPairs(e, Seq("bucket"), "vec_id", Seq("v", "nrm"), maxBucket)
       .select(col("d1"), col("d2"),
-        round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos_sim"))
+        round(Similarity.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("d1", "d2")
   }
@@ -688,9 +679,19 @@ object Dedup {
        |  FROM proj GROUP BY vec_id),
        |n AS (SELECT e.vec_id, e.v, sqrt(list_dot_product(e.v, e.v)) AS nrm, b.bucket
        |  FROM e JOIN bucket b ON e.vec_id = b.vec_id),
+       |sized AS (SELECT vec_id, v, nrm, bucket,
+       |    COUNT(*) OVER (PARTITION BY bucket) AS bn FROM n),
        |p2 AS (SELECT a.vec_id AS d1, b.vec_id AS d2,
        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
-       |  FROM n a JOIN n b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |  FROM sized a JOIN sized b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       |  WHERE a.bn <= $MaxBucket
+       |  UNION
+       |  SELECT r.d1, m.vec_id AS d2,
+       |    round(list_dot_product(r.v1, m.v) / (r.n1 * m.nrm), 6) AS cos_sim
+       |  FROM (SELECT bucket, MIN(vec_id) AS d1, arg_min(v, vec_id) AS v1,
+       |               arg_min(nrm, vec_id) AS n1
+       |        FROM sized WHERE bn > $MaxBucket GROUP BY bucket) r
+       |  JOIN sized m ON m.bucket = r.bucket AND m.vec_id > r.d1)
        |SELECT d1, d2, cos_sim FROM p2 WHERE cos_sim >= $threshold
        |ORDER BY d1, d2""".stripMargin
 

@@ -249,9 +249,8 @@ object Relational {
     li.join(Tables.part(spark, dir).select("p_partkey", "p_type"),
         col("l_partkey") === col("p_partkey"))
       .agg((lit(100.0)
-        * sum(when(col("p_type").startsWith("PROMO"), rev)
-            .otherwise(lit(0.0)).cast(DecimalType(24, 6))).cast("double")
-        / sum(rev.cast(DecimalType(24, 6))).cast("double")).as("promo_revenue_pct"))
+        * dsum6(when(col("p_type").startsWith("PROMO"), rev).otherwise(lit(0.0)))
+        / dsum6(rev)).as("promo_revenue_pct"))
   }
 
   def q14Oracle: String =

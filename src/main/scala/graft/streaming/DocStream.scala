@@ -42,7 +42,9 @@ object DocStream {
     val name = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = deduped.writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop(); EventStream.deleteStaged(streamDir)
+    }
     spark.table(name).orderBy("fp")
   }
 

@@ -27,6 +27,16 @@ object EventStream {
 
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+  /** Remove a staged streaming directory once its bounded run is done
+    * (each run-to-completion query stages a corpus copy). */
+  private[streaming] def deleteStaged(p: java.nio.file.Path): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.exists(p)) {
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(f => java.nio.file.Files.deleteIfExists(f))
+    }
+  }
+
   // session boundaries are tracked in epoch MICROseconds: the event
   // timestamps carry microsecond precision and a millis-based state
   // would emit truncated session_start/end (breaking oracle parity)
@@ -82,7 +92,7 @@ object EventStream {
     val q = windowedCounts(stream, watermark = "0 seconds")
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Complete).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
     spark.table(name)
       .select(col("window_start").as("hour_ts"), col("event_type"),
         col("n"), col("sum_value"))
@@ -142,8 +152,11 @@ object EventStream {
             }
             cur.foreach { s =>
               state.update(s)
-              // event-time timeout is millisecond-granular
-              state.setTimeoutTimestamp((s.last + gapUs) / 1000L)
+              // event-time timeout is millisecond-granular: round UP,
+              // or a sub-millisecond truncation lets the timeout fire
+              // before the gap has fully elapsed and split a session
+              // the batch twin would merge
+              state.setTimeoutTimestamp((s.last + gapUs + 999L) / 1000L)
             }
             closed.result().iterator
           }
@@ -193,7 +206,9 @@ object EventStream {
     val q = sessionize(stream, gapMinutes)
       .writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append).start()
-    try q.processAllAvailable() finally q.stop()
+    try q.processAllAvailable() finally {
+      q.stop(); deleteStaged(streamDir); deleteStaged(tmp)
+    }
     spark.table(name)
       .filter(unix_micros(col("session_start")) < sentinelUs)
       .orderBy("user_id", "session_start")

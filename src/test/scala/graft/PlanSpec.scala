@@ -55,7 +55,11 @@ class PlanSpec extends SparkSpec {
     // A cross join whose build side is an explicitly-broadcast bounded
     // table (e.g. 16 IVF centroids, 5 query vectors) is a deliberate
     // scored scan, not a blow-up — only an UN-broadcast cross is fatal.
-    val skip = Set("dedup_groups")
+    // also skip the run-to-completion streaming queries: invoking their
+    // fn executes a whole bounded stream and the returned plan is just
+    // a memory-sink scan — nothing to inspect for join shape
+    val skip = Set("dedup_groups", "mr_wordcount",
+      "stream_window_events", "stream_sessionize_events", "stream_dedup_docs")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       val badCross = plan.linesIterator.exists(l =>
