@@ -121,6 +121,8 @@ object SparkEntry {
     "q14_promo_effect" -> Relational.q14PromoEffect _,
     // ── embedding compression audit ──
     "embedding_quantize" -> Similarity.embeddingQuantize _,
+    // ── composed curation pipeline (all four stages under the oracle) ──
+    "pipeline_curate" -> ext.Pipeline.curateDocs _,
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -199,5 +201,6 @@ object SparkEntry {
     "q14_promo_effect" -> Relational.q14Oracle,
     "embedding_quantize" -> Similarity.embeddingQuantizeOracle,
     "dedup_shingle_signatures" -> Dedup.shingleSignaturesOracle,
+    "pipeline_curate" -> ext.Pipeline.curateDocsOracle,
   )
 }

@@ -256,6 +256,10 @@ object Dedup {
     * oracles; `src` is the (doc_id, text) relation to mine. */
   private def minhashEstCtes: String = minhashEstCtes("documents")
 
+  // shared with Pipeline's composed-oracle SQL
+  private[ext] def minhashEstCtesPublic(src: String): String = minhashEstCtes(src)
+  private[ext] def tokensSqlPublic: String = tokensSql
+
   private def minhashEstCtes(src: String): String =
     s"""toks AS (
        |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM $src),

@@ -74,4 +74,36 @@ object Pipeline {
 
     (curated, CurationStats(nInput, nExact, nQuality, nFinal, totalTokens))
   }
+
+  /** The curated corpus as a verifiable query: (doc_id, n_tokens) of
+    * every surviving document — the whole four-stage pipeline under
+    * the driver's oracle gate. */
+  def curateDocs(spark: SparkSession, dir: String): DataFrame =
+    curate(spark, dir)._1
+      .select(col("doc_id"), col("n_tokens"))
+      .orderBy("doc_id")
+
+  /** Mirrors every stage: whitespace-normalized exact dedup, quality
+    * thresholds, capped-LSH near-dup drop (greedy d2), token count.
+    * DuckDB's regexp_replace needs the 'g' flag — it replaces only the
+    * first match by default, unlike Spark. */
+  def curateDocsOracle: String =
+    s"""WITH k0 AS (
+       |  SELECT doc_id, text,
+       |    MIN(doc_id) OVER (PARTITION BY
+       |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS keeper
+       |  FROM documents),
+       |quality AS (
+       |  SELECT doc_id, text, len(ws) AS n_tokens FROM (
+       |    SELECT doc_id, text, ${Dedup.tokensSqlPublic} AS ws
+       |    FROM k0 WHERE doc_id = keeper) t
+       |  WHERE len(ws) >= 10
+       |    AND CAST(len(list_filter(ws,
+       |      w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+       |        / len(ws) <= 0.9),
+       |${Dedup.minhashEstCtesPublic("quality")},
+       |drops AS (SELECT DISTINCT d2 FROM est WHERE est_jaccard >= 0.9)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM quality WHERE doc_id NOT IN (SELECT d2 FROM drops)
+       |ORDER BY doc_id""".stripMargin
 }
