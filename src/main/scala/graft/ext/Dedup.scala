@@ -418,16 +418,28 @@ object Dedup {
       .select(col("d1"), col("d2")).persist()
     val endpoints = cands.select(col("d1").as("doc_id"))
       .union(cands.select(col("d2").as("doc_id"))).distinct()
-    val exploded = trigramSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
-      .select(col("doc_id"), size(col("grams")).as("n"), explode(col("grams")).as("g"))
+    // Gram sets stay as per-doc arrays: the intersection is a single
+    // codegen'd array_intersect per candidate pair, so verification is
+    // two joins (each candidate picks up its endpoints' gram arrays —
+    // bounded by doc length) plus a projection. No gram explosion, no
+    // per-gram shuffle, no re-aggregation — at scale the joined data
+    // volume equals what the exploded form shuffled, with 3 fewer
+    // stages. Grams are distinct (trigramSets applies array_distinct),
+    // so |∩| = size(array_intersect) exactly.
+    val grams = trigramSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
       .persist()
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    // greatest(·,1) only bites when both gram sets are empty (0/0):
+    // jaccard becomes 0 and the pair is filtered — matching the
+    // exploded form, where a gram-less doc joined no rows at all.
+    // (Without it, NaN ≥ minJaccard is TRUE under Spark's NaN
+    // ordering and a phantom pair leaks out.)
     cands
-      .join(exploded.select(col("doc_id").as("d1"), col("n").as("n1"), col("g")), Seq("d1"))
-      .join(exploded.select(col("doc_id").as("d2"), col("n").as("n2"), col("g")), Seq("d2", "g"))
-      .groupBy("d1", "d2", "n1", "n2")
-      .agg(count(lit(1)).as("inter"))
+      .join(grams.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
+      .join(grams.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
       .select(col("d1"), col("d2"),
-        (col("inter").cast("double") / (col("n1") + col("n2") - col("inter"))).as("jaccard"))
+        (inter.cast("double") /
+          greatest(size(col("g1")) + size(col("g2")) - inter, lit(1))).as("jaccard"))
       .filter(col("jaccard") >= minJaccard)
       .orderBy("d1", "d2")
   }
