@@ -88,19 +88,37 @@ object Dedup {
       array_min(transform(hs, h => (permA(k) * h + permB(k)) % MinhashPrime)))
   }
 
-  /** (doc_id, k, mh) signature rows, codegen-friendly: one md5 per
-    * (doc, distinct token), then a hash aggregate whose map-side
-    * combine reduces |docs|×|tokens|×|perms| rows to |docs|×|perms|
-    * before any shuffle. Takes any (doc_id, text) frame so callers can
-    * run LSH on an already-filtered corpus. */
-  def signatureRows(docs: DataFrame): DataFrame =
-    docs
+  /** Doc-level signature array in ONE hash aggregate: the 16
+    * permutations are constant-folded into 16 `min` aggregate columns
+    * over the (doc, token-hash) rows, so the aggregate input is
+    * |docs|×|tokens| rows — not ×|perms| — and the signature array
+    * needs no second collect_list/sort pass. Map-side combine still
+    * bounds the shuffle at one row per doc per partition. Takes any
+    * (doc_id, text) frame so callers can run LSH on an
+    * already-filtered corpus. Output: (doc_id, sig: array<bigint>)
+    * with sig(k) = min_w ((a_k·h(w)+b_k) mod p). */
+  def signatureArray(docs: DataFrame): DataFrame =
+    sigAgg(docs
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("w"))
-      .select(col("doc_id"), tokHash(col("w")).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0L), lit(NumPerms - 1L))).as("k"))
-      .groupBy("doc_id", "k")
-      .agg(min((permA(col("k")) * col("h") + permB(col("k"))) % MinhashPrime).as("mh"))
+      .select(col("doc_id"), tokHash(col("w")).as("h")))
+
+  /** The 16 constant-permutation mins over (doc_id, h) rows. */
+  private def sigAgg(hashed: DataFrame): DataFrame = {
+    val mins = (0 until NumPerms).map { k =>
+      min((lit(4099L * k + 8191L) * col("h") + lit(9973L * k + 104729L))
+        % MinhashPrime).as(s"_m$k")
+    }
+    hashed.groupBy("doc_id")
+      .agg(mins.head, mins.tail: _*)
+      .select(col("doc_id"),
+        array((0 until NumPerms).map(k => col(s"_m$k")): _*).as("sig"))
+  }
+
+  /** (doc_id, k, mh) signature rows — the array form, unnested. */
+  def signatureRows(docs: DataFrame): DataFrame =
+    signatureArray(docs)
+      .select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").cast("long").as("k"), col("col").as("mh"))
 
   /** Signatures as (doc_id, k, mh) rows for verification. */
   def minhashSignatures(spark: SparkSession, dir: String): DataFrame =
@@ -113,21 +131,24 @@ object Dedup {
     * word form (explode → codegen hash → partial-agg min); docs
     * shorter than the shingle width contribute no rows. */
   def shingleSignatures(spark: SparkSession, dir: String,
-                        width: Int = 5): DataFrame = {
-    val t = lower(col("text"))
-    val shingles = when(length(t) >= width,
-      array_distinct(transform(sequence(lit(1), length(t) - (width - 1)),
-        i => t.substr(i, lit(width)))))
-      .otherwise(array().cast("array<string>"))
+                        width: Int = 5): DataFrame =
+    // The kernel concentrates all the work in the projection, so spread
+    // the docs across the full core count first — a small parquet input
+    // arrives as ONE split, and the kernel stage would otherwise run
+    // single-threaded. The explicit partition count keeps AQE from
+    // coalescing the tiny-by-bytes exchange back to one partition
+    // (5k docs is ~1.6 MB on the wire but minutes of hashing). At real
+    // scale the scan has thousands of splits and this exchange is one
+    // cheap extra pass. The persist stops the final sort's range
+    // sampling from executing the kernel a second time.
     Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(shingles).as("s"))
-      .select(col("doc_id"), tokHash(col("s")).as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0L), lit(NumPerms - 1L))).as("k"))
-      .groupBy("doc_id", "k")
-      .agg(min((permA(col("k")) * col("h") + permB(col("k"))) % MinhashPrime).as("mh"))
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+      .select(col("doc_id"),
+        graft.functions.ShingleSig(lower(col("text")), width).as("sig"))
+      .select(col("doc_id"), posexplode(col("sig")))
+      .select(col("doc_id"), col("pos").cast("long").as("k"), col("col").as("mh"))
+      .persist()
       .orderBy("doc_id", "k")
-  }
 
   def shingleSignaturesOracle: String = shingleSignaturesOracle(5)
 
@@ -233,10 +254,7 @@ object Dedup {
     * [[MaxBucket]]), so no bucket ever contributes O(n²) candidates. */
   def minhashPairs(corpus: DataFrame, threshold: Double,
                    maxBucket: Int = MaxBucket): DataFrame = {
-    val docs = signatureRows(corpus)
-      .groupBy("doc_id")
-      .agg(transform(array_sort(collect_list(struct(col("k"), col("mh")))),
-        s => s.getField("mh")).as("sig"))
+    val docs = signatureArray(corpus)
     val rowsPerBand = NumPerms / NumBands
     val bands = docs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>

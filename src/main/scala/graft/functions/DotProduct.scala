@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayEqCountExpr, ColumnShim, DotProductExpr}
+import org.apache.spark.sql.graft.{ArrayEqCountExpr, ColumnShim, DotProductExpr, ShingleSigExpr}
 
 /** Public Column surface for the native codegen'd dot product
   * (see org.apache.spark.sql.graft.DotProductExpr for the rationale). */
@@ -14,4 +14,10 @@ object DotProduct {
 object ArrayEqCount {
   def apply(a: Column, b: Column): Column =
     ColumnShim.column(ArrayEqCountExpr(ColumnShim.expression(a), ColumnShim.expression(b)))
+}
+
+/** Whole-doc character-shingle MinHash signature (codegen'd kernel). */
+object ShingleSig {
+  def apply(text: Column, width: Int): Column =
+    ColumnShim.column(ShingleSigExpr(ColumnShim.expression(text), width))
 }
