@@ -232,13 +232,17 @@ object Similarity {
     for (_ <- 1 to LloydIters) {
       val c = cents.toDF("list_id", "cv")
         .select(col("list_id"), col("cv"), norm(col("cv")).as("cn"))
-      val w = Window.partitionBy("vec_id")
-        .orderBy(col("centroid_sim").desc, col("list_id"))
+      // argmax per vector as a hash aggregate (min over (−sim, list_id)
+      // breaks ties toward the lower list, matching the oracle's
+      // row_number ordering) — a window would sort-shuffle the whole
+      // scored corpus once per Lloyd round just to keep rank 1
       val assigned = e.crossJoin(broadcast(c))
         .select(col("vec_id"), col("v"), col("list_id"),
           round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("centroid_sim"))
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") === 1)
+        .groupBy("vec_id")
+        .agg(min(struct((col("centroid_sim") * -1).as("ns"), col("list_id"))).as("best"),
+          first(col("v")).as("v"))
+        .select(col("vec_id"), col("v"), col("best.list_id").as("list_id"))
       val means = assigned
         .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("list_id"), col("dim"))
@@ -299,7 +303,9 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
-      .distinct() // a candidate may appear via both probed lists
+    // no distinct needed: each member has exactly ONE primary list, so
+    // a (query, member) pair can only arise from one probed list (the
+    // oracle's DISTINCT is a no-op for the same reason)
     topKPerQuery(scored, k)
   }
 

@@ -684,12 +684,22 @@ object Relational {
   def semiAntiParts(spark: SparkSession, dir: String): DataFrame = {
     val part = Tables.part(spark, dir).select("p_partkey", "p_name")
     val li = Tables.lineitem(spark, dir)
-    val q1_1995 = li
-      .filter(col("l_shipdate") >= ts("1995-01-01") && col("l_shipdate") < ts("1995-04-01"))
-      .select("l_partkey")
-    val ordered = part.join(li.select("l_partkey"),
+    // one lineitem pass: per partkey, did ANY line ship in 1995Q1?
+    // (max of a 0/1 flag). Both the semi side (key present at all) and
+    // the anti side (key present in-window) read this aggregate, so
+    // lineitem is scanned once and both joins face a |partkeys|-sized
+    // build side AQE can broadcast — instead of two shuffled joins
+    // against the raw 600k-row fact table
+    val flags = li
+      .select(col("l_partkey"),
+        when(col("l_shipdate") >= ts("1995-01-01") &&
+          col("l_shipdate") < ts("1995-04-01"), 1).otherwise(0).as("f"))
+      .groupBy("l_partkey").agg(max(col("f")).as("in_window"))
+      .persist()
+    val ordered = part.join(flags,
       col("p_partkey") === col("l_partkey"), "left_semi")
-    ordered.join(q1_1995, col("p_partkey") === col("l_partkey"), "left_anti")
+    ordered.join(flags.filter(col("in_window") === 1),
+      col("p_partkey") === col("l_partkey"), "left_anti")
       .select(col("p_partkey"), col("p_name"))
       .orderBy("p_partkey")
   }
