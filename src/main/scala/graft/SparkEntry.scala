@@ -119,6 +119,17 @@ object SparkEntry {
     "q6_forecast_revenue" -> Relational.q6ForecastRevenue _,
     "q10_returned_items" -> Relational.q10ReturnedItems _,
     "q14_promo_effect" -> Relational.q14PromoEffect _,
+    // ── TPC-H round 3: HAVING-subquery join, 6-way nation trade,
+    //    disjunctive predicates, histogram-of-aggregates ──
+    "q18_large_orders" -> Relational.q18LargeOrders _,
+    "q7_nation_volume" -> Relational.q7NationVolume _,
+    "q19_disjunctive_revenue" -> Relational.q19DisjunctiveRevenue _,
+    "q13_order_distribution" -> Relational.q13OrderDistribution _,
+    // ── LLM-pipeline round 3: decontamination, repetition quality,
+    //    grouped top-k vocabulary ──
+    "decontaminate_ngrams" -> TextAnalysis.decontaminate _,
+    "quality_repetition" -> TextAnalysis.qualityRepetition _,
+    "top_tokens_per_lang" -> TextAnalysis.topTokensPerLang _,
     // ── embedding compression audit ──
     "embedding_quantize" -> Similarity.embeddingQuantize _,
     // ── composed curation pipeline (all four stages under the oracle) ──
@@ -199,6 +210,13 @@ object SparkEntry {
     "q6_forecast_revenue" -> Relational.q6Oracle,
     "q10_returned_items" -> Relational.q10Oracle,
     "q14_promo_effect" -> Relational.q14Oracle,
+    "q18_large_orders" -> Relational.q18Oracle,
+    "q7_nation_volume" -> Relational.q7Oracle,
+    "q19_disjunctive_revenue" -> Relational.q19Oracle,
+    "q13_order_distribution" -> Relational.q13Oracle,
+    "decontaminate_ngrams" -> TextAnalysis.decontaminateOracle,
+    "quality_repetition" -> TextAnalysis.qualityRepetitionOracle,
+    "top_tokens_per_lang" -> TextAnalysis.topTokensPerLangOracle,
     "embedding_quantize" -> Similarity.embeddingQuantizeOracle,
     "dedup_shingle_signatures" -> Dedup.shingleSignaturesOracle,
     "pipeline_curate" -> ext.Pipeline.curateDocsOracle,

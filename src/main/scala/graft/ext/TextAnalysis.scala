@@ -184,4 +184,155 @@ object TextAnalysis {
        |  md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_md5
        |FROM (SELECT doc_id, text, $tokensSql AS ws FROM documents) t
        |ORDER BY doc_id""".stripMargin
+
+  // ── train/eval decontamination (n-gram overlap) ──
+
+  /** Distinct word n-gram array per doc (empty when the doc has fewer
+    * than n tokens; the sequence guard stops the descending-range trap). */
+  private def ngramArr(n: Int): Column = {
+    val ws = tokens(col("text"))
+    when(size(ws) >= n,
+      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  private def ngramSqlArr(n: Int): String = {
+    val parts = (0 until n).map(o => s"ws[i+${o + 1}]").mkString(" || ' ' || ")
+    s"list_distinct(list_transform(range(greatest(len(ws) - ${n - 1}, 0)), i -> $parts))"
+  }
+
+  val DecontamN = 8
+  val EvalSource = "src1"
+
+  /** Benchmark decontamination: docs sharing any word 8-gram with the
+    * held-out eval slice (source = 'src1') are flagged with their
+    * overlap counts — the standard n-gram contamination check run
+    * before training.
+    *
+    * Scale shape: the eval slice is small by construction, so its
+    * distinct-gram set is a broadcast-sized build side (no hint — AQE
+    * measures it); the training corpus explodes its grams ONCE and
+    * semi-matches against that set. Nothing is ever pairwise across
+    * the corpus — cost is |train grams| + |eval grams|. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), ngramArr(DecontamN).as("grams"))
+    val evalGrams = docs.filter(col("source") === EvalSource)
+      .select(explode(col("grams")).as("g")).distinct()
+    val train = docs.filter(col("source") =!= EvalSource)
+      .select(col("doc_id"), size(col("grams")).as("n_grams"),
+        explode(col("grams")).as("g"))
+    train.join(evalGrams, Seq("g"))
+      .groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_shared"))
+      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        col("n_shared"),
+        round(col("n_shared") / col("n_grams"), 6).as("contamination"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateOracle: String =
+    s"""WITH g AS (
+       |  SELECT doc_id, source, ${ngramSqlArr(DecontamN)} AS grams
+       |  FROM (SELECT doc_id, source, $tokensSql AS ws FROM documents) t),
+       |ev AS (SELECT DISTINCT unnest(grams) AS g FROM g WHERE source = '$EvalSource'),
+       |tr AS (SELECT doc_id, len(grams) AS n_grams, unnest(grams) AS g
+       |       FROM g WHERE source <> '$EvalSource')
+       |SELECT tr.doc_id, CAST(tr.n_grams AS BIGINT) AS n_grams,
+       |  COUNT(*) AS n_shared,
+       |  round(COUNT(*) / CAST(tr.n_grams AS DOUBLE), 6) AS contamination
+       |FROM tr JOIN ev ON tr.g = ev.g
+       |GROUP BY tr.doc_id, tr.n_grams
+       |ORDER BY doc_id""".stripMargin
+
+  // ── repetition-based quality (Gopher-style filters) ──
+
+  /** Repetition features per doc: the fraction of tokens claimed by the
+    * single most frequent unigram and bigram — the core Gopher
+    * repetition-filter signals. Two explode→count→max aggregate chains
+    * (map-side partial agg throughout: shuffle rows are bounded by
+    * |docs|×|distinct grams per doc|, and the final table is one row
+    * per doc). Docs shorter than the gram width keep NULL ratios —
+    * SQL division semantics, so the oracle hashes identically. */
+  def qualityRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    def topFrac(grams: Column, id: String): DataFrame =
+      docs.select(col("doc_id"), size(grams).as(s"n_$id"), explode(grams).as("g"))
+        .groupBy(col("doc_id"), col(s"n_$id"), col("g"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("doc_id"), col(s"n_$id"))
+        .agg(max(col("c")).as(s"top_$id"))
+    val uni = topFrac(tokens(col("text")), "uni")
+    // bigrams with repeats (NOT distinct — repetition is the signal)
+    val ws = tokens(col("text"))
+    val bigrams = when(size(ws) >= 2,
+      transform(sequence(lit(1), size(ws) - 1),
+        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val bi = topFrac(bigrams, "bi")
+    docs.select(col("doc_id"))
+      .join(uni, Seq("doc_id"), "left")
+      .join(bi, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_uni"), lit(0)).cast("long").as("n_tokens"),
+        round(col("top_uni") / col("n_uni"), 6).as("top_word_frac"),
+        round(col("top_bi") / col("n_bi"), 6).as("top_bigram_frac"))
+      .withColumn("repetitive",
+        coalesce(col("top_word_frac") > 0.09 || col("top_bigram_frac") > 0.04,
+          lit(false)))
+      .orderBy("doc_id")
+  }
+
+  def qualityRepetitionOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |uni AS (SELECT doc_id, n_uni, MAX(c) AS top_uni FROM (
+       |    SELECT doc_id, len(ws) AS n_uni, g, COUNT(*) AS c
+       |    FROM (SELECT doc_id, ws, unnest(ws) AS g FROM toks) u
+       |    GROUP BY doc_id, len(ws), g) t GROUP BY doc_id, n_uni),
+       |big AS (SELECT doc_id,
+       |    list_transform(range(greatest(len(ws) - 1, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2]) AS bgs FROM toks),
+       |bi AS (SELECT doc_id, n_bi, MAX(c) AS top_bi FROM (
+       |    SELECT doc_id, len(bgs) AS n_bi, g, COUNT(*) AS c
+       |    FROM (SELECT doc_id, bgs, unnest(bgs) AS g FROM big) u
+       |    GROUP BY doc_id, len(bgs), g) t GROUP BY doc_id, n_bi),
+       |feat AS (SELECT d.doc_id,
+       |    CAST(COALESCE(uni.n_uni, 0) AS BIGINT) AS n_tokens,
+       |    round(uni.top_uni / CAST(uni.n_uni AS DOUBLE), 6) AS top_word_frac,
+       |    round(bi.top_bi / CAST(bi.n_bi AS DOUBLE), 6) AS top_bigram_frac
+       |  FROM documents d LEFT JOIN uni ON d.doc_id = uni.doc_id
+       |  LEFT JOIN bi ON d.doc_id = bi.doc_id)
+       |SELECT doc_id, n_tokens, top_word_frac, top_bigram_frac,
+       |  COALESCE(top_word_frac > 0.09 OR top_bigram_frac > 0.04, false) AS repetitive
+       |FROM feat ORDER BY doc_id""".stripMargin
+
+  // ── per-group top-k (vocabulary head per language) ──
+
+  /** Top 5 tokens per language by frequency — the grouped-top-k
+    * operator (rank within group over an aggregate). One count
+    * aggregate (map-side combined) then a window over |langs|×|vocab|
+    * rows, NOT the raw token stream; ties broken lexically. */
+  def topTokensPerLang(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .groupBy("lang", "word").agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy("lang").orderBy(col("cnt").desc, col("word"))
+    counts.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("lang", "rk")
+  }
+
+  def topTokensPerLangOracle: String =
+    s"""WITH counts AS (
+       |  SELECT lang, g AS word, COUNT(*) AS cnt
+       |  FROM (SELECT lang, unnest(ws) AS g
+       |        FROM (SELECT lang, $tokensSql AS ws FROM documents) t) u
+       |  GROUP BY lang, g),
+       |ranked AS (SELECT lang, word, cnt,
+       |    row_number() OVER (PARTITION BY lang ORDER BY cnt DESC, word) AS rk
+       |  FROM counts)
+       |SELECT lang, word, cnt, CAST(rk AS BIGINT) AS rk
+       |FROM ranked WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
 }

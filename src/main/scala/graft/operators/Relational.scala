@@ -265,6 +265,143 @@ object Relational {
       |  AND l_shipdate >= TIMESTAMP '1996-03-01'
       |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin
 
+  /** TPC-H Q18-style large-volume orders: the HAVING subquery is one
+    * aggregation over lineitem (map-side partial agg → one shuffle on
+    * l_orderkey); its survivors (few — the quantity tail) then join
+    * orders and customer. The classic formulation re-joins lineitem and
+    * re-aggregates; carrying sum_qty out of the first aggregate makes
+    * that second pass unnecessary. At scale the big-order set is tiny,
+    * so AQE broadcasts it into the orders join. Top-100 via
+    * TakeOrderedAndProject. */
+  def q18LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(dsum2(col("l_quantity")).as("sum_qty"))
+      .filter(col("sum_qty") > 250.0)
+    val ord = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_totalprice")
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_name")
+    cust.join(ord, col("c_custkey") === col("o_custkey"))
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "sum_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  def q18Oracle: String =
+    """SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM customer, orders, lineitem
+      |WHERE c_custkey = o_custkey AND o_orderkey = l_orderkey
+      |GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      |HAVING CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0
+      |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      |LIMIT 100""".stripMargin
+
+  /** TPC-H Q7-style nation volume: bidirectional trade between two
+    * nations by ship year. The nation filter lands on supplier and
+    * customer BEFORE the fact joins (both dims shrink to 2/25 of their
+    * rows), nation itself is broadcast, and the three fact joins
+    * shuffle on their natural keys. The asymmetric-pair predicate is a
+    * cheap post-join filter on two broadcast-provided columns. */
+  def q7NationVolume(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+      .filter(col("n_name").isin("NATION_19", "NATION_11"))
+      .select("n_nationkey", "n_name")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1995-01-01") &&
+        col("l_shipdate") < ts("1997-01-01"))
+      .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount", "l_shipdate")
+    li.join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("long").as("l_year"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("volume"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  def q7Oracle: String =
+    """SELECT supp_nation, cust_nation, l_year,
+      |  CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS volume
+      |FROM (
+      |  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |    CAST(year(l_shipdate) AS BIGINT) AS l_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume
+      |  FROM supplier s, lineitem l, orders o, customer c, nation n1, nation n2
+      |  WHERE s.s_suppkey = l.l_suppkey AND o.o_orderkey = l.l_orderkey
+      |    AND c.c_custkey = o.o_custkey
+      |    AND s.s_nationkey = n1.n_nationkey AND c.c_nationkey = n2.n_nationkey
+      |    AND n1.n_name IN ('NATION_19', 'NATION_11')
+      |    AND n2.n_name IN ('NATION_19', 'NATION_11')
+      |    AND n1.n_name <> n2.n_name
+      |    AND l_shipdate >= TIMESTAMP '1995-01-01'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01') shipping
+      |GROUP BY supp_nation, cust_nation, l_year
+      |ORDER BY supp_nation, cust_nation, l_year""".stripMargin
+
+  /** TPC-H Q19-style disjunctive-predicate revenue: three OR'd
+    * brand/size/quantity arms over a part⨝lineitem join. Catalyst
+    * splits the disjunction: the part-only predicate
+    * (brand ∧ size per arm, OR'd) pushes below the join, the mixed
+    * arms stay above — the scan never reads non-candidate parts. */
+  def q19DisjunctiveRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    def arm(brand: String, szLo: Int, szHi: Int, qLo: Double, qHi: Double) =
+      col("p_brand") === brand && col("p_size").between(szLo, szHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(arm("Brand#1", 1, 15, 1, 20) || arm("Brand#2", 10, 30, 10, 40) ||
+        arm("Brand#3", 20, 50, 20, 50))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("revenue"))
+  }
+
+  def q19Oracle: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS revenue
+      |FROM lineitem, part
+      |WHERE l_partkey = p_partkey AND (
+      |     (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+      |  OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+      |  OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50))""".stripMargin
+
+  /** TPC-H Q13-style customer order-count distribution: a left join so
+    * zero-order customers survive, then a second aggregation over the
+    * first's output — the histogram-of-aggregates shape. Both aggs do
+    * map-side partial aggregation; the second one's input is already
+    * |customers| rows, and its output |distinct counts|. */
+  def q13OrderDistribution(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") =!= "5-LOW")
+      .select("o_custkey", "o_orderkey")
+    Tables.customer(spark, dir).select("c_custkey")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  def q13Oracle: String =
+    """SELECT c_count, COUNT(*) AS custdist FROM (
+      |  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |  FROM customer LEFT JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+      |  GROUP BY c_custkey) c_orders
+      |GROUP BY c_count
+      |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
   /** Window-function battery: lead/lag/ntile/percent_rank/cume_dist/
     * first/last over per-customer order sequences. percent_rank and
     * cume_dist are exact integer-ratio divisions — engine-identical;
