@@ -223,7 +223,10 @@ object TextAnalysis {
     val train = docs.filter(col("source") =!= EvalSource)
       .select(col("doc_id"), size(col("grams")).as("n_grams"),
         explode(col("grams")).as("g"))
-    train.join(evalGrams, Seq("g"))
+    // the eval slice is bounded by construction (a benchmark set, not
+    // a corpus) — hint it explicitly: size estimation can't see
+    // through the distinct() and may otherwise build on the train side
+    train.join(broadcast(evalGrams), Seq("g"))
       .groupBy("doc_id", "n_grams")
       .agg(count(lit(1)).as("n_shared"))
       .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
