@@ -134,6 +134,18 @@ object SparkEntry {
     "embedding_quantize" -> Similarity.embeddingQuantize _,
     // ── composed curation pipeline (all four stages under the oracle) ──
     "pipeline_curate" -> ext.Pipeline.curateDocs _,
+    // ── TPC-H round 4: EXISTS semi join with cross-table predicate,
+    //    global-max scalar subquery, decorrelated per-group average,
+    //    global-average + anti join ──
+    "q4_priority_exists" -> Relational.q4PriorityExists _,
+    "q15_top_supplier" -> Relational.q15TopSupplier _,
+    "q17_small_quantity" -> Relational.q17SmallQuantity _,
+    "q22_idle_customers" -> Relational.q22IdleCustomers _,
+    // ── LLM-pipeline round 4: salient terms, context-window chunking,
+    //    source-mix rebalancing ──
+    "tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
+    "doc_chunks" -> TextAnalysis.docChunks _,
+    "sample_rebalance" -> ((s, dir) => Sampling.rebalanceSample(s, dir)),
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -220,5 +232,12 @@ object SparkEntry {
     "embedding_quantize" -> Similarity.embeddingQuantizeOracle,
     "dedup_shingle_signatures" -> Dedup.shingleSignaturesOracle,
     "pipeline_curate" -> ext.Pipeline.curateDocsOracle,
+    "q4_priority_exists" -> Relational.q4Oracle,
+    "q15_top_supplier" -> Relational.q15Oracle,
+    "q17_small_quantity" -> Relational.q17Oracle,
+    "q22_idle_customers" -> Relational.q22Oracle,
+    "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsOracle,
+    "doc_chunks" -> TextAnalysis.docChunksOracle,
+    "sample_rebalance" -> Sampling.rebalanceSampleOracle,
   )
 }

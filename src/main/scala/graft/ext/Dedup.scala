@@ -362,21 +362,12 @@ object Dedup {
     * LSH pass, never a cross product). Jaccard = |∩| / (|A|+|B|−|∩|) —
     * exact integers, one IEEE division. */
   /** Distinct word trigram set per doc; docs with <3 tokens contribute
-    * no grams (a bare sequence(1, n-2) would count DOWN for n<3 —
-    * guard it). */
-  private def trigramSets(docs: DataFrame): DataFrame = {
-    val ws = toks(col("text"))
-    docs
-      .select(col("doc_id"), ws.as("ws"))
-      .select(col("doc_id"),
-        when(size(col("ws")) >= 3,
-          array_distinct(transform(sequence(lit(1), size(col("ws")) - 2),
-            i => concat_ws(" ",
-              element_at(col("ws"), i),
-              element_at(col("ws"), i + 1),
-              element_at(col("ws"), i + 2)))))
-          .otherwise(array().cast("array<string>")).as("grams"))
-  }
+    * no grams. Compiled WordNGrams kernel — the transform-lambda form
+    * runs interpreted per element and falls out of whole-stage codegen. */
+  private def trigramSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.WordNGrams(toks(col("text")), 3, distinct = true)
+        .as("grams"))
 
   def ngramJaccard(spark: SparkSession, dir: String, maxDocId: Long = 100): DataFrame = {
     val docs = trigramSets(Tables.documents(spark, dir)

@@ -82,6 +82,55 @@ object Sampling {
 
   def stratifiedSampleOracle: String = stratifiedSampleOracle(20)
 
+  /** Source-mix rebalancing: draw a deterministic sample whose per-source
+    * quota moves the mix toward a uniform target share — each source
+    * contributes min(its size, ⌊total/n_sources⌋) docs, chosen as its
+    * smallest sample hashes. This is the "data mixing" step of a
+    * training pipeline (cap the dominant crawl, keep all of the scarce
+    * sources), reproducible across runs and retries because selection
+    * is pure hash order.
+    *
+    * Plan shape: the quota table is one groupBy over (source) plus a
+    * 1-row total — both tiny at any scale — broadcast into the rank
+    * filter. The rank window partitions by source; with a column quota
+    * Spark can't plan a WindowGroupLimit, so a skewed source pays one
+    * sort — at 100 TB pre-prune with the fixed-n group limit
+    * (stratifiedSample's shape, n = max quota) before this rank. */
+  def rebalanceSample(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum(col("n_docs")).as("total"),
+      count(lit(1)).as("n_sources"))
+    val quota = per.join(broadcast(tot))
+      .select(col("source"), col("n_docs"),
+        least(col("n_docs"),
+          floor(col("total") / col("n_sources")).cast("long")).as("quota"))
+    val w = Window.partitionBy("source").orderBy("sample_hash", "doc_id")
+    docs.select(col("doc_id"), col("source"),
+        sampleHash(col("doc_id")).as("sample_hash"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select("source", "doc_id", "rk", "n_docs", "quota")
+      .orderBy("source", "rk")
+  }
+
+  def rebalanceSampleOracle: String =
+    s"""WITH per AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source),
+       |tot AS (SELECT CAST(SUM(n_docs) AS BIGINT) AS total,
+       |               COUNT(*) AS n_sources FROM per),
+       |quota AS (SELECT source, n_docs,
+       |    least(n_docs, CAST(floor(CAST(total AS DOUBLE) / n_sources) AS BIGINT)) AS quota
+       |  FROM per, tot),
+       |ranked AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY ${sampleHashSql("doc_id")}, doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT r.source, r.doc_id, r.rk, q.n_docs, q.quota
+       |FROM ranked r JOIN quota q ON r.source = q.source
+       |WHERE r.rk <= q.quota
+       |ORDER BY r.source, r.rk""".stripMargin
+
   def stratifiedSampleOracle(n: Int): String =
     s"""SELECT doc_id, source, sample_hash, rk
        |FROM (SELECT doc_id, source, sample_hash,

@@ -18,9 +18,12 @@ object TextAnalysis {
 
   /** Tokens of a text column: split on runs of non-letter/non-digit,
     * lowercased, empties dropped — same semantics as the word-count
-    * tokenizer (reference mapreduce/functions/wordcount.go:22-32). */
+    * tokenizer (reference mapreduce/functions/wordcount.go:22-32).
+    * `array_remove` (codegen'd) drops the boundary empties instead of a
+    * `filter` lambda, which Spark evaluates interpreted per element —
+    * the whole tokenizer stays inside whole-stage codegen. */
   def tokens(c: Column): Column =
-    filter(split(lower(c), "[^\\p{L}\\p{N}]+"), w => length(w) > 0)
+    array_remove(split(lower(c), "[^\\p{L}\\p{N}]+"), "")
 
   private val tokensSql =
     raw"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), w -> w <> '')"
@@ -188,14 +191,12 @@ object TextAnalysis {
   // ── train/eval decontamination (n-gram overlap) ──
 
   /** Distinct word n-gram array per doc (empty when the doc has fewer
-    * than n tokens; the sequence guard stops the descending-range trap). */
-  private def ngramArr(n: Int): Column = {
-    val ws = tokens(col("text"))
-    when(size(ws) >= n,
-      array_distinct(transform(sequence(lit(1), size(ws) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(o => element_at(ws, i + o)): _*))))
-      .otherwise(array().cast("array<string>"))
-  }
+    * than n tokens). Built by the compiled WordNGrams kernel: the
+    * declarative transform-lambda form re-evaluates the embedded
+    * tokenizer per element (interpreted, O(|tokens|²) per doc — 7× the
+    * whole sf0.1 bench when it shipped that way). */
+  private def ngramArr(n: Int): Column =
+    graft.functions.WordNGrams(tokens(col("text")), n, distinct = true)
 
   private def ngramSqlArr(n: Int): String = {
     val parts = (0 until n).map(o => s"ws[i+${o + 1}]").mkString(" || ' ' || ")
@@ -267,12 +268,10 @@ object TextAnalysis {
         .groupBy(col("doc_id"), col(s"n_$id"))
         .agg(max(col("c")).as(s"top_$id"))
     val uni = topFrac(tokens(col("text")), "uni")
-    // bigrams with repeats (NOT distinct — repetition is the signal)
-    val ws = tokens(col("text"))
-    val bigrams = when(size(ws) >= 2,
-      transform(sequence(lit(1), size(ws) - 1),
-        i => concat_ws(" ", element_at(ws, i), element_at(ws, i + 1))))
-      .otherwise(array().cast("array<string>"))
+    // bigrams with repeats (NOT distinct — repetition is the signal);
+    // compiled kernel, same O(n²)-lambda rationale as ngramArr
+    val bigrams =
+      graft.functions.WordNGrams(tokens(col("text")), 2, distinct = false)
     val bi = topFrac(bigrams, "bi")
     docs.select(col("doc_id"))
       .join(uni, Seq("doc_id"), "left")
@@ -338,4 +337,101 @@ object TextAnalysis {
        |  FROM counts)
        |SELECT lang, word, cnt, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= 5 ORDER BY lang, rk""".stripMargin
+
+  // ── tf-idf term weighting (per-doc top terms) ──
+
+  /** Top 5 terms per document by smoothed tf-idf
+    * (tf · (ln((N+1)/(df+1)) + 1)) — the classic salient-term extractor
+    * for topic tagging / keyword indexing in a curation pipeline.
+    *
+    * Plan shape: term frequencies are one explode→groupBy (map-side
+    * combined, shuffled on (doc, term)); document frequencies aggregate
+    * THAT table (never the raw token stream) shuffled on term; N is a
+    * two-stage 1-row count broadcast into the projection. The rank
+    * window partitions by doc_id (massive cardinality — no parallelism
+    * collapse) and Spark 4 plans the rk<=5 filter as a partial
+    * WindowGroupLimit before the exchange. Scores are rounded to 6dp
+    * BEFORE ranking with a lexical tiebreak, so ordering is
+    * engine-identical despite the transcendental ln. */
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.documents(spark, dir)
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, Seq("term")).join(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        round(col("tf") * (log((col("n_docs") + lit(1.0)) / (col("df") + lit(1.0)))
+          + lit(1.0)), 6).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 5)
+      .orderBy("doc_id", "rk")
+  }
+
+  def tfidfTopTermsOracle: String =
+    s"""WITH tfq AS (
+       |  SELECT doc_id, g AS term, COUNT(*) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS g
+       |        FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t) u
+       |  GROUP BY doc_id, g),
+       |dfq AS (SELECT term, COUNT(*) AS df FROM tfq GROUP BY term),
+       |nq AS (SELECT COUNT(*) AS n_docs FROM documents),
+       |scored AS (
+       |  SELECT doc_id, tfq.term AS term, tf,
+       |    round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) AS score
+       |  FROM tfq, dfq, nq WHERE tfq.term = dfq.term)
+       |SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, score, CAST(rk AS BIGINT) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+       |        ORDER BY score DESC, term) AS rk FROM scored) r
+       |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin
+
+  // ── context-window chunking ──
+
+  val ChunkSize = 50
+  val ChunkStride = 40
+
+  /** Overlapping context-window chunking: split each document into
+    * 50-token windows advancing by 40 tokens (10-token overlap) — the
+    * standard packing step before tokenization for training/embedding.
+    * Chunks are identified by (doc_id, chunk_id) and fingerprinted
+    * (md5 of the joined window) rather than re-emitting the text.
+    *
+    * A pure generate→project plan: one codegen'd `sequence` of window
+    * starts per doc, posexplode, `slice` per start — no shuffle except
+    * the verification sort; chunk count per doc is ⌈n/stride⌉ so output
+    * scales linearly with token volume. The `size>0` guard keeps
+    * `sequence` from counting DOWN on empty docs (sequence(0,-1)). */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .filter(size(col("ws")) > 0)
+    toks.select(col("doc_id"), size(col("ws")).cast("long").as("n_tokens"),
+        posexplode(sequence(lit(0), size(col("ws")) - 1, lit(ChunkStride)))
+          .as(Seq("chunk_id", "start")),
+        col("ws"))
+      .select(col("doc_id"), col("n_tokens"),
+        col("chunk_id").cast("long").as("chunk_id"),
+        col("start").cast("long").as("start"),
+        slice(col("ws"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("n_tokens"), col("chunk_id"), col("start"),
+        size(col("chunk")).cast("long").as("n_chunk_tokens"),
+        md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
+  def docChunksOracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |s AS (SELECT doc_id, ws, len(ws) AS n_tokens,
+       |        unnest(range(0, len(ws), $ChunkStride)) AS start
+       |      FROM t WHERE len(ws) > 0),
+       |c AS (SELECT doc_id, n_tokens, start,
+       |        list_slice(ws, start + 1, start + $ChunkSize) AS chunk FROM s)
+       |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+       |  CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+       |  CAST(start AS BIGINT) AS start,
+       |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
+       |  md5(array_to_string(chunk, ' ')) AS chunk_md5
+       |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 }

@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayEqCountExpr, ColumnShim, DotProductExpr, ShingleSigExpr}
+import org.apache.spark.sql.graft.{ArrayEqCountExpr, ColumnShim, DotProductExpr, ShingleSigExpr, WordNGramsExpr}
 
 /** Public Column surface for the native codegen'd dot product
   * (see org.apache.spark.sql.graft.DotProductExpr for the rationale). */
@@ -20,4 +20,12 @@ object ArrayEqCount {
 object ShingleSig {
   def apply(text: Column, width: Int): Column =
     ColumnShim.column(ShingleSigExpr(ColumnShim.expression(text), width))
+}
+
+/** Space-joined word n-grams of a token array (codegen'd kernel; empty
+  * array below width n, optional first-occurrence dedup). */
+object WordNGrams {
+  def apply(tokens: Column, n: Int, distinct: Boolean): Column =
+    ColumnShim.column(
+      WordNGramsExpr(ColumnShim.expression(tokens), n, distinct))
 }

@@ -909,6 +909,143 @@ object Relational {
       |  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_P
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** TPC-H Q4-style order-priority check, adapted to the fixture schema
+    * (no commitdate/receiptdate): count orders per priority that have at
+    * least one lineitem shipped more than 60 days after the order date.
+    * The EXISTS is a left-semi join — the probe never duplicates orders
+    * however many late lines an order has, and the cross-table date
+    * predicate stays a residual on the semi join (only the equi-key
+    * shuffles). At 100 TB both sides are facts → shuffle hash semi join
+    * on orderkey with map-side dedup of probe hits. */
+  def q4PriorityExists(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1996-01-01") &&
+        col("o_orderdate") < ts("1996-07-01"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+    ord.join(li,
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  def q4Oracle: String =
+    """SELECT o_orderpriority, COUNT(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1996-07-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q15-style top supplier: quarterly revenue per supplier, keep
+    * the max. The revenue aggregate is one shuffle on l_suppkey
+    * (map-side partial agg); its global max is a two-stage 1-row
+    * aggregate broadcast back — no second pass over lineitem, no window
+    * over the whole supplier set. Double equality on the max is exact:
+    * both sides select among identical decimal-derived values. */
+  def q15TopSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val rev = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1996-01-01") &&
+        col("l_shipdate") < ts("1996-04-01"))
+      .groupBy(col("l_suppkey"))
+      .agg(dsum6(col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .as("total_revenue"))
+    val maxRev = rev.agg(max(col("total_revenue")).as("max_revenue"))
+    rev.join(broadcast(maxRev), col("total_revenue") === col("max_revenue"))
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_revenue")
+      .orderBy("s_suppkey")
+  }
+
+  def q15Oracle: String =
+    """WITH revenue AS (
+      |  SELECT l_suppkey,
+      |    CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(24,6))) AS DOUBLE) AS total_revenue
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, total_revenue
+      |FROM supplier, revenue
+      |WHERE s_suppkey = l_suppkey
+      |  AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** TPC-H Q17-style small-quantity revenue: lineitems of one brand
+    * whose quantity is below 20% of that part's average quantity.
+    * The correlated AVG is decorrelated into one aggregate over the
+    * SAME brand-restricted join output, then joined back per part —
+    * lineitem is scanned once, both the aggregate and the re-join
+    * shuffle on l_partkey (AQE reuses the exchange). The threshold is
+    * built with one fixed IEEE op order (0.2 × (decimal-sum / count))
+    * so the comparison is bit-identical in the oracle. */
+  def q17SmallQuantity(spark: SparkSession, dir: String): DataFrame = {
+    val brandParts = Tables.part(spark, dir)
+      .filter(col("p_brand") === "Brand#2").select("p_partkey")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+      .join(brandParts, col("l_partkey") === col("p_partkey"))
+    val thr = li.groupBy(col("l_partkey").as("t_partkey"))
+      .agg((lit(0.2) * (dsum2(col("l_quantity")) / count(lit(1)))).as("qty_thr"))
+    li.join(thr, col("l_partkey") === col("t_partkey"))
+      .filter(col("l_quantity") < col("qty_thr"))
+      .agg((dsum2(col("l_extendedprice")) / lit(7.0)).as("avg_yearly"))
+  }
+
+  def q17Oracle: String =
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM lineitem, part
+      |WHERE p_partkey = l_partkey AND p_brand = 'Brand#2'
+      |  AND l_quantity < (
+      |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
+      |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
+
+  /** TPC-H Q22-style lapsed high-balance customers, adapted (no
+    * c_phone; every fixture customer has SOME order, so "idle" means no
+    * RECENT order): customers above the average positive account
+    * balance with no orders since mid-2000, counted per market segment.
+    * The global average is a two-stage 1-row aggregate broadcast into a
+    * residual filter; the "no recent orders" test is a left-anti join
+    * whose build side is date-pruned AT THE SCAN — at scale a shuffle
+    * hash anti join over the recent slice only, never a NOT IN
+    * materialization. */
+  def q22IdleCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select("c_custkey", "c_mktsegment", "c_acctbal")
+    val avgPos = cust.filter(col("c_acctbal") > 0.0)
+      .agg((dsum2(col("c_acctbal")) / count(lit(1))).as("avg_bal"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("2000-06-01"))
+      .select("o_custkey")
+    cust.join(broadcast(avgPos))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"),
+        dsum2(col("c_acctbal")).as("totacctbal"))
+      .orderBy("c_mktsegment")
+  }
+
+  def q22Oracle: String =
+    """SELECT c_mktsegment, COUNT(*) AS numcust,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+      |FROM customer
+      |WHERE c_acctbal > (
+      |    SELECT CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |    FROM customer WHERE c_acctbal > 0.0)
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-06-01')
+      |GROUP BY c_mktsegment
+      |ORDER BY c_mktsegment""".stripMargin
+
   def aggStatsOracle: String =
     """SELECT c_mktsegment,
       |  COUNT(*) AS n,
