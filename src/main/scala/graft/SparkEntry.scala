@@ -146,6 +146,9 @@ object SparkEntry {
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
     "doc_chunks" -> TextAnalysis.docChunks _,
     "sample_rebalance" -> ((s, dir) => Sampling.rebalanceSample(s, dir)),
+    // stream-stream interval join (watermark-bounded state both sides)
+    "stream_interval_join" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinOverFiles(s, dir)),
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -239,5 +242,7 @@ object SparkEntry {
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsOracle,
     "doc_chunks" -> TextAnalysis.docChunksOracle,
     "sample_rebalance" -> Sampling.rebalanceSampleOracle,
+    "stream_interval_join" ->
+      graft.streaming.EventStream.intervalJoinOverFilesOracle,
   )
 }

@@ -214,6 +214,69 @@ object EventStream {
       .orderBy("user_id", "session_start")
   }
 
+  /** Stream-stream interval join: every (error, click) pair for the
+    * same user where the click lands within an hour of the error — the
+    * funnel/attribution join. Both sides carry a watermark and the join
+    * condition bounds event time in BOTH directions, so Spark derives a
+    * state-eviction bound for each side: state is O(watermark + 1 h of
+    * stream), not O(stream). Inner stream-stream joins emit a match as
+    * soon as both rows arrive (the watermark only evicts state), so a
+    * bounded run emits every pair. At scale the join state is sharded
+    * by user_id across the cluster like any shuffle. */
+  def intervalJoin(errors: DataFrame, clicks: DataFrame,
+                   watermark: String = "10 minutes"): DataFrame = {
+    val e = errors
+      .select(col("event_id").as("error_id"), col("user_id"),
+        col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermark)
+    val c = clicks
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+      .withWatermark("click_ts", watermark)
+    e.join(c,
+      col("user_id") === col("click_user") &&
+        col("click_ts") >= col("error_ts") &&
+        col("click_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("user_id"), col("error_id"), col("click_id"),
+        col("error_ts"), col("click_ts"))
+  }
+
+  /** The interval join run to completion over the events table as a
+    * bounded file stream — driver-oracled like the other streaming
+    * twins: the result is exactly the batch interval self-join. */
+  def intervalJoinOverFiles(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ij-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_stream_ij_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = intervalJoin(
+        stream.filter(col("event_type") === "error"),
+        stream.filter(col("event_type") === "click"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
+    spark.table(name).orderBy("user_id", "error_id", "click_id")
+  }
+
+  def intervalJoinOverFilesOracle: String =
+    """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+      |  e.ts AS error_ts, c.ts AS click_ts
+      |FROM events e JOIN events c
+      |  ON e.user_id = c.user_id
+      | AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR
+      |WHERE e.event_type = 'error' AND c.event_type = 'click'
+      |ORDER BY e.user_id, error_id, click_id""".stripMargin
+
   def sessionizeOverFilesOracle: String =
     """WITH lagged AS (
       |  SELECT user_id, event_id, ts, value,
