@@ -146,6 +146,7 @@ object SparkEntry {
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
     "doc_chunks" -> TextAnalysis.docChunks _,
     "sample_rebalance" -> ((s, dir) => Sampling.rebalanceSample(s, dir)),
+    "dataset_split" -> Sampling.datasetSplit _,
     // stream-stream interval join (watermark-bounded state both sides)
     "stream_interval_join" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinOverFiles(s, dir)),
@@ -242,6 +243,7 @@ object SparkEntry {
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsOracle,
     "doc_chunks" -> TextAnalysis.docChunksOracle,
     "sample_rebalance" -> Sampling.rebalanceSampleOracle,
+    "dataset_split" -> Sampling.datasetSplitOracle,
     "stream_interval_join" ->
       graft.streaming.EventStream.intervalJoinOverFilesOracle,
   )

@@ -63,6 +63,37 @@ object Sampling {
        |ORDER BY doc_id""".stripMargin
   }
 
+  /** Deterministic train/val/test split (80/10/10 by hash range): the
+    * assignment is a pure function of (salt, doc_id), so it is stable
+    * across runs, retries, and tables — every derived table (chunks,
+    * embeddings, features) keyed by the same id lands in the same
+    * split, and no membership table ever needs to be materialized or
+    * joined. Exact integer thresholds on the 32-bit hash — no float
+    * boundary ambiguity. Zero shuffle: one codegen'd projection. */
+  def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
+    val trainHi = (0.8 * 4294967296L).toLong
+    val valHi = (0.9 * 4294967296L).toLong
+    val h = sampleHash(col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), h.as("sample_hash"),
+        when(h < trainHi, "train").when(h < valHi, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  def datasetSplitOracle: String = {
+    val trainHi = (0.8 * 4294967296L).toLong
+    val valHi = (0.9 * 4294967296L).toLong
+    s"""SELECT doc_id, source, sample_hash,
+       |  CASE WHEN sample_hash < $trainHi THEN 'train'
+       |       WHEN sample_hash < $valHi THEN 'val'
+       |       ELSE 'test' END AS split
+       |FROM (SELECT doc_id, source,
+       |        ${sampleHashSql("doc_id")} AS sample_hash
+       |      FROM documents) t
+       |ORDER BY doc_id""".stripMargin
+  }
+
   /** Stratified fixed-size sample: the `n` smallest sample hashes per
     * stratum — a deterministic, reproducible reservoir. Spark 4 plans
     * the rank filter as a partial WindowGroupLimit: every input
