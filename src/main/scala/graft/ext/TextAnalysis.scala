@@ -254,32 +254,40 @@ object TextAnalysis {
 
   /** Repetition features per doc: the fraction of tokens claimed by the
     * single most frequent unigram and bigram — the core Gopher
-    * repetition-filter signals. Two explode→count→max aggregate chains
-    * (map-side partial agg throughout: shuffle rows are bounded by
-    * |docs|×|distinct grams per doc|, and the final table is one row
-    * per doc). Docs shorter than the gram width keep NULL ratios —
-    * SQL division semantics, so the oracle hashes identically. */
+    * repetition-filter signals.
+    *
+    * One explode serves BOTH gram widths: unigrams and bigrams are
+    * concatenated into a single gram stream (a bigram always contains
+    * a space, a token never can — the split consumed them), so the
+    * whole feature set is one explode → count → conditional-max chain:
+    * two shuffles and one join instead of the naive two independent
+    * chains (four shuffles, two joins) — at 100 TB the gram stream is
+    * the dominant shuffle and this halves it. |bigrams| = n−1 is
+    * derived, not carried. Docs shorter than the gram width keep NULL
+    * ratios — SQL division semantics, so the oracle hashes identically. */
   def qualityRepetition(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
-    def topFrac(grams: Column, id: String): DataFrame =
-      docs.select(col("doc_id"), size(grams).as(s"n_$id"), explode(grams).as("g"))
-        .groupBy(col("doc_id"), col(s"n_$id"), col("g"))
-        .agg(count(lit(1)).as("c"))
-        .groupBy(col("doc_id"), col(s"n_$id"))
-        .agg(max(col("c")).as(s"top_$id"))
-    val uni = topFrac(tokens(col("text")), "uni")
     // bigrams with repeats (NOT distinct — repetition is the signal);
-    // compiled kernel, same O(n²)-lambda rationale as ngramArr
-    val bigrams =
-      graft.functions.WordNGrams(tokens(col("text")), 2, distinct = false)
-    val bi = topFrac(bigrams, "bi")
+    // compiled kernel, same O(n²)-lambda rationale as ngramArr. Bind
+    // the token array once: referenced 3× below, so CollapseProject
+    // keeps the projection boundary and the tokenizer runs once/row.
+    val tops = docs
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("n"),
+        explode(concat(col("ws"),
+          graft.functions.WordNGrams(col("ws"), 2, distinct = false))).as("g"))
+      .groupBy(col("doc_id"), col("n"), col("g"),
+        col("g").contains(" ").as("is_bi"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"), col("n"))
+      .agg(max(when(!col("is_bi"), col("c"))).as("top_uni"),
+        max(when(col("is_bi"), col("c"))).as("top_bi"))
     docs.select(col("doc_id"))
-      .join(uni, Seq("doc_id"), "left")
-      .join(bi, Seq("doc_id"), "left")
+      .join(tops, Seq("doc_id"), "left")
       .select(col("doc_id"),
-        coalesce(col("n_uni"), lit(0)).cast("long").as("n_tokens"),
-        round(col("top_uni") / col("n_uni"), 6).as("top_word_frac"),
-        round(col("top_bi") / col("n_bi"), 6).as("top_bigram_frac"))
+        coalesce(col("n"), lit(0)).cast("long").as("n_tokens"),
+        round(col("top_uni") / col("n"), 6).as("top_word_frac"),
+        round(col("top_bi") / (col("n") - 1), 6).as("top_bigram_frac"))
       .withColumn("repetitive",
         coalesce(col("top_word_frac") > 0.09 || col("top_bigram_frac") > 0.04,
           lit(false)))
