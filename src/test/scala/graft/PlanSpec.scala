@@ -59,7 +59,8 @@ class PlanSpec extends SparkSpec {
     // fn executes a whole bounded stream and the returned plan is just
     // a memory-sink scan — nothing to inspect for join shape
     val skip = Set("dedup_groups", "mr_wordcount",
-      "stream_window_events", "stream_sessionize_events", "stream_dedup_docs")
+      "stream_window_events", "stream_sessionize_events", "stream_dedup_docs",
+      "stream_interval_join")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       val badCross = plan.linesIterator.exists(l =>
@@ -84,6 +85,30 @@ class PlanSpec extends SparkSpec {
       graft.functions.DotProduct(col("v"), col("v")).as("dp"))
     assert(hof.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet ==
       native.collect().map(r => (r.getLong(0), r.getDouble(1))).toSet)
+  }
+
+  test("q4 plans the EXISTS as a semi join with the date residual") {
+    val plan = operators.Relational.q4PriorityExists(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"expected a left-semi join:\n$plan")
+    // the orderdate window is pushed to the orders scan
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"orderdate filter must reach the scan:\n$plan")
+  }
+
+  test("q22 prunes the anti-join build side at the orders scan") {
+    val plan = operators.Relational.q22IdleCustomers(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), s"expected a left-anti join:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(o_orderdate)"),
+      s"recent-order cutoff must reach the orders scan:\n$plan")
+  }
+
+  test("tfidf per-doc rank plans a partial window group limit") {
+    val plan = ext.TextAnalysis.tfidfTopTerms(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
+      s"rank<=5 must pre-limit before the exchange:\n$plan")
   }
 
   test("similarity ranking pre-prunes in sharded window partitions") {
