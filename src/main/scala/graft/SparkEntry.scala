@@ -61,6 +61,8 @@ object SparkEntry {
     "pivot_status" -> Relational.pivotStatus _,
     // ── event/time/JSON operators ──
     "asof_error_click" -> EventOps.asofErrorClick _,
+    // native as-of join operator (custom LogicalPlan/Strategy/SparkPlan)
+    "asof_native" -> EventOps.asofNative _,
     "malformed_filter" -> EventOps.malformedFilter _,
     "json_extract_events" -> EventOps.jsonExtract _,
     "time_window_events" -> EventOps.timeWindow _,
@@ -138,6 +140,7 @@ object SparkEntry {
     //    global-max scalar subquery, decorrelated per-group average,
     //    global-average + anti join ──
     "q4_priority_exists" -> Relational.q4PriorityExists _,
+    "q8_market_share" -> Relational.q8MarketShare _,
     "q15_top_supplier" -> Relational.q15TopSupplier _,
     "q17_small_quantity" -> Relational.q17SmallQuantity _,
     "q22_idle_customers" -> Relational.q22IdleCustomers _,
@@ -187,6 +190,7 @@ object SparkEntry {
     "collect_nations" -> Relational.collectNationsOracle,
     "pivot_status" -> Relational.pivotStatusOracle,
     "asof_error_click" -> EventOps.asofErrorClickOracle,
+    "asof_native" -> EventOps.asofNativeOracle,
     "malformed_filter" -> EventOps.malformedFilterOracle,
     "json_extract_events" -> EventOps.jsonExtractOracle,
     "time_window_events" -> EventOps.timeWindowOracle,
@@ -237,6 +241,7 @@ object SparkEntry {
     "dedup_shingle_signatures" -> Dedup.shingleSignaturesOracle,
     "pipeline_curate" -> ext.Pipeline.curateDocsOracle,
     "q4_priority_exists" -> Relational.q4Oracle,
+    "q8_market_share" -> Relational.q8Oracle,
     "q15_top_supplier" -> Relational.q15Oracle,
     "q17_small_quantity" -> Relational.q17Oracle,
     "q22_idle_customers" -> Relational.q22Oracle,

@@ -1007,6 +1007,66 @@ object Relational {
       |    SELECT 0.2 * (CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*))
       |    FROM lineitem l2 WHERE l2.l_partkey = p_partkey)""".stripMargin
 
+  /** TPC-H Q8-style market share: the share of ASIA-region STANDARD-part
+    * order volume supplied by one nation, per year. The deepest join in
+    * the suite (part, supplier, lineitem, orders, customer, nation ×2
+    * roles, region): every dimension filter (region, part type, order
+    * window) lands BEFORE its fact join, nation/region broadcast, and
+    * the share is one conditional aggregate over the joined volume —
+    * numerator and denominator from the same decimal sums, one IEEE
+    * division each year. */
+  def q8MarketShare(spark: SparkSession, dir: String): DataFrame = {
+    val nat = Tables.nation(spark, dir)
+    val reg = Tables.region(spark, dir).filter(col("r_name") === "ASIA")
+    val asiaNations = nat.join(broadcast(reg),
+      col("n_regionkey") === col("r_regionkey")).select(col("n_nationkey"))
+    val cust = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(asiaNations), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .join(broadcast(nat.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val parts = Tables.part(spark, dir)
+      .filter(col("p_type") === "STANDARD").select("p_partkey")
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= ts("1995-01-01") &&
+        col("o_orderdate") < ts("1997-01-01"))
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey",
+        "l_extendedprice", "l_discount")
+    val vol = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+    li.join(parts, col("l_partkey") === col("p_partkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
+      .groupBy(year(col("o_orderdate")).cast("long").as("o_year"))
+      .agg((dsum6(when(col("nation") === "NATION_2", vol).otherwise(lit(0.0)))
+        / dsum6(vol)).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  def q8Oracle: String =
+    """SELECT o_year,
+      |  CAST(SUM(CAST(CASE WHEN nation = 'NATION_2' THEN volume ELSE 0.0 END
+      |                AS DECIMAL(24,6))) AS DOUBLE) /
+      |  CAST(SUM(CAST(volume AS DECIMAL(24,6))) AS DOUBLE) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      |    l_extendedprice * (1.0 - l_discount) AS volume, n2.n_name AS nation
+      |  FROM part, supplier, lineitem, orders, customer,
+      |       nation n1, nation n2, region
+      |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+      |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+      |    AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+      |    AND r_name = 'ASIA' AND s_nationkey = n2.n_nationkey
+      |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+      |    AND o_orderdate < TIMESTAMP '1997-01-01'
+      |    AND p_type = 'STANDARD') volumes
+      |GROUP BY o_year
+      |ORDER BY o_year""".stripMargin
+
   /** TPC-H Q22-style lapsed high-balance customers, adapted (no
     * c_phone; every fixture customer has SOME order, so "idle" means no
     * RECENT order): customers above the average positive account

@@ -1,0 +1,163 @@
+package org.apache.spark.sql.graft
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.catalyst.util.TypeUtils
+import org.apache.spark.sql.classic
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+
+/** Native backward as-of join — the whole-operator extension tier
+  * (custom LogicalPlan → Strategy → SparkPlan), for the semantics the
+  * built-in operators can only express as a union + window scan:
+  * "for each left row, the single latest right row with the same key
+  * and rightTime ≤ leftTime".
+  *
+  * Why an operator and not a composition: the window form must union
+  * both inputs into one stream and carry every left row through a
+  * running ignore-nulls window, which (a) forces both inputs through
+  * one sort on the combined stream and (b) cannot prune right columns
+  * until after the window. The native exec is the textbook streamed
+  * merge: each side shuffles once on its OWN key, sorts (key, time)
+  * within partitions, and a single forward pass pairs every left row
+  * with its floor-match — no union, no window state, no re-scan.
+  * Inner semantics: left rows with no match are dropped.
+  *
+  * Determinism: ties on (key, rightTime) are broken by the required
+  * `rightTiebreak` ordering (last wins ⇒ max tiebreak), so the result
+  * is unique however the data is partitioned.
+  *
+  * Distribution/ordering contracts mirror a shuffled join's, so
+  * EnsureRequirements co-partitions and sorts the children; at 100 TB
+  * this is exactly one hash shuffle per side (AQE-coalesced), state is
+  * one buffered right row per partition, and the merge is O(|L|+|R|).
+  */
+case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
+                        leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression,
+                        rightTiebreak: Expression)
+    extends BinaryNode {
+  override def output: Seq[Attribute] = left.output ++ right.output
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinPlan {
+  /** Column-API surface: build the logical node against two analyzed
+    * frames (pass resolved columns, i.e. `df.col(...)`). Registers the
+    * planner strategy on the session idempotently, so it works on
+    * sessions whose builder graft doesn't own. */
+  def dataset(left: DataFrame, right: DataFrame,
+              leftKey: Column, rightKey: Column,
+              leftTime: Column, rightTime: Column,
+              rightTiebreak: Column): DataFrame = {
+    val spark = left.sparkSession
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    }
+    classic.Dataset.ofRows(
+      spark.asInstanceOf[classic.SparkSession],
+      AsOfJoinPlan(
+        left.queryExecution.analyzed, right.queryExecution.analyzed,
+        ColumnShim.expression(leftKey), ColumnShim.expression(rightKey),
+        ColumnShim.expression(leftTime), ColumnShim.expression(rightTime),
+        ColumnShim.expression(rightTiebreak)))
+  }
+}
+
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case _ => Nil
+  }
+}
+
+case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
+                        leftTime: Expression, rightTime: Expression,
+                        rightTiebreak: Expression,
+                        left: SparkPlan, right: SparkPlan)
+    extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ right.output
+
+  // same contract as a shuffled equi-join: cluster each child by its
+  // key; EnsureRequirements makes the two hash partitionings compatible
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) ::
+      ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+      SortOrder(rightTiebreak, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
+    copy(left = newLeft, right = newRight)
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lOut = left.output
+    val rOut = right.output
+    val outAttrs = output
+    val lKeyE = leftKey
+    val rKeyE = rightKey
+    val lTimeE = leftTime
+    val rTimeE = rightTime
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val lKey = BindReferences.bindReference(lKeyE, lOut)
+      val rKey = BindReferences.bindReference(rKeyE, rOut)
+      val lTime = BindReferences.bindReference(lTimeE, lOut)
+      val rTime = BindReferences.bindReference(rTimeE, rOut)
+      val keyOrd = TypeUtils.getInterpretedOrdering(lKeyE.dataType)
+      val timeOrd = TypeUtils.getInterpretedOrdering(lTimeE.dataType)
+      val joined = new JoinedRow
+      val project = UnsafeProjection.create(outAttrs, lOut ++ rOut)
+
+      // single forward pass; rows are copied on read because the
+      // upstream iterators reuse their row objects
+      var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
+      var matchRow: InternalRow = null
+      var matchKey: Any = null
+      def advanceRight(): Unit =
+        rHead = if (rIter.hasNext) rIter.next().copy() else null
+
+      lIter.flatMap { l =>
+        val lk = lKey.eval(l)
+        val lt = lTime.eval(l)
+        if (lk == null || lt == null) Iterator.empty
+        else {
+          // consume right rows before (lk, lt]; the last consumed row
+          // with the same key is the floor match
+          var done = false
+          while (!done && rHead != null) {
+            val rk = rKey.eval(rHead)
+            if (rk == null) advanceRight()
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) advanceRight()
+              else if (c == 0) {
+                val rt = rTime.eval(rHead)
+                if (rt != null && timeOrd.compare(rt, lt) <= 0) {
+                  matchRow = rHead
+                  matchKey = rk
+                  advanceRight()
+                } else done = true
+              } else done = true
+            }
+          }
+          if (matchRow != null && keyOrd.compare(matchKey, lk) == 0)
+            Iterator.single(project(joined(l, matchRow)))
+          else Iterator.empty
+        }
+      }
+    }
+  }
+}

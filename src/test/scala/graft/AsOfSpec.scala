@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Native as-of join operator (AsOfJoinPlan/Strategy/Exec). */
+class AsOfSpec extends SparkSpec {
+
+  test("native as-of join matches the join+rank composition and plans one shuffle per side") {
+    val out = operators.EventOps.asofNative(spark, sf0001)
+
+    // reference computation: full inequality join, rank, keep rk=1 —
+    // exact but quadratic; fine at sf0.001
+    val ev = Tables.events(spark, sf0001)
+    val e = ev.filter(col("event_type") === "error")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val c = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("cu"), col("ts").as("click_ts"))
+    val w = Window.partitionBy("event_id")
+      .orderBy(col("click_ts").desc, col("click_id").desc)
+    val expected = e.join(c, col("user_id") === col("cu") &&
+        col("click_ts") <= col("ts"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id"), col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+
+    assert(out.count() === expected.count())
+    assert(out.exceptAll(expected).isEmpty && expected.exceptAll(out).isEmpty,
+      "native as-of result differs from the join+rank composition")
+
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("AsOfJoin"), s"native operator missing:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2, s"expected one shuffle per side, got $exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"no window pass expected:\n$plan")
+  }
+
+  test("as-of join: left rows with no floor match are dropped, ties break by tiebreak") {
+    import spark.implicits._
+    val probes = Seq((1L, 100L), (1L, 5L), (2L, 50L), (3L, 10L))
+      .toDF("k", "t")
+    val refs = Seq((1L, 10L, "a"), (1L, 100L, "b"), (1L, 100L, "c"),
+      (2L, 60L, "d")).toDF("rk_", "rt", "tag")
+    val joined = org.apache.spark.sql.graft.AsOfJoinPlan.dataset(
+      probes, refs, probes.col("k"), refs.col("rk_"),
+      probes.col("t"), refs.col("rt"), refs.col("tag"))
+    val got = joined.select("k", "t", "tag").as[(Long, Long, String)]
+      .collect().toSet
+    // (1,100) floor is rt=100, tie b/c -> max tag "c"; (1,5) has no
+    // ref <= 5 -> dropped; (2,50) has none <= 50 -> dropped; key 3
+    // absent -> dropped
+    assert(got == Set((1L, 100L, "c")))
+  }
+}
