@@ -23,6 +23,24 @@ class PropertySpec extends SparkSpec {
       Gen.oneOf(" ", "\n", "\t", ".", ",", "—", "…", "'")))
       .map(_.mkString)
 
+  test("WordNGrams kernel equals the reference sliding-window definition") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    val toks: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("a", "b", "cc", "dd", "word", "x1"))
+    val widths = Gen.choose(1, 4)
+    check(Prop.forAll(toks, widths, Gen.oneOf(true, false)) { (ts, n, dist) =>
+      val arr = new GenericArrayData(
+        ts.map(UTF8String.fromString).toArray[Any])
+      val got = org.apache.spark.sql.graft.WordNGramsExpr
+        .compute(arr, n, dist).toArray[AnyRef](
+          org.apache.spark.sql.types.StringType).map(_.toString).toList
+      val slid = ts.sliding(n).filter(_.size == n).map(_.mkString(" ")).toList
+      val want = if (dist) slid.distinct else slid
+      got == want
+    })
+  }
+
   test("wordcount map: token count is preserved by counting") {
     check(Prop.forAll(text) { s =>
       val kvs = wcMap("f", s)
