@@ -145,7 +145,8 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
               if (c < 0) advanceRight()
               else if (c == 0) {
                 val rt = rTime.eval(rHead)
-                if (rt != null && timeOrd.compare(rt, lt) <= 0) {
+                if (rt == null) advanceRight() // null time: never a floor
+                else if (timeOrd.compare(rt, lt) <= 0) {
                   matchRow = rHead
                   matchKey = rk
                   advanceRight()

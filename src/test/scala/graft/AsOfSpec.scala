@@ -41,8 +41,11 @@ class AsOfSpec extends SparkSpec {
     import spark.implicits._
     val probes = Seq((1L, 100L), (1L, 5L), (2L, 50L), (3L, 10L))
       .toDF("k", "t")
-    val refs = Seq((1L, 10L, "a"), (1L, 100L, "b"), (1L, 100L, "c"),
-      (2L, 60L, "d")).toDF("rk_", "rt", "tag")
+    // the None row sorts NULLS FIRST within its key and must be
+    // skipped, not park the merge
+    val refs = Seq((1L, Option(10L), "a"), (1L, Option(100L), "b"),
+      (1L, Option(100L), "c"), (1L, Option.empty[Long], "z"),
+      (2L, Option(60L), "d")).toDF("rk_", "rt", "tag")
     val joined = org.apache.spark.sql.graft.AsOfJoinPlan.dataset(
       probes, refs, probes.col("k"), refs.col("rk_"),
       probes.col("t"), refs.col("rt"), refs.col("tag"))
