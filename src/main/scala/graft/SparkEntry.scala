@@ -63,6 +63,7 @@ object SparkEntry {
     "asof_error_click" -> EventOps.asofErrorClick _,
     // native as-of join operator (custom LogicalPlan/Strategy/SparkPlan)
     "asof_native" -> EventOps.asofNative _,
+    "asof_native_outer" -> EventOps.asofNativeOuter _,
     "malformed_filter" -> EventOps.malformedFilter _,
     "json_extract_events" -> EventOps.jsonExtract _,
     "time_window_events" -> EventOps.timeWindow _,
@@ -191,6 +192,7 @@ object SparkEntry {
     "pivot_status" -> Relational.pivotStatusOracle,
     "asof_error_click" -> EventOps.asofErrorClickOracle,
     "asof_native" -> EventOps.asofNativeOracle,
+    "asof_native_outer" -> EventOps.asofNativeOuterOracle,
     "malformed_filter" -> EventOps.malformedFilterOracle,
     "json_extract_events" -> EventOps.jsonExtractOracle,
     "time_window_events" -> EventOps.timeWindowOracle,

@@ -164,6 +164,40 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Outer form of [[asofNative]]: every error survives; errors with no
+    * preceding click carry a null click side — the merge_asof default,
+    * which is what a feature-join pipeline wants (no silent row loss). */
+  def asofNativeOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+    org.apache.spark.sql.graft.AsOfJoinPlan.dataset(errors, clicks,
+        errors.col("user_id"), clicks.col("click_user"),
+        errors.col("ts"), clicks.col("click_ts"), clicks.col("click_id"),
+        isOuter = true)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id"), col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  def asofNativeOuterOracle: String =
+    """WITH pairs AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    c.event_id AS click_id, c.ts AS click_ts,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY c.ts DESC, c.event_id DESC) AS rk
+      |  FROM events e LEFT JOIN events c
+      |    ON e.user_id = c.user_id AND c.ts <= e.ts
+      |   AND c.event_type = 'click'
+      |  WHERE e.event_type = 'error')
+      |SELECT event_id, user_id, ts, click_id, click_ts,
+      |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
+      |FROM pairs WHERE rk = 1 ORDER BY event_id""".stripMargin
+
   def asofNativeOracle: String =
     """WITH pairs AS (
       |  SELECT e.event_id, e.user_id, e.ts,

@@ -24,7 +24,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * merge: each side shuffles once on its OWN key, sorts (key, time)
   * within partitions, and a single forward pass pairs every left row
   * with its floor-match — no union, no window state, no re-scan.
-  * Inner semantics: left rows with no match are dropped.
+  * Inner semantics drop left rows with no match; `isOuter = true`
+  * keeps them with a null right side (the pandas merge_asof default).
   *
   * Determinism: ties on (key, rightTime) are broken by the required
   * `rightTiebreak` ordering (last wins ⇒ max tiebreak), so the result
@@ -38,9 +39,11 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        rightTiebreak: Expression)
+                        rightTiebreak: Expression, isOuter: Boolean)
     extends BinaryNode {
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
   override protected def withNewChildrenInternal(
       newLeft: LogicalPlan, newRight: LogicalPlan): LogicalPlan =
     copy(left = newLeft, right = newRight)
@@ -54,7 +57,7 @@ object AsOfJoinPlan {
   def dataset(left: DataFrame, right: DataFrame,
               leftKey: Column, rightKey: Column,
               leftTime: Column, rightTime: Column,
-              rightTiebreak: Column): DataFrame = {
+              rightTiebreak: Column, isOuter: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -66,25 +69,27 @@ object AsOfJoinPlan {
         left.queryExecution.analyzed, right.queryExecution.analyzed,
         ColumnShim.expression(leftKey), ColumnShim.expression(rightKey),
         ColumnShim.expression(leftTime), ColumnShim.expression(rightTime),
-        ColumnShim.expression(rightTiebreak)))
+        ColumnShim.expression(rightTiebreak), isOuter))
   }
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, outer, planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
 
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        rightTiebreak: Expression,
+                        rightTiebreak: Expression, isOuter: Boolean,
                         left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
 
-  override def output: Seq[Attribute] = left.output ++ right.output
+  override def output: Seq[Attribute] =
+    if (isOuter) left.output ++ right.output.map(_.withNullability(true))
+    else left.output ++ right.output
 
   // same contract as a shuffled equi-join: cluster each child by its
   // key; EnsureRequirements makes the two hash partitionings compatible
@@ -129,11 +134,15 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       def advanceRight(): Unit =
         rHead = if (rIter.hasNext) rIter.next().copy() else null
 
+      val nullRight = new org.apache.spark.sql.catalyst.expressions
+        .GenericInternalRow(rOut.size)
       lIter.flatMap { l =>
         val lk = lKey.eval(l)
         val lt = lTime.eval(l)
-        if (lk == null || lt == null) Iterator.empty
-        else {
+        if (lk == null || lt == null) {
+          if (isOuter) Iterator.single(project(joined(l, nullRight)))
+          else Iterator.empty
+        } else {
           // consume right rows before (lk, lt]; the last consumed row
           // with the same key is the floor match
           var done = false
@@ -156,6 +165,8 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
           }
           if (matchRow != null && keyOrd.compare(matchKey, lk) == 0)
             Iterator.single(project(joined(l, matchRow)))
+          else if (isOuter)
+            Iterator.single(project(joined(l, nullRight)))
           else Iterator.empty
         }
       }

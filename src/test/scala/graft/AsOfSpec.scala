@@ -55,5 +55,14 @@ class AsOfSpec extends SparkSpec {
     // ref <= 5 -> dropped; (2,50) has none <= 50 -> dropped; key 3
     // absent -> dropped
     assert(got == Set((1L, 100L, "c")))
+
+    // outer: the three no-match probes survive with a null right side
+    val outer = org.apache.spark.sql.graft.AsOfJoinPlan.dataset(
+      probes, refs, probes.col("k"), refs.col("rk_"),
+      probes.col("t"), refs.col("rt"), refs.col("tag"), isOuter = true)
+    val gotOuter = outer.select("k", "t", "tag")
+      .as[(Long, Long, Option[String])].collect().toSet
+    assert(gotOuter == Set((1L, 100L, Some("c")), (1L, 5L, None),
+      (2L, 50L, None), (3L, 10L, None)))
   }
 }
