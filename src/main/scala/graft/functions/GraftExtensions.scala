@@ -22,6 +22,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(GraftFunctions.dotFunction)
     e.injectFunction(GraftFunctions.eqCountFunction)
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
+    e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }
 

@@ -259,11 +259,20 @@ object EventStream {
     val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_stream_ij_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = intervalJoin(
-        stream.filter(col("event_type") === "error"),
-        stream.filter(col("event_type") === "click"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
+    // a stream-stream join keeps FOUR state stores per shuffle
+    // partition, each paying a per-batch commit; for a bounded replay
+    // the state parallelism should track key cardinality, not the
+    // batch-query shuffle width (at 32 partitions the commits, not the
+    // rows, dominate). Fixed at plan time, so set before start().
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try intervalJoin(
+          stream.filter(col("event_type") === "error"),
+          stream.filter(col("event_type") === "click"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
     try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
     spark.table(name).orderBy("user_id", "error_id", "click_id")
   }
