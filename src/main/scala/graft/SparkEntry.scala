@@ -142,6 +142,8 @@ object SparkEntry {
     //    global-average + anti join ──
     "q4_priority_exists" -> Relational.q4PriorityExists _,
     "q8_market_share" -> Relational.q8MarketShare _,
+    "q12_priority_shipping" -> Relational.q12PriorityShipping _,
+    "q21_waiting_supplier" -> Relational.q21WaitingSupplier _,
     "q15_top_supplier" -> Relational.q15TopSupplier _,
     "q17_small_quantity" -> Relational.q17SmallQuantity _,
     "q22_idle_customers" -> Relational.q22IdleCustomers _,
@@ -244,6 +246,8 @@ object SparkEntry {
     "pipeline_curate" -> ext.Pipeline.curateDocsOracle,
     "q4_priority_exists" -> Relational.q4Oracle,
     "q8_market_share" -> Relational.q8Oracle,
+    "q12_priority_shipping" -> Relational.q12Oracle,
+    "q21_waiting_supplier" -> Relational.q21Oracle,
     "q15_top_supplier" -> Relational.q15Oracle,
     "q17_small_quantity" -> Relational.q17Oracle,
     "q22_idle_customers" -> Relational.q22Oracle,

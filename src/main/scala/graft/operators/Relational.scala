@@ -1067,6 +1067,97 @@ object Relational {
       |GROUP BY o_year
       |ORDER BY o_year""".stripMargin
 
+  /** TPC-H Q12-style priority shipping, adapted (no l_shipmode — the
+    * fixture's grouping analogue is l_returnflag): per return flag,
+    * how many lines shipped in 1997 belong to high- vs low-priority
+    * orders. One join + conditional aggregation; the ship-year window
+    * prunes lineitem at the scan, and only (flag, two counters)
+    * survive the shuffle. */
+  def q12PriorityShipping(spark: SparkSession, dir: String): DataFrame = {
+    val hi = Seq("1-URGENT", "2-HIGH")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= ts("1997-01-01") &&
+        col("l_shipdate") < ts("1998-01-01"))
+      .select("l_orderkey", "l_returnflag")
+    li.join(Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+          .as("high_line_count"),
+        sum(when(!col("o_orderpriority").isin(hi: _*), 1L).otherwise(0L))
+          .as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  def q12Oracle: String =
+    """SELECT l_returnflag,
+      |  CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(SUM(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH')
+      |                THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      |FROM orders, lineitem
+      |WHERE o_orderkey = l_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+
+  /** TPC-H Q21-style waiting supplier, adapted (no commit/receipt dates
+    * — "late" is shipping >90 days after the order date): suppliers
+    * whose late lines sat on finished multi-supplier orders where NO
+    * other supplier was late — the classic double-correlation
+    * (EXISTS + NOT EXISTS on the same fact). Decorrelated as one late
+    * line set reused three ways: probe, semi join (another supplier's
+    * line on the order), anti join (another supplier's LATE line) —
+    * lineitem is scanned twice (once date-filtered), never per
+    * correlation, and all three joins shuffle on l_orderkey so AQE can
+    * reuse the exchange. */
+  def q21WaitingSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val ordF = Tables.orders(spark, dir)
+      .filter(col("o_orderstatus") === "F")
+      .select("o_orderkey", "o_orderdate")
+    val li = Tables.lineitem(spark, dir).select("l_orderkey", "l_suppkey")
+    val late = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(ordF, col("l_orderkey") === col("o_orderkey"))
+      .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .select("l_orderkey", "l_suppkey")
+    val hasOther = late.join(
+      li.select(col("l_orderkey").as("o2"), col("l_suppkey").as("s2")),
+      col("l_orderkey") === col("o2") && col("s2") =!= col("l_suppkey"),
+      "left_semi")
+    val soleLate = hasOther.join(
+      late.select(col("l_orderkey").as("o3"), col("l_suppkey").as("s3")),
+      col("l_orderkey") === col("o3") && col("s3") =!= col("l_suppkey"),
+      "left_anti")
+    soleLate
+      .join(Tables.supplier(spark, dir).select("s_suppkey", "s_name"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name"))
+      .limit(20)
+  }
+
+  def q21Oracle: String =
+    """SELECT s_name, COUNT(*) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 90 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3, orders o3
+      |                  WHERE o3.o_orderkey = l3.l_orderkey
+      |                    AND l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 20""".stripMargin
+
   /** TPC-H Q22-style lapsed high-balance customers, adapted (no
     * c_phone; every fixture customer has SOME order, so "idle" means no
     * RECENT order): customers above the average positive account
