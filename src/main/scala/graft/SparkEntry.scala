@@ -151,6 +151,7 @@ object SparkEntry {
     //    source-mix rebalancing ──
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
     "doc_chunks" -> TextAnalysis.docChunks _,
+    "doc_pack" -> TextAnalysis.docPack _,
     "sample_rebalance" -> ((s, dir) => Sampling.rebalanceSample(s, dir)),
     "dataset_split" -> Sampling.datasetSplit _,
     // stream-stream interval join (watermark-bounded state both sides)
@@ -253,6 +254,7 @@ object SparkEntry {
     "q22_idle_customers" -> Relational.q22Oracle,
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsOracle,
     "doc_chunks" -> TextAnalysis.docChunksOracle,
+    "doc_pack" -> TextAnalysis.docPackOracle,
     "sample_rebalance" -> Sampling.rebalanceSampleOracle,
     "dataset_split" -> Sampling.datasetSplitOracle,
     "stream_interval_join" ->

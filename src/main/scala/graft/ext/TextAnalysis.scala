@@ -429,6 +429,43 @@ object TextAnalysis {
       .orderBy("doc_id", "chunk_id")
   }
 
+  val PackBudget = 4096L
+
+  /** Sequence packing: assign each document a bin in a stream of
+    * concatenated fixed-budget context windows (per source, in doc_id
+    * order) — bin = ⌊start_offset / budget⌋ where start_offset is the
+    * running token count before the doc. This is the deterministic
+    * offset-based packing a pre-training concat pipeline uses; the
+    * whole operator is one running-sum window partitioned by source
+    * (high cardinality at scale ⇒ shards; within a source the running
+    * sum is the sequential-concat semantics itself). The division is
+    * exact: offsets ≪ 2^52, so the double floor is engine-identical. */
+  def docPack(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
+      .withColumn("start_offset",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("bin_id",
+        floor(col("start_offset") / lit(PackBudget.toDouble)).cast("long"))
+      .orderBy("source", "doc_id")
+  }
+
+  def docPackOracle: String =
+    s"""SELECT doc_id, source, n_tokens,
+       |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+       |  CAST(FLOOR((cum - n_tokens) / $PackBudget.0) AS BIGINT) AS bin_id
+       |FROM (
+       |  SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |    SUM(CAST(len(ws) AS BIGINT)) OVER (PARTITION BY source
+       |      ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+       |      AND CURRENT ROW) AS cum
+       |  FROM (SELECT doc_id, source, $tokensSql AS ws FROM documents) t) c
+       |ORDER BY source, doc_id""".stripMargin
+
   def docChunksOracle: String =
     s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
        |s AS (SELECT doc_id, ws, len(ws) AS n_tokens,
