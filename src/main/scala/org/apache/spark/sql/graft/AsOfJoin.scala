@@ -39,7 +39,8 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
-                        rightTiebreak: Expression, isOuter: Boolean)
+                        rightTiebreak: Expression, isOuter: Boolean,
+                        toleranceUs: Option[Long])
     extends BinaryNode {
   override def output: Seq[Attribute] =
     if (isOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -57,7 +58,8 @@ object AsOfJoinPlan {
   def dataset(left: DataFrame, right: DataFrame,
               leftKey: Column, rightKey: Column,
               leftTime: Column, rightTime: Column,
-              rightTiebreak: Column, isOuter: Boolean = false): DataFrame = {
+              rightTiebreak: Column, isOuter: Boolean = false,
+              toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -69,14 +71,15 @@ object AsOfJoinPlan {
         left.queryExecution.analyzed, right.queryExecution.analyzed,
         ColumnShim.expression(leftKey), ColumnShim.expression(rightKey),
         ColumnShim.expression(leftTime), ColumnShim.expression(rightTime),
-        ColumnShim.expression(rightTiebreak), isOuter))
+        ColumnShim.expression(rightTiebreak), isOuter, toleranceUs))
   }
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, outer, planLater(l), planLater(r)) :: Nil
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer, tol) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, outer, tol,
+        planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
 }
@@ -84,8 +87,16 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         rightTiebreak: Expression, isOuter: Boolean,
+                        toleranceUs: Option[Long],
                         left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
+  // tolerance subtracts raw time values: only meaningful for the
+  // long-backed time types (timestamps eval to epoch micros)
+  toleranceUs.foreach { _ =>
+    require(leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.TimestampType]
+        || leftTime.dataType.isInstanceOf[org.apache.spark.sql.types.LongType],
+      s"as-of tolerance requires a timestamp/long time column, got ${leftTime.dataType}")
+  }
 
   override def output: Seq[Attribute] =
     if (isOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -131,6 +142,7 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       var rHead: InternalRow = if (rIter.hasNext) rIter.next().copy() else null
       var matchRow: InternalRow = null
       var matchKey: Any = null
+      var matchTime: Any = null
       def advanceRight(): Unit =
         rHead = if (rIter.hasNext) rIter.next().copy() else null
 
@@ -158,12 +170,15 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                 else if (timeOrd.compare(rt, lt) <= 0) {
                   matchRow = rHead
                   matchKey = rk
+                  matchTime = rt
                   advanceRight()
                 } else done = true
               } else done = true
             }
           }
-          if (matchRow != null && keyOrd.compare(matchKey, lk) == 0)
+          val inTol = matchRow != null && toleranceUs.forall(tol =>
+            lt.asInstanceOf[Long] - matchTime.asInstanceOf[Long] <= tol)
+          if (matchRow != null && inTol && keyOrd.compare(matchKey, lk) == 0)
             Iterator.single(project(joined(l, matchRow)))
           else if (isOuter)
             Iterator.single(project(joined(l, nullRight)))

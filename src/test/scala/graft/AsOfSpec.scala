@@ -64,5 +64,17 @@ class AsOfSpec extends SparkSpec {
       .as[(Long, Long, Option[String])].collect().toSet
     assert(gotOuter == Set((1L, 100L, Some("c")), (1L, 5L, None),
       (2L, 50L, None), (3L, 10L, None)))
+
+    // tolerance: probe (1,100) floor is rt=100 (gap 0, within any
+    // tolerance); shrink the window so a stale floor is rejected —
+    // probe t=100 vs a floor at rt=10 with tolerance 50 must not match
+    val probes2 = Seq((1L, 100L)).toDF("k", "t")
+    val refs2 = Seq((1L, Option(10L), "a")).toDF("rk_", "rt", "tag")
+    val tol = org.apache.spark.sql.graft.AsOfJoinPlan.dataset(
+      probes2, refs2, probes2.col("k"), refs2.col("rk_"),
+      probes2.col("t"), refs2.col("rt"), refs2.col("tag"),
+      isOuter = true, toleranceUs = Some(50L))
+    assert(tol.select("tag").as[Option[String]].collect().toSeq ==
+      Seq(None), "out-of-tolerance floor must not match")
   }
 }
