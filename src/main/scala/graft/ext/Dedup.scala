@@ -599,22 +599,19 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      // min over neighbors' labels
-      val viaNeighbors = edges
+      // min-label propagation over the REAL edges unioned with the
+      // label pairs (doc↔label, both directions): v's new label is
+      // min over {label(n) : n neighbor} ∪ {label(label(v))} — the
+      // neighbor-min AND the pointer jump in ONE join + ONE aggregate
+      // (the old form spent three joins per round on the same math).
+      // label(v) itself never needs to participate: labels are min-ids
+      // so label(label(v)) ≤ label(v) — monotone by construction.
+      val lpairs = labels.select(col("doc_id").as("src"), col("label").as("dst"))
+      val lrev = labels.select(col("label").as("src"), col("doc_id").as("dst"))
+      val next = edges.union(lpairs).union(lrev)
         .join(labels.withColumnRenamed("doc_id", "src"), Seq("src"))
         .groupBy(col("dst").as("doc_id"))
-        .agg(min(col("label")).as("nlabel"))
-      // pointer jump: label(label(v)) — label values are themselves
-      // endpoint ids, so they resolve against the same table
-      val jump = labels
-        .select(col("doc_id").as("label"), col("label").as("jlabel"))
-      val next = labels
-        .join(viaNeighbors, Seq("doc_id"), "left")
-        .join(jump, Seq("label"), "left")
-        .select(col("doc_id"),
-          least(col("label"),
-            coalesce(col("nlabel"), col("label")),
-            coalesce(col("jlabel"), col("label"))).as("label"))
+        .agg(min(col("label")).as("label"))
         .localCheckpoint(false)
       val nextSum = labelSum(next)
       converged = nextSum == prevSum
