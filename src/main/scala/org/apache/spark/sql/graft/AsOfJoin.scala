@@ -26,6 +26,9 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   * with its floor-match — no union, no window state, no re-scan.
   * Inner semantics drop left rows with no match; `isOuter = true`
   * keeps them with a null right side (the pandas merge_asof default).
+  * `forward = true` flips the direction: the EARLIEST right row with
+  * rightTime ≥ leftTime (ties take the smallest tiebreak), and
+  * `toleranceUs` bounds the time gap in either direction.
   *
   * Determinism: ties on (key, rightTime) are broken by the required
   * `rightTiebreak` ordering (last wins ⇒ max tiebreak), so the result
@@ -40,7 +43,7 @@ case class AsOfJoinPlan(left: LogicalPlan, right: LogicalPlan,
                         leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         rightTiebreak: Expression, isOuter: Boolean,
-                        toleranceUs: Option[Long])
+                        toleranceUs: Option[Long], forward: Boolean)
     extends BinaryNode {
   override def output: Seq[Attribute] =
     if (isOuter) left.output ++ right.output.map(_.withNullability(true))
@@ -59,7 +62,8 @@ object AsOfJoinPlan {
               leftKey: Column, rightKey: Column,
               leftTime: Column, rightTime: Column,
               rightTiebreak: Column, isOuter: Boolean = false,
-              toleranceUs: Option[Long] = None): DataFrame = {
+              toleranceUs: Option[Long] = None,
+              forward: Boolean = false): DataFrame = {
     val spark = left.sparkSession
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy)) {
       spark.experimental.extraStrategies =
@@ -71,14 +75,15 @@ object AsOfJoinPlan {
         left.queryExecution.analyzed, right.queryExecution.analyzed,
         ColumnShim.expression(leftKey), ColumnShim.expression(rightKey),
         ColumnShim.expression(leftTime), ColumnShim.expression(rightTime),
-        ColumnShim.expression(rightTiebreak), isOuter, toleranceUs))
+        ColumnShim.expression(rightTiebreak), isOuter, toleranceUs,
+        forward))
   }
 }
 
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer, tol) =>
-      AsOfJoinExec(lk, rk, lt, rt, tb, outer, tol,
+    case AsOfJoinPlan(l, r, lk, rk, lt, rt, tb, outer, tol, fwd) =>
+      AsOfJoinExec(lk, rk, lt, rt, tb, outer, tol, fwd,
         planLater(l), planLater(r)) :: Nil
     case _ => Nil
   }
@@ -87,7 +92,7 @@ object AsOfJoinStrategy extends SparkStrategy {
 case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
                         leftTime: Expression, rightTime: Expression,
                         rightTiebreak: Expression, isOuter: Boolean,
-                        toleranceUs: Option[Long],
+                        toleranceUs: Option[Long], forward: Boolean,
                         left: SparkPlan, right: SparkPlan)
     extends BinaryExecNode {
   // tolerance subtracts raw time values: only meaningful for the
@@ -119,6 +124,10 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
       newLeft: SparkPlan, newRight: SparkPlan): SparkPlan =
     copy(left = newLeft, right = newRight)
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val lOut = left.output
     val rOut = right.output
@@ -127,6 +136,7 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
     val rKeyE = rightKey
     val lTimeE = leftTime
     val rTimeE = rightTime
+    val numOutputRows = longMetric("numOutputRows")
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val lKey = BindReferences.bindReference(lKeyE, lOut)
       val rKey = BindReferences.bindReference(rKeyE, rOut)
@@ -148,15 +158,20 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
 
       val nullRight = new org.apache.spark.sql.catalyst.expressions
         .GenericInternalRow(rOut.size)
+      def emit(l: InternalRow, r: InternalRow): Iterator[InternalRow] = {
+        numOutputRows += 1
+        Iterator.single(project(joined(l, r)))
+      }
+      def miss(l: InternalRow): Iterator[InternalRow] =
+        if (isOuter) emit(l, nullRight) else Iterator.empty
+
       lIter.flatMap { l =>
         val lk = lKey.eval(l)
         val lt = lTime.eval(l)
-        if (lk == null || lt == null) {
-          if (isOuter) Iterator.single(project(joined(l, nullRight)))
-          else Iterator.empty
-        } else {
-          // consume right rows before (lk, lt]; the last consumed row
-          // with the same key is the floor match
+        if (lk == null || lt == null) miss(l)
+        else if (!forward) {
+          // BACKWARD (floor): consume right rows up to (lk, lt]; the
+          // last consumed row with the same key is the latest rt ≤ lt
           var done = false
           while (!done && rHead != null) {
             val rk = rKey.eval(rHead)
@@ -179,10 +194,38 @@ case class AsOfJoinExec(leftKey: Expression, rightKey: Expression,
           val inTol = matchRow != null && toleranceUs.forall(tol =>
             lt.asInstanceOf[Long] - matchTime.asInstanceOf[Long] <= tol)
           if (matchRow != null && inTol && keyOrd.compare(matchKey, lk) == 0)
-            Iterator.single(project(joined(l, matchRow)))
-          else if (isOuter)
-            Iterator.single(project(joined(l, nullRight)))
-          else Iterator.empty
+            emit(l, matchRow)
+          else miss(l)
+        } else {
+          // FORWARD (ceiling): advance past rt < lt and pause — the
+          // paused head is the earliest rt ≥ lt. It is NOT consumed:
+          // later (time-ascending) probes of the same key may match
+          // it too. Skipping rt < lt is safe for those probes for the
+          // same reason.
+          var done = false
+          while (!done && rHead != null) {
+            val rk = rKey.eval(rHead)
+            if (rk == null) advanceRight()
+            else {
+              val c = keyOrd.compare(rk, lk)
+              if (c < 0) advanceRight()
+              else if (c == 0) {
+                val rt = rTime.eval(rHead)
+                if (rt == null) advanceRight()
+                else if (timeOrd.compare(rt, lt) < 0) advanceRight()
+                else done = true
+              } else done = true
+            }
+          }
+          val ok = rHead != null && {
+            val rk = rKey.eval(rHead)
+            rk != null && keyOrd.compare(rk, lk) == 0 && {
+              val rt = rTime.eval(rHead)
+              rt != null && toleranceUs.forall(tol =>
+                rt.asInstanceOf[Long] - lt.asInstanceOf[Long] <= tol)
+            }
+          }
+          if (ok) emit(l, rHead) else miss(l)
         }
       }
     }

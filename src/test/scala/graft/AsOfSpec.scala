@@ -77,4 +77,25 @@ class AsOfSpec extends SparkSpec {
     assert(tol.select("tag").as[Option[String]].collect().toSeq ==
       Seq(None), "out-of-tolerance floor must not match")
   }
+
+  test("forward as-of picks the earliest ceiling, min tiebreak, tolerance-bounded") {
+    import spark.implicits._
+    val probes = Seq((1L, 50L), (1L, 70L), (2L, 10L)).toDF("k", "t")
+    val refs = Seq((1L, 10L, "a"), (1L, 60L, "b1"), (1L, 60L, "b2"),
+      (1L, 90L, "c")).toDF("rk_", "rt", "tag")
+    def run(tol: Option[Long]) =
+      org.apache.spark.sql.graft.AsOfJoinPlan.dataset(
+        probes, refs, probes.col("k"), refs.col("rk_"),
+        probes.col("t"), refs.col("rt"), refs.col("tag"),
+        isOuter = true, toleranceUs = tol, forward = true)
+        .select("k", "t", "tag").as[(Long, Long, Option[String])]
+        .collect().toSet
+    // t=50 -> ceiling 60, tie b1/b2 -> MIN tiebreak "b1"; t=70 -> 90;
+    // key 2 has no refs -> null
+    assert(run(None) == Set((1L, 50L, Some("b1")), (1L, 70L, Some("c")),
+      (2L, 10L, None)))
+    // tolerance 15: 60-50=10 ok; 90-70=20 too far
+    assert(run(Some(15L)) == Set((1L, 50L, Some("b1")), (1L, 70L, None),
+      (2L, 10L, None)))
+  }
 }
