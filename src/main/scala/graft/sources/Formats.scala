@@ -50,6 +50,15 @@ object Formats {
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Overwrite).parquet(path)
 
+  /** ORC — the second columnar format (predicate pushdown, column
+    * pruning, and splittable stripes like parquet) for interop with
+    * Hive-era lakes. */
+  def readOrc(spark: SparkSession, path: String): DataFrame =
+    spark.read.orc(path)
+
+  def writeOrc(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).orc(path)
+
   /** Bucketed managed table: pre-shuffles data by `key` into `buckets`
     * files per partition so subsequent equi-joins/aggregations on the
     * key are exchange-free — the co-located-join layout for repeated

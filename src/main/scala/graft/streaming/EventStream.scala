@@ -29,7 +29,7 @@ object EventStream {
 
   /** Remove a staged streaming directory once its bounded run is done
     * (each run-to-completion query stages a corpus copy). */
-  private[streaming] def deleteStaged(p: java.nio.file.Path): Unit = {
+  private[graft] def deleteStaged(p: java.nio.file.Path): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.exists(p)) {
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

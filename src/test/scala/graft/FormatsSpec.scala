@@ -38,6 +38,21 @@ class FormatsSpec extends SparkSpec {
     assert(back.as[(String, Long)].collect().toMap == Map("k1" -> 10L, "k2" -> 20L))
   }
 
+  test("ORC round-trip preserves rows and pushes predicates to the scan") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-orc").toString
+    val df = Tables.lineitem(spark, sf0001)
+      .select("l_orderkey", "l_quantity", "l_shipdate")
+    Formats.writeOrc(df, s"$dir/li")
+    val back = Formats.readOrc(spark, s"$dir/li")
+    assert(back.count() == df.count())
+    val filtered = back.filter($"l_quantity" > 25.0)
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(l_quantity)"),
+      s"ORC scan must push the quantity filter:\n$plan")
+    assert(filtered.count() == df.filter($"l_quantity" > 25.0).count())
+  }
+
   test("binaryFile source exposes payload bytes and metadata") {
     val dir = Files.createTempDirectory("graft-bin")
     Files.write(dir.resolve("x.bin"), Array[Byte](1, 2, 3))

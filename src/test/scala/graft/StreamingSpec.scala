@@ -114,4 +114,58 @@ class StreamingSpec extends SparkSpec {
       assert(timedOut.n_events == 1 && timedOut.session_value == 4.0)
     } finally q.stop()
   }
+
+  test("aggregation state survives a stop/restart via the checkpoint") {
+    // phase 1 streams 20 docs; phase 2 (a NEW query instance on the
+    // SAME checkpoint) streams the same texts under new doc_ids. Only
+    // recovered state can know the phase-1 keepers: a state loss would
+    // emit keeper_id >= 100 and n_copies = 1.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val inDir = java.nio.file.Files.createTempDirectory("graft-ckpt-in")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt")
+    def stage(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-ckpt-stage")
+      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, inDir.resolve(name))
+      EventStream.deleteStaged(tmp)
+    }
+    val results = new scala.collection.concurrent.TrieMap[String, (Long, Long)]
+    def runOnce(): Unit = {
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType)))
+      val q = spark.readStream.schema(schema).parquet(inDir.toString)
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+        .writeStream
+        .outputMode(OutputMode.Update)
+        .option("checkpointLocation", ckpt.toString)
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          batch.collect().foreach(r =>
+            results.put(r.getString(0), (r.getLong(1), r.getLong(2))))
+        }
+        .start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    try {
+      val texts = (1L to 20L).map(i => (i, s"doc text number $i"))
+      stage(texts.toDF("doc_id", "text"), "phase1.parquet")
+      runOnce()
+      stage(texts.map { case (i, t) => (i + 100L, t) }.toDF("doc_id", "text"),
+        "phase2.parquet")
+      runOnce() // new query instance, same checkpoint: state must resume
+      assert(results.size == 20)
+      results.foreach { case (_, (keeper, n)) =>
+        assert(keeper <= 20L, s"keeper $keeper: phase-1 state was lost")
+        assert(n == 2L, s"n_copies $n: phase-2 increment missed old state")
+      }
+    } finally {
+      EventStream.deleteStaged(inDir); EventStream.deleteStaged(ckpt)
+    }
+  }
 }
