@@ -68,4 +68,50 @@ final class Catalog(spark: SparkSession) {
     put(key, df)
     df
   }
+
+  /** Keyed upsert (SCD-1 merge): rows of `updates` replace existing
+    * rows with the same key; everything else is kept. Implemented as
+    * updates ∪ (current ⟕̸ updates) — a union with an anti join, the
+    * MERGE formulation any engine without a transactional table format
+    * runs. One shuffle on the key for the anti join; the union is
+    * shuffle-free. The merged entry replaces the catalog entry
+    * (lazily — `persist` materializes). */
+  def upsert(key: String, updates: DataFrame, idCol: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val merged = if (!exists(key)) updates else {
+      val current = get(key)
+      require(current.columns.sameElements(updates.columns),
+        s"upsert schema mismatch for '$key'")
+      updates.unionAll(
+        current.join(updates.select(col(idCol).as("__upd_id")),
+          col(idCol) === col("__upd_id"), "left_anti"))
+    }
+    put(key, merged)
+    merged
+  }
+
+  /** Small-file compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files. A crawl/streaming sink accumulates
+    * thousands of tiny part files whose per-file open/footer cost
+    * dominates scans at 100 TB; compaction sizes the partition count
+    * from the actual byte size and rewrites once. Returns the file
+    * count after compaction. */
+  def compact(path: String, targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val dir = new java.io.File(path)
+    def parts(d: java.io.File): Array[java.io.File] =
+      d.listFiles().filter(f => f.getName.endsWith(".parquet")
+        || f.getName.startsWith("part-"))
+    val totalBytes = parts(dir).map(_.length()).sum
+    val n = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val tmp = path + ".compact"
+    df.repartition(n).write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap: the rewrite lands fully before the old dir goes
+    val old = new java.io.File(path)
+    val bak = new java.io.File(path + ".old")
+    require(old.renameTo(bak), s"cannot move $path aside")
+    require(new java.io.File(tmp).renameTo(old), s"cannot move $tmp into place")
+    graft.streaming.EventStream.deleteStaged(bak.toPath)
+    parts(new java.io.File(path)).length
+  }
 }

@@ -135,6 +135,37 @@ class CatalogSpec extends SparkSpec {
     assert(rows.length == 100)
   }
 
+  test("upsert replaces matching keys and keeps the rest") {
+    import spark.implicits._
+    val cat = new Catalog(spark)
+    cat.put("up/base", Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "v"))
+    val merged = cat.upsert("up/base",
+      Seq((2L, "B2"), (4L, "d")).toDF("id", "v"), "id")
+    assert(merged.as[(Long, String)].collect().toMap ==
+      Map(1L -> "a", 2L -> "B2", 3L -> "c", 4L -> "d"))
+    // the catalog entry itself was replaced
+    assert(cat.get("up/base").count() == 4)
+    // upsert into an absent key behaves as put
+    val fresh = cat.upsert("up/new", Seq((9L, "z")).toDF("id", "v"), "id")
+    assert(fresh.count() == 1)
+  }
+
+  test("compaction rewrites many small files into few sized ones") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .toString + "/t"
+    val df = (1L to 1000L).toDF("n")
+    df.repartition(64).write.parquet(dir) // 64 tiny files
+    val before = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(before >= 32, s"expected many small files, got $before")
+    val cat = new Catalog(spark)
+    val after = cat.compact(dir) // total bytes << target => 1 file
+    assert(after == 1, s"expected 1 compacted file, got $after")
+    val back = spark.read.parquet(dir).as[Long].collect().sorted
+    assert(back.length == 1000 && back.head == 1L && back.last == 1000L)
+  }
+
   test("graft_dot is callable from SQL after extension registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(
