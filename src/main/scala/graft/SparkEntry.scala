@@ -52,6 +52,7 @@ object SparkEntry {
     "scalar_string_funcs2" -> Relational.scalarStringFuncs2 _,
     "scalar_datetime_funcs" -> Relational.scalarDatetimeFuncs _,
     "agg_stats_acctbal" -> Relational.aggStatsAcctbal _,
+    "histogram_totalprice" -> Relational.histogramTotalprice _,
     "percentile_price" -> Relational.percentilePrice _,
     "rollup_revenue" -> Relational.rollupRevenue _,
     "cube_status_priority" -> Relational.cubeStatusPriority _,
@@ -186,6 +187,7 @@ object SparkEntry {
     "scalar_string_funcs2" -> Relational.scalarString2Oracle,
     "scalar_datetime_funcs" -> Relational.scalarDatetimeOracle,
     "agg_stats_acctbal" -> Relational.aggStatsOracle,
+    "histogram_totalprice" -> Relational.histogramOracle,
     "percentile_price" -> Relational.percentilePriceOracle,
     "rollup_revenue" -> Relational.rollupRevenueOracle,
     "cube_status_priority" -> Relational.cubeStatusPriorityOracle,

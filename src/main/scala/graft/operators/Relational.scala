@@ -1197,6 +1197,25 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Numeric binning histogram: order-value distribution in fixed-width
+    * buckets — the profiling scan behind any data-quality dashboard.
+    * bucket = ⌊price/width⌋ is exact (2-dp inputs ≪ 2^52), so bucket
+    * assignment is engine-identical; one shuffle carrying only
+    * |buckets| rows after map-side partial agg. */
+  def histogramTotalprice(spark: SparkSession, dir: String): DataFrame = {
+    val width = 25000.0
+    Tables.orders(spark, dir)
+      .groupBy(floor(col("o_totalprice") / lit(width)).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), dsum2(col("o_totalprice")).as("total"))
+      .orderBy("bucket")
+  }
+
+  def histogramOracle: String =
+    """SELECT CAST(FLOOR(o_totalprice / 25000.0) AS BIGINT) AS bucket,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM orders GROUP BY bucket ORDER BY bucket""".stripMargin
+
   def aggStatsOracle: String =
     """SELECT c_mktsegment,
       |  COUNT(*) AS n,
