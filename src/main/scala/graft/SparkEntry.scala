@@ -44,6 +44,7 @@ object SparkEntry {
     "q5_region_revenue" -> Relational.q5RegionRevenue _,
     "topk_orders" -> Relational.topkOrders _,
     "window_rank_orders" -> Relational.windowRankOrders _,
+    "grouped_topk_agg" -> Relational.groupedTopkAgg _,
     "window_running_qty" -> Relational.windowRunningQty _,
     "distinct_segments" -> Relational.distinctSegments _,
     "setop_union_nations" -> Relational.setopUnionNations _,
@@ -62,6 +63,7 @@ object SparkEntry {
     "pivot_status" -> Relational.pivotStatus _,
     // ── event/time/JSON operators ──
     "asof_error_click" -> EventOps.asofErrorClick _,
+    "range_join_events" -> EventOps.rangeJoinEvents _,
     // native as-of join operator (custom LogicalPlan/Strategy/SparkPlan)
     "asof_native" -> EventOps.asofNative _,
     "asof_native_outer" -> EventOps.asofNativeOuter _,
@@ -179,6 +181,7 @@ object SparkEntry {
     "q5_region_revenue" -> Relational.q5Oracle,
     "topk_orders" -> Relational.topkOracle,
     "window_rank_orders" -> Relational.windowRankOracle,
+    "grouped_topk_agg" -> Relational.groupedTopkOracle,
     "window_running_qty" -> Relational.windowRunningOracle,
     "distinct_segments" -> Relational.distinctSegmentsOracle,
     "setop_union_nations" -> Relational.setopUnionOracle,
@@ -196,6 +199,7 @@ object SparkEntry {
     "collect_nations" -> Relational.collectNationsOracle,
     "pivot_status" -> Relational.pivotStatusOracle,
     "asof_error_click" -> EventOps.asofErrorClickOracle,
+    "range_join_events" -> EventOps.rangeJoinOracle,
     "asof_native" -> EventOps.asofNativeOracle,
     "asof_native_outer" -> EventOps.asofNativeOuterOracle,
     "malformed_filter" -> EventOps.malformedFilterOracle,

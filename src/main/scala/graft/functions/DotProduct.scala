@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayEqCountExpr, ColumnShim, DotProductExpr, ShingleSigExpr, WordNGramsExpr}
+import org.apache.spark.sql.graft.{ArrayEqCountExpr, BoundedTopKAgg, ColumnShim, DotProductExpr, ShingleSigExpr, WordNGramsExpr}
 
 /** Public Column surface for the native codegen'd dot product
   * (see org.apache.spark.sql.graft.DotProductExpr for the rationale). */
@@ -20,6 +20,16 @@ object ArrayEqCount {
 object ShingleSig {
   def apply(text: Column, width: Int): Column =
     ColumnShim.column(ShingleSigExpr(ColumnShim.expression(text), width))
+}
+
+/** Bounded grouped top-k aggregate: keeps the k smallest structs under
+  * field-order ordering, returned as a sorted array (see
+  * org.apache.spark.sql.graft.BoundedTopKAgg for the heap/shuffle
+  * rationale). Descending orders: negate the leading field. */
+object BoundedTopK {
+  def apply(k: Int, ordered: Column): Column =
+    ColumnShim.column(
+      BoundedTopKAgg(ColumnShim.expression(ordered), k).toAggregateExpression())
 }
 
 /** Space-joined word n-grams of a token array (codegen'd kernel; empty

@@ -37,6 +37,52 @@ object EventOps {
       |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
 
+  /** Keyless time-range join, bin-bucketed. "How many clicks (from ANY
+    * user) landed within ±10 minutes of each monitored purchase" — no
+    * equi key at all, so the naive plan is a nested-loop/cartesian
+    * scan of |windows|×|events| pairs. Bucketing both sides into
+    * fixed-width time bins (width = half-window, so each window spans
+    * ≤ 3 bins and each probe row has exactly one bin) turns it into an
+    * ordinary equi join on `bin` with the range predicate as a
+    * residual: at 100 TB both sides hash-shuffle on bin, no pair is
+    * formed outside neighboring bins, and no probe row can match one
+    * window through two bins (its bin is unique) so no dedup is
+    * needed. The range residual rides in the join condition (not a
+    * post-filter) to keep the left-outer zero-count rows. */
+  def rangeJoinEvents(spark: SparkSession, dir: String): DataFrame = {
+    val binUs = 10L * 60 * 1000 * 1000 // 10-minute bins = half-window
+    val ev = Tables.events(spark, dir)
+    val windows = ev
+      .filter(col("event_type") === "purchase" && col("user_id") < 5)
+      .select(col("user_id"), col("ts"),
+        (unix_micros(col("ts")) - binUs).as("lo"),
+        (unix_micros(col("ts")) + binUs).as("hi")) // window = [lo, hi)
+      .withColumn("bin",
+        explode(sequence((col("lo") / binUs).cast("long"),
+          ((col("hi") - 1) / binUs).cast("long"))))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(unix_micros(col("ts")).as("cm"),
+        (unix_micros(col("ts")) / binUs).cast("long").as("bin"))
+    windows
+      .join(clicks,
+        windows("bin") === clicks("bin") &&
+          col("cm") >= col("lo") && col("cm") < col("hi"),
+        "left_outer")
+      .groupBy("user_id", "ts")
+      .agg(count(col("cm")).as("n_clicks"))
+      .orderBy("user_id", "ts")
+  }
+
+  def rangeJoinOracle: String =
+    """WITH w AS (SELECT user_id, ts FROM events
+      |           WHERE event_type = 'purchase' AND user_id < 5),
+      |c AS (SELECT ts AS cts FROM events WHERE event_type = 'click')
+      |SELECT w.user_id, w.ts, CAST(COUNT(c.cts) AS BIGINT) AS n_clicks
+      |FROM w LEFT JOIN c
+      |  ON c.cts >= w.ts - INTERVAL 10 MINUTE
+      | AND c.cts <  w.ts + INTERVAL 10 MINUTE
+      |GROUP BY w.user_id, w.ts ORDER BY w.user_id, w.ts""".stripMargin
+
   /** Tumbling-window aggregation (1 hour) — the batch twin of the
     * Structured Streaming windowed agg. date_trunc keeps the key a
     * plain timestamp so the oracle matches exactly. */

@@ -1197,6 +1197,34 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Grouped top-k via the native bounded-heap aggregate
+    * ([[graft.functions.BoundedTopK]]): top-3 orders per priority class.
+    * Unlike the window idiom ([[windowRankOrders]]) nothing ever sorts a
+    * full partition — map-side partials shrink every group to ≤ k rows
+    * before the shuffle, and per-group memory is O(k) under any skew.
+    * Descending price = ascending negated price (exact for doubles);
+    * o_orderkey is the deterministic tiebreak. */
+  def groupedTopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val top = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(graft.functions.BoundedTopK(3,
+        struct(negate(col("o_totalprice")).as("np"),
+          col("o_orderkey"), col("o_totalprice"))).as("top"))
+    top.select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"), (col("pos") + 1).cast("long").as("rk"),
+        col("col.o_orderkey").as("o_orderkey"),
+        col("col.o_totalprice").as("o_totalprice"))
+      .orderBy("o_orderpriority", "rk")
+  }
+
+  def groupedTopkOracle: String =
+    """SELECT o_orderpriority, CAST(rk AS BIGINT) AS rk, o_orderkey, o_totalprice
+      |FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+      |        row_number() OVER (PARTITION BY o_orderpriority
+      |          ORDER BY o_totalprice DESC, o_orderkey) AS rk
+      |      FROM orders)
+      |WHERE rk <= 3 ORDER BY o_orderpriority, rk""".stripMargin
+
   /** Numeric binning histogram: order-value distribution in fixed-width
     * buckets — the profiling scan behind any data-quality dashboard.
     * bucket = ⌊price/width⌋ is exact (2-dp inputs ≪ 2^52), so bucket

@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.BoundedTopK
+
+/** Native bounded top-k aggregate vs the window idiom, plus plan shape. */
+class TopKAggSpec extends SparkSpec {
+
+  test("grouped_topk_agg equals the window row_number form") {
+    val agg = operators.Relational.groupedTopkAgg(spark, sf0001).collect()
+    val w = Window.partitionBy("o_orderpriority")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    val win = Tables.orders(spark, sf0001)
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= 3)
+      .select("o_orderpriority", "rk", "o_orderkey", "o_totalprice")
+      .orderBy("o_orderpriority", "rk")
+      .collect()
+    assert(agg.toSeq == win.toSeq)
+  }
+
+  test("bounded top-k survives partial/merge across many partitions") {
+    val df = Tables.orders(spark, sf0001).repartition(7)
+      .groupBy("o_orderpriority")
+      .agg(BoundedTopK(5,
+        struct(negate(col("o_totalprice")).as("np"), col("o_orderkey"))).as("top"))
+      .select(col("o_orderpriority"), explode(col("top")).as("s"))
+      .select(col("o_orderpriority"), col("s.o_orderkey").as("o_orderkey"))
+    val single = Tables.orders(spark, sf0001).coalesce(1)
+      .groupBy("o_orderpriority")
+      .agg(BoundedTopK(5,
+        struct(negate(col("o_totalprice")).as("np"), col("o_orderkey"))).as("top"))
+      .select(col("o_orderpriority"), explode(col("top")).as("s"))
+      .select(col("o_orderpriority"), col("s.o_orderkey").as("o_orderkey"))
+    assert(df.collect().toSet == single.collect().toSet)
+  }
+
+  test("k larger than the group emits the whole group, sorted") {
+    val out = Tables.region(spark, sf0001)
+      .groupBy(lit(1).as("g"))
+      .agg(BoundedTopK(1000, struct(col("r_regionkey"))).as("top"))
+      .select(explode(col("top")).as("s"))
+      .select(col("s.r_regionkey").as("k"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(out == out.sorted && out.size == 5)
+  }
+
+  test("plan uses ObjectHashAggregate with no Window node") {
+    val plan = operators.Relational.groupedTopkAgg(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+    assert(!plan.contains("Window"), s"window operator crept in:\n$plan")
+    // partial + final pair: map-side combine shrinks groups to ≤ k
+    // rows BEFORE the exchange
+    assert(plan.contains("partial_graft_bounded_topk"), s"no partial agg:\n$plan")
+  }
+}
