@@ -53,11 +53,13 @@ object SparkEntry {
     "scalar_string_funcs2" -> Relational.scalarStringFuncs2 _,
     "scalar_datetime_funcs" -> Relational.scalarDatetimeFuncs _,
     "agg_stats_acctbal" -> Relational.aggStatsAcctbal _,
+    "stats_corr_lineitem" -> Relational.statsCorrLineitem _,
     "histogram_totalprice" -> Relational.histogramTotalprice _,
     "percentile_price" -> Relational.percentilePrice _,
     "rollup_revenue" -> Relational.rollupRevenue _,
     "cube_status_priority" -> Relational.cubeStatusPriority _,
     "semi_anti_parts" -> Relational.semiAntiParts _,
+    "fuzzy_name_pairs" -> Relational.fuzzyNamePairs _,
     "left_join_order_counts" -> Relational.leftJoinOrderCounts _,
     "collect_nations" -> Relational.collectNations _,
     "pivot_status" -> Relational.pivotStatus _,
@@ -82,6 +84,7 @@ object SparkEntry {
     // ── LLM-pipeline: text analysis ──
     "token_count" -> TextAnalysis.tokenCount _,
     "text_quality" -> TextAnalysis.textQuality _,
+    "doc_length_deciles" -> TextAnalysis.docLengthDeciles _,
     "lang_id" -> TextAnalysis.langId _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
     "array_funcs" -> TextAnalysis.arrayFuncs _,
@@ -190,11 +193,13 @@ object SparkEntry {
     "scalar_string_funcs2" -> Relational.scalarString2Oracle,
     "scalar_datetime_funcs" -> Relational.scalarDatetimeOracle,
     "agg_stats_acctbal" -> Relational.aggStatsOracle,
+    "stats_corr_lineitem" -> Relational.statsCorrOracle,
     "histogram_totalprice" -> Relational.histogramOracle,
     "percentile_price" -> Relational.percentilePriceOracle,
     "rollup_revenue" -> Relational.rollupRevenueOracle,
     "cube_status_priority" -> Relational.cubeStatusPriorityOracle,
     "semi_anti_parts" -> Relational.semiAntiPartsOracle,
+    "fuzzy_name_pairs" -> Relational.fuzzyNamePairsOracle,
     "left_join_order_counts" -> Relational.leftJoinOrderCountsOracle,
     "collect_nations" -> Relational.collectNationsOracle,
     "pivot_status" -> Relational.pivotStatusOracle,
@@ -209,6 +214,7 @@ object SparkEntry {
     "stream_window_events" -> EventOps.timeWindowOracle,
     "token_count" -> TextAnalysis.tokenCountOracle,
     "text_quality" -> TextAnalysis.textQualityOracle,
+    "doc_length_deciles" -> TextAnalysis.docLengthDecilesOracle,
     "lang_id" -> TextAnalysis.langIdOracle,
     "doc_fingerprint" -> TextAnalysis.fingerprintOracle,
     "array_funcs" -> TextAnalysis.arrayFuncsOracle,

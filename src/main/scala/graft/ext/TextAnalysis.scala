@@ -28,6 +28,48 @@ object TextAnalysis {
   private val tokensSql =
     raw"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), w -> w <> '')"
 
+  // ── corpus length profile: exact decile statistics ──
+
+  /** Exact decile profile of document lengths. A windowed
+    * `ntile(10)`/`row_number` with no partitionBy collapses the whole
+    * corpus into ONE task; instead the global rank comes from
+    * `zipWithIndex` over the range-sorted rows — the sort is a
+    * distributed range exchange and the index is per-partition offsets
+    * plus a tiny partition-count job, so parallelism stays with the
+    * data. Decile boundaries use the even-spread rule
+    * `⌊rank·10/n⌋ + 1` (not ntile's first-tiles-heavier rule) so the
+    * definition is engine-neutral arithmetic on (rank, n). */
+  def docLengthDeciles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id").cast("long"), col("n_chars").cast("long"))
+    val n = base.count()
+    val ranked = base.orderBy("n_chars", "doc_id").rdd
+      .zipWithIndex()
+      .map { case (r, i) => (r.getLong(0), r.getLong(1), i) }
+      .toDF("doc_id", "n_chars", "rnk")
+    ranked
+      // SQL `div` = integral division (Column./ would be double)
+      .groupBy(expr(s"rnk * 10 div ${n}L + 1").as("decile"))
+      .agg(count(lit(1)).as("n_docs"),
+        min("n_chars").as("min_chars"),
+        max("n_chars").as("max_chars"),
+        sum("n_chars").as("sum_chars"))
+      .orderBy("decile")
+  }
+
+  def docLengthDecilesOracle: String =
+    """WITH r AS (SELECT doc_id, n_chars,
+      |    row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS rnk,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents)
+      |SELECT CAST(rnk*10//n + 1 AS BIGINT) AS decile,
+      |  COUNT(*) AS n_docs,
+      |  MIN(n_chars) AS min_chars,
+      |  MAX(n_chars) AS max_chars,
+      |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+      |FROM r GROUP BY decile ORDER BY decile""".stripMargin
+
   // ── token counting (whitespace tokens + BPE-ish subword estimate) ──
 
   /** n_tokens, n_chars, and a BPE-style subword estimate: ceil(len/4)

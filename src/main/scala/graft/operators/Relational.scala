@@ -1197,6 +1197,80 @@ object Relational {
       |GROUP BY c_mktsegment
       |ORDER BY c_mktsegment""".stripMargin
 
+  /** Pearson correlation per group, oracle-exact. Built-in `corr`
+    * accumulates doubles in partition order → non-deterministic last
+    * bits across engines/parallelism. Instead: the five sufficient
+    * statistics as EXACT decimal sums (the [[dsum2]]/[[dsum6]]
+    * discipline), then one fixed-shape double formula over the exact
+    * aggregates — bit-identical at any partitioning, in Spark and in
+    * the oracle alike. Still a single shuffle with map-side partials;
+    * Products cast at scale 4 — their TRUE decimal scale (int·2dp and
+    * 2dp·2dp with an integral factor): price² ~1e10 carries ~2e-6 of
+    * double noise, which a scale-6 cast resolves differently across
+    * engines (Spark rounds the shortest-string repr, DuckDB the raw
+    * binary) but a scale-4 cast absorbs (noise ≪ half-step 5e-5), so
+    * both recover the exact mathematical value. */
+  def statsCorrLineitem(spark: SparkSession, dir: String): DataFrame = {
+    def dsum4(c: Column): Column =
+      sum(c.cast(DecimalType(27, 4))).cast("double")
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum2(x).as("sx"), dsum2(y).as("sy"),
+        dsum4(x * x).as("sxx"), dsum4(y * y).as("syy"),
+        dsum4(x * y).as("sxy"))
+      .select(col("l_returnflag"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))))
+          .as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  def statsCorrOracle: String =
+    """WITH g AS (SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag,
+      |  (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qty_price
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
+  /** Edit-distance fuzzy self-join with length blocking. The naive
+    * fuzzy join is O(n²) name pairs; levenshtein ≤ 1 implies the
+    * lengths differ by ≤ 1, so each left name explodes to its 3
+    * candidate lengths and joins the right side on exact length — an
+    * equi join whose candidate set is only same-±1-length pairs, with
+    * the edit distance as a residual. Same blocking discipline as the
+    * LSH dedup family: never materialize the cartesian. */
+  def fuzzyNamePairs(spark: SparkSession, dir: String): DataFrame = {
+    val names = Tables.nation(spark, dir).select(col("n_name"))
+    val left = names.select(col("n_name").as("name_a"),
+      explode(sequence(length(col("n_name")) - 1, length(col("n_name")) + 1))
+        .as("len_b"))
+    val right = names.select(col("n_name").as("name_b"),
+      length(col("n_name")).as("len_b"))
+    left.join(right, Seq("len_b"))
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")).cast("long"))
+      .filter(col("name_a") < col("name_b") && col("dist") <= 1)
+      .select("name_a", "name_b", "dist")
+      .orderBy("name_a", "name_b")
+  }
+
+  def fuzzyNamePairsOracle: String =
+    """SELECT a.n_name AS name_a, b.n_name AS name_b,
+      |  levenshtein(a.n_name, b.n_name) AS dist
+      |FROM nation a JOIN nation b
+      |  ON a.n_name < b.n_name
+      | AND abs(length(a.n_name) - length(b.n_name)) <= 1
+      | AND levenshtein(a.n_name, b.n_name) <= 1
+      |ORDER BY name_a, name_b""".stripMargin
+
   /** Grouped top-k via the native bounded-heap aggregate
     * ([[graft.functions.BoundedTopK]]): top-3 orders per priority class.
     * Unlike the window idiom ([[windowRankOrders]]) nothing ever sorts a
