@@ -153,6 +153,22 @@ object SparkEntry {
     "q15_top_supplier" -> Relational.q15TopSupplier _,
     "q17_small_quantity" -> Relational.q17SmallQuantity _,
     "q22_idle_customers" -> Relational.q22IdleCustomers _,
+    // ── relational round 5: full outer join, EXCEPT ALL, native
+    //    session_window, time-grid gap-fill, column profiler, arg-max ──
+    "full_outer_spend" -> Relational.fullOuterSpend _,
+    "setop_except_all" -> Relational.setopExceptAll _,
+    "sessionize_native" -> EventOps.sessionizeNative _,
+    "events_gapfill" -> EventOps.eventsGapfill _,
+    "profile_lineitem" -> Relational.profileLineitem _,
+    "argmax_customer" -> Relational.argmaxCustomer _,
+    // ── TPC-H round 5: the five partsupp queries over a lineitem-derived
+    //    partsupp (min-cost supplier, product profit, important stock,
+    //    supplier counts, excess stock) — completes all 22 ──
+    "q2_min_cost_supplier" -> Relational.q2MinCostSupplier _,
+    "q9_product_profit" -> Relational.q9ProductProfit _,
+    "q11_important_stock" -> Relational.q11ImportantStock _,
+    "q16_supplier_counts" -> Relational.q16PartSupplierCounts _,
+    "q20_excess_suppliers" -> Relational.q20ExcessSuppliers _,
     // ── LLM-pipeline round 4: salient terms, context-window chunking,
     //    source-mix rebalancing ──
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
@@ -264,6 +280,17 @@ object SparkEntry {
     "q15_top_supplier" -> Relational.q15Oracle,
     "q17_small_quantity" -> Relational.q17Oracle,
     "q22_idle_customers" -> Relational.q22Oracle,
+    "full_outer_spend" -> Relational.fullOuterSpendOracle,
+    "setop_except_all" -> Relational.setopExceptAllOracle,
+    "sessionize_native" -> EventOps.sessionizeNativeOracle,
+    "events_gapfill" -> EventOps.eventsGapfillOracle,
+    "profile_lineitem" -> Relational.profileLineitemOracle,
+    "argmax_customer" -> Relational.argmaxCustomerOracle,
+    "q2_min_cost_supplier" -> Relational.q2Oracle,
+    "q9_product_profit" -> Relational.q9Oracle,
+    "q11_important_stock" -> Relational.q11Oracle,
+    "q16_supplier_counts" -> Relational.q16Oracle,
+    "q20_excess_suppliers" -> Relational.q20Oracle,
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsOracle,
     "doc_chunks" -> TextAnalysis.docChunksOracle,
     "doc_pack" -> TextAnalysis.docPackOracle,

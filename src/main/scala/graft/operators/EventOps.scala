@@ -294,4 +294,83 @@ object EventOps {
       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
       |FROM sessions GROUP BY user_id, session_id
       |ORDER BY user_id, session_id""".stripMargin
+
+  /** Gap sessionization via Spark's NATIVE session_window — the same
+    * semantics as [[sessionize]] but expressed as a dynamic-gap grouping
+    * window, exercising Catalyst's SessionWindow path (one shuffle on
+    * user, per-group merge of overlapping [ts, ts+gap) intervals).
+    * Session boundary: a gap ≥ 30 min starts a new session (Spark
+    * merges only strictly-overlapping windows), and session_end is
+    * last event + gap — the oracle mirrors both conventions exactly. */
+  def sessionizeNative(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+
+  def sessionizeNativeOracle: String =
+    """WITH lagged AS (
+      |  SELECT user_id, ts,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, ts,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us >= 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      |  FROM flagged)
+      |SELECT user_id, MIN(ts) AS session_start,
+      |  MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+
+  /** Time-grid gap-fill: hourly event counts over the COMPLETE hour
+    * grid between the first and last event — missing hours surface as
+    * explicit zero rows (the resample/densify step of any time-series
+    * feed). The grid is generated from a 1-row min/max aggregate
+    * (sequence + explode — never a driver-side loop), so it stays a
+    * few-KB broadcast join input at any corpus size; the hourly
+    * aggregate is one shuffle with map-side partials. */
+  def eventsGapfill(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("hour_ts"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_value"))
+    val grid = ev
+      .agg(date_trunc("hour", min(col("ts"))).as("lo"),
+        date_trunc("hour", max(col("ts"))).as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"),
+        expr("interval 1 hour"))).as("hour_ts"))
+    grid.join(hourly, Seq("hour_ts"), "left")
+      .select(col("hour_ts"), coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy("hour_ts")
+  }
+
+  def eventsGapfillOracle: String =
+    """WITH h AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1),
+      |b AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS lo,
+      |         date_trunc('hour', MAX(ts)) AS hi
+      |  FROM events),
+      |g AS (SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour_ts
+      |      FROM b)
+      |SELECT g.hour_ts, COALESCE(h.n, 0) AS n,
+      |  COALESCE(h.sum_value, 0.0) AS sum_value
+      |FROM g LEFT JOIN h ON g.hour_ts = h.hour_ts
+      |ORDER BY g.hour_ts""".stripMargin
 }
