@@ -179,6 +179,11 @@ object SparkEntry {
     // stream-stream interval join (watermark-bounded state both sides)
     "stream_interval_join" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinOverFiles(s, dir)),
+    // stream-static dimension enrichment + re-aggregation
+    "stream_static_join" -> ((s, dir) =>
+      graft.streaming.EventStream.streamStaticJoinOverFiles(s, dir)),
+    // split × dup-group leakage audit (train/eval contamination check)
+    "split_leakage_audit" -> ((s, dir) => Dedup.splitLeakageAudit(s, dir)),
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -298,5 +303,8 @@ object SparkEntry {
     "dataset_split" -> Sampling.datasetSplitOracle,
     "stream_interval_join" ->
       graft.streaming.EventStream.intervalJoinOverFilesOracle,
+    "stream_static_join" ->
+      graft.streaming.EventStream.streamStaticJoinOverFilesOracle,
+    "split_leakage_audit" -> Dedup.splitLeakageAuditOracle,
   )
 }

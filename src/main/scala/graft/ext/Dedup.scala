@@ -576,13 +576,67 @@ object Dedup {
     out
   }
 
+  /** Edge-count cutoff for the driver-side union-find fast path: 2M
+    * edges ≈ tens of MB collected — far under any driver heap, and far
+    * above what LSH emits at bench scale. */
+  private val DriverCcMaxEdges = 2000000L
+
   /** As [[duplicateGroups]], returning (groups, converged, iterations)
-    * so pipelines can detect a degraded result programmatically. */
+    * so pipelines can detect a degraded result programmatically.
+    *
+    * Two-tier execution — the standard shape for connected components
+    * on a contracted graph:
+    *   - The LSH pair graph is usually MINUSCULE next to the corpus
+    *     (only near-dup endpoints appear). When it fits comfortably in
+    *     driver memory (≤ [[DriverCcMaxEdges]]), collect it and resolve
+    *     components with union-find (path compression + union-by-min —
+    *     the final root of every component is provably its min id, so
+    *     the result is identical to label propagation, in one collect
+    *     instead of O(log n) Spark jobs whose per-job overhead dominates
+    *     at this graph size).
+    *   - Otherwise (a 100 TB corpus can emit billions of pairs), fall
+    *     back to distributed endpoint-only min-label propagation with
+    *     pointer jumping — O(log diameter) rounds, one job per round.
+    * Both paths produce canonical min-id labels; only endpoints carry
+    * state, and every untouched doc keeps label = doc_id via the final
+    * left join. */
   def duplicateGroupsWithStatus(spark: SparkSession, dir: String,
                                 threshold: Double = PairThreshold,
                                 maxIter: Int = 20): (DataFrame, Boolean, Int) = {
     val pairs = minhashPairs(spark, dir, threshold)
       .select(col("d1"), col("d2")).persist()
+    val edgeCount = pairs.count()
+    if (edgeCount <= DriverCcMaxEdges) {
+      val parent = new java.util.HashMap[Long, Long](
+        math.max(16, (edgeCount * 2).toInt))
+      def find(x0: Long): Long = {
+        var r = x0
+        while (parent.get(r) != r) r = parent.get(r)
+        var c = x0
+        while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+        r
+      }
+      pairs.collect().foreach { row =>
+        val a = row.getLong(0); val b = row.getLong(1)
+        if (!parent.containsKey(a)) parent.put(a, a)
+        if (!parent.containsKey(b)) parent.put(b, b)
+        val ra = find(a); val rb = find(b)
+        if (ra < rb) parent.put(rb, ra)
+        else if (rb < ra) parent.put(ra, rb)
+      }
+      import scala.jdk.CollectionConverters._
+      import spark.implicits._
+      val labelRows = parent.keySet().asScala.toSeq.sorted
+        .map(k => (k, find(k)))
+      val docs = Tables.documents(spark, dir).select(col("doc_id"))
+      val out = docs.join(broadcast(labelRows.toDF("doc_id", "label")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("label"), col("doc_id")).as("group_id"))
+        .orderBy("doc_id")
+      pairs.unpersist()
+      return (out, true, 0)
+    }
     // undirected edges, both directions
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
       .toDF("src", "dst").persist()
@@ -646,6 +700,50 @@ object Dedup {
        |          FROM reach r JOIN edges e ON r.doc_id = e.src)
        |SELECT doc_id, CAST(min(label) AS BIGINT) AS group_id
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  /** Train/val/test LEAKAGE audit — the check every training pipeline
+    * must run before shipping a split: near-duplicate groups
+    * ([[duplicateGroups]]) whose members land in MORE THAN ONE split of
+    * the deterministic hash split ([[Sampling.datasetSplit]]). Any such
+    * group leaks eval data into training. Composition is two hash joins
+    * on doc_id plus one aggregate; the splits column is a sorted
+    * distinct list so the output is deterministic at any parallelism.
+    * At 100 TB both inputs derive from their own scale-safe pipelines
+    * and the audit itself shuffles only (group_id, split) pairs. */
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
+    val groups = duplicateGroups(spark, dir)
+    val splits = Sampling.datasetSplit(spark, dir).select("doc_id", "split")
+    groups.join(splits, Seq("doc_id"))
+      .groupBy("group_id")
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("split")).as("n_splits"),
+        array_join(array_sort(collect_set(col("split"))), ",").as("splits"))
+      .filter(col("n_splits") > 1)
+      .orderBy("group_id")
+  }
+
+  def splitLeakageAuditOracle: String =
+    s"""WITH RECURSIVE
+       |$minhashEstCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM est WHERE est_jaccard >= $PairThreshold
+       |          UNION ALL
+       |          SELECT d2, d1 FROM est WHERE est_jaccard >= $PairThreshold),
+       |reach AS (SELECT doc_id, doc_id AS label FROM documents
+       |          UNION
+       |          SELECT e.dst AS doc_id, r.label
+       |          FROM reach r JOIN edges e ON r.doc_id = e.src),
+       |groups AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS group_id
+       |           FROM reach GROUP BY doc_id),
+       |splits AS (SELECT doc_id,
+       |             ${Sampling.splitCaseSql("doc_id")} AS split
+       |           FROM documents)
+       |SELECT g.group_id, COUNT(*) AS n_docs,
+       |  COUNT(DISTINCT s.split) AS n_splits,
+       |  array_to_string(list_sort(list(DISTINCT s.split)), ',') AS splits
+       |FROM groups g JOIN splits s USING (doc_id)
+       |GROUP BY g.group_id
+       |HAVING COUNT(DISTINCT s.split) > 1
+       |ORDER BY g.group_id""".stripMargin
 
   // ── embedding-cosine near-dup ──
 

@@ -36,8 +36,18 @@ object Sampling {
     conv(substring(md5(concat(lit(SampleSalt + ":"), id.cast("string"))), 1, 8), 16, 10)
       .cast("long")
 
-  private def sampleHashSql(idExpr: String): String =
+  private[ext] def sampleHashSql(idExpr: String): String =
     s"CAST(concat('0x', substr(md5('$SampleSalt:' || $idExpr), 1, 8)) AS BIGINT)"
+
+  /** Oracle mirror of [[datasetSplit]]'s hash-range CASE, for queries
+    * that compose the split assignment (e.g. the leakage audit). */
+  private[ext] def splitCaseSql(idExpr: String): String = {
+    val trainHi = (0.8 * 4294967296L).toLong
+    val valHi = (0.9 * 4294967296L).toLong
+    s"""CASE WHEN ${sampleHashSql(idExpr)} < $trainHi THEN 'train'
+       |     WHEN ${sampleHashSql(idExpr)} < $valHi THEN 'val'
+       |     ELSE 'test' END""".stripMargin
+  }
 
   /** Bernoulli sample at `rate`: keep iff hash < rate·2^32. Exact
     * integer threshold — no float comparison ambiguity. */

@@ -1467,14 +1467,16 @@ object Relational {
       |ORDER BY nation, o_year DESC""".stripMargin
 
   /** TPC-H Q11-style important stock: parts whose inventory value at
-    * EUROPE's suppliers exceeds 0.1% of the region's total (classic Q11
-    * scopes one nation; the fixture spreads ~3 suppliers per nation, so
-    * the region keeps the query populated at every SF). Both the
-    * per-part values and the global threshold are decimal sums over the
-    * SAME per-pair products (order-independent), the 1-row threshold
-    * broadcasts back, and the strict > is between identically-derived
-    * doubles. partsupp derives once; AQE reuses the exchange for both
-    * aggregations. */
+    * EUROPE's suppliers exceeds 2× the average per-part value (classic
+    * Q11 scopes one nation and uses a 0.0001/SF fraction of the total;
+    * the fixture spreads ~3 suppliers per nation and its part count
+    * grows with SF, so the region + the scale-invariant
+    * above-2×-average form keep the query populated at every SF).
+    * Both the per-part values and the global threshold are decimal sums
+    * over the SAME per-pair products (order-independent), the 1-row
+    * threshold broadcasts back, and the strict > is between
+    * identically-derived doubles. partsupp derives once; AQE reuses the
+    * exchange for both aggregations. */
   def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
     val eurNations = Tables.nation(spark, dir)
       .join(broadcast(Tables.region(spark, dir)
@@ -1490,7 +1492,9 @@ object Relational {
       .select(col("ps_partkey"),
         (col("ps_supplycost") * col("ps_availqty")).as("v"))
     val perPart = ps.groupBy("ps_partkey").agg(dsum6(col("v")).as("value"))
-    val threshold = ps.agg((dsum6(col("v")) * lit(0.001)).as("thr"))
+    val threshold = ps.agg(dsum6(col("v")).as("tot"))
+      .crossJoin(broadcast(perPart.agg(count(lit(1)).as("ng"))))
+      .select((lit(2.0) * col("tot") / col("ng")).as("thr"))
     perPart.join(broadcast(threshold), col("value") > col("thr"))
       .select("ps_partkey", "value")
       .orderBy(desc("value"), col("ps_partkey"))
@@ -1502,14 +1506,15 @@ object Relational {
       |  SELECT ps_partkey, ps_supplycost * ps_availqty AS v
       |  FROM partsupp, supplier, nation, region
       |  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
-      |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
-      |SELECT ps_partkey,
-      |  CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS value
-      |FROM natps
-      |GROUP BY ps_partkey
-      |HAVING CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) > (
-      |  SELECT CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) * 0.001
-      |  FROM natps)
+      |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+      |g AS (
+      |  SELECT ps_partkey,
+      |    CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE) AS value
+      |  FROM natps GROUP BY ps_partkey)
+      |SELECT ps_partkey, value FROM g
+      |WHERE value > 2.0 * (SELECT CAST(SUM(CAST(v AS DECIMAL(24,6))) AS DOUBLE)
+      |                     FROM natps)
+      |              / (SELECT COUNT(*) FROM g)
       |ORDER BY value DESC, ps_partkey""".stripMargin
 
   /** TPC-H Q16-style supplier counts per part attribute: how many

@@ -99,6 +99,58 @@ object EventStream {
       .orderBy("hour_ts", "event_type")
   }
 
+  /** Stream-static enrichment join run to completion over a bounded
+    * file stream: each streamed event joins a STATIC per-type profile
+    * (its global average value, computed batch-side with the exact
+    * decimal discipline), and the enriched stream re-aggregates into
+    * above-average counts per type. Stream-static is the standard
+    * dimension-enrichment shape — the static side broadcasts fresh per
+    * micro-batch, no state store involvement for the join itself; the
+    * downstream agg runs Complete mode (bounded stream). Verifies
+    * against a pure-SQL twin of the same join+agg. */
+  def streamStaticJoinOverFiles(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val typeAvg = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+        .cast("double") / count(lit(1))).as("avg_value"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_stream_ss_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.join(broadcast(typeAvg), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(col("value") > col("avg_value"), 1L).otherwise(0L))
+          .as("n_above"))
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete).start()
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
+    spark.table(name).orderBy("event_type")
+  }
+
+  def streamStaticJoinOverFilesOracle: String =
+    """WITH a AS (
+      |  SELECT event_type,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*)
+      |      AS avg_value
+      |  FROM events GROUP BY 1)
+      |SELECT e.event_type, COUNT(*) AS n_total,
+      |  CAST(SUM(CASE WHEN e.value > a.avg_value THEN 1 ELSE 0 END)
+      |       AS BIGINT) AS n_above
+      |FROM events e JOIN a USING (event_type)
+      |GROUP BY e.event_type ORDER BY event_type""".stripMargin
+
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState + event-time timeout): a session closes
     * when the watermark passes last-event + gap; closed sessions are
