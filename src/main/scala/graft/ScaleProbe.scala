@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-probe harness: synthesizes a 10× copy of the sf dir's fact
+  * tables (shifted keys, perturbed text/timestamps so dedup/session
+  * structure stays realistic) and times headline queries at 1× vs 10×.
+  *
+  * Purpose: measured evidence for the SCALE.md claims — a plan whose
+  * runtime grows ~linearly from 1× to 10× on the same 32 cores is
+  * shuffle/partition-shaped correctly; anything super-linear flags a
+  * quadratic term or a parallelism collapse. (Absolute times still
+  * carry local-mode noise; the RATIO is the signal.)
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] [workDir]
+  * Prints one JSON line: {"probe":..., "t1":..., "t10":..., "ratio":...}
+  */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val work = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    GraftSession.tune(spark)
+
+    buildScaled(spark, sfDir, work)
+
+    val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+      "q1_pricing_summary" -> (graft.operators.Relational.q1PricingSummary _),
+      "q3_shipping" -> (graft.operators.Relational.q3Shipping _),
+      "q6_forecast_revenue" -> (graft.operators.Relational.q6ForecastRevenue _),
+      "sessionize_events" -> (graft.operators.EventOps.sessionize _),
+      "time_window_events" -> (graft.operators.EventOps.timeWindow _),
+      "wordcount" -> ((s, d) =>
+        graft.operators.WordCount.wordCount(Tables.documents(s, d), "text")),
+      "dedup_minhash_signatures" -> (graft.ext.Dedup.minhashSignatures _),
+      "dedup_minhash_pairs" ->
+        ((s, d) => graft.ext.Dedup.minhashPairs(s, d)),
+      "token_count" -> (graft.ext.TextAnalysis.tokenCount _),
+    )
+
+    def time(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    def runOnce(dir: String, fn: (SparkSession, String) => DataFrame): Double = {
+      spark.catalog.clearCache()
+      time(fn(spark, dir).write.format("noop").mode("overwrite").save())
+    }
+
+    // warmup both paths once so codegen/scan setup isn't billed
+    probes.take(1).foreach { case (_, fn) => runOnce(sfDir, fn); runOnce(work, fn) }
+    val rows = probes.map { case (name, fn) =>
+      val t1 = math.min(runOnce(sfDir, fn), runOnce(sfDir, fn))
+      val t10 = math.min(runOnce(work, fn), runOnce(work, fn))
+      val r = t10 / t1
+      println(f"""{"probe":"$name","t1":$t1%.2f,"t10":$t10%.2f,"ratio":$r%.1f}""")
+      (name, t1, t10, r)
+    }
+    val worst = rows.maxBy(_._4)
+    println(f"""{"probe":"WORST","name":"${worst._1}","ratio":${worst._4}%.1f}""")
+    spark.stop()
+  }
+
+  /** 10× fact tables with shifted keys; dims copied as-is.
+    *   - lineitem/orders: orderkey += k·10^12 per replica k (custkey,
+    *     partkey, suppkey unchanged — dimension fan-out grows 10×,
+    *     exactly like a bigger fact against fixed dims)
+    *   - events: event_id/user_id shifted so session/user cardinality
+    *     scales (more users, same per-user density), ts jittered +k s
+    *   - documents: doc_id shifted, a replica token prepended so the
+    *     corpus isn't 10 exact copies (which would put every doc in a
+    *     10-way dup group and distort LSH bucket shape)
+    * Skips the build when the work dir already exists. */
+  private def buildScaled(spark: SparkSession, sfDir: String, work: String): Unit = {
+    val done = new java.io.File(s"$work/_built")
+    if (done.exists()) return
+    val ks = (0 until 10)
+    def replicate(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
+      ks.map(k => f(df, k)).reduce(_ unionAll _)
+
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    replicate(li, (d, k) => d.withColumn("l_orderkey",
+        col("l_orderkey") + lit(k.toLong * 1000000000000L)))
+      .write.mode("overwrite").parquet(s"$work/lineitem.parquet")
+
+    val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+    replicate(ord, (d, k) => d.withColumn("o_orderkey",
+        col("o_orderkey") + lit(k.toLong * 1000000000000L)))
+      .write.mode("overwrite").parquet(s"$work/orders.parquet")
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    replicate(ev, (d, k) => d
+        .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000000L))
+        .withColumn("user_id", col("user_id") + lit(k.toLong * 100000000L))
+        .withColumn("ts", col("ts") + lit(k.toLong * 1000000000L)))
+      .write.mode("overwrite").parquet(s"$work/events.parquet")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    replicate(docs, (d, k) => d
+        .withColumn("doc_id", col("doc_id") + lit(k.toLong * 100000000L))
+        .withColumn("text", concat(lit(s"replica$k "), col("text"))))
+      .write.mode("overwrite").parquet(s"$work/documents.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+      .foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet")
+          .write.mode("overwrite").parquet(s"$work/$t.parquet")
+      }
+    done.getParentFile.mkdirs(); done.createNewFile()
+  }
+}

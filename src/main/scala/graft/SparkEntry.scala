@@ -184,6 +184,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamStaticJoinOverFiles(s, dir)),
     // split × dup-group leakage audit (train/eval contamination check)
     "split_leakage_audit" -> ((s, dir) => Dedup.splitLeakageAudit(s, dir)),
+    // per-reason curation audit (first-failing-rule cascade)
+    "quality_filter_reasons" -> TextAnalysis.qualityFilterReasons _,
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -306,5 +308,6 @@ object SparkEntry {
     "stream_static_join" ->
       graft.streaming.EventStream.streamStaticJoinOverFilesOracle,
     "split_leakage_audit" -> Dedup.splitLeakageAuditOracle,
+    "quality_filter_reasons" -> TextAnalysis.qualityFilterReasonsOracle,
   )
 }

@@ -521,4 +521,48 @@ object TextAnalysis {
        |  CAST(len(chunk) AS BIGINT) AS n_chunk_tokens,
        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+
+  /** Quality filter with REASONS — the curation audit every corpus
+    * report needs: each doc is assigned the FIRST failing rule of a
+    * fixed cascade (too_short → low_stopword → low_diversity → pass)
+    * and the corpus is summarized per reason. The cascade is a single
+    * codegen'd CASE projection over the token stream (zero shuffle
+    * before the tiny per-reason aggregate); rule order is fixed so the
+    * assignment is deterministic, and the short-circuit means ratio
+    * rules never divide by a zero token count (too_short fires first).
+    * Thresholds sit inside the fixture's metric distribution so every
+    * rule actually fires (p05 n_tokens=16, p25 stopword_ratio=0.04,
+    * p25 distinct_ratio=0.36). */
+  def qualityFilterReasons(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val nTok = size(ws).cast("long")
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
+    val nDist = size(array_distinct(ws)).cast("long")
+    val reason = when(nTok < 20, "too_short")
+      .when(nStop.cast("double") / nTok < 0.02, "low_stopword")
+      .when(nDist.cast("double") / nTok < 0.35, "low_diversity")
+      .otherwise("pass")
+    Tables.documents(spark, dir)
+      .select(reason.as("reason"), nTok.as("n_tokens"))
+      .groupBy("reason")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .orderBy("reason")
+  }
+
+  def qualityFilterReasonsOracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |m AS (SELECT
+       |  CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(ws, w -> w IN ($stopwordsSqlList))) AS BIGINT) AS n_stop,
+       |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_dist
+       |  FROM t),
+       |r AS (SELECT n_tokens,
+       |  CASE WHEN n_tokens < 20 THEN 'too_short'
+       |       WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.02 THEN 'low_stopword'
+       |       WHEN CAST(n_dist AS DOUBLE) / n_tokens < 0.35 THEN 'low_diversity'
+       |       ELSE 'pass' END AS reason
+       |  FROM m)
+       |SELECT reason, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM r GROUP BY reason ORDER BY reason""".stripMargin
 }
