@@ -186,6 +186,9 @@ object SparkEntry {
     "split_leakage_audit" -> ((s, dir) => Dedup.splitLeakageAudit(s, dir)),
     // per-reason curation audit (first-failing-rule cascade)
     "quality_filter_reasons" -> TextAnalysis.qualityFilterReasons _,
+    // Spark 4 transformWithState sessionizer (RocksDB-backed v2 state)
+    "stream_sessionize_tws" -> ((s, dir) =>
+      graft.streaming.EventStream.sessionizeTwsOverFiles(s, dir)),
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -309,5 +312,7 @@ object SparkEntry {
       graft.streaming.EventStream.streamStaticJoinOverFilesOracle,
     "split_leakage_audit" -> Dedup.splitLeakageAuditOracle,
     "quality_filter_reasons" -> TextAnalysis.qualityFilterReasonsOracle,
+    "stream_sessionize_tws" ->
+      graft.streaming.EventStream.sessionizeTwsOverFilesOracle,
   )
 }

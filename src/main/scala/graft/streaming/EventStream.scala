@@ -215,6 +215,120 @@ object EventStream {
       }
   }
 
+  /** Gap sessionizer on Spark 4's transformWithState API (arbitrary
+    * stateful processing v2, RocksDB-backed): the same session fold as
+    * [[sessionize]], but state lives in a typed [[ValueState]] inside a
+    * [[StatefulProcessor]] — the modern replacement for
+    * flatMapGroupsWithState, with per-state-variable encoders and TTL.
+    * A "flush" sentinel event closes the trailing session in-line
+    * (TimeMode.None — no timers needed on a bounded stream), so the
+    * result is byte-identical to the batch gap sessionization. */
+  private[streaming] class GapSessionProcessor(gapUs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, Event, SessionOut] {
+    @transient private var session:
+        org.apache.spark.sql.streaming.ValueState[SessionState] = _
+
+    override def init(outputMode: OutputMode,
+                      timeMode: org.apache.spark.sql.streaming.TimeMode): Unit =
+      session = getHandle.getValueState[SessionState]("session",
+        org.apache.spark.sql.Encoders.product[SessionState],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+
+    override def handleInputRows(user: Long, rows: Iterator[Event],
+        tv: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      def emit(s: SessionState): SessionOut =
+        SessionOut(user, toTimestamp(s.start), toTimestamp(s.last),
+          s.n, math.rint(s.total * 100) / 100)
+      val sorted = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+      var cur = if (session.exists()) Some(session.get()) else None
+      val closed = Seq.newBuilder[SessionOut]
+      sorted.foreach { e =>
+        val t = toMicros(e.ts)
+        if (e.event_type == "flush") {
+          cur.foreach(s => closed += emit(s))
+          cur = None
+        } else cur match {
+          case Some(s) if t - s.last <= gapUs =>
+            cur = Some(s.copy(start = math.min(s.start, t),
+              last = math.max(s.last, t), n = s.n + 1,
+              total = s.total + e.value))
+          case Some(s) =>
+            closed += emit(s)
+            cur = Some(SessionState(t, t, 1, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1, e.value))
+        }
+      }
+      cur match {
+        case Some(s) => session.update(s)
+        case None => session.clear()
+      }
+      closed.result().iterator
+    }
+  }
+
+  /** [[GapSessionProcessor]] run to completion over the bounded file
+    * stream — same sentinel staging as [[sessionizeOverFiles]], same
+    * oracle. RocksDB is the required state store provider for
+    * transformWithState; the previous provider is restored after. */
+  def sessionizeTwsOverFiles(spark: org.apache.spark.sql.SparkSession,
+                             dir: String, gapMinutes: Int = 30): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val batch = graft.Tables.events(spark, dir)
+      val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      val sentinelUs = maxUs + (gapMinutes + 60L) * 60000000L
+      val sentinels = batch.select(col("user_id")).distinct()
+        .select((col("user_id") + 1000000000L).as("event_id"),
+          lit(sentinelUs * 1000L).as("ts"),
+          col("user_id"), lit("flush").as("event_type"),
+          lit(0.0).as("value"), lit(null).cast("string").as("props"))
+      val streamDir = java.nio.file.Files.createTempDirectory("graft-tws-stream")
+      java.nio.file.Files.copy(
+        java.nio.file.Path.of(s"$dir/events.parquet"),
+        streamDir.resolve("events.parquet"))
+      val tmp = java.nio.file.Files.createTempDirectory("graft-tws-sentinel")
+      sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath, streamDir.resolve("sentinels.parquet"))
+      val schema = StructType(Seq(
+        StructField("event_id", LongType), StructField("ts", LongType),
+        StructField("user_id", LongType), StructField("event_type", StringType),
+        StructField("value", DoubleType), StructField("props", StringType)))
+      val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .as[Event]
+      val name = s"graft_stream_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+      val q = stream.groupByKey(_.user_id)
+        .transformWithState(new GapSessionProcessor(gapMinutes * 60000000L),
+          org.apache.spark.sql.streaming.TimeMode.None(),
+          OutputMode.Append())
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+      try q.processAllAvailable() finally {
+        q.stop(); deleteStaged(streamDir); deleteStaged(tmp)
+      }
+      spark.table(name)
+        .filter(unix_micros(col("session_start")) < sentinelUs)
+        .orderBy("user_id", "session_start")
+    } finally {
+      prevProvider match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+  }
+
+  def sessionizeTwsOverFilesOracle: String = sessionizeOverFilesOracle
+
   /** The streaming sessionizer run to completion over the events table
     * as a bounded file stream — driver-oracled like
     * [[windowedCountsOverFiles]]. Append mode never emits a user's
