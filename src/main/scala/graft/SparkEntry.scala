@@ -161,6 +161,9 @@ object SparkEntry {
     "events_gapfill" -> EventOps.eventsGapfill _,
     "profile_lineitem" -> Relational.profileLineitem _,
     "argmax_customer" -> Relational.argmaxCustomer _,
+    "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
+    "window_range_frame" -> EventOps.windowRangeFrame _,
+    "cohort_retention" -> EventOps.cohortRetention _,
     // ── TPC-H round 5: the five partsupp queries over a lineitem-derived
     //    partsupp (min-cost supplier, product profit, important stock,
     //    supplier counts, excess stock) — completes all 22 ──
@@ -296,6 +299,9 @@ object SparkEntry {
     "events_gapfill" -> EventOps.eventsGapfillOracle,
     "profile_lineitem" -> Relational.profileLineitemOracle,
     "argmax_customer" -> Relational.argmaxCustomerOracle,
+    "scalar_regex_funcs" -> Relational.scalarRegexOracle,
+    "window_range_frame" -> EventOps.windowRangeFrameOracle,
+    "cohort_retention" -> EventOps.cohortRetentionOracle,
     "q2_min_cost_supplier" -> Relational.q2Oracle,
     "q9_product_profit" -> Relational.q9Oracle,
     "q11_important_stock" -> Relational.q11Oracle,

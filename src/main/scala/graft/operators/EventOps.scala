@@ -333,6 +333,59 @@ object EventOps {
       |FROM sessions GROUP BY user_id, sid
       |ORDER BY user_id, session_start""".stripMargin
 
+  /** Sliding RANGE-frame window: for every event, how many events the
+    * same user produced in the trailing hour (inclusive bounds, peers
+    * at equal timestamps included — identical RANGE semantics in both
+    * engines; the frame key is epoch micros so the interval arithmetic
+    * is exact integer math). One shuffle on user_id; per-partition the
+    * frame is a two-pointer pass, never a per-row rescan. */
+  def windowRangeFrame(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("us"))
+      .rangeBetween(-3600000000L, 0L)
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("us"))
+      .withColumn("n_trailing_hour", count(lit(1)).over(w))
+      .select("event_id", "user_id", "n_trailing_hour")
+      .orderBy("event_id")
+  }
+
+  def windowRangeFrameOracle: String =
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |    RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |    AS n_trailing_hour
+      |FROM events ORDER BY event_id""".stripMargin
+
+  /** Cohort retention: users bucketed by their FIRST-seen day (the
+    * cohort), then distinct active users per (cohort_day, activity_day)
+    * — the standard product-analytics retention matrix. Two shuffles
+    * (per-user min, then per-cell distinct count); the cohort table is
+    * |users| rows and joins back on user_id before the cell aggregate.
+    * At scale both aggregates partial map-side; nothing is ever
+    * per-user on the driver. */
+  def cohortRetention(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+    val cohorts = ev.groupBy("user_id").agg(min(col("day")).as("cohort_day"))
+    ev.distinct()
+      .join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), col("day").as("activity_day"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy("cohort_day", "activity_day")
+  }
+
+  def cohortRetentionOracle: String =
+    """WITH ev AS (
+      |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events),
+      |cohorts AS (
+      |  SELECT user_id, MIN(day) AS cohort_day FROM ev GROUP BY user_id)
+      |SELECT cohort_day, day AS activity_day,
+      |  COUNT(DISTINCT ev.user_id) AS n_users
+      |FROM ev JOIN cohorts USING (user_id)
+      |GROUP BY cohort_day, day
+      |ORDER BY cohort_day, activity_day""".stripMargin
+
   /** Time-grid gap-fill: hourly event counts over the COMPLETE hour
     * grid between the first and last event — missing hours surface as
     * explicit zero rows (the resample/densify step of any time-series

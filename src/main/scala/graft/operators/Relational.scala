@@ -1707,6 +1707,33 @@ object Relational {
       |  MIN(l_tax), MAX(l_tax) FROM lineitem
       |ORDER BY col_name""".stripMargin
 
+  /** Scalar battery 4: regular expressions. Patterns stay within the
+    * POSIX-compatible intersection of Java regex (Spark) and RE2
+    * (DuckDB) — char classes, quantifiers, anchors — so semantics are
+    * engine-identical. DuckDB's regexp_replace defaults to
+    * first-occurrence; the oracle passes 'g' to match Spark's
+    * replace-all. All codegen'd projections, zero shuffle before the
+    * final sort. */
+  def scalarRegexFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir).select(
+      col("c_custkey"),
+      regexp_extract(col("c_name"), "([0-9]+)$", 1).as("digits"),
+      regexp_extract(col("c_name"), "([0-9]+)$", 1).cast("long").as("digits_num"),
+      regexp_replace(col("c_name"), "0+", "0").as("collapsed"),
+      col("c_name").rlike("^Customer#[0-9]{9}$").as("well_formed"),
+      regexp_count(col("c_name"), lit("[1-9]")).as("nonzero_digits"))
+      .orderBy("c_custkey")
+
+  def scalarRegexOracle: String =
+    """SELECT c_custkey,
+      |  regexp_extract(c_name, '([0-9]+)$', 1) AS digits,
+      |  CAST(regexp_extract(c_name, '([0-9]+)$', 1) AS BIGINT) AS digits_num,
+      |  regexp_replace(c_name, '0+', '0', 'g') AS collapsed,
+      |  regexp_matches(c_name, '^Customer#[0-9]{9}$') AS well_formed,
+      |  CAST(len(regexp_extract_all(c_name, '[1-9]')) AS INTEGER)
+      |    AS nonzero_digits
+      |FROM customer ORDER BY c_custkey""".stripMargin
+
   /** max_by/min_by battery: per market segment, the customer holding
     * the extreme account balance. The native max_by aggregates with
     * map-side partials (no window, no per-group sort); the comparison
