@@ -164,6 +164,8 @@ object SparkEntry {
     "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
     "window_range_frame" -> EventOps.windowRangeFrame _,
     "cohort_retention" -> EventOps.cohortRetention _,
+    "multimodal_frames" -> Multimodal.frames _,
+    "sim_recall_audit" -> ((s, dir) => Similarity.annRecallAudit(s, dir)),
     // ── TPC-H round 5: the five partsupp queries over a lineitem-derived
     //    partsupp (min-cost supplier, product profit, important stock,
     //    supplier counts, excess stock) — completes all 22 ──
@@ -302,6 +304,8 @@ object SparkEntry {
     "scalar_regex_funcs" -> Relational.scalarRegexOracle,
     "window_range_frame" -> EventOps.windowRangeFrameOracle,
     "cohort_retention" -> EventOps.cohortRetentionOracle,
+    "multimodal_frames" -> Multimodal.framesOracle,
+    "sim_recall_audit" -> Similarity.annRecallAuditOracle,
     "q2_min_cost_supplier" -> Relational.q2Oracle,
     "q9_product_profit" -> Relational.q9Oracle,
     "q11_important_stock" -> Relational.q11Oracle,

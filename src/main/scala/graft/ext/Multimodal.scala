@@ -145,4 +145,41 @@ object Multimodal {
       |  CAST(4 AS INTEGER) AS n_features
       |FROM d LEFT JOIN s ON d.doc_id = s.doc_id
       |ORDER BY asset_id""".stripMargin
+
+  /** Fixed-size frame splitting of the opaque payload — the
+    * frame-sample stage of an audio/video pipeline (chunk the byte
+    * stream, checksum each frame for transport integrity). Fully
+    * declarative: frame indices come from sequence + explode over the
+    * byte length, frames from binary substring — all codegen'd, no
+    * UDF, blobs never leave the executors. Every frame's md5 makes the
+    * whole split hash-verifiable. The oracle mirrors byte-for-byte
+    * because the fixture payloads are pure-ASCII UTF-8 (verified:
+    * octet_length = char length corpus-wide), so VARCHAR substring in
+    * DuckDB selects exactly the bytes Spark's binary substring does. */
+  def frames(spark: SparkSession, dir: String): DataFrame = {
+    val frameSize = 256
+    assets(spark, dir).toDF()
+      .select(col("asset_id"), col("payload"),
+        explode(sequence(lit(0L),
+          ((length(col("payload")) - 1) / frameSize).cast("long")))
+          .as("frame_idx"))
+      .select(col("asset_id"), col("frame_idx"),
+        expr(s"substring(payload, cast(frame_idx * $frameSize + 1 as int), $frameSize)")
+          .as("frame"))
+      .select(col("asset_id"), col("frame_idx"),
+        length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5"))
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  def framesOracle: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |idx AS (SELECT doc_id, text,
+      |          unnest(generate_series(0, (n - 1) // 256)) AS frame_idx
+      |        FROM d)
+      |SELECT doc_id AS asset_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+      |  CAST(length(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS BIGINT)
+      |    AS frame_len,
+      |  md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_md5
+      |FROM idx ORDER BY asset_id, frame_idx""".stripMargin
 }

@@ -389,4 +389,63 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** ANN recall audit — the measurement every approximate index needs
+    * before it replaces the exact path: per query, what fraction of the
+    * TRUE top-10 (brute force) the LSH index's top-10 recovers.
+    * Composes the two existing operators with one left join + aggregate
+    * (both sides are ≤ numQueries·k rows, so the audit itself is
+    * negligible at any corpus size — the expensive parts are the
+    * operators being audited). Recall is count/count in one IEEE
+    * division — engine-exact. */
+  def annRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, numQueries = 5, k = 10)
+      .select("query_id", "neighbor_id")
+    val ann = annLsh(spark, dir, numQueries = 5, k = 10)
+      .select(col("query_id").as("a_q"), col("neighbor_id").as("a_n"))
+    exact.join(broadcast(ann),
+        col("query_id") === col("a_q") && col("neighbor_id") === col("a_n"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("a_n")).as("n_hit"),
+        (count(col("a_n")).cast("double") / count(lit(1))).as("recall"))
+      .orderBy("query_id")
+  }
+
+  def annRecallAuditOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+       |                 x.vec_id) AS rk
+       |    FROM n0 q, n0 x WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id) t
+       |  WHERE rk <= 10),
+       |proj AS (SELECT vec_id, p,
+       |    list_sum(list_transform(range(len(v)), j ->
+       |      v[j+1] * (CASE WHEN (j * 2654435761 + p * 40503) % 97 % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END))) AS s
+       |  FROM e CROSS JOIN range(${NumPlanes}) r(p)),
+       |bucket AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |nb AS (SELECT n0.vec_id, n0.v, n0.nrm, b.bucket
+       |  FROM n0 JOIN bucket b ON n0.vec_id = b.vec_id),
+       |ann AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+       |                 x.vec_id) AS rk
+       |    FROM nb q JOIN nb x ON q.bucket = x.bucket AND x.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5) t
+       |  WHERE rk <= 10)
+       |SELECT ex.query_id, COUNT(*) AS n_exact,
+       |  COUNT(a.neighbor_id) AS n_hit,
+       |  CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*) AS recall
+       |FROM exact ex LEFT JOIN ann a
+       |  ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 }
