@@ -19,7 +19,9 @@ import org.apache.spark.sql.functions._
 object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
-    val work = if (args.length > 1) args(1) else "/tmp/graft_scale10"
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE_FACTOR", "10").toInt
+    val work =
+      if (args.length > 1) args(1) else s"/tmp/graft_scale$factor"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -29,7 +31,7 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
 
-    buildScaled(spark, sfDir, work)
+    buildScaled(spark, sfDir, work, factor)
 
     val probes: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
       "q1_pricing_summary" -> (graft.operators.Relational.q1PricingSummary _),
@@ -57,10 +59,10 @@ object ScaleProbe {
     probes.take(1).foreach { case (_, fn) => runOnce(sfDir, fn); runOnce(work, fn) }
     val rows = probes.map { case (name, fn) =>
       val t1 = math.min(runOnce(sfDir, fn), runOnce(sfDir, fn))
-      val t10 = math.min(runOnce(work, fn), runOnce(work, fn))
-      val r = t10 / t1
-      println(f"""{"probe":"$name","t1":$t1%.2f,"t10":$t10%.2f,"ratio":$r%.1f}""")
-      (name, t1, t10, r)
+      val tN = math.min(runOnce(work, fn), runOnce(work, fn))
+      val r = tN / t1
+      println(f"""{"probe":"$name","factor":$factor,"t1":$t1%.2f,"tN":$tN%.2f,"ratio":$r%.1f}""")
+      (name, t1, tN, r)
     }
     val worst = rows.maxBy(_._4)
     println(f"""{"probe":"WORST","name":"${worst._1}","ratio":${worst._4}%.1f}""")
@@ -77,10 +79,11 @@ object ScaleProbe {
     *     corpus isn't 10 exact copies (which would put every doc in a
     *     10-way dup group and distort LSH bucket shape)
     * Skips the build when the work dir already exists. */
-  private def buildScaled(spark: SparkSession, sfDir: String, work: String): Unit = {
+  private def buildScaled(spark: SparkSession, sfDir: String, work: String,
+                          factor: Int): Unit = {
     val done = new java.io.File(s"$work/_built")
     if (done.exists()) return
-    val ks = (0 until 10)
+    val ks = (0 until factor)
     def replicate(df: DataFrame, f: (DataFrame, Int) => DataFrame): DataFrame =
       ks.map(k => f(df, k)).reduce(_ unionAll _)
 

@@ -165,6 +165,9 @@ object SparkEntry {
     "window_range_frame" -> EventOps.windowRangeFrame _,
     "cohort_retention" -> EventOps.cohortRetention _,
     "multimodal_frames" -> Multimodal.frames _,
+    // LEFT OUTER stream-stream join (watermark-flushed non-matches)
+    "stream_interval_join_outer" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinOuterOverFiles(s, dir)),
     "sim_recall_audit" -> ((s, dir) => Similarity.annRecallAudit(s, dir)),
     // ── TPC-H round 5: the five partsupp queries over a lineitem-derived
     //    partsupp (min-cost supplier, product profit, important stock,
@@ -305,6 +308,8 @@ object SparkEntry {
     "window_range_frame" -> EventOps.windowRangeFrameOracle,
     "cohort_retention" -> EventOps.cohortRetentionOracle,
     "multimodal_frames" -> Multimodal.framesOracle,
+    "stream_interval_join_outer" ->
+      graft.streaming.EventStream.intervalJoinOuterOverFilesOracle,
     "sim_recall_audit" -> Similarity.annRecallAuditOracle,
     "q2_min_cost_supplier" -> Relational.q2Oracle,
     "q9_product_profit" -> Relational.q9Oracle,

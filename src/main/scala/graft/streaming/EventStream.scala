@@ -452,6 +452,82 @@ object EventStream {
       |WHERE e.event_type = 'error' AND c.event_type = 'click'
       |ORDER BY e.user_id, error_id, click_id""".stripMargin
 
+  /** LEFT OUTER stream-stream interval join: every error, with its
+    * within-the-hour clicks OR an explicit null row when no click ever
+    * follows — the attribution join that also reports the unattributed.
+    * Outer stream-stream emission is watermark-driven: an unmatched
+    * left row surfaces only when the GLOBAL watermark (min over both
+    * sides) passes its join bound, so a bounded replay appends one
+    * far-future sentinel per side (joined to nobody: negative user
+    * ids, filtered from the output) to push both side watermarks past
+    * every real bound and flush the final non-matches. State is
+    * bounded exactly as in the inner form. */
+  def intervalJoinOuterOverFiles(spark: org.apache.spark.sql.SparkSession,
+                                 dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val batch = graft.Tables.events(spark, dir)
+    val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val sentinelUs = maxUs + 3L * 3600000000L
+    val sentinels = spark.range(2).toDF("i")
+      .select((col("i") + 2000000000L).as("event_id"),
+        lit(sentinelUs * 1000L).as("ts"),
+        (-col("i") - 1L).as("user_id"),
+        when(col("i") === 0, "error").otherwise("click").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ijo-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ijo-sentinel")
+    sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, streamDir.resolve("sentinels.parquet"))
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_stream_ijo_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    val q =
+      try {
+        val e = stream.filter(col("event_type") === "error")
+          .select(col("event_id").as("error_id"), col("user_id"),
+            col("ts").as("error_ts"))
+          .withWatermark("error_ts", "10 minutes")
+        val c = stream.filter(col("event_type") === "click")
+          .select(col("event_id").as("click_id"),
+            col("user_id").as("click_user"), col("ts").as("click_ts"))
+          .withWatermark("click_ts", "10 minutes")
+        e.join(c,
+            col("user_id") === col("click_user") &&
+              col("click_ts") >= col("error_ts") &&
+              col("click_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"),
+            "left_outer")
+          .select(col("user_id"), col("error_id"), col("click_id"),
+            col("error_ts"), col("click_ts"))
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append).start()
+      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir); deleteStaged(tmp) }
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "error_id", "click_id")
+  }
+
+  def intervalJoinOuterOverFilesOracle: String =
+    """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
+      |  e.ts AS error_ts, c.ts AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id
+      | AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR
+      |ORDER BY e.user_id, error_id, click_id""".stripMargin
+
   def sessionizeOverFilesOracle: String =
     """WITH lagged AS (
       |  SELECT user_id, event_id, ts, value,
