@@ -162,6 +162,8 @@ object SparkEntry {
     "profile_lineitem" -> Relational.profileLineitem _,
     "argmax_customer" -> Relational.argmaxCustomer _,
     "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
+    "agg_conditional" -> Relational.aggConditional _,
+    "quantile_grid_price" -> Relational.quantileGridPrice _,
     "window_range_frame" -> EventOps.windowRangeFrame _,
     "cohort_retention" -> EventOps.cohortRetention _,
     "multimodal_frames" -> Multimodal.frames _,
@@ -305,6 +307,8 @@ object SparkEntry {
     "profile_lineitem" -> Relational.profileLineitemOracle,
     "argmax_customer" -> Relational.argmaxCustomerOracle,
     "scalar_regex_funcs" -> Relational.scalarRegexOracle,
+    "agg_conditional" -> Relational.aggConditionalOracle,
+    "quantile_grid_price" -> Relational.quantileGridOracle,
     "window_range_frame" -> EventOps.windowRangeFrameOracle,
     "cohort_retention" -> EventOps.cohortRetentionOracle,
     "multimodal_frames" -> Multimodal.framesOracle,

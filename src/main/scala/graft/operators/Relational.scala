@@ -1707,6 +1707,80 @@ object Relational {
       |  MIN(l_tax), MAX(l_tax) FROM lineitem
       |ORDER BY col_name""".stripMargin
 
+  /** Conditional/boolean aggregate battery: count_if, bool_and/bool_or,
+    * plus a decimal-exact WEIGHTED average (discount-weighted price:
+    * Σ(price·qty)/Σqty with both sums exact decimals, one IEEE division
+    * at the end). All are single-shuffle hash aggregates with map-side
+    * partials; boolean aggs reduce to AND/OR monoids so partials are
+    * one bit per group. */
+  def aggConditional(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(
+        count_if(col("l_discount") > 0.05).as("n_high_disc"),
+        bool_and(col("l_quantity") > 0).as("all_positive_qty"),
+        bool_or(col("l_tax") > 0.07).as("any_high_tax"),
+        (dsum6(col("l_extendedprice") * col("l_quantity")) /
+          dsum2(col("l_quantity"))).as("qty_weighted_price"))
+      .orderBy("l_returnflag")
+
+  def aggConditionalOracle: String =
+    """SELECT l_returnflag,
+      |  CAST(count_if(l_discount > 0.05) AS BIGINT) AS n_high_disc,
+      |  bool_and(l_quantity > 0) AS all_positive_qty,
+      |  bool_or(l_tax > 0.07) AS any_high_tax,
+      |  CAST(SUM(CAST(l_extendedprice * l_quantity AS DECIMAL(24,6))) AS DOUBLE)
+      |    / CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS qty_weighted_price
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
+  /** Multi-quantile exact percentiles — [[percentilePrice]]'s sort-based
+    * rank-interpolation technique generalized to a GRID of quantiles in
+    * one pass: every (group, quantile) pair gets its two bracketing
+    * order statistics from the same row_number'd sort, then linear
+    * interpolation. Still no unbounded aggregation buffer: the sort is
+    * a shuffle sort, the quantile grid is a broadcast 4-row table, and
+    * each group contributes ≤ 2·|grid| rows to the final join. */
+  def quantileGridPrice(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val grid = Seq(0.25, 0.5, 0.75, 0.95).toDF("q")
+    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    val ranked = Tables.orders(spark, dir)
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val counts = ranked.groupBy("o_orderpriority")
+      .agg(max(col("rk")).as("n"))
+    val qs = counts.crossJoin(broadcast(grid))
+      .select(col("o_orderpriority").as("g_prio"), col("q"),
+        // continuous-quantile index h = (n-1)·q (0-based), split into
+        // floor rank and fraction — the same formula DuckDB's
+        // quantile_cont implements
+        ((col("n") - 1) * col("q")).as("h"))
+      .select(col("g_prio"), col("q"),
+        (floor(col("h")) + 1).cast("long").as("lo_rk"),
+        (col("h") - floor(col("h"))).as("frac"))
+    qs.join(ranked.select(col("o_orderpriority").as("g_prio"),
+        col("rk").as("lo_rk"), col("o_totalprice").as("lo_v")),
+        Seq("g_prio", "lo_rk"))
+      .join(ranked.select(col("o_orderpriority").as("g_prio"),
+        (col("rk") - 1).as("lo_rk"), col("o_totalprice").as("hi_v")),
+        Seq("g_prio", "lo_rk"), "left")
+      .select(col("g_prio").as("o_orderpriority"), col("q"),
+        // lo·(1−frac) + hi·frac — the exact op order quantile_cont
+        // uses (verified against DuckDB bit-for-bit; the algebraically
+        // equal lo + frac·(hi−lo) differs in the last ulp)
+        (col("lo_v") * (lit(1.0) - col("frac")) +
+          coalesce(col("hi_v"), col("lo_v")) * col("frac")).as("quantile_v"))
+      .orderBy("o_orderpriority", "q")
+  }
+
+  def quantileGridOracle: String =
+    Seq(0.25, 0.5, 0.75, 0.95).map { q =>
+      s"""SELECT o_orderpriority, CAST($q AS DOUBLE) AS q,
+         |  quantile_cont(o_totalprice, $q) AS quantile_v
+         |FROM orders GROUP BY o_orderpriority""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY o_orderpriority, q")
+
   /** Scalar battery 4: regular expressions. Patterns stay within the
     * POSIX-compatible intersection of Java regex (Spark) and RE2
     * (DuckDB) — char classes, quantifiers, anchors — so semantics are
