@@ -20,6 +20,23 @@ class EntrySpec extends SparkSpec {
     assert(empty.forall(_ == "dedup_minhash_pairs"), s"empty results: $empty")
   }
 
+  test("observe() collects pipeline metrics in the same pass") {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions._
+    val obs = Observation()
+    val filtered = Tables.lineitem(spark, sf0001)
+      .observe(obs, count(lit(1)).as("rows_seen"),
+        sum(col("l_quantity").cast(
+          org.apache.spark.sql.types.DecimalType(18, 2))).cast("double")
+          .as("qty_seen"))
+      .filter(col("l_discount") > 0.05)
+    val kept = filtered.count()
+    val m = obs.get
+    val seen = m("rows_seen").asInstanceOf[Long]
+    assert(seen > kept, s"observation point sees pre-filter rows ($seen vs $kept)")
+    assert(m("qty_seen").asInstanceOf[Double] > 0.0)
+  }
+
   test("approximate sketches land within tolerance of exact counts") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf0001)

@@ -168,4 +168,36 @@ class StreamingSpec extends SparkSpec {
       EventStream.deleteStaged(inDir); EventStream.deleteStaged(ckpt)
     }
   }
+
+  test("foreachBatch upserts each micro-batch through the catalog") {
+    import spark.implicits._
+    import org.apache.spark.sql.DataFrame
+    implicit val sqlCtx = spark.sqlContext
+    val cat = new Catalog(spark)
+    val key = "stream_upsert_sink"
+    val mem = MemoryStream[Event]
+    // the micro-batch DataFrame is only valid inside the call — eager
+    // localCheckpoint decouples the stored table from the stream source
+    val q = mem.toDF().writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        cat.upsert(key,
+          batch.select(col("event_id"), col("event_type")).localCheckpoint(true),
+          "event_id")
+        ()
+      }
+      .outputMode(OutputMode.Append).start()
+    try {
+      mem.addData(Event(1, ts(0), 1, "click", 1.0),
+        Event(2, ts(1), 1, "view", 1.0))
+      q.processAllAvailable()
+      // batch 2 updates id 2 and inserts id 3 — SCD-1 latest-wins
+      mem.addData(Event(2, ts(2), 1, "click", 1.0),
+        Event(3, ts(3), 2, "view", 1.0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val out = cat.get(key).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "click", 2L -> "click", 3L -> "view"),
+      s"upsert result: $out")
+  }
 }
