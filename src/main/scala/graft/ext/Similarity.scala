@@ -97,10 +97,18 @@ object Similarity {
     when((j * 2654435761L + lit(p.toLong) * 40503L) % 97 % 2 === 0, 1.0).otherwise(-1.0)
 
   /** Bucket id: bit p = sign(v · plane_p) — 8 planes → 256 buckets,
-    * computed in one projection per row. Plane indices derive from the
-    * vector's own length (zip_with against a longer index array would
-    * null-pad and zero every bucket). */
+    * computed by the native codegen'd kernel
+    * ([[graft.functions.LshBucket]]): one fused primitive loop per row
+    * instead of 8 interpreted HOF folds. Bit-identical to
+    * [[lshBucketHof]] (cross-checked in ExtSpec) and the oracle. */
   def lshBucket(v: Column): Column =
+    graft.functions.LshBucket(v, NumPlanes)
+
+  /** The original higher-order-function formulation — kept as the
+    * executable spec the kernel is verified against. Plane indices
+    * derive from the vector's own length (zip_with against a longer
+    * index array would null-pad and zero every bucket). */
+  def lshBucketHof(v: Column): Column =
     (0 until NumPlanes).map { p =>
       val proj = aggregate(
         zip_with(v, sequence(lit(0L), (size(v) - 1).cast("long")),

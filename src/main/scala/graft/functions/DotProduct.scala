@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayEqCountExpr, BoundedTopKAgg, ColumnShim, DotProductExpr, ShingleSigExpr, WordNGramsExpr}
+import org.apache.spark.sql.graft.{ArrayEqCountExpr, BoundedTopKAgg, ColumnShim, DotProductExpr, LshBucketExpr, ShingleSigExpr, WordNGramsExpr}
 
 /** Public Column surface for the native codegen'd dot product
   * (see org.apache.spark.sql.graft.DotProductExpr for the rationale). */
@@ -30,6 +30,13 @@ object BoundedTopK {
   def apply(k: Int, ordered: Column): Column =
     ColumnShim.column(
       BoundedTopKAgg(ColumnShim.expression(ordered), k).toAggregateExpression())
+}
+
+/** Random-hyperplane LSH bucket id of a double vector (codegen'd — one
+  * fused loop replacing 8 interpreted HOF folds per row). */
+object LshBucket {
+  def apply(v: Column, numPlanes: Int): Column =
+    ColumnShim.column(LshBucketExpr(ColumnShim.expression(v), numPlanes))
 }
 
 /** Space-joined word n-grams of a token array (codegen'd kernel; empty

@@ -139,6 +139,19 @@ class ExtSpec extends SparkSpec {
     assert(resized.forall(_.features.length == 4))
   }
 
+  test("codegen'd LSH bucket kernel equals the HOF formulation") {
+    import org.apache.spark.sql.functions._
+    val e = Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    val both = e.select(col("vec_id"),
+      ext.Similarity.lshBucket(col("v")).as("kernel"),
+      ext.Similarity.lshBucketHof(col("v")).as("hof"))
+    val diff = both.filter(col("kernel") =!= col("hof")).count()
+    assert(diff == 0, s"$diff vectors bucket differently")
+    // and the kernel actually spreads vectors across buckets
+    assert(both.select("kernel").distinct().count() > 1)
+  }
+
   test("text quality ratios are in [0,1]") {
     val q = TextAnalysis.textQuality(spark, sf0001).collect()
     assert(q.nonEmpty)
