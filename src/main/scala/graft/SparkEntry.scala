@@ -170,6 +170,9 @@ object SparkEntry {
     // LEFT OUTER stream-stream join (watermark-flushed non-matches)
     "stream_interval_join_outer" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinOuterOverFiles(s, dir)),
+    // watermark-bounded streaming key dedup (dropDuplicatesWithinWatermark)
+    "stream_distinct_keys" -> ((s, dir) =>
+      graft.streaming.EventStream.distinctKeysOverFiles(s, dir)),
     "sim_recall_audit" -> ((s, dir) => Similarity.annRecallAudit(s, dir)),
     // ── TPC-H round 5: the five partsupp queries over a lineitem-derived
     //    partsupp (min-cost supplier, product profit, important stock,
@@ -314,6 +317,8 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.framesOracle,
     "stream_interval_join_outer" ->
       graft.streaming.EventStream.intervalJoinOuterOverFilesOracle,
+    "stream_distinct_keys" ->
+      graft.streaming.EventStream.distinctKeysOverFilesOracle,
     "sim_recall_audit" -> Similarity.annRecallAuditOracle,
     "q2_min_cost_supplier" -> Relational.q2Oracle,
     "q9_product_profit" -> Relational.q9Oracle,

@@ -40,8 +40,10 @@ object DocStream {
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
     val name = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = deduped.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).start()
+    val q = EventStream.withBoundedStateParallelism(spark) {
+      deduped.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
     try q.processAllAvailable() finally {
       q.stop(); EventStream.deleteStaged(streamDir)
     }

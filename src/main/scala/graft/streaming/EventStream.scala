@@ -27,6 +27,21 @@ object EventStream {
 
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
+  /** Run `body` with state parallelism sized for a bounded replay: a
+    * streaming stateful operator opens one state store per shuffle
+    * partition and pays a per-store commit EVERY micro-batch, so at 32
+    * partitions the commits — not the rows — dominate a
+    * run-to-completion query (measured on the interval join: 10.0 s →
+    * 2.7 s at 8). Fixed at plan time, hence set before start() and
+    * restored after. Production streams with real key cardinality keep
+    * the session default. */
+  private[graft] def withBoundedStateParallelism[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   /** Remove a staged streaming directory once its bounded run is done
     * (each run-to-completion query stages a corpus copy). */
   private[graft] def deleteStaged(p: java.nio.file.Path): Unit = {
@@ -89,9 +104,11 @@ object EventStream {
       .parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_stream_wc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = windowedCounts(stream, watermark = "0 seconds")
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).start()
+    val q = withBoundedStateParallelism(spark) {
+      windowedCounts(stream, watermark = "0 seconds")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
     try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
     spark.table(name)
       .select(col("window_start").as("hour_ts"), col("event_type"),
@@ -128,13 +145,15 @@ object EventStream {
       .parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_stream_ss_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = stream.join(broadcast(typeAvg), Seq("event_type"))
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_total"),
-        sum(when(col("value") > col("avg_value"), 1L).otherwise(0L))
-          .as("n_above"))
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete).start()
+    val q = withBoundedStateParallelism(spark) {
+      stream.join(broadcast(typeAvg), Seq("event_type"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("value") > col("avg_value"), 1L).otherwise(0L))
+            .as("n_above"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
     try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
     spark.table(name).orderBy("event_type")
   }
@@ -214,6 +233,50 @@ object EventStream {
           }
       }
   }
+
+  /** Streaming key de-duplication with watermark-bounded state
+    * (dropDuplicatesWithinWatermark): first arrival per (user, type)
+    * key wins; state for a key is dropped once the watermark passes
+    * its event time + the delay, so state is O(watermark window), not
+    * O(stream). The output projects ONLY the key columns — which row
+    * of a duplicate set arrives "first" is execution-order-dependent,
+    * but the surviving KEY SET is exactly the distinct keys, so the
+    * key projection is deterministic and oracle-able as SELECT
+    * DISTINCT. (Exactly DISTINCT because the bounded replay is one
+    * micro-batch: the watermark only advances between batches, so no
+    * key's state evicts mid-run. On an unbounded stream a key
+    * recurring after eviction re-emits — that is the operator's
+    * documented contract, not a defect.) */
+  def distinctKeysOverFiles(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-dk-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val name = s"graft_stream_dk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withBoundedStateParallelism(spark) {
+      stream
+        .withWatermark("ts", "10 minutes")
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .select(col("user_id"), col("event_type"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+    }
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
+    spark.table(name).orderBy("user_id", "event_type")
+  }
+
+  def distinctKeysOverFilesOracle: String =
+    """SELECT DISTINCT user_id, event_type FROM events
+      |ORDER BY user_id, event_type""".stripMargin
 
   /** Gap sessionizer on Spark 4's transformWithState API (arbitrary
     * stateful processing v2, RocksDB-backed): the same session fold as
@@ -307,12 +370,14 @@ object EventStream {
         .withColumn("ts", timestamp_micros(expr("ts div 1000")))
         .as[Event]
       val name = s"graft_stream_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-      val q = stream.groupByKey(_.user_id)
-        .transformWithState(new GapSessionProcessor(gapMinutes * 60000000L),
-          org.apache.spark.sql.streaming.TimeMode.None(),
-          OutputMode.Append())
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
+      val q = withBoundedStateParallelism(spark) {
+        stream.groupByKey(_.user_id)
+          .transformWithState(new GapSessionProcessor(gapMinutes * 60000000L),
+            org.apache.spark.sql.streaming.TimeMode.None(),
+            OutputMode.Append())
+          .writeStream.format("memory").queryName(name)
+          .outputMode(OutputMode.Append).start()
+      }
       try q.processAllAvailable() finally {
         q.stop(); deleteStaged(streamDir); deleteStaged(tmp)
       }
@@ -369,9 +434,11 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
       .as[Event]
     val name = s"graft_stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = sessionize(stream, gapMinutes)
-      .writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Append).start()
+    val q = withBoundedStateParallelism(spark) {
+      sessionize(stream, gapMinutes)
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+    }
     try q.processAllAvailable() finally {
       q.stop(); deleteStaged(streamDir); deleteStaged(tmp)
     }
@@ -426,19 +493,15 @@ object EventStream {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_stream_ij_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // a stream-stream join keeps FOUR state stores per shuffle
-    // partition, each paying a per-batch commit; for a bounded replay
-    // the state parallelism should track key cardinality, not the
-    // batch-query shuffle width (at 32 partitions the commits, not the
-    // rows, dominate). Fixed at plan time, so set before start().
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try intervalJoin(
+    // four state stores per shuffle partition here — see
+    // withBoundedStateParallelism for why the replay shrinks them
+    val q = withBoundedStateParallelism(spark) {
+      intervalJoin(
           stream.filter(col("event_type") === "error"),
           stream.filter(col("event_type") === "click"))
         .writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
-      finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    }
     try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
     spark.table(name).orderBy("user_id", "error_id", "click_id")
   }
@@ -491,28 +554,25 @@ object EventStream {
     val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val name = s"graft_stream_ijo_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
-    val q =
-      try {
-        val e = stream.filter(col("event_type") === "error")
-          .select(col("event_id").as("error_id"), col("user_id"),
-            col("ts").as("error_ts"))
-          .withWatermark("error_ts", "10 minutes")
-        val c = stream.filter(col("event_type") === "click")
-          .select(col("event_id").as("click_id"),
-            col("user_id").as("click_user"), col("ts").as("click_ts"))
-          .withWatermark("click_ts", "10 minutes")
-        e.join(c,
-            col("user_id") === col("click_user") &&
-              col("click_ts") >= col("error_ts") &&
-              col("click_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"),
-            "left_outer")
-          .select(col("user_id"), col("error_id"), col("click_id"),
-            col("error_ts"), col("click_ts"))
-          .writeStream.format("memory").queryName(name)
-          .outputMode(OutputMode.Append).start()
-      } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+    val q = withBoundedStateParallelism(spark) {
+      val e = stream.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("error_ts"))
+        .withWatermark("error_ts", "10 minutes")
+      val c = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("click_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      e.join(c,
+          col("user_id") === col("click_user") &&
+            col("click_ts") >= col("error_ts") &&
+            col("click_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"),
+          "left_outer")
+        .select(col("user_id"), col("error_id"), col("click_id"),
+          col("error_ts"), col("click_ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+    }
     try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir); deleteStaged(tmp) }
     spark.table(name)
       .filter(col("user_id") >= 0)

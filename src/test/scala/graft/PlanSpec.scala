@@ -61,7 +61,7 @@ class PlanSpec extends SparkSpec {
     val skip = Set("dedup_groups", "mr_wordcount",
       "stream_window_events", "stream_sessionize_events", "stream_dedup_docs",
       "stream_interval_join", "stream_interval_join_outer",
-      "stream_static_join", "stream_sessionize_tws",
+      "stream_static_join", "stream_sessionize_tws", "stream_distinct_keys",
       // composes dedup_groups' driver-side iteration; same rationale
       "split_leakage_audit")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
