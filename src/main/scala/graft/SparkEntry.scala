@@ -163,6 +163,7 @@ object SparkEntry {
     "argmax_customer" -> Relational.argmaxCustomer _,
     "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
     "agg_conditional" -> Relational.aggConditional _,
+    "skew_salted_agg" -> Relational.skewSaltedAgg _,
     "quantile_grid_price" -> Relational.quantileGridPrice _,
     "window_range_frame" -> EventOps.windowRangeFrame _,
     "cohort_retention" -> EventOps.cohortRetention _,
@@ -311,6 +312,7 @@ object SparkEntry {
     "argmax_customer" -> Relational.argmaxCustomerOracle,
     "scalar_regex_funcs" -> Relational.scalarRegexOracle,
     "agg_conditional" -> Relational.aggConditionalOracle,
+    "skew_salted_agg" -> Relational.skewSaltedAggOracle,
     "quantile_grid_price" -> Relational.quantileGridOracle,
     "window_range_frame" -> EventOps.windowRangeFrameOracle,
     "cohort_retention" -> EventOps.cohortRetentionOracle,

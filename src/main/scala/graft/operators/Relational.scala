@@ -1707,6 +1707,27 @@ object Relational {
       |  MIN(l_tax), MAX(l_tax) FROM lineitem
       |ORDER BY col_name""".stripMargin
 
+  /** The salted two-stage aggregation ([[SkewAgg.saltedCountSum]]) as
+    * an oracled query: per-flag count + exact decimal revenue computed
+    * through 16 deterministic salt buckets then merged — byte-identical
+    * to the direct groupBy (the oracle IS the direct form). This is the
+    * shape that survives a 100 TB key whose final merge state would
+    * otherwise serialize on one reducer. */
+  def skewSaltedAgg(spark: SparkSession, dir: String): DataFrame =
+    SkewAgg.saltedCountSum(
+        Tables.lineitem(spark, dir)
+          .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+            col("l_extendedprice")),
+        "l_returnflag", col("l_extendedprice").cast(DecimalType(18, 2)))
+      .select(col("l_returnflag"), col("n"),
+        col("total").cast("double").as("total"))
+      .orderBy("l_returnflag")
+
+  def skewSaltedAggOracle: String =
+    """SELECT l_returnflag, COUNT(*) AS n,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+
   /** Conditional/boolean aggregate battery: count_if, bool_and/bool_or,
     * plus a decimal-exact WEIGHTED average (discount-weighted price:
     * Σ(price·qty)/Σqty with both sums exact decimals, one IEEE division
