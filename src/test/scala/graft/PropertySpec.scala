@@ -67,6 +67,31 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("LSH bucket kernel equals an independent reference on any vector") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val vec: Gen[List[Double]] = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(-10.0, 10.0)))
+    // independent re-statement of the hyperplane math (not shared code)
+    def reference(v: List[Double], planes: Int): Long = {
+      (0 until planes).foldLeft(0L) { (bucket, p) =>
+        val proj = v.zipWithIndex.foldLeft(0.0) { case (acc, (x, j)) =>
+          val sign =
+            if ((j.toLong * 2654435761L + p.toLong * 40503L) % 97 % 2 == 0) 1.0
+            else -1.0
+          acc + x * sign
+        }
+        if (proj > 0) bucket | (1L << p) else bucket
+      }
+    }
+    check(Prop.forAll(vec) { v =>
+      val expr = org.apache.spark.sql.graft.LshBucketExpr(
+        org.apache.spark.sql.catalyst.expressions.Literal(1), 8)
+      val got = expr.nullSafeEval(
+        new GenericArrayData(v.toArray[Any])).asInstanceOf[Long]
+      got == reference(v, 8) && got >= 0 && got < 256
+    })
+  }
+
   test("sum reducer equals numeric sum regardless of value order") {
     val rf = MapReduce.builtins.reduce("sum")
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))) { vals =>
