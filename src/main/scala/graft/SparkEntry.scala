@@ -200,6 +200,9 @@ object SparkEntry {
     "split_leakage_audit" -> ((s, dir) => Dedup.splitLeakageAudit(s, dir)),
     // per-reason curation audit (first-failing-rule cascade)
     "quality_filter_reasons" -> TextAnalysis.qualityFilterReasons _,
+    // dup-group size histogram + per-source corpus profile
+    "dedup_group_sizes" -> ((s, dir) => Dedup.duplicateGroupSizes(s, dir)),
+    "source_quality_profile" -> TextAnalysis.sourceQualityProfile _,
     // Spark 4 transformWithState sessionizer (RocksDB-backed v2 state)
     "stream_sessionize_tws" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeTwsOverFiles(s, dir)),
@@ -338,6 +341,8 @@ object SparkEntry {
       graft.streaming.EventStream.streamStaticJoinOverFilesOracle,
     "split_leakage_audit" -> Dedup.splitLeakageAuditOracle,
     "quality_filter_reasons" -> TextAnalysis.qualityFilterReasonsOracle,
+    "dedup_group_sizes" -> Dedup.duplicateGroupSizesOracle,
+    "source_quality_profile" -> TextAnalysis.sourceQualityProfileOracle,
     "stream_sessionize_tws" ->
       graft.streaming.EventStream.sessionizeTwsOverFilesOracle,
   )

@@ -701,6 +701,33 @@ object Dedup {
        |SELECT doc_id, CAST(min(label) AS BIGINT) AS group_id
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
 
+  /** Duplicate-group size histogram — the dedup report's headline
+    * numbers: how many singletons, pairs, triples... survive
+    * resolution. One extra two-level aggregate over
+    * [[duplicateGroups]]' output (group → size, size → count). */
+  def duplicateGroupSizes(spark: SparkSession, dir: String): DataFrame =
+    duplicateGroups(spark, dir)
+      .groupBy("group_id").agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size").agg(count(lit(1)).as("n_groups"))
+      .orderBy("group_size")
+
+  def duplicateGroupSizesOracle: String =
+    s"""WITH RECURSIVE
+       |$minhashEstCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM est WHERE est_jaccard >= $PairThreshold
+       |          UNION ALL
+       |          SELECT d2, d1 FROM est WHERE est_jaccard >= $PairThreshold),
+       |reach AS (SELECT doc_id, doc_id AS label FROM documents
+       |          UNION
+       |          SELECT e.dst AS doc_id, r.label
+       |          FROM reach r JOIN edges e ON r.doc_id = e.src),
+       |groups AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS group_id
+       |           FROM reach GROUP BY doc_id),
+       |sizes AS (SELECT group_id, COUNT(*) AS group_size
+       |          FROM groups GROUP BY group_id)
+       |SELECT group_size, COUNT(*) AS n_groups
+       |FROM sizes GROUP BY group_size ORDER BY group_size""".stripMargin
+
   /** Train/val/test LEAKAGE audit — the check every training pipeline
     * must run before shipping a split: near-duplicate groups
     * ([[duplicateGroups]]) whose members land in MORE THAN ONE split of

@@ -522,6 +522,43 @@ object TextAnalysis {
        |  md5(array_to_string(chunk, ' ')) AS chunk_md5
        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
 
+  /** Per-source corpus profile — the dashboard scan behind a data-mix
+    * decision: docs, exact token volume, and quality-cascade pass rate
+    * per source. One projection + one tiny aggregate; the pass rate
+    * divides two exact counts (one IEEE division per source). */
+  def sourceQualityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val nTok = size(ws).cast("long")
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
+    val nDist = size(array_distinct(ws)).cast("long")
+    val passes = nTok >= 20 &&
+      nStop.cast("double") / nTok >= 0.02 &&
+      nDist.cast("double") / nTok >= 0.35
+    Tables.documents(spark, dir)
+      .select(col("source"), nTok.as("n_tokens"),
+        when(passes, 1L).otherwise(0L).as("pass"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("total_tokens"),
+        (sum(col("pass")).cast("double") / count(lit(1))).as("pass_rate"))
+      .orderBy("source")
+  }
+
+  def sourceQualityProfileOracle: String =
+    s"""WITH t AS (SELECT source, $tokensSql AS ws FROM documents),
+       |m AS (SELECT source,
+       |  CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CASE WHEN CAST(len(ws) AS BIGINT) >= 20
+       |        AND CAST(len(list_filter(ws, w -> w IN ($stopwordsSqlList))) AS DOUBLE)
+       |            / len(ws) >= 0.02
+       |        AND CAST(len(list_distinct(ws)) AS DOUBLE) / len(ws) >= 0.35
+       |       THEN 1 ELSE 0 END AS pass
+       |  FROM t)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+       |  CAST(SUM(pass) AS DOUBLE) / COUNT(*) AS pass_rate
+       |FROM m GROUP BY source ORDER BY source""".stripMargin
+
   /** Quality filter with REASONS — the curation audit every corpus
     * report needs: each doc is assigned the FIRST failing rule of a
     * fixed cascade (too_short → low_stopword → low_diversity → pass)

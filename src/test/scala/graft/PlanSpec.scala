@@ -62,8 +62,8 @@ class PlanSpec extends SparkSpec {
       "stream_window_events", "stream_sessionize_events", "stream_dedup_docs",
       "stream_interval_join", "stream_interval_join_outer",
       "stream_static_join", "stream_sessionize_tws", "stream_distinct_keys",
-      // composes dedup_groups' driver-side iteration; same rationale
-      "split_leakage_audit")
+      // compose dedup_groups' driver-side iteration; same rationale
+      "split_leakage_audit", "dedup_group_sizes")
     SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       val badCross = plan.linesIterator.exists(l =>
