@@ -54,6 +54,7 @@ object SparkEntry {
     "scalar_datetime_funcs" -> Relational.scalarDatetimeFuncs _,
     "agg_stats_acctbal" -> Relational.aggStatsAcctbal _,
     "stats_corr_lineitem" -> Relational.statsCorrLineitem _,
+    "outlier_zscore" -> Relational.outlierZscore _,
     "histogram_totalprice" -> Relational.histogramTotalprice _,
     "percentile_price" -> Relational.percentilePrice _,
     "rollup_revenue" -> Relational.rollupRevenue _,
@@ -141,6 +142,7 @@ object SparkEntry {
     "top_tokens_per_lang" -> TextAnalysis.topTokensPerLang _,
     // ── embedding compression audit ──
     "embedding_quantize" -> Similarity.embeddingQuantize _,
+    "embedding_normalize" -> Similarity.embeddingNormalize _,
     // ── composed curation pipeline (all four stages under the oracle) ──
     "pipeline_curate" -> ext.Pipeline.curateDocs _,
     // ── TPC-H round 4: EXISTS semi join with cross-table predicate,
@@ -237,6 +239,7 @@ object SparkEntry {
     "scalar_datetime_funcs" -> Relational.scalarDatetimeOracle,
     "agg_stats_acctbal" -> Relational.aggStatsOracle,
     "stats_corr_lineitem" -> Relational.statsCorrOracle,
+    "outlier_zscore" -> Relational.outlierZscoreOracle,
     "histogram_totalprice" -> Relational.histogramOracle,
     "percentile_price" -> Relational.percentilePriceOracle,
     "rollup_revenue" -> Relational.rollupRevenueOracle,
@@ -298,6 +301,7 @@ object SparkEntry {
     "quality_repetition" -> TextAnalysis.qualityRepetitionOracle,
     "top_tokens_per_lang" -> TextAnalysis.topTokensPerLangOracle,
     "embedding_quantize" -> Similarity.embeddingQuantizeOracle,
+    "embedding_normalize" -> Similarity.embeddingNormalizeOracle,
     "dedup_shingle_signatures" -> Dedup.shingleSignaturesOracle,
     "pipeline_curate" -> ext.Pipeline.curateDocsOracle,
     "q4_priority_exists" -> Relational.q4Oracle,

@@ -456,4 +456,28 @@ object Similarity {
        |FROM exact ex LEFT JOIN ann a
        |  ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
+  /** L2-normalization of every embedding — the standard pre-step
+    * before cosine indexing (normalize once, then cosine = plain
+    * dot). Pure projection over one scan: zero shuffle, norm via the
+    * codegen'd dot kernel; at 100 TB this is a single
+    * read-transform-write pass that parallelizes per file split.
+    * Unit-vector elements are rounded to 6 decimals so engine float
+    * formatting can't flip the result hash. */
+  def embeddingNormalize(spark: SparkSession, dir: String): DataFrame =
+    embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+      .select(col("vec_id"),
+        size(col("v")).cast("long").as("n_dims"),
+        round(col("nrm"), 9).as("l2_norm"),
+        transform(col("v"), x => round(x / col("nrm"), 6)).as("unit"))
+      .orderBy("vec_id")
+
+  def embeddingNormalizeOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
+      |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
+      |  round(nrm, 9) AS l2_norm,
+      |  list_transform(v, x -> round(x / nrm, 6)) AS unit
+      |FROM n ORDER BY vec_id""".stripMargin
 }

@@ -1847,6 +1847,48 @@ object Relational {
         min(col("c_acctbal")).as("min_bal"))
       .orderBy("c_mktsegment")
 
+  /** Statistical outlier filter: per-group z-score over order totals,
+    * keeping rows more than 2σ from their group mean — the standard
+    * anomaly screen before a value lands in a training mix. Two-pass
+    * distributed shape: one hash aggregation for (n, Σx, Σx²) per
+    * group (map-side partial, 5 groups), then the tiny stats frame
+    * broadcasts back onto the fact scan — the corpus is never
+    * shuffled. Moments use exact decimal sums (the determinism
+    * discipline at the file head) and z is rounded BEFORE the
+    * threshold compare so both engines make identical keep/drop
+    * decisions at the boundary. (Threshold 1.5σ: a uniform
+    * distribution — which the synthetic totalprice is — never exceeds
+    * √3 ≈ 1.73σ, so a 2σ screen would be vacuous on the fixture.) */
+  def outlierZscore(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("o_totalprice")
+    val stats = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum2(x).as("sx"),
+        sum((x * x).cast(DecimalType(27, 4))).cast("double").as("sxx"))
+      .select(col("o_orderpriority"), (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("sd"))
+    Tables.orders(spark, dir).join(broadcast(stats), Seq("o_orderpriority"))
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        round((x - col("mean")) / col("sd"), 6).as("z"))
+      .filter(abs(col("z")) > 1.5)
+      .orderBy("o_orderkey")
+  }
+
+  def outlierZscoreOracle: String =
+    """WITH g AS (SELECT o_orderpriority,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(27,4))) AS DOUBLE) AS sxx
+      |  FROM orders GROUP BY o_orderpriority),
+      |s AS (SELECT o_orderpriority, sx/n AS mean,
+      |    sqrt((sxx - sx*sx/n)/n) AS sd FROM g)
+      |SELECT o.o_orderkey, o.o_orderpriority,
+      |  round((o.o_totalprice - s.mean)/s.sd, 6) AS z
+      |FROM orders o JOIN s USING (o_orderpriority)
+      |WHERE abs(round((o.o_totalprice - s.mean)/s.sd, 6)) > 1.5
+      |ORDER BY o.o_orderkey""".stripMargin
+
   def argmaxCustomerOracle: String =
     """WITH ranked AS (
       |  SELECT c_mktsegment, c_custkey, c_acctbal,

@@ -26,6 +26,19 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def _stringify_nested(df):
+    # array/struct cells (numpy arrays, lists, dicts) are unhashable, so
+    # pandas sort_values can't factorize them — stringify first. Both
+    # frames come through duckdb .df(), so formatting is consistent.
+    d = df.copy()
+    for c in d.columns:
+        if d[c].map(lambda v: isinstance(v, (list, tuple, dict))
+                    or hasattr(v, "tolist")).any():
+            d[c] = d[c].map(lambda v: str(v.tolist())
+                            if hasattr(v, "tolist") else str(v))
+    return d
+
+
 def compare(name, spark_df, oracle_df):
     issues = []
     sc, oc = sorted(spark_df.columns), sorted(oracle_df.columns)
@@ -34,6 +47,7 @@ def compare(name, spark_df, oracle_df):
     if len(spark_df) != len(oracle_df):
         issues.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
         return issues
+    spark_df, oracle_df = _stringify_nested(spark_df), _stringify_nested(oracle_df)
     s = spark_df[sc].sort_values(by=sc, ignore_index=True)
     o = oracle_df[oc].sort_values(by=oc, ignore_index=True)
     for c in sc:
