@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, Relational, WordCount}
+import graft.operators.{EventOps, Layout, Relational, WordCount}
 import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.mr.MapReduce
 
@@ -117,6 +117,9 @@ object SparkEntry {
     // ── LLM-pipeline: deterministic sampling ──
     "sample_bernoulli" -> ((s, dir) => Sampling.bernoulliSample(s, dir)),
     "sample_stratified" -> ((s, dir) => Sampling.stratifiedSample(s, dir)),
+    "sample_weighted" -> ((s, dir) => Sampling.weightedSample(s, dir)),
+    "chi2_priority_status" -> Relational.chi2PriorityStatus _,
+    "zorder_lineitem" -> Layout.zorderLineitem _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -284,6 +287,9 @@ object SparkEntry {
     "multimodal_features" -> Multimodal.featuresOracle,
     "sample_bernoulli" -> Sampling.bernoulliSampleOracle,
     "sample_stratified" -> Sampling.stratifiedSampleOracle,
+    "sample_weighted" -> Sampling.weightedSampleOracle,
+    "chi2_priority_status" -> Relational.chi2PriorityStatusOracle,
+    "zorder_lineitem" -> Layout.zorderLineitemOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

@@ -121,6 +121,42 @@ object Sampling {
       .orderBy("source", "rk")
   }
 
+  /** Weighted sample without replacement (Efraimidis–Spirakis), n per
+    * stratum: each row draws key u^(1/w), u a deterministic hash
+    * uniform and w the row weight (chars here — longer docs
+    * proportionally likelier); the n largest keys per stratum are the
+    * sample. The monotone-equivalent form ln(u)/w is ranked directly;
+    * keys are rounded BEFORE ranking (round-before-rank discipline,
+    * doc_id tiebreak) so both engines select identical rows even if
+    * ln() differs in the last ulp. Same bounded per-stratum
+    * WindowGroupLimit shape as the stratified sample — no global
+    * sort; at scale this is one shuffle on the stratum key with
+    * rank-limit pushdown. */
+  def weightedSample(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
+    val u = (sampleHash(col("doc_id")) + 1).cast("double") / lit(4294967296.0)
+    val w = Window.partitionBy("source").orderBy(col("es_key").desc, col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"),
+        round(log(u) / col("n_chars"), 9).as("es_key"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= n)
+      .orderBy("source", "rk")
+  }
+
+  def weightedSampleOracle: String = weightedSampleOracle(20)
+
+  def weightedSampleOracle(n: Int): String =
+    s"""WITH t AS (SELECT doc_id, source, n_chars,
+       |    round(ln((${sampleHashSql("doc_id")} + 1) / 4294967296.0)
+       |          / n_chars, 9) AS es_key
+       |  FROM documents),
+       |r AS (SELECT doc_id, source, n_chars, es_key,
+       |    row_number() OVER (PARTITION BY source
+       |                       ORDER BY es_key DESC, doc_id) AS rk
+       |  FROM t)
+       |SELECT doc_id, source, n_chars, es_key, CAST(rk AS BIGINT) AS rk
+       |FROM r WHERE rk <= $n ORDER BY source, rk""".stripMargin
+
   def stratifiedSampleOracle: String = stratifiedSampleOracle(20)
 
   /** Source-mix rebalancing: draw a deterministic sample whose per-source

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multi-dimensional data layout: Z-order (Morton) interleaving.
+  *
+  * A 100 TB table is usually filtered on more than one column
+  * (part AND supplier, time AND user). Sorting by one key clusters
+  * only that key; sorting by the Morton code of two keys clusters
+  * BOTH, so min/max footer statistics prune files for predicates on
+  * either dimension — the standard multi-dim data-skipping layout
+  * (used by several lakehouse table formats).
+  *
+  * The interleave is pure integer bit arithmetic (shift/mask spread,
+  * no loops, no UDF) — a codegen'd projection. The production write
+  * path is `repartitionByRange(zkey).sortWithinPartitions(zkey)` then
+  * a parquet write: one range shuffle, after which every file covers
+  * a tight (partkey, suppkey) rectangle. The query form emits the
+  * code and the layout rank so the oracle can verify the exact
+  * interleave and total order.
+  */
+object Layout {
+
+  /** Spread the low 16 bits of `c` to even bit positions 0,2,…,30
+    * (classic shift-mask ladder). Works identically in any engine
+    * with 64-bit integer shifts — the oracle mirrors each step. */
+  private def spread(c: Column): Column = {
+    val x0 = c.cast("long").bitwiseAND(lit(65535L))              // 0x0000FFFF
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(16711935L))   // 0x00FF00FF
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(252645135L))  // 0x0F0F0F0F
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(858993459L))  // 0x33333333
+    (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(1431655765L))          // 0x55555555
+  }
+
+  /** Morton code of two 16-bit keys: a's bits on even positions, b's
+    * on odd. */
+  def mortonCode(a: Column, b: Column): Column =
+    spread(a).bitwiseOR(shiftleft(spread(b), 1))
+
+  /** Z-order layout of lineitem by (l_partkey, l_suppkey): the Morton
+    * key plus the global layout rank a range-partitioned writer would
+    * realize. The rank is computed the scale-safe way (range sort, no
+    * single-partition window — same shape as docLengthDeciles). */
+  def zorderLineitem(spark: SparkSession, dir: String): DataFrame = {
+    val coded = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber").cast("long").as("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"),
+        mortonCode(col("l_partkey"), col("l_suppkey")).as("zkey"))
+    // deterministic total order: zkey then the (orderkey, linenumber)
+    // pk; rank via zipWithIndex over the range-sorted rows — a global
+    // row_number window would funnel everything into one partition
+    val sorted = coded.repartitionByRange(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+      .sortWithinPartitions(col("zkey"), col("l_orderkey"), col("l_linenumber"))
+    val schema = sorted.schema.add("layout_rank", "long")
+    val ranked = sorted.rdd.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+    }
+    spark.createDataFrame(ranked, schema)
+      .filter(col("layout_rank") <= 2000)
+      .orderBy("layout_rank")
+  }
+
+  private def spreadSql(e: String): String = {
+    val x0 = s"(($e) & 65535)"
+    val x1 = s"(($x0 | ($x0 << 8)) & 16711935)"
+    val x2 = s"(($x1 | ($x1 << 4)) & 252645135)"
+    val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
+    s"(($x3 | ($x3 << 1)) & 1431655765)"
+  }
+
+  def zorderLineitemOracle: String = {
+    val z = s"(${spreadSql("l_partkey")} | (${spreadSql("l_suppkey")} << 1))"
+    s"""SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,
+       |  l_partkey, l_suppkey, zkey,
+       |  CAST(row_number() OVER (ORDER BY zkey, l_orderkey, l_linenumber)
+       |       AS BIGINT) AS layout_rank
+       |FROM (SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+       |        $z AS zkey FROM lineitem) t
+       |QUALIFY layout_rank <= 2000
+       |ORDER BY layout_rank""".stripMargin
+  }
+}

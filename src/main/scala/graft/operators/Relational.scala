@@ -1875,6 +1875,53 @@ object Relational {
       .orderBy("o_orderkey")
   }
 
+  /** Pearson chi-square independence audit of the priority × status
+    * contingency table — the categorical-drift check a curation
+    * pipeline runs between dataset snapshots. One hash aggregation
+    * over the fact scan yields the exact cell counts; row totals,
+    * column totals, and expected counts are derived on the tiny cells
+    * frame (broadcast joins, no second pass over the data).
+    * Everything downstream of the integer counts is deterministic
+    * IEEE arithmetic from exact inputs, so per-cell contributions
+    * hash-match at any parallelism. */
+  def chi2PriorityStatus(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.orders(spark, dir)
+      .groupBy("o_orderpriority", "o_orderstatus")
+      .agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy("o_orderpriority").agg(sum("n").as("row_n"))
+    val colT = cells.groupBy("o_orderstatus").agg(sum("n").as("col_n"))
+    val tot = cells.agg(sum("n").as("tot"))
+    val e = (col("row_n") * col("col_n")).cast("double") / col("tot").cast("double")
+    cells.join(broadcast(rowT), Seq("o_orderpriority"))
+      .join(broadcast(colT), Seq("o_orderstatus"))
+      .crossJoin(broadcast(tot))
+      .select(col("o_orderpriority"), col("o_orderstatus"), col("n"),
+        round(e, 6).as("expected"),
+        round((col("n") - e) * (col("n") - e) / e, 6).as("chi2_term"))
+      .orderBy("o_orderpriority", "o_orderstatus")
+  }
+
+  def chi2PriorityStatusOracle: String =
+    """WITH cells AS (SELECT o_orderpriority, o_orderstatus,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM orders GROUP BY 1, 2),
+      |rt AS (SELECT o_orderpriority, CAST(SUM(n) AS BIGINT) AS row_n
+      |  FROM cells GROUP BY 1),
+      |ct AS (SELECT o_orderstatus, CAST(SUM(n) AS BIGINT) AS col_n
+      |  FROM cells GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cells)
+      |SELECT c.o_orderpriority, c.o_orderstatus, c.n,
+      |  round(CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(tt.tot AS DOUBLE), 6)
+      |    AS expected,
+      |  round((c.n - CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(tt.tot AS DOUBLE))
+      |      * (c.n - CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(tt.tot AS DOUBLE))
+      |      / (CAST(rt.row_n * ct.col_n AS DOUBLE) / CAST(tt.tot AS DOUBLE)), 6)
+      |    AS chi2_term
+      |FROM cells c
+      |JOIN rt USING (o_orderpriority)
+      |JOIN ct USING (o_orderstatus), tt
+      |ORDER BY c.o_orderpriority, c.o_orderstatus""".stripMargin
+
   def outlierZscoreOracle: String =
     """WITH g AS (SELECT o_orderpriority,
       |    CAST(COUNT(*) AS DOUBLE) AS n,

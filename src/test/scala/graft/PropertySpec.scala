@@ -92,6 +92,28 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("morton code equals the bit-by-bit interleave reference") {
+    def ref(a: Int, b: Int): Long =
+      (0 until 16).foldLeft(0L) { (acc, i) =>
+        acc | (((a >> i) & 1).toLong << (2 * i)) |
+          (((b >> i) & 1).toLong << (2 * i + 1))
+      }
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val rnd = new scala.util.Random(42) // seeded: reproducible failures
+    val pairs = Seq((0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)) ++
+      Seq.fill(200)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    // one batched plan, not one job per pair
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"),
+        graft.operators.Layout.mortonCode(col("a"), col("b")).as("z"))
+      .collect()
+    got.foreach { r =>
+      assert(r.getLong(2) == ref(r.getInt(0), r.getInt(1)),
+        s"morton(${r.getInt(0)}, ${r.getInt(1)})")
+    }
+  }
+
   test("sum reducer equals numeric sum regardless of value order") {
     val rf = MapReduce.builtins.reduce("sum")
     check(Prop.forAll(Gen.nonEmptyListOf(Gen.choose(0L, 1000000L))) { vals =>
