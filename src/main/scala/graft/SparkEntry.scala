@@ -120,6 +120,7 @@ object SparkEntry {
     "sample_weighted" -> ((s, dir) => Sampling.weightedSample(s, dir)),
     "chi2_priority_status" -> Relational.chi2PriorityStatus _,
     "zorder_lineitem" -> Layout.zorderLineitem _,
+    "mi_lang_source" -> TextAnalysis.miLangSource _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -290,6 +291,7 @@ object SparkEntry {
     "sample_weighted" -> Sampling.weightedSampleOracle,
     "chi2_priority_status" -> Relational.chi2PriorityStatusOracle,
     "zorder_lineitem" -> Layout.zorderLineitemOracle,
+    "mi_lang_source" -> TextAnalysis.miLangSourceOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

@@ -602,4 +602,68 @@ object TextAnalysis {
        |SELECT reason, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM r GROUP BY reason ORDER BY reason""".stripMargin
+
+  // ── mutual information: how dependent are two categorical columns ──
+
+  /** Mutual information (nats) between language and source, plus the
+    * marginal entropies — the quantitative form of "is my data mix
+    * confounded": MI ≈ 0 means language composition is uniform across
+    * sources; MI near min(H) means source determines language. One
+    * hash aggregation over the corpus produces exact cell counts;
+    * every downstream term is IEEE arithmetic on exact integers.
+    * Each ln-term is rounded to 9 decimals and summed EXACTLY via a
+    * decimal cast (round-then-decimal-sum: a raw double Σ would be
+    * partition-order-dependent, and ln() may differ in the last ulp
+    * between engines — the rounding grid absorbs both). */
+  def miLangSource(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(t: Column): Column =
+      sum(t.cast(DecimalType(28, 12))).cast("double")
+    val d = col("n").cast("double")
+    val cells = Tables.documents(spark, dir)
+      .groupBy("lang", "source").agg(count(lit(1)).as("n"))
+    val rowT = cells.groupBy("lang").agg(sum("n").as("rn"))
+    val colT = cells.groupBy("source").agg(sum("n").as("cn"))
+    val tot = cells.agg(sum("n").as("tot"))
+    val totD = col("tot").cast("double")
+    val miTerm = round((d / totD) *
+      log((d * totD) / (col("rn").cast("double") * col("cn").cast("double"))), 9)
+    val mi = cells.join(broadcast(rowT), Seq("lang"))
+      .join(broadcast(colT), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .agg(dsum(miTerm).as("mi_nats"), count(lit(1)).cast("long").as("n_cells"))
+    def entropy(m: DataFrame, cnt: String, out: String): DataFrame = {
+      val p = col(cnt).cast("double") / col("tot").cast("double")
+      m.crossJoin(broadcast(tot))
+        .agg(dsum(round(-p * log(p), 9)).as(out))
+    }
+    mi.crossJoin(entropy(rowT, "rn", "h_lang"))
+      .crossJoin(entropy(colT, "cn", "h_source"))
+      .select("mi_nats", "h_lang", "h_source", "n_cells")
+  }
+
+  def miLangSourceOracle: String =
+    """WITH cells AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM documents GROUP BY 1, 2),
+      |rt AS (SELECT lang, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+      |ct AS (SELECT source, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+      |tt AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM cells),
+      |mi AS (SELECT
+      |    CAST(SUM(CAST(round(
+      |      (CAST(c.n AS DOUBLE) / CAST(tt.tot AS DOUBLE)) *
+      |      ln((CAST(c.n AS DOUBLE) * CAST(tt.tot AS DOUBLE)) /
+      |         (CAST(rt.rn AS DOUBLE) * CAST(ct.cn AS DOUBLE))), 9)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS mi_nats,
+      |    CAST(COUNT(*) AS BIGINT) AS n_cells
+      |  FROM cells c JOIN rt USING (lang) JOIN ct USING (source), tt),
+      |hl AS (SELECT CAST(SUM(CAST(round(
+      |      -(CAST(rn AS DOUBLE) / CAST(tot AS DOUBLE)) *
+      |       ln(CAST(rn AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS h_lang FROM rt, tt),
+      |hs AS (SELECT CAST(SUM(CAST(round(
+      |      -(CAST(cn AS DOUBLE) / CAST(tot AS DOUBLE)) *
+      |       ln(CAST(cn AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+      |      AS DECIMAL(28,12))) AS DOUBLE) AS h_source FROM ct, tt)
+      |SELECT mi.mi_nats, hl.h_lang, hs.h_source, mi.n_cells
+      |FROM mi, hl, hs""".stripMargin
 }
