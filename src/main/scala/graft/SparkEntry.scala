@@ -121,6 +121,7 @@ object SparkEntry {
     "chi2_priority_status" -> Relational.chi2PriorityStatus _,
     "zorder_lineitem" -> Layout.zorderLineitem _,
     "mi_lang_source" -> TextAnalysis.miLangSource _,
+    "winsorize_prices" -> Relational.winsorizePrices _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -292,6 +293,7 @@ object SparkEntry {
     "chi2_priority_status" -> Relational.chi2PriorityStatusOracle,
     "zorder_lineitem" -> Layout.zorderLineitemOracle,
     "mi_lang_source" -> TextAnalysis.miLangSourceOracle,
+    "winsorize_prices" -> Relational.winsorizePricesOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

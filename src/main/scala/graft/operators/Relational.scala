@@ -1802,6 +1802,72 @@ object Relational {
          |FROM orders GROUP BY o_orderpriority""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY o_orderpriority, q")
 
+  /** Per-group winsorization: clip order values at their group's
+    * exact p05/p95 and report the robust mean — the outlier-taming
+    * twin of [[outlierZscore]] (clip instead of drop). The bounds
+    * come from the same sort-based exact-quantile technique as
+    * [[quantileGridPrice]] (rank interpolation in quantile_cont's
+    * exact op order — no unbounded agg buffer), pivoted to one tiny
+    * (group → lo, hi) frame that broadcasts back onto the fact scan;
+    * the clipped sum is decimal-exact so the mean is
+    * partition-order-free. Two passes over the data (rank, then
+    * clip+aggregate) — the minimum for exact bounds. */
+  def winsorizePrices(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val x = col("l_extendedprice")
+    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    val ranked = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), x)
+      .withColumn("rk", row_number().over(w).cast("long"))
+    val counts = ranked.groupBy("l_returnflag").agg(max(col("rk")).as("n"))
+    val qs = counts.crossJoin(broadcast(Seq(0.05, 0.95).toDF("q")))
+      .select(col("l_returnflag").as("g_rf"), col("q"),
+        ((col("n") - 1) * col("q")).as("h"))
+      .select(col("g_rf"), col("q"),
+        (floor(col("h")) + 1).cast("long").as("lo_rk"),
+        (col("h") - floor(col("h"))).as("frac"))
+    val quantiles = qs
+      .join(ranked.select(col("l_returnflag").as("g_rf"),
+        col("rk").as("lo_rk"), x.as("lo_v")), Seq("g_rf", "lo_rk"))
+      .join(ranked.select(col("l_returnflag").as("g_rf"),
+        (col("rk") - 1).as("lo_rk"), x.as("hi_v")), Seq("g_rf", "lo_rk"), "left")
+      .select(col("g_rf"),
+        col("q"),
+        (col("lo_v") * (lit(1.0) - col("frac")) +
+          coalesce(col("hi_v"), col("lo_v")) * col("frac")).as("qv"))
+      .groupBy("g_rf")
+      .agg(max(when(col("q") === 0.05, col("qv"))).as("lo"),
+        max(when(col("q") === 0.95, col("qv"))).as("hi"))
+    val clipped = greatest(least(x, col("hi")), col("lo"))
+    Tables.lineitem(spark, dir).select(col("l_returnflag"), x)
+      .join(broadcast(quantiles), col("l_returnflag") === col("g_rf"))
+      .groupBy("l_returnflag")
+      .agg(round(first(col("lo")), 6).as("p05"),
+        round(first(col("hi")), 6).as("p95"),
+        count(lit(1)).as("n"),
+        count(when(x < col("lo"), 1)).as("n_lo_clipped"),
+        count(when(x > col("hi"), 1)).as("n_hi_clipped"),
+        round(dsum6(clipped) / count(lit(1)), 6).as("win_mean"))
+      .orderBy("l_returnflag")
+  }
+
+  def winsorizePricesOracle: String =
+    """WITH b AS (SELECT l_returnflag,
+      |    quantile_cont(l_extendedprice, 0.05) AS lo,
+      |    quantile_cont(l_extendedprice, 0.95) AS hi
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l.l_returnflag, round(b.lo, 6) AS p05, round(b.hi, 6) AS p95,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) FILTER (WHERE l_extendedprice < b.lo) AS BIGINT)
+      |    AS n_lo_clipped,
+      |  CAST(COUNT(*) FILTER (WHERE l_extendedprice > b.hi) AS BIGINT)
+      |    AS n_hi_clipped,
+      |  round(CAST(SUM(CAST(GREATEST(LEAST(l_extendedprice, b.hi), b.lo)
+      |        AS DECIMAL(24,6))) AS DOUBLE) / COUNT(*), 6) AS win_mean
+      |FROM lineitem l JOIN b USING (l_returnflag)
+      |GROUP BY l.l_returnflag, b.lo, b.hi
+      |ORDER BY l.l_returnflag""".stripMargin
+
   /** Scalar battery 4: regular expressions. Patterns stay within the
     * POSIX-compatible intersection of Java regex (Spark) and RE2
     * (DuckDB) — char classes, quantifiers, anchors — so semantics are
