@@ -122,6 +122,7 @@ object SparkEntry {
     "zorder_lineitem" -> Layout.zorderLineitem _,
     "mi_lang_source" -> TextAnalysis.miLangSource _,
     "winsorize_prices" -> Relational.winsorizePrices _,
+    "inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(s, dir)),
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -294,6 +295,7 @@ object SparkEntry {
     "zorder_lineitem" -> Layout.zorderLineitemOracle,
     "mi_lang_source" -> TextAnalysis.miLangSourceOracle,
     "winsorize_prices" -> Relational.winsorizePricesOracle,
+    "inverted_index" -> TextAnalysis.invertedIndexOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

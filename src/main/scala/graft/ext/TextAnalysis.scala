@@ -603,6 +603,46 @@ object TextAnalysis {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM r GROUP BY reason ORDER BY reason""".stripMargin
 
+  // ── inverted index: token → document postings ──
+
+  /** Inverted index over the corpus: per token, document frequency,
+    * total term frequency, and a BOUNDED posting-list head (the k
+    * smallest doc_ids) via the native heap aggregate. A
+    * `collect_list(doc_id)` posting would buffer a full corpus-sized
+    * list for stopword-like tokens — unbounded memory under exactly
+    * the skew an inverted index always has; [[graft.functions.BoundedTopK]]
+    * keeps O(k) per token and its map-side partials shrink every
+    * token to ≤ k ids per task before the shuffle. (A full posting
+    * list at scale is a partitioned TABLE — token-bucketed (token,
+    * doc_id) rows — not an array column; this query verifies the
+    * index statistics and the head.) df ≥ 25 keeps the verified
+    * surface on the hot end of the dictionary. */
+  def invertedIndex(spark: SparkSession, dir: String, k: Int = 8): DataFrame = {
+    val perDoc = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+    perDoc.groupBy("token")
+      .agg(count(lit(1)).as("df"),
+        sum("tf").as("tf_total"),
+        graft.functions.BoundedTopK(k, struct(col("doc_id"))).as("p"))
+      .filter(col("df") >= 25)
+      .select(col("token"), col("df"), col("tf_total"),
+        expr("transform(p, x -> x.doc_id)").as("postings_head"))
+      .orderBy("token")
+  }
+
+  def invertedIndexOracle: String =
+    s"""WITH pd AS (
+       |  SELECT g AS token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS g
+       |        FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t) u
+       |  GROUP BY g, doc_id)
+       |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
+       |  CAST(SUM(tf) AS BIGINT) AS tf_total,
+       |  list_sort(list(doc_id))[1:8] AS postings_head
+       |FROM pd GROUP BY token HAVING COUNT(*) >= 25
+       |ORDER BY token""".stripMargin
+
   // ── mutual information: how dependent are two categorical columns ──
 
   /** Mutual information (nats) between language and source, plus the
