@@ -123,6 +123,8 @@ object SparkEntry {
     "mi_lang_source" -> TextAnalysis.miLangSource _,
     "winsorize_prices" -> Relational.winsorizePrices _,
     "inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(s, dir)),
+    "regression_qty_price" -> Relational.regressionQtyPrice _,
+    "table_checksum" -> Relational.tableChecksum _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -296,6 +298,8 @@ object SparkEntry {
     "mi_lang_source" -> TextAnalysis.miLangSourceOracle,
     "winsorize_prices" -> Relational.winsorizePricesOracle,
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
+    "regression_qty_price" -> Relational.regressionQtyPriceOracle,
+    "table_checksum" -> Relational.tableChecksumOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

@@ -1241,6 +1241,82 @@ object Relational {
       |  (n*sxy - sx*sy) / sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)) AS corr_qty_price
       |FROM g ORDER BY l_returnflag""".stripMargin
 
+  /** Per-group ordinary least squares (price ~ quantity) from the
+    * same five exact decimal sufficient statistics as
+    * [[statsCorrLineitem]]: slope, intercept, and r² are pure IEEE
+    * arithmetic on exact inputs — bit-identical at any parallelism,
+    * one map-side-partial shuffle, no second pass. The workhorse
+    * "fit a trend per segment" operator. */
+  def regressionQtyPrice(spark: SparkSession, dir: String): DataFrame = {
+    def dsum4(c: Column): Column =
+      sum(c.cast(DecimalType(27, 4))).cast("double")
+    val x = col("l_quantity"); val y = col("l_extendedprice")
+    Tables.lineitem(spark, dir)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum2(x).as("sx"), dsum2(y).as("sy"),
+        dsum4(x * x).as("sxx"), dsum4(y * y).as("syy"),
+        dsum4(x * y).as("sxy"))
+      .select(col("l_returnflag"),
+        col("n").cast("long").as("n_rows"),
+        round(((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))), 6).as("slope"),
+        round(((col("sy") - ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx"))) * col("sx")) / col("n")), 6)
+          .as("intercept"),
+        round(pow((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 2), 6).as("r2"))
+      .orderBy("l_returnflag")
+  }
+
+  def regressionQtyPriceOracle: String =
+    """WITH g AS (SELECT l_returnflag,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(l_quantity*l_quantity AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(l_extendedprice*l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS syy,
+      |    CAST(SUM(CAST(l_quantity*l_extendedprice AS DECIMAL(27,4))) AS DOUBLE) AS sxy
+      |  FROM lineitem GROUP BY l_returnflag)
+      |SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+      |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+      |  round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6) AS intercept,
+      |  round(pow((n*sxy - sx*sy) /
+      |    sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 2), 6) AS r2
+      |FROM g ORDER BY l_returnflag""".stripMargin
+
+  /** Order-independent table checksum: Σ of per-row 32-bit content
+    * hashes (md5 of the canonical row rendering) plus the row count —
+    * equal data ⇒ equal checksum regardless of partitioning, file
+    * order, or engine. THE cheap answer to "did the migration /
+    * rewrite / compaction change anything": one scan, one tiny
+    * aggregate, no sort. (A sorted full-table compare is the
+    * expensive fallback when checksums differ. Beyond ~2^32 rows,
+    * accumulate the Σ in DECIMAL(38,0) — a long Σ of 32-bit hashes
+    * can overflow around 4e9 rows.) */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame = {
+    val rowRepr = concat_ws("|",
+      col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+      col("o_orderstatus"), format_string("%.2f", col("o_totalprice")),
+      date_format(col("o_orderdate"), "yyyy-MM-dd"), col("o_orderpriority"))
+    val rowHash = conv(substring(md5(rowRepr), 1, 8), 16, 10).cast("long")
+    Tables.orders(spark, dir)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(rowHash).as("checksum"),
+        max(rowHash).as("max_row_hash"))
+  }
+
+  def tableChecksumOracle: String =
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |  CAST(SUM(h) AS BIGINT) AS checksum,
+      |  CAST(MAX(h) AS BIGINT) AS max_row_hash
+      |FROM (SELECT CAST(concat('0x', substr(md5(
+      |    o_orderkey || '|' || o_custkey || '|' || o_orderstatus || '|' ||
+      |    printf('%.2f', o_totalprice) || '|' ||
+      |    strftime(o_orderdate, '%Y-%m-%d') || '|' || o_orderpriority
+      |  ), 1, 8)) AS BIGINT) AS h FROM orders) t""".stripMargin
+
   /** Edit-distance fuzzy self-join with length blocking. The naive
     * fuzzy join is O(n²) name pairs; levenshtein ≤ 1 implies the
     * lengths differ by ≤ 1, so each left name explodes to its 3
