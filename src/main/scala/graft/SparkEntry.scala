@@ -125,6 +125,8 @@ object SparkEntry {
     "inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(s, dir)),
     "regression_qty_price" -> Relational.regressionQtyPrice _,
     "table_checksum" -> Relational.tableChecksum _,
+    "stream_outlier_score" -> ((s, dir) =>
+      graft.streaming.EventStream.outlierScoreOverFiles(s, dir)),
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -300,6 +302,8 @@ object SparkEntry {
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
     "regression_qty_price" -> Relational.regressionQtyPriceOracle,
     "table_checksum" -> Relational.tableChecksumOracle,
+    "stream_outlier_score" ->
+      graft.streaming.EventStream.outlierScoreOverFilesOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

@@ -677,8 +677,8 @@ object TextAnalysis {
       m.crossJoin(broadcast(tot))
         .agg(dsum(round(-p * log(p), 9)).as(out))
     }
-    mi.crossJoin(entropy(rowT, "rn", "h_lang"))
-      .crossJoin(entropy(colT, "cn", "h_source"))
+    mi.crossJoin(broadcast(entropy(rowT, "rn", "h_lang")))
+      .crossJoin(broadcast(entropy(colT, "cn", "h_source")))
       .select("mi_nats", "h_lang", "h_source", "n_cells")
   }
 

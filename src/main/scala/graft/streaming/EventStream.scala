@@ -170,6 +170,62 @@ object EventStream {
       |FROM events e JOIN a USING (event_type)
       |GROUP BY e.event_type ORDER BY event_type""".stripMargin
 
+  /** Stateless model-apply on a stream: score each event against its
+    * type's PRE-COMPUTED (batch) mean/σ and emit 2σ outliers — the
+    * fit-on-batch / score-on-stream deployment shape. The bounds
+    * frame is 5 rows and broadcast per micro-batch; the stream side
+    * is a pure filter-projection — no state store, no watermark, no
+    * shuffle, Append mode — so streaming throughput equals scan
+    * throughput at any scale. Moments use exact decimal sums and z is
+    * rounded before the threshold compare (the batch outlier
+    * discipline), so the emitted set is engine-exact and oracled
+    * against the identical batch SQL. */
+  def outlierScoreOverFiles(spark: org.apache.spark.sql.SparkSession,
+                            dir: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    val stats = graft.Tables.events(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sx"),
+        sum((col("value") * col("value")).cast(DecimalType(27, 4)))
+          .cast("double").as("sxx"))
+      .select(col("event_type"), (col("sx") / col("n")).as("mean"),
+        sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("sd"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val name = s"graft_stream_oz_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = stream.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_id"), col("event_type"),
+        round((col("value") - col("mean")) / col("sd"), 6).as("z"))
+      .filter(abs(col("z")) > 2.0)
+      .writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append).start()
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
+    spark.table(name).orderBy("event_id")
+  }
+
+  def outlierScoreOverFilesOracle: String =
+    """WITH g AS (SELECT event_type,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(value*value AS DECIMAL(27,4))) AS DOUBLE) AS sxx
+      |  FROM events GROUP BY 1),
+      |s AS (SELECT event_type, sx/n AS mean,
+      |    sqrt((sxx - sx*sx/n)/n) AS sd FROM g)
+      |SELECT e.event_id, e.event_type,
+      |  round((e.value - s.mean)/s.sd, 6) AS z
+      |FROM events e JOIN s USING (event_type)
+      |WHERE abs(round((e.value - s.mean)/s.sd, 6)) > 2.0
+      |ORDER BY e.event_id""".stripMargin
+
   /** Gap-based sessionization with explicit state
     * (flatMapGroupsWithState + event-time timeout): a session closes
     * when the watermark passes last-event + gap; closed sessions are
