@@ -127,6 +127,7 @@ object SparkEntry {
     "table_checksum" -> Relational.tableChecksum _,
     "stream_outlier_score" -> ((s, dir) =>
       graft.streaming.EventStream.outlierScoreOverFiles(s, dir)),
+    "dedup_keep_best" -> Dedup.keepBest _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -304,6 +305,7 @@ object SparkEntry {
     "table_checksum" -> Relational.tableChecksumOracle,
     "stream_outlier_score" ->
       graft.streaming.EventStream.outlierScoreOverFilesOracle,
+    "dedup_keep_best" -> Dedup.keepBestOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

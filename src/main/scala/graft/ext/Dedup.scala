@@ -62,6 +62,39 @@ object Dedup {
        |FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t
        |GROUP BY 1 ORDER BY keeper""".stripMargin
 
+  /** Keeper-POLICY dedup: same bag fingerprint, but keep the highest-
+    * value copy (longest text, min doc_id tiebreak) instead of the
+    * arbitrary min-id — real pipelines keep the best duplicate, not
+    * the first. One hash aggregation via native `max_by` with a
+    * struct tiebreak (the argmax discipline — map-side partials, no
+    * window, no second pass). The -doc_id negation turns "min id"
+    * into the struct's max ordering. */
+  def keepBest(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        md5(array_join(array_sort(array_distinct(toks(col("text")))), " "))
+          .as("bag_md5"))
+      .groupBy("bag_md5")
+      .agg(max_by(col("doc_id"),
+          struct(col("n_chars"), negate(col("doc_id")))).as("keeper"),
+        max(col("n_chars")).as("keeper_chars"),
+        count(lit(1)).as("n_copies"))
+      .orderBy("bag_md5")
+
+  def keepBestOracle: String =
+    s"""WITH t AS (SELECT doc_id, n_chars,
+       |    md5(array_to_string(list_sort(list_distinct(ws)), ' ')) AS bag_md5
+       |  FROM (SELECT doc_id, n_chars, $tokensSql AS ws FROM documents) u),
+       |r AS (SELECT bag_md5, doc_id, n_chars,
+       |    row_number() OVER (PARTITION BY bag_md5
+       |      ORDER BY n_chars DESC, doc_id ASC) AS rk,
+       |    MAX(n_chars) OVER (PARTITION BY bag_md5) AS keeper_chars,
+       |    COUNT(*) OVER (PARTITION BY bag_md5) AS n_copies
+       |  FROM t)
+       |SELECT bag_md5, doc_id AS keeper, keeper_chars,
+       |  CAST(n_copies AS BIGINT) AS n_copies
+       |FROM r WHERE rk = 1 ORDER BY bag_md5""".stripMargin
+
   // ── MinHash ──
 
   val NumPerms = 16
