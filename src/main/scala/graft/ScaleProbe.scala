@@ -45,6 +45,14 @@ object ScaleProbe {
       "dedup_minhash_pairs" ->
         ((s, d) => graft.ext.Dedup.minhashPairs(s, d)),
       "token_count" -> (graft.ext.TextAnalysis.tokenCount _),
+      // statistics / audit / layout family (round-3 additions)
+      "outlier_zscore" -> (graft.operators.Relational.outlierZscore _),
+      "winsorize_prices" -> (graft.operators.Relational.winsorizePrices _),
+      "chi2_priority_status" -> (graft.operators.Relational.chi2PriorityStatus _),
+      "table_checksum" -> (graft.operators.Relational.tableChecksum _),
+      "zorder_lineitem" -> (graft.operators.Layout.zorderLineitem _),
+      "inverted_index" -> ((s, d) => graft.ext.TextAnalysis.invertedIndex(s, d)),
+      "dedup_keep_best" -> (graft.ext.Dedup.keepBest _),
     )
 
     def time(fn: => Unit): Double = {

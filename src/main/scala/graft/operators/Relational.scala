@@ -39,6 +39,37 @@ object Relational {
 
   private def ts(s: String): Column = lit(s).cast("timestamp")
 
+  /** (g, v) → (g, v, rk): per-group ascending rank WITHOUT a
+    * per-group window. `Window.partitionBy(g)` funnels each group
+    * into one task — with a handful of groups that's a parallelism
+    * collapse on exactly the biggest inputs. Instead: deterministic
+    * equi-width value buckets localize the sort to (group × bucket)
+    * slices whose windows run in parallel, and a tiny prefix-count
+    * table (|groups|·|buckets| rows) turns local row numbers into
+    * global in-group ranks. Rank ties between equal values order
+    * arbitrarily, which is irrelevant for order statistics — the
+    * value at each rank is unique. (A production build would pick
+    * bucket bounds from a sample to even out skew; equi-width bounds
+    * only affect balance, never correctness.) */
+  private def bucketedGroupRanks(vals: DataFrame, numBuckets: Int = 64): DataFrame = {
+    val stats = vals.groupBy("g")
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val bucketed = vals.join(broadcast(stats), Seq("g"))
+      .select(col("g"), col("v"),
+        when(col("vmin") === col("vmax"), lit(1L))
+          .otherwise(width_bucket(col("v"), col("vmin"), col("vmax"), lit(numBuckets)))
+          .as("bkt"))
+    val wLocal = Window.partitionBy("g", "bkt").orderBy("v")
+    val withRn = bucketed.withColumn("rn", row_number().over(wLocal).cast("long"))
+    val wOff = Window.partitionBy("g").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("g", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+      .select("g", "bkt", "off")
+    withRn.join(broadcast(offsets), Seq("g", "bkt"))
+      .select(col("g"), col("v"), (col("off") + col("rn")).as("rk"))
+  }
+
   /** TPC-H Q1-style pricing summary. One shuffle; HashAggregate does
     * map-side partial agg, so at 100 TB the shuffle carries
     * |partitions|×|groups| rows (groups ≈ 6), not |lineitem|. The
@@ -706,27 +737,11 @@ object Relational {
     * sample to even out skew; equi-width bounds only affect balance,
     * never correctness.) */
   def percentilePrice(spark: SparkSession, dir: String): DataFrame = {
-    val numBuckets = 64
     val vals = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
     val stats = vals.groupBy("g")
       .agg(count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-    // deterministic monotone bucket id per (group, value)
-    val bucketed = vals.join(broadcast(stats), Seq("g"))
-      .select(col("g"), col("v"),
-        when(col("vmin") === col("vmax"), lit(1L))
-          .otherwise(width_bucket(col("v"), col("vmin"), col("vmax"), lit(numBuckets)))
-          .as("bkt"))
-    val wLocal = Window.partitionBy("g", "bkt").orderBy("v")
-    val withRn = bucketed.withColumn("rn", row_number().over(wLocal).cast("long"))
-    // prefix offsets over the tiny (group, bucket) count table
-    val wOff = Window.partitionBy("g").orderBy("bkt")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = bucketed.groupBy("g", "bkt").agg(count(lit(1)).as("c"))
-      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
-      .select("g", "bkt", "off")
-    val ranked = withRn.join(broadcast(offsets), Seq("g", "bkt"))
-      .select(col("g"), col("v"), (col("off") + col("rn")).as("rk"))
+    val ranked = bucketedGroupRanks(vals)
     // bracketing order statistics per percentile: pos = p·(n−1), ranks
     // floor(pos)+1 and ceil(pos)+1 (1-indexed)
     val targets = stats.select(col("g"), col("n"),
@@ -1841,14 +1856,15 @@ object Relational {
   def quantileGridPrice(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val grid = Seq(0.25, 0.5, 0.75, 0.95).toDF("q")
-    val w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
-    val ranked = Tables.orders(spark, dir)
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .withColumn("rk", row_number().over(w).cast("long"))
-    val counts = ranked.groupBy("o_orderpriority")
-      .agg(max(col("rk")).as("n"))
+    // bucket-localized per-group ranks — no |groups|-task window
+    val ranked = bucketedGroupRanks(
+      Tables.orders(spark, dir)
+        .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v")))
+    // group sizes from a direct count — don't re-execute the rank plan
+    val counts = Tables.orders(spark, dir)
+      .groupBy(col("o_orderpriority").as("g")).agg(count(lit(1)).as("n"))
     val qs = counts.crossJoin(broadcast(grid))
-      .select(col("o_orderpriority").as("g_prio"), col("q"),
+      .select(col("g").as("g_prio"), col("q"),
         // continuous-quantile index h = (n-1)·q (0-based), split into
         // floor rank and fraction — the same formula DuckDB's
         // quantile_cont implements
@@ -1856,11 +1872,15 @@ object Relational {
       .select(col("g_prio"), col("q"),
         (floor(col("h")) + 1).cast("long").as("lo_rk"),
         (col("h") - floor(col("h"))).as("frac"))
-    qs.join(ranked.select(col("o_orderpriority").as("g_prio"),
-        col("rk").as("lo_rk"), col("o_totalprice").as("lo_v")),
+    // one pass over ranked rows: fetch all bracketing ranks at once
+    val needed = qs.select(col("g_prio").as("g"),
+        explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
+    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    qs.join(valueAt.select(col("g").as("g_prio"),
+        col("rk").as("lo_rk"), col("v").as("lo_v")),
         Seq("g_prio", "lo_rk"))
-      .join(ranked.select(col("o_orderpriority").as("g_prio"),
-        (col("rk") - 1).as("lo_rk"), col("o_totalprice").as("hi_v")),
+      .join(valueAt.select(col("g").as("g_prio"),
+        (col("rk") - 1).as("lo_rk"), col("v").as("hi_v")),
         Seq("g_prio", "lo_rk"), "left")
       .select(col("g_prio").as("o_orderpriority"), col("q"),
         // lo·(1−frac) + hi·frac — the exact op order quantile_cont
@@ -1891,22 +1911,28 @@ object Relational {
   def winsorizePrices(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val x = col("l_extendedprice")
-    val w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
-    val ranked = Tables.lineitem(spark, dir)
-      .select(col("l_returnflag"), x)
-      .withColumn("rk", row_number().over(w).cast("long"))
-    val counts = ranked.groupBy("l_returnflag").agg(max(col("rk")).as("n"))
+    // bucket-localized per-group ranks — no |groups|-task window
+    val ranked = bucketedGroupRanks(
+      Tables.lineitem(spark, dir).select(col("l_returnflag").as("g"), x.as("v")))
+    // group sizes from a direct count — don't re-execute the rank plan
+    val counts = Tables.lineitem(spark, dir)
+      .groupBy(col("l_returnflag").as("g")).agg(count(lit(1)).as("n"))
     val qs = counts.crossJoin(broadcast(Seq(0.05, 0.95).toDF("q")))
-      .select(col("l_returnflag").as("g_rf"), col("q"),
+      .select(col("g").as("g_rf"), col("q"),
         ((col("n") - 1) * col("q")).as("h"))
       .select(col("g_rf"), col("q"),
         (floor(col("h")) + 1).cast("long").as("lo_rk"),
         (col("h") - floor(col("h"))).as("frac"))
+    // ONE pass over the ranked rows: fetch every bracketing rank at
+    // once (tiny broadcast), then assemble lo/hi from the tiny result
+    val needed = qs.select(col("g_rf").as("g"),
+        explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
+    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
     val quantiles = qs
-      .join(ranked.select(col("l_returnflag").as("g_rf"),
-        col("rk").as("lo_rk"), x.as("lo_v")), Seq("g_rf", "lo_rk"))
-      .join(ranked.select(col("l_returnflag").as("g_rf"),
-        (col("rk") - 1).as("lo_rk"), x.as("hi_v")), Seq("g_rf", "lo_rk"), "left")
+      .join(valueAt.select(col("g").as("g_rf"),
+        col("rk").as("lo_rk"), col("v").as("lo_v")), Seq("g_rf", "lo_rk"))
+      .join(valueAt.select(col("g").as("g_rf"),
+        (col("rk") - 1).as("lo_rk"), col("v").as("hi_v")), Seq("g_rf", "lo_rk"), "left")
       .select(col("g_rf"),
         col("q"),
         (col("lo_v") * (lit(1.0) - col("frac")) +
