@@ -128,6 +128,7 @@ object SparkEntry {
     "stream_outlier_score" -> ((s, dir) =>
       graft.streaming.EventStream.outlierScoreOverFiles(s, dir)),
     "dedup_keep_best" -> Dedup.keepBest _,
+    "perplexity_unigram" -> TextAnalysis.perplexityUnigram _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -306,6 +307,7 @@ object SparkEntry {
     "stream_outlier_score" ->
       graft.streaming.EventStream.outlierScoreOverFilesOracle,
     "dedup_keep_best" -> Dedup.keepBestOracle,
+    "perplexity_unigram" -> TextAnalysis.perplexityUnigramOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

@@ -603,6 +603,56 @@ object TextAnalysis {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM r GROUP BY reason ORDER BY reason""".stripMargin
 
+  // ── unigram-LM perplexity: the language-model quality filter ──
+
+  /** Per-document perplexity under a corpus-trained unigram model —
+    * the classic LM-based quality screen (documents whose token
+    * distribution diverges from the corpus norm score high and get
+    * filtered/bucketed). Two passes, both scale-shaped: (1) the model
+    * is one hash aggregation (vocabulary-sized, broadcast — a 100 TB
+    * build truncates to top-V with an OOV bucket, same plan); (2)
+    * scoring re-joins the token stream against the broadcast model
+    * and averages log-probs per doc. Determinism: each ln p is
+    * rounded to 9 then decimal-summed (partition-order-free), the
+    * average and exp() re-rounded at the end. */
+  def perplexityUnigram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toksOf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val vocab = toksOf.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("tot"))
+    val model = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("c").cast("double") / col("tot").cast("double")), 9)
+          .as("logp"))
+    toksOf.join(broadcast(model), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        (sum(col("logp").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("avg_logp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_logp"), 6).as("avg_logp"),
+        round(exp(negate(col("avg_logp"))), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  def perplexityUnigramOracle: String =
+    s"""WITH tk AS (SELECT doc_id, g AS tok
+       |  FROM (SELECT doc_id, unnest(ws) AS g
+       |        FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t) u),
+       |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM v),
+       |m AS (SELECT tok,
+       |    round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS logp
+       |  FROM v, tt),
+       |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+       |      AS avg_logp
+       |  FROM tk JOIN m USING (tok) GROUP BY doc_id)
+       |SELECT doc_id, n_tokens, round(avg_logp, 6) AS avg_logp,
+       |  round(exp(-avg_logp), 6) AS ppl
+       |FROM s ORDER BY doc_id""".stripMargin
+
   // ── inverted index: token → document postings ──
 
   /** Inverted index over the corpus: per token, document frequency,
