@@ -129,6 +129,8 @@ object SparkEntry {
       graft.streaming.EventStream.outlierScoreOverFiles(s, dir)),
     "dedup_keep_best" -> Dedup.keepBest _,
     "perplexity_unigram" -> TextAnalysis.perplexityUnigram _,
+    "kl_source_divergence" -> TextAnalysis.klSourceDivergence _,
+    "funnel_events" -> EventOps.funnelEvents _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -308,6 +310,8 @@ object SparkEntry {
       graft.streaming.EventStream.outlierScoreOverFilesOracle,
     "dedup_keep_best" -> Dedup.keepBestOracle,
     "perplexity_unigram" -> TextAnalysis.perplexityUnigramOracle,
+    "kl_source_divergence" -> TextAnalysis.klSourceDivergenceOracle,
+    "funnel_events" -> EventOps.funnelEventsOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

@@ -653,6 +653,55 @@ object TextAnalysis {
        |  round(exp(-avg_logp), 6) AS ppl
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Per-source KL divergence D(source ‖ corpus) over token
+    * distributions — "which slice of my mix speaks a different
+    * language": the drift metric run between ingest batches or data
+    * sources. Smoothed with the corpus support (every token the
+    * corpus knows contributes; sources have a subset, so terms are
+    * restricted to the source's support — standard plug-in KL). Same
+    * scale shape as the unigram model: two hash aggregations to
+    * (source × token) and (token) counts, everything else on the
+    * tiny model frames; ln-terms rounded then decimal-summed. */
+  def klSourceDivergence(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toksOf = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+    val bySrc = toksOf.groupBy("source", "tok").agg(count(lit(1)).as("c"))
+    val srcTot = bySrc.groupBy("source").agg(sum(col("c")).as("stot"))
+    val corpus = bySrc.groupBy("tok").agg(sum(col("c")).as("cc"))
+    val corpTot = corpus.agg(sum(col("cc")).as("tot"))
+    val p = col("c").cast("double") / col("stot").cast("double")
+    val q = col("cc").cast("double") / col("tot").cast("double")
+    bySrc.join(broadcast(srcTot), Seq("source"))
+      .join(broadcast(corpus), Seq("tok"))
+      .crossJoin(broadcast(corpTot))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_terms"),
+        sum(round(p * log(p / q), 9).cast(DecimalType(28, 12)))
+          .cast("double").as("kl_nats"))
+      .select(col("source"), col("n_terms"),
+        round(col("kl_nats"), 6).as("kl_nats"))
+      .orderBy("source")
+  }
+
+  def klSourceDivergenceOracle: String =
+    s"""WITH tk AS (SELECT source, g AS tok
+       |  FROM (SELECT source, unnest(ws) AS g
+       |        FROM (SELECT source, $tokensSql AS ws FROM documents) t) u),
+       |bs AS (SELECT source, tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM tk GROUP BY 1, 2),
+       |st AS (SELECT source, CAST(SUM(c) AS BIGINT) AS stot FROM bs GROUP BY 1),
+       |cp AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cc FROM bs GROUP BY 1),
+       |ct AS (SELECT CAST(SUM(cc) AS BIGINT) AS tot FROM cp)
+       |SELECT bs.source, CAST(COUNT(*) AS BIGINT) AS n_terms,
+       |  round(CAST(SUM(CAST(round(
+       |    (CAST(bs.c AS DOUBLE) / CAST(st.stot AS DOUBLE)) *
+       |    ln((CAST(bs.c AS DOUBLE) / CAST(st.stot AS DOUBLE)) /
+       |       (CAST(cp.cc AS DOUBLE) / CAST(ct.tot AS DOUBLE))), 9)
+       |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS kl_nats
+       |FROM bs JOIN st USING (source) JOIN cp USING (tok), ct
+       |GROUP BY bs.source ORDER BY bs.source""".stripMargin
+
   // ── inverted index: token → document postings ──
 
   /** Inverted index over the corpus: per token, document frequency,

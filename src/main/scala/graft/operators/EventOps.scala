@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
@@ -426,4 +426,56 @@ object EventOps {
       |  COALESCE(h.sum_value, 0.0) AS sum_value
       |FROM g LEFT JOIN h ON g.hour_ts = h.hour_ts
       |ORDER BY g.hour_ts""".stripMargin
+
+  /** Ordered-step conversion funnel view → click → purchase: a user
+    * converts at step k only if step k's FIRST qualifying event is
+    * strictly after their step-(k−1) conversion time — the product-
+    * analytics staple. One conditional aggregation per step, each a
+    * hash agg keyed on user_id (the steps co-partition on the same
+    * key, so AQE reuses the exchange); the summary is three tiny
+    * 1-row frames. No windows, no self-join of the full stream. */
+  def funnelEvents(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    def firstAfter(tpe: String, after: Column): Column =
+      min(when(col("event_type") === tpe && col("ts") > after, col("ts")))
+    val perUser = ev.groupBy("user_id")
+      .agg(min(when(col("event_type") === "view", col("ts"))).as("t_view"))
+      .join(ev, Seq("user_id"))
+      .groupBy("user_id", "t_view")
+      .agg(firstAfter("click", col("t_view")).as("t_click"))
+      .join(ev, Seq("user_id"))
+      .groupBy("user_id", "t_view", "t_click")
+      .agg(firstAfter("purchase", col("t_click")).as("t_purchase"))
+    perUser.agg(
+        count(col("t_view")).as("n_view"),
+        count(col("t_click")).as("n_click"),
+        count(col("t_purchase")).as("n_purchase"),
+        round(count(col("t_click")).cast("double") /
+          count(col("t_view")), 6).as("view_to_click"),
+        round(count(col("t_purchase")).cast("double") /
+          count(col("t_click")), 6).as("click_to_purchase"))
+  }
+
+  def funnelEventsOracle: String =
+    """WITH s1 AS (SELECT user_id,
+      |    MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view
+      |  FROM events GROUP BY user_id),
+      |s2 AS (SELECT e.user_id, s1.t_view,
+      |    MIN(CASE WHEN e.event_type = 'click' AND e.ts > s1.t_view
+      |        THEN e.ts END) AS t_click
+      |  FROM events e JOIN s1 USING (user_id)
+      |  GROUP BY e.user_id, s1.t_view),
+      |s3 AS (SELECT e.user_id, s2.t_view, s2.t_click,
+      |    MIN(CASE WHEN e.event_type = 'purchase' AND e.ts > s2.t_click
+      |        THEN e.ts END) AS t_purchase
+      |  FROM events e JOIN s2 USING (user_id)
+      |  GROUP BY e.user_id, s2.t_view, s2.t_click)
+      |SELECT CAST(COUNT(t_view) AS BIGINT) AS n_view,
+      |  CAST(COUNT(t_click) AS BIGINT) AS n_click,
+      |  CAST(COUNT(t_purchase) AS BIGINT) AS n_purchase,
+      |  round(CAST(COUNT(t_click) AS DOUBLE) / COUNT(t_view), 6)
+      |    AS view_to_click,
+      |  round(CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_click), 6)
+      |    AS click_to_purchase
+      |FROM s3""".stripMargin
 }
