@@ -131,6 +131,7 @@ object SparkEntry {
     "perplexity_unigram" -> TextAnalysis.perplexityUnigram _,
     "kl_source_divergence" -> TextAnalysis.klSourceDivergence _,
     "funnel_events" -> EventOps.funnelEvents _,
+    "session_paths" -> ((s, dir) => EventOps.sessionPaths(s, dir)),
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -312,6 +313,7 @@ object SparkEntry {
     "perplexity_unigram" -> TextAnalysis.perplexityUnigramOracle,
     "kl_source_divergence" -> TextAnalysis.klSourceDivergenceOracle,
     "funnel_events" -> EventOps.funnelEventsOracle,
+    "session_paths" -> EventOps.sessionPathsOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

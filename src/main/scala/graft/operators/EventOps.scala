@@ -159,6 +159,57 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Path analysis: the most common event-type SEQUENCES per session
+    * (same 30-min gap sessions as [[sessionize]]) — "what do users
+    * actually do", the navigation-mining staple. The per-session
+    * path is an ordered struct-sort + projection (bounded by session
+    * length, no unbounded state); the path histogram is a hash agg on
+    * the path string; top-20 by TakeOrdered. Ties order by path text
+    * so the cut is deterministic. */
+  def sessionPaths(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id",
+        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(array_join(
+        expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
+        ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(topK)
+  }
+
+  def sessionPathsOracle: String =
+    """WITH lagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
+      |  FROM events),
+      |flagged AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    CASE WHEN prev_us IS NULL OR epoch_us(ts) - prev_us > 1800000000
+      |         THEN 1 ELSE 0 END AS is_new
+      |  FROM lagged),
+      |sessions AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+      |  FROM flagged),
+      |paths AS (
+      |  SELECT user_id, session_id,
+      |    array_to_string(list(event_type ORDER BY ts, event_id), '>') AS path
+      |  FROM sessions GROUP BY user_id, session_id)
+      |SELECT path, COUNT(*) AS n_sessions
+      |FROM paths GROUP BY path
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin
+
   /** As-of join within the event stream: for each 'error' event, the
     * most recent strictly-earlier 'click' by the same user.
     *
