@@ -132,6 +132,7 @@ object SparkEntry {
     "kl_source_divergence" -> TextAnalysis.klSourceDivergence _,
     "funnel_events" -> EventOps.funnelEvents _,
     "session_paths" -> ((s, dir) => EventOps.sessionPaths(s, dir)),
+    "gap_percentiles" -> EventOps.gapPercentiles _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -314,6 +315,7 @@ object SparkEntry {
     "kl_source_divergence" -> TextAnalysis.klSourceDivergenceOracle,
     "funnel_events" -> EventOps.funnelEventsOracle,
     "session_paths" -> EventOps.sessionPathsOracle,
+    "gap_percentiles" -> EventOps.gapPercentilesOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

@@ -159,6 +159,61 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Inter-event latency profile: exact p50/p95/p99 of the gap (µs)
+    * between a user's consecutive events, grouped by the LATER
+    * event's type — the ops-dashboard latency metric. Gap derivation
+    * is one window pass partitioned by user_id (high cardinality —
+    * parallelism scales with users); the exact percentiles reuse the
+    * shared bucketed-group-rank technique (no |types|-task window)
+    * with quantile_cont's exact interpolation order. */
+  def gapPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gaps = Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type")
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .filter(col("prev_us").isNotNull)
+      .select(col("event_type").as("g"),
+        (unix_micros(col("ts")) - col("prev_us")).cast("double").as("v"))
+    val ranked = Relational.bucketedGroupRanks(gaps)
+    val counts = gaps.groupBy("g").agg(count(lit(1)).as("n"))
+    val targets = counts
+      .select(col("g"), col("n"),
+        explode(array(lit(0.5), lit(0.95), lit(0.99))).as("p"))
+      .withColumn("h", (col("n") - 1) * col("p"))
+      .select(col("g"), col("p"),
+        (floor(col("h")) + 1).cast("long").as("lo_rk"),
+        (col("h") - floor(col("h"))).as("frac"))
+    val needed = targets.select(col("g"),
+        explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
+    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    targets
+      .join(valueAt.select(col("g"), col("rk").as("lo_rk"), col("v").as("lo_v")),
+        Seq("g", "lo_rk"))
+      .join(valueAt.select(col("g"), (col("rk") - 1).as("lo_rk"), col("v").as("hi_v")),
+        Seq("g", "lo_rk"), "left")
+      .select(col("g"), col("p"),
+        round(col("lo_v") * (lit(1.0) - col("frac")) +
+          coalesce(col("hi_v"), col("lo_v")) * col("frac"), 4).as("gap_us"))
+      .groupBy(col("g").as("event_type"))
+      .agg(max(when(col("p") === 0.5, col("gap_us"))).as("p50_us"),
+        max(when(col("p") === 0.95, col("gap_us"))).as("p95_us"),
+        max(when(col("p") === 0.99, col("gap_us"))).as("p99_us"))
+      .orderBy("event_type")
+  }
+
+  def gapPercentilesOracle: String =
+    """WITH lagged AS (
+      |  SELECT event_type,
+      |    epoch_us(ts) - lag(epoch_us(ts))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+      |  FROM events)
+      |SELECT event_type,
+      |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.50), 4) AS p50_us,
+      |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.95), 4) AS p95_us,
+      |  round(quantile_cont(CAST(gap_us AS DOUBLE), 0.99), 4) AS p99_us
+      |FROM lagged WHERE gap_us IS NOT NULL
+      |GROUP BY event_type ORDER BY event_type""".stripMargin
+
   /** Path analysis: the most common event-type SEQUENCES per session
     * (same 30-min gap sessions as [[sessionize]]) — "what do users
     * actually do", the navigation-mining staple. The per-session

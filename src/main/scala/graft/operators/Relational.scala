@@ -51,7 +51,7 @@ object Relational {
     * value at each rank is unique. (A production build would pick
     * bucket bounds from a sample to even out skew; equi-width bounds
     * only affect balance, never correctness.) */
-  private def bucketedGroupRanks(vals: DataFrame, numBuckets: Int = 64): DataFrame = {
+  private[graft] def bucketedGroupRanks(vals: DataFrame, numBuckets: Int = 64): DataFrame = {
     val stats = vals.groupBy("g")
       .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
     val bucketed = vals.join(broadcast(stats), Seq("g"))
