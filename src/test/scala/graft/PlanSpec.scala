@@ -48,6 +48,31 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"))
   }
 
+  test("outlier_zscore broadcasts the stats frame back onto the scan") {
+    val plan = operators.Relational.outlierZscore(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"stats frame must broadcast, not shuffle the fact side:\n$plan")
+  }
+
+  test("inverted_index aggregates postings via the bounded heap, partial-first") {
+    val plan = graft.ext.TextAnalysis.invertedIndex(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"),
+      s"BoundedTopKAgg should plan as ObjectHashAggregate:\n$plan")
+    assert(plan.contains("partial_graft_bounded_topk"),
+      s"posting heads must shrink map-side before the shuffle:\n$plan")
+  }
+
+  test("zorder layout is a range sort, not a single-partition window") {
+    val plan = operators.Layout.zorderLineitem(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning") || plan.contains("RangePartitioning")
+      || plan.contains("Exchange range"),
+      s"expected a range exchange on the morton key:\n$plan")
+    assert(!plan.contains("Window"), s"no global window allowed:\n$plan")
+  }
+
   test("no headline query plans a cartesian product") {
     // dedup_groups iterates driver-side (checkpoint boundaries), so the
     // optimized plan is the right level to inspect for the rest; skip it
