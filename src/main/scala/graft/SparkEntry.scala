@@ -133,6 +133,8 @@ object SparkEntry {
     "funnel_events" -> EventOps.funnelEvents _,
     "session_paths" -> ((s, dir) => EventOps.sessionPaths(s, dir)),
     "gap_percentiles" -> EventOps.gapPercentiles _,
+    "frame_dedup" -> Multimodal.frameDedup _,
+    "embedding_centroids" -> Similarity.embeddingCentroids _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -316,6 +318,8 @@ object SparkEntry {
     "funnel_events" -> EventOps.funnelEventsOracle,
     "session_paths" -> EventOps.sessionPathsOracle,
     "gap_percentiles" -> EventOps.gapPercentilesOracle,
+    "frame_dedup" -> Multimodal.frameDedupOracle,
+    "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

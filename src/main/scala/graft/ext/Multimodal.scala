@@ -172,6 +172,37 @@ object Multimodal {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** Cross-asset shared-frame detection: exact frames appearing in
+    * MORE THAN ONE asset — the content-reuse check of the frame
+    * pipeline (shared intros/ads/watermarks at video scale). One hash
+    * aggregation keyed on the frame digest; payload bytes never
+    * shuffle — only their md5 does, so the shuffle row width is
+    * constant no matter the frame size. */
+  def frameDedup(spark: SparkSession, dir: String): DataFrame =
+    frames(spark, dir)
+      .groupBy("frame_md5")
+      .agg(countDistinct("asset_id").as("n_assets"),
+        count(lit(1)).as("n_occurrences"),
+        min("asset_id").as("first_asset"))
+      .filter(col("n_assets") >= 2)
+      .orderBy("frame_md5")
+
+  def frameDedupOracle: String =
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+      |idx AS (SELECT doc_id, text,
+      |          unnest(generate_series(0, (n - 1) // 256)) AS frame_idx
+      |        FROM d),
+      |fr AS (SELECT doc_id AS asset_id,
+      |         md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256))
+      |           AS frame_md5
+      |       FROM idx)
+      |SELECT frame_md5,
+      |  CAST(COUNT(DISTINCT asset_id) AS BIGINT) AS n_assets,
+      |  CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+      |  MIN(asset_id) AS first_asset
+      |FROM fr GROUP BY frame_md5 HAVING COUNT(DISTINCT asset_id) >= 2
+      |ORDER BY frame_md5""".stripMargin
+
   def framesOracle: String =
     """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
       |idx AS (SELECT doc_id, text,

@@ -457,6 +457,58 @@ object Similarity {
        |  ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
+  /** Per-label centroid + cohesion audit: the element-wise mean
+    * vector of each label's members and the members' average cosine
+    * to it — "are my classes/clusters tight", the embedding-quality
+    * dashboard behind any label-conditioned filtering. Shape: one
+    * posexplode → (label, pos) hash agg for the means (decimal-exact
+    * sums, order-free), centroids reassembled by sorted collect on
+    * the tiny (labels × dims) frame and broadcast back for the
+    * cohesion pass — the corpus shuffles once (posexplode agg),
+    * vectors never pairwise. */
+  def embeddingCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = embeddingsD(spark, dir)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> round(s.m, 9))")
+        .as("cv"))
+      .select(col("label"), col("cv"), norm(col("cv")).as("cn"))
+    e.join(broadcast(cent), Seq("label"))
+      .select(col("label"), col("cn"),
+        round(dot(col("v"), col("cv")) / (norm(col("v")) * col("cn")), 6).as("cos"))
+      .groupBy("label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(first(col("cn")), 6).as("centroid_norm"),
+        round(sum(col("cos").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1)), 6).as("avg_cos_to_centroid"))
+      .orderBy("label")
+  }
+
+  def embeddingCentroidsOracle: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |el AS (SELECT label, pos, v[pos + 1] AS x
+      |  FROM (SELECT label, v, unnest(range(len(v))) AS pos FROM e) t),
+      |cm AS (SELECT label, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM el GROUP BY label, pos),
+      |cv AS (SELECT label, list(round(m, 9) ORDER BY pos) AS cv FROM cm
+      |  GROUP BY label),
+      |cn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cv),
+      |scored AS (SELECT e.label, cn.cn,
+      |    round(list_dot_product(e.v, cn.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * cn.cn), 6) AS cos
+      |  FROM e JOIN cn USING (label))
+      |SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  round(MAX(cn), 6) AS centroid_norm,
+      |  round(CAST(SUM(CAST(cos AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_cos_to_centroid
+      |FROM scored GROUP BY label ORDER BY label""".stripMargin
+
   /** L2-normalization of every embedding — the standard pre-step
     * before cosine indexing (normalize once, then cosine = plain
     * dot). Pure projection over one scan: zero shuffle, norm via the
