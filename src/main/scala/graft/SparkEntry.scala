@@ -135,6 +135,7 @@ object SparkEntry {
     "gap_percentiles" -> EventOps.gapPercentiles _,
     "frame_dedup" -> Multimodal.frameDedup _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
+    "zipf_profile" -> TextAnalysis.zipfProfile _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -320,6 +321,7 @@ object SparkEntry {
     "gap_percentiles" -> EventOps.gapPercentilesOracle,
     "frame_dedup" -> Multimodal.frameDedupOracle,
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
+    "zipf_profile" -> TextAnalysis.zipfProfileOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

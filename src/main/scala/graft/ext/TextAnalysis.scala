@@ -653,6 +653,61 @@ object TextAnalysis {
        |  round(exp(-avg_logp), 6) AS ppl
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Zipf profile: OLS fit of ln(freq) ~ ln(rank) over the
+    * frequency-ranked vocabulary — natural language sits near slope
+    * −1, so the slope is a one-number "does this corpus look like
+    * language" check (and a drift alarm between ingest batches). The
+    * corpus collapses to the vocabulary in one hash agg; the rank
+    * window runs over that tiny frame (vocab-sized, NOT corpus-
+    * sized); the regression is decimal-exact sums of rounded ln
+    * terms — partition-order-free. */
+  def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column): Column =
+      sum(c.cast(DecimalType(28, 12))).cast("double")
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val w = Window.orderBy(col("c").desc, col("tok"))
+    val xy = vocab.withColumn("rk", row_number().over(w).cast("long"))
+      .select(round(log(col("rk").cast("double")), 9).as("x"),
+        round(log(col("c").cast("double")), 9).as("y"))
+    xy.agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("y") * col("y")).as("syy"),
+        dsum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("vocab_size"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round(pow((col("n") * col("sxy") - col("sx") * col("sy")) /
+          sqrt((col("n") * col("sxx") - col("sx") * col("sx")) *
+            (col("n") * col("syy") - col("sy") * col("sy"))), 2), 6).as("r2"))
+  }
+
+  def zipfProfileOracle: String =
+    s"""WITH v AS (SELECT g AS tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(ws) AS g
+       |        FROM (SELECT $tokensSql AS ws FROM documents) t) u
+       |  GROUP BY 1),
+       |xy AS (SELECT
+       |    round(ln(CAST(row_number() OVER (ORDER BY c DESC, tok) AS DOUBLE)), 9) AS x,
+       |    round(ln(CAST(c AS DOUBLE)), 9) AS y
+       |  FROM v),
+       |g AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(y*y AS DECIMAL(28,12))) AS DOUBLE) AS syy,
+       |    CAST(SUM(CAST(x*y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+       |  FROM xy)
+       |SELECT CAST(n AS BIGINT) AS vocab_size,
+       |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+       |  round(pow((n*sxy - sx*sy) /
+       |    sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 2), 6) AS r2
+       |FROM g""".stripMargin
+
   /** Per-source KL divergence D(source ‖ corpus) over token
     * distributions — "which slice of my mix speaks a different
     * language": the drift metric run between ingest batches or data
