@@ -136,6 +136,7 @@ object SparkEntry {
     "frame_dedup" -> Multimodal.frameDedup _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "zipf_profile" -> TextAnalysis.zipfProfile _,
+    "numeric_profile_quantiles" -> Relational.numericProfileQuantiles _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -322,6 +323,7 @@ object SparkEntry {
     "frame_dedup" -> Multimodal.frameDedupOracle,
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "zipf_profile" -> TextAnalysis.zipfProfileOracle,
+    "numeric_profile_quantiles" -> Relational.numericProfileQuantilesOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

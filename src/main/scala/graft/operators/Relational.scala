@@ -1798,6 +1798,52 @@ object Relational {
       |  MIN(l_tax), MAX(l_tax) FROM lineitem
       |ORDER BY col_name""".stripMargin
 
+  /** Exact p50/p95 for EVERY numeric column in one job — the quantile
+    * half of the data-profiling dashboard ([[profileLineitem]] covers
+    * nulls/distinct/min/max). The table unpivots to a (col_name,
+    * value) stream via `stack` (codegen'd, no UDF, one scan for all
+    * columns) and the shared bucketed-group-rank helper ranks each
+    * column's values in parallel — column count adds no passes and
+    * no per-column windows. */
+  def numericProfileQuantiles(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
+    val unpivoted = Tables.lineitem(spark, dir)
+      .selectExpr(s"stack(${cols.size}, $stackArgs) AS (g, v)")
+    val ranked = bucketedGroupRanks(unpivoted)
+    val counts = unpivoted.groupBy("g").agg(count(lit(1)).as("n"))
+    val targets = counts
+      .crossJoin(broadcast(Seq(0.5, 0.95).toDF("p")))
+      .withColumn("h", (col("n") - 1) * col("p"))
+      .select(col("g"), col("p"),
+        (floor(col("h")) + 1).cast("long").as("lo_rk"),
+        (col("h") - floor(col("h"))).as("frac"))
+    val needed = targets.select(col("g"),
+        explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
+    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    targets
+      .join(valueAt.select(col("g"), col("rk").as("lo_rk"), col("v").as("lo_v")),
+        Seq("g", "lo_rk"))
+      .join(valueAt.select(col("g"), (col("rk") - 1).as("lo_rk"), col("v").as("hi_v")),
+        Seq("g", "lo_rk"), "left")
+      .select(col("g"), col("p"),
+        round(col("lo_v") * (lit(1.0) - col("frac")) +
+          coalesce(col("hi_v"), col("lo_v")) * col("frac"), 4).as("qv"))
+      .groupBy(col("g").as("col_name"))
+      .agg(max(when(col("p") === 0.5, col("qv"))).as("p50"),
+        max(when(col("p") === 0.95, col("qv"))).as("p95"))
+      .orderBy("col_name")
+  }
+
+  def numericProfileQuantilesOracle: String =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").map { c =>
+      s"""SELECT '$c' AS col_name,
+         |  round(quantile_cont($c, 0.50), 4) AS p50,
+         |  round(quantile_cont($c, 0.95), 4) AS p95
+         |FROM lineitem""".stripMargin
+    }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
   /** The salted two-stage aggregation ([[SkewAgg.saltedCountSum]]) as
     * an oracled query: per-flag count + exact decimal revenue computed
     * through 16 deterministic salt buckets then merged — byte-identical
