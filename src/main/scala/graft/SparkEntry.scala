@@ -137,6 +137,8 @@ object SparkEntry {
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "zipf_profile" -> TextAnalysis.zipfProfile _,
     "numeric_profile_quantiles" -> Relational.numericProfileQuantiles _,
+    "rolling_active_users" -> EventOps.rollingActiveUsers _,
+    "fk_integrity_audit" -> Relational.fkIntegrityAudit _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -324,6 +326,8 @@ object SparkEntry {
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "zipf_profile" -> TextAnalysis.zipfProfileOracle,
     "numeric_profile_quantiles" -> Relational.numericProfileQuantilesOracle,
+    "rolling_active_users" -> EventOps.rollingActiveUsersOracle,
+    "fk_integrity_audit" -> Relational.fkIntegrityAuditOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

@@ -159,6 +159,34 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Rolling 7-day active users per day — the WAU-style engagement
+    * metric. Each event contributes to the 7 window-days it falls
+    * inside, expressed as one `sequence` explode (bounded ×7 fan-out,
+    * no self-join of the stream, no range join); the per-day distinct
+    * count is then a plain two-level hash aggregation. Only days with
+    * at least one event in their trailing window appear (inner
+    * grouping — matches the oracle). */
+  def rollingActiveUsers(spark: SparkSession, dir: String): DataFrame = {
+    Tables.events(spark, dir)
+      .select(col("user_id"), to_date(col("ts")).as("d"))
+      .distinct()
+      .select(col("user_id"),
+        explode(sequence(col("d"), date_add(col("d"), 6))).as("window_day"))
+      .groupBy("window_day")
+      .agg(countDistinct(col("user_id")).as("active_users_7d"))
+      .orderBy("window_day")
+  }
+
+  def rollingActiveUsersOracle: String =
+    """WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events),
+      |expanded AS (
+      |  SELECT user_id, CAST(unnest(generate_series(d, d + 6, INTERVAL 1 DAY))
+      |    AS DATE) AS window_day
+      |  FROM ud)
+      |SELECT window_day,
+      |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS active_users_7d
+      |FROM expanded GROUP BY window_day ORDER BY window_day""".stripMargin
+
   /** Inter-event latency profile: exact p50/p95/p99 of the gap (µs)
     * between a user's consecutive events, grouped by the LATER
     * event's type — the ops-dashboard latency metric. Gap derivation

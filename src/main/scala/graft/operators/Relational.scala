@@ -1798,6 +1798,44 @@ object Relational {
       |  MIN(l_tax), MAX(l_tax) FROM lineitem
       |ORDER BY col_name""".stripMargin
 
+  /** Referential-integrity audit between the fact pair: orphan
+    * lineitems (no parent order), childless orders, and the count of
+    * orders whose lineitem price sum disagrees with o_totalprice —
+    * the ingest-consistency report run after every load. One
+    * co-partitioned shuffle join on the key (both sides hash on
+    * o_orderkey — AQE reuses the exchange) + exact decimal sums; the
+    * three verdict counts are a 1-row conditional aggregation. */
+  def fkIntegrityAudit(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .groupBy(col("l_orderkey"))
+      .agg(count(lit(1)).as("n_items"), dsum2(col("l_extendedprice")).as("li_sum"))
+    val joined = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .join(li, col("o_orderkey") === col("l_orderkey"), "full_outer")
+    joined.agg(
+      sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("orphan_lineitem_keys"),
+      sum(when(col("l_orderkey").isNull, 1L).otherwise(0L)).as("childless_orders"),
+      sum(when(col("o_orderkey").isNotNull && col("l_orderkey").isNotNull &&
+        abs(col("li_sum") - col("o_totalprice")) > 0.01, 1L).otherwise(0L))
+        .as("price_mismatch_orders"),
+      count(lit(1)).as("n_keys"))
+  }
+
+  def fkIntegrityAuditOracle: String =
+    """WITH li AS (SELECT l_orderkey, COUNT(*) AS n_items,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS li_sum
+      |  FROM lineitem GROUP BY 1)
+      |SELECT
+      |  CAST(SUM(CASE WHEN o.o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS orphan_lineitem_keys,
+      |  CAST(SUM(CASE WHEN li.l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS childless_orders,
+      |  CAST(SUM(CASE WHEN o.o_orderkey IS NOT NULL AND li.l_orderkey IS NOT NULL
+      |       AND abs(li.li_sum - o.o_totalprice) > 0.01 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS price_mismatch_orders,
+      |  COUNT(*) AS n_keys
+      |FROM orders o FULL OUTER JOIN li ON o.o_orderkey = li.l_orderkey""".stripMargin
+
   /** Exact p50/p95 for EVERY numeric column in one job — the quantile
     * half of the data-profiling dashboard ([[profileLineitem]] covers
     * nulls/distinct/min/max). The table unpivots to a (col_name,
