@@ -139,6 +139,7 @@ object SparkEntry {
     "numeric_profile_quantiles" -> Relational.numericProfileQuantiles _,
     "rolling_active_users" -> EventOps.rollingActiveUsers _,
     "fk_integrity_audit" -> Relational.fkIntegrityAudit _,
+    "corpus_summary" -> TextAnalysis.corpusSummary _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -328,6 +329,7 @@ object SparkEntry {
     "numeric_profile_quantiles" -> Relational.numericProfileQuantilesOracle,
     "rolling_active_users" -> EventOps.rollingActiveUsersOracle,
     "fk_integrity_audit" -> Relational.fkIntegrityAuditOracle,
+    "corpus_summary" -> TextAnalysis.corpusSummaryOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

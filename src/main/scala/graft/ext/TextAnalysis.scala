@@ -653,6 +653,50 @@ object TextAnalysis {
        |  round(exp(-avg_logp), 6) AS ppl
        |FROM s ORDER BY doc_id""".stripMargin
 
+  /** The dataset card in one row: corpus size, mix breadth, exact
+    * token volume, and the exact-duplicate rate — the headline
+    * numbers every dataset release publishes. Three independent tiny
+    * aggregates (docs/sources/langs + token volume + distinct
+    * fingerprints) cross-joined as 1-row frames; each is one
+    * map-side-partial hash agg over the scan, so the whole card costs
+    * ~one pass at any scale. */
+  def corpusSummary(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val base = docs.agg(
+      count(lit(1)).as("n_docs"),
+      countDistinct(col("source")).as("n_sources"),
+      countDistinct(col("lang")).as("n_langs"),
+      sum(col("n_chars")).as("total_chars"))
+    val toks = docs.select(explode(tokens(col("text"))).as("tok"))
+      .agg(count(lit(1)).as("total_tokens"),
+        countDistinct(col("tok")).as("vocab_size"))
+    val dups = docs.agg(countDistinct(md5(col("text"))).as("n_unique_texts"))
+    base.crossJoin(broadcast(toks)).crossJoin(broadcast(dups))
+      .select(col("n_docs"), col("n_sources"), col("n_langs"),
+        col("total_chars"), col("total_tokens"), col("vocab_size"),
+        col("n_unique_texts"),
+        round(lit(1.0) - col("n_unique_texts").cast("double") /
+          col("n_docs").cast("double"), 6).as("exact_dup_rate"))
+  }
+
+  def corpusSummaryOracle: String =
+    s"""WITH base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+       |    CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+       |    CAST(SUM(n_chars) AS BIGINT) AS total_chars
+       |  FROM documents),
+       |tk AS (SELECT CAST(COUNT(*) AS BIGINT) AS total_tokens,
+       |    CAST(COUNT(DISTINCT g) AS BIGINT) AS vocab_size
+       |  FROM (SELECT unnest(ws) AS g
+       |        FROM (SELECT $tokensSql AS ws FROM documents) t) u),
+       |dup AS (SELECT CAST(COUNT(DISTINCT md5(text)) AS BIGINT)
+       |    AS n_unique_texts FROM documents)
+       |SELECT n_docs, n_sources, n_langs, total_chars, total_tokens,
+       |  vocab_size, n_unique_texts,
+       |  round(1.0 - CAST(n_unique_texts AS DOUBLE) / CAST(n_docs AS DOUBLE), 6)
+       |    AS exact_dup_rate
+       |FROM base, tk, dup""".stripMargin
+
   /** Zipf profile: OLS fit of ln(freq) ~ ln(rank) over the
     * frequency-ranked vocabulary — natural language sits near slope
     * −1, so the slope is a one-number "does this corpus look like
