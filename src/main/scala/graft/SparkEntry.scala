@@ -140,6 +140,7 @@ object SparkEntry {
     "rolling_active_users" -> EventOps.rollingActiveUsers _,
     "fk_integrity_audit" -> Relational.fkIntegrityAudit _,
     "corpus_summary" -> TextAnalysis.corpusSummary _,
+    "mad_price" -> Relational.madPrice _,
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -330,6 +331,7 @@ object SparkEntry {
     "rolling_active_users" -> EventOps.rollingActiveUsersOracle,
     "fk_integrity_audit" -> Relational.fkIntegrityAuditOracle,
     "corpus_summary" -> TextAnalysis.corpusSummaryOracle,
+    "mad_price" -> Relational.madPriceOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

@@ -1798,6 +1798,59 @@ object Relational {
       |  MIN(l_tax), MAX(l_tax) FROM lineitem
       |ORDER BY col_name""".stripMargin
 
+  /** Exact per-group median via the bucketed rank helper: one
+    * rank pass + a broadcast fetch of the two bracketing order
+    * statistics, interpolated in quantile_cont's op order. */
+  private def groupMedian(vals: DataFrame): DataFrame = {
+    val ranked = bucketedGroupRanks(vals)
+    val t = vals.groupBy("g").agg(count(lit(1)).as("n"))
+      .select(col("g"), ((col("n") - 1) * 0.5).as("h"))
+      .select(col("g"), (floor(col("h")) + 1).cast("long").as("lo_rk"),
+        (col("h") - floor(col("h"))).as("frac"))
+    val needed = t.select(col("g"),
+        explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
+    val vAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    t.join(vAt.select(col("g"), col("rk").as("lo_rk"), col("v").as("lo_v")),
+        Seq("g", "lo_rk"))
+      .join(vAt.select(col("g"), (col("rk") - 1).as("lo_rk"), col("v").as("hi_v")),
+        Seq("g", "lo_rk"), "left")
+      .select(col("g"),
+        (col("lo_v") * (lit(1.0) - col("frac")) +
+          coalesce(col("hi_v"), col("lo_v")) * col("frac")).as("med"))
+  }
+
+  /** Median absolute deviation per group — the robust dispersion
+    * that [[outlierZscore]]'s σ is not (one extreme row can move σ
+    * arbitrarily; the MAD moves only with the middle of the
+    * distribution). Two composed exact medians (values, then absolute
+    * deviations), each a bucketed rank pass — no per-group window,
+    * no unbounded buffer, two scans total: the exact-statistics
+    * minimum. */
+  def madPrice(spark: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
+    val med = groupMedian(vals)
+    val devs = vals.join(broadcast(med), Seq("g"))
+      .select(col("g"), abs(col("v") - col("med")).as("v"))
+    groupMedian(devs).withColumnRenamed("med", "mad")
+      .join(broadcast(med), Seq("g"))
+      .select(col("g").as("o_orderpriority"),
+        round(col("med"), 4).as("median_v"),
+        round(col("mad"), 4).as("mad_v"))
+      .orderBy("o_orderpriority")
+  }
+
+  def madPriceOracle: String =
+    """WITH m AS (SELECT o_orderpriority,
+      |    quantile_cont(o_totalprice, 0.5) AS med
+      |  FROM orders GROUP BY 1),
+      |d AS (SELECT o.o_orderpriority, m.med,
+      |    abs(o.o_totalprice - m.med) AS dev
+      |  FROM orders o JOIN m USING (o_orderpriority))
+      |SELECT o_orderpriority, round(MAX(med), 4) AS median_v,
+      |  round(quantile_cont(dev, 0.5), 4) AS mad_v
+      |FROM d GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
   /** Referential-integrity audit between the fact pair: orphan
     * lineitems (no parent order), childless orders, and the count of
     * orders whose lineitem price sum disagrees with o_totalprice —
