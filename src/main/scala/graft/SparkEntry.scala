@@ -141,6 +141,7 @@ object SparkEntry {
     "fk_integrity_audit" -> Relational.fkIntegrityAudit _,
     "corpus_summary" -> TextAnalysis.corpusSummary _,
     "mad_price" -> Relational.madPrice _,
+    "sample_coordinated" -> ((s, dir) => Sampling.coordinatedSample(s, dir)),
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
@@ -332,6 +333,7 @@ object SparkEntry {
     "fk_integrity_audit" -> Relational.fkIntegrityAuditOracle,
     "corpus_summary" -> TextAnalysis.corpusSummaryOracle,
     "mad_price" -> Relational.madPriceOracle,
+    "sample_coordinated" -> Sampling.coordinatedSampleOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,

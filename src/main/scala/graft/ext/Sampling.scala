@@ -143,6 +143,41 @@ object Sampling {
       .orderBy("source", "rk")
   }
 
+  /** Cross-table coordinated sampling, demonstrated as data: sample
+    * documents AND embeddings independently with the same (salt, id)
+    * rule and join — because membership is a pure function of the id,
+    * every sampled doc's embedding is also in-sample, so the join
+    * loses nothing. This is the property that makes hash sampling
+    * usable across a table DAG (take 1% of docs and get exactly their
+    * chunks/features/embeddings everywhere downstream) where a
+    * `df.sample` per table would correlate on nothing. */
+  def coordinatedSample(spark: SparkSession, dir: String,
+                        rate: Double = 0.1): DataFrame = {
+    val threshold = (rate * 4294967296L).toLong
+    val d = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"))
+      .filter(sampleHash(col("doc_id")) < threshold)
+    val e = Tables.embeddings(spark, dir)
+      .select(col("vec_id"), size(col("embedding")).cast("long").as("n_dims"))
+      .filter(sampleHash(col("vec_id")) < threshold)
+    d.join(e, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("source"), col("n_dims"))
+      .orderBy("doc_id")
+  }
+
+  def coordinatedSampleOracle: String = coordinatedSampleOracle(0.1)
+
+  def coordinatedSampleOracle(rate: Double): String = {
+    val threshold = (rate * 4294967296L).toLong
+    s"""SELECT d.doc_id, d.source, CAST(len(e.embedding) AS BIGINT) AS n_dims
+       |FROM (SELECT doc_id, source FROM documents
+       |      WHERE ${sampleHashSql("doc_id")} < $threshold) d
+       |JOIN (SELECT vec_id, embedding FROM embeddings
+       |      WHERE ${sampleHashSql("vec_id")} < $threshold) e
+       |  ON d.doc_id = e.vec_id
+       |ORDER BY d.doc_id""".stripMargin
+  }
+
   def weightedSampleOracle: String = weightedSampleOracle(20)
 
   def weightedSampleOracle(n: Int): String =
