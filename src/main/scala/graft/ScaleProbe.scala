@@ -116,7 +116,8 @@ object ScaleProbe {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     replicate(docs, (d, k) => d
         .withColumn("doc_id", col("doc_id") + lit(k.toLong * 100000000L))
-        .withColumn("text", concat(lit(s"replica$k "), col("text"))))
+        .withColumn("text", concat(lit(s"replica$k "), col("text")))
+        .withColumn("n_chars", length(col("text")).cast("long")))
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
 
     Seq("region", "nation", "customer", "supplier", "part", "embeddings")

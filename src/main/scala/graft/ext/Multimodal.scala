@@ -158,7 +158,11 @@ object Multimodal {
     * DuckDB selects exactly the bytes Spark's binary substring does. */
   def frames(spark: SparkSession, dir: String): DataFrame = {
     val frameSize = 256
+    // zero-length payloads emit no frames; without the filter Spark's
+    // (len-1)/256 double division truncates -1/256 to 0 (one empty
+    // frame) while an integer floor-division oracle yields -1 (none)
     assets(spark, dir).toDF()
+      .filter(length(col("payload")) > 0)
       .select(col("asset_id"), col("payload"),
         explode(sequence(lit(0L),
           ((length(col("payload")) - 1) / frameSize).cast("long")))
@@ -188,7 +192,8 @@ object Multimodal {
       .orderBy("frame_md5")
 
   def frameDedupOracle: String =
-    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |       WHERE length(text) > 0),
       |idx AS (SELECT doc_id, text,
       |          unnest(generate_series(0, (n - 1) // 256)) AS frame_idx
       |        FROM d),
@@ -204,7 +209,8 @@ object Multimodal {
       |ORDER BY frame_md5""".stripMargin
 
   def framesOracle: String =
-    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+    """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+      |       WHERE length(text) > 0),
       |idx AS (SELECT doc_id, text,
       |          unnest(generate_series(0, (n - 1) // 256)) AS frame_idx
       |        FROM d)

@@ -514,15 +514,20 @@ object Similarity {
     * dot). Pure projection over one scan: zero shuffle, norm via the
     * codegen'd dot kernel; at 100 TB this is a single
     * read-transform-write pass that parallelizes per file split.
-    * Unit-vector elements are rounded to 6 decimals so engine float
-    * formatting can't flip the result hash. */
+    * Unit-vector elements are rounded to 6 decimals and the vector is
+    * emitted as a comma-joined fixed-format string (the gate's
+    * comparator hashes scalar columns only — raw array columns are
+    * unhashable on the oracle side; "%.6f" on the pre-rounded value
+    * is tie-free, so Spark and DuckDB print identical digits). */
   def embeddingNormalize(spark: SparkSession, dir: String): DataFrame =
     embeddingsD(spark, dir)
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
       .select(col("vec_id"),
         size(col("v")).cast("long").as("n_dims"),
         round(col("nrm"), 9).as("l2_norm"),
-        transform(col("v"), x => round(x / col("nrm"), 6)).as("unit"))
+        array_join(
+          transform(col("v"), x => format_string("%.6f", round(x / col("nrm"), 6))),
+          ",").as("unit"))
       .orderBy("vec_id")
 
   def embeddingNormalizeOracle: String =
@@ -530,6 +535,7 @@ object Similarity {
       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e)
       |SELECT vec_id, CAST(len(v) AS BIGINT) AS n_dims,
       |  round(nrm, 9) AS l2_norm,
-      |  list_transform(v, x -> round(x / nrm, 6)) AS unit
+      |  array_to_string(list_transform(v, x -> printf('%.6f', round(x / nrm, 6))), ',')
+      |    AS unit
       |FROM n ORDER BY vec_id""".stripMargin
 }

@@ -825,7 +825,7 @@ object TextAnalysis {
         graft.functions.BoundedTopK(k, struct(col("doc_id"))).as("p"))
       .filter(col("df") >= 25)
       .select(col("token"), col("df"), col("tf_total"),
-        expr("transform(p, x -> x.doc_id)").as("postings_head"))
+        array_join(expr("transform(p, x -> x.doc_id)"), ",").as("postings_head"))
       .orderBy("token")
   }
 
@@ -837,7 +837,7 @@ object TextAnalysis {
        |  GROUP BY g, doc_id)
        |SELECT token, CAST(COUNT(*) AS BIGINT) AS df,
        |  CAST(SUM(tf) AS BIGINT) AS tf_total,
-       |  list_sort(list(doc_id))[1:8] AS postings_head
+       |  array_to_string(list_sort(list(doc_id))[1:8], ',') AS postings_head
        |FROM pd GROUP BY token HAVING COUNT(*) >= 25
        |ORDER BY token""".stripMargin
 

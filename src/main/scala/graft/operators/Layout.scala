@@ -24,18 +24,23 @@ import graft.Tables
   */
 object Layout {
 
-  /** Spread the low 16 bits of `c` to even bit positions 0,2,…,30
-    * (classic shift-mask ladder). Works identically in any engine
-    * with 64-bit integer shifts — the oracle mirrors each step. */
+  /** Spread the low 31 bits of `c` to even bit positions 0,2,…,60
+    * (classic shift-mask ladder, 64-bit). 31 bits per dimension keeps
+    * the interleaved code inside a positive signed long, so distinct
+    * keys up to 2^31−1 never alias — at 100 TB key ranges far exceed
+    * 16 bits, where a narrower mask would silently degrade clustering
+    * to key-mod-65536. Works identically in any engine with 64-bit
+    * integer shifts — the oracle mirrors each step. */
   private def spread(c: Column): Column = {
-    val x0 = c.cast("long").bitwiseAND(lit(65535L))              // 0x0000FFFF
-    val x1 = (x0.bitwiseOR(shiftleft(x0, 8))).bitwiseAND(lit(16711935L))   // 0x00FF00FF
-    val x2 = (x1.bitwiseOR(shiftleft(x1, 4))).bitwiseAND(lit(252645135L))  // 0x0F0F0F0F
-    val x3 = (x2.bitwiseOR(shiftleft(x2, 2))).bitwiseAND(lit(858993459L))  // 0x33333333
-    (x3.bitwiseOR(shiftleft(x3, 1))).bitwiseAND(lit(1431655765L))          // 0x55555555
+    val x0 = c.cast("long").bitwiseAND(lit(2147483647L))         // 0x7FFFFFFF
+    val x1 = (x0.bitwiseOR(shiftleft(x0, 16))).bitwiseAND(lit(281470681808895L))    // 0x0000FFFF0000FFFF
+    val x2 = (x1.bitwiseOR(shiftleft(x1, 8))).bitwiseAND(lit(71777214294589695L))   // 0x00FF00FF00FF00FF
+    val x3 = (x2.bitwiseOR(shiftleft(x2, 4))).bitwiseAND(lit(1085102592571150095L)) // 0x0F0F0F0F0F0F0F0F
+    val x4 = (x3.bitwiseOR(shiftleft(x3, 2))).bitwiseAND(lit(3689348814741910323L)) // 0x3333333333333333
+    (x4.bitwiseOR(shiftleft(x4, 1))).bitwiseAND(lit(6148914691236517205L))          // 0x5555555555555555
   }
 
-  /** Morton code of two 16-bit keys: a's bits on even positions, b's
+  /** Morton code of two 31-bit keys: a's bits on even positions, b's
     * on odd. */
   def mortonCode(a: Column, b: Column): Column =
     spread(a).bitwiseOR(shiftleft(spread(b), 1))
@@ -64,11 +69,12 @@ object Layout {
   }
 
   private def spreadSql(e: String): String = {
-    val x0 = s"(($e) & 65535)"
-    val x1 = s"(($x0 | ($x0 << 8)) & 16711935)"
-    val x2 = s"(($x1 | ($x1 << 4)) & 252645135)"
-    val x3 = s"(($x2 | ($x2 << 2)) & 858993459)"
-    s"(($x3 | ($x3 << 1)) & 1431655765)"
+    val x0 = s"(($e) & 2147483647)"
+    val x1 = s"(($x0 | ($x0 << 16)) & 281470681808895)"
+    val x2 = s"(($x1 | ($x1 << 8)) & 71777214294589695)"
+    val x3 = s"(($x2 | ($x2 << 4)) & 1085102592571150095)"
+    val x4 = s"(($x3 | ($x3 << 2)) & 3689348814741910323)"
+    s"(($x4 | ($x4 << 1)) & 6148914691236517205)"
   }
 
   def zorderLineitemOracle: String = {

@@ -94,15 +94,17 @@ class PropertySpec extends SparkSpec {
 
   test("morton code equals the bit-by-bit interleave reference") {
     def ref(a: Int, b: Int): Long =
-      (0 until 16).foldLeft(0L) { (acc, i) =>
+      (0 until 31).foldLeft(0L) { (acc, i) =>
         acc | (((a >> i) & 1).toLong << (2 * i)) |
           (((b >> i) & 1).toLong << (2 * i + 1))
       }
     import spark.implicits._
     import org.apache.spark.sql.functions.col
     val rnd = new scala.util.Random(42) // seeded: reproducible failures
-    val pairs = Seq((0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2)) ++
-      Seq.fill(200)((rnd.nextInt(65536), rnd.nextInt(65536)))
+    val pairs = Seq((0, 0), (65535, 65535), (65535, 0), (0, 65535), (1, 2),
+      (Int.MaxValue, Int.MaxValue), (Int.MaxValue, 0), (0, Int.MaxValue),
+      (1 << 20, 1 << 20), (123456789, 987654321)) ++
+      Seq.fill(200)((rnd.nextInt(Int.MaxValue), rnd.nextInt(Int.MaxValue)))
     // one batched plan, not one job per pair
     val got = pairs.toDF("a", "b")
       .select(col("a"), col("b"),
