@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked JVM's stdout straight through, UNPREFIXED. sbt's
+// default logger rewrites every forked-process line as "[info] <line>",
+// which breaks the driver's line-by-line JSON parse of Bench's stdout
+// (BENCH_r01..r03 all came back parsed:null: the one JSON line was
+// present in the tail but carried the "[info] " prefix).
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

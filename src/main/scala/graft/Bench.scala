@@ -19,7 +19,11 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // ERROR, not WARN: the run recorder keeps only the last ~2000 chars
+    // of output, and planner WARNs (e.g. WindowExec's single-partition
+    // notice on intentionally-tiny bounded frames) would crowd out the
+    // one parseable JSON line.
+    spark.sparkContext.setLogLevel("ERROR")
     GraftSession.tune(spark)
 
     // warmup: exercise parquet scan + shuffle + codegen paths once

@@ -186,6 +186,13 @@ object SparkEntry {
     "setop_except_all" -> Relational.setopExceptAll _,
     "sessionize_native" -> EventOps.sessionizeNative _,
     "events_gapfill" -> EventOps.eventsGapfill _,
+    "skyline_parts" -> Relational.skylineParts _,
+    "scd2_upsert" -> Relational.scd2Upsert _,
+    "pagerank_nations" -> ((s, dir) => graft.ext.Graph.pagerankNations(s, dir)),
+    "event_transitions" -> EventOps.eventTransitions _,
+    "attribution_touch" -> EventOps.attributionTouch _,
+    "collocations_pmi" -> TextAnalysis.collocationsPmi _,
+    "minhash_error_audit" -> ((s, dir) => Dedup.minhashErrorAudit(s, dir)),
     "profile_lineitem" -> Relational.profileLineitem _,
     "argmax_customer" -> Relational.argmaxCustomer _,
     "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
@@ -365,6 +372,13 @@ object SparkEntry {
     "setop_except_all" -> Relational.setopExceptAllOracle,
     "sessionize_native" -> EventOps.sessionizeNativeOracle,
     "events_gapfill" -> EventOps.eventsGapfillOracle,
+    "skyline_parts" -> Relational.skylinePartsOracle,
+    "scd2_upsert" -> Relational.scd2UpsertOracle,
+    "pagerank_nations" -> graft.ext.Graph.pagerankNationsOracle,
+    "event_transitions" -> EventOps.eventTransitionsOracle,
+    "attribution_touch" -> EventOps.attributionTouchOracle,
+    "collocations_pmi" -> TextAnalysis.collocationsPmiOracle,
+    "minhash_error_audit" -> Dedup.minhashErrorAuditOracle,
     "profile_lineitem" -> Relational.profileLineitemOracle,
     "argmax_customer" -> Relational.argmaxCustomerOracle,
     "scalar_regex_funcs" -> Relational.scalarRegexOracle,

@@ -885,4 +885,71 @@ object Dedup {
        |  FROM n a, n b WHERE a.vec_id < b.vec_id)
        |SELECT d1, d2, cos_sim FROM p WHERE cos_sim >= $threshold
        |ORDER BY d1, d2""".stripMargin
+
+  // ── MinHash accuracy audit: estimate vs exact Jaccard ──
+
+  /** The calibration query behind every LSH threshold choice: for each
+    * candidate pair in the capped id range, the MinHash estimate
+    * (equal signature components / [[NumPerms]], via the codegen'd
+    * array-equality kernel) side by side with the EXACT distinct-token
+    * Jaccard it estimates, plus the absolute error. The estimator's
+    * stderr is ~1/√perms ≈ 0.25 at 16 perms — this query is how you
+    * SEE that before trusting a band threshold. Pairs come from a
+    * shared-token join (id-capped like [[ngramJaccard]]; at scale this
+    * feeds from the LSH candidate set instead), signatures from the
+    * same partial-agg pipeline the dedup queries use. */
+  def minhashErrorAudit(spark: SparkSession, dir: String,
+                        maxDocId: Long = 60): DataFrame = {
+    val docs = Tables.documents(spark, dir).filter(col("doc_id") < maxDocId)
+    val sets = docs.select(col("doc_id"), array_distinct(toks(col("text"))).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+    val ex = sets.select(col("doc_id"), col("n"), explode(col("ts")).as("w"))
+    val a = ex.select(col("doc_id").as("d1"), col("n").as("n1"), col("w"))
+    val b = ex.select(col("doc_id").as("d2"), col("n").as("n2"), col("w"))
+    val exact = a.join(b, Seq("w")).filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2", "n1", "n2").agg(count(lit(1)).as("inter"))
+      .select(col("d1"), col("d2"),
+        (col("inter").cast("double") /
+          (col("n1") + col("n2") - col("inter"))).as("ej"))
+    val sigs = signatureArray(docs)
+    val s1 = sigs.select(col("doc_id").as("d1"), col("sig").as("sig1"))
+    val s2 = sigs.select(col("doc_id").as("d2"), col("sig").as("sig2"))
+    exact.join(s1, Seq("d1")).join(s2, Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(graft.functions.ArrayEqCount(col("sig1"), col("sig2"))
+          .cast("double") / NumPerms, 6).as("est_jaccard"),
+        round(col("ej"), 6).as("exact_jaccard"))
+      .withColumn("abs_err",
+        round(abs(col("est_jaccard") - col("exact_jaccard")), 6))
+      .orderBy("d1", "d2")
+  }
+
+  def minhashErrorAuditOracle: String = minhashErrorAuditOracle(60)
+
+  def minhashErrorAuditOracle(maxDocId: Long): String =
+    s"""WITH d AS (SELECT doc_id, $tokensSql AS ws FROM documents
+       |           WHERE doc_id < $maxDocId),
+       |ts AS (SELECT doc_id, list_distinct(ws) AS ts FROM d),
+       |ex AS (SELECT doc_id, len(ts) AS n, unnest(ts) AS w FROM ts),
+       |exact AS (SELECT a.doc_id AS d1, b.doc_id AS d2,
+       |    CAST(COUNT(*) AS DOUBLE) / (a.n + b.n - COUNT(*)) AS ej
+       |  FROM ex a JOIN ex b ON a.w = b.w AND a.doc_id < b.doc_id
+       |  GROUP BY a.doc_id, b.doc_id, a.n, b.n),
+       |th AS (SELECT doc_id, ${tokHashSql("w")} AS h
+       |       FROM (SELECT doc_id, unnest(ts) AS w FROM ts) u),
+       |sig AS (SELECT doc_id, k,
+       |       MIN(((4099*k + 8191) * h + (9973*k + 104729)) % $MinhashPrime) AS mh
+       |       FROM th CROSS JOIN range($NumPerms) r(k)
+       |       GROUP BY doc_id, k),
+       |agree AS (SELECT s1.doc_id AS d1, s2.doc_id AS d2,
+       |    SUM(CASE WHEN s1.mh = s2.mh THEN 1 ELSE 0 END) AS eq
+       |  FROM sig s1 JOIN sig s2 ON s1.k = s2.k AND s1.doc_id < s2.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT e.d1, e.d2,
+       |  round(CAST(a.eq AS DOUBLE) / $NumPerms, 6) AS est_jaccard,
+       |  round(e.ej, 6) AS exact_jaccard,
+       |  round(abs(round(CAST(a.eq AS DOUBLE) / $NumPerms, 6) -
+       |            round(e.ej, 6)), 6) AS abs_err
+       |FROM exact e JOIN agree a ON e.d1 = a.d1 AND e.d2 = a.d2
+       |ORDER BY e.d1, e.d2""".stripMargin
 }

@@ -1,0 +1,115 @@
+package graft.ext
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Graph analytics over relationship graphs the relational tables
+  * imply. Connected components (the dedup use) lives in [[Dedup]];
+  * this is the eigenvector-style side: fixed-iteration PageRank.
+  *
+  * The reference has no graph surface (its one job is wordcount —
+  * SURVEY §2); these are engine-provided extensions in the same
+  * deterministic-oracle discipline as the rest of the extension
+  * family: per-iteration contributions are rounded then decimal-
+  * summed, so the result is identical at any partitioning and the
+  * unrolled-CTE oracle hashes it exactly.
+  */
+object Graph {
+
+  val Damping = 0.85
+  val PrIters = 3
+
+  /** Weighted trade graph: supplier-nation → customer-nation edges,
+    * weight = number of lineitems flowing between them. The heavy,
+    * genuinely-distributed part: a lineitem-scale join chain (orders
+    * on the key, both dims broadcast-sized) collapsed by a map-side-
+    * partial hash agg to ≤ |nations|² edge rows. */
+  private def tradeEdges(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir).select(col("l_orderkey"), col("l_suppkey"))
+      .join(Tables.orders(spark, dir).select(col("o_orderkey"), col("o_custkey")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_nationkey").as("v"))),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.supplier(spark, dir)
+        .select(col("s_suppkey"), col("s_nationkey").as("u"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy("u", "v").agg(count(lit(1)).as("w"))
+
+  /** PageRank over the nation trade graph, exactly [[PrIters]] power
+    * iterations with damping [[Damping]] from the uniform vector —
+    * "which nations sit at the center of the trade flow".
+    *
+    * Determinism: every contribution pr(u)·frac(u,v) is rounded to 12
+    * decimals and summed through a decimal cast (partition-order-free),
+    * and each iteration's pr is rounded to 9 — the oracle unrolls the
+    * same three iterations and hashes identically. Dangling nations
+    * (no outbound edges) leak their mass — the standard simplification,
+    * mirrored by the oracle.
+    *
+    * Scale shape: the edge build is the only input-sized work. The
+    * iteration loop joins the edge table to the rank vector — here
+    * broadcast-sized; at web scale the same loop shuffle-joins on u
+    * and localCheckpoints per iteration (the dedup_groups discipline).
+    * The edge table and node list are localCheckpoint'ed so three
+    * iterations don't replay the lineitem join chain. */
+  def pagerankNations(spark: SparkSession, dir: String): DataFrame = {
+    val edges = tradeEdges(spark, dir).localCheckpoint()
+    val outW = edges.groupBy("u").agg(sum("w").as("wout"))
+    val e = edges.join(outW, "u")
+      .select(col("u"), col("v"),
+        (col("w").cast("double") / col("wout").cast("double")).as("frac"))
+      .localCheckpoint()
+    val nodes = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("v"), col("n_name")).localCheckpoint()
+    val n = nodes.count() // |nations|: bounded domain, 1-row driver read
+    var pr = nodes.select(col("v"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(broadcast(pr.withColumnRenamed("v", "u")
+          .withColumnRenamed("pr", "pru")), Seq("u"))
+        .select(col("v"), round(col("pru") * col("frac"), 12).as("t"))
+        .groupBy("v")
+        .agg(sum(col("t").cast(DecimalType(28, 14))).cast("double").as("s"))
+      pr = nodes.select(col("v")).join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          round(lit(0.15 / n) +
+            lit(Damping) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
+    }
+    nodes.join(pr, Seq("v"))
+      .select(col("n_name"), col("pr").as("pagerank"))
+      .orderBy("n_name")
+  }
+
+  def pagerankNationsOracle: String = {
+    // one unrolled iteration: p{i} from p{i-1}
+    def iter(i: Int): String =
+      s"""c$i AS (SELECT e.v,
+         |  CAST(SUM(CAST(round(p.pr * e.frac, 12) AS DECIMAL(28,14))) AS DOUBLE) AS s
+         |  FROM e JOIN p${i - 1} p ON e.u = p.v GROUP BY e.v),
+         |p$i AS (SELECT n.n_nationkey AS v,
+         |  round(CAST(0.15 AS DOUBLE) / nn.n +
+         |        CAST(0.85 AS DOUBLE) * COALESCE(c$i.s, CAST(0 AS DOUBLE)), 9) AS pr
+         |  FROM nation n CROSS JOIN nn LEFT JOIN c$i ON c$i.v = n.n_nationkey)"""
+        .stripMargin
+    s"""WITH e0 AS (SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+       |    CAST(COUNT(*) AS BIGINT) AS w
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  GROUP BY 1, 2),
+       |ow AS (SELECT u, CAST(SUM(w) AS DOUBLE) AS wout FROM e0 GROUP BY u),
+       |e AS (SELECT e0.u, e0.v, CAST(e0.w AS DOUBLE) / ow.wout AS frac
+       |      FROM e0 JOIN ow USING (u)),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nation),
+       |p0 AS (SELECT n_nationkey AS v, CAST(1.0 AS DOUBLE) / nn.n AS pr
+       |       FROM nation CROSS JOIN nn),
+       |${(1 to PrIters).map(iter).mkString(",\n")}
+       |SELECT n.n_name, p.pr AS pagerank
+       |FROM nation n JOIN p$PrIters p ON p.v = n.n_nationkey
+       |ORDER BY n.n_name""".stripMargin
+  }
+}

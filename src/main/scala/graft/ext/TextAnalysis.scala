@@ -904,4 +904,65 @@ object TextAnalysis {
       |      AS DECIMAL(28,12))) AS DOUBLE) AS h_source FROM ct, tt)
       |SELECT mi.mi_nats, hl.h_lang, hs.h_source, mi.n_cells
       |FROM mi, hl, hs""".stripMargin
+
+  // ── collocations: pointwise mutual information of adjacent bigrams ──
+
+  /** Top collocations by PMI: for every adjacent-token bigram seen at
+    * least [[PmiMinCount]] times, ln(P(ab) / (P(a)·P(b))) — the
+    * association score that separates "new york" from "of the"; the
+    * standard phrase-mining signal before tokenizer/vocab decisions.
+    * One bigram stream (compiled WordNGrams kernel, repeats kept) and
+    * one unigram stream feed exact corpus counts; PMI is pure IEEE
+    * arithmetic on those integers, rounded to 6 before the rank cut so
+    * both engines select the same rows (round-before-rank). The vocab-
+    * sized count tables join on the bigram's words — hash joins that
+    * stay vocab-bounded at any corpus size. */
+  val PmiMinCount = 5L
+  val PmiTopK = 25
+
+  def collocationsPmi(spark: SparkSession, dir: String): DataFrame = {
+    val toksDf = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+    val uni = toksDf.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val bi = toksDf
+      .select(explode(
+        graft.functions.WordNGrams(col("ws"), 2, distinct = false)).as("g"))
+      .groupBy("g").agg(count(lit(1)).as("cab"))
+      .filter(col("cab") >= PmiMinCount)
+    val totU = uni.agg(sum("cw").cast("double").as("tu"))
+    val totB = toksDf
+      .select(greatest(size(col("ws")) - 1, lit(0)).cast("long").as("nb"))
+      .agg(sum("nb").cast("double").as("tb"))
+    bi.select(col("g").as("bigram"), col("cab"),
+        split(col("g"), " ").getItem(0).as("a"),
+        split(col("g"), " ").getItem(1).as("b"))
+      .join(uni.select(col("w").as("a"), col("cw").as("ca")), Seq("a"))
+      .join(uni.select(col("w").as("b"), col("cw").as("cb")), Seq("b"))
+      .crossJoin(broadcast(totU)).crossJoin(broadcast(totB))
+      .select(col("bigram"), col("cab"),
+        round(log((col("cab") / col("tb")) /
+          ((col("ca") / col("tu")) * (col("cb") / col("tu")))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("bigram"))
+      .limit(PmiTopK)
+  }
+
+  def collocationsPmiOracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |uni AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+       |  FROM (SELECT unnest(ws) AS w FROM t) u GROUP BY w),
+       |tu AS (SELECT CAST(SUM(cw) AS DOUBLE) AS tu FROM uni),
+       |bg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cab
+       |  FROM (SELECT unnest(list_transform(range(greatest(len(ws) - 1, 0)),
+       |          i -> ws[i+1] || ' ' || ws[i+2])) AS g FROM t) u
+       |  GROUP BY g HAVING COUNT(*) >= $PmiMinCount),
+       |tb AS (SELECT CAST(SUM(greatest(len(ws) - 1, 0)) AS DOUBLE) AS tb FROM t)
+       |SELECT bg.g AS bigram, bg.cab,
+       |  round(ln((CAST(bg.cab AS DOUBLE) / tb.tb) /
+       |    ((CAST(a.cw AS DOUBLE) / tu.tu) * (CAST(b.cw AS DOUBLE) / tu.tu))), 6)
+       |    AS pmi
+       |FROM bg
+       |JOIN uni a ON a.w = split_part(bg.g, ' ', 1)
+       |JOIN uni b ON b.w = split_part(bg.g, ' ', 2), tu, tb
+       |ORDER BY pmi DESC, bigram LIMIT $PmiTopK""".stripMargin
 }

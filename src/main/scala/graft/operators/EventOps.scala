@@ -612,4 +612,107 @@ object EventOps {
       |  round(CAST(COUNT(t_purchase) AS DOUBLE) / COUNT(t_click), 6)
       |    AS click_to_purchase
       |FROM s3""".stripMargin
+
+  /** Markov transition matrix of event types: for every (from → to)
+    * pair of CONSECUTIVE same-user events within the 30-minute
+    * session gap (same bound as [[sessionize]]), the transition count
+    * and the conditional probability P(to | from) — the behavioral
+    * fingerprint behind "what usually follows an error". One lead
+    * window per user (ties broken by event_id, so the sequence is
+    * total-ordered), a |types|²-row hash agg, and a broadcast join of
+    * the |types|-row marginals; P from exact integer counts. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    val pairs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
+      .withColumn("gap_us",
+        lead(unix_micros(col("ts")), 1).over(byUser) - unix_micros(col("ts")))
+      .filter(col("next_type").isNotNull && col("gap_us") <= gapUs)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val tot = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(tot), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        round(col("n") / col("n_from"), 6).as("p_cond"))
+      .orderBy("from_type", "to_type")
+  }
+
+  def eventTransitionsOracle: String =
+    """WITH nxt AS (
+      |  SELECT event_type,
+      |    lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS next_type,
+      |    lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      - epoch_us(ts) AS gap_us
+      |  FROM events),
+      |pairs AS (
+      |  SELECT event_type AS from_type, next_type AS to_type,
+      |    CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM nxt WHERE next_type IS NOT NULL AND gap_us <= 1800000000
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT from_type, CAST(SUM(n) AS BIGINT) AS n_from
+      |        FROM pairs GROUP BY 1)
+      |SELECT p.from_type, p.to_type, p.n,
+      |  round(CAST(p.n AS DOUBLE) / t.n_from, 6) AS p_cond
+      |FROM pairs p JOIN tot t USING (from_type)
+      |ORDER BY p.from_type, p.to_type""".stripMargin
+
+  /** Marketing-style conversion attribution: every purchase event is
+    * credited to (a) the user's most recent preceding non-purchase
+    * event — last touch — and (b) the user's very first event — first
+    * touch; the output is the per-channel credit table under both
+    * models. Two frame-bounded window passes over ONE user-ordered
+    * sort (the exchange is shared), then two |types|-row aggregations
+    * full-outer-merged; purchases with no preceding touch credit
+    * '(none)'. */
+  def attributionTouch(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("last_np",
+        last(when(col("event_type") =!= "purchase", col("event_type")),
+          ignoreNulls = true)
+          .over(byUser.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("first_type",
+        first(col("event_type"))
+          .over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(coalesce(col("last_np"), lit("(none)")).as("last_touch"),
+        col("first_type").as("first_touch"))
+    val byLast = purchases.groupBy(col("last_touch").as("channel"))
+      .agg(count(lit(1)).as("n_last_touch"))
+    val byFirst = purchases.groupBy(col("first_touch").as("channel"))
+      .agg(count(lit(1)).as("n_first_touch"))
+    byLast.join(byFirst, Seq("channel"), "full_outer")
+      .select(col("channel"),
+        coalesce(col("n_first_touch"), lit(0L)).as("n_first_touch"),
+        coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
+      .orderBy("channel")
+  }
+
+  def attributionTouchOracle: String =
+    """WITH w AS (
+      |  SELECT user_id, event_id, ts, event_type,
+      |    last_value(CASE WHEN event_type <> 'purchase' THEN event_type END
+      |               IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_np,
+      |    first_value(event_type)
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS first_type
+      |  FROM events),
+      |p AS (SELECT COALESCE(last_np, '(none)') AS last_touch,
+      |             first_type AS first_touch
+      |      FROM w WHERE event_type = 'purchase'),
+      |bl AS (SELECT last_touch AS channel, CAST(COUNT(*) AS BIGINT)
+      |         AS n_last_touch FROM p GROUP BY 1),
+      |bf AS (SELECT first_touch AS channel, CAST(COUNT(*) AS BIGINT)
+      |         AS n_first_touch FROM p GROUP BY 1)
+      |SELECT COALESCE(bl.channel, bf.channel) AS channel,
+      |  CAST(COALESCE(bf.n_first_touch, 0) AS BIGINT) AS n_first_touch,
+      |  CAST(COALESCE(bl.n_last_touch, 0) AS BIGINT) AS n_last_touch
+      |FROM bl FULL OUTER JOIN bf ON bl.channel = bf.channel
+      |ORDER BY channel""".stripMargin
 }

@@ -1824,14 +1824,21 @@ object Relational {
     * arbitrarily; the MAD moves only with the middle of the
     * distribution). Two composed exact medians (values, then absolute
     * deviations), each a bucketed rank pass — no per-group window,
-    * no unbounded buffer, two scans total: the exact-statistics
-    * minimum. */
+    * no unbounded buffer. The input and the deviation table are
+    * cached (spill-safe MEMORY_AND_DISK) and the ≤|groups|-row median
+    * table is eagerly localCheckpoint'ed: groupMedian references its
+    * input from several plan branches, so without materialization the
+    * second median would replay the entire first rank pass per branch
+    * (~16 source scans; this was the slowest query in the bench at
+    * every scale until the lineage cut). */
   def madPrice(spark: SparkSession, dir: String): DataFrame = {
     val vals = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
-    val med = groupMedian(vals)
+      .persist()
+    val med = groupMedian(vals).localCheckpoint()
     val devs = vals.join(broadcast(med), Seq("g"))
       .select(col("g"), abs(col("v") - col("med")).as("v"))
+      .persist()
     groupMedian(devs).withColumnRenamed("med", "mad")
       .join(broadcast(med), Seq("g"))
       .select(col("g").as("o_orderpriority"),
@@ -2255,4 +2262,106 @@ object Relational {
       |  MAX(CASE WHEN rk_min = 1 THEN c_custkey END) AS bottom_custkey,
       |  MAX(CASE WHEN rk_min = 1 THEN c_acctbal END) AS min_bal
       |FROM ranked GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
+  /** Pareto frontier (skyline) of part on (minimize p_retailprice,
+    * maximize p_size) — the multi-objective "best tradeoffs" query
+    * (cheapest part at every size class). The textbook definition is
+    * the O(n²) NOT-EXISTS dominance test — that's the oracle, never
+    * the plan. Scale shape: collapse to distinct (price, size) pairs
+    * first (hash agg), then the bucketedGroupRanks discipline — a
+    * single global window would funnel every pair into one task, so
+    * dominance is split into (a) a per-price-bucket window that runs
+    * one task per bucket and (b) a strictly-earlier-bucket running
+    * max over the |buckets|-row bucket-maxima table. A pair survives
+    * iff its size beats both: rows sorted (price asc, size desc) are
+    * dominated exactly when some earlier row's size ≥ theirs. */
+  def skylineParts(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.part(spark, dir)
+      .groupBy(col("p_retailprice"), col("p_size"))
+      .agg(count(lit(1)).as("n_parts"), min("p_partkey").as("min_partkey"))
+    val stats = pairs.agg(min("p_retailprice").as("pmin"),
+      max("p_retailprice").as("pmax"))
+    val bucketed = pairs.join(broadcast(stats))
+      .select(col("p_retailprice"), col("p_size"), col("n_parts"),
+        col("min_partkey"),
+        when(col("pmin") === col("pmax"), lit(1L))
+          .otherwise(width_bucket(col("p_retailprice"), col("pmin"),
+            col("pmax"), lit(64))).as("bkt"))
+    // cross-bucket dominance: max size over all strictly-earlier
+    // buckets (every price there is strictly smaller) — |buckets| rows
+    val wPrev = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val prevMax = bucketed.groupBy("bkt").agg(max("p_size").as("bmax"))
+      .withColumn("prev_max",
+        coalesce(max(col("bmax")).over(wPrev), lit(Int.MinValue)))
+      .select("bkt", "prev_max")
+    // within-bucket dominance: parallel per bucket; preceding rows in
+    // (price asc, size desc) order are exactly the potential dominators
+    val wIn = Window.partitionBy("bkt")
+      .orderBy(col("p_retailprice").asc, col("p_size").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed.join(broadcast(prevMax), Seq("bkt"))
+      .withColumn("local_max",
+        coalesce(max(col("p_size")).over(wIn), lit(Int.MinValue)))
+      .filter(col("p_size") > greatest(col("local_max"), col("prev_max")))
+      .select(col("p_retailprice"), col("p_size"), col("n_parts"),
+        col("min_partkey"))
+      .orderBy("p_retailprice")
+  }
+
+  def skylinePartsOracle: String =
+    """WITH pairs AS (
+      |  SELECT p_retailprice, p_size, CAST(COUNT(*) AS BIGINT) AS n_parts,
+      |         MIN(p_partkey) AS min_partkey
+      |  FROM part GROUP BY 1, 2)
+      |SELECT a.p_retailprice, a.p_size, a.n_parts, a.min_partkey
+      |FROM pairs a
+      |WHERE NOT EXISTS (SELECT 1 FROM pairs b
+      |  WHERE b.p_retailprice <= a.p_retailprice AND b.p_size >= a.p_size
+      |    AND (b.p_retailprice < a.p_retailprice OR b.p_size > a.p_size))
+      |ORDER BY a.p_retailprice""".stripMargin
+
+  /** Distributed MERGE (SCD-style upsert): apply a change batch to the
+    * customer dim and emit the new snapshot with per-row action/version
+    * lineage. The change batch is derived deterministically from the
+    * fact side (per-customer urgent-order spend). The plan is the
+    * standard lakehouse merge shape: both sides shuffle ONCE on the
+    * join key into a co-partitioned full outer join — matched rows
+    * update, left-only rows carry forward, right-only rows insert; no
+    * driver state, no row-by-row apply loop, and at 100 TB the merge
+    * cost is one co-partitioned shuffle of dim + batch (AQE handles
+    * the usually-much-smaller batch side). */
+  def scd2Upsert(spark: SparkSession, dir: String): DataFrame = {
+    val updates = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey").as("u_custkey"))
+      .agg(dsum2(col("o_totalprice")).as("delta"))
+    val base = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    base.join(updates, col("c_custkey") === col("u_custkey"), "full_outer")
+      .select(
+        coalesce(col("c_custkey"), col("u_custkey")).as("c_custkey"),
+        coalesce(col("c_name"), lit("(new)")).as("c_name"),
+        round(coalesce(col("c_acctbal"), lit(0.0)) +
+          coalesce(col("delta"), lit(0.0)), 2).as("acctbal_new"),
+        when(col("u_custkey").isNull, lit("keep"))
+          .when(col("c_custkey").isNull, lit("insert"))
+          .otherwise(lit("update")).as("action"),
+        when(col("u_custkey").isNull, lit(1)).otherwise(lit(2))
+          .cast("int").as("version"))
+      .orderBy("c_custkey")
+  }
+
+  def scd2UpsertOracle: String =
+    """WITH upd AS (SELECT o_custkey AS u_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS delta
+      |  FROM orders WHERE o_orderpriority = '1-URGENT' GROUP BY 1)
+      |SELECT COALESCE(c.c_custkey, u.u_custkey) AS c_custkey,
+      |  COALESCE(c.c_name, '(new)') AS c_name,
+      |  round(COALESCE(c.c_acctbal, CAST(0 AS DOUBLE)) +
+      |        COALESCE(u.delta, CAST(0 AS DOUBLE)), 2) AS acctbal_new,
+      |  CASE WHEN u.u_custkey IS NULL THEN 'keep'
+      |       WHEN c.c_custkey IS NULL THEN 'insert' ELSE 'update' END AS action,
+      |  CAST(CASE WHEN u.u_custkey IS NULL THEN 1 ELSE 2 END AS INTEGER) AS version
+      |FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.u_custkey
+      |ORDER BY c_custkey""".stripMargin
 }
