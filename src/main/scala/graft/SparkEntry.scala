@@ -193,6 +193,9 @@ object SparkEntry {
     "attribution_touch" -> EventOps.attributionTouch _,
     "collocations_pmi" -> TextAnalysis.collocationsPmi _,
     "minhash_error_audit" -> ((s, dir) => Dedup.minhashErrorAudit(s, dir)),
+    "sketch_kmv_distinct" -> graft.ext.Sketches.kmvDistinct _,
+    "sketch_cms_heavy_hitters" -> graft.ext.Sketches.cmsHeavyHitters _,
+    "sketch_bloom_audit" -> graft.ext.Sketches.bloomFilterAudit _,
     "profile_lineitem" -> Relational.profileLineitem _,
     "argmax_customer" -> Relational.argmaxCustomer _,
     "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
@@ -379,6 +382,9 @@ object SparkEntry {
     "attribution_touch" -> EventOps.attributionTouchOracle,
     "collocations_pmi" -> TextAnalysis.collocationsPmiOracle,
     "minhash_error_audit" -> Dedup.minhashErrorAuditOracle,
+    "sketch_kmv_distinct" -> graft.ext.Sketches.kmvDistinctOracle,
+    "sketch_cms_heavy_hitters" -> graft.ext.Sketches.cmsHeavyHittersOracle,
+    "sketch_bloom_audit" -> graft.ext.Sketches.bloomFilterAuditOracle,
     "profile_lineitem" -> Relational.profileLineitemOracle,
     "argmax_customer" -> Relational.argmaxCustomerOracle,
     "scalar_regex_funcs" -> Relational.scalarRegexOracle,

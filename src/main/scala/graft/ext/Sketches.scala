@@ -1,0 +1,240 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deterministic sketch family: the sub-linear summaries a 100 TB
+  * pipeline leans on when exact is unaffordable — KMV distinct
+  * estimation, count-min heavy-hitter counts, Bloom-filter join
+  * pre-filtering — each implemented AGAINST ITS EXACT ANSWER so the
+  * query output is simultaneously the sketch demo and its accuracy
+  * audit.
+  *
+  * The reference has no sketch surface (its one job is wordcount —
+  * SURVEY §2); these are engine-provided extensions.
+  *
+  * Unlike library sketches (Spark's HLL++/theta, DataSketches), every
+  * sketch here is built from the repo's engine-neutral hash — first 8
+  * md5 hex chars as an integer (the [[Dedup]] discipline) — with exact
+  * 64-bit modular arithmetic for the derived hash functions, so DuckDB
+  * reconstructs the identical sketch bit-for-bit and the driver gate
+  * hash-compares the whole result. That is the point: a sketch you can
+  * oracle is a sketch you can trust cross-engine.
+  */
+object Sketches {
+
+  /** Engine-neutral 32-bit hash of any value, via its string form. */
+  private def h32(c: Column): Column =
+    conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+
+  private def h32Sql(e: String): String =
+    s"CAST(concat('0x', substr(md5(CAST($e AS VARCHAR)), 1, 8)) AS BIGINT)"
+
+  private val M32 = 4294967296L // 2^32: h32's range
+
+  // ── KMV (k minimum values) distinct-count estimate ──
+
+  val KmvK = 256
+
+  /** Distinct l_partkey estimated from the k smallest distinct hash
+    * values: with uniform hashes, the kth smallest h_(k) sits at about
+    * k/D of the range, so D ≈ (k-1)·M / h_(k). The whole corpus
+    * collapses to one bounded top-k — map-side partial agg to distinct
+    * hashes, then per-partition k-item heaps (TakeOrderedAndProject):
+    * no full sort, O(k) memory per partition, one row out. The exact
+    * distinct count rides along in the same job so the row IS the
+    * accuracy audit (rel_err ~ 1/√k ≈ 6% at k=256). */
+  def kmvDistinct(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+    val hashes = li.select(h32(col("l_partkey")).as("h")).distinct()
+    val topk = hashes.orderBy("h").limit(KmvK)
+      .agg(max("h").as("hk"), count(lit(1)).as("k"))
+    val exact = li.agg(countDistinct(col("l_partkey")).as("exact_distinct"))
+    topk.crossJoin(exact)
+      .select(col("exact_distinct"),
+        when(col("k") < KmvK, col("k")) // tiny domain: KMV saw everything
+          .otherwise(round((col("k") - 1).cast("double") * M32 / col("hk"), 3))
+          .cast("double").as("kmv_estimate"))
+      .withColumn("rel_err",
+        round(abs(col("kmv_estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 6))
+  }
+
+  def kmvDistinctOracle: String =
+    s"""WITH h AS (SELECT DISTINCT ${h32Sql("l_partkey")} AS h FROM lineitem),
+       |tk AS (SELECT max(h) AS hk, CAST(COUNT(*) AS BIGINT) AS k
+       |       FROM (SELECT h FROM h ORDER BY h LIMIT $KmvK) t),
+       |ex AS (SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT)
+       |         AS exact_distinct FROM lineitem)
+       |SELECT ex.exact_distinct,
+       |  CAST(CASE WHEN tk.k < $KmvK THEN tk.k
+       |       ELSE round(CAST(tk.k - 1 AS DOUBLE) * $M32 / tk.hk, 3)
+       |       END AS DOUBLE) AS kmv_estimate,
+       |  round(abs(CAST(CASE WHEN tk.k < $KmvK THEN tk.k
+       |       ELSE round(CAST(tk.k - 1 AS DOUBLE) * $M32 / tk.hk, 3)
+       |       END AS DOUBLE) - ex.exact_distinct) / ex.exact_distinct, 6)
+       |    AS rel_err
+       |FROM tk, ex""".stripMargin
+
+  // ── count-min sketch heavy hitters ──
+
+  val CmsDepth = 4
+  val CmsWidth = 512
+  private val CmsP = 2147483647L // 2^31-1, same prime as MinHash perms
+
+  /** Row-i bucket for a token hash: pairwise-independent family
+    * (a_i·h + b_i mod p) mod w, exact 64-bit arithmetic. */
+  private def affineBucket(h: Column, i: Column, w: Long): Column =
+    ((lit(4099L) * i + 8191L) * h + (lit(9973L) * i + 104729L)) % CmsP % w
+
+  private def affineBucketSql(h: String, i: String, w: Long): String =
+    s"(((4099*$i + 8191) * $h + (9973*$i + 104729)) % $CmsP) % $w"
+
+  private def cmsBucket(h: Column, i: Column): Column =
+    affineBucket(h, i, CmsWidth)
+
+  private def cmsBucketSql(h: String, i: String): String =
+    affineBucketSql(h, i, CmsWidth)
+
+  /** Count-min sketch over the token stream vs exact counts for the
+    * top heavy hitters. Build: exact token counts first (the hash agg
+    * every wordcount does — vocab-sized, map-side partials), then each
+    * token deposits its count into [[CmsDepth]] buckets — the sketch is
+    * a ([[CmsDepth]]×[[CmsWidth]])-row table, a few KB at ANY corpus
+    * size; that fixed size is the whole point. Probe: the top-25 exact
+    * tokens (round-free integer counts, token tiebreak) look up
+    * min-over-rows — CM's one-sided estimate: est ≥ exact always,
+    * overcount = collision mass. Every join here is vocab- or
+    * sketch-sized; nothing rescans the corpus. */
+  def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+      .localCheckpoint() // sketch + probe reuse; don't rescan the corpus
+    val rows = counts
+      .select(col("cw"), h32(col("w")).as("h"),
+        explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("i"))
+      .select(col("i"), cmsBucket(col("h"), col("i")).as("b"), col("cw"))
+      .groupBy("i", "b").agg(sum("cw").as("cell"))
+    val probes = counts.orderBy(col("cw").desc, col("w")).limit(25)
+      .select(col("w"), col("cw"), h32(col("w")).as("h"))
+    probes
+      .crossJoin(broadcast(rows.groupBy("i")
+        .agg(map_from_entries(collect_list(struct(col("b"), col("cell"))))
+          .as("row_cells"))))
+      .select(col("w"), col("cw"),
+        element_at(col("row_cells"), cmsBucket(col("h"), col("i"))).as("est_i"))
+      .groupBy("w", "cw").agg(min("est_i").as("cms_estimate"))
+      .select(col("w").as("token"), col("cw").as("exact_count"),
+        col("cms_estimate"),
+        (col("cms_estimate") - col("cw")).as("overcount"))
+      .orderBy(col("exact_count").desc, col("token"))
+  }
+
+  def cmsHeavyHittersOracle: String = {
+    val toks = Dedup.tokensSqlPublic
+    s"""WITH counts AS (
+       |  SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+       |  FROM (SELECT unnest(ws) AS w
+       |        FROM (SELECT $toks AS ws FROM documents) t) u
+       |  GROUP BY w),
+       |cells AS (
+       |  SELECT i, ${cmsBucketSql(h32Sql("w"), "i")} AS b,
+       |         CAST(SUM(cw) AS BIGINT) AS cell
+       |  FROM counts CROSS JOIN range($CmsDepth) r(i)
+       |  GROUP BY 1, 2),
+       |probes AS (
+       |  SELECT w, cw, ${h32Sql("w")} AS h FROM counts
+       |  ORDER BY cw DESC, w LIMIT 25)
+       |SELECT p.w AS token, p.cw AS exact_count,
+       |  CAST(MIN(c.cell) AS BIGINT) AS cms_estimate,
+       |  CAST(MIN(c.cell) - p.cw AS BIGINT) AS overcount
+       |FROM probes p JOIN cells c
+       |  ON c.b = ${cmsBucketSql("p.h", "c.i")}
+       |GROUP BY p.w, p.cw
+       |ORDER BY exact_count DESC, token""".stripMargin
+  }
+
+  // ── Bloom-filter membership pre-filter ──
+
+  val BloomBits = 8192
+  val BloomHashes = 4
+
+  /** Bloom filter as a join pre-filter, with its false-positive audit:
+    * the filter is built over the custkeys that placed urgent orders
+    * (the build side of a would-be semi join), then every customer
+    * probes it; the output compares bloom verdicts to exact semi-join
+    * truth per market segment. Build: distinct build keys × k bit
+    * positions → distinct set-bit table (≤ [[BloomBits]] rows — KB-scale
+    * at any data size, broadcastable where a 100M-key build side is
+    * not). Probe: k positions per probe key left-joined against the bit
+    * table; member ⇔ all k present. This is exactly the runtime-filter
+    * shape engines inject before expensive shuffles — materialized here
+    * as data so the oracle can verify the filter property (zero false
+    * negatives, counted false positives). */
+  def bloomFilterAudit(spark: SparkSession, dir: String): DataFrame = {
+    val ks = (0 until BloomHashes).map(lit(_))
+    val buildKeys = Tables.orders(spark, dir)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("k")).distinct()
+    val bits = buildKeys
+      .select(h32(col("k")).as("h"), explode(array(ks: _*)).as("i"))
+      .select(affineBucket(col("h"), col("i"), BloomBits).as("bit")).distinct()
+    val probes = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), h32(col("c_custkey")).as("h"),
+        explode(array(ks: _*)).as("i"))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        affineBucket(col("h"), col("i"), BloomBits).as("bit"))
+      .join(broadcast(bits.withColumn("present", lit(1))), Seq("bit"), "left")
+      .groupBy("c_custkey", "c_mktsegment")
+      .agg((count(col("present")) === BloomHashes).as("bloom_hit"))
+    val truth = Tables.customer(spark, dir)
+      .join(buildKeys, col("c_custkey") === col("k"), "left_semi")
+      .select(col("c_custkey"), lit(true).as("actual"))
+    probes.join(truth, Seq("c_custkey"), "left")
+      .select(col("c_mktsegment"), col("bloom_hit"),
+        coalesce(col("actual"), lit(false)).as("actual"))
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(when(col("actual"), 1L).otherwise(0L)).as("n_actual"),
+        sum(when(col("bloom_hit"), 1L).otherwise(0L)).as("n_bloom_positive"),
+        sum(when(col("bloom_hit") && !col("actual"), 1L).otherwise(0L))
+          .as("n_false_positive"),
+        sum(when(!col("bloom_hit") && col("actual"), 1L).otherwise(0L))
+          .as("n_false_negative")) // provably 0: the filter property
+      .orderBy("c_mktsegment")
+  }
+
+  def bloomFilterAuditOracle: String = {
+    val bitSql = affineBucketSql("h", "i", BloomBits)
+    s"""WITH build AS (SELECT DISTINCT o_custkey AS k FROM orders
+       |               WHERE o_orderpriority = '1-URGENT'),
+       |bits AS (SELECT DISTINCT $bitSql AS bit
+       |  FROM (SELECT ${h32Sql("k")} AS h FROM build) b
+       |  CROSS JOIN range($BloomHashes) r(i)),
+       |probe AS (SELECT c_custkey, c_mktsegment, $bitSql AS bit
+       |  FROM (SELECT c_custkey, c_mktsegment, ${h32Sql("c_custkey")} AS h
+       |        FROM customer) c
+       |  CROSS JOIN range($BloomHashes) r(i)),
+       |verdict AS (SELECT p.c_custkey, p.c_mktsegment,
+       |    (COUNT(b.bit) = $BloomHashes) AS bloom_hit
+       |  FROM probe p LEFT JOIN bits b ON p.bit = b.bit
+       |  GROUP BY 1, 2),
+       |truth AS (SELECT c_custkey, TRUE AS actual FROM customer
+       |          WHERE c_custkey IN (SELECT k FROM build))
+       |SELECT v.c_mktsegment,
+       |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+       |  CAST(SUM(CASE WHEN COALESCE(t.actual, FALSE) THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_actual,
+       |  CAST(SUM(CASE WHEN v.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_bloom_positive,
+       |  CAST(SUM(CASE WHEN v.bloom_hit AND NOT COALESCE(t.actual, FALSE)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_positive,
+       |  CAST(SUM(CASE WHEN NOT v.bloom_hit AND COALESCE(t.actual, FALSE)
+       |    THEN 1 ELSE 0 END) AS BIGINT) AS n_false_negative
+       |FROM verdict v LEFT JOIN truth t ON v.c_custkey = t.c_custkey
+       |GROUP BY v.c_mktsegment ORDER BY v.c_mktsegment""".stripMargin
+  }
+}
