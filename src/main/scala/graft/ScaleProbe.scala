@@ -53,6 +53,13 @@ object ScaleProbe {
       "zorder_lineitem" -> (graft.operators.Layout.zorderLineitem _),
       "inverted_index" -> ((s, d) => graft.ext.TextAnalysis.invertedIndex(s, d)),
       "dedup_keep_best" -> (graft.ext.Dedup.keepBest _),
+      // graph / sketch / LM family (round-4 additions): the heavy part
+      // of each is an input-sized scan or join chain, so the probe
+      // checks the collapse to bounded intermediates actually holds
+      "pagerank_nations" -> (graft.ext.Graph.pagerankNations _),
+      "sketch_hll_distinct" -> (graft.ext.Sketches.hllDistinct _),
+      "sketch_cms_heavy_hitters" -> (graft.ext.Sketches.cmsHeavyHitters _),
+      "perplexity_bigram" -> (graft.ext.TextAnalysis.perplexityBigram _),
     )
 
     def time(fn: => Unit): Double = {

@@ -189,13 +189,17 @@ object SparkEntry {
     "skyline_parts" -> Relational.skylineParts _,
     "scd2_upsert" -> Relational.scd2Upsert _,
     "pagerank_nations" -> ((s, dir) => graft.ext.Graph.pagerankNations(s, dir)),
+    "triangle_nations" -> graft.ext.Graph.triangleNations _,
+    "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHops _,
     "event_transitions" -> EventOps.eventTransitions _,
     "attribution_touch" -> EventOps.attributionTouch _,
     "collocations_pmi" -> TextAnalysis.collocationsPmi _,
+    "perplexity_bigram" -> TextAnalysis.perplexityBigram _,
     "minhash_error_audit" -> ((s, dir) => Dedup.minhashErrorAudit(s, dir)),
     "sketch_kmv_distinct" -> graft.ext.Sketches.kmvDistinct _,
     "sketch_cms_heavy_hitters" -> graft.ext.Sketches.cmsHeavyHitters _,
     "sketch_bloom_audit" -> graft.ext.Sketches.bloomFilterAudit _,
+    "sketch_hll_distinct" -> graft.ext.Sketches.hllDistinct _,
     "profile_lineitem" -> Relational.profileLineitem _,
     "argmax_customer" -> Relational.argmaxCustomer _,
     "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
@@ -378,13 +382,17 @@ object SparkEntry {
     "skyline_parts" -> Relational.skylinePartsOracle,
     "scd2_upsert" -> Relational.scd2UpsertOracle,
     "pagerank_nations" -> graft.ext.Graph.pagerankNationsOracle,
+    "triangle_nations" -> graft.ext.Graph.triangleNationsOracle,
+    "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHopsOracle,
     "event_transitions" -> EventOps.eventTransitionsOracle,
     "attribution_touch" -> EventOps.attributionTouchOracle,
     "collocations_pmi" -> TextAnalysis.collocationsPmiOracle,
+    "perplexity_bigram" -> TextAnalysis.perplexityBigramOracle,
     "minhash_error_audit" -> Dedup.minhashErrorAuditOracle,
     "sketch_kmv_distinct" -> graft.ext.Sketches.kmvDistinctOracle,
     "sketch_cms_heavy_hitters" -> graft.ext.Sketches.cmsHeavyHittersOracle,
     "sketch_bloom_audit" -> graft.ext.Sketches.bloomFilterAuditOracle,
+    "sketch_hll_distinct" -> graft.ext.Sketches.hllDistinctOracle,
     "profile_lineitem" -> Relational.profileLineitemOracle,
     "argmax_customer" -> Relational.argmaxCustomerOracle,
     "scalar_regex_funcs" -> Relational.scalarRegexOracle,

@@ -83,6 +83,116 @@ object Graph {
       .orderBy("n_name")
   }
 
+  // ── triangle census ──
+
+  /** Triangle count + global clustering coefficient of the undirected
+    * nation trade graph. Canonical distributed shape: orient every
+    * undirected edge low→high, then triangles = edges(a,b) ⋈ edges(b,c)
+    * ⋈ edges(a,c) with a<b<c — each triangle counted exactly once, and
+    * the two joins are plain equi joins (the wedge join on b, the
+    * closing check on (a,c)). Degree-ordering is the standard skew
+    * guard at scale: wedges form at the LOW end of each edge, so
+    * high-degree hubs don't quadratically explode a single key.
+    * Clustering = 3·triangles / wedges, wedges = Σ deg·(deg−1)/2 —
+    * integers until the final division, rounded to 6. */
+  def triangleNations(spark: SparkSession, dir: String): DataFrame = {
+    val und = tradeEdges(spark, dir).filter(col("u") =!= col("v"))
+      .select(least(col("u"), col("v")).as("a"),
+        greatest(col("u"), col("v")).as("b"))
+      .distinct().localCheckpoint()
+    val wedges = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+      .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("wedges"),
+        count(lit(1)).as("n_nodes"))
+    val tri = und.as("e1")
+      .join(und.as("e2"), col("e1.b") === col("e2.a"))
+      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
+      .join(und.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"))
+      .agg(count(lit(1)).as("triangles"))
+    val edges = und.agg(count(lit(1)).as("n_edges"))
+    tri.crossJoin(broadcast(edges)).crossJoin(broadcast(wedges))
+      .select(col("n_nodes"), col("n_edges"), col("triangles"),
+        round(lit(3.0) * col("triangles") / col("wedges"), 6)
+          .as("clustering_coeff"))
+  }
+
+  def triangleNationsOracle: String =
+    """WITH e0 AS (SELECT DISTINCT s.s_nationkey AS u, c.c_nationkey AS v
+      |  FROM lineitem l
+      |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |  JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      |  WHERE s.s_nationkey <> c.c_nationkey),
+      |und AS (SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b FROM e0),
+      |deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS deg FROM (
+      |    SELECT a AS n FROM und UNION ALL SELECT b AS n FROM und) x
+      |  GROUP BY n),
+      |w AS (SELECT CAST(SUM(deg * (deg - 1) / 2) AS BIGINT) AS wedges,
+      |             CAST(COUNT(*) AS BIGINT) AS n_nodes FROM deg),
+      |tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS triangles
+      |  FROM und e1 JOIN und e2 ON e1.b = e2.a
+      |  JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+      |ne AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_edges FROM und)
+      |SELECT w.n_nodes, ne.n_edges, tri.triangles,
+      |  round(3.0 * tri.triangles / w.wedges, 6) AS clustering_coeff
+      |FROM tri, ne, w""".stripMargin
+
+  // ── BFS hop distance ──
+
+  val BfsIters = 4
+
+  /** Single-source BFS over the DIRECTED trade graph: minimum hop
+    * count from nation 0 to every nation, exactly [[BfsIters]] rounds
+    * of frontier relaxation (dist_{k+1}(v) = min(dist_k(v),
+    * min_{u→v} dist_k(u)+1)) — the iterative-join shape every
+    * distributed BFS/shortest-path uses. Each round is one equi join of
+    * the edge list with the current distance vector plus a min-agg;
+    * here both are broadcast-sized, at scale the same loop shuffles on
+    * the join key and localCheckpoints per round (the dedup_groups
+    * discipline). Unreached nations report hops = -1 (fixture nations
+    * all trade, but the query must not silently drop them). */
+  def bfsTradeHops(spark: SparkSession, dir: String): DataFrame = {
+    val e = tradeEdges(spark, dir).filter(col("u") =!= col("v"))
+      .select("u", "v").localCheckpoint()
+    val nodes = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("v"), col("n_name")).localCheckpoint()
+    var dist = nodes.select(col("v"),
+      when(col("v") === 0, lit(0L)).as("d")) // null = unreached
+    for (_ <- 1 to BfsIters) {
+      val relaxed = e.join(broadcast(dist.filter(col("d").isNotNull)
+          .withColumnRenamed("v", "u").withColumnRenamed("d", "du")), Seq("u"))
+        .groupBy("v").agg(min(col("du") + 1).as("via"))
+      dist = dist.join(relaxed, Seq("v"), "left")
+        .select(col("v"), least(coalesce(col("d"), col("via")),
+          coalesce(col("via"), col("d"))).as("d"))
+    }
+    nodes.join(dist, Seq("v"), "left")
+      .select(col("n_name"), coalesce(col("d"), lit(-1L)).as("hops"))
+      .orderBy("n_name")
+  }
+
+  def bfsTradeHopsOracle: String = {
+    def iter(i: Int): String =
+      s"""r$i AS (SELECT e.v, MIN(p.d + 1) AS via
+         |  FROM e JOIN d${i - 1} p ON e.u = p.v AND p.d IS NOT NULL
+         |  GROUP BY e.v),
+         |d$i AS (SELECT d.v,
+         |  least(COALESCE(d.d, r$i.via), COALESCE(r$i.via, d.d)) AS d
+         |  FROM d${i - 1} d LEFT JOIN r$i ON d.v = r$i.v)""".stripMargin
+    s"""WITH e AS (SELECT DISTINCT s.s_nationkey AS u, c.c_nationkey AS v
+       |  FROM lineitem l
+       |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |  JOIN customer c ON o.o_custkey = c.c_custkey
+       |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |  WHERE s.s_nationkey <> c.c_nationkey),
+       |d0 AS (SELECT n_nationkey AS v,
+       |  CASE WHEN n_nationkey = 0 THEN CAST(0 AS BIGINT) END AS d FROM nation),
+       |${(1 to BfsIters).map(iter).mkString(",\n")}
+       |SELECT n.n_name, COALESCE(d.d, -1) AS hops
+       |FROM nation n LEFT JOIN d$BfsIters d ON n.n_nationkey = d.v
+       |ORDER BY n.n_name""".stripMargin
+  }
+
   def pagerankNationsOracle: String = {
     // one unrolled iteration: p{i} from p{i-1}
     def iter(i: Int): String =

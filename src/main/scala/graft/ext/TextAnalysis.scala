@@ -965,4 +965,73 @@ object TextAnalysis {
        |JOIN uni a ON a.w = split_part(bg.g, ' ', 1)
        |JOIN uni b ON b.w = split_part(bg.g, ' ', 2), tu, tb
        |ORDER BY pmi DESC, bigram LIMIT $PmiTopK""".stripMargin
+
+  // ── bigram-LM perplexity: the second-order quality screen ──
+
+  /** Per-document perplexity under a corpus-trained add-1-smoothed
+    * BIGRAM model — one order up from [[perplexityUnigram]]: P(w₂|w₁)
+    * = (c(w₁w₂)+1) / (c(w₁·)+V). Catches repetitive/scrambled text
+    * that unigram statistics can't see (word-salad scores fine on
+    * unigrams, terribly on bigrams). Same scale shape as the unigram
+    * screen: the model is one bigram-vocabulary-sized hash agg
+    * (truncate to top-V bigrams with a backoff bucket at 100 TB, same
+    * plan), scoring re-joins the per-doc bigram stream (compiled
+    * WordNGrams kernel) against the broadcast model. Determinism: ln
+    * terms rounded to 9 and decimal-summed; docs with fewer than 2
+    * tokens carry no bigrams and are reported with null scores rather
+    * than dropped. */
+  def perplexityBigram(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bigramsOf = Tables.documents(spark, dir)
+      .select(col("doc_id"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), explode(
+        graft.functions.WordNGrams(col("ws"), 2, distinct = false)).as("g"))
+    val bg = bigramsOf.groupBy("g").agg(count(lit(1)).as("cab"))
+    val w1 = bg.groupBy(split(col("g"), " ").getItem(0).as("w1"))
+      .agg(sum("cab").as("cw1"))
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val model = bg.withColumn("w1", split(col("g"), " ").getItem(0))
+      .join(w1, Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("g"),
+        round(log((col("cab") + 1).cast("double") /
+          (col("cw1") + col("v")).cast("double")), 9).as("logp"))
+    val scored = bigramsOf.join(broadcast(model), Seq("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        (sum(col("logp").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))).as("avg_logp"))
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("avg_logp"), 6).as("avg_logp"),
+        round(exp(negate(col("avg_logp"))), 6).as("ppl"))
+      .orderBy("doc_id")
+  }
+
+  def perplexityBigramOracle: String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |bs AS (SELECT doc_id, unnest(list_transform(
+       |    range(greatest(len(ws) - 1, 0)),
+       |    i -> ws[i+1] || ' ' || ws[i+2])) AS g FROM t),
+       |bg AS (SELECT g, CAST(COUNT(*) AS BIGINT) AS cab FROM bs GROUP BY g),
+       |w1 AS (SELECT split_part(g, ' ', 1) AS w1, CAST(SUM(cab) AS BIGINT)
+       |         AS cw1 FROM bg GROUP BY 1),
+       |vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
+       |  FROM (SELECT unnest(ws) AS w FROM t) u),
+       |m AS (SELECT g,
+       |    round(ln(CAST(bg.cab + 1 AS DOUBLE) /
+       |             CAST(w1.cw1 + vv.v AS DOUBLE)), 9) AS logp
+       |  FROM bg JOIN w1 ON w1.w1 = split_part(bg.g, ' ', 1), vv),
+       |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       |    CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
+       |      AS avg_logp
+       |  FROM bs JOIN m USING (g) GROUP BY doc_id)
+       |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
+       |  round(s.avg_logp, 6) AS avg_logp,
+       |  round(exp(-s.avg_logp), 6) AS ppl
+       |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
+       |ORDER BY d.doc_id""".stripMargin
 }

@@ -43,4 +43,34 @@ class SketchSpec extends SparkSpec {
         s"CMS overshot eps bound for '$w': $est vs $c + ${(eps * total).toLong}")
     }
   }
+
+  // ── the oracled, engine-neutral sketch queries (ext.Sketches) ──
+
+  test("oracled KMV and HLL distinct estimates land within sketch error") {
+    val kmv = ext.Sketches.kmvDistinct(spark, sf0001).collect().head
+    assert(kmv.getAs[Double]("rel_err") < 0.25,
+      s"KMV rel_err ${kmv.getAs[Double]("rel_err")} out of band")
+    val hll = ext.Sketches.hllDistinct(spark, sf0001).collect().head
+    assert(hll.getAs[Double]("rel_err") < 0.25,
+      s"HLL rel_err ${hll.getAs[Double]("rel_err")} out of band")
+  }
+
+  test("oracled CMS heavy hitters never undercount") {
+    val rows = ext.Sketches.cmsHeavyHitters(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("overcount") >= 0L,
+        s"CMS undercounted '${r.getAs[String]("token")}'")
+    }
+  }
+
+  test("oracled bloom audit: zero false negatives, every build key hits") {
+    val rows = ext.Sketches.bloomFilterAudit(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_false_negative") == 0L,
+        s"bloom false negative in segment ${r.getAs[String]("c_mktsegment")}")
+      assert(r.getAs[Long]("n_bloom_positive") >= r.getAs[Long]("n_actual"))
+    }
+  }
 }
