@@ -195,6 +195,11 @@ object SparkEntry {
     "attribution_touch" -> EventOps.attributionTouch _,
     "collocations_pmi" -> TextAnalysis.collocationsPmi _,
     "perplexity_bigram" -> TextAnalysis.perplexityBigram _,
+    "char_entropy" -> TextAnalysis.charEntropy _,
+    "outlier_iqr" -> Relational.outlierIqr _,
+    "ttest_urgent_spend" -> Relational.ttestUrgentSpend _,
+    "k_anonymity_audit" -> Relational.kAnonymityAudit _,
+    "pca_power_embeddings" -> Similarity.pcaPowerEmbeddings _,
     "minhash_error_audit" -> ((s, dir) => Dedup.minhashErrorAudit(s, dir)),
     "sketch_kmv_distinct" -> graft.ext.Sketches.kmvDistinct _,
     "sketch_cms_heavy_hitters" -> graft.ext.Sketches.cmsHeavyHitters _,
@@ -388,6 +393,11 @@ object SparkEntry {
     "attribution_touch" -> EventOps.attributionTouchOracle,
     "collocations_pmi" -> TextAnalysis.collocationsPmiOracle,
     "perplexity_bigram" -> TextAnalysis.perplexityBigramOracle,
+    "char_entropy" -> TextAnalysis.charEntropyOracle,
+    "outlier_iqr" -> Relational.outlierIqrOracle,
+    "ttest_urgent_spend" -> Relational.ttestUrgentSpendOracle,
+    "k_anonymity_audit" -> Relational.kAnonymityAuditOracle,
+    "pca_power_embeddings" -> Similarity.pcaPowerEmbeddingsOracle,
     "minhash_error_audit" -> Dedup.minhashErrorAuditOracle,
     "sketch_kmv_distinct" -> graft.ext.Sketches.kmvDistinctOracle,
     "sketch_cms_heavy_hitters" -> graft.ext.Sketches.cmsHeavyHittersOracle,

@@ -538,4 +538,97 @@ object Similarity {
       |  array_to_string(list_transform(v, x -> printf('%.6f', round(x / nrm, 6))), ',')
       |    AS unit
       |FROM n ORDER BY vec_id""".stripMargin
+
+  // ── PCA: top principal component by power iteration ──
+
+  val PcaDims = 16
+  val PcaIters = 3
+
+  /** Top principal component of the embedding cloud (leading
+    * [[PcaDims]] dims) by [[PcaIters]] power iterations — the
+    * dimensionality/anisotropy probe run before whitening or index
+    * tuning; the dominant eigenvalue says how much variance a single
+    * direction hoards. Scale shape: the ONLY input-sized work is one
+    * pass that nested-posexplodes each vector into its d² coordinate
+    * pairs and partial-aggregates straight down to the d²-row Gram
+    * matrix (no self-join, no shuffle wider than d² groups); the
+    * covariance, the iteration loop, and the normalizations all run on
+    * ≤ d²-row frames with broadcast joins. Determinism: Gram sums and
+    * mean sums through DECIMAL(38,18); covariance rounded to 12;
+    * per-iteration products rounded to 12 then decimal-summed; the
+    * vector re-rounded to 9 after each normalize — the oracle unrolls
+    * the same three iterations and hashes identically (power iteration
+    * from the fixed positive start vector has no sign ambiguity). */
+  def pcaPowerEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column): Column =
+      sum(c.cast(DecimalType(38, 18))).cast("double")
+    def dsum12(c: Column): Column =
+      sum(round(c, 12).cast(DecimalType(28, 14))).cast("double")
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), slice(col("v"), 1, PcaDims).as("v"))
+    val coords = e.select(col("vec_id"), col("v"),
+        posexplode(col("v")).as(Seq("p", "xi")))
+      .select(col("vec_id"), col("v"), (col("p") + 1).as("i"), col("xi"))
+    val gram = coords
+      .select(col("i"), col("xi"), posexplode(col("v")).as(Seq("q", "xj")))
+      .select(col("i"), (col("q") + 1).as("j"), (col("xi") * col("xj")).as("xx"))
+      .groupBy("i", "j").agg(dsum(col("xx")).as("s"))
+    val means = coords.groupBy("i")
+      .agg((dsum(col("xi")) / count(lit(1))).as("m"))
+    val n = e.agg(count(lit(1)).cast("double").as("n"))
+    val cov = gram
+      .join(broadcast(means.select(col("i"), col("m").as("mi"))), Seq("i"))
+      .join(broadcast(means.select(col("i").as("j"), col("m").as("mj"))), Seq("j"))
+      .crossJoin(broadcast(n))
+      .select(col("i"), col("j"),
+        round((col("s") - col("n") * col("mi") * col("mj")) /
+          (col("n") - 1), 12).as("c"))
+      .localCheckpoint() // the loop below re-reads it PcaIters times
+    var w = spark.range(1, PcaDims + 1)
+      .select(col("id").as("j"), lit(0.25).as("wj")) // 1/√16: exact
+    var nrm = w.agg(lit(1.0).as("nrm"))
+    for (_ <- 1 to PcaIters) {
+      val u = cov.join(broadcast(w), Seq("j"))
+        .groupBy("i").agg(dsum12(col("c") * col("wj")).as("u"))
+      nrm = u.agg(sqrt(dsum12(col("u") * col("u"))).as("nrm"))
+      w = u.crossJoin(broadcast(nrm))
+        .select(col("i").as("j"), round(col("u") / col("nrm"), 9).as("wj"))
+    }
+    w.crossJoin(broadcast(nrm.select(round(col("nrm"), 6).as("eigenvalue"))))
+      .select(col("j").as("dim"), col("wj").as("loading"), col("eigenvalue"))
+      .orderBy("dim")
+  }
+
+  def pcaPowerEmbeddingsOracle: String = {
+    def iter(k: Int): String =
+      s"""u$k AS (SELECT cov.i,
+         |    CAST(SUM(CAST(round(cov.c * w${k - 1}.wj, 12) AS DECIMAL(28,14)))
+         |      AS DOUBLE) AS u
+         |  FROM cov JOIN w${k - 1} ON cov.j = w${k - 1}.j GROUP BY cov.i),
+         |n$k AS (SELECT sqrt(CAST(SUM(CAST(round(u * u, 12) AS DECIMAL(28,14)))
+         |    AS DOUBLE)) AS nrm FROM u$k),
+         |w$k AS (SELECT i AS j, round(u / nrm, 9) AS wj FROM u$k, n$k)"""
+        .stripMargin
+    s"""WITH e AS (SELECT vec_id, (CAST(embedding AS DOUBLE[]))[1:$PcaDims] AS v
+       |  FROM embeddings),
+       |pi AS (SELECT vec_id, pos + 1 AS i, v[pos + 1] AS x
+       |  FROM (SELECT vec_id, v, unnest(range(len(v))) AS pos FROM e) t),
+       |gram AS (SELECT a.i, b.i AS j,
+       |    CAST(SUM(CAST(a.x * b.x AS DECIMAL(38,18))) AS DOUBLE) AS s
+       |  FROM pi a JOIN pi b USING (vec_id) GROUP BY 1, 2),
+       |means AS (SELECT i,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM pi GROUP BY i),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM e),
+       |cov AS (SELECT g.i, g.j,
+       |    round((g.s - nn.n * ma.m * mb.m) / (nn.n - 1), 12) AS c
+       |  FROM gram g JOIN means ma ON ma.i = g.i
+       |  JOIN means mb ON mb.i = g.j, nn),
+       |w0 AS (SELECT unnest(range(1, ${PcaDims + 1})) AS j, 0.25 AS wj),
+       |${(1 to PcaIters).map(iter).mkString(",\n")}
+       |SELECT w$PcaIters.j AS dim, w$PcaIters.wj AS loading,
+       |  round(n$PcaIters.nrm, 6) AS eigenvalue
+       |FROM w$PcaIters, n$PcaIters ORDER BY dim""".stripMargin
+  }
 }

@@ -1034,4 +1034,53 @@ object TextAnalysis {
        |  round(exp(-s.avg_logp), 6) AS ppl
        |FROM documents d LEFT JOIN s ON d.doc_id = s.doc_id
        |ORDER BY d.doc_id""".stripMargin
+
+  // ── character-level entropy: the encoding/garbage screen ──
+
+  /** Per-document Shannon entropy (nats) of the character
+    * distribution — the classic screen for base64 blobs, minified
+    * code, and mojibake, which all sit far from natural text's ~3
+    * nats. Shape is exactly wordcount's at character granularity: the
+    * explode collapses IMMEDIATELY into a (doc × alphabet)-sized hash
+    * agg with map-side partials — the shuffle carries ~|alphabet|
+    * rows per doc, not one per character. Entropy terms p·ln p are
+    * rounded to 9 then decimal-summed per doc (partition-order-free),
+    * negated and re-rounded at the end. */
+  def charEntropy(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val counts = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(regexp_extract_all(col("text"), lit("."), lit(0))).as("ch"))
+      .groupBy("doc_id", "ch").agg(count(lit(1)).as("c"))
+    counts
+      .groupBy("doc_id")
+      .agg(sum("c").as("n"), count(lit(1)).as("n_distinct_chars"))
+      .join(counts, Seq("doc_id"))
+      .select(col("doc_id"), col("n"), col("n_distinct_chars"),
+        round((col("c") / col("n")) * log(col("c") / col("n")), 9).as("t"))
+      .groupBy("doc_id")
+      .agg(first(col("n")).as("n_chars_counted"),
+        first(col("n_distinct_chars")).as("n_distinct_chars"),
+        round(negate(sum(col("t").cast(DecimalType(28, 12))).cast("double")), 6)
+          .as("char_entropy"))
+      .orderBy("doc_id")
+  }
+
+  def charEntropyOracle: String =
+    """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
+      |  FROM documents),
+      |cnt AS (SELECT doc_id, ch, CAST(COUNT(*) AS BIGINT) AS c
+      |  FROM ch GROUP BY 1, 2),
+      |tot AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n,
+      |    CAST(COUNT(*) AS BIGINT) AS n_distinct_chars
+      |  FROM cnt GROUP BY 1),
+      |terms AS (SELECT cnt.doc_id, tot.n, tot.n_distinct_chars,
+      |    round((CAST(cnt.c AS DOUBLE) / tot.n) *
+      |      ln(CAST(cnt.c AS DOUBLE) / tot.n), 9) AS t
+      |  FROM cnt JOIN tot USING (doc_id))
+      |SELECT doc_id, any_value(n) AS n_chars_counted,
+      |  any_value(n_distinct_chars) AS n_distinct_chars,
+      |  round(-CAST(SUM(CAST(t AS DECIMAL(28,12))) AS DOUBLE), 6)
+      |    AS char_entropy
+      |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
 }

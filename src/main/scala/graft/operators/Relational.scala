@@ -2364,4 +2364,163 @@ object Relational {
       |  CAST(CASE WHEN u.u_custkey IS NULL THEN 1 ELSE 2 END AS INTEGER) AS version
       |FROM customer c FULL OUTER JOIN upd u ON c.c_custkey = u.u_custkey
       |ORDER BY c_custkey""".stripMargin
+
+  /** Welch's two-sample t-test: does urgent-priority spend differ from
+    * the rest? The A/B-test workhorse, computed the only way that
+    * scales: per-arm (n, Σx, Σx²) as exact decimal sufficient
+    * statistics in ONE map-side-partial aggregation over the scan,
+    * then t and the Welch–Satterthwaite df as pure IEEE arithmetic on
+    * those exact inputs — bit-identical at any parallelism, no
+    * per-row second pass, no driver collect. (p-values need the
+    * t CDF, which neither engine exposes deterministically — the
+    * statistic + df ARE the portable result.) */
+  def ttestUrgentSpend(spark: SparkSession, dir: String): DataFrame = {
+    def dsum4(c: Column): Column =
+      sum(c.cast(DecimalType(30, 4))).cast("double")
+    val arms = Tables.orders(spark, dir)
+      .select(when(col("o_orderpriority") === "1-URGENT", "urgent")
+        .otherwise("rest").as("arm"), col("o_totalprice").as("x"))
+      .groupBy("arm")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum2(col("x")).as("s1"), dsum4(col("x") * col("x")).as("s2"))
+      .select(col("arm"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("variance"))
+    val a = arms.filter(col("arm") === "urgent")
+      .select(col("n").as("na"), col("mean").as("ma"), col("variance").as("va"))
+    val b = arms.filter(col("arm") === "rest")
+      .select(col("n").as("nb"), col("mean").as("mb"), col("variance").as("vb"))
+    a.crossJoin(broadcast(b))
+      .select(
+        col("na").cast("long").as("n_urgent"), round(col("ma"), 6).as("mean_urgent"),
+        col("nb").cast("long").as("n_rest"), round(col("mb"), 6).as("mean_rest"),
+        round((col("ma") - col("mb")) /
+          sqrt(col("va") / col("na") + col("vb") / col("nb")), 6).as("t_stat"),
+        round(pow(col("va") / col("na") + col("vb") / col("nb"), 2) /
+          (pow(col("va") / col("na"), 2) / (col("na") - 1) +
+            pow(col("vb") / col("nb"), 2) / (col("nb") - 1)), 6).as("welch_df"))
+  }
+
+  def ttestUrgentSpendOracle: String =
+    """WITH arms AS (SELECT
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' ELSE 'rest'
+      |      END AS arm,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |      AS s2
+      |  FROM orders GROUP BY 1),
+      |m AS (SELECT arm, n, s1 / n AS mean,
+      |    (s2 - s1 * s1 / n) / (n - 1) AS variance FROM arms),
+      |a AS (SELECT n AS na, mean AS ma, variance AS va FROM m
+      |      WHERE arm = 'urgent'),
+      |b AS (SELECT n AS nb, mean AS mb, variance AS vb FROM m
+      |      WHERE arm = 'rest')
+      |SELECT CAST(na AS BIGINT) AS n_urgent, round(ma, 6) AS mean_urgent,
+      |  CAST(nb AS BIGINT) AS n_rest, round(mb, 6) AS mean_rest,
+      |  round((ma - mb) / sqrt(va / na + vb / nb), 6) AS t_stat,
+      |  round(pow(va / na + vb / nb, 2) /
+      |    (pow(va / na, 2) / (na - 1) + pow(vb / nb, 2) / (nb - 1)), 6)
+      |    AS welch_df
+      |FROM a, b""".stripMargin
+
+  /** k-anonymity audit of the customer table under the quasi-identifier
+    * (nation, market segment, account-balance band): the group-size
+    * histogram privacy review runs before releasing training data
+    * derived from user records. One hash aggregation to group sizes
+    * (map-side partials), a second vocabulary-sized one to the
+    * histogram; re-identifiable rows = groups of size < k. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_band"))
+      .agg(count(lit(1)).as("group_size"))
+      .groupBy("group_size")
+      .agg(count(lit(1)).as("n_groups"),
+        (count(lit(1)) * col("group_size")).as("n_rows"))
+      .select(col("group_size"), col("n_groups"), col("n_rows"),
+        (col("group_size") < 5).as("reidentifiable_at_k5"))
+      .orderBy("group_size")
+
+  def kAnonymityAuditOracle: String =
+    """WITH g AS (SELECT c_nationkey, c_mktsegment,
+      |    floor(c_acctbal / 1000) AS bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS group_size
+      |  FROM customer GROUP BY 1, 2, 3)
+      |SELECT group_size, CAST(COUNT(*) AS BIGINT) AS n_groups,
+      |  CAST(COUNT(*) * group_size AS BIGINT) AS n_rows,
+      |  group_size < 5 AS reidentifiable_at_k5
+      |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin
+
+  /** Tukey-fence (IQR) outlier screen over events.value per event
+    * type — the distribution-free sibling of [[outlierZscore]]: exact
+    * p25/p75 from the shared bucketed-group-rank helper (no
+    * |groups|-task window, no unbounded buffer), fences at 1.5·IQR,
+    * then one broadcast of the tiny per-group bounds back onto the
+    * fact scan for the counts. Fences compare UNROUNDED (both engines
+    * compute the identical IEEE interpolation — the winsorize
+    * discipline) and report rounded. */
+  def outlierIqr(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type").as("g"), col("value").as("v"))
+    val ranked = bucketedGroupRanks(ev)
+    val counts = ev.groupBy("g").agg(count(lit(1)).as("n"))
+    val qs = counts.crossJoin(broadcast(Seq(0.25, 0.75).toDF("q")))
+      .select(col("g").as("g_q"), col("q"), ((col("n") - 1) * col("q")).as("h"))
+      .select(col("g_q"), col("q"),
+        (floor(col("h")) + 1).cast("long").as("lo_rk"),
+        (col("h") - floor(col("h"))).as("frac"))
+    val needed = qs.select(col("g_q").as("g"),
+      explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
+    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    val quantiles = qs
+      .join(valueAt.select(col("g").as("g_q"),
+        col("rk").as("lo_rk"), col("v").as("lo_v")), Seq("g_q", "lo_rk"))
+      .join(valueAt.select(col("g").as("g_q"),
+        (col("rk") - 1).as("lo_rk"), col("v").as("hi_v")),
+        Seq("g_q", "lo_rk"), "left")
+      .select(col("g_q"), col("q"),
+        (col("lo_v") * (lit(1.0) - col("frac")) +
+          coalesce(col("hi_v"), col("lo_v")) * col("frac")).as("qv"))
+      .groupBy("g_q")
+      .agg(max(when(col("q") === 0.25, col("qv"))).as("p25"),
+        max(when(col("q") === 0.75, col("qv"))).as("p75"))
+      .select(col("g_q"), col("p25"), col("p75"),
+        (col("p25") - lit(1.5) * (col("p75") - col("p25"))).as("lo_f"),
+        (col("p75") + lit(1.5) * (col("p75") - col("p25"))).as("hi_f"))
+    Tables.events(spark, dir)
+      .select(col("event_type"), col("value").as("v"))
+      .join(broadcast(quantiles), col("event_type") === col("g_q"))
+      .groupBy("event_type")
+      .agg(round(first(col("p25")), 6).as("p25"),
+        round(first(col("p75")), 6).as("p75"),
+        round(first(col("lo_f")), 6).as("lo_fence"),
+        round(first(col("hi_f")), 6).as("hi_fence"),
+        count(lit(1)).as("n"),
+        count(when(col("v") < col("lo_f"), 1)).as("n_low_outliers"),
+        count(when(col("v") > col("hi_f"), 1)).as("n_high_outliers"))
+      .orderBy("event_type")
+  }
+
+  def outlierIqrOracle: String =
+    """WITH b AS (SELECT event_type,
+      |    quantile_cont(value, 0.25) AS p25,
+      |    quantile_cont(value, 0.75) AS p75
+      |  FROM events GROUP BY 1),
+      |f AS (SELECT event_type, p25, p75,
+      |    p25 - 1.5 * (p75 - p25) AS lo_f,
+      |    p75 + 1.5 * (p75 - p25) AS hi_f FROM b)
+      |SELECT e.event_type,
+      |  round(f.p25, 6) AS p25, round(f.p75, 6) AS p75,
+      |  round(f.lo_f, 6) AS lo_fence, round(f.hi_f, 6) AS hi_fence,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(*) FILTER (WHERE e.value < f.lo_f) AS BIGINT)
+      |    AS n_low_outliers,
+      |  CAST(COUNT(*) FILTER (WHERE e.value > f.hi_f) AS BIGINT)
+      |    AS n_high_outliers
+      |FROM events e JOIN f USING (event_type)
+      |GROUP BY e.event_type, f.p25, f.p75, f.lo_f, f.hi_f
+      |ORDER BY e.event_type""".stripMargin
 }
