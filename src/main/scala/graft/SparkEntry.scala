@@ -196,8 +196,11 @@ object SparkEntry {
     "collocations_pmi" -> TextAnalysis.collocationsPmi _,
     "perplexity_bigram" -> TextAnalysis.perplexityBigram _,
     "char_entropy" -> TextAnalysis.charEntropy _,
+    "bpe_merges" -> TextAnalysis.bpeMerges _,
     "outlier_iqr" -> Relational.outlierIqr _,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpend _,
+    "ivm_priority_revenue" -> Relational.ivmPriorityRevenue _,
+    "rfm_segments" -> Relational.rfmSegments _,
     "k_anonymity_audit" -> Relational.kAnonymityAudit _,
     "pca_power_embeddings" -> Similarity.pcaPowerEmbeddings _,
     "minhash_error_audit" -> ((s, dir) => Dedup.minhashErrorAudit(s, dir)),
@@ -394,8 +397,11 @@ object SparkEntry {
     "collocations_pmi" -> TextAnalysis.collocationsPmiOracle,
     "perplexity_bigram" -> TextAnalysis.perplexityBigramOracle,
     "char_entropy" -> TextAnalysis.charEntropyOracle,
+    "bpe_merges" -> TextAnalysis.bpeMergesOracle,
     "outlier_iqr" -> Relational.outlierIqrOracle,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpendOracle,
+    "ivm_priority_revenue" -> Relational.ivmPriorityRevenueOracle,
+    "rfm_segments" -> Relational.rfmSegmentsOracle,
     "k_anonymity_audit" -> Relational.kAnonymityAuditOracle,
     "pca_power_embeddings" -> Similarity.pcaPowerEmbeddingsOracle,
     "minhash_error_audit" -> Dedup.minhashErrorAuditOracle,

@@ -1066,6 +1066,82 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ── BPE merge learning: the tokenizer-training primitive ──
+
+  val BpeMerges = 5
+
+  /** Learn the first [[BpeMerges]] byte-pair-encoding merges from the
+    * corpus — the core step of tokenizer training, shaped the way real
+    * BPE trainers scale: the corpus is touched ONCE (the wordcount hash
+    * agg), and every merge iteration runs on the weighted vocabulary
+    * table (|vocab| rows), never the corpus. Words start as
+    * space-joined character sequences; each round counts adjacent
+    * symbol pairs weighted by word frequency (every overlapping
+    * adjacency, the standard get_stats), picks the argmax with a
+    * lexicographic tiebreak, and applies the merge via a global
+    * `\ba b\b` regexp_replace — left-to-right non-overlapping in both
+    * Java regex and RE2, which is exactly BPE's greedy merge order
+    * (symbols stay alphanumeric, so \b is safe and no escaping is
+    * needed). The per-round argmax is a 1-row broadcast, the vocab
+    * table localCheckpoints each round — no driver collect anywhere.
+    * Output: merge table (rank, pair, new symbol, weighted count). */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    var reps = words.select(col("word"), col("cnt"),
+      array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " ")
+        .as("rep")).localCheckpoint()
+    var merges = Seq.empty[DataFrame]
+    for (k <- 1 to BpeMerges) {
+      val pairs = reps.select(col("cnt"),
+          explode(graft.functions.WordNGrams(
+            split(col("rep"), " "), 2, distinct = false)).as("pair"))
+        .groupBy("pair").agg(sum("cnt").as("c"))
+      val best = pairs.orderBy(col("c").desc, col("pair")).limit(1)
+        .localCheckpoint()
+      merges = merges :+ best.select(lit(k).as("merge_rank"),
+        col("pair").as("merged_pair"),
+        regexp_replace(col("pair"), " ", "").as("new_symbol"),
+        col("c").as("pair_count"))
+      reps = reps.crossJoin(broadcast(best))
+        .select(col("word"), col("cnt"),
+          regexp_replace(col("rep"),
+            concat(lit("\\b"), col("pair"), lit("\\b")),
+            regexp_replace(col("pair"), " ", "")).as("rep"))
+        .localCheckpoint()
+    }
+    merges.reduce(_ union _).orderBy("merge_rank")
+  }
+
+  def bpeMergesOracle: String = {
+    def iter(k: Int): String =
+      s"""p$k AS (SELECT g AS pair, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest(list_transform(
+         |      range(greatest(len(s) - 1, 0)), i -> s[i+1] || ' ' || s[i+2])) AS g
+         |    FROM (SELECT cnt, string_split(rep, ' ') AS s FROM r${k - 1}) t) u
+         |  GROUP BY g),
+         |b$k AS (SELECT pair, c FROM p$k ORDER BY c DESC, pair LIMIT 1),
+         |r$k AS (SELECT word, cnt,
+         |    regexp_replace(rep, '\\b' || split_part(b$k.pair, ' ', 1) || ' ' ||
+         |      split_part(b$k.pair, ' ', 2) || '\\b',
+         |      replace(b$k.pair, ' ', ''), 'g') AS rep
+         |  FROM r${k - 1}, b$k)""".stripMargin
+    val finals = (1 to BpeMerges).map(k =>
+      s"""SELECT $k AS merge_rank, pair AS merged_pair,
+         |  replace(pair, ' ', '') AS new_symbol, c AS pair_count FROM b$k"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    s"""WITH w AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(ws) AS w
+       |        FROM (SELECT $tokensSql AS ws FROM documents) t) u
+       |  GROUP BY 1),
+       |r0 AS (SELECT word, cnt,
+       |  array_to_string(regexp_extract_all(word, '.'), ' ') AS rep FROM w),
+       |${(1 to BpeMerges).map(iter).mkString(",\n")}
+       |$finals
+       |ORDER BY merge_rank""".stripMargin
+  }
+
   def charEntropyOracle: String =
     """WITH ch AS (SELECT doc_id, unnest(regexp_extract_all(text, '.')) AS ch
       |  FROM documents),

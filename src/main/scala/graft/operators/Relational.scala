@@ -2453,6 +2453,146 @@ object Relational {
       |  group_size < 5 AS reidentifiable_at_k5
       |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin
 
+  /** Incremental view maintenance: merge a delta batch's PARTIAL
+    * aggregates into a materialized per-priority revenue view without
+    * touching the base data — the algebraic-aggregate property
+    * (count/sum combine by addition) that makes streaming and
+    * batch refresh the same operation. Base = orders before the split
+    * date, delta = the rest (a deterministic fixture split standing in
+    * for "yesterday's view + today's batch"). Both sides aggregate
+    * independently (map-side partials), then ONE co-partitioned full
+    * outer join merges them; the output exposes old/delta/new side by
+    * side plus the per-group action, so the refresh is auditable. At
+    * scale the view is |groups|-sized and the only input-sized work is
+    * the delta scan — the whole point of IVM. */
+  def ivmPriorityRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "2024-07-01"
+    def agg(df: DataFrame, pfx: String): DataFrame =
+      df.groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as(s"n_$pfx"), dsum2(col("o_totalprice")).as(s"s_$pfx"))
+    val orders = Tables.orders(spark, dir)
+    val base = agg(orders.filter(col("o_orderdate") < lit(cutoff)), "old")
+    val delta = agg(orders.filter(col("o_orderdate") >= lit(cutoff)), "delta")
+    base.join(delta, Seq("o_orderpriority"), "full_outer")
+      .select(col("o_orderpriority"),
+        coalesce(col("n_old"), lit(0L)).as("n_old"),
+        coalesce(col("n_delta"), lit(0L)).as("n_delta"),
+        (coalesce(col("n_old"), lit(0L)) + coalesce(col("n_delta"), lit(0L)))
+          .as("n_new"),
+        round(coalesce(col("s_old"), lit(0.0)), 2).as("rev_old"),
+        round(coalesce(col("s_delta"), lit(0.0)), 2).as("rev_delta"),
+        round(coalesce(col("s_old"), lit(0.0)) +
+          coalesce(col("s_delta"), lit(0.0)), 2).as("rev_new"),
+        when(col("n_old").isNull, lit("insert"))
+          .when(col("n_delta").isNull, lit("unchanged"))
+          .otherwise(lit("update")).as("action"))
+      .orderBy("o_orderpriority")
+  }
+
+  def ivmPriorityRevenueOracle: String =
+    """WITH base AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_old,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s_old
+      |  FROM orders WHERE o_orderdate < TIMESTAMP '2024-07-01'
+      |  GROUP BY 1),
+      |delta AS (SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_delta,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s_delta
+      |  FROM orders WHERE o_orderdate >= TIMESTAMP '2024-07-01'
+      |  GROUP BY 1)
+      |SELECT COALESCE(b.o_orderpriority, d.o_orderpriority) AS o_orderpriority,
+      |  COALESCE(b.n_old, 0) AS n_old,
+      |  COALESCE(d.n_delta, 0) AS n_delta,
+      |  COALESCE(b.n_old, 0) + COALESCE(d.n_delta, 0) AS n_new,
+      |  round(COALESCE(b.s_old, 0.0), 2) AS rev_old,
+      |  round(COALESCE(d.s_delta, 0.0), 2) AS rev_delta,
+      |  round(COALESCE(b.s_old, 0.0) + COALESCE(d.s_delta, 0.0), 2) AS rev_new,
+      |  CASE WHEN b.n_old IS NULL THEN 'insert'
+      |       WHEN d.n_delta IS NULL THEN 'unchanged'
+      |       ELSE 'update' END AS action
+      |FROM base b FULL OUTER JOIN delta d USING (o_orderpriority)
+      |ORDER BY o_orderpriority""".stripMargin
+
+  /** RFM (recency / frequency / monetary) customer segmentation — the
+    * marketing-analytics workhorse. Per-customer facts come from ONE
+    * hash aggregation over orders (max date, count, exact decimal
+    * spend); each dimension is then scored into quintiles by the
+    * even-spread rank rule ⌊(rank−1)·5/n⌋+1 over the |customers|-sized
+    * fact table — ranks from the bucketed-group-rank helper (value-
+    * bucket-local windows, no single-partition collapse), never a bare
+    * global ntile. Output: the segment histogram with per-segment
+    * averages — bounded at 125 rows regardless of scale. */
+  def rfmSegments(spark: SparkSession, dir: String): DataFrame = {
+    val facts = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(max(col("o_orderdate").cast("date")).as("last_date"),
+        count(lit(1)).as("freq"), dsum2(col("o_totalprice")).as("money"))
+      .select(col("o_custkey"),
+        datediff(lit("2025-01-01").cast("date"), col("last_date")).as("recency"),
+        col("freq"), col("money")).localCheckpoint()
+    val n = facts.count()
+    // row-keyed variant of the bucketedGroupRanks discipline: rank by
+    // (metric, custkey) — a total order, so both engines agree — with
+    // the sort localized to value buckets and stitched by a ≤64-row
+    // prefix-offset table (no single-partition global window)
+    def quintile(metric: Column, asc: Boolean): DataFrame = {
+      val vals = facts.select(col("o_custkey"),
+        (if (asc) metric else negate(metric)).cast("double").as("v"))
+      val stats = vals.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      val bucketed = vals.crossJoin(broadcast(stats))
+        .select(col("o_custkey"), col("v"),
+          when(col("vmin") === col("vmax"), lit(1L))
+            .otherwise(width_bucket(col("v"), col("vmin"), col("vmax"),
+              lit(64))).as("bkt"))
+      val wLocal = Window.partitionBy("bkt").orderBy("v", "o_custkey")
+      val withRn = bucketed.withColumn("rn", row_number().over(wLocal).cast("long"))
+      val wOff = Window.partitionBy(lit(1)).orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = bucketed.groupBy("bkt").agg(count(lit(1)).as("c"))
+        .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+        .select("bkt", "off")
+      withRn.join(broadcast(offsets), Seq("bkt"))
+        .select(col("o_custkey"),
+          // `div`: integral division (Column./ would be double)
+          expr(s"(off + rn - 1) * 5 div ${n}L + 1").cast("int").as("q"))
+    }
+    val r = quintile(col("recency"), asc = true) // low recency days = best
+      .withColumnRenamed("q", "r_score")
+    val f = quintile(col("freq"), asc = false).withColumnRenamed("q", "f_score")
+    val m = quintile(col("money"), asc = false).withColumnRenamed("q", "m_score")
+    facts.join(r, "o_custkey").join(f, "o_custkey").join(m, "o_custkey")
+      .groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("recency")), 6).as("avg_recency_days"),
+        round(sum(col("money").cast(DecimalType(28, 6))).cast("double") /
+          count(lit(1)), 6).as("avg_spend"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  def rfmSegmentsOracle: String =
+    """WITH facts AS (SELECT o_custkey,
+      |    date_diff('day', MAX(CAST(o_orderdate AS DATE)), DATE '2025-01-01')
+      |      AS recency,
+      |    CAST(COUNT(*) AS BIGINT) AS freq,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS money
+      |  FROM orders GROUP BY 1),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM facts),
+      |r AS (SELECT o_custkey, CAST((row_number() OVER
+      |    (ORDER BY recency, o_custkey) - 1) * 5 // nn.n + 1 AS INTEGER)
+      |    AS r_score FROM facts, nn),
+      |f AS (SELECT o_custkey, CAST((row_number() OVER
+      |    (ORDER BY -freq, o_custkey) - 1) * 5 // nn.n + 1 AS INTEGER)
+      |    AS f_score FROM facts, nn),
+      |m AS (SELECT o_custkey, CAST((row_number() OVER
+      |    (ORDER BY -money, o_custkey) - 1) * 5 // nn.n + 1 AS INTEGER)
+      |    AS m_score FROM facts, nn)
+      |SELECT r.r_score, f.f_score, m.m_score,
+      |  CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |  round(AVG(fa.recency), 6) AS avg_recency_days,
+      |  round(CAST(SUM(CAST(fa.money AS DECIMAL(28,6))) AS DOUBLE) / COUNT(*), 6)
+      |    AS avg_spend
+      |FROM facts fa JOIN r USING (o_custkey) JOIN f USING (o_custkey)
+      |JOIN m USING (o_custkey)
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
   /** Tukey-fence (IQR) outlier screen over events.value per event
     * type — the distribution-free sibling of [[outlierZscore]]: exact
     * p25/p75 from the shared bucketed-group-rank helper (no
