@@ -33,7 +33,12 @@ object Bench {
     // min of N iterations per query: one GC pause / noisy-neighbor
     // spike shouldn't masquerade as a plan regression
     val iterations = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .map { case (name, fn) =>
       val times = (1 to iterations).flatMap { _ =>
         // drop cached intermediates between runs: CacheManager matches
         // re-built plans by canonical form, so a warm iteration would

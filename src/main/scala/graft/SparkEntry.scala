@@ -193,10 +193,12 @@ object SparkEntry {
     "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHops _,
     "event_transitions" -> EventOps.eventTransitions _,
     "attribution_touch" -> EventOps.attributionTouch _,
+    "snapshot_reconstruct" -> EventOps.snapshotReconstruct _,
     "collocations_pmi" -> TextAnalysis.collocationsPmi _,
     "perplexity_bigram" -> TextAnalysis.perplexityBigram _,
     "char_entropy" -> TextAnalysis.charEntropy _,
     "bpe_merges" -> TextAnalysis.bpeMerges _,
+    "token_budget_select" -> TextAnalysis.tokenBudgetSelect _,
     "outlier_iqr" -> Relational.outlierIqr _,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpend _,
     "ivm_priority_revenue" -> Relational.ivmPriorityRevenue _,
@@ -394,10 +396,12 @@ object SparkEntry {
     "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHopsOracle,
     "event_transitions" -> EventOps.eventTransitionsOracle,
     "attribution_touch" -> EventOps.attributionTouchOracle,
+    "snapshot_reconstruct" -> EventOps.snapshotReconstructOracle,
     "collocations_pmi" -> TextAnalysis.collocationsPmiOracle,
     "perplexity_bigram" -> TextAnalysis.perplexityBigramOracle,
     "char_entropy" -> TextAnalysis.charEntropyOracle,
     "bpe_merges" -> TextAnalysis.bpeMergesOracle,
+    "token_budget_select" -> TextAnalysis.tokenBudgetSelectOracle,
     "outlier_iqr" -> Relational.outlierIqrOracle,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpendOracle,
     "ivm_priority_revenue" -> Relational.ivmPriorityRevenueOracle,

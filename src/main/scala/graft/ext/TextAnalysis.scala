@@ -1066,6 +1066,64 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // ── token-budgeted selection: the data-mix composition step ──
+
+  val SelectBudget = 20000L
+
+  /** Quality-ranked selection under a per-source token budget — how a
+    * training mix is actually composed: within each source, take the
+    * best documents (lexical diversity, rounded BEFORE ranking so both
+    * engines order identically; doc_id tiebreak) until the token
+    * budget is exhausted, and report per source what made the cut.
+    * One projection for the scores, one per-source ordered running
+    * sum (the [[docPack]] window shape — partitioned by source, so
+    * parallelism scales with sources), one tiny summary agg. A doc is
+    * kept iff the budget wasn't already spent when it arrived
+    * (start-before-budget rule — deterministic, no partial docs). */
+  def tokenBudgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("source")
+      .orderBy(col("q").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), tokens(col("text")).as("ws"))
+      .select(col("doc_id"), col("source"),
+        size(col("ws")).cast("long").as("n_tokens"),
+        round(size(array_distinct(col("ws"))).cast("double") /
+          greatest(size(col("ws")), lit(1)), 6).as("q"))
+      .withColumn("spent_before",
+        sum(col("n_tokens")).over(w) - col("n_tokens"))
+      .withColumn("kept", col("spent_before") < SelectBudget)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs_total"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_docs_kept"),
+        sum(when(col("kept"), col("n_tokens")).otherwise(0L)).as("tokens_kept"),
+        min(when(col("kept"), col("q"))).as("cutoff_quality"))
+      .orderBy("source")
+  }
+
+  def tokenBudgetSelectOracle: String =
+    s"""WITH d AS (SELECT doc_id, source, $tokensSql AS ws FROM documents),
+       |s AS (SELECT doc_id, source, CAST(len(ws) AS BIGINT) AS n_tokens,
+       |    round(CAST(len(list_distinct(ws)) AS DOUBLE) /
+       |      greatest(len(ws), 1), 6) AS q
+       |  FROM d),
+       |r AS (SELECT *,
+       |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY q DESC, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens
+       |      AS spent_before
+       |  FROM s)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs_total,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       |  CAST(SUM(CASE WHEN spent_before < $SelectBudget THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_docs_kept,
+       |  CAST(SUM(CASE WHEN spent_before < $SelectBudget THEN n_tokens
+       |    ELSE 0 END) AS BIGINT) AS tokens_kept,
+       |  MIN(CASE WHEN spent_before < $SelectBudget THEN q END)
+       |    AS cutoff_quality
+       |FROM r GROUP BY source ORDER BY source""".stripMargin
+
   // ── BPE merge learning: the tokenizer-training primitive ──
 
   val BpeMerges = 5

@@ -214,6 +214,9 @@ object EventOps {
     val needed = targets.select(col("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
     val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+      // ≤ a few rows per group; eager-materialize so the two bracketing
+      // joins below don't each replay the whole rank pipeline
+      .localCheckpoint()
     targets
       .join(valueAt.select(col("g"), col("rk").as("lo_rk"), col("v").as("lo_v")),
         Seq("g", "lo_rk"))
@@ -691,6 +694,40 @@ object EventOps {
         coalesce(col("n_last_touch"), lit(0L)).as("n_last_touch"))
       .orderBy("channel")
   }
+
+  /** Point-in-time state reconstruction (event sourcing): for every
+    * (user, event type), the latest value AS OF a cutoff instant —
+    * the "rebuild yesterday's state from the log" primitive behind
+    * every backfill and every feature-store snapshot. One hash
+    * aggregation with native struct-argmax (`max_by` over the total
+    * order (ts, event_id) — the argmax discipline: map-side partials,
+    * no per-group window, no self-join); the cutoff filter pushes to
+    * the scan, so the log after T is never read. */
+  def snapshotReconstruct(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = "2025-06-01"
+    Tables.events(spark, dir)
+      .filter(col("ts") < lit(cutoff).cast("timestamp"))
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(
+        max(col("ts")).as("last_ts"),
+        max_by(col("value"), struct(col("ts"), col("event_id")))
+          .as("last_value"),
+        count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("event_type"), col("last_ts"),
+        round(col("last_value"), 6).as("last_value"), col("n_events"))
+      .orderBy("user_id", "event_type")
+  }
+
+  def snapshotReconstructOracle: String =
+    """WITH r AS (SELECT user_id, event_type, ts, event_id, value,
+      |    row_number() OVER (PARTITION BY user_id, event_type
+      |      ORDER BY ts DESC, event_id DESC) AS rk,
+      |    MAX(ts) OVER (PARTITION BY user_id, event_type) AS last_ts,
+      |    COUNT(*) OVER (PARTITION BY user_id, event_type) AS n_events
+      |  FROM events WHERE ts < TIMESTAMP '2025-06-01')
+      |SELECT user_id, event_type, last_ts,
+      |  round(value, 6) AS last_value, CAST(n_events AS BIGINT) AS n_events
+      |FROM r WHERE rk = 1 ORDER BY user_id, event_type""".stripMargin
 
   def attributionTouchOracle: String =
     """WITH w AS (

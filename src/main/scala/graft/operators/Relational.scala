@@ -753,6 +753,9 @@ object Relational {
     val needed = targets
       .select(col("g"), explode(array(col("lo"), col("hi"))).as("rk")).distinct()
     val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+      // ≤ a few rows per group; eager-materialize so the two bracketing
+      // joins below don't each replay the whole rank pipeline
+      .localCheckpoint()
     targets
       .join(valueAt.select(col("g"), col("rk").as("lo"), col("v").as("v_lo")), Seq("g", "lo"))
       .join(valueAt.select(col("g"), col("rk").as("hi"), col("v").as("v_hi")), Seq("g", "hi"))
@@ -1810,6 +1813,7 @@ object Relational {
     val needed = t.select(col("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
     val vAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+      .localCheckpoint() // tiny; both bracketing joins reuse one rank pass
     t.join(vAt.select(col("g"), col("rk").as("lo_rk"), col("v").as("lo_v")),
         Seq("g", "lo_rk"))
       .join(vAt.select(col("g"), (col("rk") - 1).as("lo_rk"), col("v").as("hi_v")),
@@ -1920,6 +1924,9 @@ object Relational {
     val needed = targets.select(col("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
     val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+      // ≤ a few rows per group; eager-materialize so the two bracketing
+      // joins below don't each replay the whole rank pipeline
+      .localCheckpoint()
     targets
       .join(valueAt.select(col("g"), col("rk").as("lo_rk"), col("v").as("lo_v")),
         Seq("g", "lo_rk"))
@@ -2020,6 +2027,9 @@ object Relational {
     val needed = qs.select(col("g_prio").as("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
     val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+      // ≤ a few rows per group; eager-materialize so the two bracketing
+      // joins below don't each replay the whole rank pipeline
+      .localCheckpoint()
     qs.join(valueAt.select(col("g").as("g_prio"),
         col("rk").as("lo_rk"), col("v").as("lo_v")),
         Seq("g_prio", "lo_rk"))
@@ -2072,6 +2082,9 @@ object Relational {
     val needed = qs.select(col("g_rf").as("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
     val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+      // ≤ a few rows per group; eager-materialize so the two bracketing
+      // joins below don't each replay the whole rank pipeline
+      .localCheckpoint()
     val quantiles = qs
       .join(valueAt.select(col("g").as("g_rf"),
         col("rk").as("lo_rk"), col("v").as("lo_v")), Seq("g_rf", "lo_rk"))
@@ -2615,6 +2628,9 @@ object Relational {
     val needed = qs.select(col("g_q").as("g"),
       explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
     val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+      // ≤ a few rows per group; eager-materialize so the two bracketing
+      // joins below don't each replay the whole rank pipeline
+      .localCheckpoint()
     val quantiles = qs
       .join(valueAt.select(col("g").as("g_q"),
         col("rk").as("lo_rk"), col("v").as("lo_v")), Seq("g_q", "lo_rk"))

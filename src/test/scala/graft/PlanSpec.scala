@@ -154,4 +154,39 @@ class PlanSpec extends SparkSpec {
         s"partial window group limit missing from plan:\n$plan")
     }
   }
+
+  test("kmv sketch plans a bounded top-k over the distinct hashes") {
+    val plan = ext.Sketches.kmvDistinct(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"KMV's k-smallest must be per-partition heaps, not a sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+  }
+
+  test("hll registers aggregate map-side before the 256-group shuffle") {
+    val plan = ext.Sketches.hllDistinct(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_max"),
+      s"register max must partial-aggregate before the exchange:\n$plan")
+  }
+
+  test("welch t-test is one pass: no join back onto the fact scan") {
+    val plan = operators.Relational.ttestUrgentSpend(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"sufficient stats must partial-aggregate:\n$plan")
+    // exactly one orders scan per arm-split aggregation (the two arms
+    // come from ONE conditional aggregation, then a tiny self-join of
+    // the 2-row result, so at most 2 scans would betray a re-read)
+    val scans = "FileScan parquet".r.findAllIn(plan).length
+    assert(scans <= 2, s"expected <= 2 scans, got $scans:\n$plan")
+  }
+
+  test("pagerank's iteration loop joins broadcast rank vectors only") {
+    val plan = ext.Graph.pagerankNations(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"rank vector joins must broadcast:\n$plan")
+  }
 }
