@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, Layout, Relational, WordCount}
+import graft.operators.{EventOps, Layout, Nonparam, Relational, WordCount}
 import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.mr.MapReduce
 
@@ -194,6 +194,14 @@ object SparkEntry {
     "event_transitions" -> EventOps.eventTransitions _,
     "attribution_touch" -> EventOps.attributionTouch _,
     "snapshot_reconstruct" -> EventOps.snapshotReconstruct _,
+    "interval_coverage" -> EventOps.intervalCoverage _,
+    "mann_whitney_spend" -> Nonparam.mannWhitneySpend _,
+    "ks_test_events" -> Nonparam.ksTestEvents _,
+    "psi_drift_price" -> Nonparam.psiDriftPrice _,
+    "benford_price" -> Nonparam.benfordPrice _,
+    "weighted_median_price" -> Nonparam.weightedMedianPrice _,
+    "copurchase_pairs" -> Nonparam.copurchasePairs _,
+    "dedup_cdc_chunks" -> graft.ext.Dedup.cdcChunks _,
     "collocations_pmi" -> TextAnalysis.collocationsPmi _,
     "perplexity_bigram" -> TextAnalysis.perplexityBigram _,
     "char_entropy" -> TextAnalysis.charEntropy _,
@@ -397,6 +405,14 @@ object SparkEntry {
     "event_transitions" -> EventOps.eventTransitionsOracle,
     "attribution_touch" -> EventOps.attributionTouchOracle,
     "snapshot_reconstruct" -> EventOps.snapshotReconstructOracle,
+    "interval_coverage" -> EventOps.intervalCoverageOracle,
+    "mann_whitney_spend" -> Nonparam.mannWhitneySpendOracle,
+    "ks_test_events" -> Nonparam.ksTestEventsOracle,
+    "psi_drift_price" -> Nonparam.psiDriftPriceOracle,
+    "benford_price" -> Nonparam.benfordPriceOracle,
+    "weighted_median_price" -> Nonparam.weightedMedianPriceOracle,
+    "copurchase_pairs" -> Nonparam.copurchasePairsOracle,
+    "dedup_cdc_chunks" -> graft.ext.Dedup.cdcChunksOracle,
     "collocations_pmi" -> TextAnalysis.collocationsPmiOracle,
     "perplexity_bigram" -> TextAnalysis.perplexityBigramOracle,
     "char_entropy" -> TextAnalysis.charEntropyOracle,

@@ -952,4 +952,98 @@ object Dedup {
        |            round(e.ej, 6)), 6) AS abs_err
        |FROM exact e JOIN agree a ON e.d1 = a.d1 AND e.d2 = a.d2
        |ORDER BY e.d1, e.d2""".stripMargin
+
+  // ── content-defined chunking: rsync/LBFS-style shift-resistant dedup ──
+
+  /** 31-base polynomial coefficients for the 8-char boundary window —
+    * recomputed per position from fixed offsets (8 codegen'd
+    * ascii+multiply terms, no sequential state), so the boundary test
+    * is a pure projection any engine can mirror. */
+  private val cdcPow: IndexedSeq[Long] = (0 until 8).scanLeft(1L)((a, _) => a * 31L).init.toIndexedSeq
+
+  /** Content-defined chunking + chunk-level dedup: split each document
+    * at positions where an 8-char window hash ≡ 0 (mod 64) — so the
+    * SAME boundaries survive insertions/deletions that shift byte
+    * offsets (the property fixed-size frames lack, and the reason
+    * rsync/LBFS chunk this way), then measure cross-document chunk
+    * reuse per source. Everything is one explode over positions + two
+    * per-doc windows (lag for the previous cut) — no per-doc arrays,
+    * no collect; the explode is width×rows, the only input-sized
+    * stage, and partial-aggregates straight down. Expected chunk
+    * length = the 64 modulus. */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+      .filter(length(col("text")) >= 8)
+      .select(col("doc_id"), col("source"), col("text"),
+        length(col("text")).as("n"))
+    val hashExpr = (0 until 8).map { j =>
+      // 31^j coefficients; window spans positions i-7 .. i
+      s"ascii(substring(text, i - ${7 - j}, 1)) * ${cdcPow(j)}L"
+    }.mkString(" + ")
+    val cuts = docs
+      .select(col("doc_id"), col("text"), col("n"),
+        explode(sequence(lit(8), col("n").cast("int"))).as("i"))
+      .withColumn("h", expr(hashExpr))
+      .filter(col("h") % 64 === 0 && col("i") < col("n"))
+      .select(col("doc_id"), col("i"))
+    val wCut = Window.partitionBy("doc_id").orderBy("i")
+    val inner = cuts
+      .withColumn("lo", coalesce(lag(col("i"), 1).over(wCut), lit(0)))
+      .select(col("doc_id"), col("lo"), col("i").as("hi"))
+    val tail = docs
+      .join(cuts.groupBy("doc_id").agg(max(col("i")).as("mx")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("mx"), lit(0)).as("lo"),
+        col("n").cast("int").as("hi"))
+    val chunks = inner.unionByName(tail)
+      .join(docs.select(col("doc_id"), col("source"), col("text")),
+        Seq("doc_id"))
+      .select(col("doc_id"), col("source"), (col("hi") - col("lo")).as("len"),
+        md5(expr("substring(text, lo + 1, hi - lo)")).as("chunk_md5"))
+    chunks.groupBy("source")
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_chunks"),
+        countDistinct(col("chunk_md5")).as("n_distinct_chunks"),
+        sum(col("len")).as("total_len"))
+      .select(col("source"), col("n_docs"), col("n_chunks"),
+        col("n_distinct_chunks"),
+        round(col("total_len").cast("double") /
+          col("n_chunks").cast("double"), 6).as("avg_chunk_len"),
+        round((col("n_chunks") - col("n_distinct_chunks")).cast("double") /
+          col("n_chunks").cast("double"), 6).as("dup_chunk_ratio"))
+      .orderBy("source")
+  }
+
+  def cdcChunksOracle: String = {
+    val hashSql = (0 until 8).map { j =>
+      // CAST: DuckDB ascii() is INT32 and the 31^j coefficients overflow it
+      s"CAST(ascii(substring(text, CAST(i - ${7 - j} AS INTEGER), 1)) AS BIGINT) * ${cdcPow(j)}"
+    }.mkString(" + ")
+    s"""WITH docs AS (SELECT doc_id, source, text, length(text) AS n
+       |  FROM documents WHERE length(text) >= 8),
+       |pos AS (SELECT doc_id, text, n, unnest(range(8, n + 1)) AS i
+       |  FROM docs),
+       |cuts AS (SELECT doc_id, i FROM pos
+       |  WHERE ($hashSql) % 64 = 0 AND i < n),
+       |inner_segs AS (SELECT doc_id,
+       |    COALESCE(lag(i) OVER (PARTITION BY doc_id ORDER BY i), 0) AS lo,
+       |    i AS hi FROM cuts),
+       |tail_segs AS (SELECT d.doc_id, COALESCE(MAX(c.i), 0) AS lo,
+       |    MIN(d.n) AS hi
+       |  FROM docs d LEFT JOIN cuts c ON d.doc_id = c.doc_id
+       |  GROUP BY d.doc_id),
+       |segs AS (SELECT * FROM inner_segs UNION ALL SELECT * FROM tail_segs),
+       |chunks AS (SELECT s.doc_id, d.source, s.hi - s.lo AS len,
+       |    md5(substring(d.text, CAST(s.lo + 1 AS INTEGER),
+       |      CAST(s.hi - s.lo AS INTEGER))) AS chunk_md5
+       |  FROM segs s JOIN docs d ON s.doc_id = d.doc_id)
+       |SELECT source, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       |  CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       |  CAST(COUNT(DISTINCT chunk_md5) AS BIGINT) AS n_distinct_chunks,
+       |  round(CAST(SUM(len) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6)
+       |    AS avg_chunk_len,
+       |  round(CAST(COUNT(*) - COUNT(DISTINCT chunk_md5) AS DOUBLE) /
+       |    CAST(COUNT(*) AS DOUBLE), 6) AS dup_chunk_ratio
+       |FROM chunks GROUP BY source ORDER BY source""".stripMargin
+  }
 }

@@ -752,4 +752,75 @@ object EventOps {
       |  CAST(COALESCE(bl.n_last_touch, 0) AS BIGINT) AS n_last_touch
       |FROM bl FULL OUTER JOIN bf ON bl.channel = bf.channel
       |ORDER BY channel""".stripMargin
+
+  /** Interval union per user (merge-overlaps / gaps-and-islands over
+    * true intervals): each event occupies [ts, ts+value seconds];
+    * merge the overlapping ones and report coverage — the
+    * resource-utilization primitive (machine busy-time, user active
+    * time, GPU occupancy) that a plain sessionize (gap-only, point
+    * events) can't express. Island detection is the classic running
+    * max-of-ends: a new island starts where the start exceeds every
+    * prior end; all windows are partitioned by user, so parallelism
+    * scales with users and the per-task sort is one user's events.
+    * Pure integer epoch-second arithmetic end to end. */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val wOrd = Window.partitionBy("user_id").orderBy("s", "event_id")
+    val e = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("value"),
+        unix_timestamp(col("ts")).as("s"))
+      .withColumn("en", col("s") + floor(col("value")).cast("long"))
+    val islands = e
+      .withColumn("prev_max_en",
+        max(col("en")).over(wOrd.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("is_new",
+        (col("prev_max_en").isNull || col("s") > col("prev_max_en"))
+          .cast("long"))
+      .withColumn("island",
+        sum(col("is_new")).over(
+          wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "island")
+      .agg(min(col("s")).as("ist"), max(col("en")).as("ien"),
+        count(lit(1)).as("n_ev"))
+    islands.groupBy("user_id")
+      .agg(sum(col("n_ev")).as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("ien") - col("ist")).as("covered_seconds"),
+        (max(col("ien")) - min(col("ist"))).as("span_seconds"))
+      .select(col("user_id"), col("n_events"), col("n_islands"),
+        col("covered_seconds"), col("span_seconds"),
+        // greatest(span,1): a lone zero-length interval gives span 0,
+        // and 0/0 is engine-dependent (NaN vs NULL vs error)
+        round(col("covered_seconds").cast("double") /
+          greatest(col("span_seconds"), lit(1L)).cast("double"), 6)
+          .as("utilization"))
+      .orderBy("user_id")
+  }
+
+  def intervalCoverageOracle: String =
+    """WITH e AS (SELECT user_id, event_id,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS s,
+      |    CAST(floor(epoch(ts)) AS BIGINT) + CAST(floor(value) AS BIGINT)
+      |      AS en
+      |  FROM events),
+      |m AS (SELECT user_id, event_id, s, en,
+      |    MAX(en) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pme
+      |  FROM e),
+      |fl AS (SELECT user_id, s, en,
+      |    CASE WHEN pme IS NULL OR s > pme THEN 1 ELSE 0 END AS is_new,
+      |    event_id FROM m),
+      |isl AS (SELECT user_id, s, en,
+      |    SUM(is_new) OVER (PARTITION BY user_id ORDER BY s, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+      |  FROM fl),
+      |g AS (SELECT user_id, island, MIN(s) AS ist, MAX(en) AS ien,
+      |    CAST(COUNT(*) AS BIGINT) AS n_ev
+      |  FROM isl GROUP BY user_id, island)
+      |SELECT user_id, CAST(SUM(n_ev) AS BIGINT) AS n_events,
+      |  CAST(COUNT(*) AS BIGINT) AS n_islands,
+      |  CAST(SUM(ien - ist) AS BIGINT) AS covered_seconds,
+      |  CAST(MAX(ien) - MIN(ist) AS BIGINT) AS span_seconds,
+      |  round(CAST(SUM(ien - ist) AS DOUBLE) /
+      |    CAST(greatest(MAX(ien) - MIN(ist), 1) AS DOUBLE), 6) AS utilization
+      |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
 }

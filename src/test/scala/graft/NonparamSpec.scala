@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{EventOps, Nonparam}
+
+/** Value-level invariants + plan-shape checks for the distribution
+  * statistics suite (Mann-Whitney, KS, PSI, Benford, weighted median,
+  * co-purchase) and interval coverage / CDC chunking. */
+class NonparamSpec extends SparkSpec {
+
+  test("mann-whitney U lies in [0, na*nb] and z is finite") {
+    val r = Nonparam.mannWhitneySpend(spark, sf0001).collect().head
+    val na = r.getAs[Long]("n_urgent"); val nb = r.getAs[Long]("n_rest")
+    val u = r.getAs[Double]("u_stat"); val z = r.getAs[Double]("z_stat")
+    assert(na > 0 && nb > 0 && na + nb == 1500)
+    assert(u >= 0 && u <= na.toDouble * nb)
+    assert(!z.isNaN && !z.isInfinite)
+  }
+
+  test("ks statistic is a valid sup-distance in [0,1]") {
+    val r = Nonparam.ksTestEvents(spark, sf0001).collect().head
+    val d = r.getAs[Double]("d_stat")
+    assert(d >= 0.0 && d <= 1.0)
+    assert(r.getAs[Long]("n_click") > 0 && r.getAs[Long]("n_purchase") > 0)
+  }
+
+  test("psi terms are nonnegative and sum to psi_total") {
+    val rows = Nonparam.psiDriftPrice(spark, sf0001).collect()
+    assert(rows.length == 20)
+    // (p-q)·ln(p/q) ≥ 0 always (same sign factors)
+    assert(rows.forall(_.getAs[Double]("psi_term") >= 0.0))
+    val total = rows.head.getAs[Double]("psi_total")
+    val s = rows.map(_.getAs[Double]("psi_term")).sum
+    assert(math.abs(s - total) < 1e-6, s"terms sum $s vs total $total")
+  }
+
+  test("benford audit covers digits 1-9 with probabilities that sum to 1") {
+    val rows = Nonparam.benfordPrice(spark, sf0001).collect()
+    assert(rows.map(_.getAs[String]("digit")).sorted.toSeq ==
+      (1 to 9).map(_.toString))
+    val expSum = rows.map(_.getAs[Double]("benford_p")).sum
+    assert(math.abs(expSum - 1.0) < 1e-6)
+    val obsSum = rows.map(_.getAs[Double]("observed_p")).sum
+    assert(math.abs(obsSum - 1.0) < 1e-3)
+  }
+
+  test("weighted median splits the weight mass at least in half") {
+    val cum = Tables.lineitem(spark, sf0001)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+    Nonparam.weightedMedianPrice(spark, sf0001).collect().foreach { r =>
+      val flag = r.getAs[String]("l_returnflag")
+      val m = r.getAs[Double]("weighted_median")
+      val w = cum.filter(col("l_returnflag") === flag)
+      val tot = w.agg(sum("l_quantity")).collect().head.getDouble(0)
+      val below = w.filter(col("l_extendedprice") <= m)
+        .agg(sum("l_quantity")).collect().head.getDouble(0)
+      assert(below * 2 >= tot, s"$flag: weight below median $below of $tot")
+    }
+  }
+
+  test("copurchase pair generation is a key join, not a cartesian") {
+    val df = Nonparam.copurchasePairs(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct"), s"cartesian in:\n$plan")
+    val rows = df.collect()
+    assert(rows.length == 20)
+    // support is a sorted-desc count; every pair is canonical p1<p2
+    assert(rows.forall(r => r.getAs[Long]("p1") < r.getAs[Long]("p2")))
+    val sups = rows.map(_.getAs[Long]("support")).toSeq
+    assert(sups == sups.sortBy(-_))
+  }
+
+  test("interval coverage: covered <= span, islands <= events") {
+    val rows = EventOps.intervalCoverage(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("covered_seconds") <= math.max(r.getAs[Long]("span_seconds"), 1))
+      assert(r.getAs[Long]("n_islands") <= r.getAs[Long]("n_events"))
+      val u = r.getAs[Double]("utilization")
+      assert(u >= 0.0 && u <= 1.0)
+    }
+  }
+
+  test("cdc chunk lengths reassemble every document exactly") {
+    val rows = graft.ext.Dedup.cdcChunks(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val totalLen = rows.map(r =>
+      r.getAs[Double]("avg_chunk_len") * r.getAs[Long]("n_chunks")).sum
+    val expected = Tables.documents(spark, sf0001)
+      .filter(length(col("text")) >= 8)
+      .agg(sum(length(col("text")))).collect().head.getLong(0)
+    // avg is rounded to 1e-6, so reassembled total is within n_chunks*1e-6
+    assert(math.abs(totalLen - expected.toDouble) < 1.0,
+      s"chunks reassemble to $totalLen, corpus is $expected chars")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_distinct_chunks") <= r.getAs[Long]("n_chunks"))
+    }
+  }
+}
