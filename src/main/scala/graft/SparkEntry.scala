@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{EventOps, Layout, Nonparam, Relational, WordCount}
+import graft.operators.{EventOps, Layout, Nonparam, Relational, TimeSeries, WordCount}
 import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.mr.MapReduce
 
@@ -195,6 +195,10 @@ object SparkEntry {
     "attribution_touch" -> EventOps.attributionTouch _,
     "snapshot_reconstruct" -> EventOps.snapshotReconstruct _,
     "interval_coverage" -> EventOps.intervalCoverage _,
+    "acf_daily_revenue" -> TimeSeries.acfDailyRevenue _,
+    "cusum_changepoint" -> TimeSeries.cusumChangepoint _,
+    "ewma_daily_revenue" -> TimeSeries.ewmaDailyRevenue _,
+    "seasonality_dow" -> TimeSeries.seasonalityDow _,
     "mann_whitney_spend" -> Nonparam.mannWhitneySpend _,
     "ks_test_events" -> Nonparam.ksTestEvents _,
     "psi_drift_price" -> Nonparam.psiDriftPrice _,
@@ -406,6 +410,10 @@ object SparkEntry {
     "attribution_touch" -> EventOps.attributionTouchOracle,
     "snapshot_reconstruct" -> EventOps.snapshotReconstructOracle,
     "interval_coverage" -> EventOps.intervalCoverageOracle,
+    "acf_daily_revenue" -> TimeSeries.acfDailyRevenueOracle,
+    "cusum_changepoint" -> TimeSeries.cusumChangepointOracle,
+    "ewma_daily_revenue" -> TimeSeries.ewmaDailyRevenueOracle,
+    "seasonality_dow" -> TimeSeries.seasonalityDowOracle,
     "mann_whitney_spend" -> Nonparam.mannWhitneySpendOracle,
     "ks_test_events" -> Nonparam.ksTestEventsOracle,
     "psi_drift_price" -> Nonparam.psiDriftPriceOracle,

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.TimeSeries
+
+/** Value-level invariants + plan-shape checks for the time-series
+  * diagnostics (ACF, CUSUM, truncated EWMA, day-of-week profile). */
+class TimeSeriesSpec extends SparkSpec {
+
+  test("acf is bounded by 1 in magnitude at every lag") {
+    val rows = TimeSeries.acfDailyRevenue(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Int]("lag")).sorted.toSeq == (1 to 7))
+    rows.foreach { r =>
+      val a = r.getAs[Double]("acf")
+      assert(math.abs(a) <= 1.0 + 1e-9, s"lag ${r.getAs[Int]("lag")}: acf $a")
+      assert(r.getAs[Long]("n_pairs") > 0)
+    }
+  }
+
+  test("cusum statistic is nonnegative and the peak day is in range") {
+    val r = TimeSeries.cusumChangepoint(spark, sf0001).collect().head
+    assert(r.getAs[Double]("cusum_stat") >= 0.0)
+    assert(r.getAs[Long]("n_days") > 0)
+    val day = r.getAs[java.sql.Date]("change_day").toLocalDate
+    assert(day.getYear >= 1995 && day.getYear <= 2001)
+  }
+
+  test("ewma weights are a truncated geometric series summing below 1") {
+    val ws = TimeSeries.ewmaWeights.map(_.toDouble)
+    assert(ws.length == TimeSeries.EwmaWindow)
+    // strictly decreasing, ratio ≈ (1-α)
+    ws.sliding(2).foreach { case Seq(a, b) => assert(b < a) }
+    val s = ws.sum
+    assert(s < 1.0 && s > 0.9999, s"weight mass $s")
+  }
+
+  test("ewma output stays within the window's observed revenue range") {
+    val rows = TimeSeries.ewmaDailyRevenue(spark, sf0001).collect()
+    assert(rows.length <= 60 && rows.nonEmpty)
+    val revs = Tables.orders(spark, sf0001)
+      .groupBy(col("o_orderdate").cast("date")).agg(sum("o_totalprice"))
+      .collect().map(_.getDouble(1))
+    val (lo, hi) = (revs.min, revs.max)
+    rows.foreach { r =>
+      val e = r.getAs[Double]("ewma")
+      assert(e >= lo - 1 && e <= hi + 1, s"ewma $e outside [$lo,$hi]")
+      assert(r.getAs[Long]("n_obs") <= TimeSeries.EwmaWindow)
+    }
+  }
+
+  test("seasonal indices average to ~1 weighted by day counts") {
+    val rows = TimeSeries.seasonalityDow(spark, sf0001).collect()
+    assert(rows.map(_.getAs[Long]("dow")).sorted.toSeq == (0L to 6L))
+    val n = rows.map(_.getAs[Long]("n_days")).sum.toDouble
+    val wavg = rows.map(r =>
+      r.getAs[Double]("seasonal_index") * r.getAs[Long]("n_days")).sum / n
+    assert(math.abs(wavg - 1.0) < 1e-3, s"weighted index mean $wavg")
+    val ve = rows.head.getAs[Double]("var_explained")
+    assert(ve <= 1.0 + 1e-9)
+  }
+
+  test("the series family aggregates before any window or self-join") {
+    // the only input-sized stage is the day aggregation: every window /
+    // join in the plan runs on the day frame, so the physical plan has
+    // exactly one aggregate taking the parquet scan as its child
+    val plan = TimeSeries.acfDailyRevenue(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("CartesianProduct") || plan.contains("BroadcastNestedLoopJoin"),
+      s"unexpected cartesian in:\n$plan")
+  }
+}
