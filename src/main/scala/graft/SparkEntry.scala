@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.{EventOps, Layout, Nonparam, Relational, TimeSeries, WordCount}
-import graft.ext.{Dedup, Multimodal, Sampling, Similarity, TextAnalysis}
+import graft.ext.{Dedup, Learn, Multimodal, Sampling, Similarity, TextAnalysis}
 import graft.mr.MapReduce
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
@@ -199,6 +199,9 @@ object SparkEntry {
     "cusum_changepoint" -> TimeSeries.cusumChangepoint _,
     "ewma_daily_revenue" -> TimeSeries.ewmaDailyRevenue _,
     "seasonality_dow" -> TimeSeries.seasonalityDow _,
+    "nb_lang_confusion" -> Learn.nbLangConfusion _,
+    "logistic_returns" -> Learn.logisticReturns _,
+    "knn_label_audit" -> Learn.knnLabelAudit _,
     "mann_whitney_spend" -> Nonparam.mannWhitneySpend _,
     "ks_test_events" -> Nonparam.ksTestEvents _,
     "psi_drift_price" -> Nonparam.psiDriftPrice _,
@@ -414,6 +417,9 @@ object SparkEntry {
     "cusum_changepoint" -> TimeSeries.cusumChangepointOracle,
     "ewma_daily_revenue" -> TimeSeries.ewmaDailyRevenueOracle,
     "seasonality_dow" -> TimeSeries.seasonalityDowOracle,
+    "nb_lang_confusion" -> Learn.nbLangConfusionOracle,
+    "logistic_returns" -> Learn.logisticReturnsOracle,
+    "knn_label_audit" -> Learn.knnLabelAuditOracle,
     "mann_whitney_spend" -> Nonparam.mannWhitneySpendOracle,
     "ks_test_events" -> Nonparam.ksTestEventsOracle,
     "psi_drift_price" -> Nonparam.psiDriftPriceOracle,

@@ -1,0 +1,326 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Counts-based learning primitives that a data-curation pipeline
+  * actually trains IN the engine (no external ML runtime): a
+  * multinomial naive-Bayes text classifier, a logistic probe by
+  * unrolled gradient descent, and a kNN label-consistency audit over
+  * the embedding column. Each is the in-warehouse form of a standard
+  * quality tool: NB for source/language routing, the logistic probe
+  * for "is this label linearly predictable from these features"
+  * (leakage/shortcut detection), kNN agreement for embedding-space
+  * label noise.
+  *
+  * Scale shapes: NB's model is vocabulary×classes (broadcast;
+  * scoring is one join of the doc-term table against it). The
+  * logistic probe touches the fact table once per unrolled step with
+  * map-side-partial gradient sums (weights live in a 1-row broadcast
+  * frame). The kNN audit scores pairs through the same sharded
+  * bounded top-k as the similarity family — at corpus scale the
+  * pair source swaps to the LSH/IVF candidate join (sim_ann_*); the
+  * audit shape downstream of the candidate set is unchanged.
+  *
+  * Determinism: model probabilities are ratios of exact integer
+  * counts; every ln() is rounded to 9 decimals at the term level and
+  * summed via decimal casts; sigmoids are rounded to 6 (coarse
+  * enough that a last-ulp exp() difference between engines cannot
+  * flip the rounded value); every argmax ranks on rounded scores
+  * with a total-order tiebreak. */
+object Learn {
+
+  private def dsum12(c: Column): Column =
+    sum(c.cast(DecimalType(38, 12))).cast("double")
+
+  // ── multinomial naive Bayes: lang from tokens ──
+
+  /** Train a multinomial NB classifier for `lang` over document
+    * tokens and report the resubstitution confusion matrix plus
+    * overall accuracy. Add-1 smoothing over the global vocabulary;
+    * per-class token log-likelihoods and log-priors are rounded to 9;
+    * per-doc class scores are exact decimal sums of tf-weighted
+    * rounded terms, rounded to 6 before the argmax (tiebreak:
+    * lexicographically smallest lang). */
+  def nbLangConfusion(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+      .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // model build + scoring both read it
+    val classTok = tf.groupBy("lang", "tok").agg(sum("tf").as("c"))
+    val classTot = classTok.groupBy("lang").agg(sum("c").as("ct"))
+    val vocab = tf.select("tok").distinct()
+    val vsize = vocab.agg(count(lit(1)).as("v"))
+    val priors = tf.select("doc_id", "lang").distinct()
+      .groupBy("lang").agg(count(lit(1)).as("nd"))
+    val ndTot = priors.agg(sum("nd").as("ndt"))
+    // dense model: every (class, vocab token) cell, smoothed — classes
+    // × vocab rows, broadcast to the scorers
+    val model = vocab.crossJoin(broadcast(classTot))
+      .join(classTok, Seq("lang", "tok"), "left")
+      .crossJoin(broadcast(vsize))
+      .select(col("lang").as("m_lang"), col("tok"),
+        round(log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("ct") + col("v")).cast("double")), 9).as("logp"))
+    val prior = priors.crossJoin(broadcast(ndTot))
+      .select(col("lang").as("m_lang"),
+        round(log(col("nd").cast("double") / col("ndt").cast("double")), 9)
+          .as("logprior"))
+    val scores = tf.join(broadcast(model), Seq("tok"))
+      .groupBy("doc_id", "lang", "m_lang")
+      .agg(dsum12(col("tf").cast("double") * col("logp")).as("ll"))
+      .join(broadcast(prior), Seq("m_lang"))
+      .select(col("doc_id"), col("lang"),  col("m_lang"),
+        round(col("ll") + col("logprior"), 6).as("score"))
+    val wDoc = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("m_lang"))
+    val pred = scores.withColumn("rk", row_number().over(wDoc))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("lang").as("actual_lang"),
+        col("m_lang").as("predicted_lang"))
+    val acc = pred.agg(
+        (sum(when(col("actual_lang") === col("predicted_lang"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1))).as("a"))
+      .select(round(col("a"), 6).as("accuracy"))
+    pred.groupBy("actual_lang", "predicted_lang")
+      .agg(count(lit(1)).as("n_docs"))
+      .crossJoin(broadcast(acc))
+      .orderBy("actual_lang", "predicted_lang")
+  }
+
+  def nbLangConfusionOracle: String =
+    s"""WITH tf AS (SELECT doc_id, lang, tok, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, lang, unnest(ws) AS tok
+       |        FROM (SELECT doc_id, lang, ${TextAnalysis.tokensSql} AS ws
+       |              FROM documents) t) u
+       |  GROUP BY doc_id, lang, tok),
+       |ctok AS (SELECT lang, tok, CAST(SUM(tf) AS BIGINT) AS c FROM tf
+       |  GROUP BY lang, tok),
+       |ctot AS (SELECT lang, CAST(SUM(c) AS BIGINT) AS ct FROM ctok
+       |  GROUP BY lang),
+       |vocab AS (SELECT DISTINCT tok FROM tf),
+       |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS v FROM vocab),
+       |pri0 AS (SELECT lang, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS nd
+       |  FROM tf GROUP BY lang),
+       |ndt AS (SELECT CAST(SUM(nd) AS BIGINT) AS ndt FROM pri0),
+       |model AS (SELECT ctot.lang AS m_lang, vocab.tok,
+       |    round(ln(CAST(COALESCE(ctok.c, 0) + 1 AS DOUBLE) /
+       |      CAST(ctot.ct + vs.v AS DOUBLE)), 9) AS logp
+       |  FROM vocab CROSS JOIN ctot
+       |  LEFT JOIN ctok ON ctok.lang = ctot.lang AND ctok.tok = vocab.tok,
+       |  vs),
+       |prior AS (SELECT lang AS m_lang,
+       |    round(ln(CAST(nd AS DOUBLE) / CAST(ndt.ndt AS DOUBLE)), 9)
+       |      AS logprior FROM pri0, ndt),
+       |scores AS (SELECT tf.doc_id, tf.lang, m.m_lang,
+       |    round(CAST(SUM(CAST(CAST(tf.tf AS DOUBLE) * m.logp
+       |        AS DECIMAL(38,12))) AS DOUBLE) + MIN(p.logprior), 6) AS score
+       |  FROM tf JOIN model m USING (tok)
+       |  JOIN prior p ON p.m_lang = m.m_lang
+       |  GROUP BY tf.doc_id, tf.lang, m.m_lang),
+       |pred AS (SELECT doc_id, lang AS actual_lang, m_lang AS predicted_lang
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, m_lang) AS rk FROM scores) r
+       |  WHERE rk = 1),
+       |acc AS (SELECT round(CAST(SUM(CASE WHEN actual_lang = predicted_lang
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS accuracy
+       |  FROM pred)
+       |SELECT actual_lang, predicted_lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  MIN(acc.accuracy) AS accuracy
+       |FROM pred, acc GROUP BY actual_lang, predicted_lang
+       |ORDER BY actual_lang, predicted_lang""".stripMargin
+
+  // ── logistic probe by unrolled gradient descent ──
+
+  val LogitSteps = 3
+  val LogitLr = 1.0
+
+  /** Logistic-regression probe: can (quantity, discount) linearly
+    * predict returnflag='R'? Three unrolled full-batch GD steps on
+    * standardized features from a zero start; emits the weight path's
+    * final step plus train log-loss and accuracy-at-0.5. On the
+    * synthetic fixture labels are independent of the features, so
+    * the probe's verdict is "no signal" (loss ≈ ln 2) — which is
+    * exactly what a leakage audit wants to see; the mechanics (exact
+    * standardization, broadcast weight vector, map-side partial
+    * gradient sums, one fact-table pass per step) are the product.
+    * Sigmoids round to 6 before use (see header). */
+  def logisticReturns(spark: SparkSession, dir: String): DataFrame = {
+    val raw = Tables.lineitem(spark, dir)
+      .select(when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
+        col("l_quantity").as("f1"), col("l_discount").as("f2"))
+    val st = raw.agg(count(lit(1)).as("n"),
+        (sum(col("f1").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("m1"),
+        (sum(col("f2").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("m2"),
+        dsum12(col("f1") * col("f1")).as("q1"), dsum12(col("f2") * col("f2")).as("q2"))
+      .select(col("n"), col("m1"), col("m2"),
+        sqrt(col("q1") / col("n") - col("m1") * col("m1")).as("s1"),
+        sqrt(col("q2") / col("n") - col("m2") * col("m2")).as("s2"))
+    val x = raw.crossJoin(broadcast(st))
+      .select(col("y"), ((col("f1") - col("m1")) / col("s1")).as("x1"),
+        ((col("f2") - col("m2")) / col("s2")).as("x2"), col("n"))
+      .localCheckpoint() // each unrolled step re-reads the standardized frame
+    var w = x.sparkSession.range(1)
+      .select(lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+    for (_ <- 1 to LogitSteps) {
+      val g = x.crossJoin(broadcast(w))
+        .select(col("y"), col("x1"), col("x2"), col("n"),
+          round(lit(1.0) / (lit(1.0) +
+            exp(-round(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 9))),
+            6).as("s"))
+        .agg(first(col("n")).as("n"),
+          dsum12(col("y") - col("s")).as("g0"),
+          dsum12((col("y") - col("s")) * col("x1")).as("g1"),
+          dsum12((col("y") - col("s")) * col("x2")).as("g2"))
+      w = g.crossJoin(broadcast(w))
+        .select(
+          round(col("w0") + lit(LogitLr) * col("g0") / col("n"), 9).as("w0"),
+          round(col("w1") + lit(LogitLr) * col("g1") / col("n"), 9).as("w1"),
+          round(col("w2") + lit(LogitLr) * col("g2") / col("n"), 9).as("w2"))
+    }
+    val fin = x.crossJoin(broadcast(w))
+      .select(col("y"), col("w0"), col("w1"), col("w2"),
+        round(lit(1.0) / (lit(1.0) +
+          exp(-round(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 9))),
+          6).as("s"))
+    fin.agg(count(lit(1)).as("n_rows"),
+        first(col("w0")).as("wi"), first(col("w1")).as("wq"),
+        first(col("w2")).as("wd"),
+        dsum12(-round(
+          when(col("y") === 1.0, log(col("s"))).otherwise(log(lit(1.0) - col("s"))),
+          6)).as("nll"),
+        sum(when((col("s") >= 0.5) === (col("y") === 1.0), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("n_rows"), round(col("wi"), 6).as("w_intercept"),
+        round(col("wq"), 6).as("w_quantity"), round(col("wd"), 6).as("w_discount"),
+        round(col("nll") / col("n_rows"), 6).as("log_loss"),
+        round(col("n_correct").cast("double") / col("n_rows"), 6).as("accuracy"))
+  }
+
+  def logisticReturnsOracle: String = {
+    def step(k: Int): String =
+      s"""g$k AS (SELECT MIN(x.n) AS n,
+         |    CAST(SUM(CAST(y - s AS DECIMAL(38,12))) AS DOUBLE) AS g0,
+         |    CAST(SUM(CAST((y - s) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1,
+         |    CAST(SUM(CAST((y - s) * x2 AS DECIMAL(38,12))) AS DOUBLE) AS g2
+         |  FROM (SELECT y, x1, x2, n,
+         |      round(1.0 / (1.0 + exp(-round(w.w0 + w.w1 * x1 + w.w2 * x2, 9))), 6) AS s
+         |    FROM x, w${k - 1} w) x),
+         |w$k AS (SELECT round(w.w0 + $LogitLr * g.g0 / g.n, 9) AS w0,
+         |    round(w.w1 + $LogitLr * g.g1 / g.n, 9) AS w1,
+         |    round(w.w2 + $LogitLr * g.g2 / g.n, 9) AS w2
+         |  FROM w${k - 1} w, g$k g)""".stripMargin
+    s"""WITH raw AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+       |      AS y, l_quantity AS f1, l_discount AS f2 FROM lineitem),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(SUM(CAST(f1 AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m1,
+       |    CAST(SUM(CAST(f2 AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m2,
+       |    CAST(SUM(CAST(f1 * f1 AS DECIMAL(38,12))) AS DOUBLE) AS q1,
+       |    CAST(SUM(CAST(f2 * f2 AS DECIMAL(38,12))) AS DOUBLE) AS q2
+       |  FROM raw),
+       |sd AS (SELECT n, m1, m2, sqrt(q1 / n - m1 * m1) AS s1,
+       |    sqrt(q2 / n - m2 * m2) AS s2 FROM st),
+       |x AS (SELECT y, (f1 - m1) / s1 AS x1, (f2 - m2) / s2 AS x2, n
+       |  FROM raw, sd),
+       |w0 (w0, w1, w2) AS (VALUES (CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |    CAST(0.0 AS DOUBLE))),
+       |${(1 to LogitSteps).map(step).mkString(",\n")},
+       |fin AS (SELECT y,
+       |    round(1.0 / (1.0 + exp(-round(w.w0 + w.w1 * x1 + w.w2 * x2, 9))), 6)
+       |      AS s, w.w0 AS wi, w.w1 AS wq, w.w2 AS wd
+       |  FROM x, w$LogitSteps w)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |  round(MIN(wi), 6) AS w_intercept, round(MIN(wq), 6) AS w_quantity,
+       |  round(MIN(wd), 6) AS w_discount,
+       |  round(CAST(SUM(CAST(-round(CASE WHEN y = 1.0 THEN ln(s)
+       |      ELSE ln(1.0 - s) END, 6) AS DECIMAL(38,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS log_loss,
+       |  round(CAST(SUM(CASE WHEN (s >= 0.5) = (y = 1.0) THEN 1 ELSE 0 END)
+       |      AS DOUBLE) / COUNT(*), 6) AS accuracy
+       |FROM fin""".stripMargin
+  }
+
+  // ── kNN label-consistency audit over embeddings ──
+
+  val KnnK = 10
+
+  /** For every embedding, the majority label among its 10 nearest
+    * cosine neighbors (self excluded) versus its own label — the
+    * embedding-space label-noise report (a vector whose neighborhood
+    * votes differently is a mislabel or a boundary case). Pairwise
+    * scoring here is the exact all-pairs baseline; the candidate
+    * source swaps to the LSH/IVF join at corpus scale. Majority vote
+    * ranks (count desc, label asc) — integer counts, no rounding
+    * hazard; cosine rounds to 6 with neighbor-id tiebreak exactly
+    * like the similarity family. */
+  def knnLabelAudit(spark: SparkSession, dir: String): DataFrame = {
+    val e = Similarity.embeddingsD(spark, dir)
+      .select(col("vec_id"), col("label"), col("v"),
+        Similarity.norm(col("v")).as("nrm"))
+    val q = e.select(col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"),
+        round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cos_sim"))
+    val wPre = Window
+      .partitionBy(col("query_id"), pmod(hash(col("neighbor_id")), lit(64)))
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val pruned = scored.withColumn("prk", row_number().over(wPre))
+      .filter(col("prk") <= KnnK).drop("prk")
+    val wQ = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    val top = pruned.withColumn("rk", row_number().over(wQ))
+      .filter(col("rk") <= KnnK)
+    val votes = top.groupBy("query_id", "q_label", "n_label")
+      .agg(count(lit(1)).as("cnt"))
+    val wVote = Window.partitionBy("query_id")
+      .orderBy(col("cnt").desc, col("n_label"))
+    val pred = votes.withColumn("vrk", row_number().over(wVote))
+      .filter(col("vrk") === 1)
+      .select(col("query_id"), col("q_label").as("actual_label"),
+        col("n_label").as("predicted_label"), col("cnt").as("votes"))
+    val agree = pred.agg(round(
+        sum(when(col("actual_label") === col("predicted_label"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 6).as("agreement"))
+    pred.groupBy("actual_label", "predicted_label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("votes").cast("double")), 6).as("avg_votes"))
+      .crossJoin(broadcast(agree))
+      .orderBy("actual_label", "predicted_label")
+  }
+
+  def knnLabelAuditOracle: String =
+    s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+       |  FROM e),
+       |scored AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+       |    e.vec_id AS neighbor_id, e.label AS n_label,
+       |    round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cos_sim
+       |  FROM n q JOIN n e ON e.vec_id <> q.vec_id),
+       |top AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM scored) r WHERE rk <= $KnnK),
+       |votes AS (SELECT query_id, q_label, n_label,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM top GROUP BY query_id, q_label, n_label),
+       |pred AS (SELECT query_id, q_label AS actual_label,
+       |    n_label AS predicted_label, cnt AS votes
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cnt DESC, n_label) AS vrk FROM votes) r
+       |  WHERE vrk = 1),
+       |agree AS (SELECT round(CAST(SUM(CASE WHEN actual_label =
+       |      predicted_label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+       |    AS agreement FROM pred)
+       |SELECT actual_label, predicted_label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  round(AVG(CAST(votes AS DOUBLE)), 6) AS avg_votes,
+       |  MIN(agree.agreement) AS agreement
+       |FROM pred, agree GROUP BY actual_label, predicted_label
+       |ORDER BY actual_label, predicted_label""".stripMargin
+}

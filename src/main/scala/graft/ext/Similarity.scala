@@ -34,7 +34,7 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
-  private def embeddingsD(spark: SparkSession, dir: String): DataFrame =
+  private[ext] def embeddingsD(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
@@ -46,7 +46,7 @@ object Similarity {
     * (parallelism scales with the corpus), then rank the ≤ shards·k
     * survivors per query. Identical result to the single window: a
     * row outside its shard's top k cannot be in the global top k. */
-  private def topKPerQuery(scored: DataFrame, k: Int, shards: Int = 64): DataFrame = {
+  private[ext] def topKPerQuery(scored: DataFrame, k: Int, shards: Int = 64): DataFrame = {
     val pre = Window
       .partitionBy(col("query_id"), pmod(hash(col("neighbor_id")), lit(shards)))
       .orderBy(col("cos_sim").desc, col("neighbor_id"))

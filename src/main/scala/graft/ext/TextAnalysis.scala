@@ -25,7 +25,7 @@ object TextAnalysis {
   def tokens(c: Column): Column =
     array_remove(split(lower(c), "[^\\p{L}\\p{N}]+"), "")
 
-  private val tokensSql =
+  private[ext] val tokensSql =
     raw"list_filter(string_split_regex(lower(text), '[^\p{L}\p{N}]+'), w -> w <> '')"
 
   // ── corpus length profile: exact decile statistics ──
