@@ -168,6 +168,11 @@ object SparkEntry {
     // ── embedding compression audit ──
     "embedding_quantize" -> Similarity.embeddingQuantize _,
     "embedding_normalize" -> Similarity.embeddingNormalize _,
+    "quantize_embeddings" -> Similarity.quantizeEmbeddings _,
+    "hard_negative_mining" -> Similarity.hardNegativeMining _,
+    "window_func_battery" -> Relational.windowFuncBattery _,
+    "unpivot_metrics" -> Relational.unpivotMetrics _,
+    "grouping_sets_revenue" -> Relational.groupingSetsRevenue _,
     // ── composed curation pipeline (all four stages under the oracle) ──
     "pipeline_curate" -> ext.Pipeline.curateDocs _,
     // ── TPC-H round 4: EXISTS semi join with cross-table predicate,
@@ -391,6 +396,11 @@ object SparkEntry {
     "top_tokens_per_lang" -> TextAnalysis.topTokensPerLangOracle,
     "embedding_quantize" -> Similarity.embeddingQuantizeOracle,
     "embedding_normalize" -> Similarity.embeddingNormalizeOracle,
+    "quantize_embeddings" -> Similarity.quantizeEmbeddingsOracle,
+    "hard_negative_mining" -> Similarity.hardNegativeMiningOracle,
+    "window_func_battery" -> Relational.windowFuncBatteryOracle,
+    "unpivot_metrics" -> Relational.unpivotMetricsOracle,
+    "grouping_sets_revenue" -> Relational.groupingSetsRevenueOracle,
     "dedup_shingle_signatures" -> Dedup.shingleSignaturesOracle,
     "pipeline_curate" -> ext.Pipeline.curateDocsOracle,
     "q4_priority_exists" -> Relational.q4Oracle,

@@ -631,4 +631,111 @@ object Similarity {
        |  round(n$PcaIters.nrm, 6) AS eigenvalue
        |FROM w$PcaIters, n$PcaIters ORDER BY dim""".stripMargin
   }
+
+  // ── int8 scalar quantization: the 4×-compression audit ──
+
+  /** Per-dimension int8 scalar quantization of the embedding column
+    * with its reconstruction-error report — the audit run before
+    * swapping an ANN index to quantized codes (4× memory cut; is the
+    * recall risk acceptable?). Two corpus passes, both posexplode →
+    * partial-agg straight to d-row frames (no shuffle wider than the
+    * dimension count): pass 1 learns per-dim [min,max]; pass 2 encodes
+    * `code = floor((x−min)·255/(max−min) + 0.5)` (floor of +0.5 — NOT
+    * round(), whose half-even/half-up convention differs across
+    * engines), reconstructs, and aggregates squared error. Per-row
+    * err² is rounded to 12 then decimal-summed (partition-order-free);
+    * max|err| needs no rounding discipline (max is order-free). At
+    * 100 TB the d-row min/max frame is a broadcast and the encode pass
+    * is a pure scan — this query IS the scale shape, it just also
+    * keeps the error audit. */
+  def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pe = embeddingsD(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val ranges = pe.groupBy("pos")
+      .agg(min("x").as("dmin"), max("x").as("dmax"))
+    val width = col("dmax") - col("dmin")
+    val code = when(width === 0.0, lit(0L)).otherwise(
+      floor((col("x") - col("dmin")) * 255.0 / width + 0.5).cast("long"))
+    pe.join(broadcast(ranges), Seq("pos"))
+      .select(col("pos"), col("x"), col("dmin"), col("dmax"),
+        code.as("code"))
+      .withColumn("err",
+        col("x") - (col("dmin") + col("code") * (col("dmax") - col("dmin")) / 255.0))
+      .groupBy("pos")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(first(col("dmin")), 9).as("dim_min"),
+        round(first(col("dmax")), 9).as("dim_max"),
+        sum(round(col("err") * col("err"), 12)
+          .cast(DecimalType(28, 14))).cast("double").as("sse"),
+        max(abs(col("err"))).as("mx"))
+      .select(col("pos").cast("long").as("dim"), col("n_vecs"),
+        col("dim_min"), col("dim_max"),
+        round(col("sse") / col("n_vecs"), 9).as("mse"),
+        round(col("mx"), 9).as("max_abs_err"))
+      .orderBy("dim")
+  }
+
+  def quantizeEmbeddingsOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pe AS (SELECT vec_id, pos, v[pos + 1] AS x
+      |  FROM (SELECT vec_id, v, unnest(range(len(v))) AS pos FROM e) t),
+      |rg AS (SELECT pos, MIN(x) AS dmin, MAX(x) AS dmax FROM pe GROUP BY pos),
+      |enc AS (SELECT pe.pos, pe.x, rg.dmin, rg.dmax,
+      |    CASE WHEN rg.dmax - rg.dmin = 0 THEN 0
+      |      ELSE CAST(floor((pe.x - rg.dmin) * 255.0 / (rg.dmax - rg.dmin)
+      |        + 0.5) AS BIGINT) END AS code
+      |  FROM pe JOIN rg USING (pos)),
+      |err AS (SELECT pos, dmin, dmax,
+      |    x - (dmin + code * (dmax - dmin) / 255.0) AS err FROM enc)
+      |SELECT CAST(pos AS BIGINT) AS dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+      |  round(MIN(dmin), 9) AS dim_min, round(MIN(dmax), 9) AS dim_max,
+      |  round(CAST(SUM(CAST(round(err * err, 12) AS DECIMAL(28,14)))
+      |    AS DOUBLE) / COUNT(*), 9) AS mse,
+      |  round(MAX(abs(err)), 9) AS max_abs_err
+      |FROM err GROUP BY pos ORDER BY dim""".stripMargin
+
+  // ── hard-negative mining: nearest other-label neighbor ──
+
+  /** For every vector, its nearest neighbor carrying a DIFFERENT
+    * label — contrastive-training's hard-negative mining, and the
+    * "these two classes touch" diagnostic (a high-cosine cross-label
+    * pair is either a mislabel or a genuinely hard boundary). Same
+    * all-pairs baseline + sharded bounded top-1 as the similarity
+    * family (a label-mismatch residual on the scored scan, then
+    * [[topKPerQuery]] with k=1); at corpus scale the candidate source
+    * swaps to the LSH/IVF bucket join and the downstream shape is
+    * unchanged. Cosine rounds to 6 before ranking with a neighbor-id
+    * tiebreak — the argmax is engine-identical. */
+  def hardNegativeMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), col("label"), col("v"), norm(col("v")).as("nrm"))
+    val q = e.select(col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("label") =!= col("q_label"))
+      .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+        col("label").as("neg_label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cos_sim"))
+    topKPerQuery(scored, 1)
+      .select(col("query_id"), col("q_label"),
+        col("neighbor_id").as("hard_negative_id"), col("neg_label"),
+        col("cos_sim"))
+      .orderBy("query_id")
+  }
+
+  def hardNegativeMiningOracle: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM e),
+      |scored AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+      |    e.vec_id AS neighbor_id, e.label AS neg_label,
+      |    round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cos_sim
+      |  FROM n q JOIN n e ON e.label <> q.label)
+      |SELECT query_id, q_label, neighbor_id AS hard_negative_id, neg_label,
+      |  cos_sim
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored) r
+      |WHERE rk = 1 ORDER BY query_id""".stripMargin
 }

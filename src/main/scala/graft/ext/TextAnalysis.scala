@@ -701,20 +701,44 @@ object TextAnalysis {
     * frequency-ranked vocabulary — natural language sits near slope
     * −1, so the slope is a one-number "does this corpus look like
     * language" check (and a drift alarm between ingest batches). The
-    * corpus collapses to the vocabulary in one hash agg; the rank
-    * window runs over that tiny frame (vocab-sized, NOT corpus-
-    * sized); the regression is decimal-exact sums of rounded ln
-    * terms — partition-order-free. */
+    * corpus collapses to the vocabulary in one hash agg. The
+    * regression never materializes a vocabulary-wide rank window
+    * (which would be one sorted partition at web-corpus vocabulary
+    * sizes): ln(rank) only feeds SUMS, and ranks within one count
+    * value c form the contiguous block [s_c, s_c+m_c) regardless of
+    * the lexical tiebreak — so the rank multiset is derived from a
+    * prefix sum over the DISTINCT-count frame (≤ O(√Σtf) rows, since
+    * k distinct counts need Σc ≥ k(k+1)/2 tokens) and each block's
+    * ranks are generated by a chunked sequence-explode that
+    * repartitions before expansion (the c=1 hapax block, ~half the
+    * vocabulary, spreads across tasks instead of ranking in one).
+    * The regression is decimal-exact sums of rounded ln terms —
+    * partition-order-free, and identical per-row values to the
+    * window form, so the windowed oracle hashes equal. */
   def zipfProfile(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     def dsum(c: Column): Column =
       sum(c.cast(DecimalType(28, 12))).cast("double")
+    val chunk = 65536L
     val vocab = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("c"))
-    val w = Window.orderBy(col("c").desc, col("tok"))
-    val xy = vocab.withColumn("rk", row_number().over(w).cast("long"))
+    val byC = vocab.groupBy("c").agg(count(lit(1)).as("m"))
+    // global window over the distinct-count frame only (√-bounded)
+    val wC = Window.orderBy(col("c").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val blocks = byC.withColumn("s",
+      coalesce(sum(col("m")).over(wC), lit(0L)) + lit(1L))
+    val chunks = blocks.select(col("c"), col("s"), col("m"),
+        explode(sequence(lit(0L),
+          floor((col("m") - 1L) / lit(chunk.toDouble)).cast("long"))).as("blk"))
+      .repartition(col("c"), col("blk"))
+    val ranks = chunks.select(col("c"),
+      explode(sequence(col("s") + col("blk") * chunk,
+        col("s") + least((col("blk") + 1L) * chunk - 1L, col("m") - 1L)))
+        .as("rk"))
+    val xy = ranks
       .select(round(log(col("rk").cast("double")), 9).as("x"),
         round(log(col("c").cast("double")), 9).as("y"))
     xy.agg(count(lit(1)).cast("double").as("n"),

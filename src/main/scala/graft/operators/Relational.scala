@@ -2679,4 +2679,127 @@ object Relational {
       |FROM events e JOIN f USING (event_type)
       |GROUP BY e.event_type, f.p25, f.p75, f.lo_f, f.hi_f
       |ORDER BY e.event_type""".stripMargin
+
+  // ── analytic window-function battery ──
+
+  /** The remaining ANSI window functions in one per-order projection:
+    * lag/lead, row_number, ntile over a deterministic total order
+    * (orderdate, orderkey — ties impossible, so frame-dependent
+    * functions are engine-identical), and rank / dense_rank /
+    * percent_rank / cume_dist over a COARSE key (order year) where
+    * ties are abundant — those four depend only on sort-key values,
+    * so tied rows agree by construction. One window partition per
+    * customer (massive cardinality — parallelism scales), both
+    * windows share the same partitioning so Catalyst plans ONE
+    * exchange; doubles round to 6. */
+  def windowFuncBattery(spark: SparkSession, dir: String): DataFrame = {
+    val wRow = Window.partitionBy("o_custkey")
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val wTie = Window.partitionBy("o_custkey").orderBy(year(col("o_orderdate")))
+    Tables.orders(spark, dir)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("o_orderdate"),
+        lag(col("o_totalprice"), 1).over(wRow).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(wRow).as("next_price"),
+        row_number().over(wRow).cast("long").as("row_num"),
+        ntile(4).over(wRow).cast("long").as("quartile"),
+        rank().over(wTie).cast("long").as("year_rank"),
+        dense_rank().over(wTie).cast("long").as("year_dense_rank"),
+        round(percent_rank().over(wTie), 6).as("year_pct_rank"),
+        round(cume_dist().over(wTie), 6).as("year_cume_dist"))
+      .drop("o_orderdate")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
+  def windowFuncBatteryOracle: String =
+    """SELECT o_custkey, o_orderkey, o_totalprice,
+      |  lag(o_totalprice, 1) OVER w_row AS prev_price,
+      |  lead(o_totalprice, 1) OVER w_row AS next_price,
+      |  CAST(row_number() OVER w_row AS BIGINT) AS row_num,
+      |  CAST(ntile(4) OVER w_row AS BIGINT) AS quartile,
+      |  CAST(rank() OVER w_tie AS BIGINT) AS year_rank,
+      |  CAST(dense_rank() OVER w_tie AS BIGINT) AS year_dense_rank,
+      |  round(percent_rank() OVER w_tie, 6) AS year_pct_rank,
+      |  round(cume_dist() OVER w_tie, 6) AS year_cume_dist
+      |FROM orders
+      |WINDOW w_row AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w_tie AS (PARTITION BY o_custkey ORDER BY year(o_orderdate))
+      |ORDER BY o_custkey, o_orderkey""".stripMargin
+
+  // ── unpivot (melt): wide metrics to long key/value rows ──
+
+  /** Wide-to-long reshape: the per-linestatus metric columns melt
+    * into (status, metric, value) rows — the operator feeding every
+    * "metrics table" sink and the inverse of [[pivotStatus]]. The
+    * aggregate runs first (map-side partial, |statuses| rows), so the
+    * unpivot touches a tiny frame; on a wide FACT table the same
+    * `stack` is a zero-shuffle per-row generator. Values share one
+    * double type (ANSI melt requirement); sums are decimal-exact
+    * before the cast. */
+  def unpivotMetrics(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(spark, dir)
+      .groupBy("l_linestatus")
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_base_price"),
+        count(lit(1)).cast("double").as("n_items"))
+      .select(col("l_linestatus"), expr(
+        """stack(3, 'sum_qty', sum_qty, 'sum_base_price', sum_base_price,
+          |'n_items', n_items) AS (metric, value)""".stripMargin))
+      .orderBy("l_linestatus", "metric")
+  }
+
+  def unpivotMetricsOracle: String =
+    """WITH w AS (SELECT l_linestatus,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |    CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |      AS sum_base_price,
+      |    CAST(COUNT(*) AS DOUBLE) AS n_items
+      |  FROM lineitem GROUP BY l_linestatus)
+      |SELECT l_linestatus, 'sum_qty' AS metric, sum_qty AS value FROM w
+      |UNION ALL
+      |SELECT l_linestatus, 'sum_base_price', sum_base_price FROM w
+      |UNION ALL
+      |SELECT l_linestatus, 'n_items', n_items FROM w
+      |ORDER BY l_linestatus, metric""".stripMargin
+
+  // ── GROUPING SETS: the explicit multi-granularity aggregate ──
+
+  /** Revenue at three explicit granularities — (flag, status),
+    * (flag), and grand total — in ONE pass via GROUPING SETS (rollup
+    * and cube are its fixed specializations; this is the free-form
+    * operator, with `grouping()` indicators disambiguating real NULLs
+    * from aggregation NULLs). Spark expands the sets map-side and
+    * partial-aggregates each, so the fact table is still read once;
+    * sums are decimal-exact. */
+  def groupingSetsRevenue(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    Tables.lineitem(spark, dir)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+          Seq(col("l_returnflag")), Seq.empty),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+        grouping(col("l_linestatus")).cast("long").as("g_status"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast("double")
+          .as("sum_qty"),
+        sum((col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+          .cast(DecimalType(28, 6))).cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("g_flag", "g_status", "l_returnflag", "l_linestatus")
+  }
+
+  def groupingSetsRevenueOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+      |  CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(28,6)))
+      |    AS DOUBLE) AS revenue,
+      |  CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+      |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
 }
