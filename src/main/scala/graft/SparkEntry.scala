@@ -136,6 +136,9 @@ object SparkEntry {
     "frame_dedup" -> Multimodal.frameDedup _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "zipf_profile" -> TextAnalysis.zipfProfile _,
+    "bpe_encode" -> TextAnalysis.bpeEncode _,
+    "bm25_search" -> TextAnalysis.bm25Search _,
+    "kruskal_wallis_spend" -> Nonparam.kruskalWallisSpend _,
     "numeric_profile_quantiles" -> Relational.numericProfileQuantiles _,
     "rolling_active_users" -> EventOps.rollingActiveUsers _,
     "fk_integrity_audit" -> Relational.fkIntegrityAudit _,
@@ -372,6 +375,9 @@ object SparkEntry {
     "frame_dedup" -> Multimodal.frameDedupOracle,
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "zipf_profile" -> TextAnalysis.zipfProfileOracle,
+    "bpe_encode" -> TextAnalysis.bpeEncodeOracle,
+    "bm25_search" -> TextAnalysis.bm25SearchOracle,
+    "kruskal_wallis_spend" -> Nonparam.kruskalWallisSpendOracle,
     "numeric_profile_quantiles" -> Relational.numericProfileQuantilesOracle,
     "rolling_active_users" -> EventOps.rollingActiveUsersOracle,
     "fk_integrity_audit" -> Relational.fkIntegrityAuditOracle,

@@ -1167,7 +1167,11 @@ object TextAnalysis {
     * needed). The per-round argmax is a 1-row broadcast, the vocab
     * table localCheckpoints each round — no driver collect anywhere.
     * Output: merge table (rank, pair, new symbol, weighted count). */
-  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+  /** Shared BPE learner: the merge table per round plus the final
+    * symbol representation of every vocabulary word after all
+    * [[BpeMerges]] rounds (see [[bpeMerges]] for the algorithm notes). */
+  private def bpeLearn(spark: SparkSession,
+                       dir: String): (Seq[DataFrame], DataFrame) = {
     val words = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -1193,10 +1197,17 @@ object TextAnalysis {
             regexp_replace(col("pair"), " ", "")).as("rep"))
         .localCheckpoint()
     }
+    (merges, reps)
+  }
+
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeLearn(spark, dir)
     merges.reduce(_ union _).orderBy("merge_rank")
   }
 
-  def bpeMergesOracle: String = {
+  /** The learner's CTE chain (w, r0, p_k/b_k/r_k per round) shared by
+    * the merge-table and encode oracles. */
+  private def bpeLearnCtes: String = {
     def iter(k: Int): String =
       s"""p$k AS (SELECT g AS pair, CAST(SUM(cnt) AS BIGINT) AS c
          |  FROM (SELECT cnt, unnest(list_transform(
@@ -1209,19 +1220,144 @@ object TextAnalysis {
          |      split_part(b$k.pair, ' ', 2) || '\\b',
          |      replace(b$k.pair, ' ', ''), 'g') AS rep
          |  FROM r${k - 1}, b$k)""".stripMargin
-    val finals = (1 to BpeMerges).map(k =>
-      s"""SELECT $k AS merge_rank, pair AS merged_pair,
-         |  replace(pair, ' ', '') AS new_symbol, c AS pair_count FROM b$k"""
-        .stripMargin).mkString("\nUNION ALL\n")
     s"""WITH w AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(ws) AS w
        |        FROM (SELECT $tokensSql AS ws FROM documents) t) u
        |  GROUP BY 1),
        |r0 AS (SELECT word, cnt,
        |  array_to_string(regexp_extract_all(word, '.'), ' ') AS rep FROM w),
-       |${(1 to BpeMerges).map(iter).mkString(",\n")}
+       |${(1 to BpeMerges).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  def bpeMergesOracle: String = {
+    val finals = (1 to BpeMerges).map(k =>
+      s"""SELECT $k AS merge_rank, pair AS merged_pair,
+         |  replace(pair, ' ', '') AS new_symbol, c AS pair_count FROM b$k"""
+        .stripMargin).mkString("\nUNION ALL\n")
+    s"""$bpeLearnCtes
        |$finals
        |ORDER BY merge_rank""".stripMargin
+  }
+
+  /** Encode every document with the learned merge table: per doc, the
+    * token count, character volume, and post-BPE symbol count — i.e.
+    * the compression the first [[BpeMerges]] merges buy, the metric a
+    * tokenizer-training loop watches per round. The corpus is touched
+    * twice and only at word granularity: the learner's wordcount pass,
+    * and one doc-token explode joined against the encoded VOCABULARY
+    * (|vocab| rows carry the per-word symbol counts — the encode work
+    * is per distinct word, never per occurrence; the join shuffles on
+    * the word key and partial-aggregates per doc). Integer counts
+    * only; the compression ratio is one exact-int division rounded
+    * to 6. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val (_, reps) = bpeLearn(spark, dir)
+    val enc = reps.select(col("word"),
+      size(split(col("rep"), " ")).cast("long").as("n_syms"),
+      length(col("word")).cast("long").as("n_chars"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .join(enc, Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum("n_chars").as("n_chars"),
+        sum("n_syms").as("n_symbols"))
+      .select(col("doc_id"), col("n_tokens"), col("n_chars"), col("n_symbols"),
+        round(col("n_chars").cast("double") / col("n_symbols"), 6)
+          .as("chars_per_symbol"))
+      .orderBy("doc_id")
+  }
+
+  def bpeEncodeOracle: String =
+    s"""$bpeLearnCtes,
+       |enc AS (SELECT word,
+       |    CAST(len(string_split(rep, ' ')) AS BIGINT) AS n_syms,
+       |    CAST(length(word) AS BIGINT) AS n_chars
+       |  FROM r$BpeMerges),
+       |dt AS (SELECT doc_id, unnest(ws) AS word
+       |  FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_syms) AS BIGINT) AS n_symbols,
+       |  round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_syms), 6)
+       |    AS chars_per_symbol
+       |FROM dt JOIN enc USING (word) GROUP BY doc_id ORDER BY doc_id"""
+      .stripMargin
+
+  // ── BM25 ranked retrieval ──
+
+  val Bm25K1 = 1.2
+  val Bm25B = 0.75
+  val Bm25TopK = 20
+  val Bm25Query: Seq[String] = Seq("hash", "join", "vector")
+
+  /** BM25 top-[[Bm25TopK]] documents for a fixed query term set — the
+    * ranked-retrieval operator behind every "find me training docs
+    * about X" curation pull. One tf pass over the corpus; the scored
+    * frame is RESTRICTED to query terms before anything joins (the
+    * isin filter prunes at the tf table, so downstream frames are
+    * |query|·df rows, not corpus-sized); df and the length stats are
+    * 1-row/|query|-row broadcasts; the final top-k is
+    * TakeOrderedAndProject (per-partition heads, never a global
+    * sort). Per-term contributions are computed in ONE mirrored IEEE
+    * op order, rounded to 9, decimal-summed per doc, rounded to 6
+    * before ranking with a doc_id tiebreak. */
+  def bm25Search(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tf = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // doc lengths + query-term scores both read it
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"),
+        sum("dl").as("total_len"))
+      .select(col("n_docs"),
+        (col("total_len").cast("double") / col("n_docs")).as("avgdl"))
+    val qtf = tf.filter(col("term").isin(Bm25Query: _*))
+    val df = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    val contrib = qtf
+      .join(broadcast(df), Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"),
+        round(
+          log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            (col("tf") * (Bm25K1 + 1.0) /
+              (col("tf") + lit(Bm25K1) *
+                (lit(1.0 - Bm25B) + lit(Bm25B) * col("dl") / col("avgdl")))),
+          9).as("contrib"))
+    contrib.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        round(sum(col("contrib").cast(DecimalType(28, 12))).cast("double"), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
+  def bm25SearchOracle: String = {
+    val terms = Bm25Query.map(t => s"'$t'").mkString(", ")
+    s"""WITH tf AS (SELECT doc_id, g AS term, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id, unnest(ws) AS g
+       |        FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t) u
+       |  GROUP BY doc_id, g),
+       |dl AS (SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS dl FROM tf
+       |  GROUP BY doc_id),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dl),
+       |qt AS (SELECT * FROM tf WHERE term IN ($terms)),
+       |df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM qt
+       |  GROUP BY term),
+       |c AS (SELECT qt.doc_id,
+       |    round(ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1.0) *
+       |      (qt.tf * ($Bm25K1 + 1.0) /
+       |        (qt.tf + $Bm25K1 *
+       |          (1.0 - $Bm25B + $Bm25B * dl.dl / st.avgdl))), 9) AS contrib
+       |  FROM qt JOIN df USING (term) JOIN dl USING (doc_id), st)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms_matched,
+       |  round(CAST(SUM(CAST(contrib AS DECIMAL(28,12))) AS DOUBLE), 6)
+       |    AS score
+       |FROM c GROUP BY doc_id
+       |ORDER BY score DESC, doc_id LIMIT $Bm25TopK""".stripMargin
   }
 
   def charEntropyOracle: String =

@@ -373,4 +373,90 @@ object Nonparam {
       |FROM p JOIN pc c1 ON p.p1 = c1.l_partkey
       |  JOIN pc c2 ON p.p2 = c2.l_partkey, n
       |ORDER BY p.support DESC, p.p1, p.p2 LIMIT 20""".stripMargin
+
+  /** Kruskal-Wallis H across the five order priorities on spend — the
+    * k-group generalization of [[mannWhitneySpend]] (one-way ANOVA on
+    * ranks; the omnibus "does ANY priority tier spend differently"
+    * test). Ranks come from the same two-stage distinct-value
+    * cumulative counts — the GLOBAL exclusive cumulative needs only
+    * per-value totals, so adding groups costs nothing; per-group rank
+    * sums are a join of the (value, group) count table against the
+    * |values|-row rank frame. Average ranks are exact half-integers
+    * (sums stay exact in double); the per-group R²/n terms are
+    * rounded to 6 then decimal-summed so the 5-term Σ is
+    * partition-order-free; tie correction from Σ(t³−t). Output: one
+    * row per group (n, mean rank) with the H statistics broadcast on. */
+  def kruskalWallisSpend(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("grp"), col("o_totalprice").as("x"))
+    val cnt = d.groupBy("x", "grp").agg(count(lit(1)).as("c"))
+    val byVal = cnt.groupBy("x").agg(sum("c").as("ca"))
+      .withColumn("cb", lit(0L))
+    val ranks = cumByValue(byVal, 1000.0)
+      .select(col("x"),
+        (col("cuma_excl").cast("double") +
+          (col("ca") + 1).cast("double") / 2.0).as("avg_rank"))
+    val ties = byVal.agg(sum("ca").as("n_total"),
+      sum(col("ca") * col("ca") * col("ca") - col("ca")).as("tie"))
+    val per = cnt.join(ranks, Seq("x"))
+      .groupBy("grp")
+      .agg(sum("c").as("n_i"),
+        sum(col("c").cast("double") * col("avg_rank")).as("r_i"))
+    val h = per.select(col("n_i"), col("r_i"))
+      .agg(sum(col("n_i")).as("k_check"),
+        count(lit(1)).as("k"),
+        sum(round(col("r_i") * col("r_i") / col("n_i").cast("double"), 6)
+          .cast(DecimalType(28, 10))).cast("double").as("s"))
+      .crossJoin(broadcast(ties))
+      .select(col("k"),
+        col("n_total"),
+        (lit(12.0) / (col("n_total").cast("double") *
+          (col("n_total") + 1).cast("double")) * col("s") -
+          lit(3.0) * (col("n_total") + 1).cast("double")).as("h_raw"),
+        (lit(1.0) - col("tie").cast("double") /
+          (col("n_total").cast("double") * col("n_total").cast("double") *
+            col("n_total").cast("double") - col("n_total").cast("double")))
+          .as("cc"))
+      .select(col("k"), col("n_total"), round(col("h_raw"), 6).as("h_stat"),
+        round(col("h_raw") / col("cc"), 6).as("h_tie_adjusted"),
+        (col("k") - 1).as("df"))
+    per.select(col("grp").as("priority"), col("n_i").as("n"),
+        round(col("r_i") / col("n_i").cast("double"), 6).as("mean_rank"))
+      .crossJoin(broadcast(h))
+      .orderBy("priority")
+  }
+
+  def kruskalWallisSpendOracle: String =
+    """WITH d AS (SELECT o_orderpriority AS grp, o_totalprice AS x
+      |  FROM orders),
+      |cnt AS (SELECT x, grp, CAST(COUNT(*) AS BIGINT) AS c FROM d
+      |  GROUP BY x, grp),
+      |bv AS (SELECT x, CAST(SUM(c) AS BIGINT) AS ca FROM cnt GROUP BY x),
+      |rk AS (SELECT x,
+      |    CAST(COALESCE(SUM(ca) OVER (ORDER BY x
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS DOUBLE)
+      |      + CAST(ca + 1 AS DOUBLE) / 2.0 AS avg_rank
+      |  FROM bv),
+      |ties AS (SELECT CAST(SUM(ca) AS BIGINT) AS n_total,
+      |    CAST(SUM(ca*ca*ca - ca) AS BIGINT) AS tie FROM bv),
+      |per AS (SELECT grp, CAST(SUM(c) AS BIGINT) AS n_i,
+      |    SUM(CAST(c AS DOUBLE) * avg_rank) AS r_i
+      |  FROM cnt JOIN rk USING (x) GROUP BY grp),
+      |h AS (SELECT CAST(COUNT(*) AS BIGINT) AS k, ties.n_total,
+      |    12.0 / (CAST(ties.n_total AS DOUBLE) *
+      |      CAST(ties.n_total + 1 AS DOUBLE)) *
+      |      CAST(SUM(CAST(round(r_i * r_i / CAST(n_i AS DOUBLE), 6)
+      |        AS DECIMAL(28,10))) AS DOUBLE)
+      |      - 3.0 * CAST(ties.n_total + 1 AS DOUBLE) AS h_raw,
+      |    1.0 - CAST(ties.tie AS DOUBLE) /
+      |      (CAST(ties.n_total AS DOUBLE) * CAST(ties.n_total AS DOUBLE) *
+      |        CAST(ties.n_total AS DOUBLE) - CAST(ties.n_total AS DOUBLE))
+      |      AS cc
+      |  FROM per, ties GROUP BY ties.n_total, ties.tie)
+      |SELECT per.grp AS priority, per.n_i AS n,
+      |  round(per.r_i / CAST(per.n_i AS DOUBLE), 6) AS mean_rank,
+      |  h.k, h.n_total, round(h.h_raw, 6) AS h_stat,
+      |  round(h.h_raw / h.cc, 6) AS h_tie_adjusted,
+      |  h.k - 1 AS df
+      |FROM per, h ORDER BY priority""".stripMargin
 }
