@@ -172,6 +172,9 @@ object SparkEntry {
     "embedding_quantize" -> Similarity.embeddingQuantize _,
     "embedding_normalize" -> Similarity.embeddingNormalize _,
     "quantize_embeddings" -> Similarity.quantizeEmbeddings _,
+    "triplet_mining" -> Similarity.tripletMining _,
+    "feature_hashing" -> TextAnalysis.featureHashing _,
+    "scalar_math_funcs" -> Relational.scalarMathFuncs _,
     "hard_negative_mining" -> Similarity.hardNegativeMining _,
     "window_func_battery" -> Relational.windowFuncBattery _,
     "unpivot_metrics" -> Relational.unpivotMetrics _,
@@ -403,6 +406,9 @@ object SparkEntry {
     "embedding_quantize" -> Similarity.embeddingQuantizeOracle,
     "embedding_normalize" -> Similarity.embeddingNormalizeOracle,
     "quantize_embeddings" -> Similarity.quantizeEmbeddingsOracle,
+    "triplet_mining" -> Similarity.tripletMiningOracle,
+    "feature_hashing" -> TextAnalysis.featureHashingOracle,
+    "scalar_math_funcs" -> Relational.scalarMathFuncsOracle,
     "hard_negative_mining" -> Similarity.hardNegativeMiningOracle,
     "window_func_battery" -> Relational.windowFuncBatteryOracle,
     "unpivot_metrics" -> Relational.unpivotMetricsOracle,

@@ -724,6 +724,65 @@ object Similarity {
       .orderBy("query_id")
   }
 
+  /** Contrastive training triplets: for every anchor vector, the
+    * nearest SAME-label neighbor (the positive, self excluded) and
+    * the nearest OTHER-label neighbor (the hard negative), plus the
+    * cosine margin between them — the exact mining pass that feeds a
+    * triplet/InfoNCE loss, and a per-anchor "how separable is my
+    * embedding space" report (negative margin ⇒ the anchor's nearest
+    * other-class point beats its nearest same-class point). One
+    * scored scan split by a label-match residual into two sharded
+    * bounded top-1s ([[topKPerQuery]]); anchors whose label has no
+    * second member have no positive and are dropped by the inner
+    * join (none in the fixture; at scale that's the degenerate-class
+    * report, a separate anti-join). Candidate source swaps to the
+    * LSH/IVF join at corpus scale, shape unchanged. */
+  def tripletMining(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), col("label"), col("v"), norm(col("v")).as("nrm"))
+    val q = e.select(col("vec_id").as("query_id"), col("label").as("q_label"),
+      col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cos_sim"))
+    val pos = topKPerQuery(scored.filter(col("n_label") === col("q_label")), 1)
+      .select(col("query_id").as("anchor_id"), col("q_label").as("label"),
+        col("neighbor_id").as("positive_id"), col("cos_sim").as("pos_cos"))
+    val neg = topKPerQuery(scored.filter(col("n_label") =!= col("q_label")), 1)
+      .select(col("query_id").as("anchor_id"),
+        col("neighbor_id").as("negative_id"), col("cos_sim").as("neg_cos"))
+    pos.join(neg, Seq("anchor_id"))
+      .select(col("anchor_id"), col("label"), col("positive_id"),
+        col("pos_cos"), col("negative_id"), col("neg_cos"),
+        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+      .orderBy("anchor_id")
+  }
+
+  def tripletMiningOracle: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm
+      |  FROM e),
+      |scored AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+      |    e.vec_id AS neighbor_id, e.label AS n_label,
+      |    round(list_dot_product(q.v, e.v) / (q.nrm * e.nrm), 6) AS cos_sim
+      |  FROM n q JOIN n e ON e.vec_id <> q.vec_id),
+      |pos AS (SELECT query_id AS anchor_id, q_label AS label,
+      |    neighbor_id AS positive_id, cos_sim AS pos_cos
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored
+      |    WHERE n_label = q_label) r WHERE rk = 1),
+      |neg AS (SELECT query_id AS anchor_id, neighbor_id AS negative_id,
+      |    cos_sim AS neg_cos
+      |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored
+      |    WHERE n_label <> q_label) r WHERE rk = 1)
+      |SELECT anchor_id, label, positive_id, pos_cos, negative_id, neg_cos,
+      |  round(pos_cos - neg_cos, 6) AS margin
+      |FROM pos JOIN neg USING (anchor_id) ORDER BY anchor_id""".stripMargin
+
   def hardNegativeMiningOracle: String =
     """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
       |  FROM embeddings),

@@ -26,10 +26,10 @@ import graft.Tables
 object Sketches {
 
   /** Engine-neutral 32-bit hash of any value, via its string form. */
-  private def h32(c: Column): Column =
+  private[ext] def h32(c: Column): Column =
     conv(substring(md5(c.cast("string")), 1, 8), 16, 10).cast("long")
 
-  private def h32Sql(e: String): String =
+  private[ext] def h32Sql(e: String): String =
     s"CAST(concat('0x', substr(md5(CAST($e AS VARCHAR)), 1, 8)) AS BIGINT)"
 
   private val M32 = 4294967296L // 2^32: h32's range

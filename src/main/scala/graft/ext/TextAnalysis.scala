@@ -1284,6 +1284,61 @@ object TextAnalysis {
        |FROM dt JOIN enc USING (word) GROUP BY doc_id ORDER BY doc_id"""
       .stripMargin
 
+  // ── feature hashing: the fixed-width text featurizer ──
+
+  val HashFeatDims = 16
+
+  /** Signed feature hashing (the "hashing trick"): every token lands
+    * in one of [[HashFeatDims]] buckets by an engine-neutral md5
+    * hash, with a ±1 sign from the next hash bit, and each document
+    * becomes a fixed-width integer vector — the featurizer that turns
+    * unbounded vocabulary into bounded width with NO vocabulary pass
+    * at all (the one-scan alternative to the NB/tf-idf model joins;
+    * collisions are the accepted price). Pure projection → hash agg:
+    * zero joins, map-side partials, ≤ d cells per doc (collect_list
+    * is bounded by d=16, never corpus-sized). The dense vector is
+    * emitted as a comma-joined string (the gate compares scalars);
+    * nnz counts surviving non-zero cells (signs can cancel). */
+  def featureHashing(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .select(col("doc_id"), Sketches.h32(col("tok")).as("h"))
+      .select(col("doc_id"), (col("h") % HashFeatDims).as("dim"),
+        when(expr(s"(h div $HashFeatDims) % 2") === 0, 1L).otherwise(-1L)
+          .as("sgn"))
+      .groupBy("doc_id", "dim").agg(sum("sgn").as("v"))
+    cells.groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("dim"), col("v"))))
+        .as("m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(HashFeatDims - 1L)),
+          i => coalesce(element_at(col("m"), i), lit(0L))).as("arr"))
+      .select(col("doc_id"),
+        size(filter(col("arr"), x => x =!= 0L)).cast("long").as("nnz"),
+        array_join(col("arr"), ",").as("features"))
+      .orderBy("doc_id")
+  }
+
+  def featureHashingOracle: String =
+    s"""WITH tok AS (SELECT doc_id, g AS tok
+       |  FROM (SELECT doc_id, unnest(ws) AS g
+       |        FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t) u),
+       |hashed AS (SELECT doc_id, ${Sketches.h32Sql("tok")} AS h FROM tok),
+       |cells AS (SELECT doc_id, h % $HashFeatDims AS dim,
+       |    CAST(SUM(CASE WHEN (h // $HashFeatDims) % 2 = 0 THEN 1
+       |      ELSE -1 END) AS BIGINT) AS v
+       |  FROM hashed GROUP BY doc_id, h % $HashFeatDims),
+       |dims AS (SELECT unnest(range($HashFeatDims)) AS dim),
+       |dense AS (SELECT d.doc_id, dims.dim, COALESCE(c.v, 0) AS v
+       |  FROM (SELECT DISTINCT doc_id FROM cells) d
+       |  CROSS JOIN dims
+       |  LEFT JOIN cells c ON c.doc_id = d.doc_id AND c.dim = dims.dim)
+       |SELECT doc_id,
+       |  CAST(len(list_filter(list(v ORDER BY dim), x -> x <> 0)) AS BIGINT)
+       |    AS nnz,
+       |  array_to_string(list(v ORDER BY dim), ',') AS features
+       |FROM dense GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
   // ── BM25 ranked retrieval ──
 
   val Bm25K1 = 1.2

@@ -2680,6 +2680,68 @@ object Relational {
       |GROUP BY e.event_type, f.p25, f.p75, f.lo_f, f.hi_f
       |ORDER BY e.event_type""".stripMargin
 
+  // ── scalar math-function battery ──
+
+  /** The numeric scalar-function surface in one per-part projection:
+    * exact functions (abs/ceil/floor/sign/sqrt/pow on integers/
+    * greatest/least/mod/pmod/bitwise/shifts) emit raw — IEEE defines
+    * them exactly, every engine agrees; transcendentals (cbrt/exp/ln/
+    * log10/log2/radians/sin/atan) round to 9 decimals because libm
+    * implementations may differ in the last ulp (the repo-wide ln
+    * discipline). pmod is emulated in the oracle as ((x%n)+n)%n —
+    * DuckDB's % follows the dividend sign like Java's. Zero shuffle;
+    * whole-stage codegen end to end. */
+  def scalarMathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables.part(spark, dir).select(
+      col("p_partkey"),
+      abs(col("p_retailprice") - 1000.0).as("abs_v"),
+      ceil(col("p_retailprice") / 100.0).cast("long").as("ceil_v"),
+      floor(col("p_retailprice") / 100.0).cast("long").as("floor_v"),
+      signum((col("p_size") - 25).cast("double")).as("sign_v"),
+      sqrt(col("p_size").cast("double")).as("sqrt_v"),
+      round(cbrt(col("p_size").cast("double")), 9).as("cbrt_v"),
+      round(exp(col("p_size").cast("double") / -10.0), 9).as("exp_v"),
+      round(log(col("p_retailprice")), 9).as("ln_v"),
+      round(log10(col("p_retailprice")), 9).as("log10_v"),
+      round(log2(col("p_size").cast("double")), 9).as("log2_v"),
+      pow(col("p_size").cast("double"), 2.0).as("pow_v"),
+      pmod(col("p_partkey") - 100, lit(7)).cast("long").as("pmod_v"),
+      (col("p_partkey") % 7).cast("long").as("mod_v"),
+      greatest(col("p_size"), lit(25)).cast("long").as("greatest_v"),
+      least(col("p_size"), lit(25)).cast("long").as("least_v"),
+      round(radians(col("p_size").cast("double")), 9).as("radians_v"),
+      round(sin(col("p_size").cast("double")), 9).as("sin_v"),
+      round(atan(col("p_retailprice") / 1000.0), 9).as("atan_v"),
+      col("p_partkey").bitwiseAND(lit(255L)).cast("long").as("band_v"),
+      col("p_partkey").bitwiseXOR(lit(170L)).cast("long").as("bxor_v"),
+      shiftleft(col("p_size"), 2).cast("long").as("shl_v"))
+    .orderBy("p_partkey")
+
+  def scalarMathFuncsOracle: String =
+    """SELECT p_partkey,
+      |  abs(p_retailprice - 1000.0) AS abs_v,
+      |  CAST(ceil(p_retailprice / 100.0) AS BIGINT) AS ceil_v,
+      |  CAST(floor(p_retailprice / 100.0) AS BIGINT) AS floor_v,
+      |  CAST(sign(CAST(p_size - 25 AS DOUBLE)) AS DOUBLE) AS sign_v,
+      |  sqrt(CAST(p_size AS DOUBLE)) AS sqrt_v,
+      |  round(cbrt(CAST(p_size AS DOUBLE)), 9) AS cbrt_v,
+      |  round(exp(CAST(p_size AS DOUBLE) / -10.0), 9) AS exp_v,
+      |  round(ln(p_retailprice), 9) AS ln_v,
+      |  round(log10(p_retailprice), 9) AS log10_v,
+      |  round(log2(CAST(p_size AS DOUBLE)), 9) AS log2_v,
+      |  pow(CAST(p_size AS DOUBLE), 2.0) AS pow_v,
+      |  CAST((((p_partkey - 100) % 7) + 7) % 7 AS BIGINT) AS pmod_v,
+      |  CAST(p_partkey % 7 AS BIGINT) AS mod_v,
+      |  CAST(greatest(p_size, 25) AS BIGINT) AS greatest_v,
+      |  CAST(least(p_size, 25) AS BIGINT) AS least_v,
+      |  round(radians(CAST(p_size AS DOUBLE)), 9) AS radians_v,
+      |  round(sin(CAST(p_size AS DOUBLE)), 9) AS sin_v,
+      |  round(atan(p_retailprice / 1000.0), 9) AS atan_v,
+      |  CAST(p_partkey & 255 AS BIGINT) AS band_v,
+      |  CAST(xor(p_partkey, 170) AS BIGINT) AS bxor_v,
+      |  CAST(p_size << 2 AS BIGINT) AS shl_v
+      |FROM part ORDER BY p_partkey""".stripMargin
+
   // ── analytic window-function battery ──
 
   /** The remaining ANSI window functions in one per-order projection:
