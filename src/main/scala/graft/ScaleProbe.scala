@@ -60,6 +60,21 @@ object ScaleProbe {
       "sketch_hll_distinct" -> (graft.ext.Sketches.hllDistinct _),
       "sketch_cms_heavy_hitters" -> (graft.ext.Sketches.cmsHeavyHitters _),
       "perplexity_bigram" -> (graft.ext.TextAnalysis.perplexityBigram _),
+      // learning / retrieval / tokenizer / featurizer family (round-4):
+      // each collapses the corpus to vocabulary- or dimension-sized
+      // frames before any join — the probe checks that collapse holds.
+      // zipf_profile exercises the chunked rank derivation (no
+      // vocabulary-wide window); sim_ann_lsh is the embedding scale
+      // path (bucket join, not all-pairs).
+      "zipf_profile" -> (graft.ext.TextAnalysis.zipfProfile _),
+      "bm25_search" -> (graft.ext.TextAnalysis.bm25Search _),
+      "feature_hashing" -> (graft.ext.TextAnalysis.featureHashing _),
+      "bpe_encode" -> (graft.ext.TextAnalysis.bpeEncode _),
+      "nb_lang_confusion" -> (graft.ext.Learn.nbLangConfusion _),
+      "kruskal_wallis_spend" -> (graft.operators.Nonparam.kruskalWallisSpend _),
+      "window_func_battery" -> (graft.operators.Relational.windowFuncBattery _),
+      "sim_ann_lsh" -> ((s, d) => graft.ext.Similarity.annLsh(s, d)),
+      "quantize_embeddings" -> (graft.ext.Similarity.quantizeEmbeddings _),
     )
 
     def time(fn: => Unit): Double = {
@@ -127,7 +142,19 @@ object ScaleProbe {
         .withColumn("n_chars", length(col("text")).cast("long")))
       .write.mode("overwrite").parquet(s"$work/documents.parquet")
 
-    Seq("region", "nation", "customer", "supplier", "part", "embeddings")
+    // embeddings scale too (the ANN/quantize probes are meaningless on
+    // a fixed-size corpus): vec_id shifted per replica, first element
+    // nudged by k·1e-3 so replicas aren't bit-identical vectors (LSH
+    // buckets and quantization ranges keep realistic shape)
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    replicate(emb, (d, k) => d
+        .withColumn("vec_id", col("vec_id") + lit(k.toLong * 100000000L))
+        .withColumn("embedding", concat(
+          array((col("embedding")(0) + lit(k * 0.001f)).cast("float")),
+          slice(col("embedding"), 2, 100000))))
+      .write.mode("overwrite").parquet(s"$work/embeddings.parquet")
+
+    Seq("region", "nation", "customer", "supplier", "part")
       .foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet")
           .write.mode("overwrite").parquet(s"$work/$t.parquet")

@@ -173,6 +173,7 @@ object SparkEntry {
     "embedding_normalize" -> Similarity.embeddingNormalize _,
     "quantize_embeddings" -> Similarity.quantizeEmbeddings _,
     "triplet_mining" -> Similarity.tripletMining _,
+    "sample_temperature" -> Sampling.temperatureSample _,
     "feature_hashing" -> TextAnalysis.featureHashing _,
     "scalar_math_funcs" -> Relational.scalarMathFuncs _,
     "hard_negative_mining" -> Similarity.hardNegativeMining _,
@@ -407,6 +408,7 @@ object SparkEntry {
     "embedding_normalize" -> Similarity.embeddingNormalizeOracle,
     "quantize_embeddings" -> Similarity.quantizeEmbeddingsOracle,
     "triplet_mining" -> Similarity.tripletMiningOracle,
+    "sample_temperature" -> Sampling.temperatureSampleOracle,
     "feature_hashing" -> TextAnalysis.featureHashingOracle,
     "scalar_math_funcs" -> Relational.scalarMathFuncsOracle,
     "hard_negative_mining" -> Similarity.hardNegativeMiningOracle,

@@ -966,26 +966,36 @@ object Dedup {
     * SAME boundaries survive insertions/deletions that shift byte
     * offsets (the property fixed-size frames lack, and the reason
     * rsync/LBFS chunk this way), then measure cross-document chunk
-    * reuse per source. Everything is one explode over positions + two
-    * per-doc windows (lag for the previous cut) — no per-doc arrays,
-    * no collect; the explode is width×rows, the only input-sized
-    * stage, and partial-aggregates straight down. Expected chunk
-    * length = the 64 modulus. */
+    * reuse per source. The rolling hash is computed WITHOUT carrying
+    * document text through the position explode (a row per position ×
+    * the full text per row is an O(n²)-bytes generate — measured 5×
+    * slower): each char explodes to a (doc_id, pos, code) row only,
+    * and the 8-char window is 8 `lag`s over the per-doc position
+    * window — one parallel-per-doc sort of O(n) narrow rows, then a
+    * pure projection. Chunk extraction rejoins the (chunk-count-
+    * sized) cut list to the docs table. Expected chunk length = the
+    * 64 modulus. */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir)
       .filter(length(col("text")) >= 8)
       .select(col("doc_id"), col("source"), col("text"),
         length(col("text")).as("n"))
-    val hashExpr = (0 until 8).map { j =>
-      // 31^j coefficients; window spans positions i-7 .. i
-      s"ascii(substring(text, i - ${7 - j}, 1)) * ${cdcPow(j)}L"
-    }.mkString(" + ")
-    val cuts = docs
-      .select(col("doc_id"), col("text"), col("n"),
-        explode(sequence(lit(8), col("n").cast("int"))).as("i"))
-      .withColumn("h", expr(hashExpr))
-      .filter(col("h") % 64 === 0 && col("i") < col("n"))
-      .select(col("doc_id"), col("i"))
+    val wDoc = Window.partitionBy("doc_id").orderBy("i")
+    val chars = docs
+      .select(col("doc_id"), posexplode(split(col("text"), ""))
+        .as(Seq("pos", "ch")))
+      .select(col("doc_id"), (col("pos") + 1).as("i"),
+        ascii(col("ch")).cast("long").as("code"))
+    val h = (0 until 8).map { j =>
+      // coefficient 31^j for the char at i - (7-j)
+      val c = if (j == 7) col("code") else lag(col("code"), 7 - j).over(wDoc)
+      c * cdcPow(j)
+    }.reduce(_ + _)
+    val cuts = chars
+      .withColumn("h", h)
+      .withColumn("n", max(col("i")).over(Window.partitionBy("doc_id")))
+      .filter(col("i") >= 8 && col("h") % 64 === 0 && col("i") < col("n"))
+      .select(col("doc_id"), col("i").cast("int").as("i"))
     val wCut = Window.partitionBy("doc_id").orderBy("i")
     val inner = cuts
       .withColumn("lo", coalesce(lag(col("i"), 1).over(wCut), lit(0)))

@@ -21,8 +21,8 @@ import graft.Tables
   * scoring is one join of the doc-term table against it). The
   * logistic probe touches the fact table once per unrolled step with
   * map-side-partial gradient sums (weights live in a 1-row broadcast
-  * frame). The kNN audit scores pairs through the same sharded
-  * bounded top-k as the similarity family — at corpus scale the
+  * frame). The kNN audit scores pairs through the same heap-
+  * bounded top-k as the similarity family (BoundedTopKAgg) — at corpus scale the
   * pair source swaps to the LSH/IVF candidate join (sim_ann_*); the
   * audit shape downstream of the candidate set is unchanged.
   *
@@ -268,15 +268,9 @@ object Learn {
         col("label").as("n_label"),
         round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
           .as("cos_sim"))
-    val wPre = Window
-      .partitionBy(col("query_id"), pmod(hash(col("neighbor_id")), lit(64)))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val pruned = scored.withColumn("prk", row_number().over(wPre))
-      .filter(col("prk") <= KnnK).drop("prk")
-    val wQ = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val top = pruned.withColumn("rk", row_number().over(wQ))
-      .filter(col("rk") <= KnnK)
+    // bounded heap top-k (see Similarity.topKPerQuery): map-side O(k)
+    // partials, no window sort of the scored scan
+    val top = Similarity.topKPerQuery(scored, KnnK)
     val votes = top.groupBy("query_id", "q_label", "n_label")
       .agg(count(lit(1)).as("cnt"))
     val wVote = Window.partitionBy("query_id")

@@ -243,6 +243,61 @@ object Sampling {
        |WHERE r.rk <= q.quota
        |ORDER BY r.source, r.rk""".stripMargin
 
+  val TempAlpha = 0.5
+  val TempBudget = 300
+
+  /** Temperature-based mixture sampling: per-source quotas follow
+    * p_i ∝ n_i^α (α = [[TempAlpha]]) instead of raw frequency — the
+    * standard LLM-pretraining mix knob (α<1 upsamples small sources,
+    * α=1 is natural mix, α=0 is uniform = [[rebalanceSample]]). The
+    * weight table is |sources|-row and broadcast; selection is the
+    * same deterministic smallest-hash rank as the other samplers, so
+    * re-runs and retries pick identical docs. α=0.5 makes n^α =
+    * √n — IEEE-exact, so weights are engine-identical after the
+    * round-9/decimal-sum normalization. */
+  def temperatureSample(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+    val per = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      .select(col("source"), col("n_docs"),
+        round(sqrt(col("n_docs").cast("double")), 9).as("pa"))
+    val z = per.agg(sum(col("pa").cast(DecimalType(28, 12))).cast("double")
+      .as("z"))
+    val quota = per.crossJoin(broadcast(z))
+      .select(col("source"), col("n_docs"),
+        round(col("pa") / col("z"), 9).as("weight"))
+      .withColumn("quota",
+        least(col("n_docs"),
+          floor(col("weight") * TempBudget).cast("long")))
+    val w = Window.partitionBy("source").orderBy("sample_hash", "doc_id")
+    docs.select(col("doc_id"), col("source"),
+        sampleHash(col("doc_id")).as("sample_hash"))
+      .withColumn("rk", row_number().over(w).cast("long"))
+      .join(broadcast(quota), Seq("source"))
+      .filter(col("rk") <= col("quota"))
+      .select("source", "doc_id", "rk", "n_docs", "weight", "quota")
+      .orderBy("source", "rk")
+  }
+
+  def temperatureSampleOracle: String =
+    s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    round(sqrt(CAST(COUNT(*) AS DOUBLE)), 9) AS pa
+       |  FROM documents GROUP BY source),
+       |z AS (SELECT CAST(SUM(CAST(pa AS DECIMAL(28,12))) AS DOUBLE) AS z
+       |  FROM per),
+       |quota AS (SELECT source, n_docs, round(pa / z.z, 9) AS weight,
+       |    least(n_docs, CAST(floor(round(pa / z.z, 9) * $TempBudget)
+       |      AS BIGINT)) AS quota
+       |  FROM per, z),
+       |ranked AS (SELECT doc_id, source,
+       |    CAST(row_number() OVER (PARTITION BY source
+       |           ORDER BY ${sampleHashSql("doc_id")}, doc_id) AS BIGINT) AS rk
+       |  FROM documents)
+       |SELECT r.source, r.doc_id, r.rk, q.n_docs, q.weight, q.quota
+       |FROM ranked r JOIN quota q ON r.source = q.source
+       |WHERE r.rk <= q.quota
+       |ORDER BY r.source, r.rk""".stripMargin
+
   def stratifiedSampleOracle(n: Int): String =
     s"""SELECT doc_id, source, sample_hash, rk
        |FROM (SELECT doc_id, source, sample_hash,

@@ -39,23 +39,31 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
   /** Exact bounded top-k per query over a (query_id, neighbor_id,
-    * cos_sim) frame. A single `Window.partitionBy(query_id)` would
-    * funnel the whole scored corpus into numQueries partitions — a
-    * parallelism collapse at scale. Instead: pre-prune to the top k
-    * within each of `shards` deterministic neighbor-hash shards
-    * (parallelism scales with the corpus), then rank the ≤ shards·k
-    * survivors per query. Identical result to the single window: a
-    * row outside its shard's top k cannot be in the global top k. */
-  private[ext] def topKPerQuery(scored: DataFrame, k: Int, shards: Int = 64): DataFrame = {
-    val pre = Window
-      .partitionBy(col("query_id"), pmod(hash(col("neighbor_id")), lit(shards)))
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    val pruned = scored.withColumn("prk", row_number().over(pre))
-      .filter(col("prk") <= k).drop("prk")
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    pruned.withColumn("rk", row_number().over(w).cast("long"))
-      .filter(col("rk") <= k)
+    * cos_sim, …) frame, ranked by (cos_sim desc, neighbor_id asc). A
+    * single `Window.partitionBy(query_id)` would funnel the whole
+    * scored corpus into numQueries partitions AND sort every scored
+    * row just to discard all but k — so this runs as the native
+    * [[org.apache.spark.sql.graft.BoundedTopKAgg]] heap aggregate
+    * instead: the map-side partial already shrinks every query's
+    * candidates to ≤ k rows per task (the shuffle carries
+    * tasks × queries × k rows, never the scored scan), memory is
+    * O(queries × k) regardless of skew, and nothing sorts more than
+    * k+1 elements at a time. Descending cosine is expressed by
+    * negating the rounded score in the heap's leading sort field;
+    * ties break on neighbor_id exactly like the window form, and the
+    * emitted rk matches row_number. All non-key columns ride along in
+    * a payload struct, so callers keep their schema. */
+  private[ext] def topKPerQuery(scored: DataFrame, k: Int): DataFrame = {
+    val payload = scored.columns.filterNot(_ == "query_id")
+    val item = struct(
+      negate(col("cos_sim")).as("_nc"),
+      col("neighbor_id").as("_nid"),
+      struct(payload.map(col): _*).as("_p"))
+    scored.groupBy("query_id")
+      .agg(graft.functions.BoundedTopK(k, item).as("_top"))
+      .select(col("query_id"), posexplode(col("_top")).as(Seq("_pos", "_t")))
+      .select(col("query_id") +: payload.map(c => col(s"_t._p.$c").as(c)) :+
+        (col("_pos") + 1).cast("long").as("rk"): _*)
       .orderBy("query_id", "rk")
   }
 
@@ -701,7 +709,7 @@ object Similarity {
     * label — contrastive-training's hard-negative mining, and the
     * "these two classes touch" diagnostic (a high-cosine cross-label
     * pair is either a mislabel or a genuinely hard boundary). Same
-    * all-pairs baseline + sharded bounded top-1 as the similarity
+    * all-pairs baseline + heap-bounded top-1 as the similarity
     * family (a label-mismatch residual on the scored scan, then
     * [[topKPerQuery]] with k=1); at corpus scale the candidate source
     * swaps to the LSH/IVF bucket join and the downstream shape is
@@ -731,7 +739,7 @@ object Similarity {
     * triplet/InfoNCE loss, and a per-anchor "how separable is my
     * embedding space" report (negative margin ⇒ the anchor's nearest
     * other-class point beats its nearest same-class point). One
-    * scored scan split by a label-match residual into two sharded
+    * scored scan split by a label-match residual into two heap-
     * bounded top-1s ([[topKPerQuery]]); anchors whose label has no
     * second member have no positive and are dropped by the inner
     * join (none in the fixture; at scale that's the degenerate-class
@@ -747,16 +755,21 @@ object Similarity {
         col("label").as("n_label"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
           .as("cos_sim"))
-    val pos = topKPerQuery(scored.filter(col("n_label") === col("q_label")), 1)
-      .select(col("query_id").as("anchor_id"), col("q_label").as("label"),
-        col("neighbor_id").as("positive_id"), col("cos_sim").as("pos_cos"))
-    val neg = topKPerQuery(scored.filter(col("n_label") =!= col("q_label")), 1)
-      .select(col("query_id").as("anchor_id"),
-        col("neighbor_id").as("negative_id"), col("cos_sim").as("neg_cos"))
-    pos.join(neg, Seq("anchor_id"))
-      .select(col("anchor_id"), col("label"), col("positive_id"),
-        col("pos_cos"), col("negative_id"), col("neg_cos"),
-        round(col("pos_cos") - col("neg_cos"), 6).as("margin"))
+    // both arms in ONE scored pass: two conditional heap aggregates in
+    // the same groupBy (a null struct is skipped by the aggregate, so
+    // `when` without otherwise IS the arm filter) — halves the
+    // pairwise-scoring work vs. two filtered top-1 passes
+    def arm(cond: Column) = graft.functions.BoundedTopK(1,
+      when(cond, struct(negate(col("cos_sim")).as("_nc"),
+        col("neighbor_id").as("_nid"), col("cos_sim").as("_c"))))
+    scored.groupBy(col("query_id").as("anchor_id"), col("q_label").as("label"))
+      .agg(arm(col("n_label") === col("q_label")).as("p"),
+        arm(col("n_label") =!= col("q_label")).as("n"))
+      .filter(size(col("p")) === 1 && size(col("n")) === 1)
+      .select(col("anchor_id"), col("label"),
+        col("p")(0)("_nid").as("positive_id"), col("p")(0)("_c").as("pos_cos"),
+        col("n")(0)("_nid").as("negative_id"), col("n")(0)("_c").as("neg_cos"))
+      .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
       .orderBy("anchor_id")
   }
 

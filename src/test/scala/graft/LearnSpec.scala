@@ -50,12 +50,13 @@ class LearnSpec extends SparkSpec {
     assert(agree >= 0.0 && agree <= 1.0)
   }
 
-  test("knn pairwise scoring pre-prunes in sharded partitions") {
+  test("knn pairwise scoring bounds neighbor state map-side") {
     val plan = Learn.knnLabelAudit(spark, sf0001)
       .queryExecution.executedPlan.toString
-    // the first window must partition by (query_id, shard-hash), never
-    // query_id alone, so no stage funnels the corpus into one task
-    // (the hash input may appear pre-alias as vec_id in the physical plan)
-    assert(plan.contains("pmod(hash("), s"no sharded pre-prune in:\n$plan")
+    // the scored corpus must fold into a bounded heap aggregate with a
+    // map-side partial (O(k) state per query per task) — never a window
+    // sort over the full scored scan
+    assert(plan.contains("partial_graft_bounded_topk"),
+      s"no map-side bounded top-k partial in:\n$plan")
   }
 }

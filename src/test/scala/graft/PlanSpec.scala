@@ -139,19 +139,17 @@ class PlanSpec extends SparkSpec {
       s"rank<=5 must pre-limit before the exchange:\n$plan")
   }
 
-  test("similarity ranking pre-prunes in sharded window partitions") {
-    // the scored corpus must hit a (query_id, shard) pre-prune window
-    // before the final per-query ranking ever sees it
+  test("similarity ranking folds into a bounded heap with map-side partials") {
+    // the scored corpus must fold into the bounded top-k heap aggregate
+    // with a map-side partial (O(k) state per query per task), so the
+    // shuffle carries at most k rows per query per map partition — never
+    // a window sort over the full scored scan
     Seq(
       ext.Similarity.bruteForceTopK(spark, sf0001),
       ext.Similarity.annLsh(spark, sf0001)).foreach { df =>
-      // the alias collapses in the executed plan, so match the shard
-      // expression shape (pmod(hash(...)) feeding a partial group limit)
       val plan = df.queryExecution.executedPlan.toString
-      assert(plan.contains("pmod(hash("),
-        s"sharded pre-prune window missing from plan:\n$plan")
-      assert(plan.contains("WindowGroupLimit") && plan.contains("Partial"),
-        s"partial window group limit missing from plan:\n$plan")
+      assert(plan.contains("partial_graft_bounded_topk"),
+        s"map-side bounded top-k partial missing from plan:\n$plan")
     }
   }
 
