@@ -174,6 +174,8 @@ object SparkEntry {
     "quantize_embeddings" -> Similarity.quantizeEmbeddings _,
     "triplet_mining" -> Similarity.tripletMining _,
     "sample_temperature" -> Sampling.temperatureSample _,
+    "pq_codes" -> Similarity.pqCodes _,
+    "rrf_fusion" -> Similarity.rrfFusion _,
     "feature_hashing" -> TextAnalysis.featureHashing _,
     "scalar_math_funcs" -> Relational.scalarMathFuncs _,
     "hard_negative_mining" -> Similarity.hardNegativeMining _,
@@ -409,6 +411,8 @@ object SparkEntry {
     "quantize_embeddings" -> Similarity.quantizeEmbeddingsOracle,
     "triplet_mining" -> Similarity.tripletMiningOracle,
     "sample_temperature" -> Sampling.temperatureSampleOracle,
+    "pq_codes" -> Similarity.pqCodesOracle,
+    "rrf_fusion" -> Similarity.rrfFusionOracle,
     "feature_hashing" -> TextAnalysis.featureHashingOracle,
     "scalar_math_funcs" -> Relational.scalarMathFuncsOracle,
     "hard_negative_mining" -> Similarity.hardNegativeMiningOracle,

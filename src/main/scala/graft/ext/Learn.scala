@@ -163,29 +163,43 @@ object Learn {
     val x = raw.crossJoin(broadcast(st))
       .select(col("y"), ((col("f1") - col("m1")) / col("s1")).as("x1"),
         ((col("f2") - col("m2")) / col("s2")).as("x2"), col("n"))
+      // single-row-group fixture files scan as ONE split, so without a
+      // widening exchange every GD pass would run on one core; the
+      // checkpoint then holds session-parallelism partitions that all
+      // step scans reuse (at cluster scale the scan itself is wide and
+      // this exchange is O(rows) next to steps × O(rows) saved)
+      .repartition(spark.sparkContext.defaultParallelism)
       .localCheckpoint() // each unrolled step re-reads the standardized frame
-    var w = x.sparkSession.range(1)
-      .select(lit(0.0).as("w0"), lit(0.0).as("w1"), lit(0.0).as("w2"))
+    // the weight vector is 3 doubles of convergence state — collect it
+    // per step (like kmeansCentroids' centroid matrix) and inline the
+    // values as literals, so every GD step is exactly ONE scan of the
+    // checkpointed frame; keeping the weights as a chained broadcast
+    // frame nests each step's plan inside the next and re-executes the
+    // earlier gradient aggregates at every broadcast. Driver rounding
+    // uses the same BigDecimal HALF_UP scale-9 as Spark's round().
+    def r9(v: Double): Double =
+      BigDecimal(v).setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble
+    var (w0, w1, w2) = (0.0, 0.0, 0.0)
     for (_ <- 1 to LogitSteps) {
-      val g = x.crossJoin(broadcast(w))
+      val g = x
         .select(col("y"), col("x1"), col("x2"), col("n"),
           round(lit(1.0) / (lit(1.0) +
-            exp(-round(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 9))),
+            exp(-round(lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2"), 9))),
             6).as("s"))
         .agg(first(col("n")).as("n"),
           dsum12(col("y") - col("s")).as("g0"),
           dsum12((col("y") - col("s")) * col("x1")).as("g1"),
           dsum12((col("y") - col("s")) * col("x2")).as("g2"))
-      w = g.crossJoin(broadcast(w))
-        .select(
-          round(col("w0") + lit(LogitLr) * col("g0") / col("n"), 9).as("w0"),
-          round(col("w1") + lit(LogitLr) * col("g1") / col("n"), 9).as("w1"),
-          round(col("w2") + lit(LogitLr) * col("g2") / col("n"), 9).as("w2"))
+        .first()
+      val n = g.getLong(0).toDouble
+      w0 = r9(w0 + LogitLr * g.getDouble(1) / n)
+      w1 = r9(w1 + LogitLr * g.getDouble(2) / n)
+      w2 = r9(w2 + LogitLr * g.getDouble(3) / n)
     }
-    val fin = x.crossJoin(broadcast(w))
-      .select(col("y"), col("w0"), col("w1"), col("w2"),
+    val fin = x
+      .select(col("y"), lit(w0).as("w0"), lit(w1).as("w1"), lit(w2).as("w2"),
         round(lit(1.0) / (lit(1.0) +
-          exp(-round(col("w0") + col("w1") * col("x1") + col("w2") * col("x2"), 9))),
+          exp(-round(lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2"), 9))),
           6).as("s"))
     fin.agg(count(lit(1)).as("n_rows"),
         first(col("w0")).as("wi"), first(col("w1")).as("wq"),
@@ -263,7 +277,8 @@ object Learn {
         Similarity.norm(col("v")).as("nrm"))
     val q = e.select(col("vec_id").as("query_id"), col("label").as("q_label"),
       col("v").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = Similarity.spread(e)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
         col("label").as("n_label"),
         round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)

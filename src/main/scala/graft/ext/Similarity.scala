@@ -38,6 +38,18 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
 
+  /** Spread the corpus scan across the session's full parallelism
+    * before an O(n·|Q|) pairwise scoring stage. The embeddings table
+    * is small ON DISK (a single parquet split even at sf0.1), so
+    * without this every broadcast-join scoring pass — n·|Q| dot
+    * products — runs in ONE task regardless of core count. A
+    * round-robin exchange of the linear-size corpus is O(n) next to
+    * the quadratic work it parallelizes, and is exactly what a real
+    * cluster needs too: scoring width should follow the row count,
+    * not the compressed byte count the file splitter sees. */
+  private[ext] def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact bounded top-k per query over a (query_id, neighbor_id,
     * cos_sim, …) frame, ranked by (cos_sim desc, neighbor_id asc). A
     * single `Window.partitionBy(query_id)` would funnel the whole
@@ -720,7 +732,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("v"), norm(col("v")).as("nrm"))
     val q = e.select(col("vec_id").as("query_id"), col("label").as("q_label"),
       col("v").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), col("label") =!= col("q_label"))
+    val scored = spread(e).join(broadcast(q), col("label") =!= col("q_label"))
       .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
         col("label").as("neg_label"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
@@ -750,7 +762,7 @@ object Similarity {
       .select(col("vec_id"), col("label"), col("v"), norm(col("v")).as("nrm"))
     val q = e.select(col("vec_id").as("query_id"), col("label").as("q_label"),
       col("v").as("qv"), col("nrm").as("qn"))
-    val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
+    val scored = spread(e).join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
         col("label").as("n_label"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
@@ -810,4 +822,215 @@ object Similarity {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored) r
       |WHERE rk = 1 ORDER BY query_id""".stripMargin
+
+  // ---------------------------------------------------------------- RRF
+
+  val RrfK = 60        // the standard reciprocal-rank-fusion constant
+  val RrfTopK = 20
+  val RrfQueryVec = 0L // dense query: the corpus vector aligned to doc 0
+
+  /** Hybrid retrieval by reciprocal rank fusion: the lexical BM25
+    * top-20 ([[TextAnalysis.bm25Search]], term query) and the dense
+    * top-20 (cosine to a query embedding — doc ids and vec ids are
+    * aligned 1:1 in the corpus) merge by
+    * score = Σ 1/(k + rank), k = [[RrfK]] — rank-only fusion, immune
+    * to the two scorers' incomparable scales, which is why it is the
+    * standard first fusion every hybrid search stack ships. Both
+    * inputs are already top-k frames (≤ 20 rows), so the fusion
+    * itself — full outer join + two reciprocals — is driver-trivial
+    * at any corpus scale; the heavy lifting stays in the two
+    * rankers, each already scale-shaped (BM25: query-term-restricted
+    * tf pass; dense: one broadcast scoring scan). Unranked sides
+    * report rank 0 and contribute 0 to the fused score. */
+  def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
+    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val lex = TextAnalysis.bm25Search(spark, dir)
+      .select(col("doc_id"), row_number().over(wLex).cast("long").as("rank_lex"))
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+    val q = e.filter(col("vec_id") === RrfQueryVec)
+      .select(col("v").as("qv"), col("nrm").as("qn"))
+    val scored = e.crossJoin(broadcast(q))
+      .select(col("vec_id").as("doc_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+    val wDense = Window.orderBy(col("cos_sim").desc, col("doc_id"))
+    val dense = scored.orderBy(col("cos_sim").desc, col("doc_id")).limit(RrfTopK)
+      .withColumn("rank_dense", row_number().over(wDense).cast("long"))
+      .select("doc_id", "rank_dense")
+    lex.join(dense, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("rank_lex"), lit(0L)).as("rank_lex"),
+        coalesce(col("rank_dense"), lit(0L)).as("rank_dense"),
+        round(
+          coalesce(lit(1.0) / (lit(RrfK) + col("rank_lex")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(RrfK) + col("rank_dense")), lit(0.0)),
+          9).as("rrf_score"))
+      .orderBy(col("rrf_score").desc, col("doc_id"))
+      .limit(RrfTopK)
+  }
+
+  def rrfFusionOracle: String =
+    s"""WITH bm AS (${TextAnalysis.bm25SearchOracle}),
+       |lex AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS BIGINT)
+       |      AS rank_lex
+       |  FROM bm),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |q AS (SELECT v, nrm FROM n WHERE vec_id = $RrfQueryVec),
+       |scored AS (SELECT n.vec_id AS doc_id,
+       |    round(list_dot_product(q.v, n.v) / (q.nrm * n.nrm), 6) AS cos_sim
+       |  FROM n, q),
+       |dense AS (SELECT doc_id,
+       |    CAST(row_number() OVER (ORDER BY cos_sim DESC, doc_id) AS BIGINT)
+       |      AS rank_dense
+       |  FROM (SELECT * FROM scored ORDER BY cos_sim DESC, doc_id
+       |        LIMIT $RrfTopK) t)
+       |SELECT doc_id,
+       |  COALESCE(l.rank_lex, 0) AS rank_lex,
+       |  COALESCE(d.rank_dense, 0) AS rank_dense,
+       |  round(COALESCE(1.0 / ($RrfK + l.rank_lex), 0) +
+       |        COALESCE(1.0 / ($RrfK + d.rank_dense), 0), 9) AS rrf_score
+       |FROM lex l FULL OUTER JOIN dense d USING (doc_id)
+       |ORDER BY rrf_score DESC, doc_id LIMIT $RrfTopK""".stripMargin
+
+  // ---------------------------------------------------------------- PQ
+
+  val PqSubspaces = 8 // M: subvectors per vector (64 dims / 8 = 8 each)
+  val PqSubDim = 8
+  val PqCodes = 16    // K: codebook entries per subspace → 4 bits/code
+  val PqIters = 2
+
+  /** (vec_id, sub, x): every vector split into [[PqSubspaces]]
+    * contiguous subvectors — one generate + slice projection, no
+    * shuffle; the training/encode unit for product quantization. */
+  private def pqExploded(spark: SparkSession, dir: String): DataFrame =
+    embeddingsD(spark, dir)
+      .select(col("vec_id"),
+        explode(sequence(lit(0), lit(PqSubspaces - 1))).as("sub"),
+        col("v"))
+      .select(col("vec_id"), col("sub"),
+        slice(col("v"), col("sub") * PqSubDim + 1, lit(PqSubDim)).as("x"))
+
+  /** Rounded squared L2 distance between a subvector and a codeword,
+    * decomposed into three sequential-fold dots so the oracle's
+    * `list_dot_product` reproduces the identical op order; rounded to
+    * 6 decimals BEFORE any argmin so sub-ulp differences can't flip a
+    * code assignment. */
+  private def pqDist(x: Column, c: Column): Column =
+    round(dot(x, x) - lit(2.0) * dot(x, c) + dot(c, c), 6)
+
+  /** Product-quantization codebooks: per subspace, [[PqCodes]]
+    * codewords seeded from the first K vectors' subvectors and
+    * refined by exactly [[PqIters]] Lloyd iterations — all
+    * [[PqSubspaces]] subspaces train TOGETHER in each pass (the
+    * codebook is keyed by (sub, code)), so one iteration is one scan
+    * of the exploded corpus against a broadcast M×K-row table plus an
+    * (M×K×subdim)-row mean aggregate. Driver state is the codebook
+    * matrix only (8×16×8 doubles). Same engine-independence
+    * discipline as [[kmeansCentroids]]: distance round-6 before
+    * argmin with ties to the lower code, decimal-exact means rounded
+    * to 9, empty codes keep their previous codeword. */
+  private[graft] def pqCodebook(spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val ex = pqExploded(spark, dir).persist()
+    var cb: Seq[(Int, Int, Seq[Double])] = ex.filter(col("vec_id") < PqCodes)
+      .collect()
+      .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Double](2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    for (_ <- 1 to PqIters) {
+      val c = cb.toDF("sub", "code", "cv")
+      val assigned = ex.join(broadcast(c), Seq("sub"))
+        .select(col("vec_id"), col("sub"), col("x"), col("code"),
+          pqDist(col("x"), col("cv")).as("d2"))
+        .groupBy("vec_id", "sub")
+        .agg(min(struct(col("d2"), col("code"))).as("best"),
+          first(col("x")).as("x"))
+        .select(col("sub"), col("best.code").as("code"), col("x"))
+      val means = assigned
+        .select(col("sub"), col("code"), posexplode(col("x")).as(Seq("dim", "xx")))
+        .groupBy("sub", "code", "dim")
+        .agg(round(sum(col("xx").cast(DecimalType(38, 18))).cast("double")
+          / count(lit(1)), 9).as("m"))
+        .collect()
+      val byKey = means.groupBy(r => (r.getInt(0), r.getInt(1))).map { case (k, rs) =>
+        k -> rs.sortBy(_.getInt(2)).map(_.getDouble(3)).toSeq
+      }
+      cb = cb.map { case (s, k, old) => (s, k, byKey.getOrElse((s, k), old)) }
+    }
+    ex.unpersist()
+    cb
+  }
+
+  /** Product quantization encode + audit: every vector compressed to
+    * one 32-bit PQ word (8 subspaces × 4-bit codes packed little-end
+    * by subspace) with its total squared reconstruction error — 64
+    * floats → 4 bytes, the memory step that makes billion-vector ANN
+    * fit executor RAM (IVF routes, PQ compresses: together they are
+    * IVF-PQ). Encode is one exploded scan against the broadcast
+    * codebook, argmin as a hash aggregate (no window over the scored
+    * frame), then a per-vector 8-row fold: the bit-packed word is an
+    * integer SUM, the error a decimal-exact SUM — both map-side
+    * partial, order-free. */
+  def pqCodes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cb = pqCodebook(spark, dir).toDF("sub", "code", "cv")
+    pqExploded(spark, dir).join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        pqDist(col("x"), col("cv")).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"),
+        col("best.code").as("code"), col("best.d2").as("d2"))
+      .groupBy("vec_id")
+      .agg(sum(col("code").cast("long")
+            * expr("shiftleft(1L, sub * 4)"))
+          .cast("long").as("pq_word"),
+        round(sum(col("d2").cast(DecimalType(28, 12))).cast("double"), 9)
+          .as("sq_err"))
+      .orderBy("vec_id")
+  }
+
+  /** Mirrors [[pqCodebook]]/[[pqCodes]] step for step: seeds, two
+    * unrolled Lloyd rounds keyed by (sub, code), identical distance
+    * decomposition and rounding. */
+  def pqCodesOracle: String = {
+    val d2 = (x: String, c: String) =>
+      s"round(list_dot_product($x, $x) - 2 * list_dot_product($x, $c)" +
+        s" + list_dot_product($c, $c), 6)"
+    val iters = (1 to PqIters).map { i =>
+      s"""a$i AS (SELECT s.vec_id, s.sub, s.x, c.code,
+         |    row_number() OVER (PARTITION BY s.vec_id, s.sub
+         |      ORDER BY ${d2("s.x", "c.cv")}, c.code) AS rk
+         |  FROM sv s JOIN c${i - 1} c ON s.sub = c.sub),
+         |x$i AS (SELECT sub, code, UNNEST(range(len(x))) AS dim, UNNEST(x) AS xx
+         |  FROM a$i WHERE rk = 1),
+         |m$i AS (SELECT sub, code, dim,
+         |    round(CAST(SUM(CAST(xx AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9) AS m
+         |  FROM x$i GROUP BY sub, code, dim),
+         |nc$i AS (SELECT sub, code, list(m ORDER BY dim) AS cv
+         |  FROM m$i GROUP BY sub, code),
+         |c$i AS (SELECT p.sub, p.code, COALESCE(nc.cv, p.cv) AS cv
+         |  FROM c${i - 1} p LEFT JOIN nc$i nc
+         |    ON p.sub = nc.sub AND p.code = nc.code)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |sv AS (SELECT vec_id, sub,
+       |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS x
+       |  FROM e CROSS JOIN range($PqSubspaces) r(sub)),
+       |c0 AS (SELECT sub, CAST(vec_id AS INT) AS code, x AS cv
+       |  FROM sv WHERE vec_id < $PqCodes),
+       |$iters,
+       |fin AS (SELECT s.vec_id, s.sub, c.code, ${d2("s.x", "c.cv")} AS d2,
+       |    row_number() OVER (PARTITION BY s.vec_id, s.sub
+       |      ORDER BY ${d2("s.x", "c.cv")}, c.code) AS rk
+       |  FROM sv s JOIN c$PqIters c ON s.sub = c.sub)
+       |SELECT vec_id,
+       |  CAST(SUM(CAST(code AS BIGINT) * (1::BIGINT << (sub * 4))) AS BIGINT)
+       |    AS pq_word,
+       |  round(CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE), 9) AS sq_err
+       |FROM fin WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+  }
 }

@@ -202,7 +202,6 @@ object EventOps {
       .filter(col("prev_us").isNotNull)
       .select(col("event_type").as("g"),
         (unix_micros(col("ts")) - col("prev_us")).cast("double").as("v"))
-    val ranked = Relational.bucketedGroupRanks(gaps)
     val counts = gaps.groupBy("g").agg(count(lit(1)).as("n"))
     val targets = counts
       .select(col("g"), col("n"),
@@ -211,11 +210,12 @@ object EventOps {
       .select(col("g"), col("p"),
         (floor(col("h")) + 1).cast("long").as("lo_rk"),
         (col("h") - floor(col("h"))).as("frac"))
+      .localCheckpoint() // tiny; reused by the fetch and both joins below
     val needed = targets.select(col("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
-    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    val valueAt = Relational.valuesAtGroupRanks(gaps, needed)
       // ≤ a few rows per group; eager-materialize so the two bracketing
-      // joins below don't each replay the whole rank pipeline
+      // joins below don't each replay the order-statistic fetch
       .localCheckpoint()
     targets
       .join(valueAt.select(col("g"), col("rk").as("lo_rk"), col("v").as("lo_v")),

@@ -51,7 +51,21 @@ object Relational {
     * value at each rank is unique. (A production build would pick
     * bucket bounds from a sample to even out skew; equi-width bounds
     * only affect balance, never correctness.) */
-  private[graft] def bucketedGroupRanks(vals: DataFrame, numBuckets: Int = 64): DataFrame = {
+  private[graft] def bucketedGroupRanks(vals0: DataFrame, numBuckets: Int = 64,
+                                        spreadInput: Boolean = true): DataFrame = {
+    // widen BEFORE fanning out: this helper scans its input three times
+    // (min/max stats, bucket assignment, per-bucket counts), and the
+    // fixture parquet is a single row-group = a single-task scan. One
+    // round-robin exchange materializes the (g, v) stream once at full
+    // parallelism and AQE's exchange reuse feeds all three consumers
+    // from it. Row order within equal values changes — ties already
+    // rank arbitrarily (see above), the value at each rank is unique.
+    // Callers that hand in an already-wide (checkpointed) frame pass
+    // spreadInput=false to skip the redundant exchange.
+    val vals =
+      if (spreadInput)
+        vals0.repartition(vals0.sparkSession.sparkContext.defaultParallelism)
+      else vals0
     val stats = vals.groupBy("g")
       .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
     val bucketed = vals.join(broadcast(stats), Seq("g"))
@@ -68,6 +82,52 @@ object Relational {
       .select("g", "bkt", "off")
     withRn.join(broadcast(offsets), Seq("g", "bkt"))
       .select(col("g"), col("v"), (col("off") + col("rn")).as("rk"))
+  }
+
+  /** Exact value at specific global in-group ranks WITHOUT ranking
+    * the whole input — the order-statistic fetch every percentile
+    * query actually needs. [[bucketedGroupRanks]] sorts every row
+    * just so a handful of ranks can be joined out; here the
+    * per-(group, bucket) count histogram (a hash aggregate — no
+    * sort) locates which bucket slice holds each requested rank, and
+    * ONLY those slices are row-number'd: with |targets| ≤ a few per
+    * group, the windowed input is ~|targets|/|buckets| of the data
+    * at any scale. Three scans of the input (min/max, histogram,
+    * slice filter) all reuse one widening exchange (single-row-group
+    * fixture files would otherwise scan as one task; AQE exchange
+    * reuse feeds every consumer from the materialized exchange).
+    * Returns (g, rk, v) for each requested (g, rk); ties between
+    * equal values rank arbitrarily — the value at a rank is unique. */
+  private[graft] def valuesAtGroupRanks(vals0: DataFrame, ranks0: DataFrame,
+                                        numBuckets: Int = 64,
+                                        spreadInput: Boolean = true): DataFrame = {
+    val spark = vals0.sparkSession
+    val vals =
+      if (spreadInput) vals0.repartition(spark.sparkContext.defaultParallelism)
+      else vals0
+    // the rank list is tiny but typically derived from a count
+    // aggregate — materialize it once instead of replaying that scan
+    // for the bucket-location join and the final fetch join
+    val ranks = ranks0.localCheckpoint()
+    val stats = vals.groupBy("g")
+      .agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+    val bucketed = vals.join(broadcast(stats), Seq("g"))
+      .select(col("g"), col("v"),
+        when(col("vmin") === col("vmax"), lit(1L))
+          .otherwise(width_bucket(col("v"), col("vmin"), col("vmax"), lit(numBuckets)))
+          .as("bkt"))
+    val wOff = Window.partitionBy("g").orderBy("bkt")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = bucketed.groupBy("g", "bkt").agg(count(lit(1)).as("c"))
+      .withColumn("off", coalesce(sum(col("c")).over(wOff), lit(0L)))
+    val slices = ranks.join(offsets, Seq("g"))
+      .filter(col("rk") > col("off") && col("rk") <= col("off") + col("c"))
+      .select(col("g"), col("bkt"), col("off")).distinct()
+    val wLocal = Window.partitionBy("g", "bkt").orderBy("v")
+    bucketed.join(broadcast(slices), Seq("g", "bkt"))
+      .withColumn("rk", col("off") + row_number().over(wLocal).cast("long"))
+      .join(broadcast(ranks), Seq("g", "rk"))
+      .select(col("g"), col("rk"), col("v"))
   }
 
   /** TPC-H Q1-style pricing summary. One shuffle; HashAggregate does
@@ -741,7 +801,6 @@ object Relational {
       .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
     val stats = vals.groupBy("g")
       .agg(count(lit(1)).as("n"), min(col("v")).as("vmin"), max(col("v")).as("vmax"))
-    val ranked = bucketedGroupRanks(vals)
     // bracketing order statistics per percentile: pos = p·(n−1), ranks
     // floor(pos)+1 and ceil(pos)+1 (1-indexed)
     val targets = stats.select(col("g"), col("n"),
@@ -752,9 +811,9 @@ object Relational {
       .withColumn("frac", col("pos") - floor(col("pos")))
     val needed = targets
       .select(col("g"), explode(array(col("lo"), col("hi"))).as("rk")).distinct()
-    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    val valueAt = valuesAtGroupRanks(vals, needed)
       // ≤ a few rows per group; eager-materialize so the two bracketing
-      // joins below don't each replay the whole rank pipeline
+      // joins below don't each replay the order-statistic fetch
       .localCheckpoint()
     targets
       .join(valueAt.select(col("g"), col("rk").as("lo"), col("v").as("v_lo")), Seq("g", "lo"))
@@ -1805,15 +1864,15 @@ object Relational {
     * rank pass + a broadcast fetch of the two bracketing order
     * statistics, interpolated in quantile_cont's op order. */
   private def groupMedian(vals: DataFrame): DataFrame = {
-    val ranked = bucketedGroupRanks(vals)
     val t = vals.groupBy("g").agg(count(lit(1)).as("n"))
       .select(col("g"), ((col("n") - 1) * 0.5).as("h"))
       .select(col("g"), (floor(col("h")) + 1).cast("long").as("lo_rk"),
         (col("h") - floor(col("h"))).as("frac"))
+      .localCheckpoint() // tiny; reused by the fetch and both joins below
     val needed = t.select(col("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
-    val vAt = ranked.join(broadcast(needed), Seq("g", "rk"))
-      .localCheckpoint() // tiny; both bracketing joins reuse one rank pass
+    val vAt = valuesAtGroupRanks(vals, needed)
+      .localCheckpoint() // tiny; both bracketing joins reuse one fetch
     t.join(vAt.select(col("g"), col("rk").as("lo_rk"), col("v").as("lo_v")),
         Seq("g", "lo_rk"))
       .join(vAt.select(col("g"), (col("rk") - 1).as("lo_rk"), col("v").as("hi_v")),
@@ -1913,7 +1972,11 @@ object Relational {
     val stackArgs = cols.map(c => s"'$c', $c").mkString(", ")
     val unpivoted = Tables.lineitem(spark, dir)
       .selectExpr(s"stack(${cols.size}, $stackArgs) AS (g, v)")
-    val ranked = bucketedGroupRanks(unpivoted)
+      // the (g, v) stream feeds the rank helper AND the per-column
+      // counts/targets below — materialize the single-task stack scan
+      // once at full width instead of replaying it per consumer
+      .repartition(spark.sparkContext.defaultParallelism)
+      .localCheckpoint()
     val counts = unpivoted.groupBy("g").agg(count(lit(1)).as("n"))
     val targets = counts
       .crossJoin(broadcast(Seq(0.5, 0.95).toDF("p")))
@@ -1921,11 +1984,12 @@ object Relational {
       .select(col("g"), col("p"),
         (floor(col("h")) + 1).cast("long").as("lo_rk"),
         (col("h") - floor(col("h"))).as("frac"))
+      .localCheckpoint() // tiny; reused by the fetch and both joins below
     val needed = targets.select(col("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
-    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    val valueAt = valuesAtGroupRanks(unpivoted, needed, spreadInput = false)
       // ≤ a few rows per group; eager-materialize so the two bracketing
-      // joins below don't each replay the whole rank pipeline
+      // joins below don't each replay the order-statistic fetch
       .localCheckpoint()
     targets
       .join(valueAt.select(col("g"), col("rk").as("lo_rk"), col("v").as("lo_v")),
@@ -2007,10 +2071,8 @@ object Relational {
   def quantileGridPrice(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val grid = Seq(0.25, 0.5, 0.75, 0.95).toDF("q")
-    // bucket-localized per-group ranks — no |groups|-task window
-    val ranked = bucketedGroupRanks(
-      Tables.orders(spark, dir)
-        .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v")))
+    val vals = Tables.orders(spark, dir)
+      .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
     // group sizes from a direct count — don't re-execute the rank plan
     val counts = Tables.orders(spark, dir)
       .groupBy(col("o_orderpriority").as("g")).agg(count(lit(1)).as("n"))
@@ -2023,12 +2085,13 @@ object Relational {
       .select(col("g_prio"), col("q"),
         (floor(col("h")) + 1).cast("long").as("lo_rk"),
         (col("h") - floor(col("h"))).as("frac"))
-    // one pass over ranked rows: fetch all bracketing ranks at once
+      .localCheckpoint() // tiny; reused by the fetch and both joins below
+    // one order-statistic fetch: all bracketing ranks at once
     val needed = qs.select(col("g_prio").as("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
-    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    val valueAt = valuesAtGroupRanks(vals, needed)
       // ≤ a few rows per group; eager-materialize so the two bracketing
-      // joins below don't each replay the whole rank pipeline
+      // joins below don't each replay the order-statistic fetch
       .localCheckpoint()
     qs.join(valueAt.select(col("g").as("g_prio"),
         col("rk").as("lo_rk"), col("v").as("lo_v")),
@@ -2065,9 +2128,8 @@ object Relational {
   def winsorizePrices(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val x = col("l_extendedprice")
-    // bucket-localized per-group ranks — no |groups|-task window
-    val ranked = bucketedGroupRanks(
-      Tables.lineitem(spark, dir).select(col("l_returnflag").as("g"), x.as("v")))
+    val vals = Tables.lineitem(spark, dir)
+      .select(col("l_returnflag").as("g"), x.as("v"))
     // group sizes from a direct count — don't re-execute the rank plan
     val counts = Tables.lineitem(spark, dir)
       .groupBy(col("l_returnflag").as("g")).agg(count(lit(1)).as("n"))
@@ -2077,13 +2139,13 @@ object Relational {
       .select(col("g_rf"), col("q"),
         (floor(col("h")) + 1).cast("long").as("lo_rk"),
         (col("h") - floor(col("h"))).as("frac"))
-    // ONE pass over the ranked rows: fetch every bracketing rank at
-    // once (tiny broadcast), then assemble lo/hi from the tiny result
+      .localCheckpoint() // tiny; reused by the fetch and both joins below
+    // ONE order-statistic fetch: every bracketing rank at once
     val needed = qs.select(col("g_rf").as("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
-    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    val valueAt = valuesAtGroupRanks(vals, needed)
       // ≤ a few rows per group; eager-materialize so the two bracketing
-      // joins below don't each replay the whole rank pipeline
+      // joins below don't each replay the order-statistic fetch
       .localCheckpoint()
     val quantiles = qs
       .join(valueAt.select(col("g").as("g_rf"),
@@ -2618,18 +2680,18 @@ object Relational {
     import spark.implicits._
     val ev = Tables.events(spark, dir)
       .select(col("event_type").as("g"), col("value").as("v"))
-    val ranked = bucketedGroupRanks(ev)
     val counts = ev.groupBy("g").agg(count(lit(1)).as("n"))
     val qs = counts.crossJoin(broadcast(Seq(0.25, 0.75).toDF("q")))
       .select(col("g").as("g_q"), col("q"), ((col("n") - 1) * col("q")).as("h"))
       .select(col("g_q"), col("q"),
         (floor(col("h")) + 1).cast("long").as("lo_rk"),
         (col("h") - floor(col("h"))).as("frac"))
+      .localCheckpoint() // tiny; reused by the fetch and both joins below
     val needed = qs.select(col("g_q").as("g"),
       explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
-    val valueAt = ranked.join(broadcast(needed), Seq("g", "rk"))
+    val valueAt = valuesAtGroupRanks(ev, needed)
       // ≤ a few rows per group; eager-materialize so the two bracketing
-      // joins below don't each replay the whole rank pipeline
+      // joins below don't each replay the order-statistic fetch
       .localCheckpoint()
     val quantiles = qs
       .join(valueAt.select(col("g").as("g_q"),

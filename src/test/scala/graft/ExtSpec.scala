@@ -160,4 +160,21 @@ class ExtSpec extends SparkSpec {
       assert(stop >= 0 && stop <= 1); assert(dist >= 0 && dist <= 1)
     }
   }
+
+  test("product quantization: words pack 8 4-bit codes, errors non-negative, deterministic") {
+    import org.apache.spark.sql.functions._
+    val codes = ext.Similarity.pqCodes(spark, sf0001).collect()
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(codes.length == nVecs, "every vector is encoded")
+    codes.foreach { r =>
+      val word = r.getAs[Long]("pq_word")
+      assert(word >= 0L && word < (1L << 32), s"word $word outside 32 bits")
+      assert(r.getAs[Double]("sq_err") >= 0.0)
+    }
+    // codebook training is deterministic: a second run is identical
+    val again = ext.Similarity.pqCodes(spark, sf0001).collect()
+    assert(codes.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    // compression is real: words take distinct values (not one cell)
+    assert(codes.map(_.getAs[Long]("pq_word")).distinct.length > 1)
+  }
 }

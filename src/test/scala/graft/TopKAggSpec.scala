@@ -25,6 +25,27 @@ class TopKAggSpec extends SparkSpec {
     assert(got.toSeq == want.toSeq)
   }
 
+  test("valuesAtGroupRanks fetches the window-rank values without a full sort") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val rows = rnd.shuffle((1 to 3000).toList).zipWithIndex.map {
+      case (v, i) => (s"g${i % 5}", v * 0.25)
+    }
+    val df = rows.toDF("g", "v")
+    // ranks spanning bucket boundaries, plus the extremes
+    val ranks = Seq.tabulate(5)(i => s"g$i").flatMap(g =>
+      Seq(1L, 7L, 300L, 599L, 600L).map(rk => (g, rk))).toDF("g", "rk")
+    val got = operators.Relational.valuesAtGroupRanks(df, ranks)
+      .orderBy("g", "rk").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val w = Window.partitionBy("g").orderBy("v")
+    val want = df.withColumn("rk", row_number().over(w).cast("long"))
+      .join(ranks, Seq("g", "rk"))
+      .select(col("g"), col("rk"), col("v"))
+      .orderBy("g", "rk").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == want.toSeq)
+    assert(got.length == 25)
+  }
+
   test("grouped_topk_agg equals the window row_number form") {
     val agg = operators.Relational.groupedTopkAgg(spark, sf0001).collect()
     val w = Window.partitionBy("o_orderpriority")
