@@ -175,7 +175,11 @@ object SparkEntry {
     "triplet_mining" -> Similarity.tripletMining _,
     "sample_temperature" -> Sampling.temperatureSample _,
     "pq_codes" -> Similarity.pqCodes _,
+    "sim_ann_pq" -> Similarity.annPq _,
     "rrf_fusion" -> Similarity.rrfFusion _,
+    "frame_sample" -> Multimodal.frameSample _,
+    "vocab_coverage" -> TextAnalysis.vocabCoverage _,
+    "curriculum_order" -> Sampling.curriculumOrder _,
     "feature_hashing" -> TextAnalysis.featureHashing _,
     "scalar_math_funcs" -> Relational.scalarMathFuncs _,
     "hard_negative_mining" -> Similarity.hardNegativeMining _,
@@ -412,7 +416,11 @@ object SparkEntry {
     "triplet_mining" -> Similarity.tripletMiningOracle,
     "sample_temperature" -> Sampling.temperatureSampleOracle,
     "pq_codes" -> Similarity.pqCodesOracle,
+    "sim_ann_pq" -> Similarity.annPqOracle,
     "rrf_fusion" -> Similarity.rrfFusionOracle,
+    "frame_sample" -> Multimodal.frameSampleOracle,
+    "vocab_coverage" -> TextAnalysis.vocabCoverageOracle,
+    "curriculum_order" -> Sampling.curriculumOrderOracle,
     "feature_hashing" -> TextAnalysis.featureHashingOracle,
     "scalar_math_funcs" -> Relational.scalarMathFuncsOracle,
     "hard_negative_mining" -> Similarity.hardNegativeMiningOracle,

@@ -219,4 +219,54 @@ object Multimodal {
       |    AS frame_len,
       |  md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)) AS frame_md5
       |FROM idx ORDER BY asset_id, frame_idx""".stripMargin
+
+  val FrameStride = 4
+
+  /** Strided frame sampling ("every Nth frame" keyframe selection) +
+    * per-asset sample manifest: frame count, sampled count, and one
+    * digest over the ordered sampled-frame md5s — the manifest a
+    * downstream feature-extraction stage would pin so retries and
+    * replicas provably sampled the SAME frames. The stride filter is
+    * pushed below the per-asset fold, so only 1/stride of the frame
+    * digests aggregate; payload bytes never shuffle (the digests do).
+    * The manifest digest folds through sort_array(collect_list) on
+    * ≤ frames/stride structs per asset — bounded per-asset state,
+    * order-free across partitions. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val all = frames(spark, dir)
+      .groupBy("asset_id").agg(count(lit(1)).as("n_frames"))
+    val sampled = frames(spark, dir)
+      .filter(col("frame_idx") % FrameStride === 0)
+      .groupBy("asset_id")
+      .agg(count(lit(1)).as("n_sampled"),
+        md5(array_join(
+          transform(
+            array_sort(collect_list(struct(col("frame_idx"), col("frame_md5")))),
+            x => x.getField("frame_md5")),
+          "").cast("binary")).as("sample_digest"))
+    all.join(sampled, Seq("asset_id"))
+      .select(col("asset_id"), col("n_frames"), col("n_sampled"),
+        col("sample_digest"))
+      .orderBy("asset_id")
+  }
+
+  def frameSampleOracle: String =
+    s"""WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents
+       |       WHERE length(text) > 0),
+       |idx AS (SELECT doc_id, text,
+       |          unnest(generate_series(0, (n - 1) // 256)) AS frame_idx
+       |        FROM d),
+       |fr AS (SELECT doc_id AS asset_id, frame_idx,
+       |         md5(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256))
+       |           AS frame_md5
+       |       FROM idx)
+       |SELECT a.asset_id, a.n_frames, s.n_sampled, s.sample_digest
+       |FROM (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_frames
+       |      FROM fr GROUP BY asset_id) a
+       |JOIN (SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS n_sampled,
+       |        md5(string_agg(frame_md5, '' ORDER BY frame_idx))
+       |          AS sample_digest
+       |      FROM fr WHERE frame_idx % $FrameStride = 0
+       |      GROUP BY asset_id) s USING (asset_id)
+       |ORDER BY asset_id""".stripMargin
 }

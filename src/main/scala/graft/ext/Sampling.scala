@@ -308,4 +308,70 @@ object Sampling {
        |            FROM documents) h) r
        |WHERE rk <= $n
        |ORDER BY source, rk""".stripMargin
+
+  /** Curriculum ordering: stage the corpus into 4 difficulty phases
+    * (easy → hard) by document token count — the short-first schedule
+    * curriculum-learning training loops consume. Phase boundaries are
+    * the EXACT token-count quartiles (the percentile family's
+    * interpolation discipline), assigned by VALUE comparison against
+    * the three broadcast thresholds — no global rank window, so the
+    * assignment is one projection pass and identical for a row no
+    * matter which partition computes it. The quartile fetch itself is
+    * the histogram-locate path ([[graft.operators.Relational
+    * .valuesAtGroupRanks]]) — nothing sorts the corpus. */
+  def curriculumOrder(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tk = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+    val vals = tk.select(lit("all").as("g"), col("n_tokens").cast("double").as("v"))
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n"))
+    val qs = counts.crossJoin(broadcast(Seq(0.25, 0.5, 0.75).toDF("q")))
+      .select(col("g"), col("q"), ((col("n") - 1) * col("q")).as("h"))
+      .select(col("g"), col("q"),
+        (floor(col("h")) + 1).cast("long").as("lo_rk"),
+        (col("h") - floor(col("h"))).as("frac"))
+      .localCheckpoint() // tiny; reused by the fetch and the join below
+    val needed = qs.select(col("g"),
+      explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
+    val valueAt = graft.operators.Relational.valuesAtGroupRanks(vals, needed)
+      .localCheckpoint()
+    val thresholds = qs
+      .join(valueAt.select(col("g"), col("rk").as("lo_rk"), col("v").as("lo_v")),
+        Seq("g", "lo_rk"))
+      .join(valueAt.select(col("g"), (col("rk") - 1).as("lo_rk"), col("v").as("hi_v")),
+        Seq("g", "lo_rk"), "left")
+      .select(col("q"),
+        // unrounded interpolation in quantile_cont's exact op order —
+        // the comparison below sees the identical double both engines
+        // compute (the winsorize/outlier_iqr discipline)
+        (col("lo_v") * (lit(1.0) - col("frac")) +
+          coalesce(col("hi_v"), col("lo_v")) * col("frac")).as("qv"))
+      .groupBy(lit(1).as("one"))
+      .agg(max(when(col("q") === 0.25, col("qv"))).as("q1"),
+        max(when(col("q") === 0.5, col("qv"))).as("q2"),
+        max(when(col("q") === 0.75, col("qv"))).as("q3"))
+    tk.crossJoin(broadcast(thresholds))
+      .select(col("doc_id"), col("n_tokens"),
+        (lit(1)
+          + when(col("n_tokens") > col("q1"), 1).otherwise(0)
+          + when(col("n_tokens") > col("q2"), 1).otherwise(0)
+          + when(col("n_tokens") > col("q3"), 1).otherwise(0)).as("phase"))
+      .orderBy("phase", "n_tokens", "doc_id")
+  }
+
+  def curriculumOrderOracle: String =
+    s"""WITH tk AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens
+       |  FROM (SELECT doc_id, ${TextAnalysis.tokensSql} AS ws
+       |        FROM documents) t),
+       |q AS (SELECT
+       |    quantile_cont(CAST(n_tokens AS DOUBLE), 0.25) AS q1,
+       |    quantile_cont(CAST(n_tokens AS DOUBLE), 0.50) AS q2,
+       |    quantile_cont(CAST(n_tokens AS DOUBLE), 0.75) AS q3
+       |  FROM tk)
+       |SELECT doc_id, n_tokens,
+       |  1 + CAST(n_tokens > q.q1 AS INTEGER)
+       |    + CAST(n_tokens > q.q2 AS INTEGER)
+       |    + CAST(n_tokens > q.q3 AS INTEGER) AS phase
+       |FROM tk, q ORDER BY phase, n_tokens, doc_id""".stripMargin
 }

@@ -996,7 +996,10 @@ object Similarity {
   /** Mirrors [[pqCodebook]]/[[pqCodes]] step for step: seeds, two
     * unrolled Lloyd rounds keyed by (sub, code), identical distance
     * decomposition and rounding. */
-  def pqCodesOracle: String = {
+  /** Shared oracle CTE chain — seeds, [[PqIters]] unrolled Lloyd
+    * rounds, and `fin` (per-(vector, subspace) distance+rank against
+    * the final codebook `c{PqIters}`). */
+  private val pqCommonSql: String = {
     val d2 = (x: String, c: String) =>
       s"round(list_dot_product($x, $x) - 2 * list_dot_product($x, $c)" +
         s" + list_dot_product($c, $c), 6)"
@@ -1016,7 +1019,7 @@ object Similarity {
          |  FROM c${i - 1} p LEFT JOIN nc$i nc
          |    ON p.sub = nc.sub AND p.code = nc.code)""".stripMargin
     }.mkString(",\n")
-    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |sv AS (SELECT vec_id, sub,
        |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS x
        |  FROM e CROSS JOIN range($PqSubspaces) r(sub)),
@@ -1026,11 +1029,75 @@ object Similarity {
        |fin AS (SELECT s.vec_id, s.sub, c.code, ${d2("s.x", "c.cv")} AS d2,
        |    row_number() OVER (PARTITION BY s.vec_id, s.sub
        |      ORDER BY ${d2("s.x", "c.cv")}, c.code) AS rk
-       |  FROM sv s JOIN c$PqIters c ON s.sub = c.sub)
+       |  FROM sv s JOIN c$PqIters c ON s.sub = c.sub)""".stripMargin
+  }
+
+  def pqCodesOracle: String =
+    s"""WITH $pqCommonSql
        |SELECT vec_id,
        |  CAST(SUM(CAST(code AS BIGINT) * (1::BIGINT << (sub * 4))) AS BIGINT)
        |    AS pq_word,
        |  round(CAST(SUM(CAST(d2 AS DECIMAL(28,12))) AS DOUBLE), 9) AS sq_err
        |FROM fin WHERE rk = 1 GROUP BY vec_id ORDER BY vec_id""".stripMargin
+
+  val PqNumQueries = 5
+  val PqTopK = 5
+
+  /** ANN search by PQ asymmetric distance computation (ADC): queries
+    * stay full-precision, the corpus is its 4-bit PQ codes, and each
+    * (query, vector) inner product is approximated as the SUM over
+    * subspaces of dot(query_sub, codeword[code]) — which needs only a
+    * per-query LOOKUP TABLE of [[PqSubspaces]]×[[PqCodes]] = 128
+    * partial dots. This is the classic IVF-PQ scoring step: the scan
+    * reads 4 bytes per vector (not 256), the LUT is a broadcast
+    * |queries|×128-row table, scoring is a hash-join + 8-row fold
+    * (decimal-exact, order-free), and the top-k folds through the
+    * bounded heap. Recall is approximate by construction; the exact
+    * [[bruteForceTopK]] stays the acceptance baseline, same as the
+    * LSH path's [[annRecallAudit]]. */
+  def annPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val cb = pqCodebook(spark, dir).toDF("sub", "code", "cv")
+    val ex = pqExploded(spark, dir)
+    val enc = ex.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        pqDist(col("x"), col("cv")).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    val lut = ex
+      .filter(col("vec_id") >= PqCodes && col("vec_id") < PqCodes + PqNumQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("x").as("qx"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(dot(col("qx"), col("cv")), 9).as("pd"))
+    val scored = enc.join(broadcast(lut), Seq("sub", "code"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum(col("pd").cast(DecimalType(28, 12))).cast("double"), 6)
+        .as("cos_sim")) // approximate inner product, ranked like a score
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+    topKPerQuery(scored, PqTopK)
+      .withColumnRenamed("cos_sim", "adc_ip")
   }
+
+  def annPqOracle: String =
+    s"""WITH $pqCommonSql,
+       |enc AS (SELECT vec_id, sub, code FROM fin WHERE rk = 1),
+       |q AS (SELECT vec_id AS query_id, sub, x FROM sv
+       |  WHERE vec_id >= $PqCodes AND vec_id < ${PqCodes + PqNumQueries}),
+       |lut AS (SELECT q.query_id, q.sub, c.code,
+       |    round(list_dot_product(q.x, c.cv), 9) AS pd
+       |  FROM q JOIN c$PqIters c ON q.sub = c.sub),
+       |scored AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+       |    round(CAST(SUM(CAST(l.pd AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc_ip
+       |  FROM enc e JOIN lut l
+       |    ON e.sub = l.sub AND e.code = l.code AND e.vec_id <> l.query_id
+       |  GROUP BY 1, 2)
+       |SELECT query_id, neighbor_id, adc_ip,
+       |  CAST(rk AS BIGINT) AS rk
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY adc_ip DESC, neighbor_id) AS rk FROM scored) r
+       |WHERE rk <= $PqTopK ORDER BY query_id, rk""".stripMargin
 }

@@ -1432,4 +1432,54 @@ object TextAnalysis {
       |  round(-CAST(SUM(CAST(t AS DECIMAL(28,12))) AS DOUBLE), 6)
       |    AS char_entropy
       |FROM terms GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  val VocabCoverageK = 16
+
+  /** Vocabulary-coverage / OOV audit: fix the vocabulary to the
+    * corpus's top-[[VocabCoverageK]] tokens by global frequency (ties
+    * broken lexicographically — deterministic) and report, per
+    * source, what fraction of token OCCURRENCES and of DISTINCT
+    * tokens that vocabulary covers. This is the truncation check run
+    * before shipping any fixed-vocab tokenizer: a source with high
+    * OOV rate will fragment into fallback bytes and blow up its
+    * token count. Plan: the global frequency table is vocab-sized
+    * (one partial-agg groupBy), its top-K is a TakeOrdered ≤ K rows
+    * broadcast back, and the per-source audit is ONE conditional
+    * aggregation pass — the corpus shuffles only (source, token)
+    * partials, nothing pairwise anywhere. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val tok = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("term"))
+    val vocab = tok.groupBy("term").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("term")).limit(VocabCoverageK)
+      .select(col("term"), lit(1).as("in_vocab"))
+    tok.join(broadcast(vocab), Seq("term"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("in_vocab")).as("n_covered"),
+        countDistinct(col("term")).as("n_distinct"),
+        countDistinct(when(col("in_vocab").isNull, col("term")))
+          .as("n_distinct_oov"))
+      .select(col("source"), col("n_tokens"), col("n_covered"),
+        round(lit(1.0) - col("n_covered").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"),
+        col("n_distinct"), col("n_distinct_oov"))
+      .orderBy("source")
+  }
+
+  def vocabCoverageOracle: String =
+    s"""WITH tok AS (SELECT source, unnest(ws) AS term
+       |  FROM (SELECT source, $tokensSql AS ws FROM documents) t),
+       |vocab AS (SELECT term FROM (
+       |    SELECT term, COUNT(*) AS n FROM tok GROUP BY term
+       |    ORDER BY n DESC, term LIMIT $VocabCoverageK) v)
+       |SELECT source,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  CAST(COUNT(v.term) AS BIGINT) AS n_covered,
+       |  round(1.0 - CAST(COUNT(v.term) AS DOUBLE) / COUNT(*), 6) AS oov_rate,
+       |  CAST(COUNT(DISTINCT tok.term) AS BIGINT) AS n_distinct,
+       |  CAST(COUNT(DISTINCT CASE WHEN v.term IS NULL THEN tok.term END)
+       |    AS BIGINT) AS n_distinct_oov
+       |FROM tok LEFT JOIN vocab v ON tok.term = v.term
+       |GROUP BY source ORDER BY source""".stripMargin
 }
