@@ -129,10 +129,18 @@ object ScaleProbe {
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val jitterTs: (org.apache.spark.sql.Column, Int) => org.apache.spark.sql.Column =
+      ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => // raw nanos vintage
+          (c, k) => c + lit(k.toLong * 1000000000L)
+        case _ =>                                    // native timestamp vintage
+          (c, k) => org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.unix_micros(c) + lit(k.toLong * 1000000L))
+      }
     replicate(ev, (d, k) => d
         .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000000L))
         .withColumn("user_id", col("user_id") + lit(k.toLong * 100000000L))
-        .withColumn("ts", col("ts") + lit(k.toLong * 1000000000L)))
+        .withColumn("ts", jitterTs(col("ts"), k)))
       .write.mode("overwrite").parquet(s"$work/events.parquet")
 
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

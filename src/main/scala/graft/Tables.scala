@@ -20,15 +20,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read it as raw nanos and truncate to micros —
-    * exactly what DuckDB does when it coerces ns → its µs TIMESTAMP, so
-    * the oracle sees identical instants. */
+  /** events.ts has shipped as parquet TIMESTAMP(NANOS) in some fixture
+    * generations and TIMESTAMP(MICROS) in others. Normalize either to a
+    * session-TZ TimestampType at µs precision — exactly what DuckDB holds
+    * after coercing to its µs TIMESTAMP, so the oracle sees identical
+    * instants regardless of the fixture vintage. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.LongType
+    val raw = table(s, d, "events")
+    raw.schema("ts").dataType match {
+      case LongType => // nanos read as raw long (legacy.parquet.nanosAsLong)
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>        // native µs timestamp (NTZ or LTZ); unify on TimestampType
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")

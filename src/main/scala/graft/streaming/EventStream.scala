@@ -42,6 +42,91 @@ object EventStream {
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  /** The fixture's physical `ts` encoding: `LongType` when events.parquet
+    * carries parquet TIMESTAMP(NANOS) (read as raw nanos via
+    * `legacy.parquet.nanosAsLong`), or a native timestamp type when the
+    * fixture ships TIMESTAMP(MICROS). Drives both the file-stream read
+    * schema and sentinel staging so bounded replays work on either
+    * fixture vintage — see [[graft.Tables.events]] for the batch twin. */
+  private def eventsTsType(spark: org.apache.spark.sql.SparkSession,
+                           dir: String): org.apache.spark.sql.types.DataType = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+  }
+
+  private def eventSchema(tsType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", tsType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+  }
+
+  /** Stage `dir/events.parquet` into a fresh temp directory
+    * (FileStreamSource wants a DIRECTORY of files — the unit a real
+    * deployment tails) and open it as a bounded file stream with `ts`
+    * normalized to µs TimestampType regardless of fixture encoding. */
+  private def stagedEventStream(spark: org.apache.spark.sql.SparkSession,
+                                dir: String, prefix: String)
+      : (DataFrame, java.nio.file.Path,
+         org.apache.spark.sql.types.DataType) = {
+    val tsType = eventsTsType(spark, dir)
+    val streamDir = java.nio.file.Files.createTempDirectory(prefix)
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    (openEventStream(spark, streamDir, tsType), streamDir, tsType)
+  }
+
+  private def openEventStream(spark: org.apache.spark.sql.SparkSession,
+                              streamDir: java.nio.file.Path,
+                              tsType: org.apache.spark.sql.types.DataType)
+      : DataFrame = {
+    val raw = spark.readStream.schema(eventSchema(tsType))
+      .parquet(streamDir.toString)
+    tsType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ =>
+        raw.withColumn("ts", col("ts").cast("timestamp"))
+    }
+  }
+
+  /** A sentinel timestamp literal (epoch µs) in the fixture's own `ts`
+    * encoding, so staged sentinel files unify with the events schema. */
+  private def tsLit(us: Long, tsType: org.apache.spark.sql.types.DataType)
+      : org.apache.spark.sql.Column = tsType match {
+    case org.apache.spark.sql.types.LongType => lit(us * 1000L) // raw nanos
+    case t => timestamp_micros(lit(us)).cast(t)
+  }
+
+  /** Write `sentinels` (already in the events schema) as one parquet
+    * file inside `streamDir` so the bounded replay sees them as a
+    * second input file. Returns the scratch dir for cleanup. */
+  private def stageSentinels(sentinels: DataFrame,
+                             streamDir: java.nio.file.Path,
+                             prefix: String): java.nio.file.Path = {
+    val tmp = java.nio.file.Files.createTempDirectory(prefix)
+    sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = tmp.toFile.listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet")).head
+    java.nio.file.Files.move(part.toPath, streamDir.resolve("sentinels.parquet"))
+    tmp
+  }
+
+  /** Test hook: stage `dir/events.parquet` and open it as a bounded
+    * file stream with `ts` normalized — the exact read path the
+    * OverFiles queries use, exposed so specs exercise it against
+    * whatever encoding the fixture vintage ships. */
+  private[graft] def stageEventStreamForTest(
+      spark: org.apache.spark.sql.SparkSession, dir: String)
+      : (DataFrame, java.nio.file.Path) = {
+    val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-test-stream")
+    (stream, streamDir)
+  }
+
   /** Remove a staged streaming directory once its bounded run is done
     * (each run-to-completion query stages a corpus copy). */
   private[graft] def deleteStaged(p: java.nio.file.Path): Unit = {
@@ -88,21 +173,7 @@ object EventStream {
     * final window never passes the watermark in append mode. */
   def windowedCountsOverFiles(spark: org.apache.spark.sql.SparkSession,
                               dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // FileStreamSource wants a DIRECTORY of files (the unit a real
-    // deployment tails); stage the single test parquet into one
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-stream")
     val name = s"graft_stream_wc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = withBoundedStateParallelism(spark) {
       windowedCounts(stream, watermark = "0 seconds")
@@ -127,23 +198,11 @@ object EventStream {
     * against a pure-SQL twin of the same join+agg. */
   def streamStaticJoinOverFiles(spark: org.apache.spark.sql.SparkSession,
                                 dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val typeAvg = graft.Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg((sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
         .cast("double") / count(lit(1))).as("avg_value"))
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-stream")
     val name = s"graft_stream_ss_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = withBoundedStateParallelism(spark) {
       stream.join(broadcast(typeAvg), Seq("event_type"))
@@ -183,11 +242,6 @@ object EventStream {
   def outlierScoreOverFiles(spark: org.apache.spark.sql.SparkSession,
                             dir: String): DataFrame = {
     import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
     val stats = graft.Tables.events(spark, dir)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).cast("double").as("n"),
@@ -196,11 +250,7 @@ object EventStream {
           .cast("double").as("sxx"))
       .select(col("event_type"), (col("sx") / col("n")).as("mean"),
         sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")).as("sd"))
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
+    val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-stream")
     val name = s"graft_stream_oz_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = stream.join(broadcast(stats), Seq("event_type"))
       .select(col("event_id"), col("event_type"),
@@ -305,18 +355,7 @@ object EventStream {
     * documented contract, not a defect.) */
   def distinctKeysOverFiles(spark: org.apache.spark.sql.SparkSession,
                             dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-dk-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-dk-stream")
     val name = s"graft_stream_dk_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = withBoundedStateParallelism(spark) {
       stream
@@ -400,31 +439,21 @@ object EventStream {
     spark.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val tsType = eventsTsType(spark, dir)
       val batch = graft.Tables.events(spark, dir)
       val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
       val sentinelUs = maxUs + (gapMinutes + 60L) * 60000000L
       val sentinels = batch.select(col("user_id")).distinct()
         .select((col("user_id") + 1000000000L).as("event_id"),
-          lit(sentinelUs * 1000L).as("ts"),
+          tsLit(sentinelUs, tsType).as("ts"),
           col("user_id"), lit("flush").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props"))
       val streamDir = java.nio.file.Files.createTempDirectory("graft-tws-stream")
       java.nio.file.Files.copy(
         java.nio.file.Path.of(s"$dir/events.parquet"),
         streamDir.resolve("events.parquet"))
-      val tmp = java.nio.file.Files.createTempDirectory("graft-tws-sentinel")
-      sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = tmp.toFile.listFiles()
-        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-      java.nio.file.Files.move(part.toPath, streamDir.resolve("sentinels.parquet"))
-      val schema = StructType(Seq(
-        StructField("event_id", LongType), StructField("ts", LongType),
-        StructField("user_id", LongType), StructField("event_type", StringType),
-        StructField("value", DoubleType), StructField("props", StringType)))
-      val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        .as[Event]
+      val tmp = stageSentinels(sentinels, streamDir, "graft-tws-sentinel")
+      val stream = openEventStream(spark, streamDir, tsType).as[Event]
       val name = s"graft_stream_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
       val q = withBoundedStateParallelism(spark) {
         stream.groupByKey(_.user_id)
@@ -463,32 +492,21 @@ object EventStream {
   def sessionizeOverFiles(spark: org.apache.spark.sql.SparkSession,
                           dir: String, gapMinutes: Int = 30): DataFrame = {
     import spark.implicits._
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = eventsTsType(spark, dir)
     val batch = graft.Tables.events(spark, dir)
     val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
     val sentinelUs = maxUs + (gapMinutes + 60L) * 60000000L
     val sentinels = batch.select(col("user_id")).distinct()
       .select((col("user_id") + 1000000000L).as("event_id"),
-        lit(sentinelUs * 1000L).as("ts"), // raw nanos, like the fixture
+        tsLit(sentinelUs, tsType).as("ts"), // fixture's own ts encoding
         col("user_id"), lit("flush").as("event_type"),
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-sess-stream")
     java.nio.file.Files.copy(
       java.nio.file.Path.of(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-sess-sentinel")
-    sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = tmp.toFile.listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-    java.nio.file.Files.move(part.toPath, streamDir.resolve("sentinels.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .as[Event]
+    val tmp = stageSentinels(sentinels, streamDir, "graft-sess-sentinel")
+    val stream = openEventStream(spark, streamDir, tsType).as[Event]
     val name = s"graft_stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = withBoundedStateParallelism(spark) {
       sessionize(stream, gapMinutes)
@@ -535,18 +553,7 @@ object EventStream {
     * twins: the result is exactly the batch interval self-join. */
   def intervalJoinOverFiles(spark: org.apache.spark.sql.SparkSession,
                             dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-ij-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-ij-stream")
     val name = s"graft_stream_ij_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     // a stream-stream join keeps FOUR state stores per shuffle
     // four state stores per shuffle partition here — see
@@ -583,14 +590,13 @@ object EventStream {
     * bounded exactly as in the inner form. */
   def intervalJoinOuterOverFiles(spark: org.apache.spark.sql.SparkSession,
                                  dir: String): DataFrame = {
-    import org.apache.spark.sql.types._
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = eventsTsType(spark, dir)
     val batch = graft.Tables.events(spark, dir)
     val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
     val sentinelUs = maxUs + 3L * 3600000000L
     val sentinels = spark.range(2).toDF("i")
       .select((col("i") + 2000000000L).as("event_id"),
-        lit(sentinelUs * 1000L).as("ts"),
+        tsLit(sentinelUs, tsType).as("ts"),
         (-col("i") - 1L).as("user_id"),
         when(col("i") === 0, "error").otherwise("click").as("event_type"),
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
@@ -598,17 +604,8 @@ object EventStream {
     java.nio.file.Files.copy(
       java.nio.file.Path.of(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val tmp = java.nio.file.Files.createTempDirectory("graft-ijo-sentinel")
-    sentinels.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-    val part = tmp.toFile.listFiles()
-      .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).head
-    java.nio.file.Files.move(part.toPath, streamDir.resolve("sentinels.parquet"))
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    val stream = spark.readStream.schema(schema).parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val tmp = stageSentinels(sentinels, streamDir, "graft-ijo-sentinel")
+    val stream = openEventStream(spark, streamDir, tsType)
     val name = s"graft_stream_ijo_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = withBoundedStateParallelism(spark) {
       val e = stream.filter(col("event_type") === "error")

@@ -48,23 +48,11 @@ class StreamingSpec extends SparkSpec {
 
   test("file-source streaming agg matches the batch time_window result") {
     import spark.implicits._
-    import org.apache.spark.sql.types._
-    // stream the real events parquet: ts arrives as raw nanos (same
-    // nanosAsLong path as the batch loader), converted before windowing
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    // FileStreamSource wants a directory; stage the single parquet file
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$sf0001/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(schema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    // stream the real events parquet through the same vintage-aware
+    // staging the library uses (ts may ship as TIMESTAMP(NANOS) or
+    // TIMESTAMP(MICROS) depending on fixture generation)
+    val (stream, streamDir) =
+      graft.streaming.EventStream.stageEventStreamForTest(spark, sf0001)
     val q = graft.streaming.EventStream
       .windowedCounts(stream, watermark = "0 seconds")
       .writeStream.format("memory").queryName("file_wc")

@@ -26,17 +26,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def _stringify_nested(df):
-    # array/struct cells (numpy arrays, lists, dicts) are unhashable, so
-    # pandas sort_values can't factorize them — stringify first. Both
-    # frames come through duckdb .df(), so formatting is consistent.
-    d = df.copy()
-    for c in d.columns:
-        if d[c].map(lambda v: isinstance(v, (list, tuple, dict))
-                    or hasattr(v, "tolist")).any():
-            d[c] = d[c].map(lambda v: str(v.tolist())
-                            if hasattr(v, "tolist") else str(v))
-    return d
+def _nested_cols(df):
+    # The driver's comparator sorts by all columns with pandas, which
+    # cannot factorize array/struct cells (unhashable numpy arrays) —
+    # such a query errors out in the real gate. Mirror that strictly:
+    # report nested columns as failures so they get string-encoded in
+    # the query itself, never papered over here.
+    return [c for c in df.columns
+            if df[c].map(lambda v: isinstance(v, (list, tuple, dict))
+                         or hasattr(v, "tolist")).any()]
 
 
 def compare(name, spark_df, oracle_df):
@@ -47,7 +45,10 @@ def compare(name, spark_df, oracle_df):
     if len(spark_df) != len(oracle_df):
         issues.append(f"row count: spark={len(spark_df)} oracle={len(oracle_df)}")
         return issues
-    spark_df, oracle_df = _stringify_nested(spark_df), _stringify_nested(oracle_df)
+    nested = sorted(set(_nested_cols(spark_df)) | set(_nested_cols(oracle_df)))
+    if nested:
+        return [f"nested (array/struct) columns would crash the driver "
+                f"comparator: {nested} — string-encode them in the query"]
     s = spark_df[sc].sort_values(by=sc, ignore_index=True)
     o = oracle_df[oc].sort_values(by=oc, ignore_index=True)
     for c in sc:
