@@ -110,6 +110,8 @@ object SparkEntry {
     "sim_lsh_buckets" -> Similarity.lshBuckets _,
     "sim_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "sim_ivf_assign" -> Similarity.ivfAssign _,
+    "kmeans_inertia" -> Similarity.kmeansInertia _,
+    "ivf_recall_sweep" -> ((s, dir) => Similarity.ivfRecallSweep(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     // ── LLM-pipeline: multimodal columns ──
     "multimodal_meta" -> Multimodal.meta _,
@@ -166,6 +168,7 @@ object SparkEntry {
     // ── LLM-pipeline round 3: decontamination, repetition quality,
     //    grouped top-k vocabulary ──
     "decontaminate_ngrams" -> TextAnalysis.decontaminate _,
+    "boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "quality_repetition" -> TextAnalysis.qualityRepetition _,
     "top_tokens_per_lang" -> TextAnalysis.topTokensPerLang _,
     // ── embedding compression audit ──
@@ -360,6 +363,8 @@ object SparkEntry {
     "sim_lsh_buckets" -> Similarity.lshBucketsOracle,
     "sim_ann_lsh" -> Similarity.annLshOracle,
     "sim_ivf_assign" -> Similarity.ivfAssignOracle,
+    "kmeans_inertia" -> Similarity.kmeansInertiaOracle,
+    "ivf_recall_sweep" -> Similarity.ivfRecallSweepOracle,
     "sim_ann_ivf" -> Similarity.annIvfOracle,
     "multimodal_meta" -> Multimodal.metaOracle,
     // stub decode is deterministic byte arithmetic → fully oracled
@@ -408,6 +413,7 @@ object SparkEntry {
     "q19_disjunctive_revenue" -> Relational.q19Oracle,
     "q13_order_distribution" -> Relational.q13Oracle,
     "decontaminate_ngrams" -> TextAnalysis.decontaminateOracle,
+    "boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsOracle,
     "quality_repetition" -> TextAnalysis.qualityRepetitionOracle,
     "top_tokens_per_lang" -> TextAnalysis.topTokensPerLangOracle,
     "embedding_quantize" -> Similarity.embeddingQuantizeOracle,

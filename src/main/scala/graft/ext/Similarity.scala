@@ -287,8 +287,11 @@ object Similarity {
   }
 
   /** Vectors scored against the k-means centroids: one corpus scan
-    * against the broadcast centroid table, argmax per row. */
-  private def withAssignments(spark: SparkSession, dir: String): DataFrame = {
+    * against the broadcast centroid table, argmax per row. Keeps the
+    * `maxProbe` best lists per vector (default [[NProbe]]) plus each
+    * list's centroid norm, so downstream reports need no re-join. */
+  private def withAssignments(spark: SparkSession, dir: String,
+                              maxProbe: Int = NProbe): DataFrame = {
     import spark.implicits._
     val e = embeddingsD(spark, dir)
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
@@ -297,11 +300,11 @@ object Similarity {
     val w = Window.partitionBy("vec_id")
       .orderBy(col("centroid_sim").desc, col("list_id"))
     e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"),
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"), col("cn"),
         round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("centroid_sim"))
       .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= NProbe)
-      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"),
+      .filter(col("rk") <= maxProbe)
+      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"), col("cn"),
         col("centroid_sim"), col("rk").cast("long").as("probe_rank"))
   }
 
@@ -394,6 +397,126 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  /** Per-list k-means quality report: member count, spherical inertia
+    * (Σ cosine distance to the owning centroid), and the centroid
+    * norm — the index-health dashboard read before trusting an IVF
+    * layout (a near-empty list or an outsized inertia means the
+    * coarse quantizer misfits the data and nprobe recall will sag).
+    * One aggregate over the primary assignments; the sum is a
+    * decimal-exact fold of the already-rounded per-row distances, so
+    * partition order can't move the total. */
+  def kmeansInertia(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    withAssignments(spark, dir)
+      .filter(col("probe_rank") === 1)
+      .groupBy(col("list_id"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(sum((lit(1.0) - col("centroid_sim")).cast(DecimalType(28, 12)))
+          .cast("double"), 6).as("inertia"),
+        round(first(col("cn")), 6).as("centroid_norm"))
+      .select(col("list_id").cast("long").as("list_id"), col("n_vecs"),
+        col("inertia"), col("centroid_norm"))
+      .orderBy("list_id")
+  }
+
+  def kmeansInertiaOracle: String =
+    s"""WITH $ivfCommonSql
+       |SELECT CAST(s.list_id AS BIGINT) AS list_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  round(CAST(SUM(CAST(1.0 - s.centroid_sim AS DECIMAL(28,12))) AS DOUBLE), 6)
+       |    AS inertia,
+       |  round(MAX(c.cn), 6) AS centroid_norm
+       |FROM scoredc s JOIN cents c USING (list_id)
+       |WHERE s.probe_rank = 1
+       |GROUP BY s.list_id ORDER BY list_id""".stripMargin
+
+  val RecallSweepProbes = Seq(1, 2, 4)
+
+  /** Recall\@k of the IVF index against exact brute force, swept over
+    * nprobe — the accuracy-vs-cost curve that decides the index's
+    * operating point (each probed list scores ≈ 1/[[NumLists]] of the
+    * corpus, so nprobe IS the fraction of brute-force work spent).
+    * Per (nprobe, query): how many of the true top-k the probe set
+    * recovered. The brute pass is query-set-bounded (broadcast
+    * queries × one corpus scan — the [[bruteForceTopK]] shape), the IVF
+    * passes reuse ONE persisted assignment scan across the sweep, and
+    * every ranking funnels through the bounded-heap aggregate, so the
+    * sweep adds list-lookup joins, never extra corpus scans. */
+  def ivfRecallSweep(spark: SparkSession, dir: String,
+                     numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val assign = withAssignments(spark, dir,
+      maxProbe = RecallSweepProbes.max).persist()
+    val members = assign.filter(col("probe_rank") === 1)
+      .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
+    val qs = assign.filter(col("probe_rank") === 1 &&
+        col("vec_id") >= NumLists && col("vec_id") < NumLists + numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val brute = topKPerQuery(
+      members.crossJoin(broadcast(qs))
+        .filter(col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim")),
+      k).select(col("query_id"), col("neighbor_id"))
+    val sweep = RecallSweepProbes.map { np =>
+      val probes = assign.filter(col("probe_rank") <= np &&
+          col("vec_id") >= NumLists && col("vec_id") < NumLists + numQueries)
+        .select(col("vec_id").as("query_id"), col("v").as("qv"),
+          col("nrm").as("qn"), col("list_id"))
+      val ivfTop = topKPerQuery(
+        probes.join(members, Seq("list_id"))
+          .filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim")),
+        k).select(col("query_id"), col("neighbor_id"))
+      qs.select(col("query_id"))
+        .join(ivfTop.join(brute, Seq("query_id", "neighbor_id"))
+          .groupBy("query_id").agg(count(lit(1)).as("n_matched")),
+          Seq("query_id"), "left")
+        .select(lit(np).cast("long").as("nprobe"), col("query_id"),
+          coalesce(col("n_matched"), lit(0L)).as("n_matched"),
+          round(coalesce(col("n_matched"), lit(0L)) / lit(k.toDouble), 4)
+            .as("recall_at_k"))
+    }.reduce(_ unionAll _)
+    sweep.orderBy("nprobe", "query_id")
+  }
+
+  def ivfRecallSweepOracle: String = {
+    val k = 5
+    val perNp = RecallSweepProbes.map { np =>
+      s"""SELECT $np AS nprobe, q.query_id, ivf$np.neighbor_id
+         |FROM qs q LEFT JOIN (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT p.query_id, m.vec_id AS neighbor_id,
+         |      row_number() OVER (PARTITION BY p.query_id
+         |        ORDER BY round(list_dot_product(p.qv, m.v) / (p.qn * m.nrm), 6) DESC,
+         |                 m.vec_id) AS rk
+         |    FROM probes p JOIN members m ON p.list_id = m.list_id
+         |     AND m.vec_id <> p.query_id
+         |    WHERE p.probe_rank <= $np) t WHERE rk <= $k
+         |) ivf$np ON q.query_id = ivf$np.query_id""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $ivfCommonSql,
+       |members AS (SELECT list_id, vec_id, v, nrm FROM scoredc WHERE probe_rank = 1),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM scoredc
+       |  WHERE probe_rank = 1 AND vec_id >= $NumLists AND vec_id < ${NumLists + 5}),
+       |probes AS (SELECT s.vec_id AS query_id, q.qv, q.qn, s.list_id, s.probe_rank
+       |  FROM scoredc s JOIN qs q ON s.vec_id = q.query_id),
+       |brute AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, m.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_dot_product(q.qv, m.v) / (q.qn * m.nrm), 6) DESC,
+       |                 m.vec_id) AS rk
+       |    FROM qs q JOIN members m ON m.vec_id <> q.query_id) t WHERE rk <= $k),
+       |cand AS ($perNp)
+       |SELECT c.nprobe AS nprobe, c.query_id AS query_id,
+       |  CAST(COUNT(b.neighbor_id) AS BIGINT) AS n_matched,
+       |  round(COUNT(b.neighbor_id) / CAST($k AS DOUBLE), 4) AS recall_at_k
+       |FROM cand c LEFT JOIN brute b
+       |  ON c.query_id = b.query_id AND c.neighbor_id = b.neighbor_id
+       |GROUP BY c.nprobe, c.query_id
+       |ORDER BY c.nprobe, c.query_id""".stripMargin
+  }
 
   def annLshOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

@@ -359,6 +359,80 @@ object TextAnalysis {
        |  COALESCE(top_word_frac > 0.09 OR top_bigram_frac > 0.04, false) AS repetitive
        |FROM feat ORDER BY doc_id""".stripMargin
 
+  // ── cross-document boilerplate (shared n-gram) detection ──
+
+  val BoilerN = 4
+  val BoilerDf = 3
+  val BoilerFracFlag = 0.05
+
+  /** CCNet-style boilerplate detection, n-gram form (this corpus has
+    * no line structure, so repeated word [[BoilerN]]-grams stand in
+    * for repeated lines): a gram appearing in ≥ [[BoilerDf]] DISTINCT
+    * documents is boilerplate (headers, footers, license blurbs,
+    * navigation chrome — text shared across pages, not written for
+    * this one), and each document reports what fraction of its gram
+    * positions that shared material claims.
+    *
+    * Scale shape: one explode of the gram stream → a per-(doc, gram)
+    * occurrence aggregate (map-side combined; its row count is
+    * per-doc DISTINCT grams, not positions). df per gram then
+    * derives from THAT frame — already partitioned by gram after one
+    * hash shuffle — and the df verdict joins back to the same frame
+    * co-partitioned on gram, so AQE reuses the exchange instead of
+    * re-shuffling the corpus. Nothing is pairwise across documents;
+    * cost is O(gram positions) + two bounded aggregates — the same
+    * discipline as [[decontaminate]], which this differs from by
+    * needing no reference set: the corpus itself defines "shared".
+    * Docs with fewer than [[BoilerN]] tokens have no gram positions
+    * and report NULL fraction (SQL division), never flagged. */
+  def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
+    val perDocGram = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        explode(graft.functions.WordNGrams(
+          tokens(col("text")), BoilerN, distinct = false)).as("g"))
+      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+    val df = perDocGram.groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerDf)
+    val boilerPerDoc = perDocGram.join(df, Seq("g"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_boiler"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        greatest(size(tokens(col("text"))) - (BoilerN - 1), lit(0))
+          .cast("long").as("n_grams"))
+      .join(boilerPerDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
+        round(coalesce(col("n_boiler"), lit(0L)) / col("n_grams"), 6)
+          .as("boiler_frac"))
+      .withColumn("flagged",
+        coalesce(col("boiler_frac") >= BoilerFracFlag, lit(false)))
+      .orderBy("doc_id")
+  }
+
+  def boilerplateNgramsOracle: String =
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |grams AS (SELECT doc_id,
+       |    list_transform(range(greatest(len(ws) - ${BoilerN - 1}, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4])
+       |      AS gs FROM toks),
+       |pdg AS (SELECT doc_id, g, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT doc_id, unnest(gs) AS g FROM grams) u GROUP BY doc_id, g),
+       |df AS (SELECT g FROM pdg GROUP BY g HAVING COUNT(*) >= $BoilerDf),
+       |bpd AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_boiler
+       |  FROM pdg JOIN df USING (g) GROUP BY doc_id),
+       |base AS (SELECT doc_id, CAST(greatest(len(gs), 0) AS BIGINT) AS n_grams
+       |  FROM grams)
+       |SELECT b.doc_id, b.n_grams,
+       |  COALESCE(bpd.n_boiler, 0) AS n_boiler,
+       |  round(COALESCE(bpd.n_boiler, 0) / CAST(b.n_grams AS DOUBLE), 6)
+       |    AS boiler_frac,
+       |  COALESCE(round(COALESCE(bpd.n_boiler, 0) / CAST(b.n_grams AS DOUBLE), 6)
+       |      >= $BoilerFracFlag, false) AS flagged
+       |FROM base b LEFT JOIN bpd ON b.doc_id = bpd.doc_id
+       |ORDER BY b.doc_id""".stripMargin
+
   // ── per-group top-k (vocabulary head per language) ──
 
   /** Top 5 tokens per language by frequency — the grouped-top-k

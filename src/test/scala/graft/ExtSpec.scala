@@ -161,6 +161,52 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("boilerplate fraction is a valid ratio and flags only above threshold") {
+    val rows = TextAnalysis.boilerplateNgrams(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val nGrams = r.getAs[Long]("n_grams")
+      val nBoiler = r.getAs[Long]("n_boiler")
+      assert(nBoiler >= 0 && nBoiler <= nGrams,
+        s"boiler positions $nBoiler exceed gram positions $nGrams")
+      val frac = Option(r.getAs[java.lang.Double]("boiler_frac"))
+      val flagged = r.getAs[Boolean]("flagged")
+      frac match {
+        case Some(f) =>
+          assert(f >= 0.0 && f <= 1.0)
+          assert(flagged == (f >= TextAnalysis.BoilerFracFlag))
+        case None => // doc shorter than the gram width
+          assert(nGrams == 0 && !flagged)
+      }
+    }
+  }
+
+  test("IVF recall is monotone in nprobe and perfect recall needs all probed lists") {
+    val rows = ext.Similarity.ivfRecallSweep(spark, sf0001).collect()
+    val byProbe = rows.groupBy(_.getAs[Long]("nprobe")).view
+      .mapValues(_.map(_.getAs[Double]("recall_at_k")).sum).toMap
+    val probes = ext.Similarity.RecallSweepProbes.map(_.toLong)
+    assert(byProbe.keySet == probes.toSet)
+    // more probed lists can only widen the candidate set
+    probes.sliding(2).foreach { case Seq(a, b) =>
+      assert(byProbe(a) <= byProbe(b),
+        s"recall sum fell from nprobe=$a (${byProbe(a)}) to nprobe=$b (${byProbe(b)})")
+    }
+    rows.foreach { r =>
+      val k = r.getAs[Double]("recall_at_k")
+      assert(k >= 0.0 && k <= 1.0)
+    }
+  }
+
+  test("k-means inertia report covers the corpus exactly once") {
+    val rows = ext.Similarity.kmeansInertia(spark, sf0001).collect()
+    val nVecs = Tables.embeddings(spark, sf0001).count()
+    assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs,
+      "every vector belongs to exactly one list")
+    assert(rows.length <= ext.Similarity.NumLists)
+    rows.foreach(r => assert(r.getAs[Double]("inertia") >= 0.0))
+  }
+
   test("product quantization: words pack 8 4-bit codes, errors non-negative, deterministic") {
     import org.apache.spark.sql.functions._
     val codes = ext.Similarity.pqCodes(spark, sf0001).collect()
