@@ -966,7 +966,7 @@ object Similarity {
     * tf pass; dense: one broadcast scoring scan). Unranked sides
     * report rank 0 and contribute 0 to the fused score. */
   def rrfFusion(spark: SparkSession, dir: String): DataFrame = {
-    val wLex = Window.orderBy(col("score").desc, col("doc_id"))
+    val wLex = graft.BoundedWindow.orderBy(col("score").desc, col("doc_id")) // bm25 head: <= Bm25TopK rows
     val lex = TextAnalysis.bm25Search(spark, dir)
       .select(col("doc_id"), row_number().over(wLex).cast("long").as("rank_lex"))
     val e = embeddingsD(spark, dir)
@@ -976,7 +976,7 @@ object Similarity {
     val scored = e.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
-    val wDense = Window.orderBy(col("cos_sim").desc, col("doc_id"))
+    val wDense = graft.BoundedWindow.orderBy(col("cos_sim").desc, col("doc_id")) // post-limit: <= RrfTopK rows
     val dense = scored.orderBy(col("cos_sim").desc, col("doc_id")).limit(RrfTopK)
       .withColumn("rank_dense", row_number().over(wDense).cast("long"))
       .select("doc_id", "rank_dense")

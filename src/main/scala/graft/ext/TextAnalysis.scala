@@ -800,7 +800,7 @@ object TextAnalysis {
       .groupBy("tok").agg(count(lit(1)).as("c"))
     val byC = vocab.groupBy("c").agg(count(lit(1)).as("m"))
     // global window over the distinct-count frame only (√-bounded)
-    val wC = Window.orderBy(col("c").desc)
+    val wC = graft.BoundedWindow.orderBy(col("c").desc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val blocks = byC.withColumn("s",
       coalesce(sum(col("m")).over(wC), lit(0L)) + lit(1L))

@@ -41,7 +41,7 @@ object Nonparam {
       .rowsBetween(Window.unboundedPreceding, -1)
     // bucket-prefix totals: one row per bucket; the window over them is
     // single-partition but bounded by the value DOMAIN, not the data
-    val wB = Window.orderBy("bkt")
+    val wB = graft.BoundedWindow.orderBy(col("bkt"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefix = b.groupBy("bkt")
       .agg(sum("ca").as("ta"), sum("cb").as("tb"))

@@ -2364,7 +2364,7 @@ object Relational {
             col("pmax"), lit(64))).as("bkt"))
     // cross-bucket dominance: max size over all strictly-earlier
     // buckets (every price there is strictly smaller) — |buckets| rows
-    val wPrev = Window.orderBy("bkt").rowsBetween(Window.unboundedPreceding, -1)
+    val wPrev = graft.BoundedWindow.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
     val prevMax = bucketed.groupBy("bkt").agg(max("p_size").as("bmax"))
       .withColumn("prev_max",
         coalesce(max(col("bmax")).over(wPrev), lit(Int.MinValue)))

@@ -107,7 +107,7 @@ object TimeSeries {
       .agg(sqrt(dsum6(col("dev") * col("dev")) /
         col("n").cast("double")).as("sigma"))
       .select(col("sigma"), col("n"), col("mean"))
-    val wCum = Window.orderBy("d")
+    val wCum = graft.BoundedWindow.orderBy(col("d")) // one row per day: calendar-bounded
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = dev.select(col("d"),
       sum(col("dev").cast(DecimalType(38, 6))).over(wCum).cast("double").as("s_t"))
