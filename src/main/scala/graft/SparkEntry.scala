@@ -169,6 +169,8 @@ object SparkEntry {
     //    grouped top-k vocabulary ──
     "decontaminate_ngrams" -> TextAnalysis.decontaminate _,
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
+    "dsir_weights" -> TextAnalysis.dsirWeights _,
+    "dedup_semantic" -> Similarity.semanticDedup _,
     "quality_repetition" -> TextAnalysis.qualityRepetition _,
     "top_tokens_per_lang" -> TextAnalysis.topTokensPerLang _,
     // ── embedding compression audit ──
@@ -414,6 +416,8 @@ object SparkEntry {
     "q13_order_distribution" -> Relational.q13Oracle,
     "decontaminate_ngrams" -> TextAnalysis.decontaminateOracle,
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsOracle,
+    "dsir_weights" -> TextAnalysis.dsirWeightsOracle,
+    "dedup_semantic" -> Similarity.semanticDedupOracle,
     "quality_repetition" -> TextAnalysis.qualityRepetitionOracle,
     "top_tokens_per_lang" -> TextAnalysis.topTokensPerLangOracle,
     "embedding_quantize" -> Similarity.embeddingQuantizeOracle,

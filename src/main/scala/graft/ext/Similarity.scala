@@ -518,6 +518,59 @@ object Similarity {
        |ORDER BY c.nprobe, c.query_id""".stripMargin
   }
 
+  val SemDedupTau = 0.4
+
+  /** SemDeDup-style semantic deduplication: cluster with the k-means
+    * coarse quantizer, then drop near-duplicate EMBEDDINGS — pairs
+    * with cosine ≥ [[SemDedupTau]] inside the SAME cluster, each dup
+    * keeping its lowest-id qualifying neighbor as the survivor. One
+    * row per removed vector (the training-set delete list).
+    *
+    * The cluster restriction is the scale contract: pairing is
+    * per-list (≈ n/[[NumLists]] rows each) instead of a corpus cross
+    * join — the SemDeDup observation that true semantic dups land in
+    * the same cluster, trading the recall of the exact O(n²) pass
+    * ([[graft.ext.Dedup.embeddingNearDup]]) for per-cluster cost,
+    * exactly like the LSH-bucketed variant trades on bucket
+    * collisions. Keeper choice is the same min-id discipline as the
+    * exact/minhash dedup family, so delete lists compose. */
+  def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
+    val members = withAssignments(spark, dir)
+      .filter(col("probe_rank") === 1)
+      .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
+      .persist()
+    val a = members.select(col("list_id"), col("vec_id").as("a_id"),
+      col("v").as("av"), col("nrm").as("an"))
+    val b = members.select(col("list_id"), col("vec_id").as("b_id"),
+      col("v").as("bv"), col("nrm").as("bn"))
+    a.join(b, Seq("list_id"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("list_id"), col("a_id"), col("b_id"),
+        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= SemDedupTau)
+      // keeper = the LOWEST qualifying id; min over (a_id, cos) tuples
+      // picks it plus the cosine to it in one hash aggregate
+      .groupBy(col("b_id"))
+      .agg(min(struct(col("a_id"), col("cos_sim"), col("list_id"))).as("k"))
+      .select(col("b_id").as("vec_id"), col("k.a_id").as("keeper_id"),
+        col("k.cos_sim").as("cos_to_keeper"),
+        col("k.list_id").cast("long").as("list_id"))
+      .orderBy("vec_id")
+  }
+
+  def semanticDedupOracle: String =
+    s"""WITH $ivfCommonSql,
+       |members AS (SELECT list_id, vec_id, v, nrm FROM scoredc WHERE probe_rank = 1),
+       |pairs AS (SELECT a.list_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM members a JOIN members b
+       |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+       |q AS (SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY a_id) AS rk
+       |  FROM pairs WHERE cos_sim >= $SemDedupTau)
+       |SELECT b_id AS vec_id, a_id AS keeper_id, cos_sim AS cos_to_keeper,
+       |  CAST(list_id AS BIGINT) AS list_id
+       |FROM q WHERE rk = 1 ORDER BY vec_id""".stripMargin
+
   def annLshOracle: String =
     s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |proj AS (SELECT vec_id, p,

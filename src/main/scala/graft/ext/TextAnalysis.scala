@@ -433,6 +433,80 @@ object TextAnalysis {
        |FROM base b LEFT JOIN bpd ON b.doc_id = bpd.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  // ── DSIR-style importance weights (target-vs-corpus log-ratio) ──
+
+  /** Data selection by importance resampling, unigram form: each
+    * training document scores the average log-ratio of a smoothed
+    * target language model (the [[EvalSource]] slice — the
+    * distribution we WANT more of) against the smoothed whole-corpus
+    * model. Positive = looks more like the target than the corpus
+    * average; downstream selection keeps the top slice or samples
+    * proportionally (the DSIR recipe, with word unigrams standing in
+    * for hashed n-gram features).
+    *
+    * Scale shape: both language models are vocabulary-sized
+    * aggregates (map-side combined), their join is vocab-on-vocab
+    * co-partitioned by token, and each train doc folds its distinct
+    * tokens against that frame — cost is O(token positions) with
+    * nothing corpus-pairwise. Determinism: per-token log-ratios are
+    * rounded to 9 decimals, weighted by exact integer counts, summed
+    * decimal-exact, averaged, rounded to 6 — partition-order-free and
+    * engine-identical (same discipline as [[klSourceDivergence]]). */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
+    val corpusCounts = toks.groupBy("w").agg(count(lit(1)).as("cc"))
+    val targetCounts = toks.filter(col("source") === EvalSource)
+      .groupBy("w").agg(count(lit(1)).as("ct"))
+    val vocabStats = corpusCounts
+      .agg(count(lit(1)).as("vsz"), sum("cc").as("nc"))
+    val targetTotal = toks.filter(col("source") === EvalSource)
+      .agg(count(lit(1)).as("nt"))
+    val ratio = corpusCounts.join(targetCounts, Seq("w"), "left")
+      .crossJoin(broadcast(vocabStats)).crossJoin(broadcast(targetTotal))
+      .select(col("w"), round(
+        log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
+          (col("nt") + col("vsz")).cast("double")) -
+          log((col("cc") + lit(1L)).cast("double") /
+            (col("nc") + col("vsz")).cast("double")), 9).as("r"))
+    val perDoc = toks.filter(col("source") =!= EvalSource)
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+    perDoc.join(ratio, Seq("w"))
+      .groupBy("doc_id")
+      .agg(sum(col("c")).as("n_tokens"),
+        sum((col("c") * col("r")).cast(DecimalType(28, 12))).as("s"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("s").cast("double") / col("n_tokens"), 6).as("avg_logratio"))
+      .withColumn("toward_target", col("avg_logratio") > 0)
+      .orderBy("doc_id")
+  }
+
+  def dsirWeightsOracle: String =
+    s"""WITH tk AS (SELECT doc_id, source, g AS w
+       |  FROM (SELECT doc_id, source, unnest(ws) AS g
+       |        FROM (SELECT doc_id, source, $tokensSql AS ws FROM documents) t) u),
+       |cc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cc FROM tk GROUP BY w),
+       |ct AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM tk
+       |  WHERE source = '$EvalSource' GROUP BY w),
+       |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz,
+       |    CAST(SUM(cc) AS BIGINT) AS nc FROM cc),
+       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tk
+       |  WHERE source = '$EvalSource'),
+       |ratio AS (SELECT cc.w, round(
+       |    ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / CAST(tt.nt + vs.vsz AS DOUBLE)) -
+       |    ln(CAST(cc.cc + 1 AS DOUBLE) / CAST(vs.nc + vs.vsz AS DOUBLE)), 9) AS r
+       |  FROM cc LEFT JOIN ct USING (w), vs, tt),
+       |pd AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM tk
+       |  WHERE source <> '$EvalSource' GROUP BY doc_id, w)
+       |SELECT pd.doc_id, CAST(SUM(pd.c) AS BIGINT) AS n_tokens,
+       |  round(CAST(SUM(CAST(pd.c * ratio.r AS DECIMAL(28,12))) AS DOUBLE)
+       |    / CAST(SUM(pd.c) AS DOUBLE), 6) AS avg_logratio,
+       |  round(CAST(SUM(CAST(pd.c * ratio.r AS DECIMAL(28,12))) AS DOUBLE)
+       |    / CAST(SUM(pd.c) AS DOUBLE), 6) > 0 AS toward_target
+       |FROM pd JOIN ratio ON pd.w = ratio.w
+       |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+
   // ── per-group top-k (vocabulary head per language) ──
 
   /** Top 5 tokens per language by frequency — the grouped-top-k

@@ -207,6 +207,34 @@ class ExtSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("inertia") >= 0.0))
   }
 
+  test("semantic dedup pairs are a subset of the exact near-dup pairs") {
+    val sem = ext.Similarity.semanticDedup(spark, sf0001).collect()
+    val brute = Dedup.embeddingNearDup(spark, sf0001,
+        threshold = ext.Similarity.SemDedupTau).collect()
+      .map(r => (r.getAs[Long]("d1"), r.getAs[Long]("d2"))).toSet
+    sem.foreach { r =>
+      val dup = r.getAs[Long]("vec_id"); val keep = r.getAs[Long]("keeper_id")
+      assert(keep < dup, "keeper is the lower id")
+      assert(r.getAs[Double]("cos_to_keeper") >= ext.Similarity.SemDedupTau)
+      assert(brute.contains((keep, dup)),
+        s"cluster-restricted pair ($keep,$dup) missing from the exact pass")
+    }
+  }
+
+  test("dsir weights cover every tokenized train doc and sign matches the flag") {
+    import org.apache.spark.sql.functions._
+    val w = ext.TextAnalysis.dsirWeights(spark, sf0001).collect()
+    val expected = Tables.documents(spark, sf0001)
+      .filter(col("source") =!= ext.TextAnalysis.EvalSource &&
+        size(ext.TextAnalysis.tokens(col("text"))) > 0).count()
+    assert(w.length == expected, "one weight per train doc with tokens")
+    w.foreach { r =>
+      val a = r.getAs[Double]("avg_logratio")
+      assert(!a.isNaN && !a.isInfinite)
+      assert(r.getAs[Boolean]("toward_target") == (a > 0))
+    }
+  }
+
   test("product quantization: words pack 8 4-bit codes, errors non-negative, deterministic") {
     import org.apache.spark.sql.functions._
     val codes = ext.Similarity.pqCodes(spark, sf0001).collect()
