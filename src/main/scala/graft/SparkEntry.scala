@@ -219,6 +219,7 @@ object SparkEntry {
     "snapshot_reconstruct" -> EventOps.snapshotReconstruct _,
     "interval_coverage" -> EventOps.intervalCoverage _,
     "acf_daily_revenue" -> TimeSeries.acfDailyRevenue _,
+    "trend_robust" -> TimeSeries.trendRobust _,
     "cusum_changepoint" -> TimeSeries.cusumChangepoint _,
     "ewma_daily_revenue" -> TimeSeries.ewmaDailyRevenue _,
     "seasonality_dow" -> TimeSeries.seasonalityDow _,
@@ -460,6 +461,7 @@ object SparkEntry {
     "snapshot_reconstruct" -> EventOps.snapshotReconstructOracle,
     "interval_coverage" -> EventOps.intervalCoverageOracle,
     "acf_daily_revenue" -> TimeSeries.acfDailyRevenueOracle,
+    "trend_robust" -> TimeSeries.trendRobustOracle,
     "cusum_changepoint" -> TimeSeries.cusumChangepointOracle,
     "ewma_daily_revenue" -> TimeSeries.ewmaDailyRevenueOracle,
     "seasonality_dow" -> TimeSeries.seasonalityDowOracle,

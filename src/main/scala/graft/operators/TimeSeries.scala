@@ -270,4 +270,79 @@ object TimeSeries {
       |SELECT bi.dow, bi.n_days, round(bi.dow_mean, 2) AS mean_revenue,
       |  round(bi.idx, 6) AS seasonal_index, vr.var_explained
       |FROM bi, vr ORDER BY bi.dow""".stripMargin
+
+  /** Robust trend on the daily series: the Mann-Kendall test (is
+    * there a monotone trend, distribution-free) paired with the
+    * Theil-Sen slope (how steep, outlier-immune) — the standard
+    * robust alternative to OLS on monitoring series, where one spike
+    * day would drag a least-squares fit.
+    *
+    * Both statistics are pairwise over DAYS — the day-pair frame is
+    * calendar²-bounded (a decade is <7M pairs), never input-sized,
+    * formed AFTER the one input-sized daily aggregation (the family
+    * contract above). S and the tie correction are exact integer
+    * sums; the Sen slope is the exact interpolated median over the
+    * pair slopes (each slope an IEEE-deterministic quotient of
+    * decimal-exact diffs), holistic but over the bounded frame only.
+    * z uses the standard continuity correction; |z| > 1.96 calls the
+    * 5% two-sided trend. */
+  def trendRobust(spark: SparkSession, dir: String): DataFrame = {
+    val day = daily(spark, dir)
+    val pairs = day.select(col("d").as("d1"), col("x").as("x1"))
+      .crossJoin(day.select(col("d").as("d2"), col("x").as("x2")))
+      .filter(col("d1") < col("d2"))
+      .select(datediff(col("d2"), col("d1")).cast("double").as("gap"),
+        (col("x2") - col("x1")).as("diff"))
+    val sStat = pairs.agg(
+      sum(signum(col("diff")).cast("long")).as("s"),
+      count(lit(1)).as("n_pairs"),
+      expr("percentile(diff / gap, 0.5)").as("sen"))
+    val nF = day.agg(count(lit(1)).as("n"))
+    val ties = day.groupBy("x").agg(count(lit(1)).as("t"))
+      .filter(col("t") > 1)
+      .agg(coalesce(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)),
+        lit(0L)).as("tsum"))
+    sStat.crossJoin(broadcast(nF)).crossJoin(broadcast(ties))
+      .select(col("n").as("n_days"), col("n_pairs"), col("s").as("s_stat"),
+        ((col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("tsum"))
+          .cast("double") / 18.0).as("var_s"),
+        col("sen"))
+      .select(col("n_days"), col("n_pairs"), col("s_stat"),
+        round(when(col("s_stat") > 0,
+            (col("s_stat") - 1L).cast("double") / sqrt(col("var_s")))
+          .when(col("s_stat") < 0,
+            (col("s_stat") + 1L).cast("double") / sqrt(col("var_s")))
+          .otherwise(lit(0.0)), 4).as("z"),
+        round(col("sen"), 4).as("sen_slope"))
+      .withColumn("trend",
+        when(abs(col("z")) <= 1.96, "no trend")
+          .when(col("z") > 0, "increasing").otherwise("decreasing"))
+  }
+
+  def trendRobustOracle: String =
+    """WITH day AS (SELECT CAST(o_orderdate AS DATE) AS d,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS x
+      |  FROM orders GROUP BY 1),
+      |pairs AS (SELECT CAST(b.d - a.d AS DOUBLE) AS gap, b.x - a.x AS diff
+      |  FROM day a JOIN day b ON a.d < b.d),
+      |st AS (SELECT CAST(SUM(CAST(sign(diff) AS BIGINT)) AS BIGINT) AS s,
+      |    CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |    quantile_cont(diff / gap, 0.5) AS sen FROM pairs),
+      |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM day),
+      |ties AS (SELECT CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+      |    AS tsum
+      |  FROM (SELECT CAST(COUNT(*) AS BIGINT) AS t FROM day GROUP BY x
+      |        HAVING COUNT(*) > 1) u),
+      |v AS (SELECT st.s, st.n_pairs, st.sen, nn.n,
+      |    CAST(n * (n - 1) * (2 * n + 5) - ties.tsum AS DOUBLE) / 18.0 AS var_s
+      |  FROM st, nn, ties),
+      |zc AS (SELECT n AS n_days, n_pairs, s AS s_stat,
+      |    round(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE) / sqrt(var_s)
+      |               WHEN s < 0 THEN CAST(s + 1 AS DOUBLE) / sqrt(var_s)
+      |               ELSE 0.0 END, 4) AS z,
+      |    round(sen, 4) AS sen_slope FROM v)
+      |SELECT n_days, n_pairs, s_stat, z, sen_slope,
+      |  CASE WHEN abs(z) <= 1.96 THEN 'no trend'
+      |       WHEN z > 0 THEN 'increasing' ELSE 'decreasing' END AS trend
+      |FROM zc""".stripMargin
 }

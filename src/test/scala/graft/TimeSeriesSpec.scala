@@ -60,6 +60,20 @@ class TimeSeriesSpec extends SparkSpec {
     assert(ve <= 1.0 + 1e-9)
   }
 
+  test("mann-kendall S is consistent with the sen slope sign and pair count") {
+    val r = TimeSeries.trendRobust(spark, sf0001).collect().head
+    val n = r.getAs[Long]("n_days"); val pairs = r.getAs[Long]("n_pairs")
+    assert(pairs == n * (n - 1) / 2, "every day pair counted once")
+    val s = r.getAs[Long]("s_stat")
+    assert(math.abs(s) <= pairs)
+    // a clear monotone trend must agree in sign with the robust slope
+    val z = r.getAs[Double]("z"); val sen = r.getAs[Double]("sen_slope")
+    if (math.abs(z) > 1.96) assert(s.sign == math.signum(sen).toLong)
+    val trend = r.getAs[String]("trend")
+    assert(trend == (if (math.abs(z) <= 1.96) "no trend"
+      else if (z > 0) "increasing" else "decreasing"))
+  }
+
   test("the series family aggregates before any window or self-join") {
     // the only input-sized stage is the day aggregation: every window /
     // join in the plan runs on the day frame, so the physical plan has
