@@ -261,6 +261,10 @@ object SparkEntry {
     // LEFT OUTER stream-stream join (watermark-flushed non-matches)
     "stream_interval_join_outer" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinOuterOverFiles(s, dir)),
+    // FULL OUTER stream-stream join (non-matches flushed on BOTH sides)
+    "stream_interval_join_full" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinFullOverFiles(s, dir)),
+    "embedding_dim_profile" -> Similarity.embeddingDimProfile _,
     // watermark-bounded streaming key dedup (dropDuplicatesWithinWatermark)
     "stream_distinct_keys" -> ((s, dir) =>
       graft.streaming.EventStream.distinctKeysOverFiles(s, dir)),
@@ -502,6 +506,9 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.framesOracle,
     "stream_interval_join_outer" ->
       graft.streaming.EventStream.intervalJoinOuterOverFilesOracle,
+    "stream_interval_join_full" ->
+      graft.streaming.EventStream.intervalJoinFullOverFilesOracle,
+    "embedding_dim_profile" -> Similarity.embeddingDimProfileOracle,
     "stream_distinct_keys" ->
       graft.streaming.EventStream.distinctKeysOverFilesOracle,
     "sim_recall_audit" -> Similarity.annRecallAuditOracle,

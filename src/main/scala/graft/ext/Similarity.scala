@@ -735,6 +735,49 @@ object Similarity {
       |    AS unit
       |FROM n ORDER BY vec_id""".stripMargin
 
+  /** Per-dimension embedding health profile: mean, standard
+    * deviation, min/max, and a dead-dimension flag for every
+    * coordinate — the sanity dashboard read before trusting an
+    * embedding table (a dead dim means a truncated model export; a
+    * runaway max means un-normalized raw logits leaked in). One
+    * posexplode pass collapsing to a d-row frame via map-side
+    * partials — the [[quantizeEmbeddings]] scan shape; every moment
+    * is a decimal-exact sum, so the d-row report is
+    * partition-order-free. */
+  def embeddingDimProfile(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column): Column =
+      sum(c.cast(DecimalType(38, 18))).cast("double")
+    embeddingsD(spark, dir)
+      .select(posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n"), dsum(col("x")).as("sx"),
+        dsum(col("x") * col("x")).as("sxx"),
+        round(min(col("x")), 6).as("min_x"),
+        round(max(col("x")), 6).as("max_x"))
+      .select(col("dim").cast("long").as("dim"), col("n"),
+        round(col("sx") / col("n"), 6).as("mean_x"),
+        round(sqrt((col("sxx") - col("sx") * col("sx") / col("n")) / col("n")), 6)
+          .as("sd_x"),
+        col("min_x"), col("max_x"))
+      .withColumn("dead_dim", col("sd_x") < 1e-6)
+      .orderBy("dim")
+  }
+
+  def embeddingDimProfileOracle: String =
+    """WITH e AS (SELECT CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |el AS (SELECT pos AS dim, v[pos + 1] AS x
+      |  FROM (SELECT v, unnest(range(len(v))) AS pos FROM e) t),
+      |m AS (SELECT dim, CAST(COUNT(*) AS BIGINT) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sxx,
+      |    round(MIN(x), 6) AS min_x, round(MAX(x), 6) AS max_x
+      |  FROM el GROUP BY dim)
+      |SELECT dim, n, round(sx / n, 6) AS mean_x,
+      |  round(sqrt((sxx - sx * sx / n) / n), 6) AS sd_x, min_x, max_x,
+      |  round(sqrt((sxx - sx * sx / n) / n), 6) < 0.000001 AS dead_dim
+      |FROM m ORDER BY dim""".stripMargin
+
   // ── PCA: top principal component by power iteration ──
 
   val PcaDims = 16

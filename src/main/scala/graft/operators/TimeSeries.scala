@@ -280,29 +280,47 @@ object TimeSeries {
     * Both statistics are pairwise over DAYS — the day-pair frame is
     * calendar²-bounded (a decade is <7M pairs), never input-sized,
     * formed AFTER the one input-sized daily aggregation (the family
-    * contract above). S and the tie correction are exact integer
-    * sums; the Sen slope is the exact interpolated median over the
-    * pair slopes (each slope an IEEE-deterministic quotient of
-    * decimal-exact diffs), holistic but over the bounded frame only.
+    * contract above). The pair join REPARTITIONS its left side
+    * first: the day frame leaves its aggregate in one partition, and
+    * a broadcast nested-loop join parallelizes only across left
+    * tasks — without the spread the whole O(days²) stage runs
+    * single-threaded. S and the tie correction are exact integer
+    * sums with map-side partials; the Sen slope is the exact
+    * interpolated median of the pair slopes fetched by the shared
+    * bucketed-group-rank helper (two ranks, no holistic buffer, no
+    * global sort) and combined with quantile_cont's own
+    * lo + (hi−lo)·frac formula, so engines agree to the last ulp.
     * z uses the standard continuity correction; |z| > 1.96 calls the
     * 5% two-sided trend. */
   def trendRobust(spark: SparkSession, dir: String): DataFrame = {
-    val day = daily(spark, dir)
-    val pairs = day.select(col("d").as("d1"), col("x").as("x1"))
-      .crossJoin(day.select(col("d").as("d2"), col("x").as("x2")))
+    // the day frame feeds four consumers (pair left, pair right,
+    // ties, count) — materialize the tiny series once
+    val day = daily(spark, dir).localCheckpoint()
+    val pairs = day.repartition(spark.sparkContext.defaultParallelism)
+      .select(col("d").as("d1"), col("x").as("x1"))
+      .crossJoin(broadcast(day.select(col("d").as("d2"), col("x").as("x2"))))
       .filter(col("d1") < col("d2"))
       .select(datediff(col("d2"), col("d1")).cast("double").as("gap"),
         (col("x2") - col("x1")).as("diff"))
     val sStat = pairs.agg(
       sum(signum(col("diff")).cast("long")).as("s"),
-      count(lit(1)).as("n_pairs"),
-      expr("percentile(diff / gap, 0.5)").as("sen"))
+      count(lit(1)).as("n_pairs")).localCheckpoint()
+    // exact interpolated median: the two middle ranks (equal when
+    // n_pairs is odd) via the bucketed rank fetch, then lo+(hi−lo)/2
+    val slopes = pairs.select(lit(0).as("g"), (col("diff") / col("gap")).as("v"))
+    val ranks = sStat.select(lit(0).as("g"), explode(array(
+        (col("n_pairs") + 1L) / 2L, (col("n_pairs") + 2L) / 2L)).as("rk"))
+      .distinct()
+    val sen = Relational.valuesAtGroupRanks(slopes, ranks)
+      .groupBy("g").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
+      .select((col("lo") + (col("hi") - col("lo")) * 0.5).as("sen"))
     val nF = day.agg(count(lit(1)).as("n"))
     val ties = day.groupBy("x").agg(count(lit(1)).as("t"))
       .filter(col("t") > 1)
       .agg(coalesce(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)),
         lit(0L)).as("tsum"))
     sStat.crossJoin(broadcast(nF)).crossJoin(broadcast(ties))
+      .crossJoin(broadcast(sen))
       .select(col("n").as("n_days"), col("n_pairs"), col("s").as("s_stat"),
         ((col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("tsum"))
           .cast("double") / 18.0).as("var_s"),

@@ -632,6 +632,70 @@ object EventStream {
       .orderBy("user_id", "error_id", "click_id")
   }
 
+  /** FULL OUTER stream-stream interval join: every error with its
+    * within-the-hour clicks, PLUS unmatched errors AND unmatched
+    * clicks as explicit null rows — the complete attribution picture
+    * (which clicks follow no error is as diagnostic as the reverse).
+    * Same watermark-driven emission and sentinel discipline as the
+    * left-outer form: one far-future sentinel per side pushes both
+    * watermarks past every real join bound so the final non-matches
+    * on BOTH sides flush; sentinels join nobody (negative user ids)
+    * and are filtered out. State stays bounded by the same
+    * watermark-aged stores as the inner join. */
+  def intervalJoinFullOverFiles(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    val tsType = eventsTsType(spark, dir)
+    val batch = graft.Tables.events(spark, dir)
+    val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val sentinelUs = maxUs + 3L * 3600000000L
+    val sentinels = spark.range(2).toDF("i")
+      .select((col("i") + 3000000000L).as("event_id"),
+        tsLit(sentinelUs, tsType).as("ts"),
+        (-col("i") - 1L).as("user_id"),
+        when(col("i") === 0, "error").otherwise("click").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ijf-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val tmp = stageSentinels(sentinels, streamDir, "graft-ijf-sentinel")
+    val stream = openEventStream(spark, streamDir, tsType)
+    val name = s"graft_stream_ijf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withBoundedStateParallelism(spark) {
+      val e = stream.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("error_ts"))
+        .withWatermark("error_ts", "10 minutes")
+      val c = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("click_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      e.join(c,
+          col("user_id") === col("click_user") &&
+            col("click_ts") >= col("error_ts") &&
+            col("click_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"),
+          "full_outer")
+        .select(coalesce(col("user_id"), col("click_user")).as("user_id"),
+          col("error_id"), col("click_id"), col("error_ts"), col("click_ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+    }
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir); deleteStaged(tmp) }
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "error_id", "click_id")
+  }
+
+  def intervalJoinFullOverFilesOracle: String =
+    """SELECT COALESCE(e.user_id, c.user_id) AS user_id,
+      |  e.event_id AS error_id, c.event_id AS click_id,
+      |  e.ts AS error_ts, c.ts AS click_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |FULL JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      |  ON e.user_id = c.user_id
+      | AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR
+      |ORDER BY user_id, error_id, click_id""".stripMargin
+
   def intervalJoinOuterOverFilesOracle: String =
     """SELECT e.user_id, e.event_id AS error_id, c.event_id AS click_id,
       |  e.ts AS error_ts, c.ts AS click_ts
