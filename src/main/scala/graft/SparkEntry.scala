@@ -97,6 +97,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(s, dir)),
     "dedup_simhash" -> Dedup.simhash _,
     "dedup_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(s, dir)),
+    "dedup_phash_pairs" -> ((s, dir) => Dedup.phashPairs(s, dir)),
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     // full-corpus LSH candidates verified by exact trigram Jaccard
     "dedup_lsh_verified" -> ((s, dir) => Dedup.lshVerifiedJaccard(s, dir)),
@@ -362,6 +363,7 @@ object SparkEntry {
     "dedup_minhash_pairs" -> Dedup.minhashPairsOracle,
     "dedup_simhash" -> Dedup.simhashOracle,
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
+    "dedup_phash_pairs" -> Dedup.phashPairsOracle,
     "dedup_groups" -> Dedup.duplicateGroupsOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_lsh_verified" -> Dedup.lshVerifiedJaccardOracle,

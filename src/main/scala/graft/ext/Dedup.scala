@@ -567,6 +567,92 @@ object Dedup {
        |SELECT d1, d2, hamming FROM pairs
        |WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin
 
+  // ── perceptual-hash (dHash) near-dup over multimodal payloads ──
+
+  val PhashBits = 64
+  val PhashHamMax = 16
+
+  /** dHash near-duplicate pairs over the opaque media payloads: 65
+    * evenly-strided brightness samples (the stub decode's byte
+    * values — a real codec would supply a 65-pixel luminance row),
+    * gradient bit i = sample_i < sample_{i+1} → a 64-bit perceptual
+    * hash held as 8 byte-bands; assets sharing any band are
+    * candidates (same star-capped LSH discipline as
+    * [[simhashPairs]]), verified by full Hamming distance ≤
+    * [[PhashHamMax]]. This is the content-similarity step the exact
+    * frame-md5 dedup can't do: re-encoded or slightly-edited media
+    * keeps its gradient structure while every byte digest changes.
+    *
+    * Scale shape: sampling is a fixed 65 lookups per asset (pure
+    * projection — the payload never shuffles, only the 8-byte hash
+    * does); banding + capped bucket join never materializes a cross
+    * product; the verify reads only band bytes. Strides use integer
+    * arithmetic (i·(n−1) div 64) so every engine samples identical
+    * positions. */
+  def phashPairs(spark: SparkSession, dir: String,
+                 maxBucket: Int = MaxBucket): DataFrame = {
+    val base = Multimodal.assets(spark, dir).toDF()
+      .filter(length(col("payload")) > 0)
+      .select(col("asset_id"), hex(col("payload")).as("hx"),
+        length(col("payload")).as("n"))
+    val sampled = base.select(col("asset_id"), expr(
+      s"""transform(sequence(0, $PhashBits), i ->
+         |  cast(conv(substring(hx, 2 * ((i * (n - 1)) div $PhashBits) + 1, 2),
+         |            16, 10) as bigint))""".stripMargin).as("smps"))
+    val banded = sampled.select(col("asset_id"), expr(
+      """transform(sequence(0, 7), b -> aggregate(sequence(0, 7), 0L,
+        |  (acc, j) -> acc + IF(element_at(smps, b * 8 + j + 1) <
+        |                       element_at(smps, b * 8 + j + 2),
+        |                       shiftleft(1L, j), 0L)))""".stripMargin).as("bands"))
+      .select(col("asset_id"), col("bands"),
+        posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    cappedBucketPairs(banded, Seq("band_id", "band_val"), "asset_id",
+        Seq("bands"), maxBucket)
+      .select(col("d1"), col("d2"),
+        expr("""aggregate(zip_with(bands1, bands2, (x, y) -> bit_count(x ^ y)),
+               |0, (acc, e) -> acc + e)""".stripMargin).cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashHamMax)
+      .orderBy("d1", "d2")
+  }
+
+  def phashPairsOracle: String =
+    s"""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+       |    hex(CAST(text AS BLOB)) AS hx FROM documents
+       |  WHERE octet_length(CAST(text AS BLOB)) > 0),
+       |smp AS (SELECT doc_id, i,
+       |    CAST('0x' || substr(hx, CAST(2 * ((i * (n - 1)) // $PhashBits) + 1
+       |      AS BIGINT), 2) AS BIGINT) AS s
+       |  FROM (SELECT doc_id, n, hx, unnest(range(${PhashBits + 1})) AS i FROM d) t),
+       |bits AS (SELECT a.doc_id, a.i,
+       |    CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+       |  FROM smp a JOIN smp b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+       |  WHERE a.i < $PhashBits),
+       |bands AS (SELECT doc_id, i // 8 AS band_id,
+       |    CAST(SUM(bit << (i % 8)) AS BIGINT) AS band_val
+       |  FROM bits GROUP BY doc_id, i // 8),
+       |sized AS (SELECT doc_id, band_id, band_val,
+       |    COUNT(*) OVER (PARTITION BY band_id, band_val) AS bn FROM bands),
+       |cand AS (SELECT DISTINCT d1, d2 FROM (
+       |    SELECT a.doc_id AS d1, b.doc_id AS d2
+       |    FROM sized a JOIN sized b
+       |      ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |     AND a.doc_id < b.doc_id
+       |    WHERE a.bn <= $MaxBucket
+       |    UNION
+       |    SELECT r.d1, m.doc_id
+       |    FROM (SELECT band_id, band_val, MIN(doc_id) AS d1 FROM sized
+       |          WHERE bn > $MaxBucket GROUP BY band_id, band_val) r
+       |    JOIN sized m ON m.band_id = r.band_id AND m.band_val = r.band_val
+       |     AND m.doc_id > r.d1) u),
+       |ham AS (SELECT c.d1, c.d2,
+       |    CAST(SUM(bit_count(xor(x.band_val, y.band_val))) AS BIGINT) AS hamming
+       |  FROM cand c JOIN bands x ON x.doc_id = c.d1
+       |  JOIN bands y ON y.doc_id = c.d2 AND y.band_id = x.band_id
+       |  GROUP BY c.d1, c.d2)
+       |SELECT d1, d2, hamming FROM ham
+       |WHERE hamming <= $PhashHamMax ORDER BY d1, d2""".stripMargin
+
   // ── duplicate-group resolution (connected components) ──
 
   /** Resolve near-dup PAIRS into duplicate GROUPS: exact connected

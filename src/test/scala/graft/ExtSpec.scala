@@ -207,6 +207,17 @@ class ExtSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("inertia") >= 0.0))
   }
 
+  test("phash pairs are ordered, thresholded, and deterministic") {
+    val rows = Dedup.phashPairs(spark, sf0001).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d1") < r.getAs[Long]("d2"))
+      val h = r.getAs[Long]("hamming")
+      assert(h >= 0 && h <= Dedup.PhashHamMax)
+    }
+    val again = Dedup.phashPairs(spark, sf0001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("semantic dedup pairs are a subset of the exact near-dup pairs") {
     val sem = ext.Similarity.semanticDedup(spark, sf0001).collect()
     val brute = Dedup.embeddingNearDup(spark, sf0001,
