@@ -112,6 +112,8 @@ object SparkEntry {
     "sim_ann_lsh" -> ((s, dir) => Similarity.annLsh(s, dir)),
     "sim_ivf_assign" -> Similarity.ivfAssign _,
     "kmeans_inertia" -> Similarity.kmeansInertia _,
+    "dim_recall_audit" -> ((s, dir) => Similarity.dimRecallAudit(s, dir)),
+    "l_diversity_audit" -> Relational.lDiversityAudit _,
     "ivf_recall_sweep" -> ((s, dir) => Similarity.ivfRecallSweep(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
     // ── LLM-pipeline: multimodal columns ──
@@ -373,6 +375,8 @@ object SparkEntry {
     "sim_ann_lsh" -> Similarity.annLshOracle,
     "sim_ivf_assign" -> Similarity.ivfAssignOracle,
     "kmeans_inertia" -> Similarity.kmeansInertiaOracle,
+    "dim_recall_audit" -> Similarity.dimRecallAuditOracle,
+    "l_diversity_audit" -> Relational.lDiversityAuditOracle,
     "ivf_recall_sweep" -> Similarity.ivfRecallSweepOracle,
     "sim_ann_ivf" -> Similarity.annIvfOracle,
     "multimodal_meta" -> Multimodal.metaOracle,

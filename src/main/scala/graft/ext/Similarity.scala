@@ -518,6 +518,77 @@ object Similarity {
        |ORDER BY c.nprobe, c.query_id""".stripMargin
   }
 
+  val TruncDims = 16
+
+  /** Dimension-truncation (matryoshka) recall audit: per query, how
+    * many of the true cosine top-5 at full width survive when the
+    * index only keeps the first [[TruncDims]] of 64 dimensions — the
+    * measurement behind "can we store quarter-width vectors", run
+    * before any truncated re-index ships. Same query-set-bounded
+    * shape as [[ivfRecallSweep]]: two broadcast-query scoring scans
+    * (full and truncated — the truncated one reads the same rows,
+    * just a shorter dot), each funneled through the bounded-heap
+    * top-k, joined on the ≤ k·|Q| result frames. */
+  def dimRecallAudit(spark: SparkSession, dir: String,
+                     numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
+        slice(col("v"), 1, TruncDims).as("tv"))
+      .withColumn("tnrm", norm(col("tv")))
+    val qs = e.filter(col("vec_id") >= NumLists && col("vec_id") < NumLists + numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("tv").as("qtv"), col("tnrm").as("qtn"))
+    def top(score: org.apache.spark.sql.Column) =
+      topKPerQuery(
+        e.crossJoin(broadcast(qs)).filter(col("vec_id") =!= col("query_id"))
+          .select(col("query_id"), col("vec_id").as("neighbor_id"),
+            score.as("cos_sim")),
+        k).select(col("query_id"), col("neighbor_id"))
+    val full = top(round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
+    val trunc = top(round(dot(col("qtv"), col("tv")) / (col("qtn") * col("tnrm")), 6))
+    qs.select(col("query_id"))
+      .join(full.join(trunc, Seq("query_id", "neighbor_id"))
+        .groupBy("query_id").agg(count(lit(1)).as("n_kept")),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        round(coalesce(col("n_kept"), lit(0L)) / lit(k.toDouble), 4)
+          .as("recall_at_k"))
+      .orderBy("query_id")
+  }
+
+  def dimRecallAuditOracle: String = {
+    val k = 5
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+       |    v[1:$TruncDims] AS tv,
+       |    sqrt(list_dot_product(v[1:$TruncDims], v[1:$TruncDims])) AS tnrm
+       |  FROM e),
+       |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, tv AS qtv,
+       |    tnrm AS qtn FROM n
+       |  WHERE vec_id >= $NumLists AND vec_id < ${NumLists + 5}),
+       |fullk AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, m.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_dot_product(q.qv, m.v) / (q.qn * m.nrm), 6) DESC,
+       |                 m.vec_id) AS rk
+       |    FROM qs q JOIN n m ON m.vec_id <> q.query_id) t WHERE rk <= $k),
+       |trunck AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, m.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_dot_product(q.qtv, m.tv) / (q.qtn * m.tnrm), 6) DESC,
+       |                 m.vec_id) AS rk
+       |    FROM qs q JOIN n m ON m.vec_id <> q.query_id) t WHERE rk <= $k),
+       |kept AS (SELECT f.query_id, CAST(COUNT(*) AS BIGINT) AS n_kept
+       |  FROM fullk f JOIN trunck t
+       |    ON f.query_id = t.query_id AND f.neighbor_id = t.neighbor_id
+       |  GROUP BY f.query_id)
+       |SELECT q.query_id, COALESCE(kept.n_kept, 0) AS n_kept,
+       |  round(COALESCE(kept.n_kept, 0) / CAST($k AS DOUBLE), 4) AS recall_at_k
+       |FROM qs q LEFT JOIN kept ON q.query_id = kept.query_id
+       |ORDER BY q.query_id""".stripMargin
+  }
+
   val SemDedupTau = 0.4
 
   /** SemDeDup-style semantic deduplication: cluster with the k-means

@@ -2528,6 +2528,45 @@ object Relational {
       |  group_size < 5 AS reidentifiable_at_k5
       |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin
 
+  /** l-diversity companion to [[kAnonymityAudit]]: k-anonymity bounds
+    * GROUP size, but a size-100 quasi-identifier group whose SENSITIVE
+    * attribute (here the balance band) takes one value still leaks it
+    * for every member — diversity, not size, is the disclosure bound.
+    * Per (nation, segment) QI group: size, distinct sensitive values,
+    * the frequency of the modal value, and the l<3 verdict. Two
+    * stacked hash aggregations (rows → QI×sensitive cells → QI
+    * groups), both map-side combined; modal share via max over cell
+    * counts — no windows, no collect. */
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_band"))
+      .agg(count(lit(1)).as("cell"))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("cell")).as("group_size"),
+        count(lit(1)).as("l_distinct"),
+        max(col("cell")).as("modal_count"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+        col("l_distinct"),
+        round(col("modal_count") / col("group_size"), 6).as("modal_share"),
+        (col("l_distinct") < 3).as("below_l3"))
+      .orderBy("c_nationkey", "c_mktsegment")
+
+  def lDiversityAuditOracle: String =
+    """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+      |    floor(c_acctbal / 1000) AS bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS cell
+      |  FROM customer GROUP BY 1, 2, 3),
+      |g AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(SUM(cell) AS BIGINT) AS group_size,
+      |    CAST(COUNT(*) AS BIGINT) AS l_distinct,
+      |    CAST(MAX(cell) AS BIGINT) AS modal_count
+      |  FROM cells GROUP BY 1, 2)
+      |SELECT c_nationkey, c_mktsegment, group_size, l_distinct,
+      |  round(CAST(modal_count AS DOUBLE) / group_size, 6) AS modal_share,
+      |  l_distinct < 3 AS below_l3
+      |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   /** Incremental view maintenance: merge a delta batch's PARTIAL
     * aggregates into a materialized per-priority revenue view without
     * touching the base data — the algebraic-aggregate property
