@@ -257,6 +257,11 @@ object SparkEntry {
     "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
     "agg_conditional" -> Relational.aggConditional _,
     "skew_salted_agg" -> Relational.skewSaltedAgg _,
+    "shuffle_skew_audit" -> Relational.shuffleSkewAudit _,
+    "join_fanout_profile" -> Relational.joinFanoutProfile _,
+    // LEFT SEMI stream-stream join (attributed errors, emitted once)
+    "stream_interval_join_semi" -> ((s, dir) =>
+      graft.streaming.EventStream.intervalJoinSemiOverFiles(s, dir)),
     "quantile_grid_price" -> Relational.quantileGridPrice _,
     "window_range_frame" -> EventOps.windowRangeFrame _,
     "cohort_retention" -> EventOps.cohortRetention _,
@@ -506,6 +511,10 @@ object SparkEntry {
     "scalar_regex_funcs" -> Relational.scalarRegexOracle,
     "agg_conditional" -> Relational.aggConditionalOracle,
     "skew_salted_agg" -> Relational.skewSaltedAggOracle,
+    "shuffle_skew_audit" -> Relational.shuffleSkewAuditOracle,
+    "join_fanout_profile" -> Relational.joinFanoutProfileOracle,
+    "stream_interval_join_semi" ->
+      graft.streaming.EventStream.intervalJoinSemiOverFilesOracle,
     "quantile_grid_price" -> Relational.quantileGridOracle,
     "window_range_frame" -> EventOps.windowRangeFrameOracle,
     "cohort_retention" -> EventOps.cohortRetentionOracle,

@@ -2034,6 +2034,65 @@ object Relational {
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total
       |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
 
+  /** Shuffle-skew audit: simulate the 32-way hash partitioning a
+    * shuffle on l_suppkey would produce (engine-neutral md5-prefix
+    * bucket — the same key distribution any hash partitioner sees)
+    * and report rows per bucket plus each bucket's share of a
+    * perfectly even split. This is the pre-flight read before a big
+    * join: a max_skew of 1.0 means the shuffle balances; 3× means
+    * one reducer does triple work and the key needs salting
+    * ([[SkewAgg]]/[[graft.operators.SkewJoin]] are the fixes this
+    * audit triggers). One hash aggregate, map-side combined. */
+  def shuffleSkewAudit(spark: SparkSession, dir: String): DataFrame = {
+    val n = 32
+    val bucketed = Tables.lineitem(spark, dir)
+      .select((conv(substring(md5(col("l_suppkey").cast("string")), 1, 8), 16, 10)
+        .cast("long") % n).as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n_rows"))
+    val total = bucketed.agg(sum("n_rows").as("total"))
+    bucketed.crossJoin(broadcast(total))
+      .select(col("bucket"), col("n_rows"),
+        round(col("n_rows") * lit(n.toDouble) / col("total"), 6).as("skew_ratio"))
+      .orderBy("bucket")
+  }
+
+  def shuffleSkewAuditOracle: String =
+    """WITH b AS (SELECT
+      |    CAST('0x' || substr(md5(CAST(l_suppkey AS VARCHAR)), 1, 8) AS BIGINT)
+      |      % 32 AS bucket,
+      |    CAST(COUNT(*) AS BIGINT) AS n_rows
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n_rows) AS BIGINT) AS total FROM b)
+      |SELECT bucket, n_rows,
+      |  round(n_rows * 32.0 / total, 6) AS skew_ratio
+      |FROM b, t ORDER BY bucket""".stripMargin
+
+  /** Join fan-out profile: the distribution of lineitems per order —
+    * the statistic a join planner needs before picking a strategy for
+    * orders ⋈ lineitem (average fan-out sizes the output; the max
+    * says whether one hot key will stall a reducer). Two stacked
+    * aggregations: rows → per-key counts (the join's own build-side
+    * cardinality) → fan-out histogram; both map-side combined,
+    * output bounded by the max fan-out, not the data. */
+  def joinFanoutProfile(spark: SparkSession, dir: String): DataFrame = {
+    val perKey = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey").agg(count(lit(1)).as("fanout"))
+    val total = perKey.agg(count(lit(1)).as("n_keys"))
+    perKey.groupBy("fanout").agg(count(lit(1)).as("n_orders"))
+      .crossJoin(broadcast(total))
+      .select(col("fanout"), col("n_orders"),
+        round(col("n_orders") / col("n_keys"), 6).as("share_of_keys"))
+      .orderBy("fanout")
+  }
+
+  def joinFanoutProfileOracle: String =
+    """WITH pk AS (SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS fanout
+      |  FROM lineitem GROUP BY 1),
+      |t AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_keys FROM pk)
+      |SELECT fanout, CAST(COUNT(*) AS BIGINT) AS n_orders,
+      |  round(COUNT(*) / CAST(t.n_keys AS DOUBLE), 6) AS share_of_keys
+      |FROM pk, t GROUP BY fanout, t.n_keys ORDER BY fanout""".stripMargin
+
   /** Conditional/boolean aggregate battery: count_if, bool_and/bool_or,
     * plus a decimal-exact WEIGHTED average (discount-weighted price:
     * Σ(price·qty)/Σqty with both sums exact decimals, one IEEE division

@@ -632,6 +632,63 @@ object EventStream {
       .orderBy("user_id", "error_id", "click_id")
   }
 
+  /** LEFT SEMI stream-stream interval join: errors that DID get a
+    * click within the hour, each emitted once — the "resolved
+    * incidents" feed (the left-outer form answers who wasn't
+    * attributed; this answers who was, without duplicating an error
+    * per click). Semi emission still buffers the left side until the
+    * right watermark proves no more matches can arrive, so the same
+    * per-side sentinel discipline flushes the bounded replay. */
+  def intervalJoinSemiOverFiles(spark: org.apache.spark.sql.SparkSession,
+                                dir: String): DataFrame = {
+    val tsType = eventsTsType(spark, dir)
+    val batch = graft.Tables.events(spark, dir)
+    val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val sentinelUs = maxUs + 3L * 3600000000L
+    val sentinels = spark.range(2).toDF("i")
+      .select((col("i") + 4000000000L).as("event_id"),
+        tsLit(sentinelUs, tsType).as("ts"),
+        (-col("i") - 1L).as("user_id"),
+        when(col("i") === 0, "error").otherwise("click").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ijs-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val tmp = stageSentinels(sentinels, streamDir, "graft-ijs-sentinel")
+    val stream = openEventStream(spark, streamDir, tsType)
+    val name = s"graft_stream_ijs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withBoundedStateParallelism(spark) {
+      val e = stream.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("error_ts"))
+        .withWatermark("error_ts", "10 minutes")
+      val c = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("click_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      e.join(c,
+          col("user_id") === col("click_user") &&
+            col("click_ts") >= col("error_ts") &&
+            col("click_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"),
+          "left_semi")
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+    }
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir); deleteStaged(tmp) }
+    spark.table(name)
+      .filter(col("user_id") >= 0)
+      .orderBy("user_id", "error_id")
+  }
+
+  def intervalJoinSemiOverFilesOracle: String =
+    """SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts
+      |FROM (SELECT * FROM events WHERE event_type = 'error') e
+      |WHERE EXISTS (SELECT 1 FROM events c
+      |  WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      |    AND c.ts >= e.ts AND c.ts <= e.ts + INTERVAL 1 HOUR)
+      |ORDER BY user_id, error_id""".stripMargin
+
   /** FULL OUTER stream-stream interval join: every error with its
     * within-the-hour clicks, PLUS unmatched errors AND unmatched
     * clicks as explicit null rows — the complete attribution picture
