@@ -75,6 +75,17 @@ object ScaleProbe {
       "window_func_battery" -> (graft.operators.Relational.windowFuncBattery _),
       "sim_ann_lsh" -> ((s, d) => graft.ext.Similarity.annLsh(s, d)),
       "quantize_embeddings" -> (graft.ext.Similarity.quantizeEmbeddings _),
+      // round-4 additions: cross-doc boilerplate + DSIR are gram/vocab
+      // collapses; phash is a fixed-65-sample projection + band LSH;
+      // semantic dedup pairs per k-means list (never cross-corpus);
+      // trend_robust is pairwise over the calendar-bounded day frame
+      "boilerplate_ngrams" -> (graft.ext.TextAnalysis.boilerplateNgrams _),
+      "dsir_weights" -> (graft.ext.TextAnalysis.dsirWeights _),
+      "dedup_phash_pairs" -> ((s, d) => graft.ext.Dedup.phashPairs(s, d)),
+      "dedup_semantic" -> (graft.ext.Similarity.semanticDedup _),
+      "trend_robust" -> (graft.operators.TimeSeries.trendRobust _),
+      "ivf_recall_sweep" -> ((s, d) => graft.ext.Similarity.ivfRecallSweep(s, d)),
+      "shuffle_skew_audit" -> (graft.operators.Relational.shuffleSkewAudit _),
     )
 
     def time(fn: => Unit): Double = {
@@ -134,8 +145,11 @@ object ScaleProbe {
         case org.apache.spark.sql.types.LongType => // raw nanos vintage
           (c, k) => c + lit(k.toLong * 1000000000L)
         case _ =>                                    // native timestamp vintage
+          // cast first: the raw read may surface TIMESTAMP_NTZ, which
+          // unix_micros rejects; TimestampType unifies either form
           (c, k) => org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.unix_micros(c) + lit(k.toLong * 1000000L))
+            org.apache.spark.sql.functions.unix_micros(c.cast("timestamp")) +
+              lit(k.toLong * 1000000L))
       }
     replicate(ev, (d, k) => d
         .withColumn("event_id", col("event_id") + lit(k.toLong * 1000000000000L))

