@@ -615,11 +615,13 @@ object Dedup {
         array((0 until 8).map(b => col(s"b$b")): _*).as("bands"))
       .select(col("asset_id"), col("bands"),
         posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    val hamming = (0 until 8).map { b =>
+      bit_count(element_at(col("bands1"), b + 1)
+        .bitwiseXOR(element_at(col("bands2"), b + 1)))
+    }.reduce(_ + _)
     cappedBucketPairs(banded, Seq("band_id", "band_val"), "asset_id",
         Seq("bands"), maxBucket)
-      .select(col("d1"), col("d2"),
-        expr("""aggregate(zip_with(bands1, bands2, (x, y) -> bit_count(x ^ y)),
-               |0, (acc, e) -> acc + e)""".stripMargin).cast("long").as("hamming"))
+      .select(col("d1"), col("d2"), hamming.cast("long").as("hamming"))
       .distinct()
       .filter(col("hamming") <= PhashHamMax)
       .orderBy("d1", "d2")

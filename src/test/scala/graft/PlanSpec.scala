@@ -187,4 +187,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"rank vector joins must broadcast:\n$plan")
   }
+
+  test("phash sampling stays lambda-free (whole-stage codegen, no HOF)") {
+    // an interpreted transform/aggregate chain here re-evaluates the
+    // 65-sample projection per element access — measured 19× slower;
+    // the sampling must plan as plain named-column projections
+    val plan = ext.Dedup.phashPairs(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.toLowerCase.contains("lambdafunction"),
+      s"HOF lambda leaked into the phash plan:\n${plan.take(4000)}")
+  }
+
+  test("boilerplate df-join reuses the gram-keyed exchange") {
+    val plan = ext.TextAnalysis.boilerplateNgrams(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the per-(doc,gram) aggregate is the only gram-stream-sized
+    // stage; df and the verdict join both derive from it — a second
+    // explode would betray a corpus re-scan of the gram stream
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes <= 2, s"expected <= 2 gram explodes, got $explodes:\n$plan")
+  }
+
+  test("mann-kendall pair stage parallelizes across a repartitioned left side") {
+    val plan = operators.TimeSeries.trendRobust(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"day-pair join must broadcast the right side:\n$plan")
+    assert(plan.contains("Exchange RoundRobinPartitioning") ||
+      plan.contains("REPARTITION_BY_NUM"),
+      s"left side must spread before the pair join:\n$plan")
+  }
 }
