@@ -70,6 +70,8 @@ object SparkEntry {
     // native as-of join operator (custom LogicalPlan/Strategy/SparkPlan)
     "asof_native" -> EventOps.asofNative _,
     "asof_native_outer" -> EventOps.asofNativeOuter _,
+    "asof_native_tolerance" -> EventOps.asofNativeTolerance _,
+    "asof_native_forward" -> EventOps.asofNativeForward _,
     "malformed_filter" -> EventOps.malformedFilter _,
     "json_extract_events" -> EventOps.jsonExtract _,
     "time_window_events" -> EventOps.timeWindow _,
@@ -276,6 +278,9 @@ object SparkEntry {
     // watermark-bounded streaming key dedup (dropDuplicatesWithinWatermark)
     "stream_distinct_keys" -> ((s, dir) =>
       graft.streaming.EventStream.distinctKeysOverFiles(s, dir)),
+    // sliding (overlapping) windowed counts — 1h window, 15min slide
+    "stream_window_sliding" -> ((s, dir) =>
+      graft.streaming.EventStream.slidingCountsOverFiles(s, dir)),
     "sim_recall_audit" -> ((s, dir) => Similarity.annRecallAudit(s, dir)),
     // ── TPC-H round 5: the five partsupp queries over a lineitem-derived
     //    partsupp (min-cost supplier, product profit, important stock,
@@ -353,6 +358,8 @@ object SparkEntry {
     "range_join_events" -> EventOps.rangeJoinOracle,
     "asof_native" -> EventOps.asofNativeOracle,
     "asof_native_outer" -> EventOps.asofNativeOuterOracle,
+    "asof_native_tolerance" -> EventOps.asofNativeToleranceOracle,
+    "asof_native_forward" -> EventOps.asofNativeForwardOracle,
     "malformed_filter" -> EventOps.malformedFilterOracle,
     "json_extract_events" -> EventOps.jsonExtractOracle,
     "time_window_events" -> EventOps.timeWindowOracle,
@@ -526,6 +533,8 @@ object SparkEntry {
     "embedding_dim_profile" -> Similarity.embeddingDimProfileOracle,
     "stream_distinct_keys" ->
       graft.streaming.EventStream.distinctKeysOverFilesOracle,
+    "stream_window_sliding" ->
+      graft.streaming.EventStream.slidingCountsOverFilesOracle,
     "sim_recall_audit" -> Similarity.annRecallAuditOracle,
     "q2_min_cost_supplier" -> Relational.q2Oracle,
     "q9_product_profit" -> Relational.q9Oracle,

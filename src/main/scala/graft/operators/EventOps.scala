@@ -367,6 +367,83 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Tolerance-bounded outer as-of: the floor click must lie within
+    * 30 minutes of the error or the error reports null — merge_asof's
+    * `tolerance` parameter, which is what feature pipelines actually
+    * ship (a click from last week is not the "preceding context" of
+    * today's error). Exercises the native operator's tolerance path:
+    * the merge pass rejects a stale floor in O(1) without any
+    * post-join filter re-reading the row. */
+  def asofNativeTolerance(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+    org.apache.spark.sql.graft.AsOfJoinPlan.dataset(errors, clicks,
+        errors.col("user_id"), clicks.col("click_user"),
+        errors.col("ts"), clicks.col("click_ts"), clicks.col("click_id"),
+        isOuter = true, toleranceUs = Some(1800000000L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id"), col("click_ts"),
+        (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  def asofNativeToleranceOracle: String =
+    """WITH pairs AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    c.event_id AS click_id, c.ts AS click_ts,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY c.ts DESC, c.event_id DESC) AS rk
+      |  FROM events e LEFT JOIN events c
+      |    ON e.user_id = c.user_id AND c.ts <= e.ts
+      |   AND epoch_us(e.ts) - epoch_us(c.ts) <= 1800000000
+      |   AND c.event_type = 'click'
+      |  WHERE e.event_type = 'error')
+      |SELECT event_id, user_id, ts, click_id, click_ts,
+      |  epoch_us(ts) - epoch_us(click_ts) AS gap_us
+      |FROM pairs WHERE rk = 1 ORDER BY event_id""".stripMargin
+
+  /** FORWARD as-of: each error pairs with the EARLIEST click at or
+    * after it, within a 1-hour tolerance — "what did the user do
+    * next", the reaction-attribution direction (the interval join
+    * returns all such clicks; this returns exactly one). Same single
+    * merge pass, scanning the right side forward; ties break to the
+    * smallest click_id. */
+  def asofNativeForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val errors = ev.filter(col("event_type") === "error")
+      .select("event_id", "user_id", "ts")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"),
+        col("user_id").as("click_user"), col("ts").as("click_ts"))
+    org.apache.spark.sql.graft.AsOfJoinPlan.dataset(errors, clicks,
+        errors.col("user_id"), clicks.col("click_user"),
+        errors.col("ts"), clicks.col("click_ts"), clicks.col("click_id"),
+        isOuter = true, toleranceUs = Some(3600000000L), forward = true)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id"), col("click_ts"),
+        (unix_micros(col("click_ts")) - unix_micros(col("ts"))).as("gap_us"))
+      .orderBy("event_id")
+  }
+
+  def asofNativeForwardOracle: String =
+    """WITH pairs AS (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    c.event_id AS click_id, c.ts AS click_ts,
+      |    row_number() OVER (PARTITION BY e.event_id
+      |      ORDER BY c.ts ASC, c.event_id ASC) AS rk
+      |  FROM events e LEFT JOIN events c
+      |    ON e.user_id = c.user_id AND c.ts >= e.ts
+      |   AND epoch_us(c.ts) - epoch_us(e.ts) <= 3600000000
+      |   AND c.event_type = 'click'
+      |  WHERE e.event_type = 'error')
+      |SELECT event_id, user_id, ts, click_id, click_ts,
+      |  epoch_us(click_ts) - epoch_us(ts) AS gap_us
+      |FROM pairs WHERE rk = 1 ORDER BY event_id""".stripMargin
+
   def asofNativeOuterOracle: String =
     """WITH pairs AS (
       |  SELECT e.event_id, e.user_id, e.ts,

@@ -405,8 +405,11 @@ object Nonparam {
     val h = per.select(col("n_i"), col("r_i"))
       .agg(sum(col("n_i")).as("k_check"),
         count(lit(1)).as("k"),
+        // (38,6): r_i²/n_i reaches ~4e21 on a 100× probe corpus — a
+        // (28,10) cast overflows there; 32 integer digits hold to
+        // ~3e12 input rows, far past any single-table reality
         sum(round(col("r_i") * col("r_i") / col("n_i").cast("double"), 6)
-          .cast(DecimalType(28, 10))).cast("double").as("s"))
+          .cast(DecimalType(38, 6))).cast("double").as("s"))
       .crossJoin(broadcast(ties))
       .select(col("k"),
         col("n_total"),
@@ -446,7 +449,7 @@ object Nonparam {
       |    12.0 / (CAST(ties.n_total AS DOUBLE) *
       |      CAST(ties.n_total + 1 AS DOUBLE)) *
       |      CAST(SUM(CAST(round(r_i * r_i / CAST(n_i AS DOUBLE), 6)
-      |        AS DECIMAL(28,10))) AS DOUBLE)
+      |        AS DECIMAL(38,6))) AS DOUBLE)
       |      - 3.0 * CAST(ties.n_total + 1 AS DOUBLE) AS h_raw,
       |    1.0 - CAST(ties.tie AS DOUBLE) /
       |      (CAST(ties.n_total AS DOUBLE) * CAST(ties.n_total AS DOUBLE) *

@@ -187,6 +187,49 @@ object EventStream {
       .orderBy("hour_ts", "event_type")
   }
 
+  /** SLIDING windowed counts run to completion: 1-hour windows
+    * advancing every 15 minutes, so each event lands in FOUR
+    * overlapping windows — the smoothing form every rate monitor
+    * uses (a tumbling window's edge artifacts disappear when the
+    * window slides). State holds window_len/slide concurrent frames
+    * per key instead of one; everything else — watermark eviction,
+    * complete-mode bounded replay — matches the tumbling twin. The
+    * oracle reproduces the overlap by exploding each event to its
+    * four covering window starts (generate_series over the slide
+    * grid), which is exactly Spark's window-assignment semantics for
+    * slide < length. */
+  def slidingCountsOverFiles(spark: org.apache.spark.sql.SparkSession,
+                             dir: String): DataFrame = {
+    val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-swc-stream")
+    val name = s"graft_stream_swc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withBoundedStateParallelism(spark) {
+      stream
+        .withWatermark("ts", "0 seconds")
+        .groupBy(window(col("ts"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 2))).cast("double").as("sum_value"))
+        .select(col("window.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
+    spark.table(name).orderBy("window_start", "event_type")
+  }
+
+  def slidingCountsOverFilesOracle: String =
+    """WITH win AS (
+      |  SELECT e.event_type, e.value,
+      |    make_timestamp(g) AS window_start
+      |  FROM (SELECT event_type, value,
+      |          (epoch_us(ts) // 900000000) * 900000000 AS slot_us
+      |        FROM events) e,
+      |  LATERAL unnest(generate_series(e.slot_us - 2700000000,
+      |                                 e.slot_us, 900000000)) AS t(g))
+      |SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM win GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
   /** Stream-static enrichment join run to completion over a bounded
     * file stream: each streamed event joins a STATIC per-type profile
     * (its global average value, computed batch-side with the exact
