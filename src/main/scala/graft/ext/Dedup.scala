@@ -257,7 +257,7 @@ object Dedup {
     * small-bucket self-join, the big-bucket members, and the reps);
     * without a persist each reference re-runs the upstream signature
     * pipeline — 4 corpus scans at 100 TB. */
-  private def cappedBucketPairs(banded: DataFrame, keyCols: Seq[String],
+  private[ext] def cappedBucketPairs(banded: DataFrame, keyCols: Seq[String],
                                 idCol: String, payloadCols: Seq[String],
                                 maxBucket: Int): DataFrame = {
     val out = col("d1") +: col("d2") +:

@@ -603,21 +603,27 @@ object Similarity {
     * the same cluster, trading the recall of the exact O(n²) pass
     * ([[graft.ext.Dedup.embeddingNearDup]]) for per-cluster cost,
     * exactly like the LSH-bucketed variant trades on bucket
-    * collisions. Keeper choice is the same min-id discipline as the
-    * exact/minhash dedup family, so delete lists compose. */
+    * collisions. With a FIXED cluster count, though, per-list
+    * all-pairs is still quadratic in the corpus (the 100× probe
+    * measured 94×), so lists above [[graft.ext.Dedup.MaxBucket]]
+    * members pair STAR — members against the list's min id only —
+    * the same cap the whole LSH pair family carries; the production
+    * fix is growing k with the corpus (k ≈ n / target-cluster-size),
+    * which keeps every list under the cap with no recall loss.
+    * Keeper choice is the same min-id discipline as the exact/minhash
+    * dedup family, so delete lists compose. */
   def semanticDedup(spark: SparkSession, dir: String): DataFrame = {
     val members = withAssignments(spark, dir)
       .filter(col("probe_rank") === 1)
       .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
-      .persist()
-    val a = members.select(col("list_id"), col("vec_id").as("a_id"),
-      col("v").as("av"), col("nrm").as("an"))
-    val b = members.select(col("list_id"), col("vec_id").as("b_id"),
-      col("v").as("bv"), col("nrm").as("bn"))
-    a.join(b, Seq("list_id"))
-      .filter(col("a_id") < col("b_id"))
-      .select(col("list_id"), col("a_id"), col("b_id"),
-        round(dot(col("av"), col("bv")) / (col("an") * col("bn")), 6).as("cos_sim"))
+    // star-cap oversized lists (see scaladoc): the 100× probe measured
+    // 94× without it — a fixed cluster count makes all-pairs quadratic
+    graft.ext.Dedup.cappedBucketPairs(members, Seq("list_id"), "vec_id",
+        Seq("v", "nrm", "list_id"), graft.ext.Dedup.MaxBucket)
+      .select(col("list_id1").as("list_id"), col("d1").as("a_id"),
+        col("d2").as("b_id"),
+        round(dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6)
+          .as("cos_sim"))
       .filter(col("cos_sim") >= SemDedupTau)
       // keeper = the LOWEST qualifying id; min over (a_id, cos) tuples
       // picks it plus the cosine to it in one hash aggregate
@@ -632,10 +638,22 @@ object Similarity {
   def semanticDedupOracle: String =
     s"""WITH $ivfCommonSql,
        |members AS (SELECT list_id, vec_id, v, nrm FROM scoredc WHERE probe_rank = 1),
-       |pairs AS (SELECT a.list_id, a.vec_id AS a_id, b.vec_id AS b_id,
+       |sized AS (SELECT m.*, COUNT(*) OVER (PARTITION BY list_id) AS bn
+       |  FROM members m),
+       |pairs AS (
+       |  SELECT a.list_id, a.vec_id AS a_id, b.vec_id AS b_id,
        |    round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cos_sim
-       |  FROM members a JOIN members b
-       |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id),
+       |  FROM sized a JOIN sized b
+       |    ON a.list_id = b.list_id AND a.vec_id < b.vec_id
+       |  WHERE a.bn <= ${graft.ext.Dedup.MaxBucket}
+       |  UNION ALL
+       |  SELECT r.list_id, r.a_id, m.vec_id,
+       |    round(list_dot_product(r.v, m.v) / (r.nrm * m.nrm), 6)
+       |  FROM (SELECT list_id, MIN(vec_id) AS a_id, arg_min(v, vec_id) AS v,
+       |          arg_min(nrm, vec_id) AS nrm
+       |        FROM sized WHERE bn > ${graft.ext.Dedup.MaxBucket}
+       |        GROUP BY list_id) r
+       |  JOIN sized m ON m.list_id = r.list_id AND m.vec_id > r.a_id),
        |q AS (SELECT *, row_number() OVER (PARTITION BY b_id ORDER BY a_id) AS rk
        |  FROM pairs WHERE cos_sim >= $SemDedupTau)
        |SELECT b_id AS vec_id, a_id AS keeper_id, cos_sim AS cos_to_keeper,
