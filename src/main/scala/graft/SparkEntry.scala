@@ -175,6 +175,8 @@ object SparkEntry {
     "decontaminate_ngrams" -> TextAnalysis.decontaminate _,
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "dsir_weights" -> TextAnalysis.dsirWeights _,
+    "source_overlap" -> TextAnalysis.sourceOverlap _,
+    "pareto_revenue" -> Relational.paretoRevenue _,
     "dedup_semantic" -> Similarity.semanticDedup _,
     "quality_repetition" -> TextAnalysis.qualityRepetition _,
     "top_tokens_per_lang" -> TextAnalysis.topTokensPerLang _,
@@ -440,6 +442,8 @@ object SparkEntry {
     "decontaminate_ngrams" -> TextAnalysis.decontaminateOracle,
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsOracle,
     "dsir_weights" -> TextAnalysis.dsirWeightsOracle,
+    "source_overlap" -> TextAnalysis.sourceOverlapOracle,
+    "pareto_revenue" -> Relational.paretoRevenueOracle,
     "dedup_semantic" -> Similarity.semanticDedupOracle,
     "quality_repetition" -> TextAnalysis.qualityRepetitionOracle,
     "top_tokens_per_lang" -> TextAnalysis.topTokensPerLangOracle,

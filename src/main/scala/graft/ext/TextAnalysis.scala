@@ -433,6 +433,55 @@ object TextAnalysis {
        |FROM base b LEFT JOIN bpd ON b.doc_id = bpd.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  // ── source-overlap matrix: pairwise trigram Jaccard between sources ──
+
+  /** Pairwise content overlap between corpus sources: distinct word
+    * trigram Jaccard for every source pair — the mix-design read
+    * ("are src2 and src4 the same crawl twice?") taken before
+    * weighting sources as if they were independent. The gram stream
+    * explodes ONCE to a distinct (source, gram) frame; pair
+    * intersections come from the gram-keyed self-join of that frame
+    * (co-partitioned, vocab-bounded — never doc-pairwise) and the
+    * output is (|sources| choose 2) rows. */
+  def sourceOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val grams = Tables.documents(spark, dir)
+      .select(col("source"), explode(ngramArr(3)).as("g"))
+      .distinct()
+    val sizes = grams.groupBy("source").agg(count(lit(1)).as("n"))
+    val inter = grams
+      .join(grams.select(col("source").as("source_b"), col("g")), Seq("g"))
+      .filter(col("source") < col("source_b"))
+      .groupBy("source", "source_b").agg(count(lit(1)).as("n_shared"))
+    inter
+      .join(sizes, Seq("source"))
+      .join(sizes.select(col("source").as("source_b"), col("n").as("n_b")),
+        Seq("source_b"))
+      .select(col("source").as("source_a"), col("source_b"),
+        col("n").as("n_grams_a"), col("n_b").as("n_grams_b"), col("n_shared"),
+        round(col("n_shared") / (col("n") + col("n_b") - col("n_shared")), 6)
+          .as("jaccard"))
+      .orderBy("source_a", "source_b")
+  }
+
+  def sourceOverlapOracle: String =
+    s"""WITH g AS (SELECT DISTINCT source, g
+       |  FROM (SELECT source, unnest(grams) AS g
+       |        FROM (SELECT source, ${ngramSqlArr(3)} AS grams
+       |              FROM (SELECT source, $tokensSql AS ws FROM documents) t0)
+       |          t1) t2),
+       |sz AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM g GROUP BY 1),
+       |i AS (SELECT a.source AS source_a, b.source AS source_b,
+       |    CAST(COUNT(*) AS BIGINT) AS n_shared
+       |  FROM g a JOIN g b ON a.g = b.g AND a.source < b.source
+       |  GROUP BY 1, 2)
+       |SELECT i.source_a, i.source_b, sa.n AS n_grams_a, sb.n AS n_grams_b,
+       |  i.n_shared,
+       |  round(i.n_shared / CAST(sa.n + sb.n - i.n_shared AS DOUBLE), 6)
+       |    AS jaccard
+       |FROM i JOIN sz sa ON i.source_a = sa.source
+       |JOIN sz sb ON i.source_b = sb.source
+       |ORDER BY source_a, source_b""".stripMargin
+
   // ── DSIR-style importance weights (target-vs-corpus log-ratio) ──
 
   /** Data selection by importance resampling, unigram form: each

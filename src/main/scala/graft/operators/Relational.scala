@@ -2587,6 +2587,69 @@ object Relational {
       |  group_size < 5 AS reidentifiable_at_k5
       |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin
 
+  /** Revenue concentration (Pareto) profile: customers ranked by
+    * lifetime spend, cut into deciles, each decile reporting its
+    * revenue share and the running cumulative share — "the top 10%
+    * of customers carry X% of revenue", the concentration read
+    * behind every retention budget. The input-sized work is ONE
+    * hash aggregate to per-customer spend; the global rank over the
+    * customer frame comes from a range-repartitioned sort +
+    * zipWithIndex (the [[Layout.zorderLineitem]] rank discipline —
+    * no single-partition window), and deciles collapse it straight
+    * back to ten rows. Row-count decile semantics
+    * (⌊10·(rank−1)/n⌋) with a (spend desc, custkey) total order,
+    * so both engines cut identical boundaries regardless of ties. */
+  def paretoRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val spend = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(dsum2(col("o_totalprice")).as("spend"))
+    val n = spend.count()
+    val sorted = spend.repartitionByRange(col("spend").desc, col("o_custkey"))
+      .sortWithinPartitions(col("spend").desc, col("o_custkey"))
+    val schema = sorted.schema.add("rk", "long")
+    val ranked = spark.createDataFrame(
+      sorted.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1L))
+      }, schema)
+    val deciles = ranked
+      .select(col("spend"), (floor(lit(10L) * (col("rk") - 1L) / lit(n.toDouble)) + 1L)
+        .cast("long").as("decile"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("spend").cast(DecimalType(18, 2))).as("rev"))
+    val total = deciles.agg(sum(col("rev")).as("tot"))
+    val wCum = graft.BoundedWindow.orderBy(col("decile"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    deciles.crossJoin(broadcast(total))
+      .select(col("decile"), col("n_customers"),
+        col("rev").cast("double").as("revenue"),
+        round(col("rev").cast("double") / col("tot").cast("double"), 6)
+          .as("rev_share"),
+        round(sum(col("rev")).over(wCum).cast("double")
+          / col("tot").cast("double"), 6).as("cum_share"))
+      .orderBy("decile")
+  }
+
+  def paretoRevenueOracle: String =
+    """WITH spend AS (SELECT o_custkey,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS spend
+      |  FROM orders GROUP BY 1),
+      |rk AS (SELECT spend,
+      |    row_number() OVER (ORDER BY spend DESC, o_custkey) AS rk,
+      |    COUNT(*) OVER () AS n FROM spend),
+      |d AS (SELECT CAST(floor(10 * (rk - 1) / CAST(n AS DOUBLE)) + 1 AS BIGINT)
+      |      AS decile,
+      |    CAST(COUNT(*) AS BIGINT) AS n_customers,
+      |    SUM(CAST(spend AS DECIMAL(18,2))) AS rev
+      |  FROM rk GROUP BY 1),
+      |t AS (SELECT SUM(rev) AS tot FROM d)
+      |SELECT decile, n_customers, CAST(rev AS DOUBLE) AS revenue,
+      |  round(CAST(rev AS DOUBLE) / CAST(t.tot AS DOUBLE), 6) AS rev_share,
+      |  round(CAST(SUM(rev) OVER (ORDER BY decile
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+      |    / CAST(t.tot AS DOUBLE), 6) AS cum_share
+      |FROM d, t ORDER BY decile""".stripMargin
+
   /** l-diversity companion to [[kAnonymityAudit]]: k-anonymity bounds
     * GROUP size, but a size-100 quasi-identifier group whose SENSITIVE
     * attribute (here the balance band) takes one value still leaks it
