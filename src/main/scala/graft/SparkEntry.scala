@@ -233,6 +233,7 @@ object SparkEntry {
     "nb_lang_confusion" -> Learn.nbLangConfusion _,
     "logistic_returns" -> Learn.logisticReturns _,
     "knn_label_audit" -> Learn.knnLabelAudit _,
+    "best_split_stump" -> Learn.bestSplitStump _,
     "mann_whitney_spend" -> Nonparam.mannWhitneySpend _,
     "ks_test_events" -> Nonparam.ksTestEvents _,
     "psi_drift_price" -> Nonparam.psiDriftPrice _,
@@ -494,6 +495,7 @@ object SparkEntry {
     "nb_lang_confusion" -> Learn.nbLangConfusionOracle,
     "logistic_returns" -> Learn.logisticReturnsOracle,
     "knn_label_audit" -> Learn.knnLabelAuditOracle,
+    "best_split_stump" -> Learn.bestSplitStumpOracle,
     "mann_whitney_spend" -> Nonparam.mannWhitneySpendOracle,
     "ks_test_events" -> Nonparam.ksTestEventsOracle,
     "psi_drift_price" -> Nonparam.psiDriftPriceOracle,

@@ -332,4 +332,123 @@ object Learn {
        |  MIN(agree.agreement) AS agreement
        |FROM pred, agree GROUP BY actual_label, predicted_label
        |ORDER BY actual_label, predicted_label""".stripMargin
+
+  // ── histogram-based best-split search (decision-stump IG) ──
+
+  val SplitBuckets = 64
+
+  /** Best single-split decision stump by information gain: which
+    * account-balance threshold best separates market segments — the
+    * split-finding kernel every gradient-boosted-tree trainer runs
+    * (XGBoost/LightGBM's histogram trick, verbatim): bucket the
+    * feature into [[SplitBuckets]] bins, count classes per bin, and
+    * evaluate every bin boundary from prefix sums — the data is
+    * touched ONCE for the per-(bucket, class) cell counts (map-side
+    * combined, ≤ 64×|classes| cells); candidate evaluation runs
+    * entirely on that bounded frame. Entropy terms are rounded to 9
+    * then decimal-summed (class-order-free); the argmax ranks on
+    * round-6 gain with the lower boundary as tiebreak. */
+  def bestSplitStump(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .select(col("c_acctbal").as("x"), col("c_mktsegment").as("cls"))
+    val range = cust.agg(min("x").as("pmin"), max("x").as("pmax"))
+    // explicit bucket arithmetic (identical IEEE ops in the oracle —
+    // DuckDB has no width_bucket): x = pmax lands in the top bucket
+    val cells = cust.crossJoin(broadcast(range))
+      .select(when(col("pmin") === col("pmax"), lit(1L))
+          .otherwise(least(
+            floor((col("x") - col("pmin")) / (col("pmax") - col("pmin"))
+              * SplitBuckets).cast("long") + 1L,
+            lit(SplitBuckets.toLong))).as("bkt"),
+        col("cls"))
+      .groupBy("bkt", "cls").agg(count(lit(1)).as("c"))
+    val totals = cells.groupBy("cls").agg(sum("c").as("tot"))
+    val n = cells.agg(sum("c").as("n"))
+    val boundaries = cells.select(col("bkt")).distinct()
+      .filter(col("bkt") < SplitBuckets)
+    // left count per (boundary, class): join boundaries × class cells
+    // with bkt ≤ boundary, then aggregate — bounded 64 × 64 × |cls|
+    val left = boundaries.join(cells.select(col("bkt").as("cb"),
+        col("cls"), col("c")), col("cb") <= col("bkt"))
+      .groupBy(col("bkt"), col("cls")).agg(sum("c").as("nl"))
+    def h(pc: Column): Column =
+      round(when(pc > 0, -pc * log(pc)).otherwise(lit(0.0)), 9)
+    val sides = left.join(totals, Seq("cls")).crossJoin(broadcast(n))
+      .select(col("bkt"), col("cls"), col("nl"),
+        (col("tot") - col("nl")).as("nr"), col("tot"), col("n"))
+    val lTot = sides.groupBy("bkt").agg(sum("nl").as("n_left"),
+      sum("nr").as("n_right"), first(col("n")).as("n"))
+    val ents = sides.join(lTot.select(col("bkt"),
+        col("n_left").as("nlt"), col("n_right").as("nrt")), Seq("bkt"))
+      .groupBy("bkt")
+      .agg(
+        sum(h(col("nl") / col("nlt")).cast(DecimalType(28, 12)))
+          .cast("double").as("h_left"),
+        sum(h(col("nr") / col("nrt")).cast(DecimalType(28, 12)))
+          .cast("double").as("h_right"),
+        sum(h(col("tot") / col("n")).cast(DecimalType(28, 12)))
+          .cast("double").as("h_root"))
+    ents.join(lTot, Seq("bkt"))
+      .crossJoin(broadcast(range))
+      .select(col("bkt"),
+        round(col("pmin") + col("bkt") * (col("pmax") - col("pmin"))
+          / SplitBuckets, 6).as("threshold"),
+        col("n_left"), col("n_right"),
+        round(col("h_root"), 6).as("h_root"),
+        round(col("h_left"), 6).as("h_left"),
+        round(col("h_right"), 6).as("h_right"),
+        round(col("h_root")
+          - (col("n_left") / (col("n_left") + col("n_right"))) * col("h_left")
+          - (col("n_right") / (col("n_left") + col("n_right"))) * col("h_right"),
+          6).as("info_gain"))
+      .filter(col("n_left") > 0 && col("n_right") > 0)
+      .orderBy(col("info_gain").desc, col("bkt"))
+      .limit(1)
+  }
+
+  def bestSplitStumpOracle: String =
+    s"""WITH d AS (SELECT c_acctbal AS x, c_mktsegment AS cls FROM customer),
+       |r AS (SELECT MIN(x) AS pmin, MAX(x) AS pmax FROM d),
+       |cells AS (SELECT CASE WHEN r.pmin = r.pmax THEN 1
+       |      ELSE least(CAST(floor((d.x - r.pmin) / (r.pmax - r.pmin)
+       |        * $SplitBuckets) AS BIGINT) + 1, $SplitBuckets) END AS bkt,
+       |    d.cls, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM d, r GROUP BY 1, 2),
+       |totals AS (SELECT cls, CAST(SUM(c) AS BIGINT) AS tot FROM cells
+       |  GROUP BY 1),
+       |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
+       |bs AS (SELECT DISTINCT bkt FROM cells WHERE bkt < $SplitBuckets),
+       |lft AS (SELECT b.bkt, cl.cls, CAST(SUM(cl.c) AS BIGINT) AS nl
+       |  FROM bs b JOIN cells cl ON cl.bkt <= b.bkt GROUP BY 1, 2),
+       |sides AS (SELECT l.bkt, l.cls, l.nl, t.tot - l.nl AS nr, t.tot, nn.n
+       |  FROM lft l JOIN totals t USING (cls), nn),
+       |lt AS (SELECT bkt, CAST(SUM(nl) AS BIGINT) AS n_left,
+       |    CAST(SUM(nr) AS BIGINT) AS n_right, MIN(n) AS n
+       |  FROM sides GROUP BY 1),
+       |ents AS (SELECT s.bkt,
+       |    CAST(SUM(CAST(round(CASE WHEN s.nl > 0 THEN
+       |      -(s.nl / CAST(lt.n_left AS DOUBLE)) * ln(s.nl / CAST(lt.n_left AS DOUBLE))
+       |      ELSE 0.0 END, 9) AS DECIMAL(28,12))) AS DOUBLE) AS h_left,
+       |    CAST(SUM(CAST(round(CASE WHEN s.nr > 0 THEN
+       |      -(s.nr / CAST(lt.n_right AS DOUBLE)) * ln(s.nr / CAST(lt.n_right AS DOUBLE))
+       |      ELSE 0.0 END, 9) AS DECIMAL(28,12))) AS DOUBLE) AS h_right,
+       |    CAST(SUM(CAST(round(CASE WHEN s.tot > 0 THEN
+       |      -(s.tot / CAST(s.n AS DOUBLE)) * ln(s.tot / CAST(s.n AS DOUBLE))
+       |      ELSE 0.0 END, 9) AS DECIMAL(28,12))) AS DOUBLE) AS h_root
+       |  FROM sides s JOIN lt ON s.bkt = lt.bkt GROUP BY 1),
+       |scored AS (SELECT e.bkt,
+       |    round(r.pmin + e.bkt * (r.pmax - r.pmin) / $SplitBuckets, 6)
+       |      AS threshold,
+       |    lt.n_left, lt.n_right,
+       |    round(e.h_root, 6) AS h_root, round(e.h_left, 6) AS h_left,
+       |    round(e.h_right, 6) AS h_right,
+       |    round(e.h_root
+       |      - (lt.n_left / CAST(lt.n_left + lt.n_right AS DOUBLE)) * e.h_left
+       |      - (lt.n_right / CAST(lt.n_left + lt.n_right AS DOUBLE)) * e.h_right,
+       |      6) AS info_gain
+       |  FROM ents e JOIN lt ON e.bkt = lt.bkt, r
+       |  WHERE lt.n_left > 0 AND lt.n_right > 0)
+       |SELECT bkt, threshold, n_left, n_right, h_root, h_left, h_right,
+       |  info_gain
+       |FROM scored ORDER BY info_gain DESC, bkt LIMIT 1""".stripMargin
 }
