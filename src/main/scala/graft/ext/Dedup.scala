@@ -591,28 +591,19 @@ object Dedup {
     * positions. */
   def phashPairs(spark: SparkSession, dir: String,
                  maxBucket: Int = MaxBucket): DataFrame = {
-    val base = Multimodal.assets(spark, dir).toDF()
+    // Compiled kernel, not declarative columns: the 65-sample form —
+    // whether HOF lambdas (interpreted, re-evaluates the sample
+    // projection per element: measured 100× slower) or 65 named
+    // columns feeding 8 band expressions (projection collapse inlines
+    // every sample snippet into every consumer and the generated
+    // method overflows janino's 64KB limit, silently dropping the
+    // stage out of whole-stage codegen) — cannot stay compiled. The
+    // DHashBandsExpr kernel reads each payload byte once and keeps
+    // the scan inside codegen; see the expression's scaladoc.
+    val banded = Multimodal.assets(spark, dir).toDF()
       .filter(length(col("payload")) > 0)
-      .select(col("asset_id"), hex(col("payload")).as("hx"),
-        length(col("payload")).as("n"))
-    // NO HOF lambdas: an interpreted transform/aggregate chain here
-    // re-evaluates the whole 65-sample projection per element access
-    // (the documented O(n²)-lambda pitfall — measured 100× slower).
-    // Plain named columns keep every sample in whole-stage codegen
-    // and bind each conv() exactly once per row.
-    val sampleCols = (0 to PhashBits).map(i => expr(
-      s"cast(conv(substring(hx, 2 * (($i * (n - 1)) div $PhashBits) + 1, 2), " +
-        s"16, 10) as bigint)").as(s"s$i"))
-    val sampled = base.select(col("asset_id") +: sampleCols: _*)
-    val bandCols = (0 until 8).map { b =>
-      (0 until 8).map { j =>
-        when(col(s"s${b * 8 + j}") < col(s"s${b * 8 + j + 1}"),
-          lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _).as(s"b$b")
-    }
-    val banded = sampled.select(col("asset_id") +: bandCols: _*)
       .select(col("asset_id"),
-        array((0 until 8).map(b => col(s"b$b")): _*).as("bands"))
+        graft.functions.DHashBands(col("payload")).as("bands"))
       .select(col("asset_id"), col("bands"),
         posexplode(col("bands")).as(Seq("band_id", "band_val")))
     val hamming = (0 until 8).map { b =>

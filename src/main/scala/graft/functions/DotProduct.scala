@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayEqCountExpr, BoundedTopKAgg, ColumnShim, DotProductExpr, LshBucketExpr, ShingleSigExpr, WordNGramsExpr}
+import org.apache.spark.sql.graft.{ArrayEqCountExpr, BoundedTopKAgg, ColumnShim, DHashBandsExpr, DotProductExpr, LshBucketExpr, ShingleSigExpr, WordNGramsExpr}
 
 /** Public Column surface for the native codegen'd dot product
   * (see org.apache.spark.sql.graft.DotProductExpr for the rationale). */
@@ -45,4 +45,11 @@ object WordNGrams {
   def apply(tokens: Column, n: Int, distinct: Boolean): Column =
     ColumnShim.column(
       WordNGramsExpr(ColumnShim.expression(tokens), n, distinct))
+}
+
+/** 64-bit dHash of a binary payload as 8 byte-band values (codegen'd
+  * kernel — see [[org.apache.spark.sql.graft.DHashBandsExpr]]). */
+object DHashBands {
+  def apply(payload: Column): Column =
+    ColumnShim.column(DHashBandsExpr(ColumnShim.expression(payload)))
 }
