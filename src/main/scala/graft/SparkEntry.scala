@@ -257,6 +257,7 @@ object SparkEntry {
     "sketch_cms_heavy_hitters" -> graft.ext.Sketches.cmsHeavyHitters _,
     "sketch_bloom_audit" -> graft.ext.Sketches.bloomFilterAudit _,
     "sketch_hll_distinct" -> graft.ext.Sketches.hllDistinct _,
+    "sketch_hll_merge" -> graft.ext.Sketches.hllMergeSources _,
     "profile_lineitem" -> Relational.profileLineitem _,
     "argmax_customer" -> Relational.argmaxCustomer _,
     "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
@@ -519,6 +520,7 @@ object SparkEntry {
     "sketch_cms_heavy_hitters" -> graft.ext.Sketches.cmsHeavyHittersOracle,
     "sketch_bloom_audit" -> graft.ext.Sketches.bloomFilterAuditOracle,
     "sketch_hll_distinct" -> graft.ext.Sketches.hllDistinctOracle,
+    "sketch_hll_merge" -> graft.ext.Sketches.hllMergeSourcesOracle,
     "profile_lineitem" -> Relational.profileLineitemOracle,
     "argmax_customer" -> Relational.argmaxCustomerOracle,
     "scalar_regex_funcs" -> Relational.scalarRegexOracle,

@@ -229,6 +229,85 @@ object Sketches {
        |  est.n_zero_registers
        |FROM est, ex""".stripMargin
 
+  // ── HLL mergeability: per-source sketches → union by register max ──
+
+  /** The property that makes HLL the 1000-executor distinct counter:
+    * per-source register tables merge into the UNION's registers by
+    * plain per-bucket MAX — no rescan, no re-shuffle of data, just
+    * |sources|·[[HllM]] register rows folding to [[HllM]]. Reported
+    * per source AND for the merged union, each against its exact
+    * distinct count, so the merge identity (union estimate from
+    * merged registers == estimate a direct pass would build) is
+    * hash-verified, not assumed. This is the algebra a partitioned
+    * 100 TB count-distinct rides: every partition sketches locally,
+    * the driver folds registers. */
+  def hllMergeSources(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.documents(spark, dir)
+      .select(col("source"), col("text"), h32(col("text")).as("h"))
+    def estFromRegs(regs: DataFrame): DataFrame =
+      regs.groupBy("scope")
+        .agg(count(lit(1)).as("present"),
+          sum(pow(lit(2.0), -col("mj"))).as("s_present"))
+        .select(col("scope"),
+          (lit(HllM) - col("present")).as("nz"),
+          (lit(0.7213) / (lit(1.0) + lit(1.079) / HllM) * (HllM * HllM) /
+            ((lit(HllM) - col("present")) + col("s_present"))).as("raw"))
+        .select(col("scope"),
+          when(col("raw") <= 2.5 * HllM && col("nz") > 0,
+            round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("nz")), 3))
+            .otherwise(round(col("raw"), 3)).as("hll_estimate"))
+    val perSrcRegs = d
+      .select(col("source").as("scope"), (col("h") % HllM).as("bucket"),
+        shiftright(col("h"), 8).as("w"))
+      .select(col("scope"), col("bucket"),
+        when(col("w") === 0, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("w")))).as("rho"))
+      .groupBy("scope", "bucket").agg(max("rho").as("mj"))
+    // THE merge: union registers = per-bucket max over source registers
+    val mergedRegs = perSrcRegs.groupBy("bucket")
+      .agg(max("mj").as("mj")).select(lit("ALL").as("scope"),
+        col("bucket"), col("mj"))
+    val ests = estFromRegs(perSrcRegs.unionByName(mergedRegs))
+    val exacts = d.groupBy(col("source").as("scope"))
+      .agg(countDistinct(col("text")).as("exact_distinct"))
+      .unionByName(d.agg(countDistinct(col("text")).as("exact_distinct"))
+        .select(lit("ALL").as("scope"), col("exact_distinct")))
+    ests.join(exacts, Seq("scope"))
+      .select(col("scope"), col("exact_distinct"), col("hll_estimate"),
+        round(abs(col("hll_estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 6).as("rel_err"))
+      .orderBy("scope")
+  }
+
+  def hllMergeSourcesOracle: String =
+    s"""WITH d AS (SELECT source, text, ${h32Sql("text")} AS h FROM documents),
+       |sp AS (SELECT source, h % $HllM AS bucket, h // $HllM AS w FROM d),
+       |regs AS (SELECT source AS scope, bucket,
+       |    MAX(CASE WHEN w = 0 THEN 25 ELSE 25 - length(bin(w)) END) AS mj
+       |  FROM sp GROUP BY 1, 2),
+       |merged AS (SELECT 'ALL' AS scope, bucket, MAX(mj) AS mj
+       |  FROM regs GROUP BY bucket),
+       |allregs AS (SELECT * FROM regs UNION ALL SELECT * FROM merged),
+       |ag AS (SELECT scope, CAST(COUNT(*) AS BIGINT) AS present,
+       |    SUM(pow(2.0, -mj)) AS s_present FROM allregs GROUP BY 1),
+       |e AS (SELECT scope, ($HllM - present) AS nz,
+       |    0.7213 / (1.0 + 1.079 / $HllM) * (${HllM * HllM}) /
+       |      (($HllM - present) + s_present) AS raw FROM ag),
+       |est AS (SELECT scope,
+       |    CASE WHEN raw <= 2.5 * $HllM AND nz > 0
+       |      THEN round(${HllM}.0 * ln(${HllM}.0 / nz), 3)
+       |      ELSE round(raw, 3) END AS hll_estimate FROM e),
+       |ex AS (SELECT source AS scope,
+       |    CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+       |  FROM d GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'ALL', CAST(COUNT(DISTINCT text) AS BIGINT) FROM d)
+       |SELECT est.scope AS scope, ex.exact_distinct, est.hll_estimate,
+       |  round(abs(est.hll_estimate - ex.exact_distinct) /
+       |    ex.exact_distinct, 6) AS rel_err
+       |FROM est JOIN ex ON est.scope = ex.scope
+       |ORDER BY est.scope""".stripMargin
+
   // ── Bloom-filter membership pre-filter ──
 
   val BloomBits = 8192

@@ -64,6 +64,21 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("hll register merge: union estimate from merged registers stays in sketch error") {
+    val rows = ext.Sketches.hllMergeSources(spark, sf0001).collect()
+    val all = rows.find(_.getAs[String]("scope") == "ALL").get
+    val srcs = rows.filterNot(_.getAs[String]("scope") == "ALL")
+    assert(srcs.nonEmpty)
+    // the merged sketch counts the union, not the sum of the parts
+    assert(all.getAs[Long]("exact_distinct") <=
+      srcs.map(_.getAs[Long]("exact_distinct")).sum)
+    // 256 registers → ~1.04/√256 ≈ 6.5% standard error; allow 4σ
+    rows.foreach { r =>
+      assert(r.getAs[Double]("rel_err") < 0.26,
+        s"scope ${r.getAs[String]("scope")} err ${r.getAs[Double]("rel_err")}")
+    }
+  }
+
   test("oracled bloom audit: zero false negatives, every build key hits") {
     val rows = ext.Sketches.bloomFilterAudit(spark, sf0001).collect()
     assert(rows.nonEmpty)
