@@ -176,6 +176,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgrams _,
     "dsir_weights" -> TextAnalysis.dsirWeights _,
     "source_overlap" -> TextAnalysis.sourceOverlap _,
+    "ngram_novelty" -> TextAnalysis.ngramNovelty _,
     "pareto_revenue" -> Relational.paretoRevenue _,
     "dedup_semantic" -> Similarity.semanticDedup _,
     "quality_repetition" -> TextAnalysis.qualityRepetition _,
@@ -445,6 +446,7 @@ object SparkEntry {
     "boilerplate_ngrams" -> TextAnalysis.boilerplateNgramsOracle,
     "dsir_weights" -> TextAnalysis.dsirWeightsOracle,
     "source_overlap" -> TextAnalysis.sourceOverlapOracle,
+    "ngram_novelty" -> TextAnalysis.ngramNoveltyOracle,
     "pareto_revenue" -> Relational.paretoRevenueOracle,
     "dedup_semantic" -> Similarity.semanticDedupOracle,
     "quality_repetition" -> TextAnalysis.qualityRepetitionOracle,

@@ -433,6 +433,53 @@ object TextAnalysis {
        |FROM base b LEFT JOIN bpd ON b.doc_id = bpd.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
+  // ── per-document novelty: first-occurrence n-gram attribution ──
+
+  /** Marginal novelty of each document in ingestion (doc_id) order:
+    * the fraction of its distinct 4-grams whose FIRST corpus
+    * occurrence is this document — the "what does this doc add"
+    * signal behind incremental-dedup keep decisions and novelty-
+    * ordered curricula (a doc whose grams all appeared earlier is
+    * pure repetition even if no single earlier doc matches it, which
+    * is exactly the case pairwise dedup misses). One gram explode →
+    * per-gram min doc_id (map-side combined) → join back on gram,
+    * co-partitioned with the frame that produced it; nothing
+    * doc-pairwise, cost O(gram positions) like the whole gram-stream
+    * family. */
+  def ngramNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docGrams = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(ngramArr(4)).as("g"))
+    val firstSeen = docGrams.groupBy("g").agg(min("doc_id").as("first_doc"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), size(ngramArr(4)).cast("long").as("n_grams"))
+      .join(docGrams.join(firstSeen, Seq("g"))
+          .groupBy("doc_id")
+          .agg(sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        round(coalesce(col("n_novel"), lit(0L)) / col("n_grams"), 6)
+          .as("novelty"))
+      .orderBy("doc_id")
+  }
+
+  def ngramNoveltyOracle: String =
+    s"""WITH g AS (SELECT doc_id, ${ngramSqlArr(4)} AS grams
+       |  FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t),
+       |dg AS (SELECT doc_id, unnest(grams) AS g FROM g),
+       |fs AS (SELECT g, MIN(doc_id) AS first_doc FROM dg GROUP BY g),
+       |nv AS (SELECT dg.doc_id,
+       |    CAST(SUM(CASE WHEN fs.first_doc = dg.doc_id THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_novel
+       |  FROM dg JOIN fs USING (g) GROUP BY dg.doc_id)
+       |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
+       |  COALESCE(nv.n_novel, 0) AS n_novel,
+       |  round(COALESCE(nv.n_novel, 0) / CAST(len(g.grams) AS DOUBLE), 6)
+       |    AS novelty
+       |FROM g LEFT JOIN nv ON g.doc_id = nv.doc_id
+       |ORDER BY g.doc_id""".stripMargin
+
   // ── source-overlap matrix: pairwise trigram Jaccard between sources ──
 
   /** Pairwise content overlap between corpus sources: distinct word
