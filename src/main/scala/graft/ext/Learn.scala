@@ -366,11 +366,17 @@ object Learn {
     val n = cells.agg(sum("c").as("n"))
     val boundaries = cells.select(col("bkt")).distinct()
       .filter(col("bkt") < SplitBuckets)
-    // left count per (boundary, class): join boundaries × class cells
-    // with bkt ≤ boundary, then aggregate — bounded 64 × 64 × |cls|
-    val left = boundaries.join(cells.select(col("bkt").as("cb"),
-        col("cls"), col("c")), col("cb") <= col("bkt"))
-      .groupBy(col("bkt"), col("cls")).agg(sum("c").as("nl"))
+    // left count per (boundary, class): the full boundary × class grid
+    // (boundaries ⨯ totals) LEFT-joined to the prefix cells, so a class
+    // with zero rows at-or-below a boundary still contributes nl=0 /
+    // nr=tot — otherwise its right-side entropy term vanishes and
+    // h_root becomes boundary-dependent. Bounded 64 × 64 × |cls|.
+    val left = boundaries.crossJoin(totals.select(col("cls")))
+      .join(cells.select(col("bkt").as("cb"), col("cls").as("ccls"),
+          col("c")),
+        col("ccls") === col("cls") && col("cb") <= col("bkt"), "left")
+      .groupBy(col("bkt"), col("cls"))
+      .agg(coalesce(sum("c"), lit(0L)).as("nl"))
     def h(pc: Column): Column =
       round(when(pc > 0, -pc * log(pc)).otherwise(lit(0.0)), 9)
     val sides = left.join(totals, Seq("cls")).crossJoin(broadcast(n))
@@ -418,8 +424,10 @@ object Learn {
        |  GROUP BY 1),
        |nn AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cells),
        |bs AS (SELECT DISTINCT bkt FROM cells WHERE bkt < $SplitBuckets),
-       |lft AS (SELECT b.bkt, cl.cls, CAST(SUM(cl.c) AS BIGINT) AS nl
-       |  FROM bs b JOIN cells cl ON cl.bkt <= b.bkt GROUP BY 1, 2),
+       |lft AS (SELECT b.bkt, t.cls, CAST(COALESCE(SUM(cl.c), 0) AS BIGINT) AS nl
+       |  FROM bs b CROSS JOIN totals t
+       |  LEFT JOIN cells cl ON cl.cls = t.cls AND cl.bkt <= b.bkt
+       |  GROUP BY 1, 2),
        |sides AS (SELECT l.bkt, l.cls, l.nl, t.tot - l.nl AS nr, t.tot, nn.n
        |  FROM lft l JOIN totals t USING (cls), nn),
        |lt AS (SELECT bkt, CAST(SUM(nl) AS BIGINT) AS n_left,

@@ -445,8 +445,13 @@ object Similarity {
     * sweep adds list-lookup joins, never extra corpus scans. */
   def ivfRecallSweep(spark: SparkSession, dir: String,
                      numQueries: Int = 5, k: Int = 5): DataFrame = {
+    // localCheckpoint, not persist: the sweep reuses this frame across
+    // every nprobe arm, and checkpoint blocks are ContextCleaner-freed
+    // once unreferenced — a persist() here would stay registered in the
+    // session CacheManager for the SparkContext lifetime (one leaked
+    // cached dataset per invocation under the bench harness).
     val assign = withAssignments(spark, dir,
-      maxProbe = RecallSweepProbes.max).persist()
+      maxProbe = RecallSweepProbes.max).localCheckpoint()
     val members = assign.filter(col("probe_rank") === 1)
       .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
     val qs = assign.filter(col("probe_rank") === 1 &&

@@ -404,7 +404,11 @@ object TextAnalysis {
       .join(boilerPerDoc, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        round(coalesce(col("n_boiler"), lit(0L)) / col("n_grams"), 6)
+        // explicit n_grams > 0 gate: Spark (ANSI off) yields NULL for
+        // 0/0 but DuckDB's IEEE double division yields NaN, so the
+        // NULL-for-gramless-docs contract must be stated, not inherited
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_boiler"), lit(0L)) / col("n_grams"), 6))
           .as("boiler_frac"))
       .withColumn("flagged",
         coalesce(col("boiler_frac") >= BoilerFracFlag, lit(false)))
@@ -426,10 +430,12 @@ object TextAnalysis {
        |  FROM grams)
        |SELECT b.doc_id, b.n_grams,
        |  COALESCE(bpd.n_boiler, 0) AS n_boiler,
-       |  round(COALESCE(bpd.n_boiler, 0) / CAST(b.n_grams AS DOUBLE), 6)
-       |    AS boiler_frac,
-       |  COALESCE(round(COALESCE(bpd.n_boiler, 0) / CAST(b.n_grams AS DOUBLE), 6)
-       |      >= $BoilerFracFlag, false) AS flagged
+       |  CASE WHEN b.n_grams > 0 THEN
+       |    round(COALESCE(bpd.n_boiler, 0) / CAST(b.n_grams AS DOUBLE), 6)
+       |  ELSE NULL END AS boiler_frac,
+       |  COALESCE(CASE WHEN b.n_grams > 0 THEN
+       |      round(COALESCE(bpd.n_boiler, 0) / CAST(b.n_grams AS DOUBLE), 6)
+       |      >= $BoilerFracFlag ELSE NULL END, false) AS flagged
        |FROM base b LEFT JOIN bpd ON b.doc_id = bpd.doc_id
        |ORDER BY b.doc_id""".stripMargin
 
@@ -459,7 +465,10 @@ object TextAnalysis {
         Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_grams"),
         coalesce(col("n_novel"), lit(0L)).as("n_novel"),
-        round(coalesce(col("n_novel"), lit(0L)) / col("n_grams"), 6)
+        // same 0/0 gate as boilerplateNgrams: NULL novelty for docs
+        // with no grams, stated explicitly so both engines agree
+        when(col("n_grams") > 0,
+          round(coalesce(col("n_novel"), lit(0L)) / col("n_grams"), 6))
           .as("novelty"))
       .orderBy("doc_id")
   }
@@ -475,8 +484,9 @@ object TextAnalysis {
        |  FROM dg JOIN fs USING (g) GROUP BY dg.doc_id)
        |SELECT g.doc_id, CAST(len(g.grams) AS BIGINT) AS n_grams,
        |  COALESCE(nv.n_novel, 0) AS n_novel,
-       |  round(COALESCE(nv.n_novel, 0) / CAST(len(g.grams) AS DOUBLE), 6)
-       |    AS novelty
+       |  CASE WHEN len(g.grams) > 0 THEN
+       |    round(COALESCE(nv.n_novel, 0) / CAST(len(g.grams) AS DOUBLE), 6)
+       |  ELSE NULL END AS novelty
        |FROM g LEFT JOIN nv ON g.doc_id = nv.doc_id
        |ORDER BY g.doc_id""".stripMargin
 

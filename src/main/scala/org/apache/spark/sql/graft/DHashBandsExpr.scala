@@ -53,8 +53,10 @@ object DHashBandsExpr {
       var prev = bytes(0) & 0xff
       var i = 0
       while (i < Bits) {
-        // sample i+1 at byte floor((i+1)*(n-1)/64)
-        val cur = bytes(((i + 1) * (n - 1)) / Bits) & 0xff
+        // sample i+1 at byte floor((i+1)*(n-1)/64); Long arithmetic so
+        // payloads past ~33.5 MB (where (i+1)*(n-1) overflows Int) still
+        // index correctly — the oracle side uses unbounded integers.
+        val cur = bytes((((i + 1).toLong * (n - 1)) / Bits).toInt) & 0xff
         if (prev < cur) bands(i >> 3) |= (1L << (i & 7))
         prev = cur
         i += 1
