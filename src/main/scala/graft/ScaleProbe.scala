@@ -13,7 +13,7 @@ import org.apache.spark.sql.functions._
   * quadratic term or a parallelism collapse. (Absolute times still
   * carry local-mode noise; the RATIO is the signal.)
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] [workDir]
+  * Usage: runMain graft.ScaleProbe [sfDir] [workDir] [probe,probe,...]
   * Prints one JSON line: {"probe":..., "t1":..., "t10":..., "ratio":...}
   */
 object ScaleProbe {
@@ -96,9 +96,13 @@ object ScaleProbe {
       time(fn(spark, dir).write.format("noop").mode("overwrite").save())
     }
 
+    // optional 3rd arg: comma-separated probe names (dev loop)
+    val selected =
+      if (args.length > 2) probes.filter(p => args(2).split(",").contains(p._1))
+      else probes
     // warmup both paths once so codegen/scan setup isn't billed
-    probes.take(1).foreach { case (_, fn) => runOnce(sfDir, fn); runOnce(work, fn) }
-    val rows = probes.map { case (name, fn) =>
+    selected.take(1).foreach { case (_, fn) => runOnce(sfDir, fn); runOnce(work, fn) }
+    val rows = selected.map { case (name, fn) =>
       val t1 = math.min(runOnce(sfDir, fn), runOnce(sfDir, fn))
       val tN = math.min(runOnce(work, fn), runOnce(work, fn))
       val r = tN / t1

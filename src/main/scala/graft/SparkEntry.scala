@@ -196,6 +196,9 @@ object SparkEntry {
     "feature_hashing" -> TextAnalysis.featureHashing _,
     "scalar_math_funcs" -> Relational.scalarMathFuncs _,
     "hard_negative_mining" -> Similarity.hardNegativeMining _,
+    "hard_negatives_ann" -> Similarity.hardNegativesAnn _,
+    "triplet_mining_ann" -> Similarity.tripletMiningAnn _,
+    "knn_audit_ann" -> Learn.knnAuditAnn _,
     "window_func_battery" -> Relational.windowFuncBattery _,
     "unpivot_metrics" -> Relational.unpivotMetrics _,
     "grouping_sets_revenue" -> Relational.groupingSetsRevenue _,
@@ -465,6 +468,8 @@ object SparkEntry {
     "feature_hashing" -> TextAnalysis.featureHashingOracle,
     "scalar_math_funcs" -> Relational.scalarMathFuncsOracle,
     "hard_negative_mining" -> Similarity.hardNegativeMiningOracle,
+    "hard_negatives_ann" -> Similarity.hardNegativesAnnOracle,
+    "triplet_mining_ann" -> Similarity.tripletMiningAnnOracle,
     "window_func_battery" -> Relational.windowFuncBatteryOracle,
     "unpivot_metrics" -> Relational.unpivotMetricsOracle,
     "grouping_sets_revenue" -> Relational.groupingSetsRevenueOracle,
@@ -498,6 +503,7 @@ object SparkEntry {
     "nb_lang_confusion" -> Learn.nbLangConfusionOracle,
     "logistic_returns" -> Learn.logisticReturnsOracle,
     "knn_label_audit" -> Learn.knnLabelAuditOracle,
+    "knn_audit_ann" -> Learn.knnAuditAnnOracle,
     "best_split_stump" -> Learn.bestSplitStumpOracle,
     "mann_whitney_spend" -> Nonparam.mannWhitneySpendOracle,
     "ks_test_events" -> Nonparam.ksTestEventsOracle,

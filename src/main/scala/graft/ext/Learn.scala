@@ -333,6 +333,103 @@ object Learn {
        |FROM pred, agree GROUP BY actual_label, predicted_label
        |ORDER BY actual_label, predicted_label""".stripMargin
 
+  /** [[knnLabelAudit]] with the candidate source swapped from
+    * all-pairs to the IVF probe join ([[Similarity.annMiningCandidates]]
+    * — O(n^1.5) candidates with the √-scaled list count), plus the
+    * panel-bounded exact audit the mining twins share:
+    * `panel_pred_match` is the fraction of audited anchors
+    * (vec_id < [[Similarity.MiningAuditPanel]]) whose ANN-voted
+    * predicted label equals the exact-kNN vote. Vote and confusion
+    * semantics are identical to the exact query; anchors with no
+    * candidate in their probed lists simply cast no vote. */
+  def knnAuditAnn(spark: SparkSession, dir: String): DataFrame = {
+    val assign = Similarity.withAssignments(spark, dir).localCheckpoint()
+    def pred(top: DataFrame): DataFrame = {
+      val votes = top.groupBy("query_id", "q_label", "n_label")
+        .agg(count(lit(1)).as("cnt"))
+      val wVote = Window.partitionBy("query_id")
+        .orderBy(col("cnt").desc, col("n_label"))
+      votes.withColumn("vrk", row_number().over(wVote))
+        .filter(col("vrk") === 1)
+        .select(col("query_id"), col("q_label").as("actual_label"),
+          col("n_label").as("predicted_label"), col("cnt").as("votes"))
+    }
+    val annPred = pred(Similarity.topKPerQuery(
+      Similarity.annMiningCandidates(assign), KnnK))
+    val e = assign.filter(col("probe_rank") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val pq = e.filter(col("vec_id") < Similarity.MiningAuditPanel)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val exactPred = pred(Similarity.topKPerQuery(
+      Similarity.spread(e)
+        .join(broadcast(pq), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_label"),
+          col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+          round(Similarity.dot(col("qv"), col("v")) /
+            (col("qn") * col("nrm")), 6).as("cos_sim")),
+      KnnK))
+      .select(col("query_id"), col("predicted_label").as("exact_pred"))
+    val agree = annPred.agg(round(
+      sum(when(col("actual_label") === col("predicted_label"), 1L)
+        .otherwise(0L)).cast("double") / count(lit(1)), 6).as("agreement"))
+    val rate = annPred.filter(col("query_id") < Similarity.MiningAuditPanel)
+      .join(exactPred, Seq("query_id"))
+      .agg(coalesce(round(
+        sum(when(col("predicted_label") === col("exact_pred"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 6),
+        lit(-1.0)).as("panel_pred_match"))
+    annPred.groupBy("actual_label", "predicted_label")
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("votes").cast("double")), 6).as("avg_votes"))
+      .crossJoin(broadcast(agree))
+      .crossJoin(broadcast(rate))
+      .orderBy("actual_label", "predicted_label")
+  }
+
+  def knnAuditAnnOracle: String =
+    s"""WITH ${Similarity.ivfCommonSql},
+       |${Similarity.miningAnnCommonSql},
+       |anntop AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM cand) r WHERE rk <= $KnnK),
+       |annvotes AS (SELECT query_id, q_label, n_label,
+       |    CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM anntop GROUP BY query_id, q_label, n_label),
+       |annpred AS (SELECT query_id, q_label AS actual_label,
+       |    n_label AS predicted_label, cnt AS votes
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cnt DESC, n_label) AS vrk FROM annvotes) r
+       |  WHERE vrk = 1),
+       |exs AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+       |    x.vec_id AS neighbor_id, x.label AS n_label,
+       |    round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos_sim
+       |  FROM nl q JOIN nl x ON x.vec_id <> q.vec_id
+       |  WHERE q.vec_id < ${Similarity.MiningAuditPanel}),
+       |extop AS (SELECT * FROM (SELECT *, ROW_NUMBER() OVER (
+       |      PARTITION BY query_id ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM exs) r WHERE rk <= $KnnK),
+       |exvotes AS (SELECT query_id, n_label, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM extop GROUP BY query_id, n_label),
+       |expred AS (SELECT query_id, n_label AS exact_pred
+       |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY cnt DESC, n_label) AS vrk FROM exvotes) r
+       |  WHERE vrk = 1),
+       |agree AS (SELECT round(CAST(SUM(CASE WHEN actual_label =
+       |      predicted_label THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6)
+       |    AS agreement FROM annpred),
+       |rate AS (SELECT COALESCE(round(CAST(SUM(CASE WHEN a.predicted_label =
+       |      e.exact_pred THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6), -1.0)
+       |    AS panel_pred_match
+       |  FROM annpred a JOIN expred e ON a.query_id = e.query_id
+       |  WHERE a.query_id < ${Similarity.MiningAuditPanel})
+       |SELECT actual_label, predicted_label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  round(AVG(CAST(votes AS DOUBLE)), 6) AS avg_votes,
+       |  MIN(agree.agreement) AS agreement,
+       |  MIN(rate.panel_pred_match) AS panel_pred_match
+       |FROM annpred, agree, rate GROUP BY actual_label, predicted_label
+       |ORDER BY actual_label, predicted_label""".stripMargin
+
   // ── histogram-based best-split search (decision-stump IG) ──
 
   val SplitBuckets = 64
@@ -371,7 +468,7 @@ object Learn {
     // with zero rows at-or-below a boundary still contributes nl=0 /
     // nr=tot — otherwise its right-side entropy term vanishes and
     // h_root becomes boundary-dependent. Bounded 64 × 64 × |cls|.
-    val left = boundaries.crossJoin(totals.select(col("cls")))
+    val left = boundaries.crossJoin(broadcast(totals.select(col("cls"))))
       .join(cells.select(col("bkt").as("cb"), col("cls").as("ccls"),
           col("c")),
         col("ccls") === col("cls") && col("cb") <= col("bkt"), "left")

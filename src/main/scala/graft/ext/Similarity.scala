@@ -223,14 +223,42 @@ object Similarity {
 
   // ── IVF (inverted-file) ANN ──
 
-  val NumLists = 16
+  val MinLists = 16
+  val MaxLists = 4096
+  /** Fixed query-vector anchor: every IVF/recall query set is
+    * vec_id ∈ [QueryBase, QueryBase + numQueries), decoupled from the
+    * (data-dependent) list count so the query identity never drifts
+    * with corpus size. */
+  val QueryBase = 16
   val NProbe = 2
   val LloydIters = 3
 
-  /** k-means coarse quantizer: seeds = the first NumLists vectors
-    * (deterministic), refined by exactly [[LloydIters]] Lloyd
-    * iterations — fixed count, no convergence test, so any engine
-    * re-running the same arithmetic lands on identical centroids.
+  /** Corpus-adaptive coarse-quantizer size: k = ⌈√(n/2)⌉ clamped to
+    * [MinLists, MaxLists]. The √ law is the analytic minimizer of the
+    * two costs k trades between — centroid assignment is O(n·k) and
+    * per-list all-pairs work is O(n²/2k); d/dk (nk + n²/2k) = 0 at
+    * k = √(n/2) — so both terms grow as n^1.5 instead of one of them
+    * going quadratic (the fixed k=16 of rounds ≤4 measured 94× time
+    * at 100× data before star-capping). The [[graft.ext.Dedup.MaxBucket]]
+    * star-cap stays as the degenerate-cluster backstop; at lake scale
+    * past [[MaxLists]] the documented step is a two-level quantizer
+    * (assign to √k coarse cells, refine within), which keeps
+    * assignment sub-quadratic with k ∝ n/64. */
+  def numLists(n: Long): Int =
+    math.max(MinLists.toDouble,
+      math.min(MaxLists.toDouble, math.ceil(math.sqrt(n / 2.0)))).toInt
+
+  /** The same k as [[numLists]], computed by the oracle from the same
+    * corpus count (IEEE sqrt/ceil are engine-identical). */
+  private val numListsSql: String =
+    s"GREATEST($MinLists, LEAST($MaxLists," +
+      s" CAST(ceil(sqrt(COUNT(*) / 2.0)) AS BIGINT)))"
+
+  /** k-means coarse quantizer: k = [[numLists]](corpus size), seeds =
+    * the first k vectors (deterministic), refined by exactly
+    * [[LloydIters]] Lloyd iterations — fixed count, no convergence
+    * test, so any engine re-running the same arithmetic lands on
+    * identical centroids.
     *
     * Engine-independence discipline (the oracle mirrors each step):
     *   - assignment: cosine sim rounded to 6 decimals BEFORE the
@@ -241,36 +269,28 @@ object Similarity {
     *     to 9 decimals;
     *   - a list that captures no vectors keeps its previous centroid.
     *
-    * Scale shape: each iteration is one corpus scan against a
-    * broadcast 16-row centroid table + a (NumLists × dim)-row
-    * aggregate; the only driver state is the centroid matrix itself
-    * (16 × 64 doubles — bounded, like a convergence aggregate). */
+    * Scale shape: each iteration is one corpus scan through the
+    * compiled nearest-centroid kernel (the k-row matrix rides as a
+    * plan reference — no n×k scored-row intermediate) + a
+    * (k × dim)-row mean aggregate; driver state is the centroid
+    * matrix itself (≤ [[MaxLists]] × dim doubles — bounded). */
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
-    import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     // the corpus is re-scored once per Lloyd iteration — cache it for
     // the loop, release before returning (driver-blocking, so the
-    // unpersist is safe here, unlike in lazily-returned queries)
+    // unpersist is safe here, unlike in lazily-returned queries);
+    // the same cached scan serves the k-sizing count
     val e = embeddingsD(spark, dir)
-      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+      .select(col("vec_id"), col("v"))
       .persist()
-    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < NumLists)
+    val k = numLists(e.count())
+    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to LloydIters) {
-      val c = cents.toDF("list_id", "cv")
-        .select(col("list_id"), col("cv"), norm(col("cv")).as("cn"))
-      // argmax per vector as a hash aggregate (min over (−sim, list_id)
-      // breaks ties toward the lower list, matching the oracle's
-      // row_number ordering) — a window would sort-shuffle the whole
-      // scored corpus once per Lloyd round just to keep rank 1
-      val assigned = e.crossJoin(broadcast(c))
-        .select(col("vec_id"), col("v"), col("list_id"),
-          round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("centroid_sim"))
-        .groupBy("vec_id")
-        .agg(min(struct((col("centroid_sim") * -1).as("ns"), col("list_id"))).as("best"),
-          first(col("v")).as("v"))
-        .select(col("vec_id"), col("v"), col("best.list_id").as("list_id"))
+      val assigned = e.select(col("vec_id"), col("v"),
+        graft.functions.NearestCentroids(col("v"), cents, 1)
+          .getItem(0).getField("list_id").as("list_id"))
       val means = assigned
         .select(col("list_id"), posexplode(col("v")).as(Seq("dim", "x")))
         .groupBy(col("list_id"), col("dim"))
@@ -287,25 +307,21 @@ object Similarity {
   }
 
   /** Vectors scored against the k-means centroids: one corpus scan
-    * against the broadcast centroid table, argmax per row. Keeps the
-    * `maxProbe` best lists per vector (default [[NProbe]]) plus each
-    * list's centroid norm, so downstream reports need no re-join. */
-  private def withAssignments(spark: SparkSession, dir: String,
-                              maxProbe: Int = NProbe): DataFrame = {
-    import spark.implicits._
-    val e = embeddingsD(spark, dir)
-      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
-    val cents = kmeansCentroids(spark, dir).toDF("list_id", "cv")
-      .select(col("list_id"), col("cv"), norm(col("cv")).as("cn"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(col("centroid_sim").desc, col("list_id"))
-    e.crossJoin(broadcast(cents))
-      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"), col("cn"),
-        round(dot(col("v"), col("cv")) / (col("nrm") * col("cn")), 6).as("centroid_sim"))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= maxProbe)
-      .select(col("vec_id"), col("v"), col("nrm"), col("list_id"), col("cn"),
-        col("centroid_sim"), col("rk").cast("long").as("probe_rank"))
+    * through the compiled nearest-centroid kernel (no crossJoin, no
+    * per-vector window sort). Keeps the `maxProbe` best lists per
+    * vector (default [[NProbe]]) plus each list's centroid norm, so
+    * downstream reports need no re-join. */
+  private[ext] def withAssignments(spark: SparkSession, dir: String,
+                                   maxProbe: Int = NProbe): DataFrame = {
+    val cents = kmeansCentroids(spark, dir)
+    embeddingsD(spark, dir)
+      .select(col("vec_id"), col("label"), col("v"), norm(col("v")).as("nrm"),
+        posexplode(graft.functions.NearestCentroids(col("v"), cents, maxProbe))
+          .as(Seq("_pos", "_a")))
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"),
+        col("_a.list_id").as("list_id"), col("_a.cn").as("cn"),
+        col("_a.sim").as("centroid_sim"),
+        (col("_pos") + 1).cast("long").as("probe_rank"))
   }
 
   /** IVF list assignment: every vector's primary list (probe_rank 1). */
@@ -318,7 +334,7 @@ object Similarity {
 
   /** IVF ANN: probe the query's NProbe nearest lists, score only the
     * vectors whose PRIMARY list is probed — candidate set ≈
-    * NProbe/NumLists of the corpus, the sub-linear scale path. */
+    * NProbe/numLists(n) of the corpus, the sub-linear scale path. */
   def annIvf(spark: SparkSession, dir: String,
              numQueries: Int = 5, k: Int = 5): DataFrame = {
     // assignments feed both the member lists and the query probes —
@@ -327,7 +343,7 @@ object Similarity {
     val members = assign.filter(col("probe_rank") === 1)
       .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
     val queries = assign
-      .filter(col("vec_id") >= NumLists && col("vec_id") < NumLists + numQueries)
+      .filter(col("vec_id") >= QueryBase && col("vec_id") < QueryBase + numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"), col("list_id"))
     val scored = queries.join(members, Seq("list_id"))
@@ -340,11 +356,13 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
-  /** Mirrors [[kmeansCentroids]]: seeds c0 = first NumLists vectors,
-    * then LloydIters unrolled assign→mean rounds with the identical
-    * rounding discipline (sim round 6 / tie on list_id; decimal-exact
-    * per-dim sums, mean round 9; empty lists keep old centroids). */
-  private val ivfCommonSql: String = {
+  /** Mirrors [[kmeansCentroids]]: k from the corpus count (the `kp`
+    * CTE computes [[numLists]] with the same IEEE sqrt/ceil), seeds
+    * c0 = first k vectors, then LloydIters unrolled assign→mean
+    * rounds with the identical rounding discipline (sim round 6 /
+    * tie on list_id; decimal-exact per-dim sums, mean round 9; empty
+    * lists keep old centroids). */
+  private[ext] val ivfCommonSql: String = {
     val iters = (1 to LloydIters).map { i =>
       s"""a$i AS (SELECT n.vec_id, n.v, c.list_id,
          |    row_number() OVER (PARTITION BY n.vec_id
@@ -362,8 +380,10 @@ object Similarity {
          |  FROM c${i - 1} p LEFT JOIN nc$i nc USING (list_id))""".stripMargin
     }.mkString(",\n")
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |kp AS (SELECT $numListsSql AS k FROM e),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
-       |c0 AS (SELECT vec_id AS list_id, v AS cv FROM e WHERE vec_id < ${NumLists}),
+       |c0 AS (SELECT vec_id AS list_id, v AS cv FROM e
+       |  WHERE vec_id < (SELECT k FROM kp)),
        |$iters,
        |cents AS (SELECT list_id, cv, sqrt(list_dot_product(cv, cv)) AS cn
        |  FROM c${LloydIters}),
@@ -386,7 +406,7 @@ object Similarity {
        |queries AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, list_id
        |  FROM scoredc
        |  WHERE probe_rank <= ${NProbe}
-       |    AND vec_id >= ${NumLists} AND vec_id < ${NumLists + 5}),
+       |    AND vec_id >= ${QueryBase} AND vec_id < ${QueryBase + 5}),
        |scored AS (SELECT DISTINCT q.query_id, m.vec_id AS neighbor_id,
        |    round(list_dot_product(q.qv, m.v) / (q.qn * m.nrm), 6) AS cos_sim
        |  FROM queries q JOIN members m ON q.list_id = m.list_id
@@ -435,7 +455,7 @@ object Similarity {
 
   /** Recall\@k of the IVF index against exact brute force, swept over
     * nprobe — the accuracy-vs-cost curve that decides the index's
-    * operating point (each probed list scores ≈ 1/[[NumLists]] of the
+    * operating point (each probed list scores ≈ 1/numLists(n) of the
     * corpus, so nprobe IS the fraction of brute-force work spent).
     * Per (nprobe, query): how many of the true top-k the probe set
     * recovered. The brute pass is query-set-bounded (broadcast
@@ -455,7 +475,7 @@ object Similarity {
     val members = assign.filter(col("probe_rank") === 1)
       .select(col("list_id"), col("vec_id"), col("v"), col("nrm"))
     val qs = assign.filter(col("probe_rank") === 1 &&
-        col("vec_id") >= NumLists && col("vec_id") < NumLists + numQueries)
+        col("vec_id") >= QueryBase && col("vec_id") < QueryBase + numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val brute = topKPerQuery(
       members.crossJoin(broadcast(qs))
@@ -465,7 +485,7 @@ object Similarity {
       k).select(col("query_id"), col("neighbor_id"))
     val sweep = RecallSweepProbes.map { np =>
       val probes = assign.filter(col("probe_rank") <= np &&
-          col("vec_id") >= NumLists && col("vec_id") < NumLists + numQueries)
+          col("vec_id") >= QueryBase && col("vec_id") < QueryBase + numQueries)
         .select(col("vec_id").as("query_id"), col("v").as("qv"),
           col("nrm").as("qn"), col("list_id"))
       val ivfTop = topKPerQuery(
@@ -504,7 +524,7 @@ object Similarity {
     s"""WITH $ivfCommonSql,
        |members AS (SELECT list_id, vec_id, v, nrm FROM scoredc WHERE probe_rank = 1),
        |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM scoredc
-       |  WHERE probe_rank = 1 AND vec_id >= $NumLists AND vec_id < ${NumLists + 5}),
+       |  WHERE probe_rank = 1 AND vec_id >= $QueryBase AND vec_id < ${QueryBase + 5}),
        |probes AS (SELECT s.vec_id AS query_id, q.qv, q.qn, s.list_id, s.probe_rank
        |  FROM scoredc s JOIN qs q ON s.vec_id = q.query_id),
        |brute AS (SELECT query_id, neighbor_id FROM (
@@ -540,7 +560,7 @@ object Similarity {
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
         slice(col("v"), 1, TruncDims).as("tv"))
       .withColumn("tnrm", norm(col("tv")))
-    val qs = e.filter(col("vec_id") >= NumLists && col("vec_id") < NumLists + numQueries)
+    val qs = e.filter(col("vec_id") >= QueryBase && col("vec_id") < QueryBase + numQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"),
         col("tv").as("qtv"), col("tnrm").as("qtn"))
     def top(score: org.apache.spark.sql.Column) =
@@ -571,7 +591,7 @@ object Similarity {
        |  FROM e),
        |qs AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn, tv AS qtv,
        |    tnrm AS qtn FROM n
-       |  WHERE vec_id >= $NumLists AND vec_id < ${NumLists + 5}),
+       |  WHERE vec_id >= $QueryBase AND vec_id < ${QueryBase + 5}),
        |fullk AS (SELECT query_id, neighbor_id FROM (
        |    SELECT q.query_id, m.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.query_id
@@ -603,7 +623,7 @@ object Similarity {
     * row per removed vector (the training-set delete list).
     *
     * The cluster restriction is the scale contract: pairing is
-    * per-list (≈ n/[[NumLists]] rows each) instead of a corpus cross
+    * per-list (≈ n/numLists(n) rows each) instead of a corpus cross
     * join — the SemDeDup observation that true semantic dups land in
     * the same cluster, trading the recall of the exact O(n²) pass
     * ([[graft.ext.Dedup.embeddingNearDup]]) for per-cluster cost,
@@ -1135,6 +1155,210 @@ object Similarity {
       |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
       |    ORDER BY cos_sim DESC, neighbor_id) AS rk FROM scored) r
       |WHERE rk = 1 ORDER BY query_id""".stripMargin
+
+  // ── ANN-candidate mining twins (IVF-sourced, exact-audited) ──
+
+  /** Anchors audited against the exact arm: the recall measurement is
+    * bounded to vec_id < MiningAuditPanel, so the exact pass costs
+    * O(n · panel) at any corpus size — the [[ivfRecallSweep]]
+    * query-set-bounded discipline applied to mining. */
+  val MiningAuditPanel = 64
+
+  /** IVF candidate frame for the mining family: EVERY vector as an
+    * anchor probing its [[NProbe]] nearest lists, joined against
+    * primary-list members — Σ candidates ≈ n · NProbe · n/k, i.e.
+    * O(n^1.5) with the √-scaled [[numLists]], versus the all-pairs
+    * baselines' O(n²). No distinct needed: each member has exactly
+    * one primary list, so a (anchor, member) pair arises from at most
+    * one probed list. */
+  private[ext] def annMiningCandidates(assign: DataFrame): DataFrame = {
+    val members = assign.filter(col("probe_rank") === 1)
+      .select(col("list_id"), col("vec_id"), col("label"),
+        col("v"), col("nrm"))
+    val anchors = assign
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"), col("list_id"))
+    anchors.join(members, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
+        col("label").as("n_label"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          .as("cos_sim"))
+  }
+
+  /** Shared oracle chain for the mining twins: labels joined onto the
+    * IVF assignment frame, candidates from the probe×member list
+    * join, and the label-carrying full frame `nl` for the exact panel
+    * arm. */
+  private[ext] val miningAnnCommonSql: String =
+    s"""el AS (SELECT vec_id, label FROM embeddings),
+       |mem AS (SELECT s.list_id, s.vec_id, el.label, s.v, s.nrm
+       |  FROM scoredc s JOIN el ON el.vec_id = s.vec_id
+       |  WHERE s.probe_rank = 1),
+       |anch AS (SELECT s.vec_id AS query_id, el.label AS q_label,
+       |    s.v AS qv, s.nrm AS qn, s.list_id
+       |  FROM scoredc s JOIN el ON el.vec_id = s.vec_id
+       |  WHERE s.probe_rank <= $NProbe),
+       |cand AS (SELECT a.query_id, a.q_label, m.vec_id AS neighbor_id,
+       |    m.label AS n_label,
+       |    round(list_dot_product(a.qv, m.v) / (a.qn * m.nrm), 6) AS cos_sim
+       |  FROM anch a JOIN mem m
+       |    ON a.list_id = m.list_id AND m.vec_id <> a.query_id),
+       |nl AS (SELECT n.vec_id, n.v, n.nrm, el.label
+       |  FROM n JOIN el ON el.vec_id = n.vec_id)""".stripMargin
+
+  /** [[hardNegativeMining]] with the candidate source swapped from
+    * all-pairs to the IVF probe join — the corpus-scale variant the
+    * exact query's scaladoc promises — plus a recall-vs-exact audit:
+    * `panel_exact_recall` is the fraction of audited anchors
+    * (vec_id < [[MiningAuditPanel]]) whose ANN-sourced hard negative
+    * IS the exact one. The exact arm is panel-bounded (broadcast
+    * panel × one corpus scan), so the audit never reintroduces the
+    * O(n²) this query exists to avoid; anchors whose probed lists
+    * hold no other-label member are dropped (at scale: the
+    * degenerate-neighborhood report, a separate anti-join). */
+  def hardNegativesAnn(spark: SparkSession, dir: String): DataFrame = {
+    val assign = withAssignments(spark, dir).localCheckpoint()
+    val ann = topKPerQuery(
+      annMiningCandidates(assign).filter(col("n_label") =!= col("q_label")), 1)
+      .select(col("query_id"), col("q_label"),
+        col("neighbor_id").as("hard_negative_id"),
+        col("n_label").as("neg_label"), col("cos_sim"))
+    val e = assign.filter(col("probe_rank") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val pq = e.filter(col("vec_id") < MiningAuditPanel)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val exact = topKPerQuery(
+      spread(e).join(broadcast(pq), col("label") =!= col("q_label"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+            .as("cos_sim")),
+      1).select(col("query_id"), col("neighbor_id").as("exact_id"))
+    val rate = ann.filter(col("query_id") < MiningAuditPanel)
+      .join(exact, Seq("query_id"))
+      .agg(coalesce(
+        round(sum(when(col("hard_negative_id") === col("exact_id"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 6),
+        lit(-1.0)).as("panel_exact_recall"))
+    ann.crossJoin(broadcast(rate)).orderBy("query_id")
+  }
+
+  def hardNegativesAnnOracle: String =
+    s"""WITH $ivfCommonSql,
+       |$miningAnnCommonSql,
+       |ann AS (SELECT query_id, q_label, neighbor_id AS hard_negative_id,
+       |    n_label AS neg_label, cos_sim
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM cand WHERE n_label <> q_label) t WHERE rk = 1),
+       |ex AS (SELECT query_id, neighbor_id AS exact_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6)
+       |          DESC, x.vec_id) AS rk
+       |    FROM nl q JOIN nl x ON x.label <> q.label
+       |    WHERE q.vec_id < $MiningAuditPanel) t WHERE rk = 1),
+       |rate AS (SELECT COALESCE(round(
+       |    CAST(SUM(CASE WHEN a.hard_negative_id = ex.exact_id THEN 1 ELSE 0
+       |      END) AS DOUBLE) / COUNT(*), 6), -1.0) AS panel_exact_recall
+       |  FROM ann a JOIN ex ON a.query_id = ex.query_id
+       |  WHERE a.query_id < $MiningAuditPanel)
+       |SELECT a.query_id, a.q_label, a.hard_negative_id, a.neg_label,
+       |  a.cos_sim, rate.panel_exact_recall
+       |FROM ann a, rate ORDER BY a.query_id""".stripMargin
+
+  /** [[tripletMining]] from IVF candidates: both arms (nearest
+    * same-label positive, nearest other-label negative) as
+    * conditional heap aggregates over ONE candidate pass, with
+    * panel-bounded exact-arm audits (`panel_pos_recall` /
+    * `panel_neg_recall` — fraction of audited anchors whose ANN pick
+    * matches the exact pick). Anchors missing either arm in the
+    * probed lists are dropped, mirroring the exact query's
+    * degenerate-class semantics. */
+  def tripletMiningAnn(spark: SparkSession, dir: String): DataFrame = {
+    val assign = withAssignments(spark, dir).localCheckpoint()
+    def arm(cond: Column) = graft.functions.BoundedTopK(1,
+      when(cond, struct(negate(col("cos_sim")).as("_nc"),
+        col("neighbor_id").as("_nid"), col("cos_sim").as("_c"))))
+    def arms(cand: DataFrame): DataFrame = cand
+      .groupBy(col("query_id").as("anchor_id"), col("q_label").as("label"))
+      .agg(arm(col("n_label") === col("q_label")).as("p"),
+        arm(col("n_label") =!= col("q_label")).as("n"))
+      .filter(size(col("p")) === 1 && size(col("n")) === 1)
+      .select(col("anchor_id"), col("label"),
+        col("p")(0)("_nid").as("positive_id"), col("p")(0)("_c").as("pos_cos"),
+        col("n")(0)("_nid").as("negative_id"), col("n")(0)("_c").as("neg_cos"))
+    val ann = arms(annMiningCandidates(assign))
+      .withColumn("margin", round(col("pos_cos") - col("neg_cos"), 6))
+    val e = assign.filter(col("probe_rank") === 1)
+      .select(col("vec_id"), col("label"), col("v"), col("nrm"))
+    val pq = e.filter(col("vec_id") < MiningAuditPanel)
+      .select(col("vec_id").as("query_id"), col("label").as("q_label"),
+        col("v").as("qv"), col("nrm").as("qn"))
+    val exact = arms(
+      spread(e).join(broadcast(pq), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("q_label"),
+          col("vec_id").as("neighbor_id"), col("label").as("n_label"),
+          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+            .as("cos_sim")))
+      .select(col("anchor_id"), col("positive_id").as("exact_pos"),
+        col("negative_id").as("exact_neg"))
+    val rate = ann.filter(col("anchor_id") < MiningAuditPanel)
+      .join(exact, Seq("anchor_id"))
+      .agg(
+        coalesce(round(sum(when(col("positive_id") === col("exact_pos"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 6), lit(-1.0))
+          .as("panel_pos_recall"),
+        coalesce(round(sum(when(col("negative_id") === col("exact_neg"), 1L)
+          .otherwise(0L)).cast("double") / count(lit(1)), 6), lit(-1.0))
+          .as("panel_neg_recall"))
+    ann.crossJoin(broadcast(rate)).orderBy("anchor_id")
+  }
+
+  def tripletMiningAnnOracle: String =
+    s"""WITH $ivfCommonSql,
+       |$miningAnnCommonSql,
+       |annp AS (SELECT query_id AS anchor_id, q_label AS label,
+       |    neighbor_id AS positive_id, cos_sim AS pos_cos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM cand WHERE n_label = q_label) t WHERE rk = 1),
+       |annn AS (SELECT query_id AS anchor_id,
+       |    neighbor_id AS negative_id, cos_sim AS neg_cos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM cand WHERE n_label <> q_label) t WHERE rk = 1),
+       |ann AS (SELECT p.anchor_id, p.label, p.positive_id, p.pos_cos,
+       |    x.negative_id, x.neg_cos, round(p.pos_cos - x.neg_cos, 6) AS margin
+       |  FROM annp p JOIN annn x USING (anchor_id)),
+       |exs AS (SELECT q.vec_id AS query_id, q.label AS q_label,
+       |    x.vec_id AS neighbor_id, x.label AS n_label,
+       |    round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) AS cos_sim
+       |  FROM nl q JOIN nl x ON x.vec_id <> q.vec_id
+       |  WHERE q.vec_id < $MiningAuditPanel),
+       |exp_ AS (SELECT query_id AS anchor_id, neighbor_id AS exact_pos
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM exs WHERE n_label = q_label) t WHERE rk = 1),
+       |exn AS (SELECT query_id AS anchor_id, neighbor_id AS exact_neg
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |    FROM exs WHERE n_label <> q_label) t WHERE rk = 1),
+       |ex AS (SELECT p.anchor_id, p.exact_pos, x.exact_neg
+       |  FROM exp_ p JOIN exn x USING (anchor_id)),
+       |rate AS (SELECT
+       |    COALESCE(round(CAST(SUM(CASE WHEN a.positive_id = ex.exact_pos
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6), -1.0)
+       |      AS panel_pos_recall,
+       |    COALESCE(round(CAST(SUM(CASE WHEN a.negative_id = ex.exact_neg
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6), -1.0)
+       |      AS panel_neg_recall
+       |  FROM ann a JOIN ex ON a.anchor_id = ex.anchor_id
+       |  WHERE a.anchor_id < $MiningAuditPanel)
+       |SELECT a.anchor_id, a.label, a.positive_id, a.pos_cos, a.negative_id,
+       |  a.neg_cos, a.margin, rate.panel_pos_recall, rate.panel_neg_recall
+       |FROM ann a, rate ORDER BY a.anchor_id""".stripMargin
 
   // ---------------------------------------------------------------- RRF
 

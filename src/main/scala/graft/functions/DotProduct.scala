@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayEqCountExpr, BoundedTopKAgg, ColumnShim, DHashBandsExpr, DotProductExpr, LshBucketExpr, ShingleSigExpr, WordNGramsExpr}
+import org.apache.spark.sql.graft.{ArrayEqCountExpr, BoundedTopKAgg, ColumnShim, DHashBandsExpr, DotProductExpr, LshBucketExpr, NearestCentroidsExpr, ShingleSigExpr, WordNGramsExpr}
 
 /** Public Column surface for the native codegen'd dot product
   * (see org.apache.spark.sql.graft.DotProductExpr for the rationale). */
@@ -52,4 +52,25 @@ object WordNGrams {
 object DHashBands {
   def apply(payload: Column): Column =
     ColumnShim.column(DHashBandsExpr(ColumnShim.expression(payload)))
+}
+
+/** Top-`maxProbe` nearest centroids of a double vector against a
+  * driver-known (id, centroid) table, as an array of
+  * (list_id, cn, sim) structs ordered by probe rank (codegen'd
+  * kernel — see [[org.apache.spark.sql.graft.NearestCentroidsExpr]]
+  * for the round-6/tie-to-lower-id argmax discipline). Centroid
+  * norms are precomputed here with the same sequential fold the
+  * kernel and the SQL oracle use. */
+object NearestCentroids {
+  def apply(v: Column, cents: Seq[(Long, Seq[Double])], maxProbe: Int): Column = {
+    val ids = cents.map(_._1).toArray
+    val mat = cents.map(_._2.toArray).toArray
+    val norms = mat.map { cv =>
+      var s = 0.0; var i = 0
+      while (i < cv.length) { s += cv(i) * cv(i); i += 1 }
+      math.sqrt(s)
+    }
+    ColumnShim.column(NearestCentroidsExpr(
+      ColumnShim.expression(v), ids, mat, norms, maxProbe))
+  }
 }

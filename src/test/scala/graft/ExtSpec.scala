@@ -105,13 +105,13 @@ class ExtSpec extends SparkSpec {
     val c1 = Similarity.kmeansCentroids(spark, sf0001)
     val c2 = Similarity.kmeansCentroids(spark, sf0001)
     assert(c1 == c2, "centroids must be bit-identical across runs")
-    assert(c1.size == Similarity.NumLists)
+    assert(c1.size == Similarity.numLists(500))
     assert(c1.forall(_._2.size == 64))
     // the refined centroids are means, not corpus vectors: each seed
     // captures >= itself (sim 1.0 at iteration 1), so every list is
     // non-empty and its mean moves off the raw seed vector
     val seeds = graft.Tables.embeddings(spark, sf0001)
-      .filter(col("vec_id") < Similarity.NumLists)
+      .filter(col("vec_id") < Similarity.numLists(500))
       .orderBy("vec_id").collect()
       .map(_.getSeq[Float](1).map(_.toDouble))
     assert(c1.map(_._2).zip(seeds).exists { case (c, s) => c != s },
@@ -203,7 +203,7 @@ class ExtSpec extends SparkSpec {
     val nVecs = Tables.embeddings(spark, sf0001).count()
     assert(rows.map(_.getAs[Long]("n_vecs")).sum == nVecs,
       "every vector belongs to exactly one list")
-    assert(rows.length <= ext.Similarity.NumLists)
+    assert(rows.length <= ext.Similarity.numLists(500))
     rows.foreach(r => assert(r.getAs[Double]("inertia") >= 0.0))
   }
 
