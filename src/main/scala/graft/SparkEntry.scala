@@ -57,6 +57,7 @@ object SparkEntry {
     "outlier_zscore" -> Relational.outlierZscore _,
     "histogram_totalprice" -> Relational.histogramTotalprice _,
     "percentile_price" -> Relational.percentilePrice _,
+    "quantile_approx_audit" -> Relational.quantileApproxAudit _,
     "rollup_revenue" -> Relational.rollupRevenue _,
     "cube_status_priority" -> Relational.cubeStatusPriority _,
     "semi_anti_parts" -> Relational.semiAntiParts _,
@@ -355,6 +356,7 @@ object SparkEntry {
     "outlier_zscore" -> Relational.outlierZscoreOracle,
     "histogram_totalprice" -> Relational.histogramOracle,
     "percentile_price" -> Relational.percentilePriceOracle,
+    "quantile_approx_audit" -> Relational.quantileApproxAuditOracle,
     "rollup_revenue" -> Relational.rollupRevenueOracle,
     "cube_status_priority" -> Relational.cubeStatusPriorityOracle,
     "semi_anti_parts" -> Relational.semiAntiPartsOracle,

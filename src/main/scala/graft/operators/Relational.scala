@@ -836,6 +836,89 @@ object Relational {
       |  round(quantile_cont(o_totalprice, 0.75), 4) AS p75
       |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
 
+  /** Quantile grid + rank-error tolerance for [[quantileApproxAudit]]:
+    * `percentile_approx` (Greenwald–Khanna t-digest-style mergeable
+    * sketch) promises a value whose exact RANK is within n/accuracy
+    * of the target rank. */
+  private val QaaPs = Seq(0.01, 0.05, 0.25, 0.5, 0.75, 0.95, 0.99)
+  val QaaAccuracy = 1000
+
+  /** Approx-quantile ERROR AUDIT — the verified 100 TB operating mode
+    * for percentiles. SCALE.md documents the switch from the exact
+    * bucketed-rank fetch to `approx_percentile` when exactness is
+    * negotiable (the sketch is mergeable: partials combine across
+    * 1000 executors with no second pass); this query makes that an
+    * oracled operating point instead of a doc claim, the same
+    * acceptance-gate pattern as `sim_recall_audit` for ANN.
+    *
+    * Per requested quantile p over lineitem.l_extendedprice it emits
+    * the exact interpolated value (quantile_cont semantics, via the
+    * bucketed-rank fetch — no global sort, no holistic buffer), the
+    * exact order statistics at the sketch's guaranteed rank band
+    * ±(⌈n/accuracy⌉+1), and `within_tol` = the sketch value landed
+    * inside that band. The oracle computes every deterministic column
+    * exactly and asserts `within_tol` TRUE — if Spark's sketch ever
+    * violated its rank-error contract, the driver gate goes red. The
+    * sketch value itself is NOT a column: Greenwald–Khanna merge
+    * order is scheduler-dependent, so only the band verdict is
+    * engine-portable. A scalatest asserts the numeric relative error
+    * on top (EntrySpec). */
+  def quantileApproxAudit(spark: SparkSession, dir: String): DataFrame = {
+    val pArr = array(QaaPs.map(lit): _*)
+    val vals = Tables.lineitem(spark, dir)
+      .select(lit("all").as("g"), col("l_extendedprice").cast("double").as("v"))
+    val targets = vals.groupBy("g").agg(count(lit(1)).as("n"))
+      .select(col("g"), col("n"), explode(pArr).as("p"))
+      .withColumn("pos", col("p") * (col("n") - 1).cast("double"))
+      .withColumn("lo", floor(col("pos")).cast("long") + 1)
+      .withColumn("hi", ceil(col("pos")).cast("long") + 1)
+      .withColumn("frac", col("pos") - floor(col("pos")))
+      .withColumn("erk", ceil(col("n").cast("double") / QaaAccuracy).cast("long") + 1)
+      .withColumn("rlo",
+        greatest(lit(1L), ceil(col("p") * col("n")).cast("long") - col("erk")))
+      .withColumn("rhi",
+        least(col("n"), ceil(col("p") * col("n")).cast("long") + col("erk")))
+    val needed = targets.select(col("g"),
+        explode(array(col("lo"), col("hi"), col("rlo"), col("rhi"))).as("rk"))
+      .distinct()
+    val valueAt = valuesAtGroupRanks(vals, needed).localCheckpoint()
+    val approx = vals.groupBy("g")
+      .agg(percentile_approx(col("v"), pArr, lit(QaaAccuracy)).as("av"))
+      .select(col("g"), posexplode(col("av")).as(Seq("i", "approx_v")))
+      .select(col("g"), element_at(pArr, col("i") + 1).as("p"), col("approx_v"))
+    targets
+      .join(valueAt.select(col("g"), col("rk").as("lo"), col("v").as("v_lo")), Seq("g", "lo"))
+      .join(valueAt.select(col("g"), col("rk").as("hi"), col("v").as("v_hi")), Seq("g", "hi"))
+      .join(valueAt.select(col("g"), col("rk").as("rlo"), col("v").as("band_lo")), Seq("g", "rlo"))
+      .join(valueAt.select(col("g"), col("rk").as("rhi"), col("v").as("band_hi")), Seq("g", "rhi"))
+      .join(approx, Seq("g", "p"))
+      .select(col("p"), col("n"),
+        round(col("v_lo") + col("frac") * (col("v_hi") - col("v_lo")), 4).as("exact_pv"),
+        col("band_lo"), col("band_hi"),
+        (col("approx_v") >= col("band_lo") && col("approx_v") <= col("band_hi"))
+          .as("within_tol"))
+      .orderBy("p")
+  }
+
+  def quantileApproxAuditOracle: String =
+    s"""WITH v AS (SELECT CAST(l_extendedprice AS DOUBLE) AS v FROM lineitem),
+       |nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+       |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+       |p AS (SELECT CAST(unnest([${QaaPs.mkString(", ")}]) AS DOUBLE) AS p),
+       |t AS (SELECT p.p, nn.n, p.p * (nn.n - 1) AS pos,
+       |    CAST(floor(p.p * (nn.n - 1)) AS BIGINT) + 1 AS lo,
+       |    CAST(ceil(p.p * (nn.n - 1)) AS BIGINT) + 1 AS hi,
+       |    CAST(ceil(CAST(nn.n AS DOUBLE) / $QaaAccuracy) AS BIGINT) + 1 AS erk
+       |  FROM p, nn),
+       |b AS (SELECT t.*, greatest(1, CAST(ceil(t.p * t.n) AS BIGINT) - t.erk) AS rlo,
+       |    least(t.n, CAST(ceil(t.p * t.n) AS BIGINT) + t.erk) AS rhi FROM t)
+       |SELECT b.p, b.n,
+       |  round(vlo.v + (b.pos - floor(b.pos)) * (vhi.v - vlo.v), 4) AS exact_pv,
+       |  blo.v AS band_lo, bhi.v AS band_hi, true AS within_tol
+       |FROM b JOIN r vlo ON vlo.rk = b.lo JOIN r vhi ON vhi.rk = b.hi
+       |JOIN r blo ON blo.rk = b.rlo JOIN r bhi ON bhi.rk = b.rhi
+       |ORDER BY p""".stripMargin
+
   /** ROLLUP hierarchy (region → nation) with grouping flags. Subtotal
     * rows carry NULL keys; keys are coalesced to '(all)' and tagged
     * with grouping_id so the result is unambiguous (and hashable). */

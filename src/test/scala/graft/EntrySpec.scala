@@ -37,6 +37,24 @@ class EntrySpec extends SparkSpec {
     assert(m("qty_seen").asInstanceOf[Double] > 0.0)
   }
 
+  test("quantile_approx_audit: sketch stays in its rank band with small relative error") {
+    import org.apache.spark.sql.functions._
+    val rows = operators.Relational.quantileApproxAudit(spark, sf0001).collect()
+    assert(rows.length == 7)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("within_tol"),
+        s"p=${r.getAs[Double]("p")}: sketch value left its guaranteed rank band")
+      // numeric bound on top of the rank-band verdict: the band's own
+      // width around the exact value is the realized error ceiling
+      val exact = r.getAs[Double]("exact_pv")
+      val lo = r.getAs[Double]("band_lo")
+      val hi = r.getAs[Double]("band_hi")
+      assert(lo <= exact && exact <= hi)
+      assert((hi - lo) / math.max(exact, 1.0) < 0.25,
+        s"p=${r.getAs[Double]("p")}: rank band [$lo,$hi] implausibly wide vs $exact")
+    }
+  }
+
   test("approximate sketches land within tolerance of exact counts") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf0001)
