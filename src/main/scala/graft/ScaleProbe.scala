@@ -83,6 +83,9 @@ object ScaleProbe {
       "dsir_weights" -> (graft.ext.TextAnalysis.dsirWeights _),
       "dedup_phash_pairs" -> ((s, d) => graft.ext.Dedup.phashPairs(s, d)),
       "dedup_semantic" -> (graft.ext.Similarity.semanticDedup _),
+      // round-5: corpus-adaptive list count — the probe checks per-list
+      // work stays bounded as k grows with n (was fixed k=16, 8.7×@100×)
+      "sim_ann_ivf" -> ((s, d) => graft.ext.Similarity.annIvf(s, d)),
       "trend_robust" -> (graft.operators.TimeSeries.trendRobust _),
       "ivf_recall_sweep" -> ((s, d) => graft.ext.Similarity.ivfRecallSweep(s, d)),
       "shuffle_skew_audit" -> (graft.operators.Relational.shuffleSkewAudit _),

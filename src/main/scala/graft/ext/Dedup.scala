@@ -907,7 +907,7 @@ object Dedup {
     val b = e.select(col("vec_id").as("d2"), col("v").as("v2"), col("nrm").as("n2"))
     a.crossJoin(b).filter(col("d1") < col("d2"))
       .select(col("d1"), col("d2"),
-        round(Similarity.dot(col("v1"), col("v2")) / (col("n1") * col("n2")), 6).as("cos_sim"))
+        Similarity.cos6(Similarity.dot(col("v1"), col("v2")), col("n1"), col("n2")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("d1", "d2")
   }
@@ -928,7 +928,7 @@ object Dedup {
         Similarity.lshBucket(col("v")).as("bucket"))
     cappedBucketPairs(e, Seq("bucket"), "vec_id", Seq("v", "nrm"), maxBucket)
       .select(col("d1"), col("d2"),
-        round(Similarity.dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6).as("cos_sim"))
+        Similarity.cos6(Similarity.dot(col("v1"), col("v2")), col("nrm1"), col("nrm2")).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
       .orderBy("d1", "d2")
   }

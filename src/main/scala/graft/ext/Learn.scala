@@ -281,7 +281,7 @@ object Learn {
       .join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
         col("label").as("n_label"),
-        round(Similarity.dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+        Similarity.cos6(Similarity.dot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cos_sim"))
     // bounded heap top-k (see Similarity.topKPerQuery): map-side O(k)
     // partials, no window sort of the scored scan
@@ -366,8 +366,8 @@ object Learn {
         .join(broadcast(pq), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("q_label"),
           col("vec_id").as("neighbor_id"), col("label").as("n_label"),
-          round(Similarity.dot(col("qv"), col("v")) /
-            (col("qn") * col("nrm")), 6).as("cos_sim")),
+          Similarity.cos6(Similarity.dot(col("qv"), col("v")),
+            col("qn"), col("nrm")).as("cos_sim")),
       KnnK))
       .select(col("query_id"), col("predicted_label").as("exact_pred"))
     val agree = annPred.agg(round(

@@ -134,10 +134,14 @@ object Sampling {
     * rank-limit pushdown. */
   def weightedSample(spark: SparkSession, dir: String, n: Int = 20): DataFrame = {
     val u = (sampleHash(col("doc_id")) + 1).cast("double") / lit(4294967296.0)
-    val w = Window.partitionBy("source").orderBy(col("es_key").desc, col("doc_id"))
+    val w = Window.partitionBy("source")
+      .orderBy(col("es_key").desc_nulls_last, col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), col("n_chars"),
-        round(log(u) / col("n_chars"), 9).as("es_key"))
+        // weight-0 rows (empty docs) draw key -∞ conceptually: NULL,
+        // ranked last explicitly in BOTH engines — never ANSI 0-div
+        when(col("n_chars") > 0, round(log(u) / col("n_chars"), 9))
+          .as("es_key"))
       .withColumn("rk", row_number().over(w).cast("long"))
       .filter(col("rk") <= n)
       .orderBy("source", "rk")
@@ -182,12 +186,13 @@ object Sampling {
 
   def weightedSampleOracle(n: Int): String =
     s"""WITH t AS (SELECT doc_id, source, n_chars,
-       |    round(ln((${sampleHashSql("doc_id")} + 1) / 4294967296.0)
-       |          / n_chars, 9) AS es_key
+       |    CASE WHEN n_chars > 0 THEN
+       |      round(ln((${sampleHashSql("doc_id")} + 1) / 4294967296.0)
+       |            / n_chars, 9) END AS es_key
        |  FROM documents),
        |r AS (SELECT doc_id, source, n_chars, es_key,
        |    row_number() OVER (PARTITION BY source
-       |                       ORDER BY es_key DESC, doc_id) AS rk
+       |                       ORDER BY es_key DESC NULLS LAST, doc_id) AS rk
        |  FROM t)
        |SELECT doc_id, source, n_chars, es_key, CAST(rk AS BIGINT) AS rk
        |FROM r WHERE rk <= $n ORDER BY source, rk""".stripMargin

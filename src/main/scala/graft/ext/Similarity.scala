@@ -34,6 +34,16 @@ object Similarity {
 
   def norm(v: Column): Column = sqrt(dot(v, v))
 
+  /** Cosine from a precomputed dot product and the two norms, rounded
+    * to 6 — with a zero-norm guard: a zero-norm embedding (a failed
+    * encoder output, a real hazard in a 100 TB lake) scores 0.0
+    * against everything instead of raising ANSI DIVIDE_BY_ZERO, so it
+    * ranks last and falls out of any top-k. No oracle fixture carries
+    * a zero norm, so gate results are bit-identical with or without
+    * the guard (HostileFixtureSpec exercises the zero arm). */
+  private[ext] def cos6(d: Column, n1: Column, n2: Column): Column =
+    when(n1 * n2 > 0, round(d / (n1 * n2), 6)).otherwise(lit(0.0))
+
   private[ext] def embeddingsD(spark: SparkSession, dir: String): DataFrame =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), col("label"), col("embedding").cast("array<double>").as("v"))
@@ -90,7 +100,7 @@ object Similarity {
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+        cos6(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
     topKPerQuery(scored, k)
   }
 
@@ -171,7 +181,7 @@ object Similarity {
     val scored = e.join(q, Seq("bucket"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+        cos6(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
     topKPerQuery(scored, k)
   }
 
@@ -248,6 +258,19 @@ object Similarity {
     math.max(MinLists.toDouble,
       math.min(MaxLists.toDouble, math.ceil(math.sqrt(n / 2.0)))).toInt
 
+  /** Quantizer TRAINING-set bound: Lloyd iterations refine centroids
+    * on a deterministic strided sample of ≤ ~[[TrainSampleCap]]
+    * vectors (stride = ⌊n / cap⌋, `vec_id % stride = 0` — engine-
+    * mirrorable arithmetic, no rand()), while the final assignment
+    * still scans the FULL corpus once. Training on a bounded sample
+    * is the standard IVF recipe (a coarse quantizer needs density
+    * shape, not every point); without it each Lloyd pass costs the
+    * same n·k as the assignment and the adaptive k turns training
+    * into 3× the n^1.5 term (ivf_recall_sweep probed 14× at 100×
+    * data from exactly this). Below the cap the stride is 1 and
+    * training is exact-corpus — gate-scale results are unchanged. */
+  val TrainSampleCap = 32768L
+
   /** The same k as [[numLists]], computed by the oracle from the same
     * corpus count (IEEE sqrt/ceil are engine-identical). */
   private val numListsSql: String =
@@ -283,12 +306,17 @@ object Similarity {
     val e = embeddingsD(spark, dir)
       .select(col("vec_id"), col("v"))
       .persist()
-    val k = numLists(e.count())
+    val nTotal = e.count()
+    val k = numLists(nTotal)
+    // Lloyd refinement runs on the strided training sample (see
+    // TrainSampleCap); stride 1 below the cap = exact-corpus training
+    val stride = math.max(1L, nTotal / TrainSampleCap)
+    val train = if (stride == 1L) e else e.filter(col("vec_id") % stride === 0)
     var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
     for (_ <- 1 to LloydIters) {
-      val assigned = e.select(col("vec_id"), col("v"),
+      val assigned = train.select(col("vec_id"), col("v"),
         graft.functions.NearestCentroids(col("v"), cents, 1)
           .getItem(0).getField("list_id").as("list_id"))
       val means = assigned
@@ -349,7 +377,7 @@ object Similarity {
     val scored = queries.join(members, Seq("list_id"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+        cos6(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
     // no distinct needed: each member has exactly ONE primary list, so
     // a (query, member) pair can only arise from one probed list (the
     // oracle's DISTINCT is a no-op for the same reason)
@@ -357,11 +385,13 @@ object Similarity {
   }
 
   /** Mirrors [[kmeansCentroids]]: k from the corpus count (the `kp`
-    * CTE computes [[numLists]] with the same IEEE sqrt/ceil), seeds
-    * c0 = first k vectors, then LloydIters unrolled assign→mean
-    * rounds with the identical rounding discipline (sim round 6 /
-    * tie on list_id; decimal-exact per-dim sums, mean round 9; empty
-    * lists keep old centroids). */
+    * CTE computes [[numLists]] with the same IEEE sqrt/ceil), the
+    * `smp` CTE applies the same [[TrainSampleCap]] training stride
+    * (a no-op below the cap), seeds c0 = first k vectors, then
+    * LloydIters unrolled assign→mean rounds with the identical
+    * rounding discipline (sim round 6 / tie on list_id;
+    * decimal-exact per-dim sums, mean round 9; empty lists keep old
+    * centroids). */
   private[ext] val ivfCommonSql: String = {
     val iters = (1 to LloydIters).map { i =>
       s"""a$i AS (SELECT n.vec_id, n.v, c.list_id,
@@ -369,7 +399,7 @@ object Similarity {
          |      ORDER BY round(list_dot_product(n.v, c.cv)
          |                     / (n.nrm * sqrt(list_dot_product(c.cv, c.cv))), 6) DESC,
          |               c.list_id) AS rk
-         |  FROM n CROSS JOIN c${i - 1} c),
+         |  FROM smp n CROSS JOIN c${i - 1} c),
          |x$i AS (SELECT list_id, UNNEST(range(len(v))) AS dim, UNNEST(v) AS x
          |  FROM a$i WHERE rk = 1),
          |m$i AS (SELECT list_id, dim,
@@ -382,6 +412,8 @@ object Similarity {
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |kp AS (SELECT $numListsSql AS k FROM e),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |smp AS (SELECT * FROM n WHERE vec_id %
+       |  (SELECT GREATEST(1, COUNT(*) // $TrainSampleCap) FROM e) = 0),
        |c0 AS (SELECT vec_id AS list_id, v AS cv FROM e
        |  WHERE vec_id < (SELECT k FROM kp)),
        |$iters,
@@ -481,7 +513,7 @@ object Similarity {
       members.crossJoin(broadcast(qs))
         .filter(col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim")),
+          cos6(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim")),
       k).select(col("query_id"), col("neighbor_id"))
     val sweep = RecallSweepProbes.map { np =>
       val probes = assign.filter(col("probe_rank") <= np &&
@@ -492,7 +524,7 @@ object Similarity {
         probes.join(members, Seq("list_id"))
           .filter(col("vec_id") =!= col("query_id"))
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
-            round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim")),
+            cos6(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim")),
         k).select(col("query_id"), col("neighbor_id"))
       qs.select(col("query_id"))
         .join(ivfTop.join(brute, Seq("query_id", "neighbor_id"))
@@ -569,8 +601,8 @@ object Similarity {
           .select(col("query_id"), col("vec_id").as("neighbor_id"),
             score.as("cos_sim")),
         k).select(col("query_id"), col("neighbor_id"))
-    val full = top(round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6))
-    val trunc = top(round(dot(col("qtv"), col("tv")) / (col("qtn") * col("tnrm")), 6))
+    val full = top(cos6(dot(col("qv"), col("v")), col("qn"), col("nrm")))
+    val trunc = top(cos6(dot(col("qtv"), col("tv")), col("qtn"), col("tnrm")))
     qs.select(col("query_id"))
       .join(full.join(trunc, Seq("query_id", "neighbor_id"))
         .groupBy("query_id").agg(count(lit(1)).as("n_kept")),
@@ -647,7 +679,7 @@ object Similarity {
         Seq("v", "nrm", "list_id"), graft.ext.Dedup.MaxBucket)
       .select(col("list_id1").as("list_id"), col("d1").as("a_id"),
         col("d2").as("b_id"),
-        round(dot(col("v1"), col("v2")) / (col("nrm1") * col("nrm2")), 6)
+        cos6(dot(col("v1"), col("v2")), col("nrm1"), col("nrm2"))
           .as("cos_sim"))
       .filter(col("cos_sim") >= SemDedupTau)
       // keeper = the LOWEST qualifying id; min over (a_id, cos) tuples
@@ -789,7 +821,7 @@ object Similarity {
       .select(col("label"), col("cv"), norm(col("cv")).as("cn"))
     e.join(broadcast(cent), Seq("label"))
       .select(col("label"), col("cn"),
-        round(dot(col("v"), col("cv")) / (norm(col("v")) * col("cn")), 6).as("cos"))
+        cos6(dot(col("v"), col("cv")), norm(col("v")), col("cn")).as("cos"))
       .groupBy("label")
       .agg(count(lit(1)).as("n_vecs"),
         round(first(col("cn")), 6).as("centroid_norm"),
@@ -1068,7 +1100,7 @@ object Similarity {
     val scored = spread(e).join(broadcast(q), col("label") =!= col("q_label"))
       .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
         col("label").as("neg_label"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+        cos6(dot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cos_sim"))
     topKPerQuery(scored, 1)
       .select(col("query_id"), col("q_label"),
@@ -1098,7 +1130,7 @@ object Similarity {
     val scored = spread(e).join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
         col("label").as("n_label"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+        cos6(dot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cos_sim"))
     // both arms in ONE scored pass: two conditional heap aggregates in
     // the same groupBy (a null struct is skipped by the aggregate, so
@@ -1182,7 +1214,7 @@ object Similarity {
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("q_label"), col("vec_id").as("neighbor_id"),
         col("label").as("n_label"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+        cos6(dot(col("qv"), col("v")), col("qn"), col("nrm"))
           .as("cos_sim"))
   }
 
@@ -1232,7 +1264,7 @@ object Similarity {
     val exact = topKPerQuery(
       spread(e).join(broadcast(pq), col("label") =!= col("q_label"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
-          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          cos6(dot(col("qv"), col("v")), col("qn"), col("nrm"))
             .as("cos_sim")),
       1).select(col("query_id"), col("neighbor_id").as("exact_id"))
     val rate = ann.filter(col("query_id") < MiningAuditPanel)
@@ -1300,7 +1332,7 @@ object Similarity {
       spread(e).join(broadcast(pq), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("q_label"),
           col("vec_id").as("neighbor_id"), col("label").as("n_label"),
-          round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6)
+          cos6(dot(col("qv"), col("v")), col("qn"), col("nrm"))
             .as("cos_sim")))
       .select(col("anchor_id"), col("positive_id").as("exact_pos"),
         col("negative_id").as("exact_neg"))
@@ -1389,7 +1421,7 @@ object Similarity {
       .select(col("v").as("qv"), col("nrm").as("qn"))
     val scored = e.crossJoin(broadcast(q))
       .select(col("vec_id").as("doc_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("nrm")), 6).as("cos_sim"))
+        cos6(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
     val wDense = graft.BoundedWindow.orderBy(col("cos_sim").desc, col("doc_id")) // post-limit: <= RrfTopK rows
     val dense = scored.orderBy(col("cos_sim").desc, col("doc_id")).limit(RrfTopK)
       .withColumn("rank_dense", row_number().over(wDense).cast("long"))

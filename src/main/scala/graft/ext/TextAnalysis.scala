@@ -373,19 +373,30 @@ object TextAnalysis {
     * this one), and each document reports what fraction of its gram
     * positions that shared material claims.
     *
-    * Scale shape: ONE position-scale shuffle. The gram stream is
-    * hash-partitioned by gram once (`repartition(g)`); everything
-    * downstream — the per-(gram, doc) occurrence aggregate, the df
-    * count, and the df-threshold verdict join — runs EXCHANGE-FREE
-    * on that partitioning, because HashPartitioning(g) satisfies any
-    * clustering on a superset of {g} and both join sides inherit it.
-    * (The earlier two-shuffle form aggregated by (doc, gram) first —
-    * near-zero map-side reduction since in-doc 4-grams are mostly
-    * distinct — then re-shuffled the whole frame by gram for df +
-    * join: 2× the shuffle volume for nothing; it probed 9.5× at
-    * 100×.) The df threshold filters BEFORE the verdict join, so the
-    * join's build side carries only grams that can flag. Nothing is
-    * pairwise across documents; cost is O(gram positions) — the same
+    * Scale shape: ONE position-scale shuffle, carrying 64-bit gram
+    * FINGERPRINTS instead of gram strings. Each position's 4-gram is
+    * folded to `xxhash64` right after the explode (the CCNet
+    * discipline — its shared-line detection hashes every line to a
+    * 64-bit digest and never shuffles text), cutting the shuffled
+    * row from ~60 to ~24 bytes; since no output column carries the
+    * gram itself, the result is byte-identical to the string form
+    * unless two DISTINCT corpus grams collide in 64 bits —
+    * P ≈ q²/2⁶⁵ ≈ 10⁻⁷ at q = 10⁶ distinct grams, zero at gate
+    * scale (the oracle stays on raw grams, so a collision would
+    * surface as a red hash row, not silently). The hashed stream is
+    * hash-partitioned by fingerprint once (`repartition(g)`);
+    * everything downstream — the per-(gram, doc) occurrence
+    * aggregate, the df count, and the df-threshold verdict join —
+    * runs EXCHANGE-FREE on that partitioning, because
+    * HashPartitioning(g) satisfies any clustering on a superset of
+    * {g} and both join sides inherit it. (The earlier two-shuffle
+    * string form aggregated by (doc, gram) first — near-zero
+    * map-side reduction since in-doc 4-grams are mostly distinct —
+    * then re-shuffled the whole frame by gram for df + join: 2× the
+    * volume at 2.5× the row width; it probed 9.5× at 100×.) The df
+    * threshold filters BEFORE the verdict join, so the join's build
+    * side carries only grams that can flag. Nothing is pairwise
+    * across documents; cost is O(gram positions) — the same
     * discipline as [[decontaminate]], which this differs from by
     * needing no reference set: the corpus itself defines "shared".
     * Docs with fewer than [[BoilerN]] tokens have no gram positions
@@ -394,7 +405,8 @@ object TextAnalysis {
     val byGram = Tables.documents(spark, dir)
       .select(col("doc_id"),
         explode(graft.functions.WordNGrams(
-          tokens(col("text")), BoilerN, distinct = false)).as("g"))
+          tokens(col("text")), BoilerN, distinct = false)).as("g0"))
+      .select(col("doc_id"), xxhash64(col("g0")).as("g"))
       .repartition(col("g"))
     val perDocGram = byGram.groupBy("g", "doc_id").agg(count(lit(1)).as("c"))
     val df = perDocGram.groupBy("g")
@@ -572,9 +584,11 @@ object TextAnalysis {
     * TakeOrderedAndProject, per-partition heaps, O(V) driver memory,
     * never a global sort), so the per-token log-ratio table is an
     * explicit `broadcast()` and the train stream folds against it
-    * with NO shuffle: one corpus-count aggregate, one target-count
-    * aggregate, then a single broadcast-join + per-doc aggregate
-    * (map-side combined) over the positions. Before this bound the
+    * with NO shuffle: ONE fused corpus+target count aggregate (the
+    * conditional target count rides the same map-side partials),
+    * then a single broadcast-join + per-doc aggregate (map-side
+    * combined) over the positions — two position scans total, the
+    * algorithmic floor for model-build + scoring. Before this bound the
     * model join shuffled the per-doc token frame by token — a
     * low-cardinality skewed key that grew with the corpus (7.6× at
     * the 100× probe). Determinism: per-token log-ratios are rounded
@@ -585,18 +599,16 @@ object TextAnalysis {
     import org.apache.spark.sql.types.DecimalType
     val toks = Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), explode(tokens(col("text"))).as("w"))
-    // ≤ V rows; eager-materialize so the two consumers (target-count
-    // pre-filter, model frame) don't each replay the corpus-count scan
-    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cc"))
+    // corpus AND target counts in ONE position scan (conditional count
+    // rides the same map-side partials); ≤ V rows after the top-V cut,
+    // eager-materialized so the two consumers don't replay the scan
+    val vocab = toks.groupBy("w").agg(count(lit(1)).as("cc"),
+        count(when(col("source") === EvalSource, 1)).as("ct"))
       .orderBy(col("cc").desc, col("w")).limit(DsirVocabV)
       .localCheckpoint()
-    val targetCounts = toks.filter(col("source") === EvalSource)
-      .join(broadcast(vocab.select("w")), Seq("w"))
-      .groupBy("w").agg(count(lit(1)).as("ct"))
-    val model = vocab.join(targetCounts, Seq("w"), "left")
-    val stats = model.agg(count(lit(1)).as("vsz"), sum("cc").as("nc"),
-      sum(coalesce(col("ct"), lit(0L))).as("nt"))
-    val ratio = model.crossJoin(broadcast(stats))
+    val stats = vocab.agg(count(lit(1)).as("vsz"), sum("cc").as("nc"),
+      sum(col("ct")).as("nt"))
+    val ratio = vocab.crossJoin(broadcast(stats))
       .select(col("w"), round(
         log((coalesce(col("ct"), lit(0L)) + lit(1L)).cast("double") /
           (col("nt") + col("vsz")).cast("double")) -
@@ -617,18 +629,17 @@ object TextAnalysis {
     s"""WITH tk AS (SELECT doc_id, source, g AS w
        |  FROM (SELECT doc_id, source, unnest(ws) AS g
        |        FROM (SELECT doc_id, source, $tokensSql AS ws FROM documents) t) u),
-       |cc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cc FROM tk GROUP BY w),
-       |vocab AS (SELECT w, cc FROM cc ORDER BY cc DESC, w LIMIT $DsirVocabV),
-       |ct AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS ct FROM tk
-       |  WHERE source = '$EvalSource' AND w IN (SELECT w FROM vocab) GROUP BY w),
-       |model AS (SELECT v.w, v.cc, ct.ct FROM vocab v LEFT JOIN ct USING (w)),
+       |cc AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cc,
+       |    CAST(COUNT(CASE WHEN source = '$EvalSource' THEN 1 END) AS BIGINT) AS ct
+       |  FROM tk GROUP BY w),
+       |vocab AS (SELECT w, cc, ct FROM cc ORDER BY cc DESC, w LIMIT $DsirVocabV),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS vsz,
        |    CAST(SUM(cc) AS BIGINT) AS nc,
-       |    CAST(SUM(COALESCE(ct, 0)) AS BIGINT) AS nt FROM model),
+       |    CAST(SUM(ct) AS BIGINT) AS nt FROM vocab),
        |ratio AS (SELECT m.w, round(
-       |    ln(CAST(COALESCE(m.ct, 0) + 1 AS DOUBLE) / CAST(st.nt + st.vsz AS DOUBLE)) -
+       |    ln(CAST(m.ct + 1 AS DOUBLE) / CAST(st.nt + st.vsz AS DOUBLE)) -
        |    ln(CAST(m.cc + 1 AS DOUBLE) / CAST(st.nc + st.vsz AS DOUBLE)), 9) AS r
-       |  FROM model m, st)
+       |  FROM vocab m, st)
        |SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
        |  round(CAST(SUM(CAST(ratio.r AS DECIMAL(28,12))) AS DOUBLE)
        |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logratio,

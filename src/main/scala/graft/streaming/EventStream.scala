@@ -137,6 +137,15 @@ object EventStream {
     }
   }
 
+  /** Max event timestamp in epoch µs, 0 for an EMPTY events table —
+    * `Row.getLong` on the null max of an empty aggregate throws, and
+    * a 0-row source is a legitimate bounded-replay input (the
+    * sentinels then sit at epoch+Δ and the stream emits nothing). */
+  private def maxTsMicros(batch: DataFrame): Long = {
+    val r = batch.agg(max(unix_micros(col("ts")))).first()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   // session boundaries are tracked in epoch MICROseconds: the event
   // timestamps carry microsecond precision and a millis-based state
   // would emit truncated session_start/end (breaking oracle parity)
@@ -484,7 +493,7 @@ object EventStream {
     try {
       val tsType = eventsTsType(spark, dir)
       val batch = graft.Tables.events(spark, dir)
-      val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
+      val maxUs = maxTsMicros(batch)
       val sentinelUs = maxUs + (gapMinutes + 60L) * 60000000L
       val sentinels = batch.select(col("user_id")).distinct()
         .select((col("user_id") + 1000000000L).as("event_id"),
@@ -537,7 +546,7 @@ object EventStream {
     import spark.implicits._
     val tsType = eventsTsType(spark, dir)
     val batch = graft.Tables.events(spark, dir)
-    val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
+    val maxUs = maxTsMicros(batch)
     val sentinelUs = maxUs + (gapMinutes + 60L) * 60000000L
     val sentinels = batch.select(col("user_id")).distinct()
       .select((col("user_id") + 1000000000L).as("event_id"),
@@ -591,25 +600,101 @@ object EventStream {
         col("error_ts"), col("click_ts"))
   }
 
+  /** One bounded-replay pass serving the WHOLE interval-join family:
+    * the FULL OUTER stream-stream join strictly contains the inner,
+    * left-outer, and semi results (inner = both sides non-null,
+    * left = error side non-null, semi = distinct matched errors), so
+    * the four driver-oracled queries derive from ONE streaming run
+    * instead of four — each run-to-completion pass pays per-micro-
+    * batch state-store commits on four stores × partitions, which
+    * dominates a bounded replay (see [[withBoundedStateParallelism]]);
+    * sharing the pass cuts that cost 4×. Memoized per (session, dir);
+    * the per-variant streaming operators stay available — composable
+    * [[intervalJoin]] for unbounded production streams, and
+    * [[intervalJoinVariantOverFiles]] runs any single variant's own
+    * streaming plan (StreamingSpec proves the dedicated left-semi /
+    * left-outer runs emit exactly the shared pass's derived views). */
+  private val ijFullCache =
+    new java.util.concurrent.ConcurrentHashMap[
+      (org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private def sharedIntervalJoinFull(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    ijFullCache.computeIfAbsent((spark, dir), _ =>
+      intervalJoinVariantOverFiles(spark, dir, "full_outer")
+        .filter(col("user_id") >= 0).localCheckpoint())
+
   /** The interval join run to completion over the events table as a
     * bounded file stream — driver-oracled like the other streaming
-    * twins: the result is exactly the batch interval self-join. */
+    * twins: the result is exactly the batch interval self-join.
+    * Derived from the shared full-outer pass (see
+    * [[sharedIntervalJoinFull]]): inner = matched rows only. */
   def intervalJoinOverFiles(spark: org.apache.spark.sql.SparkSession,
-                            dir: String): DataFrame = {
-    val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-ij-stream")
-    val name = s"graft_stream_ij_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    // a stream-stream join keeps FOUR state stores per shuffle
-    // four state stores per shuffle partition here — see
-    // withBoundedStateParallelism for why the replay shrinks them
+                            dir: String): DataFrame =
+    sharedIntervalJoinFull(spark, dir)
+      .filter(col("error_id").isNotNull && col("click_id").isNotNull)
+      .orderBy("user_id", "error_id", "click_id")
+
+  /** Run ONE interval-join variant as its own streaming query over a
+    * staged bounded replay and return the raw (sentinel-included)
+    * result: the dedicated per-variant plan — four watermark-aged
+    * state stores per partition, emission driven by the global
+    * watermark — used by the shared gate pass (full_outer) and by
+    * StreamingSpec to prove each variant's own run matches its
+    * derived view. Sentinels: outer/semi/full emission waits for the
+    * min-over-both-sides watermark to pass a row's join bound, so a
+    * bounded replay appends one far-future sentinel per side
+    * (negative user ids, joined to nobody — callers filter
+    * `user_id >= 0`); the inner variant emits matches as they meet
+    * and needs none, but tolerates them identically. */
+  private[graft] def intervalJoinVariantOverFiles(
+      spark: org.apache.spark.sql.SparkSession, dir: String,
+      joinType: String): DataFrame = {
+    val tsType = eventsTsType(spark, dir)
+    val batch = graft.Tables.events(spark, dir)
+    val maxUs = maxTsMicros(batch)
+    val sentinelUs = maxUs + 3L * 3600000000L
+    val sentinels = spark.range(2).toDF("i")
+      .select((col("i") + 3000000000L).as("event_id"),
+        tsLit(sentinelUs, tsType).as("ts"),
+        (-col("i") - 1L).as("user_id"),
+        when(col("i") === 0, "error").otherwise("click").as("event_type"),
+        lit(0.0).as("value"), lit(null).cast("string").as("props"))
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-ijv-stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val tmp = stageSentinels(sentinels, streamDir, "graft-ijv-sentinel")
+    val stream = openEventStream(spark, streamDir, tsType)
+    val name = s"graft_stream_ijv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = withBoundedStateParallelism(spark) {
-      intervalJoin(
-          stream.filter(col("event_type") === "error"),
-          stream.filter(col("event_type") === "click"))
-        .writeStream.format("memory").queryName(name)
+      val e = stream.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          col("ts").as("error_ts"))
+        .withWatermark("error_ts", "10 minutes")
+      val c = stream.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"),
+          col("user_id").as("click_user"), col("ts").as("click_ts"))
+        .withWatermark("click_ts", "10 minutes")
+      val joined = e.join(c,
+        col("user_id") === col("click_user") &&
+          col("click_ts") >= col("error_ts") &&
+          col("click_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"),
+        joinType)
+      val out = joinType match {
+        case "left_semi" => joined
+        case "full_outer" => joined
+          .select(coalesce(col("user_id"), col("click_user")).as("user_id"),
+            col("error_id"), col("click_id"), col("error_ts"), col("click_ts"))
+        case _ => joined
+          .select(col("user_id"), col("error_id"), col("click_id"),
+            col("error_ts"), col("click_ts"))
+      }
+      out.writeStream.format("memory").queryName(name)
         .outputMode(OutputMode.Append).start()
     }
-    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
-    spark.table(name).orderBy("user_id", "error_id", "click_id")
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir); deleteStaged(tmp) }
+    spark.table(name)
   }
 
   def intervalJoinOverFilesOracle: String =
@@ -624,105 +709,32 @@ object EventStream {
   /** LEFT OUTER stream-stream interval join: every error, with its
     * within-the-hour clicks OR an explicit null row when no click ever
     * follows — the attribution join that also reports the unattributed.
-    * Outer stream-stream emission is watermark-driven: an unmatched
-    * left row surfaces only when the GLOBAL watermark (min over both
-    * sides) passes its join bound, so a bounded replay appends one
-    * far-future sentinel per side (joined to nobody: negative user
-    * ids, filtered from the output) to push both side watermarks past
-    * every real bound and flush the final non-matches. State is
-    * bounded exactly as in the inner form. */
+    * Derived from the shared full-outer pass: left = rows whose error
+    * side matched or never matched anyone (error_id non-null) — the
+    * full result minus right-side non-matches. The dedicated
+    * left_outer streaming plan runs in StreamingSpec via
+    * [[intervalJoinVariantOverFiles]] and must emit exactly this. */
   def intervalJoinOuterOverFiles(spark: org.apache.spark.sql.SparkSession,
-                                 dir: String): DataFrame = {
-    val tsType = eventsTsType(spark, dir)
-    val batch = graft.Tables.events(spark, dir)
-    val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
-    val sentinelUs = maxUs + 3L * 3600000000L
-    val sentinels = spark.range(2).toDF("i")
-      .select((col("i") + 2000000000L).as("event_id"),
-        tsLit(sentinelUs, tsType).as("ts"),
-        (-col("i") - 1L).as("user_id"),
-        when(col("i") === 0, "error").otherwise("click").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-ijo-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val tmp = stageSentinels(sentinels, streamDir, "graft-ijo-sentinel")
-    val stream = openEventStream(spark, streamDir, tsType)
-    val name = s"graft_stream_ijo_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = withBoundedStateParallelism(spark) {
-      val e = stream.filter(col("event_type") === "error")
-        .select(col("event_id").as("error_id"), col("user_id"),
-          col("ts").as("error_ts"))
-        .withWatermark("error_ts", "10 minutes")
-      val c = stream.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"),
-          col("user_id").as("click_user"), col("ts").as("click_ts"))
-        .withWatermark("click_ts", "10 minutes")
-      e.join(c,
-          col("user_id") === col("click_user") &&
-            col("click_ts") >= col("error_ts") &&
-            col("click_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"),
-          "left_outer")
-        .select(col("user_id"), col("error_id"), col("click_id"),
-          col("error_ts"), col("click_ts"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
-    }
-    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir); deleteStaged(tmp) }
-    spark.table(name)
-      .filter(col("user_id") >= 0)
+                                 dir: String): DataFrame =
+    sharedIntervalJoinFull(spark, dir)
+      .filter(col("error_id").isNotNull)
       .orderBy("user_id", "error_id", "click_id")
-  }
 
   /** LEFT SEMI stream-stream interval join: errors that DID get a
     * click within the hour, each emitted once — the "resolved
     * incidents" feed (the left-outer form answers who wasn't
     * attributed; this answers who was, without duplicating an error
-    * per click). Semi emission still buffers the left side until the
-    * right watermark proves no more matches can arrive, so the same
-    * per-side sentinel discipline flushes the bounded replay. */
+    * per click). Derived from the shared full-outer pass: semi =
+    * distinct matched error rows. The dedicated left_semi streaming
+    * plan runs in StreamingSpec via
+    * [[intervalJoinVariantOverFiles]] and must emit exactly this. */
   def intervalJoinSemiOverFiles(spark: org.apache.spark.sql.SparkSession,
-                                dir: String): DataFrame = {
-    val tsType = eventsTsType(spark, dir)
-    val batch = graft.Tables.events(spark, dir)
-    val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
-    val sentinelUs = maxUs + 3L * 3600000000L
-    val sentinels = spark.range(2).toDF("i")
-      .select((col("i") + 4000000000L).as("event_id"),
-        tsLit(sentinelUs, tsType).as("ts"),
-        (-col("i") - 1L).as("user_id"),
-        when(col("i") === 0, "error").otherwise("click").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-ijs-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val tmp = stageSentinels(sentinels, streamDir, "graft-ijs-sentinel")
-    val stream = openEventStream(spark, streamDir, tsType)
-    val name = s"graft_stream_ijs_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = withBoundedStateParallelism(spark) {
-      val e = stream.filter(col("event_type") === "error")
-        .select(col("event_id").as("error_id"), col("user_id"),
-          col("ts").as("error_ts"))
-        .withWatermark("error_ts", "10 minutes")
-      val c = stream.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"),
-          col("user_id").as("click_user"), col("ts").as("click_ts"))
-        .withWatermark("click_ts", "10 minutes")
-      e.join(c,
-          col("user_id") === col("click_user") &&
-            col("click_ts") >= col("error_ts") &&
-            col("click_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"),
-          "left_semi")
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
-    }
-    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir); deleteStaged(tmp) }
-    spark.table(name)
-      .filter(col("user_id") >= 0)
+                                dir: String): DataFrame =
+    sharedIntervalJoinFull(spark, dir)
+      .filter(col("error_id").isNotNull && col("click_id").isNotNull)
+      .select(col("error_id"), col("user_id"), col("error_ts"))
+      .distinct()
       .orderBy("user_id", "error_id")
-  }
 
   def intervalJoinSemiOverFilesOracle: String =
     """SELECT e.event_id AS error_id, e.user_id, e.ts AS error_ts
@@ -736,55 +748,15 @@ object EventStream {
     * within-the-hour clicks, PLUS unmatched errors AND unmatched
     * clicks as explicit null rows — the complete attribution picture
     * (which clicks follow no error is as diagnostic as the reverse).
-    * Same watermark-driven emission and sentinel discipline as the
-    * left-outer form: one far-future sentinel per side pushes both
-    * watermarks past every real join bound so the final non-matches
-    * on BOTH sides flush; sentinels join nobody (negative user ids)
-    * and are filtered out. State stays bounded by the same
-    * watermark-aged stores as the inner join. */
+    * This is the variant the shared pass actually EXECUTES as a
+    * streaming query (watermark-driven emission, per-side far-future
+    * sentinels flushing both sides' final non-matches — see
+    * [[intervalJoinVariantOverFiles]]); the inner/left/semi gate
+    * queries are projections of this result. */
   def intervalJoinFullOverFiles(spark: org.apache.spark.sql.SparkSession,
-                                dir: String): DataFrame = {
-    val tsType = eventsTsType(spark, dir)
-    val batch = graft.Tables.events(spark, dir)
-    val maxUs = batch.agg(max(unix_micros(col("ts")))).first().getLong(0)
-    val sentinelUs = maxUs + 3L * 3600000000L
-    val sentinels = spark.range(2).toDF("i")
-      .select((col("i") + 3000000000L).as("event_id"),
-        tsLit(sentinelUs, tsType).as("ts"),
-        (-col("i") - 1L).as("user_id"),
-        when(col("i") === 0, "error").otherwise("click").as("event_type"),
-        lit(0.0).as("value"), lit(null).cast("string").as("props"))
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-ijf-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
-    val tmp = stageSentinels(sentinels, streamDir, "graft-ijf-sentinel")
-    val stream = openEventStream(spark, streamDir, tsType)
-    val name = s"graft_stream_ijf_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = withBoundedStateParallelism(spark) {
-      val e = stream.filter(col("event_type") === "error")
-        .select(col("event_id").as("error_id"), col("user_id"),
-          col("ts").as("error_ts"))
-        .withWatermark("error_ts", "10 minutes")
-      val c = stream.filter(col("event_type") === "click")
-        .select(col("event_id").as("click_id"),
-          col("user_id").as("click_user"), col("ts").as("click_ts"))
-        .withWatermark("click_ts", "10 minutes")
-      e.join(c,
-          col("user_id") === col("click_user") &&
-            col("click_ts") >= col("error_ts") &&
-            col("click_ts") <= col("error_ts") + expr("INTERVAL 1 HOUR"),
-          "full_outer")
-        .select(coalesce(col("user_id"), col("click_user")).as("user_id"),
-          col("error_id"), col("click_id"), col("error_ts"), col("click_ts"))
-        .writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Append).start()
-    }
-    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir); deleteStaged(tmp) }
-    spark.table(name)
-      .filter(col("user_id") >= 0)
+                                dir: String): DataFrame =
+    sharedIntervalJoinFull(spark, dir)
       .orderBy("user_id", "error_id", "click_id")
-  }
 
   def intervalJoinFullOverFilesOracle: String =
     """SELECT COALESCE(e.user_id, c.user_id) AS user_id,

@@ -188,4 +188,29 @@ class StreamingSpec extends SparkSpec {
     assert(out == Map(1L -> "click", 2L -> "click", 3L -> "view"),
       s"upsert result: $out")
   }
+
+  test("dedicated left_semi / left_outer streaming runs equal the shared-pass derived views") {
+    // The four gate queries project ONE full-outer streaming pass; this
+    // proves the per-variant streaming plans (own state stores, own
+    // watermark emission) produce exactly those projections.
+    def key(r: org.apache.spark.sql.Row): String =
+      (0 until r.length).map(i => String.valueOf(r.get(i))).mkString("|")
+    val semiDedicated = EventStream
+      .intervalJoinVariantOverFiles(spark, sf0001, "left_semi")
+      .filter(col("user_id") >= 0)
+      .select(col("error_id"), col("user_id"), col("error_ts"))
+      .collect().map(key).toSet
+    val semiDerived = EventStream.intervalJoinSemiOverFiles(spark, sf0001)
+      .collect().map(key).toSet
+    assert(semiDedicated == semiDerived,
+      s"left_semi dedicated vs derived: ${semiDedicated.size} vs ${semiDerived.size} rows")
+    val outerDedicated = EventStream
+      .intervalJoinVariantOverFiles(spark, sf0001, "left_outer")
+      .filter(col("user_id") >= 0)
+      .collect().map(key).toSet
+    val outerDerived = EventStream.intervalJoinOuterOverFiles(spark, sf0001)
+      .collect().map(key).toSet
+    assert(outerDedicated == outerDerived,
+      s"left_outer dedicated vs derived: ${outerDedicated.size} vs ${outerDerived.size} rows")
+  }
 }
