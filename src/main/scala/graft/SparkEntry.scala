@@ -58,6 +58,9 @@ object SparkEntry {
     "histogram_totalprice" -> Relational.histogramTotalprice _,
     "percentile_price" -> Relational.percentilePrice _,
     "quantile_approx_audit" -> Relational.quantileApproxAudit _,
+    // PII compliance pass: typed counts + fixed-order redaction
+    "pii_scan" -> graft.ext.Pii.piiScan _,
+    "pii_redact" -> graft.ext.Pii.piiRedact _,
     "rollup_revenue" -> Relational.rollupRevenue _,
     "cube_status_priority" -> Relational.cubeStatusPriority _,
     "semi_anti_parts" -> Relational.semiAntiParts _,
@@ -357,6 +360,8 @@ object SparkEntry {
     "histogram_totalprice" -> Relational.histogramOracle,
     "percentile_price" -> Relational.percentilePriceOracle,
     "quantile_approx_audit" -> Relational.quantileApproxAuditOracle,
+    "pii_scan" -> graft.ext.Pii.piiScanOracle,
+    "pii_redact" -> graft.ext.Pii.piiRedactOracle,
     "rollup_revenue" -> Relational.rollupRevenueOracle,
     "cube_status_priority" -> Relational.cubeStatusPriorityOracle,
     "semi_anti_parts" -> Relational.semiAntiPartsOracle,

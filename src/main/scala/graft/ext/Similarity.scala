@@ -249,11 +249,12 @@ object Similarity {
     * per-list all-pairs work is O(n²/2k); d/dk (nk + n²/2k) = 0 at
     * k = √(n/2) — so both terms grow as n^1.5 instead of one of them
     * going quadratic (the fixed k=16 of rounds ≤4 measured 94× time
-    * at 100× data before star-capping). The [[graft.ext.Dedup.MaxBucket]]
-    * star-cap stays as the degenerate-cluster backstop; at lake scale
-    * past [[MaxLists]] the documented step is a two-level quantizer
-    * (assign to √k coarse cells, refine within), which keeps
-    * assignment sub-quadratic with k ∝ n/64. */
+    * at 100× data before star-capping). Past the [[MaxLists]] clamp
+    * (n > 2·MaxLists² ≈ 33M vectors) assignment cost is bounded at
+    * O(n·MaxLists) while list sizes resume growing as n/MaxLists —
+    * and the [[graft.ext.Dedup.MaxBucket]] star-cap, retained as the
+    * degenerate-cluster backstop, keeps the per-list pairing linear
+    * there too, so no regime is quadratic. */
   def numLists(n: Long): Int =
     math.max(MinLists.toDouble,
       math.min(MaxLists.toDouble, math.ceil(math.sqrt(n / 2.0)))).toInt

@@ -1584,11 +1584,14 @@ object TextAnalysis {
     * becomes a fixed-width integer vector — the featurizer that turns
     * unbounded vocabulary into bounded width with NO vocabulary pass
     * at all (the one-scan alternative to the NB/tf-idf model joins;
-    * collisions are the accepted price). Pure projection → hash agg:
-    * zero joins, map-side partials, ≤ d cells per doc (collect_list
-    * is bounded by d=16, never corpus-sized). The dense vector is
-    * emitted as a comma-joined string (the gate compares scalars);
-    * nnz counts surviving non-zero cells (signs can cancel). */
+    * collisions are the accepted price). Pure projection → ONE pivot
+    * hash aggregate: zero joins, map-side partials shrink positions
+    * to ≤ d cells per doc before the single shuffle, and the dense
+    * d-wide row comes straight out of the codegen'd aggregate — no
+    * second shuffle, no per-doc map building, no interpreted
+    * higher-order functions. The dense vector is emitted as a
+    * comma-joined string (the gate compares scalars); nnz counts
+    * surviving non-zero cells (signs can cancel). */
   def featureHashing(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
@@ -1596,16 +1599,16 @@ object TextAnalysis {
       .select(col("doc_id"), (col("h") % HashFeatDims).as("dim"),
         when(expr(s"(h div $HashFeatDims) % 2") === 0, 1L).otherwise(-1L)
           .as("sgn"))
-      .groupBy("doc_id", "dim").agg(sum("sgn").as("v"))
-    cells.groupBy("doc_id")
-      .agg(map_from_entries(collect_list(struct(col("dim"), col("v"))))
-        .as("m"))
-      .select(col("doc_id"),
-        transform(sequence(lit(0L), lit(HashFeatDims - 1L)),
-          i => coalesce(element_at(col("m"), i), lit(0L))).as("arr"))
-      .select(col("doc_id"),
-        size(filter(col("arr"), x => x =!= 0L)).cast("long").as("nnz"),
-        array_join(col("arr"), ",").as("features"))
+      .groupBy("doc_id").pivot("dim", (0 until HashFeatDims).map(_.toLong))
+      .agg(sum("sgn"))
+    // the pivot densifies in ONE codegen'd hash aggregate (map-side
+    // partials shrink positions to docs×d before the shuffle) — the
+    // earlier collect_list→map→transform chain paid a second shuffle
+    // plus interpreted higher-order functions per doc
+    val vals = (0 until HashFeatDims).map(d => coalesce(col(s"`$d`"), lit(0L)))
+    cells.select(col("doc_id"),
+        vals.map(v => when(v =!= 0L, 1L).otherwise(0L)).reduce(_ + _).as("nnz"),
+        concat_ws(",", vals.map(_.cast("string")): _*).as("features"))
       .orderBy("doc_id")
   }
 

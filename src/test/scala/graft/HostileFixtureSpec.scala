@@ -30,7 +30,7 @@ class HostileFixtureSpec extends SparkSpec {
 
   private lazy val hostileDir: String = {
     val base = sf0001
-    val out = "/tmp/graft_hostile_fixture"
+    val out = "/tmp/graft_hostile_fixture_v2"
     val marker = new java.io.File(s"$out/_built")
     if (!marker.exists()) {
       // dims + orders: unchanged copies
@@ -65,9 +65,10 @@ class HostileFixtureSpec extends SparkSpec {
             lit(" v"), (col("id") % 7).cast("string")).as("text"),
           lit("en").as("lang"), lit("srcmega").as("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
-      val tiny = spark.range(4)
+      val tiny = spark.range(5)
         .select((col("id") + 60000000L).as("doc_id"),
-          element_at(array(lit(""), lit("   "), lit("ab"), lit("one two three")),
+          element_at(array(lit(""), lit("   "), lit("ab"), lit("one two three"),
+            lit("contact leak a@b.io 10.0.0.1 555-123-4567 123-45-6789")),
             (col("id") + 1).cast("int")).as("text"),
           lit("en").as("lang"), lit("srctiny").as("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
