@@ -86,6 +86,16 @@ object ScaleProbe {
       // round-5: corpus-adaptive list count — the probe checks per-list
       // work stays bounded as k grows with n (was fixed k=16, 8.7×@100×)
       "sim_ann_ivf" -> ((s, d) => graft.ext.Similarity.annIvf(s, d)),
+      // round-5: PII is a pure regex scan (cost = bytes), and the
+      // z-order WRITE path must scale as one range exchange — the
+      // rank-emitting query form is the 20.7× sort-bound outlier the
+      // write exists to avoid (the probe times the eager parquet write)
+      "pii_scan" -> (graft.ext.Pii.piiScan _),
+      "zorder_write" -> ((s, d) => {
+        val n = graft.operators.Layout.zorderWriteLineitem(
+          s, d, s"/tmp/graft_zw_probe/${math.abs(d.hashCode)}", 64)
+        s.range(n).toDF("files_written")
+      }),
       "trend_robust" -> (graft.operators.TimeSeries.trendRobust _),
       "ivf_recall_sweep" -> ((s, d) => graft.ext.Similarity.ivfRecallSweep(s, d)),
       "shuffle_skew_audit" -> (graft.operators.Relational.shuffleSkewAudit _),

@@ -2,8 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.{ArrayEqCountExpr, DotProductExpr}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.graft.{ArrayEqCountExpr, DHashBandsExpr, DotProductExpr, LshBucketExpr, ShingleSigExpr, WordNGramsExpr}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * functions into the SQL function registry, so
@@ -19,33 +19,65 @@ import org.apache.spark.sql.graft.{ArrayEqCountExpr, DotProductExpr}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction(GraftFunctions.dotFunction)
-    e.injectFunction(GraftFunctions.eqCountFunction)
+    GraftFunctions.all.foreach(e.injectFunction)
     e.injectOptimizerRule(_ => graft.plans.RewriteHofDotProduct)
     e.injectPlannerStrategy(_ => org.apache.spark.sql.graft.AsOfJoinStrategy)
   }
 }
 
 object GraftFunctions {
-  private[functions] val dotFunction
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_dot"),
-    new ExpressionInfo(classOf[DotProductExpr].getName, "graft_dot"),
-    (exprs: Seq[Expression]) => DotProductExpr(exprs.head, exprs(1)))
+  type Builder = Seq[Expression] => Expression
 
-  private[functions] val eqCountFunction
-      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
-    FunctionIdentifier("graft_array_eq_count"),
-    new ExpressionInfo(classOf[ArrayEqCountExpr].getName, "graft_array_eq_count"),
-    (exprs: Seq[Expression]) => ArrayEqCountExpr(exprs.head, exprs(1)))
+  /** Structural arguments (n-gram width, plane count, …) shape the
+    * generated code itself, so the SQL surface requires them as
+    * foldable literals — the same contract `ntile(n)` has. */
+  private def litInt(fn: String, arg: String)(e: Expression): Int = e match {
+    case l: Literal if l.foldable && l.value != null => l.value.toString.toInt
+    case other => throw new IllegalArgumentException(
+      s"$fn: $arg must be an integer literal, got $other")
+  }
+
+  private def litBool(fn: String, arg: String)(e: Expression): Boolean =
+    e match {
+      case l: Literal if l.foldable && l.value != null =>
+        l.value.toString.toBoolean
+      case other => throw new IllegalArgumentException(
+        s"$fn: $arg must be a boolean literal, got $other")
+    }
+
+  /** Every native kernel on the SQL surface: name → constructor.
+    * (NearestCentroidsExpr is deliberately absent — its centroid
+    * matrix is plan-embedded by the Column API, not a SQL literal.) */
+  private[functions] val builders: Seq[(String, String, Builder)] = Seq(
+    ("graft_dot", classOf[DotProductExpr].getName,
+      (es: Seq[Expression]) => DotProductExpr(es.head, es(1))),
+    ("graft_array_eq_count", classOf[ArrayEqCountExpr].getName,
+      (es: Seq[Expression]) => ArrayEqCountExpr(es.head, es(1))),
+    ("graft_word_ngrams", classOf[WordNGramsExpr].getName,
+      (es: Seq[Expression]) => WordNGramsExpr(es.head,
+        litInt("graft_word_ngrams", "n")(es(1)),
+        litBool("graft_word_ngrams", "distinct")(es(2)))),
+    ("graft_shingle_sig", classOf[ShingleSigExpr].getName,
+      (es: Seq[Expression]) => ShingleSigExpr(es.head,
+        litInt("graft_shingle_sig", "width")(es(1)))),
+    ("graft_lsh_bucket", classOf[LshBucketExpr].getName,
+      (es: Seq[Expression]) => LshBucketExpr(es.head,
+        litInt("graft_lsh_bucket", "numPlanes")(es(1)))),
+    ("graft_dhash_bands", classOf[DHashBandsExpr].getName,
+      (es: Seq[Expression]) => DHashBandsExpr(es.head)))
+
+  private[functions] val all
+      : Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =
+    builders.map { case (name, cls, b) =>
+      (FunctionIdentifier(name), new ExpressionInfo(cls, name), b)
+    }
 
   /** Imperative registration on a live session. */
   def register(spark: SparkSession): Unit = {
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_dot", exprs => DotProductExpr(exprs.head, exprs(1)), "scala_udf")
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "graft_array_eq_count",
-      exprs => ArrayEqCountExpr(exprs.head, exprs(1)), "scala_udf")
+    builders.foreach { case (name, _, b) =>
+      spark.sessionState.functionRegistry
+        .createOrReplaceTempFunction(name, b, "scala_udf")
+    }
     // optimizer injection point for sessions whose builder we don't own
     if (!spark.sessionState.experimentalMethods.extraOptimizations
         .contains(graft.plans.RewriteHofDotProduct)) {

@@ -23,6 +23,48 @@ class SqlSurfaceSpec extends SparkSpec {
     assert(sqlForm.collect().toSeq == dfForm.collect().toSeq)
   }
 
+  test("every native kernel resolves in SQL text and matches its Column form") {
+    graft.functions.GraftFunctions.register(spark)
+    Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"),
+        graft.ext.TextAnalysis.tokens(col("text")).as("toks"))
+      .createOrReplaceTempView("docs_v")
+    Tables.embeddings(spark, sf0001)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .createOrReplaceTempView("emb_sql_v")
+    val ngramsSql = spark.sql(
+      "SELECT doc_id, graft_word_ngrams(toks, 3, false) AS g FROM docs_v ORDER BY doc_id")
+    val ngramsCol = spark.table("docs_v")
+      .select(col("doc_id"),
+        graft.functions.WordNGrams(col("toks"), 3, distinct = false).as("g"))
+      .orderBy("doc_id")
+    assert(ngramsSql.collect().toSeq == ngramsCol.collect().toSeq)
+    val sigSql = spark.sql(
+      "SELECT doc_id, graft_shingle_sig(text, 5) AS s FROM docs_v ORDER BY doc_id")
+    val sigCol = spark.table("docs_v")
+      .select(col("doc_id"), graft.functions.ShingleSig(col("text"), 5).as("s"))
+      .orderBy("doc_id")
+    assert(sigSql.collect().toSeq == sigCol.collect().toSeq)
+    val lshSql = spark.sql(
+      "SELECT vec_id, graft_lsh_bucket(v, 8) AS b FROM emb_sql_v ORDER BY vec_id")
+    val lshCol = spark.table("emb_sql_v")
+      .select(col("vec_id"), graft.functions.LshBucket(col("v"), 8).as("b"))
+      .orderBy("vec_id")
+    assert(lshSql.collect().toSeq == lshCol.collect().toSeq)
+    val dhashSql = spark.sql(
+      "SELECT doc_id, graft_dhash_bands(CAST(text AS BINARY)) AS d FROM docs_v ORDER BY doc_id")
+    val dhashCol = spark.table("docs_v")
+      .select(col("doc_id"),
+        graft.functions.DHashBands(col("text").cast("binary")).as("d"))
+      .orderBy("doc_id")
+    assert(dhashSql.collect().toSeq == dhashCol.collect().toSeq)
+    // structural args must be literals — a column there is a user error
+    val err = intercept[Exception](spark.sql(
+      "SELECT graft_word_ngrams(toks, CAST(doc_id AS INT), false) FROM docs_v").collect())
+    assert(err.getMessage.contains("integer literal")
+      || String.valueOf(err.getCause).contains("integer literal"))
+  }
+
   test("native functions resolve in SQL text") {
     graft.functions.GraftFunctions.register(spark)
     Tables.embeddings(spark, sf0001)
