@@ -277,61 +277,74 @@ object TimeSeries {
     * robust alternative to OLS on monitoring series, where one spike
     * day would drag a least-squares fit.
     *
-    * Both statistics are pairwise over DAYS — the day-pair frame is
-    * calendar²-bounded (a decade is <7M pairs), never input-sized,
-    * formed AFTER the one input-sized daily aggregation (the family
-    * contract above). The pair join REPARTITIONS its left side
-    * first: the day frame leaves its aggregate in one partition, and
-    * a broadcast nested-loop join parallelizes only across left
-    * tasks — without the spread the whole O(days²) stage runs
-    * single-threaded. S and the tie correction are exact integer
-    * sums with map-side partials; the Sen slope is the exact
-    * interpolated median of the pair slopes fetched by the shared
-    * bucketed-group-rank helper (two ranks, no holistic buffer, no
-    * global sort) and combined with quantile_cont's own
-    * lo + (hi−lo)·frac formula, so engines agree to the last ulp.
-    * z uses the standard continuity correction; |z| > 1.96 calls the
-    * 5% two-sided trend. */
+    * Both statistics are pairwise over DAYS — calendar²-bounded (a
+    * decade is <7M pairs), never input-sized, formed AFTER the one
+    * input-sized daily aggregation (the family contract above). The
+    * input-sized work is exactly that aggregation; the pairwise
+    * arithmetic then runs driver-side over the collected day series
+    * (a bounded output-of-aggregation collect — see the body
+    * comment), mirroring quantile_cont's lo + (hi−lo)·frac median
+    * formula so engines agree to the last ulp. z uses the standard
+    * continuity correction; |z| > 1.96 calls the 5% two-sided
+    * trend. */
   def trendRobust(spark: SparkSession, dir: String): DataFrame = {
-    // the day frame feeds four consumers (pair left, pair right,
-    // ties, count) — materialize the tiny series once
-    val day = daily(spark, dir).localCheckpoint()
-    val pairs = day.repartition(spark.sparkContext.defaultParallelism)
-      .select(col("d").as("d1"), col("x").as("x1"))
-      .crossJoin(broadcast(day.select(col("d").as("d2"), col("x").as("x2"))))
-      .filter(col("d1") < col("d2"))
-      .select(datediff(col("d2"), col("d1")).cast("double").as("gap"),
-        (col("x2") - col("x1")).as("diff"))
-    val sStat = pairs.agg(
-      sum(signum(col("diff")).cast("long")).as("s"),
-      count(lit(1)).as("n_pairs")).localCheckpoint()
-    // exact interpolated median: the two middle ranks (equal when
-    // n_pairs is odd) via the bucketed rank fetch, then lo+(hi−lo)/2
-    val slopes = pairs.select(lit(0).as("g"), (col("diff") / col("gap")).as("v"))
-    val ranks = sStat.select(lit(0).as("g"), explode(array(
-        (col("n_pairs") + 1L) / 2L, (col("n_pairs") + 2L) / 2L)).as("rk"))
-      .distinct()
-    val sen = Relational.valuesAtGroupRanks(slopes, ranks)
-      .groupBy("g").agg(min(col("v")).as("lo"), max(col("v")).as("hi"))
-      .select((col("lo") + (col("hi") - col("lo")) * 0.5).as("sen"))
-    val nF = day.agg(count(lit(1)).as("n"))
-    val ties = day.groupBy("x").agg(count(lit(1)).as("t"))
-      .filter(col("t") > 1)
-      .agg(coalesce(sum(col("t") * (col("t") - 1L) * (lit(2L) * col("t") + 5L)),
-        lit(0L)).as("tsum"))
-    sStat.crossJoin(broadcast(nF)).crossJoin(broadcast(ties))
-      .crossJoin(broadcast(sen))
-      .select(col("n").as("n_days"), col("n_pairs"), col("s").as("s_stat"),
-        ((col("n") * (col("n") - 1L) * (lit(2L) * col("n") + 5L) - col("tsum"))
-          .cast("double") / 18.0).as("var_s"),
-        col("sen"))
+    import spark.implicits._
+    // ONE distributed aggregate (orders → daily revenue), then the
+    // pairwise Mann-Kendall / Theil-Sen arithmetic runs on the driver
+    // over the collected series. Bounded-collect justification: the
+    // day frame is OUTPUT-of-aggregation and calendar-bounded (≤ a
+    // few thousand rows for years of data, regardless of corpus
+    // size) — the same class as the union-find edge set and the Lloyd
+    // centroid matrices (SCALE.md). The previous all-DataFrame form
+    // spent ~7 s of scheduler rounds at ANY scale (localCheckpoints,
+    // broadcast builds, the bucketed rank fetch) to process a few
+    // hundred rows. Arithmetic mirrors the oracle step for step:
+    // integer S, slope = diff/gap in IEEE double, interpolated
+    // median lo + (hi − lo)·0.5 on the two middle order statistics,
+    // exact-integer tie sum; final rounding stays in Spark
+    // expressions so round-half-up semantics are unchanged.
+    val day = daily(spark, dir)
+      .select(col("d"), col("x")).collect()
+      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1)))
+      .sortBy(_._1)
+    val n = day.length.toLong
+    var s = 0L
+    val slopesB = Array.newBuilder[Double]
+    var i = 0
+    while (i < day.length) {
+      var j = i + 1
+      while (j < day.length) {
+        val diff = day(j)._2 - day(i)._2
+        s += math.signum(diff).toLong
+        slopesB += diff / (day(j)._1 - day(i)._1).toDouble
+        j += 1
+      }
+      i += 1
+    }
+    val slopes = slopesB.result()
+    java.util.Arrays.sort(slopes)
+    val nPairs = slopes.length.toLong
+    // a 0/1-day series has no pairs: sen is NULL (quantile_cont over
+    // nothing), matching the oracle instead of indexing out of bounds
+    val sen: Option[Double] =
+      if (nPairs == 0L) None
+      else {
+        val lo = slopes(((nPairs + 1L) / 2L - 1L).toInt)
+        val hi = slopes(((nPairs + 2L) / 2L - 1L).toInt)
+        Some(lo + (hi - lo) * 0.5)
+      }
+    val tsum = day.groupBy(_._2).valuesIterator.map(_.length.toLong)
+      .filter(_ > 1L).map(t => t * (t - 1L) * (2L * t + 5L)).sum
+    val varS = (n * (n - 1L) * (2L * n + 5L) - tsum).toDouble / 18.0
+    Seq((n, nPairs, s, varS, sen))
+      .toDF("n_days", "n_pairs", "s_stat", "var_s", "sen0")
       .select(col("n_days"), col("n_pairs"), col("s_stat"),
         round(when(col("s_stat") > 0,
             (col("s_stat") - 1L).cast("double") / sqrt(col("var_s")))
           .when(col("s_stat") < 0,
             (col("s_stat") + 1L).cast("double") / sqrt(col("var_s")))
           .otherwise(lit(0.0)), 4).as("z"),
-        round(col("sen"), 4).as("sen_slope"))
+        round(col("sen0"), 4).as("sen_slope"))
       .withColumn("trend",
         when(abs(col("z")) <= 1.96, "no trend")
           .when(col("z") > 0, "increasing").otherwise("decreasing"))

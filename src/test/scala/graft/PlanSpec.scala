@@ -208,13 +208,20 @@ class PlanSpec extends SparkSpec {
     assert(explodes <= 2, s"expected <= 2 gram explodes, got $explodes:\n$plan")
   }
 
-  test("mann-kendall pair stage parallelizes across a repartitioned left side") {
+  test("mann-kendall emits a local 1-row plan; only the daily aggregate touches the cluster") {
+    // the pairwise stage moved driver-side (bounded calendar² series —
+    // see trendRobust's body comment): the RETURNED frame must be a
+    // pure local projection with no join, exchange, or scan — the one
+    // distributed job (orders → daily) runs before the frame exists
     val plan = operators.TimeSeries.trendRobust(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastNestedLoopJoin"),
-      s"day-pair join must broadcast the right side:\n$plan")
-    assert(plan.contains("Exchange RoundRobinPartitioning") ||
-      plan.contains("REPARTITION_BY_NUM"),
-      s"left side must spread before the pair join:\n$plan")
+    assert(plan.contains("LocalTableScan"),
+      s"expected a local 1-row result plan:\n$plan")
+    assert(!plan.contains("Join") && !plan.contains("Exchange")
+      && !plan.contains("FileScan"),
+      s"driver-side trend must not re-enter the cluster:\n$plan")
+    val row = operators.TimeSeries.trendRobust(spark, sf0001).collect()(0)
+    assert(row.getAs[Long]("n_pairs") > 0 &&
+      Set("no trend", "increasing", "decreasing")(row.getAs[String]("trend")))
   }
 }
