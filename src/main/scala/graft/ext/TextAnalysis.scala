@@ -567,7 +567,9 @@ object TextAnalysis {
     * table); top-V truncation is the unhashed equivalent. Tokens
     * outside the vocabulary score nothing (exactly as hash-bucketed
     * features fold tail tokens into shared buckets — the tail carries
-    * no per-token signal either way). */
+    * no per-token signal either way); a doc of ONLY tail tokens still
+    * emits its row with a NULL score (left-join contract), so the
+    * weight table covers every train doc at any vocabulary size. */
   val DsirVocabV = 1024
 
   /** Data selection by importance resampling, unigram form: each
@@ -614,14 +616,24 @@ object TextAnalysis {
           (col("nt") + col("vsz")).cast("double")) -
           log((col("cc") + lit(1L)).cast("double") /
             (col("nc") + col("vsz")).cast("double")), 9).as("r"))
+    // LEFT join: a doc made only of out-of-vocabulary tail tokens must
+    // still emit a row (NULL score — "the model says nothing about
+    // it"), not vanish from the weight table; the average is over
+    // IN-vocab tokens, the only ones the model scores. Below the
+    // vocab bound every token is in-vocab and this is the plain inner
+    // form.
     toks.filter(col("source") =!= EvalSource)
-      .join(broadcast(ratio), Seq("w"))
+      .join(broadcast(ratio), Seq("w"), "left")
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
+        count(col("r")).as("n_invocab"),
         sum(col("r").cast(DecimalType(28, 12))).as("s"))
-      .select(col("doc_id"), col("n_tokens"),
-        round(col("s").cast("double") / col("n_tokens"), 6).as("avg_logratio"))
-      .withColumn("toward_target", col("avg_logratio") > 0)
+      .select(col("doc_id"), col("n_tokens"), col("n_invocab"),
+        when(col("n_invocab") > 0,
+          round(col("s").cast("double") / col("n_invocab"), 6))
+          .as("avg_logratio"))
+      .withColumn("toward_target",
+        when(col("avg_logratio").isNotNull, col("avg_logratio") > 0))
       .orderBy("doc_id")
   }
 
@@ -641,11 +653,14 @@ object TextAnalysis {
        |    ln(CAST(m.cc + 1 AS DOUBLE) / CAST(st.nc + st.vsz AS DOUBLE)), 9) AS r
        |  FROM vocab m, st)
        |SELECT tk.doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |  round(CAST(SUM(CAST(ratio.r AS DECIMAL(28,12))) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE), 6) AS avg_logratio,
-       |  round(CAST(SUM(CAST(ratio.r AS DECIMAL(28,12))) AS DOUBLE)
-       |    / CAST(COUNT(*) AS DOUBLE), 6) > 0 AS toward_target
-       |FROM tk JOIN ratio ON tk.w = ratio.w
+       |  CAST(COUNT(ratio.r) AS BIGINT) AS n_invocab,
+       |  CASE WHEN COUNT(ratio.r) > 0 THEN
+       |    round(CAST(SUM(CAST(ratio.r AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(COUNT(ratio.r) AS DOUBLE), 6) END AS avg_logratio,
+       |  CASE WHEN COUNT(ratio.r) > 0 THEN
+       |    round(CAST(SUM(CAST(ratio.r AS DECIMAL(28,12))) AS DOUBLE)
+       |      / CAST(COUNT(ratio.r) AS DOUBLE), 6) > 0 END AS toward_target
+       |FROM tk LEFT JOIN ratio ON tk.w = ratio.w
        |WHERE tk.source <> '$EvalSource'
        |GROUP BY tk.doc_id ORDER BY tk.doc_id""".stripMargin
 

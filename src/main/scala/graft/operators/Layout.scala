@@ -117,8 +117,9 @@ object Layout {
       .repartitionByRange(numFiles, col("zkey"))
       .sortWithinPartitions(col("zkey"))
       .write.mode("overwrite").parquet(out)
-    new java.io.File(out).listFiles()
-      .count(f => f.getName.endsWith(".parquet"))
+    // count through Spark's own filesystem abstraction — the write
+    // accepts any URI (s3://, hdfs://), so the count must too
+    spark.read.parquet(out).inputFiles.length
   }
 
   private def spreadSql(e: String): String = {

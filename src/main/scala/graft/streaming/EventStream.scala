@@ -614,15 +614,29 @@ object EventStream {
     * [[intervalJoinVariantOverFiles]] runs any single variant's own
     * streaming plan (StreamingSpec proves the dedicated left-semi /
     * left-outer runs emit exactly the shared pass's derived views). */
-  private val ijFullCache =
-    new java.util.concurrent.ConcurrentHashMap[
-      (org.apache.spark.sql.SparkSession, String), DataFrame]
+  // single-slot memo (not an unbounded map): exactly one checkpointed
+  // frame is ever retained, a different (session, dir) or a stopped
+  // session recomputes, so nothing outlives its usefulness. The gate
+  // and bench run the four interval queries consecutively per dir —
+  // one slot captures the whole win. Staleness contract: fixture dirs
+  // are immutable within a session (the driver's own contract);
+  // regenerate data → new session.
+  @volatile private var ijFullLast
+      : Option[((org.apache.spark.sql.SparkSession, String), DataFrame)] = None
 
   private def sharedIntervalJoinFull(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    ijFullCache.computeIfAbsent((spark, dir), _ =>
-      intervalJoinVariantOverFiles(spark, dir, "full_outer")
-        .filter(col("user_id") >= 0).localCheckpoint())
+    synchronized {
+      ijFullLast match {
+        case Some((k, df)) if k == ((spark, dir)) &&
+            !spark.sparkContext.isStopped => df
+        case _ =>
+          val df = intervalJoinVariantOverFiles(spark, dir, "full_outer")
+            .filter(col("user_id") >= 0).localCheckpoint()
+          ijFullLast = Some(((spark, dir), df))
+          df
+      }
+    }
 
   /** The interval join run to completion over the events table as a
     * bounded file stream — driver-oracled like the other streaming

@@ -103,7 +103,13 @@ object NearestCentroidsExpr {
       var s = 0.0
       var j = 0
       while (j < n) { s += v.getDouble(j) * cv(j); j += 1 }
-      val sim = round6(s / (vnrm * norms(c)))
+      // zero-norm guard (same contract as graft.ext.Similarity.cos6):
+      // a zero-norm vector or degenerate all-zero centroid scores 0.0
+      // instead of propagating NaN through every probe rank — it still
+      // gets deterministic assignments (ties → lowest list ids), and
+      // downstream inertia/pair math stays NaN-free
+      val den = vnrm * norms(c)
+      val sim = if (den > 0) round6(s / den) else 0.0
       // ascending list-id iteration + strictly-greater insertion =
       // rounded ties keep the lower list id, matching the oracle's
       // (sim DESC, list_id) row_number ordering
