@@ -312,6 +312,10 @@ object SparkEntry {
     // stream-stream interval join (watermark-bounded state both sides)
     "stream_interval_join" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinOverFiles(s, dir)),
+    // STREAMING as-of join: O(1) floor-click state per user, verified
+    // against the same oracle as the batch as-of window form
+    "stream_asof_join" -> ((s, dir) =>
+      graft.streaming.EventStream.asofOverFiles(s, dir)),
     // stream-static dimension enrichment + re-aggregation
     "stream_static_join" -> ((s, dir) =>
       graft.streaming.EventStream.streamStaticJoinOverFiles(s, dir)),
@@ -361,6 +365,7 @@ object SparkEntry {
     "percentile_price" -> Relational.percentilePriceOracle,
     "quantile_approx_audit" -> Relational.quantileApproxAuditOracle,
     "pii_scan" -> graft.ext.Pii.piiScanOracle,
+    "stream_asof_join" -> EventOps.asofErrorClickOracle,
     "pii_redact" -> graft.ext.Pii.piiRedactOracle,
     "rollup_revenue" -> Relational.rollupRevenueOracle,
     "cube_status_priority" -> Relational.cubeStatusPriorityOracle,

@@ -25,6 +25,9 @@ object EventStream {
                         session_end: Timestamp, n_events: Long,
                         session_value: Double)
 
+  case class AsOfOut(event_id: Long, user_id: Long, ts: Timestamp,
+                     prev_click_ts: Timestamp, gap_us: Long)
+
   case class SessionState(start: Long, last: Long, n: Long, total: Double)
 
   /** Run `body` with state parallelism sized for a bounded replay: a
@@ -390,6 +393,62 @@ object EventStream {
             closed.result().iterator
           }
       }
+  }
+
+  /** STREAMING as-of join — the incremental twin of the native batch
+    * as-of operator (org.apache.spark.sql.graft.AsOfJoinExec): every
+    * error event pairs with the latest click that precedes it in the
+    * per-user (ts, event_id) order, emitted AS THE ERRORS ARRIVE.
+    * Spark has no streaming as-of; the engine expresses it as
+    * per-user state of exactly ONE value — the floor click's epoch
+    * µs — folded by flatMapGroupsWithState: O(1) state per user (the
+    * interval-join formulation of the same question buffers a full
+    * watermark window of BOTH sides), no watermark needed for
+    * emission because the match is known the moment the error
+    * arrives. Within a micro-batch events sort by (ts, event_id) —
+    * the same total order the batch window form ranks by — so a
+    * click sharing an error's timestamp matches iff its id is lower,
+    * exactly like the batch `rowsBetween(-1)` frame. Run to
+    * completion over the bounded file replay it verifies against THE
+    * SAME oracle as the batch [[graft.operators.EventOps.asofErrorClick]]. */
+  def asofOverFiles(spark: org.apache.spark.sql.SparkSession,
+                    dir: String): DataFrame = {
+    import spark.implicits._
+    val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-asof-stream")
+    val name = s"graft_stream_asof_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withBoundedStateParallelism(spark) {
+      stream.filter(col("event_type").isin("error", "click"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+        .as[Event]
+        .groupByKey(_.user_id)
+        .flatMapGroupsWithState[Long, AsOfOut](
+          OutputMode.Append, GroupStateTimeout.NoTimeout) {
+          (userId: Long, rows: Iterator[Event], state: GroupState[Long]) =>
+            // state = epoch µs of the user's latest click so far;
+            // Long.MinValue encodes "none yet"
+            var lastClick = state.getOption.getOrElse(Long.MinValue)
+            val out = rows.toSeq.sortBy(e => (toMicros(e.ts), e.event_id))
+              .flatMap { e =>
+                if (e.event_type == "click") {
+                  lastClick = math.max(lastClick, toMicros(e.ts)); None
+                } else if (lastClick != Long.MinValue) {
+                  Some(AsOfOut(e.event_id, userId, e.ts,
+                    toTimestamp(lastClick), toMicros(e.ts) - lastClick))
+                } else None
+              }
+            state.update(lastClick)
+            out.iterator
+        }
+        .toDF()
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Append).start()
+    }
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
+    spark.table(name)
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("prev_click_ts"), col("gap_us"))
+      .orderBy("event_id")
   }
 
   /** Streaming key de-duplication with watermark-bounded state

@@ -85,7 +85,7 @@ class PlanSpec extends SparkSpec {
     // a memory-sink scan — nothing to inspect for join shape
     val skip = Set("dedup_groups", "mr_wordcount",
       "stream_window_events", "stream_sessionize_events", "stream_dedup_docs",
-      "stream_interval_join", "stream_interval_join_outer",
+      "stream_interval_join", "stream_interval_join_outer", "stream_asof_join",
       "stream_static_join", "stream_sessionize_tws", "stream_distinct_keys",
       // compose dedup_groups' driver-side iteration; same rationale
       "split_leakage_audit", "dedup_group_sizes")
