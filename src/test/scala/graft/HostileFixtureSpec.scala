@@ -94,6 +94,64 @@ class HostileFixtureSpec extends SparkSpec {
     out
   }
 
+  test("hostile shapes produce the CONTRACTED degraded behavior, not just no-throw") {
+    import org.apache.spark.sql.functions._
+    // (a) the 3,000-member near-dup cluster is star-capped: candidate
+    // pairs stay LINEAR in cluster size (star topology ≈ members-1 per
+    // bucket), nowhere near the ~4.5M all-pairs blowup
+    val megaPairs = graft.ext.Dedup.minhashPairs(spark, hostileDir)
+      .filter(col("d1") >= 50000000L || col("d2") >= 50000000L)
+      .count()
+    assert(megaPairs > 0 && megaPairs < 50000L,
+      s"mega-cluster pairs $megaPairs — star cap must keep this linear")
+    // (b) the PII-bearing doc is flagged; the clean corpus is not
+    val pii = graft.ext.Pii.piiScan(spark, hostileDir)
+      .filter(col("has_pii")).select("doc_id").collect().map(_.getLong(0))
+    assert(pii.toSeq == Seq(60000004L), s"pii docs: ${pii.toSeq}")
+    // (c) weighted sampling ranks weight-0 (empty) docs last, never
+    // throws: the empty-text docs may only appear with NULL es_key
+    val ws = graft.ext.Sampling.weightedSample(spark, hostileDir, n = 1000)
+    assert(ws.filter(col("es_key").isNull && col("n_chars") > 0).count() == 0)
+    // (d) every train doc gets a dsir row (left-join coverage contract)
+    val trainDocs = Tables.documents(spark, hostileDir)
+      .filter(col("source") =!= graft.ext.TextAnalysis.EvalSource &&
+        size(graft.ext.TextAnalysis.tokens(col("text"))) > 0).count()
+    val dsirRows = graft.ext.TextAnalysis.dsirWeights(spark, hostileDir).count()
+    assert(dsirRows == trainDocs, s"dsir covers $dsirRows of $trainDocs train docs")
+  }
+
+  test("dsir weight table covers every train doc once vocabulary exceeds the top-V bound") {
+    import org.apache.spark.sql.functions._
+    // 1,500 docs of ONE UNIQUE token each + a shared-token eval/train
+    // head: vocabulary (1,501) > DsirVocabV (1,024), so the tail docs
+    // are 100% out-of-vocabulary — exactly the condition under which
+    // the pre-fix inner join silently dropped them from the table
+    val out = "/tmp/graft_oov_fixture"
+    if (!new java.io.File(s"$out/_built").exists()) {
+      val tail = spark.range(1500)
+        .select(col("id").as("doc_id"),
+          concat(lit("uniquetail"), col("id")).as("text"),
+          lit("en").as("lang"), lit("src9").as("source"))
+      val head = spark.range(1500, 1600).toDF("doc_id")
+        .select(col("doc_id"), lit("common words repeated here").as("text"),
+          lit("en").as("lang"),
+          when(col("doc_id") < 1550L, graft.ext.TextAnalysis.EvalSource)
+            .otherwise("src9").as("source"))
+      tail.unionByName(head)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      new java.io.File(s"$out/_built").createNewFile()
+    }
+    val w = graft.ext.TextAnalysis.dsirWeights(spark, out)
+    assert(w.count() == 1550L, // 1500 tail + 50 train head docs
+      s"expected one weight row per train doc, got ${w.count()}")
+    val oov = w.filter(col("n_invocab") === 0)
+    assert(oov.count() == 1500L - (graft.ext.TextAnalysis.DsirVocabV - 4),
+      "tail docs beyond the vocab bound must surface as OOV rows")
+    assert(oov.filter(col("avg_logratio").isNotNull).count() == 0,
+      "OOV-only docs carry NULL scores, never fabricated ones")
+  }
+
   test("every query survives the hostile-shaped corpus (no throw, no hang)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
