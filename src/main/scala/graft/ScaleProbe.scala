@@ -106,6 +106,10 @@ object ScaleProbe {
     }
     def runOnce(dir: String, fn: (SparkSession, String) => DataFrame): Double = {
       spark.catalog.clearCache()
+      // probes time COLD runs: the cross-query centroid memo (a real
+      // optimization for gate/bench passes) would otherwise hide Lloyd
+      // training cost — exactly the k-growth these probes watch
+      graft.ext.Similarity.resetCentroidMemo()
       time(fn(spark, dir).write.format("noop").mode("overwrite").save())
     }
 

@@ -302,23 +302,15 @@ object Similarity {
   // semantic dedup, the recall sweep, the three mining twins) derive
   // bit-identical centroids from the same corpus — recomputing the
   // count + seed collect + 3 Lloyd scans per query is pure waste. One
-  // slot (≤ MaxLists × dim doubles ≈ 2 MB), keyed by (session, dir),
-  // invalidated by a different key or a stopped session; fixture dirs
-  // are immutable within a session (the driver's contract).
-  @volatile private var centroidsLast
-      : Option[((SparkSession, String), Seq[(Long, Seq[Double])])] = None
+  // slot (≤ MaxLists × dim doubles ≈ 2 MB); invalidation rules live in
+  // graft.SessionDirMemo; ScaleProbe resets it so probe timings stay
+  // honest COLD runs including training.
+  private val centroidMemo = new graft.SessionDirMemo[Seq[(Long, Seq[Double])]]
+
+  private[graft] def resetCentroidMemo(): Unit = centroidMemo.reset()
 
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
-    synchronized {
-      centroidsLast match {
-        case Some((k, cs)) if k == ((spark, dir)) &&
-            !spark.sparkContext.isStopped => cs
-        case _ =>
-          val cs = kmeansCentroidsUncached(spark, dir)
-          centroidsLast = Some(((spark, dir), cs))
-          cs
-      }
-    }
+    centroidMemo.get(spark, dir)(kmeansCentroidsUncached(spark, dir))
 
   private def kmeansCentroidsUncached(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
     import org.apache.spark.sql.types.DecimalType

@@ -30,41 +30,54 @@ object GraftFunctions {
 
   /** Structural arguments (n-gram width, plane count, …) shape the
     * generated code itself, so the SQL surface requires them as
-    * foldable literals — the same contract `ntile(n)` has. */
+    * foldable INTEGRAL/BOOLEAN literals — the same contract
+    * `ntile(n)` has. Type-checked on the literal's data type (a
+    * string '3' or a decimal 3.5 is a user error with a clear
+    * message, not a NumberFormatException). */
   private def litInt(fn: String, arg: String)(e: Expression): Int = e match {
-    case l: Literal if l.foldable && l.value != null => l.value.toString.toInt
+    case Literal(v: Int, org.apache.spark.sql.types.IntegerType) => v
+    case Literal(v: Long, org.apache.spark.sql.types.LongType) => v.toInt
+    case Literal(v: Short, org.apache.spark.sql.types.ShortType) => v.toInt
+    case Literal(v: Byte, org.apache.spark.sql.types.ByteType) => v.toInt
     case other => throw new IllegalArgumentException(
       s"$fn: $arg must be an integer literal, got $other")
   }
 
   private def litBool(fn: String, arg: String)(e: Expression): Boolean =
     e match {
-      case l: Literal if l.foldable && l.value != null =>
-        l.value.toString.toBoolean
+      case Literal(v: Boolean, org.apache.spark.sql.types.BooleanType) => v
       case other => throw new IllegalArgumentException(
         s"$fn: $arg must be a boolean literal, got $other")
     }
+
+  /** Wrap a builder with an argument-count check so a wrong-arity SQL
+    * call raises the contracted message, not IndexOutOfBounds. */
+  private def arity(fn: String, n: Int)(b: Builder): Builder = es => {
+    if (es.length != n) throw new IllegalArgumentException(
+      s"$fn expects $n arguments, got ${es.length}")
+    b(es)
+  }
 
   /** Every native kernel on the SQL surface: name → constructor.
     * (NearestCentroidsExpr is deliberately absent — its centroid
     * matrix is plan-embedded by the Column API, not a SQL literal.) */
   private[functions] val builders: Seq[(String, String, Builder)] = Seq(
     ("graft_dot", classOf[DotProductExpr].getName,
-      (es: Seq[Expression]) => DotProductExpr(es.head, es(1))),
+      arity("graft_dot", 2)(es => DotProductExpr(es.head, es(1)))),
     ("graft_array_eq_count", classOf[ArrayEqCountExpr].getName,
-      (es: Seq[Expression]) => ArrayEqCountExpr(es.head, es(1))),
+      arity("graft_array_eq_count", 2)(es => ArrayEqCountExpr(es.head, es(1)))),
     ("graft_word_ngrams", classOf[WordNGramsExpr].getName,
-      (es: Seq[Expression]) => WordNGramsExpr(es.head,
+      arity("graft_word_ngrams", 3)(es => WordNGramsExpr(es.head,
         litInt("graft_word_ngrams", "n")(es(1)),
-        litBool("graft_word_ngrams", "distinct")(es(2)))),
+        litBool("graft_word_ngrams", "distinct")(es(2))))),
     ("graft_shingle_sig", classOf[ShingleSigExpr].getName,
-      (es: Seq[Expression]) => ShingleSigExpr(es.head,
-        litInt("graft_shingle_sig", "width")(es(1)))),
+      arity("graft_shingle_sig", 2)(es => ShingleSigExpr(es.head,
+        litInt("graft_shingle_sig", "width")(es(1))))),
     ("graft_lsh_bucket", classOf[LshBucketExpr].getName,
-      (es: Seq[Expression]) => LshBucketExpr(es.head,
-        litInt("graft_lsh_bucket", "numPlanes")(es(1)))),
+      arity("graft_lsh_bucket", 2)(es => LshBucketExpr(es.head,
+        litInt("graft_lsh_bucket", "numPlanes")(es(1))))),
     ("graft_dhash_bands", classOf[DHashBandsExpr].getName,
-      (es: Seq[Expression]) => DHashBandsExpr(es.head)))
+      arity("graft_dhash_bands", 1)(es => DHashBandsExpr(es.head))))
 
   private[functions] val all
       : Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =

@@ -303,37 +303,52 @@ object TimeSeries {
     // median lo + (hi − lo)·0.5 on the two middle order statistics,
     // exact-integer tie sum; final rounding stays in Spark
     // expressions so round-half-up semantics are unchanged.
-    val day = daily(spark, dir)
+    // null-safe extraction mirroring the oracle: a NULL-date group
+    // joins no pairs (NULL < d is never true) but still counts in n
+    // and in the tie histogram; a NULL revenue contributes no sign or
+    // slope (SUM/quantile_cont skip NULLs) — degraded shapes degrade,
+    // never throw (the HostileFixtureSpec contract)
+    val dayAll = daily(spark, dir)
       .select(col("d"), col("x")).collect()
-      .map(r => (r.getDate(0).toLocalDate.toEpochDay, r.getDouble(1)))
-      .sortBy(_._1)
-    val n = day.length.toLong
+      .map(r => (
+        if (r.isNullAt(0)) None else Some(r.getDate(0).toLocalDate.toEpochDay),
+        if (r.isNullAt(1)) None else Some(r.getDouble(1))))
+    val day = dayAll.collect { case (Some(d), x) => (d, x) }.sortBy(_._1)
+    val n = dayAll.length.toLong
     var s = 0L
+    var nPairs = 0L // date pairs (oracle COUNT(*) — x nullity irrelevant)
     val slopesB = Array.newBuilder[Double]
     var i = 0
     while (i < day.length) {
       var j = i + 1
       while (j < day.length) {
-        val diff = day(j)._2 - day(i)._2
-        s += math.signum(diff).toLong
-        slopesB += diff / (day(j)._1 - day(i)._1).toDouble
+        nPairs += 1L
+        (day(i)._2, day(j)._2) match {
+          case (Some(xi), Some(xj)) =>
+            val diff = xj - xi
+            s += math.signum(diff).toLong
+            slopesB += diff / (day(j)._1 - day(i)._1).toDouble
+          case _ => // NULL revenue: pair counts, contributes nothing
+        }
         j += 1
       }
       i += 1
     }
     val slopes = slopesB.result()
     java.util.Arrays.sort(slopes)
-    val nPairs = slopes.length.toLong
-    // a 0/1-day series has no pairs: sen is NULL (quantile_cont over
-    // nothing), matching the oracle instead of indexing out of bounds
+    // quantile_cont skips NULL slopes: median ranks run over the
+    // NON-NULL slope count; an empty slope set (0/1-day series or
+    // all-NULL revenue) yields NULL sen, matching the oracle instead
+    // of indexing out of bounds
+    val nSlopes = slopes.length.toLong
     val sen: Option[Double] =
-      if (nPairs == 0L) None
+      if (nSlopes == 0L) None
       else {
-        val lo = slopes(((nPairs + 1L) / 2L - 1L).toInt)
-        val hi = slopes(((nPairs + 2L) / 2L - 1L).toInt)
+        val lo = slopes(((nSlopes + 1L) / 2L - 1L).toInt)
+        val hi = slopes(((nSlopes + 2L) / 2L - 1L).toInt)
         Some(lo + (hi - lo) * 0.5)
       }
-    val tsum = day.groupBy(_._2).valuesIterator.map(_.length.toLong)
+    val tsum = dayAll.groupBy(_._2).valuesIterator.map(_.length.toLong)
       .filter(_ > 1L).map(t => t * (t - 1L) * (2L * t + 5L)).sum
     val varS = (n * (n - 1L) * (2L * n + 5L) - tsum).toDouble / 18.0
     Seq((n, nPairs, s, varS, sen))

@@ -673,28 +673,17 @@ object EventStream {
     * [[intervalJoinVariantOverFiles]] runs any single variant's own
     * streaming plan (StreamingSpec proves the dedicated left-semi /
     * left-outer runs emit exactly the shared pass's derived views). */
-  // single-slot memo (not an unbounded map): exactly one checkpointed
-  // frame is ever retained, a different (session, dir) or a stopped
-  // session recomputes, so nothing outlives its usefulness. The gate
-  // and bench run the four interval queries consecutively per dir —
-  // one slot captures the whole win. Staleness contract: fixture dirs
-  // are immutable within a session (the driver's own contract);
-  // regenerate data → new session.
-  @volatile private var ijFullLast
-      : Option[((org.apache.spark.sql.SparkSession, String), DataFrame)] = None
+  // single-slot memo (invalidation rules in graft.SessionDirMemo):
+  // exactly one checkpointed frame is ever retained; the gate and
+  // bench run the four interval queries consecutively per dir, so one
+  // slot captures the whole win.
+  private val ijFullMemo = new graft.SessionDirMemo[DataFrame]
 
   private def sharedIntervalJoinFull(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
-    synchronized {
-      ijFullLast match {
-        case Some((k, df)) if k == ((spark, dir)) &&
-            !spark.sparkContext.isStopped => df
-        case _ =>
-          val df = intervalJoinVariantOverFiles(spark, dir, "full_outer")
-            .filter(col("user_id") >= 0).localCheckpoint()
-          ijFullLast = Some(((spark, dir), df))
-          df
-      }
+    ijFullMemo.get(spark, dir) {
+      intervalJoinVariantOverFiles(spark, dir, "full_outer")
+        .filter(col("user_id") >= 0).localCheckpoint()
     }
 
   /** The interval join run to completion over the events table as a

@@ -108,10 +108,16 @@ class HostileFixtureSpec extends SparkSpec {
     val pii = graft.ext.Pii.piiScan(spark, hostileDir)
       .filter(col("has_pii")).select("doc_id").collect().map(_.getLong(0))
     assert(pii.toSeq == Seq(60000004L), s"pii docs: ${pii.toSeq}")
-    // (c) weighted sampling ranks weight-0 (empty) docs last, never
-    // throws: the empty-text docs may only appear with NULL es_key
-    val ws = graft.ext.Sampling.weightedSample(spark, hostileDir, n = 1000)
-    assert(ws.filter(col("es_key").isNull && col("n_chars") > 0).count() == 0)
+    // (c) weighted sampling ranks weight-0 (empty) docs LAST within
+    // their stratum: every NULL-key rank exceeds every non-NULL-key
+    // rank (the desc_nulls_last ordering contract, not a tautology)
+    val ws = graft.ext.Sampling.weightedSample(spark, hostileDir, n = 10000)
+    val tiny = ws.filter(col("source") === "srctiny").collect()
+    val nullRks = tiny.filter(_.isNullAt(3)).map(_.getAs[Long]("rk"))
+    val realRks = tiny.filter(!_.isNullAt(3)).map(_.getAs[Long]("rk"))
+    assert(nullRks.nonEmpty && realRks.nonEmpty &&
+      nullRks.min > realRks.max,
+      s"weight-0 docs must rank after weighted ones: null=${nullRks.toSeq} real=${realRks.toSeq}")
     // (d) every train doc gets a dsir row (left-join coverage contract)
     val trainDocs = Tables.documents(spark, hostileDir)
       .filter(col("source") =!= graft.ext.TextAnalysis.EvalSource &&
@@ -126,7 +132,10 @@ class HostileFixtureSpec extends SparkSpec {
     // head: vocabulary (1,501) > DsirVocabV (1,024), so the tail docs
     // are 100% out-of-vocabulary — exactly the condition under which
     // the pre-fix inner join silently dropped them from the table
-    val out = "/tmp/graft_oov_fixture"
+    // versioned path (the hostile fixture's _v2 discipline): bump on
+    // any change to the construction or the _built sentinel serves
+    // stale parquet to the assertions
+    val out = "/tmp/graft_oov_fixture_v1"
     if (!new java.io.File(s"$out/_built").exists()) {
       val tail = spark.range(1500)
         .select(col("id").as("doc_id"),
