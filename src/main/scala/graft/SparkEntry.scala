@@ -61,6 +61,9 @@ object SparkEntry {
     // PII compliance pass: typed counts + fixed-order redaction
     "pii_scan" -> graft.ext.Pii.piiScan _,
     "pii_redact" -> graft.ext.Pii.piiRedact _,
+    // frame-level perceptual near-dup (dHash per 256-byte frame)
+    "frame_phash_pairs" -> ((s, dir) =>
+      graft.ext.Dedup.framePhashPairs(s, dir)),
     "rollup_revenue" -> Relational.rollupRevenue _,
     "cube_status_priority" -> Relational.cubeStatusPriority _,
     "semi_anti_parts" -> Relational.semiAntiParts _,
@@ -365,6 +368,7 @@ object SparkEntry {
     "percentile_price" -> Relational.percentilePriceOracle,
     "quantile_approx_audit" -> Relational.quantileApproxAuditOracle,
     "pii_scan" -> graft.ext.Pii.piiScanOracle,
+    "frame_phash_pairs" -> graft.ext.Dedup.framePhashPairsOracle,
     "stream_asof_join" -> EventOps.asofErrorClickOracle,
     "pii_redact" -> graft.ext.Pii.piiRedactOracle,
     "rollup_revenue" -> Relational.rollupRevenueOracle,

@@ -655,6 +655,104 @@ object Dedup {
        |SELECT d1, d2, hamming FROM ham
        |WHERE hamming <= $PhashHamMax ORDER BY d1, d2""".stripMargin
 
+  /** Composite (asset, frame) key for the frame-level phash family:
+    * frame indices are payload-length-bounded (≪ 10⁶ frames/asset),
+    * so one long key keeps the banded-pair machinery single-column. */
+  private val FrameKeyBase = 1000000L
+
+  /** FRAME-level perceptual near-dup: the whole-asset dHash pipeline
+    * ([[phashPairs]]) applied per 256-byte frame — the video-scale
+    * form of near-dup, where re-encoded or re-muxed copies share
+    * *frames* long before whole files match, and a shared intro/ad
+    * segment surfaces as a run of cross-asset frame pairs. Composes
+    * the shipped pieces end-to-end: declarative frame split
+    * (binary substring, the [[Multimodal.frames]] discipline — only
+    * FULL frames participate, a short tail carries too few samples
+    * to hash meaningfully), the compiled [[graft.functions.DHashBands]]
+    * kernel per frame, banded-bucket candidates with the family's
+    * star cap, full-Hamming verify. Payload bytes never shuffle —
+    * after the per-frame hash only 8 band longs per frame move. */
+  def framePhashPairs(spark: SparkSession, dir: String,
+                      maxBucket: Int = MaxBucket): DataFrame = {
+    val frameSize = 256
+    val banded = Multimodal.assets(spark, dir).toDF()
+      .filter(length(col("payload")) >= frameSize)
+      .select(col("asset_id"),
+        explode(sequence(lit(0L),
+          ((length(col("payload")) - 1) / frameSize).cast("long")))
+          .as("frame_idx"),
+        col("payload"))
+      .select((col("asset_id") * FrameKeyBase + col("frame_idx")).as("fkey"),
+        expr(s"substring(payload, cast(frame_idx * $frameSize + 1 as int), $frameSize)")
+          .as("frame"))
+      .filter(length(col("frame")) === frameSize)
+      .select(col("fkey"), graft.functions.DHashBands(col("frame")).as("bands"))
+      .select(col("fkey"), col("bands"),
+        posexplode(col("bands")).as(Seq("band_id", "band_val")))
+    val hamming = (0 until 8).map { b =>
+      bit_count(element_at(col("bands1"), b + 1)
+        .bitwiseXOR(element_at(col("bands2"), b + 1)))
+    }.reduce(_ + _)
+    cappedBucketPairs(banded, Seq("band_id", "band_val"), "fkey",
+        Seq("bands"), maxBucket)
+      .select(col("d1"), col("d2"), hamming.cast("long").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= PhashHamMax)
+      .select(expr(s"d1 div $FrameKeyBase").as("asset1"),
+        (col("d1") % FrameKeyBase).as("frame1"),
+        expr(s"d2 div $FrameKeyBase").as("asset2"),
+        (col("d2") % FrameKeyBase).as("frame2"),
+        col("hamming"))
+      .orderBy("asset1", "frame1", "asset2", "frame2")
+  }
+
+  def framePhashPairsOracle: String =
+    s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+       |  FROM documents WHERE octet_length(CAST(text AS BLOB)) >= 256),
+       |fr0 AS (SELECT doc_id, text,
+       |    unnest(generate_series(0, (n - 1) // 256)) AS frame_idx FROM d),
+       |ff AS (SELECT doc_id * $FrameKeyBase + frame_idx AS fkey,
+       |    hex(CAST(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)
+       |      AS BLOB)) AS hx,
+       |    octet_length(CAST(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER),
+       |      256) AS BLOB)) AS fn
+       |  FROM fr0),
+       |f AS (SELECT fkey, hx FROM ff WHERE fn = 256),
+       |smp AS (SELECT fkey, i,
+       |    CAST('0x' || substr(hx, CAST(2 * ((i * 255) // $PhashBits) + 1
+       |      AS BIGINT), 2) AS BIGINT) AS s
+       |  FROM (SELECT fkey, hx, unnest(range(${PhashBits + 1})) AS i FROM f) t),
+       |bits AS (SELECT a.fkey, a.i,
+       |    CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+       |  FROM smp a JOIN smp b ON a.fkey = b.fkey AND b.i = a.i + 1
+       |  WHERE a.i < $PhashBits),
+       |bands AS (SELECT fkey, i // 8 AS band_id,
+       |    CAST(SUM(bit << (i % 8)) AS BIGINT) AS band_val
+       |  FROM bits GROUP BY fkey, i // 8),
+       |sized AS (SELECT fkey, band_id, band_val,
+       |    COUNT(*) OVER (PARTITION BY band_id, band_val) AS bn FROM bands),
+       |cand AS (SELECT DISTINCT d1, d2 FROM (
+       |    SELECT a.fkey AS d1, b.fkey AS d2
+       |    FROM sized a JOIN sized b
+       |      ON a.band_id = b.band_id AND a.band_val = b.band_val
+       |     AND a.fkey < b.fkey
+       |    WHERE a.bn <= $MaxBucket
+       |    UNION
+       |    SELECT r.d1, m.fkey
+       |    FROM (SELECT band_id, band_val, MIN(fkey) AS d1 FROM sized
+       |          WHERE bn > $MaxBucket GROUP BY band_id, band_val) r
+       |    JOIN sized m ON m.band_id = r.band_id AND m.band_val = r.band_val
+       |     AND m.fkey > r.d1) u),
+       |ham AS (SELECT c.d1, c.d2,
+       |    CAST(SUM(bit_count(xor(x.band_val, y.band_val))) AS BIGINT) AS hamming
+       |  FROM cand c JOIN bands x ON x.fkey = c.d1
+       |  JOIN bands y ON y.fkey = c.d2 AND y.band_id = x.band_id
+       |  GROUP BY c.d1, c.d2)
+       |SELECT d1 // $FrameKeyBase AS asset1, d1 % $FrameKeyBase AS frame1,
+       |  d2 // $FrameKeyBase AS asset2, d2 % $FrameKeyBase AS frame2, hamming
+       |FROM ham WHERE hamming <= $PhashHamMax
+       |ORDER BY asset1, frame1, asset2, frame2""".stripMargin
+
   // ── duplicate-group resolution (connected components) ──
 
   /** Resolve near-dup PAIRS into duplicate GROUPS: exact connected
