@@ -91,6 +91,7 @@ object ScaleProbe {
       // rank-emitting query form is the 20.7× sort-bound outlier the
       // write exists to avoid (the probe times the eager parquet write)
       "pii_scan" -> (graft.ext.Pii.piiScan _),
+      "frame_phash_pairs" -> ((s, d) => graft.ext.Dedup.framePhashPairs(s, d)),
       "zorder_write" -> ((s, d) => {
         val n = graft.operators.Layout.zorderWriteLineitem(
           s, d, s"/tmp/graft_zw_probe/${math.abs(d.hashCode)}", 64)
