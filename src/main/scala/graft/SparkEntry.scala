@@ -162,6 +162,9 @@ object SparkEntry {
     // ── streaming dedup (incremental exact dedup, deterministic keeper) ──
     "stream_dedup_docs" -> ((s, dir) =>
       graft.streaming.DocStream.streamingDedup(s, dir)),
+    // scan-on-ingest PII monitor: per-source running compliance posture
+    "stream_pii_monitor" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingPiiMonitor(s, dir)),
     // ── scalar battery 3: numeric / conditional / bitwise ──
     "scalar_numeric_funcs" -> Relational.scalarNumericFuncs _,
     // ── window battery + explicit grouping sets ──
@@ -449,6 +452,7 @@ object SparkEntry {
     "mad_price" -> Relational.madPriceOracle,
     "sample_coordinated" -> Sampling.coordinatedSampleOracle,
     "stream_dedup_docs" -> graft.streaming.DocStream.streamingDedupOracle,
+    "stream_pii_monitor" -> graft.streaming.DocStream.streamingPiiMonitorOracle,
     "stream_sessionize_events" ->
       graft.streaming.EventStream.sessionizeOverFilesOracle,
     "scalar_numeric_funcs" -> Relational.scalarNumericOracle,

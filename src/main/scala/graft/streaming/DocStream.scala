@@ -53,4 +53,60 @@ object DocStream {
   def streamingDedupOracle: String =
     """SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
       |FROM documents GROUP BY md5(text) ORDER BY fp""".stripMargin
+
+  /** Streaming PII monitor — scan-on-ingest: per SOURCE, the running
+    * count of scanned docs, docs carrying any PII, and total typed
+    * matches, maintained incrementally as the corpus streams in. The
+    * compliance posture a crawl pipeline actually wants is "which
+    * FEED is leaking, right now", not a post-hoc batch sweep; state
+    * is one row per source (bounded by the source vocabulary, shards
+    * like any aggregation), and the regex work rides the ingest scan
+    * so no second pass over stored bytes ever happens. The per-doc
+    * scan is exactly [[graft.ext.Pii.piiScan]]'s expressions, so the
+    * bounded replay verifies against the same pattern set in SQL. */
+  def streamingPiiMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-piistream")
+    java.nio.file.Files.copy(
+      java.nio.file.Path.of(s"$dir/documents.parquet"),
+      streamDir.resolve("documents.parquet"))
+    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
+    val perDoc = graft.ext.Pii.Patterns.map { case (nm, pat, _) =>
+      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$nm")
+    }
+    val total = graft.ext.Pii.Patterns
+      .map { case (nm, _, _) => col(s"n_$nm") }.reduce(_ + _)
+    val monitored = stream
+      .select(col("source") +: perDoc: _*)
+      .withColumn("n_pii", total)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+        sum(col("n_pii")).as("n_matches"))
+    val name = s"graft_stream_pii_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = EventStream.withBoundedStateParallelism(spark) {
+      monitored.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
+    try q.processAllAvailable() finally {
+      q.stop(); EventStream.deleteStaged(streamDir)
+    }
+    spark.table(name).orderBy("source")
+  }
+
+  def streamingPiiMonitorOracle: String = {
+    val counts = graft.ext.Pii.Patterns.map { case (nm, pat, _) =>
+      s"CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_$nm"
+    }.mkString(",\n       |    ")
+    val total = graft.ext.Pii.Patterns.map { case (nm, _, _) => s"n_$nm" }
+      .mkString(" + ")
+    s"""WITH c AS (SELECT source,
+       |    $counts
+       |  FROM documents),
+       |t AS (SELECT source, ($total) AS n_pii FROM c)
+       |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(CASE WHEN n_pii > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_with_pii,
+       |  CAST(SUM(n_pii) AS BIGINT) AS n_matches
+       |FROM t GROUP BY source ORDER BY source""".stripMargin
+  }
 }
