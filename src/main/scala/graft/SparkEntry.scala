@@ -64,6 +64,8 @@ object SparkEntry {
     // frame-level perceptual near-dup (dHash per 256-byte frame)
     "frame_phash_pairs" -> ((s, dir) =>
       graft.ext.Dedup.framePhashPairs(s, dir)),
+    // asset-level overlap verdict rolled up from the frame pairs
+    "frame_overlap_assets" -> graft.ext.Dedup.frameOverlapAssets _,
     "rollup_revenue" -> Relational.rollupRevenue _,
     "cube_status_priority" -> Relational.cubeStatusPriority _,
     "semi_anti_parts" -> Relational.semiAntiParts _,
@@ -372,6 +374,7 @@ object SparkEntry {
     "quantile_approx_audit" -> Relational.quantileApproxAuditOracle,
     "pii_scan" -> graft.ext.Pii.piiScanOracle,
     "frame_phash_pairs" -> graft.ext.Dedup.framePhashPairsOracle,
+    "frame_overlap_assets" -> graft.ext.Dedup.frameOverlapAssetsOracle,
     "stream_asof_join" -> EventOps.asofErrorClickOracle,
     "pii_redact" -> graft.ext.Pii.piiRedactOracle,
     "rollup_revenue" -> Relational.rollupRevenueOracle,
