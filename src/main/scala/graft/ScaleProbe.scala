@@ -92,6 +92,11 @@ object ScaleProbe {
       // write exists to avoid (the probe times the eager parquet write)
       "pii_scan" -> (graft.ext.Pii.piiScan _),
       "frame_phash_pairs" -> ((s, d) => graft.ext.Dedup.framePhashPairs(s, d)),
+      // a streaming bounded replay at scale: per-source PII aggregation
+      // state is |sources|-bounded; the probe checks the replay cost is
+      // the ingest scan, not the state machinery
+      "stream_pii_monitor" ->
+        ((s, d) => graft.streaming.DocStream.streamingPiiMonitor(s, d)),
       "zorder_write" -> ((s, d) => {
         val n = graft.operators.Layout.zorderWriteLineitem(
           s, d, s"/tmp/graft_zw_probe/${math.abs(d.hashCode)}", 64)

@@ -32,9 +32,9 @@ object DocStream {
   def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
     // FileStreamSource wants a directory (the unit a deployment tails)
     val streamDir = java.nio.file.Files.createTempDirectory("graft-docstream")
-    java.nio.file.Files.copy(
+    EventStream.stageParquetCopy(
       java.nio.file.Path.of(s"$dir/documents.parquet"),
-      streamDir.resolve("documents.parquet"))
+      streamDir, "documents.parquet")
     val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
     val deduped = stream
       .groupBy(md5(col("text")).as("fp"))
@@ -66,9 +66,9 @@ object DocStream {
     * bounded replay verifies against the same pattern set in SQL. */
   def streamingPiiMonitor(spark: SparkSession, dir: String): DataFrame = {
     val streamDir = java.nio.file.Files.createTempDirectory("graft-piistream")
-    java.nio.file.Files.copy(
+    EventStream.stageParquetCopy(
       java.nio.file.Path.of(s"$dir/documents.parquet"),
-      streamDir.resolve("documents.parquet"))
+      streamDir, "documents.parquet")
     val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
     val perDoc = graft.ext.Pii.Patterns.map { case (nm, pat, _) =>
       regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$nm")

@@ -76,9 +76,8 @@ object EventStream {
          org.apache.spark.sql.types.DataType) = {
     val tsType = eventsTsType(spark, dir)
     val streamDir = java.nio.file.Files.createTempDirectory(prefix)
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
+    stageParquetCopy(java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir, "events.parquet")
     (openEventStream(spark, streamDir, tsType), streamDir, tsType)
   }
 
@@ -128,6 +127,27 @@ object EventStream {
       : (DataFrame, java.nio.file.Path) = {
     val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-test-stream")
     (stream, streamDir)
+  }
+
+  /** Stage a parquet source into a stream directory, handling BOTH
+    * physical layouts a dataset ships in: a single file (the
+    * pandas-written gate fixtures) or a DIRECTORY of part files
+    * (anything Spark wrote — every real lake table, the scale-probe
+    * fixtures). A bare `Files.copy` on a directory copies only the
+    * empty directory entry, so the replay would silently stream ZERO
+    * rows — exactly the failure the 100× probe surfaced (ratio 0.1:
+    * an empty stream is very fast). */
+  private[graft] def stageParquetCopy(src: java.nio.file.Path,
+                                      streamDir: java.nio.file.Path,
+                                      name: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    if (java.nio.file.Files.isDirectory(src)) {
+      val parts = java.nio.file.Files.list(src).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      parts.zipWithIndex.foreach { case (p, i) =>
+        java.nio.file.Files.copy(p, streamDir.resolve(s"part$i-$name"))
+      }
+    } else java.nio.file.Files.copy(src, streamDir.resolve(name))
   }
 
   /** Remove a staged streaming directory once its bounded run is done
@@ -560,9 +580,8 @@ object EventStream {
           col("user_id"), lit("flush").as("event_type"),
           lit(0.0).as("value"), lit(null).cast("string").as("props"))
       val streamDir = java.nio.file.Files.createTempDirectory("graft-tws-stream")
-      java.nio.file.Files.copy(
-        java.nio.file.Path.of(s"$dir/events.parquet"),
-        streamDir.resolve("events.parquet"))
+      stageParquetCopy(java.nio.file.Path.of(s"$dir/events.parquet"),
+        streamDir, "events.parquet")
       val tmp = stageSentinels(sentinels, streamDir, "graft-tws-sentinel")
       val stream = openEventStream(spark, streamDir, tsType).as[Event]
       val name = s"graft_stream_tws_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -613,9 +632,8 @@ object EventStream {
         col("user_id"), lit("flush").as("event_type"),
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-sess-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
+    stageParquetCopy(java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir, "events.parquet")
     val tmp = stageSentinels(sentinels, streamDir, "graft-sess-sentinel")
     val stream = openEventStream(spark, streamDir, tsType).as[Event]
     val name = s"graft_stream_sess_${java.util.UUID.randomUUID().toString.replace("-", "")}"
@@ -723,9 +741,8 @@ object EventStream {
         when(col("i") === 0, "error").otherwise("click").as("event_type"),
         lit(0.0).as("value"), lit(null).cast("string").as("props"))
     val streamDir = java.nio.file.Files.createTempDirectory("graft-ijv-stream")
-    java.nio.file.Files.copy(
-      java.nio.file.Path.of(s"$dir/events.parquet"),
-      streamDir.resolve("events.parquet"))
+    stageParquetCopy(java.nio.file.Path.of(s"$dir/events.parquet"),
+      streamDir, "events.parquet")
     val tmp = stageSentinels(sentinels, streamDir, "graft-ijv-sentinel")
     val stream = openEventStream(spark, streamDir, tsType)
     val name = s"graft_stream_ijv_${java.util.UUID.randomUUID().toString.replace("-", "")}"
