@@ -707,17 +707,15 @@ object Dedup {
   }
 
   def framePhashPairsOracle: String =
-    s"""WITH d AS (SELECT doc_id, text, octet_length(CAST(text AS BLOB)) AS n
+    s"""WITH d AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hxall,
+       |    octet_length(CAST(text AS BLOB)) AS n
        |  FROM documents WHERE octet_length(CAST(text AS BLOB)) >= 256),
-       |fr0 AS (SELECT doc_id, text,
+       |fr0 AS (SELECT doc_id, hxall,
        |    unnest(generate_series(0, (n - 1) // 256)) AS frame_idx FROM d),
        |ff AS (SELECT doc_id * $FrameKeyBase + frame_idx AS fkey,
-       |    hex(CAST(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER), 256)
-       |      AS BLOB)) AS hx,
-       |    octet_length(CAST(substring(text, CAST(frame_idx * 256 + 1 AS INTEGER),
-       |      256) AS BLOB)) AS fn
+       |    substr(hxall, CAST(frame_idx * 512 AS BIGINT) + 1, 512) AS hx
        |  FROM fr0),
-       |f AS (SELECT fkey, hx FROM ff WHERE fn = 256),
+       |f AS (SELECT fkey, hx FROM ff WHERE length(hx) = 512),
        |smp AS (SELECT fkey, i,
        |    CAST('0x' || substr(hx, CAST(2 * ((i * 255) // $PhashBits) + 1
        |      AS BIGINT), 2) AS BIGINT) AS s
@@ -757,8 +755,9 @@ object Dedup {
     * VERDICT: for each cross-asset pair, how many of the smaller
     * asset's full frames have a perceptual near-dup in the other
     * ([[framePhashPairs]] restricted to asset1 ≠ asset2, distinct
-    * matched frames counted per side, overlap = matched / min frame
-    * count). An overlap near 1.0 is a re-encode or re-mux; a small
+    * matched frames counted per side, overlap = the smaller asset's
+    * matched-frame count / its own frame count — both taken from the
+    * SAME side, so overlap ≤ 1.0 by construction). An overlap near 1.0 is a re-encode or re-mux; a small
     * positive overlap is a shared segment (intro, ad, watermark
     * card). The rollup is an aggregate over the already-bounded pair
     * set — the corpus-scale cost lives in the pair stage and was
@@ -782,9 +781,13 @@ object Dedup {
       .join(frameCounts.select(col("asset_id").as("asset2"),
         col("n_frames").as("f2")), Seq("asset2"))
       .select(col("asset1"), col("asset2"), col("n_pairs"),
-        greatest(col("m1"), col("m2")).as("n_matched"),
-        round(greatest(col("m1"), col("m2")).cast("double") /
-          least(col("f1"), col("f2")), 6).as("overlap"))
+        // matched count and frame count must come from the SAME side —
+        // the smaller asset's — or overlap can exceed 1.0 (m_big /
+        // f_small); ties (f1 = f2) take side 1 in both engines
+        when(col("f1") <= col("f2"), col("m1")).otherwise(col("m2"))
+          .as("n_matched"),
+        round(when(col("f1") <= col("f2"), col("m1")).otherwise(col("m2"))
+          .cast("double") / least(col("f1"), col("f2")), 6).as("overlap"))
       .orderBy("asset1", "asset2")
   }
 
@@ -801,8 +804,10 @@ object Dedup {
        |    octet_length(CAST(text AS BLOB)) // 256 AS n_frames
        |  FROM documents WHERE octet_length(CAST(text AS BLOB)) >= 256)
        |SELECT a.asset1, a.asset2, a.n_pairs,
-       |  greatest(a.m1, a.m2) AS n_matched,
-       |  round(CAST(greatest(a.m1, a.m2) AS DOUBLE)
+       |  CASE WHEN f1.n_frames <= f2.n_frames THEN a.m1 ELSE a.m2 END
+       |    AS n_matched,
+       |  round(CAST(CASE WHEN f1.n_frames <= f2.n_frames THEN a.m1 ELSE a.m2
+       |      END AS DOUBLE)
        |    / least(f1.n_frames, f2.n_frames), 6) AS overlap
        |FROM agg a JOIN fc f1 ON a.asset1 = f1.asset_id
        |JOIN fc f2 ON a.asset2 = f2.asset_id

@@ -74,11 +74,14 @@ object Pii {
     }
     Tables.documents(spark, dir)
       .select(col("doc_id"), length(col("text")).cast("long").as("n_chars"),
-        redacted.as("redacted"))
+        redacted.as("redacted"), md5(col("text")).as("orig_fp"))
       .select(col("doc_id"), col("n_chars"),
         length(col("redacted")).cast("long").as("n_chars_redacted"),
-        md5(col("redacted")).as("redacted_fp"))
-      .withColumn("was_redacted", col("n_chars_redacted") =!= col("n_chars"))
+        md5(col("redacted")).as("redacted_fp"),
+        // content-based, not length-based: a length-preserving
+        // redaction ('a@bb.co' -> '<EMAIL>', both 7 chars) must still
+        // report was_redacted = true
+        (md5(col("redacted")) =!= col("orig_fp")).as("was_redacted"))
       .orderBy("doc_id")
   }
 
@@ -89,8 +92,7 @@ object Pii {
     s"""SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
        |  CAST(length($redacted) AS BIGINT) AS n_chars_redacted,
        |  md5($redacted) AS redacted_fp,
-       |  CAST(length($redacted) AS BIGINT) <> CAST(length(text) AS BIGINT)
-       |    AS was_redacted
+       |  md5($redacted) <> md5(text) AS was_redacted
        |FROM documents ORDER BY doc_id""".stripMargin
   }
 }

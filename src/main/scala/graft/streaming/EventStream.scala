@@ -142,8 +142,27 @@ object EventStream {
                                       name: String): Unit = {
     import scala.jdk.CollectionConverters._
     if (java.nio.file.Files.isDirectory(src)) {
-      val parts = java.nio.file.Files.list(src).iterator().asScala
-        .filter(_.getFileName.toString.endsWith(".parquet")).toSeq.sortBy(_.toString)
+      val listing = java.nio.file.Files.list(src)
+      // Files.list holds a directory handle until closed — each staged
+      // replay leaked one before this try/finally
+      val entries = try listing.iterator().asScala.toVector.sortBy(_.toString)
+        finally listing.close()
+      // a key=value partitioned layout carries column VALUES in the
+      // directory names; flattening the files here would silently drop
+      // those columns, so refuse loudly instead of staging wrong data
+      if (entries.exists(java.nio.file.Files.isDirectory(_)))
+        throw new IllegalArgumentException(
+          s"stageParquetCopy: $src contains subdirectories (partitioned " +
+            "layout?) — staged streaming replays support only a flat " +
+            "file/part-file layout; rewrite the source unpartitioned first")
+      val parts = entries.filter(_.getFileName.toString.endsWith(".parquet"))
+      // zero staged files = a replay that streams zero rows and reports
+      // zeros as if it ran — the silent failure mode this helper exists
+      // to prevent; fail the query instead
+      if (parts.isEmpty)
+        throw new IllegalArgumentException(
+          s"stageParquetCopy: no *.parquet files under $src — refusing to " +
+            "stage an empty replay (it would silently stream zero rows)")
       parts.zipWithIndex.foreach { case (p, i) =>
         java.nio.file.Files.copy(p, streamDir.resolve(s"part$i-$name"))
       }
@@ -452,7 +471,19 @@ object EventStream {
               .flatMap { e =>
                 if (e.event_type == "click") {
                   lastClick = math.max(lastClick, toMicros(e.ts)); None
-                } else if (lastClick != Long.MinValue) {
+                } else if (lastClick != Long.MinValue &&
+                    lastClick <= toMicros(e.ts)) {
+                  // the <= guard matters only when the replay spans
+                  // micro-batches (maxFilesPerTrigger, a late-arriving
+                  // file): the carried state is the max click ts seen in
+                  // EARLIER batches, which may postdate an out-of-order
+                  // error in THIS batch — matching it would emit a
+                  // negative gap_us no batch oracle produces. Such an
+                  // error is dropped instead (the O(1)-state design
+                  // keeps no earlier clicks to fall back to);
+                  // cross-batch out-of-order input that must still
+                  // match needs the watermark-buffered interval-join
+                  // form, not this operator.
                   Some(AsOfOut(e.event_id, userId, e.ts,
                     toTimestamp(lastClick), toMicros(e.ts) - lastClick))
                 } else None

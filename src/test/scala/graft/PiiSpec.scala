@@ -55,18 +55,22 @@ class PiiSpec extends SparkSpec {
     val df = Seq(
       (1L, "clean text no secrets"),
       (2L, "leak: root@box.example.org"),
-      (3L, "double 1.2.3.4 and 5.6.7.8")).toDF("doc_id", "text")
+      (3L, "double 1.2.3.4 and 5.6.7.8"),
+      // length-preserving redaction: 'a@bb.co' and '<EMAIL>' are both
+      // 7 chars — the content-based flag must still fire (the length-
+      // based form this replaced reported false here)
+      (4L, "a@bb.co")).toDF("doc_id", "text")
     val counts = df.select(col("doc_id"),
       Pii.Patterns.map { case (_, pat, _) =>
         regexp_count(col("text"), lit(pat)).cast("long")
       }.reduce(_ + _).as("n"))
     val red = df.select(col("doc_id"),
-      (length(Pii.Patterns.foldLeft(col("text")) {
+      (md5(Pii.Patterns.foldLeft(col("text")) {
         case (c, (_, pat, repl)) => regexp_replace(c, pat, repl)
-      }) =!= length(col("text"))).as("was_redacted"))
+      }) =!= md5(col("text"))).as("was_redacted"))
     val joined = counts.join(red, "doc_id").collect()
       .map(r => r.getLong(0) -> (r.getLong(1) > 0, r.getBoolean(2))).toMap
     assert(joined == Map(1L -> (false, false), 2L -> (true, true),
-      3L -> (true, true)), joined.toString)
+      3L -> (true, true), 4L -> (true, true)), joined.toString)
   }
 }
