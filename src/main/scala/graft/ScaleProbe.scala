@@ -102,6 +102,11 @@ object ScaleProbe {
           s, d, s"/tmp/graft_zw_probe/${math.abs(d.hashCode)}", 64)
         s.range(n).toDF("files_written")
       }),
+      // round-6: PQ codebook training is now strided-sample-bounded
+      // (TrainSampleCap, the IVF recipe) — the probe watches training
+      // + the one full-corpus encode; ivfpq composes routing + ADC
+      "pq_codes" -> (graft.ext.Similarity.pqCodes _),
+      "sim_ann_ivfpq" -> (graft.ext.Similarity.annIvfPq _),
       "trend_robust" -> (graft.operators.TimeSeries.trendRobust _),
       "ivf_recall_sweep" -> ((s, d) => graft.ext.Similarity.ivfRecallSweep(s, d)),
       "shuffle_skew_audit" -> (graft.operators.Relational.shuffleSkewAudit _),
@@ -147,8 +152,8 @@ object ScaleProbe {
     *     corpus isn't 10 exact copies (which would put every doc in a
     *     10-way dup group and distort LSH bucket shape)
     * Skips the build when the work dir already exists. */
-  private def buildScaled(spark: SparkSession, sfDir: String, work: String,
-                          factor: Int): Unit = {
+  private[graft] def buildScaled(spark: SparkSession, sfDir: String, work: String,
+                                 factor: Int): Unit = {
     val done = new java.io.File(s"$work/_built")
     if (done.exists()) return
     val ks = (0 until factor)

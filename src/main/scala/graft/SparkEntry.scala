@@ -201,6 +201,7 @@ object SparkEntry {
     "sample_temperature" -> Sampling.temperatureSample _,
     "pq_codes" -> Similarity.pqCodes _,
     "sim_ann_pq" -> Similarity.annPq _,
+    "sim_ann_ivfpq" -> Similarity.annIvfPq _,
     "rrf_fusion" -> Similarity.rrfFusion _,
     "frame_sample" -> Multimodal.frameSample _,
     "vocab_coverage" -> TextAnalysis.vocabCoverage _,
@@ -484,6 +485,7 @@ object SparkEntry {
     "sample_temperature" -> Sampling.temperatureSampleOracle,
     "pq_codes" -> Similarity.pqCodesOracle,
     "sim_ann_pq" -> Similarity.annPqOracle,
+    "sim_ann_ivfpq" -> Similarity.annIvfPqOracle,
     "rrf_fusion" -> Similarity.rrfFusionOracle,
     "frame_sample" -> Multimodal.frameSampleOracle,
     "vocab_coverage" -> TextAnalysis.vocabCoverageOracle,

@@ -307,7 +307,10 @@ object Similarity {
   // honest COLD runs including training.
   private val centroidMemo = new graft.SessionDirMemo[Seq[(Long, Seq[Double])]]
 
-  private[graft] def resetCentroidMemo(): Unit = centroidMemo.reset()
+  private[graft] def resetCentroidMemo(): Unit = {
+    centroidMemo.reset()
+    pqMemo.reset() // the PQ codebook is trained state of the same kind
+  }
 
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
     centroidMemo.get(spark, dir)(kmeansCentroidsUncached(spark, dir))
@@ -1518,17 +1521,40 @@ object Similarity {
     * discipline as [[kmeansCentroids]]: distance round-6 before
     * argmin with ties to the lower code, decimal-exact means rounded
     * to 9, empty codes keep their previous codeword. */
-  private[graft] def pqCodebook(spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] = {
+  // same single-slot discipline as centroidMemo: pq_codes, sim_ann_pq
+  // and sim_ann_ivfpq all derive the identical codebook from the same
+  // corpus — one slot of 8×16×8 doubles; ScaleProbe resets it so probe
+  // timings stay honest cold runs including training.
+  private val pqMemo = new graft.SessionDirMemo[Seq[(Int, Int, Seq[Double])]]
+
+  private[graft] def pqCodebook(spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] =
+    pqMemo.get(spark, dir)(pqCodebookUncached(spark, dir))
+
+  private def pqCodebookUncached(spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
-    val ex = pqExploded(spark, dir).persist()
+    // Lloyd refinement runs on the SAME ≤TrainSampleCap strided sample
+    // recipe as kmeansCentroids (stride = ⌊n/cap⌋ over vec_id — engine-
+    // mirrorable, no rand(); stride 1 below the cap = exact-corpus
+    // training, so gate-scale results are unchanged). Only the sample
+    // is persisted for the loop; the final ENCODE (pqCodes/annPq) still
+    // scans the full corpus exactly once — training was the last
+    // full-corpus-per-iteration loop in the ANN family.
+    val nTotal = embeddingsD(spark, dir).count()
+    val stride = math.max(1L, nTotal / TrainSampleCap)
+    val ex = pqExploded(spark, dir)
+    val train =
+      (if (stride == 1L) ex else ex.filter(col("vec_id") % stride === 0))
+        .persist()
+    // seeds stay the first PqCodes vectors of the FULL corpus (the
+    // oracle's c0 reads the unstrided sv), independent of the stride
     var cb: Seq[(Int, Int, Seq[Double])] = ex.filter(col("vec_id") < PqCodes)
       .collect()
       .map(r => (r.getInt(1), r.getLong(0).toInt, r.getSeq[Double](2)))
       .sortBy(t => (t._1, t._2)).toSeq
     for (_ <- 1 to PqIters) {
       val c = cb.toDF("sub", "code", "cv")
-      val assigned = ex.join(broadcast(c), Seq("sub"))
+      val assigned = train.join(broadcast(c), Seq("sub"))
         .select(col("vec_id"), col("sub"), col("x"), col("code"),
           pqDist(col("x"), col("cv")).as("d2"))
         .groupBy("vec_id", "sub")
@@ -1546,7 +1572,7 @@ object Similarity {
       }
       cb = cb.map { case (s, k, old) => (s, k, byKey.getOrElse((s, k), old)) }
     }
-    ex.unpersist()
+    train.unpersist()
     cb
   }
 
@@ -1580,44 +1606,53 @@ object Similarity {
       .orderBy("vec_id")
   }
 
-  /** Mirrors [[pqCodebook]]/[[pqCodes]] step for step: seeds, two
-    * unrolled Lloyd rounds keyed by (sub, code), identical distance
-    * decomposition and rounding. */
-  /** Shared oracle CTE chain — seeds, [[PqIters]] unrolled Lloyd
-    * rounds, and `fin` (per-(vector, subspace) distance+rank against
-    * the final codebook `c{PqIters}`). */
-  private val pqCommonSql: String = {
+  /** Mirrors [[pqCodebook]]/[[pqCodes]] step for step: seeds from the
+    * full corpus, the [[TrainSampleCap]] training stride (`smp` — a
+    * no-op below the cap), [[PqIters]] unrolled Lloyd rounds keyed by
+    * (sub, code) with identical distance decomposition and rounding,
+    * and `fin` (per-(vector, subspace) distance+rank of the FULL
+    * corpus against the final codebook `c{PqIters}`).
+    *
+    * Every CTE name takes `p` as a prefix so the chain can compose
+    * with [[ivfCommonSql]] (which owns the unprefixed `e`/`c0`/`a1`…
+    * namespace) in one WITH clause — the IVF-PQ oracle needs both. */
+  private def pqCommonSqlP(p: String): String = {
+    def N(s: String) = p + s
     val d2 = (x: String, c: String) =>
       s"round(list_dot_product($x, $x) - 2 * list_dot_product($x, $c)" +
         s" + list_dot_product($c, $c), 6)"
     val iters = (1 to PqIters).map { i =>
-      s"""a$i AS (SELECT s.vec_id, s.sub, s.x, c.code,
+      s"""${N(s"a$i")} AS (SELECT s.vec_id, s.sub, s.x, c.code,
          |    row_number() OVER (PARTITION BY s.vec_id, s.sub
          |      ORDER BY ${d2("s.x", "c.cv")}, c.code) AS rk
-         |  FROM sv s JOIN c${i - 1} c ON s.sub = c.sub),
-         |x$i AS (SELECT sub, code, UNNEST(range(len(x))) AS dim, UNNEST(x) AS xx
-         |  FROM a$i WHERE rk = 1),
-         |m$i AS (SELECT sub, code, dim,
+         |  FROM ${N("smp")} s JOIN ${N(s"c${i - 1}")} c ON s.sub = c.sub),
+         |${N(s"x$i")} AS (SELECT sub, code, UNNEST(range(len(x))) AS dim, UNNEST(x) AS xx
+         |  FROM ${N(s"a$i")} WHERE rk = 1),
+         |${N(s"m$i")} AS (SELECT sub, code, dim,
          |    round(CAST(SUM(CAST(xx AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 9) AS m
-         |  FROM x$i GROUP BY sub, code, dim),
-         |nc$i AS (SELECT sub, code, list(m ORDER BY dim) AS cv
-         |  FROM m$i GROUP BY sub, code),
-         |c$i AS (SELECT p.sub, p.code, COALESCE(nc.cv, p.cv) AS cv
-         |  FROM c${i - 1} p LEFT JOIN nc$i nc
+         |  FROM ${N(s"x$i")} GROUP BY sub, code, dim),
+         |${N(s"nc$i")} AS (SELECT sub, code, list(m ORDER BY dim) AS cv
+         |  FROM ${N(s"m$i")} GROUP BY sub, code),
+         |${N(s"c$i")} AS (SELECT p.sub, p.code, COALESCE(nc.cv, p.cv) AS cv
+         |  FROM ${N(s"c${i - 1}")} p LEFT JOIN ${N(s"nc$i")} nc
          |    ON p.sub = nc.sub AND p.code = nc.code)""".stripMargin
     }.mkString(",\n")
-    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-       |sv AS (SELECT vec_id, sub,
+    s"""${N("e")} AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |${N("sv")} AS (SELECT vec_id, sub,
        |    v[sub * $PqSubDim + 1 : sub * $PqSubDim + $PqSubDim] AS x
-       |  FROM e CROSS JOIN range($PqSubspaces) r(sub)),
-       |c0 AS (SELECT sub, CAST(vec_id AS INT) AS code, x AS cv
-       |  FROM sv WHERE vec_id < $PqCodes),
+       |  FROM ${N("e")} CROSS JOIN range($PqSubspaces) r(sub)),
+       |${N("smp")} AS (SELECT * FROM ${N("sv")} WHERE vec_id %
+       |  (SELECT GREATEST(1, COUNT(*) // $TrainSampleCap) FROM ${N("e")}) = 0),
+       |${N("c0")} AS (SELECT sub, CAST(vec_id AS INT) AS code, x AS cv
+       |  FROM ${N("sv")} WHERE vec_id < $PqCodes),
        |$iters,
-       |fin AS (SELECT s.vec_id, s.sub, c.code, ${d2("s.x", "c.cv")} AS d2,
+       |${N("fin")} AS (SELECT s.vec_id, s.sub, c.code, ${d2("s.x", "c.cv")} AS d2,
        |    row_number() OVER (PARTITION BY s.vec_id, s.sub
        |      ORDER BY ${d2("s.x", "c.cv")}, c.code) AS rk
-       |  FROM sv s JOIN c$PqIters c ON s.sub = c.sub)""".stripMargin
+       |  FROM ${N("sv")} s JOIN ${N(s"c$PqIters")} c ON s.sub = c.sub)""".stripMargin
   }
+
+  private val pqCommonSql: String = pqCommonSqlP("")
 
   def pqCodesOracle: String =
     s"""WITH $pqCommonSql
@@ -1687,4 +1722,124 @@ object Similarity {
        |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
        |        ORDER BY adc_ip DESC, neighbor_id) AS rk FROM scored) r
        |WHERE rk <= $PqTopK ORDER BY query_id, rk""".stripMargin
+
+  // ------------------------------------------------------------ IVF-PQ
+
+  /** The end-to-end billion-vector serving plan the component queries
+    * build toward — IVF ROUTES, PQ COMPRESSES, composed: each query
+    * probes its [[NProbe]] nearest coarse lists (adaptive-k quantizer,
+    * [[numLists]]), the candidate set is those lists' members only
+    * (≈ NProbe/k of the corpus — the sub-linear term), and candidates
+    * are scored by ADC over their 4-bit PQ codes (a broadcast
+    * |queries|×128 LUT + an 8-row decimal fold — the scan reads 4
+    * bytes per candidate, not 256). Against [[annPq]] this adds the
+    * routing step (score NProbe/k of the corpus instead of all of
+    * it); against [[annIvf]] it swaps full-precision scoring for the
+    * compressed-domain LUT the 100 TB memory budget requires.
+    *
+    * `recall_at_k` rides on every row (the twins' panel discipline):
+    * the ANN top-k against the EXACT full-precision inner-product
+    * top-k over the whole corpus for the same queries — query-set-
+    * bounded (broadcast queries × one corpus scan), so the audit
+    * never reintroduces the linear scan per query this index avoids.
+    * Both approximation losses (routing misses + quantization error)
+    * land in this one number — the acceptance gate a serving deploy
+    * reads. */
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    val assign = withAssignments(spark, dir).localCheckpoint()
+    val cb = pqCodebook(spark, dir).toDF("sub", "code", "cv")
+    val ex = pqExploded(spark, dir)
+    val enc = ex.join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id"), col("sub"), col("code"),
+        pqDist(col("x"), col("cv")).as("d2"))
+      .groupBy("vec_id", "sub")
+      .agg(min(struct(col("d2"), col("code"))).as("best"))
+      .select(col("vec_id"), col("sub"), col("best.code").as("code"))
+    val members = assign.filter(col("probe_rank") === 1)
+      .select(col("list_id"), col("vec_id"))
+    val probes = assign
+      .filter(col("vec_id") >= QueryBase &&
+        col("vec_id") < QueryBase + PqNumQueries)
+      .select(col("vec_id").as("query_id"), col("list_id"))
+    // no distinct: each member has exactly ONE primary list, so a
+    // (query, member) pair arises from at most one probed list (the
+    // oracle's DISTINCT is a no-op, same as annIvf)
+    val cand = probes.join(members, Seq("list_id"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"))
+    val lut = ex
+      .filter(col("vec_id") >= QueryBase &&
+        col("vec_id") < QueryBase + PqNumQueries)
+      .select(col("vec_id").as("query_id"), col("sub"), col("x").as("qx"))
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("query_id"), col("sub"), col("code"),
+        round(dot(col("qx"), col("cv")), 9).as("pd"))
+    val scored = cand.join(enc, Seq("vec_id"))
+      .join(broadcast(lut), Seq("query_id", "sub", "code"))
+      .groupBy("query_id", "vec_id")
+      .agg(round(sum(col("pd").cast(DecimalType(28, 12))).cast("double"), 6)
+        .as("cos_sim")) // approximate inner product, ranked like a score
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
+    val ann = topKPerQuery(scored, PqTopK)
+      .withColumnRenamed("cos_sim", "adc_ip")
+    // exact arm: full-precision inner-product top-k over the WHOLE
+    // corpus (not just probed lists) — the ground truth both losses
+    // are measured against
+    val e = embeddingsD(spark, dir).select(col("vec_id"), col("v"))
+    val q = e
+      .filter(col("vec_id") >= QueryBase &&
+        col("vec_id") < QueryBase + PqNumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    val exact = topKPerQuery(
+      spread(e).join(broadcast(q), col("vec_id") =!= col("query_id"))
+        .select(col("query_id"), col("vec_id").as("neighbor_id"),
+          round(dot(col("qv"), col("v")), 6).as("cos_sim")),
+      PqTopK).select(col("query_id"), col("neighbor_id"))
+    val rate = ann.join(exact, Seq("query_id", "neighbor_id"))
+      .agg(round(count(lit(1)).cast("double")
+        / lit(PqNumQueries * PqTopK), 6).as("recall_at_k"))
+    ann.crossJoin(broadcast(rate)).orderBy("query_id", "rk")
+  }
+
+  def annIvfPqOracle: String =
+    s"""WITH $ivfCommonSql,
+       |${pqCommonSqlP("p")},
+       |penc AS (SELECT vec_id, sub, code FROM pfin WHERE rk = 1),
+       |mem AS (SELECT list_id, vec_id FROM scoredc WHERE probe_rank = 1),
+       |qp AS (SELECT vec_id AS query_id, list_id FROM scoredc
+       |  WHERE probe_rank <= $NProbe
+       |    AND vec_id >= $QueryBase AND vec_id < ${QueryBase + PqNumQueries}),
+       |cand AS (SELECT DISTINCT q.query_id, m.vec_id
+       |  FROM qp q JOIN mem m ON q.list_id = m.list_id
+       |   AND m.vec_id <> q.query_id),
+       |lut AS (SELECT s.vec_id AS query_id, s.sub, c.code,
+       |    round(list_dot_product(s.x, c.cv), 9) AS pd
+       |  FROM psv s JOIN pc$PqIters c ON s.sub = c.sub
+       |  WHERE s.vec_id >= $QueryBase AND s.vec_id < ${QueryBase + PqNumQueries}),
+       |scored AS (SELECT cd.query_id, cd.vec_id AS neighbor_id,
+       |    round(CAST(SUM(CAST(l.pd AS DECIMAL(28,12))) AS DOUBLE), 6) AS adc_ip
+       |  FROM cand cd JOIN penc pe2 ON pe2.vec_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cd.query_id AND l.sub = pe2.sub
+       |   AND l.code = pe2.code
+       |  GROUP BY 1, 2),
+       |ann AS (SELECT query_id, neighbor_id, adc_ip, CAST(rk AS BIGINT) AS rk
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_ip DESC, neighbor_id) AS rk FROM scored) t
+       |  WHERE rk <= $PqTopK),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.v, x.v), 6) DESC, x.vec_id) AS rk
+       |    FROM e q JOIN e x ON x.vec_id <> q.vec_id
+       |    WHERE q.vec_id >= $QueryBase
+       |      AND q.vec_id < ${QueryBase + PqNumQueries}) t
+       |  WHERE rk <= $PqTopK),
+       |rate AS (SELECT round(CAST(COUNT(*) AS DOUBLE)
+       |      / ${PqNumQueries * PqTopK}, 6) AS recall_at_k
+       |  FROM ann a JOIN exact ex
+       |    ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id)
+       |SELECT a.query_id, a.neighbor_id, a.adc_ip, a.rk, rate.recall_at_k
+       |FROM ann a, rate ORDER BY a.query_id, a.rk""".stripMargin
 }

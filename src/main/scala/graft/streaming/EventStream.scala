@@ -456,7 +456,13 @@ object EventStream {
     val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-asof-stream")
     val name = s"graft_stream_asof_${java.util.UUID.randomUUID().toString.replace("-", "")}"
     val q = withBoundedStateParallelism(spark) {
-      stream.filter(col("event_type").isin("error", "click"))
+      // NULL-key contract: an as-of join is keyed per user, so an event
+      // with no user_id has no stream to match in — dropped, same as
+      // keyed-stream semantics everywhere (a NULL key would otherwise
+      // conflate unknown users into one fictitious session, or crash
+      // the non-nullable Event decode)
+      stream.filter(col("event_type").isin("error", "click") &&
+          col("user_id").isNotNull)
         .select(col("event_id"), col("ts"), col("user_id"),
           col("event_type"), col("value"))
         .as[Event]

@@ -55,6 +55,27 @@ class EntrySpec extends SparkSpec {
     }
   }
 
+  test("SessionDirMemo: a changed corpus under the same path repopulates") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_memo")
+    val f = dir.resolve("embeddings.parquet")
+    java.nio.file.Files.write(f, "aaaa".getBytes)
+    f.toFile.setLastModified(1000000L)
+    val memo = new SessionDirMemo[Int]
+    var computes = 0
+    def get(): Int = memo.get(spark, dir.toString) { computes += 1; computes }
+    assert(get() == 1 && get() == 1, "identical dir must hit the memo")
+    // same path, regenerated content (different size + mtime): a stale
+    // centroid matrix here would silently skew every IVF-family oracle
+    java.nio.file.Files.write(f, "bbbbbbbb".getBytes)
+    f.toFile.setLastModified(2000000L)
+    assert(get() == 2, "changed corpus under the same path must repopulate")
+    // mtime-only change (same byte size) also invalidates — the cheap
+    // signal a same-size regeneration still moves
+    f.toFile.setLastModified(3000000L)
+    assert(get() == 3, "mtime-only change must repopulate")
+    assert(get() == 3, "and the new entry is memoized again")
+  }
+
   test("approximate sketches land within tolerance of exact counts") {
     import org.apache.spark.sql.functions._
     val li = Tables.lineitem(spark, sf0001)

@@ -30,7 +30,7 @@ class HostileFixtureSpec extends SparkSpec {
 
   private lazy val hostileDir: String = {
     val base = sf0001
-    val out = "/tmp/graft_hostile_fixture_v2"
+    val out = "/tmp/graft_hostile_fixture_v3"
     val marker = new java.io.File(s"$out/_built")
     if (!marker.exists()) {
       // dims + orders: unchanged copies
@@ -72,8 +72,25 @@ class HostileFixtureSpec extends SparkSpec {
             (col("id") + 1).cast("int")).as("text"),
           lit("en").as("lang"), lit("srctiny").as("source"))
         .withColumn("n_chars", length(col("text")).cast("long"))
+      // 300 assets of 512 IDENTICAL bytes each: every 256-byte frame of
+      // every asset hashes to the same dHash → ONE frame-level bucket of
+      // 600 members, far over the star cap (the all-identical-frames
+      // shape a re-encoded template video produces)
+      val frames = spark.range(300)
+        .select((col("id") + 80000000L).as("doc_id"),
+          lit("F" * 512).as("text"),
+          lit("en").as("lang"), lit("srcframes").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+      // one document that is a single giant run of PII matches (the
+      // leaked-dump shape): 5,000 back-to-back emails
+      val giant = spark.range(1)
+        .select(lit(90000000L).as("doc_id"),
+          lit((1 to 5000).map(i => s"u$i@ex.io").mkString(" ")).as("text"),
+          lit("en").as("lang"), lit("srcgiant").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
       docs.filter(col("source") =!= graft.ext.TextAnalysis.EvalSource)
         .unionByName(mega).unionByName(tiny)
+        .unionByName(frames).unionByName(giant)
         .write.mode("overwrite").parquet(s"$out/documents.parquet")
       // embeddings: first 100 vectors identical (k-means seed/assignment
       // ties), one all-zero vector (zero norm), rest unchanged
@@ -107,7 +124,7 @@ class HostileFixtureSpec extends SparkSpec {
     // (b) the PII-bearing doc is flagged; the clean corpus is not
     val pii = graft.ext.Pii.piiScan(spark, hostileDir)
       .filter(col("has_pii")).select("doc_id").collect().map(_.getLong(0))
-    assert(pii.toSeq == Seq(60000004L), s"pii docs: ${pii.toSeq}")
+    assert(pii.toSet == Set(60000004L, 90000000L), s"pii docs: ${pii.toSeq}")
     // (c) weighted sampling ranks weight-0 (empty) docs LAST within
     // their stratum: every NULL-key rank exceeds every non-NULL-key
     // rank (the desc_nulls_last ordering contract, not a tautology)
@@ -159,6 +176,94 @@ class HostileFixtureSpec extends SparkSpec {
       "tail docs beyond the vocab bound must surface as OOV rows")
     assert(oov.filter(col("avg_logratio").isNotNull).count() == 0,
       "OOV-only docs carry NULL scores, never fabricated ones")
+  }
+
+  test("frame near-dup: an all-identical-frames mega-bucket hits the star cap") {
+    import org.apache.spark.sql.functions._
+    // 600 identical frames share every band → one bucket of 600 ≫
+    // MaxBucket; all-pairs would be ~180k candidates, the star cap
+    // keeps the surviving pair set LINEAR in bucket size
+    val pairs = graft.ext.Dedup.framePhashPairs(spark, hostileDir)
+      .filter(col("asset1").between(80000000L, 80000299L) &&
+        col("asset2").between(80000000L, 80000299L))
+      .collect()
+    assert(pairs.nonEmpty, "identical frames must still surface SOME pairs")
+    assert(pairs.length < 10000,
+      s"${pairs.length} frame pairs — star cap must keep this linear")
+    assert(pairs.forall(_.getAs[Long]("hamming") == 0L),
+      "identical frames must verify at hamming 0")
+  }
+
+  test("frame overlap is bounded to [0, 1] even under the star-capped mega-bucket") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Dedup.frameOverlapAssets(spark, hostileDir).collect()
+    assert(rows.nonEmpty)
+    // the same-side fix's invariant: matched count and frame count come
+    // from ONE side, so overlap can never exceed 1.0 (under the star
+    // cap the reported overlap is a LOWER bound — candidate pairs are
+    // capped, matched-frame counts only shrink, never inflate)
+    rows.foreach { r =>
+      val o = r.getAs[Double]("overlap")
+      assert(o > 0.0 && o <= 1.0, s"overlap $o outside (0,1]: $r")
+    }
+    assert(rows.exists(r =>
+      r.getAs[Long]("asset1") >= 80000000L &&
+        r.getAs[Long]("asset1") <= 80000299L &&
+        r.getAs[Long]("asset2") >= 80000000L &&
+        r.getAs[Long]("asset2") <= 80000299L),
+      "the capped mega-bucket must still yield cross-asset overlap rows")
+  }
+
+  test("streaming PII monitor: a document that is one giant run of PII reports exact counts") {
+    import org.apache.spark.sql.functions._
+    val row = graft.streaming.DocStream.streamingPiiMonitor(spark, hostileDir)
+      .filter(col("source") === "srcgiant").collect()
+    assert(row.length == 1)
+    assert(row(0).getAs[Long]("n_docs") == 1L)
+    assert(row(0).getAs[Long]("n_docs_with_pii") == 1L)
+    assert(row(0).getAs[Long]("n_matches") == 5000L,
+      s"expected 5000 email matches, got ${row(0).getAs[Long]("n_matches")}")
+  }
+
+  test("streaming as-of: NULL-user events are dropped; non-null matches equal the batch form") {
+    import org.apache.spark.sql.functions._
+    val out = "/tmp/graft_nulluser_fixture_v1"
+    if (!new java.io.File(s"$out/_built").exists()) {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(s"$sf0001/events.parquet")
+        .withColumn("user_id",
+          when(col("event_id") % 97 === 0, lit(null)).otherwise(col("user_id")))
+        .write.mode("overwrite").parquet(s"$out/events.parquet")
+      new java.io.File(s"$out/_built").createNewFile()
+    }
+    val streamed = graft.streaming.EventStream.asofOverFiles(spark, out)
+      .select("event_id", "user_id", "gap_us").collect()
+    assert(streamed.nonEmpty)
+    assert(streamed.forall(r => !r.isNullAt(1)),
+      "a NULL-user event must never emit a match")
+    assert(streamed.forall(_.getAs[Long]("gap_us") >= 0L))
+    // the streamed result IS the batch as-of restricted to keyed events
+    val batch = graft.operators.EventOps.asofErrorClick(spark, out)
+      .filter(col("user_id").isNotNull)
+      .select("event_id", "user_id", "gap_us").collect()
+    assert(streamed.map(_.toSeq).toSet == batch.map(_.toSeq).toSet,
+      s"streamed ${streamed.length} rows vs batch ${batch.length}")
+  }
+
+  test("staging refuses an empty or partitioned source instead of replaying zero rows") {
+    val stage = java.nio.file.Files.createTempDirectory("graft_stage_dst")
+    // a source dir with NO parquet files: the silent-zero-rows bug class
+    val empty = java.nio.file.Files.createTempDirectory("graft_empty_src")
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStream.stageParquetCopy(empty, stage, "x.parquet")
+    }
+    // a key=value partitioned source: flattening would drop the
+    // partition columns' values — must refuse, not stage wrong data
+    val part = java.nio.file.Files.createTempDirectory("graft_part_src")
+    java.nio.file.Files.createDirectory(part.resolve("key=1"))
+    intercept[IllegalArgumentException] {
+      graft.streaming.EventStream.stageParquetCopy(part, stage, "y.parquet")
+    }
   }
 
   test("every query survives the hostile-shaped corpus (no throw, no hang)") {
