@@ -73,8 +73,8 @@ object SkipProbe {
           min("l_suppkey").as("s0"), max("l_suppkey").as("s1"))
         .collect()
       val hit = boxes.count { r =>
-        !(r.getLong(1) < pmin || r.getLong(0) > pHi ||
-          r.getLong(3) < smin || r.getLong(2) > sHi)
+        !(r.getAs[Long]("p1") < pmin || r.getAs[Long]("p0") > pHi ||
+          r.getAs[Long]("s1") < smin || r.getAs[Long]("s0") > sHi)
       }
       (hit, boxes.length)
     }

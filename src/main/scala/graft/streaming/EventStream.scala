@@ -41,7 +41,8 @@ object EventStream {
   private[graft] def withBoundedStateParallelism[T](
       spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
-    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    spark.conf.set("spark.sql.shuffle.partitions",
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_PARTS", "8"))
     try body finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
