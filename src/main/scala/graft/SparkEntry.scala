@@ -338,6 +338,10 @@ object SparkEntry {
     // Spark 4 transformWithState sessionizer (RocksDB-backed v2 state)
     "stream_sessionize_tws" -> ((s, dir) =>
       graft.streaming.EventStream.sessionizeTwsOverFiles(s, dir)),
+    // ── round 6: version diff, containment near-dup, embedding outliers ──
+    "snapshot_diff" -> Relational.snapshotDiff _,
+    "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
+    "embedding_outliers" -> Similarity.embeddingOutliers _,
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -597,5 +601,8 @@ object SparkEntry {
     "source_quality_profile" -> TextAnalysis.sourceQualityProfileOracle,
     "stream_sessionize_tws" ->
       graft.streaming.EventStream.sessionizeTwsOverFilesOracle,
+    "snapshot_diff" -> Relational.snapshotDiffOracle,
+    "dedup_containment" -> Dedup.containmentPairsOracle,
+    "embedding_outliers" -> Similarity.embeddingOutliersOracle,
   )
 }

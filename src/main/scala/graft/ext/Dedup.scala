@@ -512,6 +512,107 @@ object Dedup {
        |  FROM inter) j
        |WHERE jaccard >= $minJaccard ORDER BY d1, d2""".stripMargin
 
+  // ── containment: the asymmetric near-dup metric Jaccard misses ──
+
+  /** Trigram CONTAINMENT pairs: |∩| / min(|A|,|B|) — the asymmetric
+    * metric that catches a document embedded inside a much larger one
+    * (quoted article, concatenated crawl page), where Jaccard stays
+    * low and MinHash-LSH never proposes the pair (its collision
+    * probability IS Jaccard). Candidates therefore come from a
+    * different generator: docs sharing ≥ [[ContainMinShared]] RARE
+    * trigrams (corpus df ≤ [[ContainDfCap]]) — the prefix-filter /
+    * PPJoin family's shape. The df cap is the star-cap analog: a
+    * boilerplate gram shared by thousands of docs generates no
+    * candidates (its pairs are chrome, not containment), and bounds
+    * the gram self-join at O(Σ df²) over df-capped grams. Exact
+    * verification then runs on candidates only — one array_intersect
+    * per pair (both gram sets complete, including capped grams), so
+    * the reported metrics are exact even though candidate generation
+    * is rarity-restricted. Verdict separates the classes: `near_dup`
+    * (high Jaccard too — ordinary near-duplicate) vs `contained`
+    * (high containment, low Jaccard — the subset relation exact and
+    * MinHash dedup both miss; DedupSpec constructs one). Exact-dedup
+    * keepers first, as in [[lshVerifiedJaccard]]. */
+  def containmentPairs(spark: SparkSession, dir: String,
+                       minContainment: Double = 0.8): DataFrame =
+    containmentPairsDocs(Tables.documents(spark, dir), minContainment)
+
+  private[graft] def containmentPairsDocs(docs: DataFrame,
+                                          minContainment: Double): DataFrame = {
+    val keeper = min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("text"))))
+    val documents = docs
+      .select(col("doc_id"), col("text"), keeper.as("k"))
+      .filter(col("doc_id") === col("k"))
+      .select(col("doc_id"), col("text"))
+    val grams = trigramSets(documents).persist()
+    val exploded = grams.select(col("doc_id"), explode(col("grams")).as("g"))
+    val rare = exploded.groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= ContainDfCap)
+      .select(col("g"))
+    val rg = exploded.join(rare, Seq("g"))
+    val cands = rg.select(col("doc_id").as("d1"), col("g"))
+      .join(rg.select(col("doc_id").as("d2"), col("g")), Seq("g"))
+      .filter(col("d1") < col("d2"))
+      .groupBy("d1", "d2").agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= ContainMinShared)
+      .select(col("d1"), col("d2"))
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    cands
+      .join(grams.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
+      .join(grams.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        round(inter.cast("double") /
+          greatest(least(size(col("g1")), size(col("g2"))), lit(1)), 6)
+          .as("containment"),
+        round(inter.cast("double") /
+          greatest(size(col("g1")) + size(col("g2")) - inter, lit(1)), 6)
+          .as("jaccard"))
+      .filter(col("containment") >= minContainment)
+      .select(col("d1"), col("d2"), col("containment"), col("jaccard"),
+        when(col("jaccard") >= 0.5, lit("near_dup"))
+          .otherwise(lit("contained")).as("verdict"))
+      .orderBy("d1", "d2")
+  }
+
+  private[graft] val ContainDfCap = 64
+  private[graft] val ContainMinShared = 5
+
+  def containmentPairsOracle: String = containmentPairsOracle(0.8)
+
+  def containmentPairsOracle(minContainment: Double): String =
+    s"""WITH keepers AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
+       |    FROM documents) d WHERE doc_id = k),
+       |tokseq AS (SELECT doc_id, $tokensSql AS ws FROM keepers),
+       |tri AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+       |  FROM tokseq),
+       |g AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM tri),
+       |rare AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) <= $ContainDfCap),
+       |rg AS (SELECT gg.doc_id, gg.g FROM g gg JOIN rare USING (g)),
+       |cand AS (SELECT a.doc_id AS d1, b.doc_id AS d2
+       |  FROM rg a JOIN rg b ON a.g = b.g AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $ContainMinShared),
+       |inter AS (SELECT c.d1, c.d2, a.n AS n1, b.n AS n2, COUNT(*) AS inter
+       |  FROM cand c
+       |  JOIN g a ON a.doc_id = c.d1
+       |  JOIN g b ON b.doc_id = c.d2 AND b.g = a.g
+       |  GROUP BY 1, 2, 3, 4),
+       |m AS (SELECT d1, d2,
+       |    round(CAST(inter AS DOUBLE) / GREATEST(LEAST(n1, n2), 1), 6)
+       |      AS containment,
+       |    round(CAST(inter AS DOUBLE) / GREATEST(n1 + n2 - inter, 1), 6)
+       |      AS jaccard
+       |  FROM inter)
+       |SELECT d1, d2, containment, jaccard,
+       |  CASE WHEN jaccard >= 0.5 THEN 'near_dup' ELSE 'contained' END AS verdict
+       |FROM m WHERE containment >= $minContainment
+       |ORDER BY d1, d2""".stripMargin
+
   /** SimHash near-dup pairs: band the 32-bit signature into 4 bytes;
     * docs sharing any byte are candidates; verify by Hamming distance
     * (bit_count of xor). Same LSH discipline as MinHash pairs — the

@@ -902,6 +902,83 @@ object Similarity {
       |    AS unit
       |FROM n ORDER BY vec_id""".stripMargin
 
+  /** Embedding-space outlier screen: vectors whose cosine to their
+    * OWN label's centroid falls below mean − 2σ of that label's
+    * cosine distribution — the O(n) mislabeled/noise-vector filter a
+    * curation pipeline runs before any label-conditioned training
+    * step ([[knnLabelAudit]] catches the same class by neighbor vote
+    * at O(n·k) pairwise cost; this is the scale-path first pass).
+    *
+    * Shape: the [[embeddingCentroids]] derivation (one posexplode hash
+    * agg → labels×dims frame, centroids broadcast), one scoring scan
+    * (cosine rounded to 6 via [[cos6]]), then per-label mean/σ from
+    * exact decimal sums of the rounded scores — sample variance via
+    * the sufficient-statistics identity, so the threshold is one IEEE
+    * expression over exact sums and both engines derive the same
+    * double. Labels with a single member have no sample σ and flag
+    * nothing (NULL threshold — mirrored CASE in the oracle). Output
+    * is outliers only: at 100 TB the corpus shuffles once (the
+    * centroid agg), everything else is broadcast joins against
+    * |labels|-sized frames. */
+  def embeddingOutliers(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = embeddingsD(spark, dir)
+    val cent = e.select(col("label"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast(DecimalType(38, 18))).cast("double") /
+        count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(expr("transform(array_sort(collect_list(struct(pos, m))), s -> round(s.m, 9))")
+        .as("cv"))
+      .select(col("label"), col("cv"), norm(col("cv")).as("cn"))
+    val scored = e.join(broadcast(cent), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        cos6(dot(col("v"), col("cv")), norm(col("v")), col("cn")).as("cos"))
+    val c6 = col("cos").cast(DecimalType(18, 6))
+    val stats = scored.groupBy("label")
+      .agg(count(lit(1)).as("n"),
+        sum(c6).cast("double").as("s1"),
+        sum(c6 * c6).cast("double").as("s2"))
+      .select(col("label"), (col("s1") / col("n")).as("mu"),
+        when(col("n") > 1,
+          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
+            (col("n") - 1))).as("sd"))
+    scored.join(broadcast(stats), Seq("label"))
+      .filter(col("cos") < round(col("mu") - lit(2.0) * col("sd"), 9))
+      .select(col("vec_id"), col("label"), col("cos").as("cos_sim"),
+        round(col("mu"), 6).as("label_mean"), round(col("sd"), 6).as("label_std"))
+      .orderBy("vec_id")
+  }
+
+  def embeddingOutliersOracle: String =
+    """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      |  FROM embeddings),
+      |el AS (SELECT label, pos, v[pos + 1] AS x
+      |  FROM (SELECT label, v, unnest(range(len(v))) AS pos FROM e) t),
+      |cm AS (SELECT label, pos,
+      |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM el GROUP BY label, pos),
+      |cv AS (SELECT label, list(round(m, 9) ORDER BY pos) AS cv FROM cm
+      |  GROUP BY label),
+      |cn AS (SELECT label, cv, sqrt(list_dot_product(cv, cv)) AS cn FROM cv),
+      |scored AS (SELECT e.vec_id, e.label,
+      |    round(list_dot_product(e.v, cn.cv) /
+      |          (sqrt(list_dot_product(e.v, e.v)) * cn.cn), 6) AS cos
+      |  FROM e JOIN cn USING (label)),
+      |st AS (SELECT label, COUNT(*) AS n,
+      |    CAST(SUM(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(cos AS DECIMAL(18,6)) * CAST(cos AS DECIMAL(18,6)))
+      |      AS DOUBLE) AS s2
+      |  FROM scored GROUP BY label),
+      |thr AS (SELECT label, s1 / n AS mu,
+      |    CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
+      |  FROM st)
+      |SELECT sc.vec_id, sc.label, sc.cos AS cos_sim,
+      |  round(t.mu, 6) AS label_mean, round(t.sd, 6) AS label_std
+      |FROM scored sc JOIN thr t USING (label)
+      |WHERE sc.cos < round(t.mu - 2.0 * t.sd, 9)
+      |ORDER BY sc.vec_id""".stripMargin
+
   /** Per-dimension embedding health profile: mean, standard
     * deviation, min/max, and a dead-dimension flag for every
     * coordinate — the sanity dashboard read before trusting an

@@ -3170,4 +3170,77 @@ object Relational {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
       |ORDER BY g_flag, g_status, l_returnflag, l_linestatus""".stripMargin
+
+  // ── snapshot diff: what changed between two table versions ──
+
+  /** Keyed diff between two snapshots of the lineitem-derived
+    * supplier/part position (the same derivation the TPC-H partsupp
+    * adaptations use): snapshot A sees shipments before
+    * [[SnapDiffHi]], snapshot B sees shipments since [[SnapDiffLo]] —
+    * two overlapping windows, so every diff class occurs: keys only
+    * in A (`removed`), only in B (`added`), in both with different
+    * content (`changed`) or identical content (`unchanged` — all of
+    * the pair's activity falls inside the overlap). This is the
+    * migration/replication acceptance gate next to [[tableChecksum]]:
+    * the checksum says WHETHER two versions differ, the diff says
+    * WHAT — per-action row counts and exact quantity movement.
+    *
+    * Shape: both snapshots aggregate from one derivation (hash agg
+    * with map-side partials), then meet in a single full-outer join
+    * co-partitioned on the pair key — at 100 TB that is one shuffle
+    * per side on the same key and a 4-row rollup; nothing is
+    * collected, no version is scanned twice. */
+  private val SnapDiffLo = "1997-01-01"
+  private val SnapDiffHi = "2000-01-01"
+
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    def snap(pred: Column): DataFrame =
+      Tables.lineitem(spark, dir).filter(pred)
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(count(lit(1)).as("n"), dsum2(col("l_quantity")).as("q"))
+    val a = snap(col("l_shipdate") < ts(SnapDiffHi))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("n").as("n_a"), col("q").as("q_a"))
+    val b = snap(col("l_shipdate") >= ts(SnapDiffLo))
+      .select(col("l_partkey"), col("l_suppkey"),
+        col("n").as("n_b"), col("q").as("q_b"))
+    a.join(b, Seq("l_partkey", "l_suppkey"), "full_outer")
+      .select(
+        when(col("n_b").isNull, lit("removed"))
+          .when(col("n_a").isNull, lit("added"))
+          .when(col("n_a") === col("n_b") && col("q_a") === col("q_b"),
+            lit("unchanged"))
+          .otherwise(lit("changed")).as("action"),
+        coalesce(col("q_a"), lit(0.0)).as("qa"),
+        coalesce(col("q_b"), lit(0.0)).as("qb"))
+      .groupBy("action")
+      .agg(count(lit(1)).as("n_pairs"),
+        dsum2(col("qa")).as("qty_a"),
+        dsum2(col("qb")).as("qty_b"),
+        dsum2(col("qb") - col("qa")).as("qty_delta"))
+      .orderBy("action")
+  }
+
+  def snapshotDiffOracle: String =
+    s"""WITH a AS (SELECT l_partkey, l_suppkey, COUNT(*) AS n_a,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q_a
+       |  FROM lineitem WHERE l_shipdate < TIMESTAMP '$SnapDiffHi'
+       |  GROUP BY 1, 2),
+       |b AS (SELECT l_partkey, l_suppkey, COUNT(*) AS n_b,
+       |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q_b
+       |  FROM lineitem WHERE l_shipdate >= TIMESTAMP '$SnapDiffLo'
+       |  GROUP BY 1, 2),
+       |d AS (SELECT
+       |    CASE WHEN b.n_b IS NULL THEN 'removed'
+       |         WHEN a.n_a IS NULL THEN 'added'
+       |         WHEN a.n_a = b.n_b AND a.q_a = b.q_b THEN 'unchanged'
+       |         ELSE 'changed' END AS action,
+       |    COALESCE(a.q_a, 0.0) AS qa, COALESCE(b.q_b, 0.0) AS qb
+       |  FROM a FULL OUTER JOIN b USING (l_partkey, l_suppkey))
+       |SELECT action, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  CAST(SUM(CAST(qa AS DECIMAL(18,2))) AS DOUBLE) AS qty_a,
+       |  CAST(SUM(CAST(qb AS DECIMAL(18,2))) AS DOUBLE) AS qty_b,
+       |  CAST(SUM(CAST(qb - qa AS DECIMAL(18,2))) AS DOUBLE) AS qty_delta
+       |FROM d GROUP BY action ORDER BY action""".stripMargin
+
 }

@@ -22,6 +22,28 @@ class ExtSpec extends SparkSpec {
     assert(match13 <= 4, s"unrelated docs should share few minhashes, got $match13/16")
   }
 
+  test("containment pairs separate doc-inside-doc from ordinary near-dups") {
+    import spark.implicits._
+    val small = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val filler = (1 to 40).map(i => s"filler$i").mkString(" ")
+    val docs = Seq(
+      (1L, small),                       // fully contained in doc 2
+      (2L, s"$filler $small"),           // the containing page
+      (3L, "one two three four five six seven eight nine ten eleven twelve"),
+      (4L, "one two three four five six seven eight nine ten eleven thirteen"),
+      (5L, "rho sigma tau upsilon phi chi psi omega digamma koppa sampi"))
+      .toDF("doc_id", "text")
+    val pairs = graft.ext.Dedup.containmentPairsDocs(docs, 0.8)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getString(4))).toMap
+    // doc 1 ⊂ doc 2: containment 1.0 but Jaccard low — the pair MinHash
+    // (collision prob = Jaccard) would never propose
+    assert(pairs.get((1L, 2L)).contains("contained"), s"got $pairs")
+    // docs 3/4 differ by one word: symmetric near-dup, high Jaccard
+    assert(pairs.get((3L, 4L)).contains("near_dup"), s"got $pairs")
+    assert(!pairs.keySet.exists(p => p._1 == 5L || p._2 == 5L),
+      "unrelated doc must pair with nothing")
+  }
+
   test("minhash signature is order- and repetition-invariant (set semantics)") {
     import spark.implicits._
     val docs = Seq(
