@@ -110,6 +110,13 @@ object ScaleProbe {
       "trend_robust" -> (graft.operators.TimeSeries.trendRobust _),
       "ivf_recall_sweep" -> ((s, d) => graft.ext.Similarity.ivfRecallSweep(s, d)),
       "shuffle_skew_audit" -> (graft.operators.Relational.shuffleSkewAudit _),
+      // round-6b: version diff is one co-partitioned full-outer join;
+      // containment's candidate join is bounded by the rare-gram df
+      // cap (O(Σ df²) over df≤64 grams); the outlier screen is one
+      // posexplode agg + broadcast stats
+      "snapshot_diff" -> (graft.operators.Relational.snapshotDiff _),
+      "dedup_containment" -> ((s, d) => graft.ext.Dedup.containmentPairs(s, d)),
+      "embedding_outliers" -> (graft.ext.Similarity.embeddingOutliers _),
     )
 
     def time(fn: => Unit): Double = {

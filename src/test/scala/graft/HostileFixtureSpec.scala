@@ -266,6 +266,76 @@ class HostileFixtureSpec extends SparkSpec {
     }
   }
 
+  test("containment: the mega-cluster collapses to keepers and stays pair-bounded") {
+    import org.apache.spark.sql.functions._
+    // 3,000 near-identical docs reduce to 7 exact-dedup keepers (7
+    // tail variants) BEFORE candidate generation, so the worst case
+    // is C(7,2)=21 pairs — never the ~4.5M an uncollapsed cluster
+    // would enumerate; and the 300 one-token frame docs (no trigrams)
+    // must pair with nothing
+    val pairs = graft.ext.Dedup.containmentPairs(spark, hostileDir).collect()
+    val mega = pairs.filter(r => r.getLong(0) >= 50000000L && r.getLong(0) < 60000000L)
+    assert(mega.nonEmpty && mega.length <= 21,
+      s"mega-cluster containment pairs ${mega.length} — exact-dedup-first must bound this at C(7,2)")
+    assert(mega.forall(_.getAs[Double]("containment") >= 0.8))
+    assert(!pairs.exists(r => r.getLong(0) >= 80000000L || r.getLong(1) >= 80000000L),
+      "gramless one-token docs must generate no candidates")
+  }
+
+  test("embedding outliers: zero-norm vector is survivable on a diffuse corpus") {
+    import org.apache.spark.sql.functions._
+    // the hostile labels are DIFFUSE (cosines span ~[−0.4, 0.97], σ
+    // huge), so a statistically honest screen flags little or nothing
+    // — the contract here is no NaN/no throw under the zero-norm
+    // vector and the 100-identical-vector block, and that whatever IS
+    // flagged sits strictly below its label mean (the tight-cluster
+    // detection case lives in the constructed fixture below)
+    val out = graft.ext.Similarity.embeddingOutliers(spark, hostileDir).collect()
+    out.foreach { r =>
+      assert(!r.getAs[Double]("cos_sim").isNaN && !r.getAs[Double]("label_std").isNaN)
+      assert(r.getAs[Double]("cos_sim") < r.getAs[Double]("label_mean"))
+    }
+  }
+
+  test("snapshot diff: degenerate windows produce single-action reports, σ=0 labels flag nothing") {
+    import org.apache.spark.sql.functions._
+    // versioned fixture discipline: bump _v1 on any construction change
+    val out = "/tmp/graft_snapdiff_fixture_v1"
+    if (!new java.io.File(s"$out/_built").exists()) {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      // overlap-only rows: both snapshots see EXACTLY the same lines
+      li.filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("2000-01-01").cast("timestamp"))
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      // embeddings: one single-member label (no sample σ), one label of
+      // three IDENTICAL vectors (σ = 0, threshold = mean, flags
+      // nothing), and one TIGHT cluster + a zero-norm vector (the
+      // encoder-failure row the screen exists to catch)
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      emb.limit(1).select(lit(1L).as("vec_id"), col("embedding"), lit(99).as("label"))
+        .unionByName(spark.range(3).select((col("id") + 10L).as("vec_id"),
+          expr("transform(sequence(1, 8), x -> CAST(0.5 AS FLOAT))").as("embedding"),
+          lit(98).as("label")))
+        .unionByName(spark.range(8).select((col("id") + 20L).as("vec_id"),
+          expr("transform(sequence(1, 8), x -> CAST(CASE WHEN x = 1 THEN 1.0" +
+            " ELSE 0.001 * id END AS FLOAT))").as("embedding"),
+          lit(97).as("label")))
+        .unionByName(spark.range(1).select(lit(30L).as("vec_id"),
+          expr("transform(sequence(1, 8), x -> CAST(0.0 AS FLOAT))").as("embedding"),
+          lit(97).as("label")))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      new java.io.File(s"$out/_built").createNewFile()
+    }
+    val diff = graft.operators.Relational.snapshotDiff(spark, out).collect()
+    assert(diff.length == 1 && diff(0).getString(0) == "unchanged",
+      s"identical snapshots must report ONE action row: ${diff.toSeq}")
+    assert(diff(0).getAs[Double]("qty_delta") == 0.0)
+    val flagged = graft.ext.Similarity.embeddingOutliers(spark, out).collect()
+    assert(flagged.map(_.getLong(0)).toSeq == Seq(30L),
+      s"tight cluster flags exactly the zero-norm vector (labels 98/99 flag " +
+        s"nothing); got ${flagged.map(_.getLong(0)).toSeq}")
+  }
+
   test("every query survives the hostile-shaped corpus (no throw, no hang)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -224,4 +224,25 @@ class PlanSpec extends SparkSpec {
     assert(row.getAs[Long]("n_pairs") > 0 &&
       Set("no trend", "increasing", "decreasing")(row.getAs[String]("trend")))
   }
+
+  test("snapshot_diff joins the two versions sort-merge on the pair key, no broadcast of a fact side") {
+    val plan = operators.Relational.snapshotDiff(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // both snapshots are corpus-sized at 100 TB: the full-outer meet
+    // must be a co-partitioned SMJ on (partkey, suppkey), and each
+    // side must partial-aggregate before its exchange
+    assert(plan.contains("SortMergeJoin") && plan.contains("FullOuter"),
+      s"expected a full-outer SMJ between snapshots:\n$plan")
+    assert(plan.contains("partial_count"),
+      s"snapshot aggregation must be map-side partial first:\n$plan")
+  }
+
+  test("embedding_outliers broadcasts centroids and stats; the corpus never self-joins") {
+    val plan = graft.ext.Similarity.embeddingOutliers(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"label centroids/stats must broadcast onto the scan:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no corpus-sized join allowed in the screen:\n$plan")
+  }
 }
