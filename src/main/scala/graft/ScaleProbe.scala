@@ -117,6 +117,16 @@ object ScaleProbe {
       "snapshot_diff" -> (graft.operators.Relational.snapshotDiff _),
       "dedup_containment" -> ((s, d) => graft.ext.Dedup.containmentPairs(s, d)),
       "embedding_outliers" -> (graft.ext.Similarity.embeddingOutliers _),
+      // calibration includes GD training (memo reset per run); the
+      // streaming wordcount replay cost must be the ingest scan
+      "calibration_bins" -> (graft.ext.Learn.calibrationBins _),
+      "stream_wordcount" ->
+        ((s, d) => graft.streaming.DocStream.streamingWordCount(s, d)),
+      "t_closeness_audit" -> (graft.operators.Relational.tClosenessAudit _),
+      // fertility probes COLD = includes the 5-round BPE learn
+      "tokenizer_fertility" -> (graft.ext.TextAnalysis.tokenizerFertility _),
+      "decontaminate_semantic" -> (graft.ext.Similarity.decontaminateSemantic _),
+      "shard_manifest" -> (graft.ext.Sampling.shardManifest _),
     )
 
     def time(fn: => Unit): Double = {
@@ -124,10 +134,12 @@ object ScaleProbe {
     }
     def runOnce(dir: String, fn: (SparkSession, String) => DataFrame): Double = {
       spark.catalog.clearCache()
-      // probes time COLD runs: the cross-query centroid memo (a real
-      // optimization for gate/bench passes) would otherwise hide Lloyd
-      // training cost — exactly the k-growth these probes watch
+      // probes time COLD runs: the cross-query trained-state memos (a
+      // real optimization for gate/bench passes) would otherwise hide
+      // Lloyd/GD training cost — exactly the growth these probes watch
       graft.ext.Similarity.resetCentroidMemo()
+      graft.ext.Learn.resetLogitMemo()
+      graft.ext.TextAnalysis.resetBpeMemo()
       time(fn(spark, dir).write.format("noop").mode("overwrite").save())
     }
 

@@ -342,6 +342,19 @@ object SparkEntry {
     "snapshot_diff" -> Relational.snapshotDiff _,
     "dedup_containment" -> ((s, dir) => Dedup.containmentPairs(s, dir)),
     "embedding_outliers" -> Similarity.embeddingOutliers _,
+    // reliability diagram + ECE/Brier for the logistic probe (shared model)
+    "calibration_bins" -> Learn.calibrationBins _,
+    // t-closeness: distributional disclosure, the third privacy rung
+    "t_closeness_audit" -> Relational.tClosenessAudit _,
+    // per-language fertility/compression under the learned BPE merges
+    "tokenizer_fertility" -> TextAnalysis.tokenizerFertility _,
+    // embedding-space eval contamination: nearest train vector per eval item
+    "decontaminate_semantic" -> Similarity.decontaminateSemantic _,
+    // deterministic training-shard assignment + order-free set digests
+    "shard_manifest" -> Sampling.shardManifest _,
+    // the reference's flagship wordcount as an incremental stream
+    "stream_wordcount" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingWordCount(s, dir)),
   )
 
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
@@ -604,5 +617,16 @@ object SparkEntry {
     "snapshot_diff" -> Relational.snapshotDiffOracle,
     "dedup_containment" -> Dedup.containmentPairsOracle,
     "embedding_outliers" -> Similarity.embeddingOutliersOracle,
+    "calibration_bins" -> Learn.calibrationBinsOracle,
+    "t_closeness_audit" -> Relational.tClosenessAuditOracle,
+    "tokenizer_fertility" -> TextAnalysis.tokenizerFertilityOracle,
+    "decontaminate_semantic" -> Similarity.decontaminateSemanticOracle,
+    "shard_manifest" -> Sampling.shardManifestOracle,
+    // the streaming replay must converge to the batch answer exactly
+    "stream_wordcount" ->
+      """SELECT w AS word, COUNT(*) AS cnt FROM (
+        |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS w
+        |  FROM documents) t
+        |WHERE w <> '' GROUP BY w ORDER BY word""".stripMargin,
   )
 }

@@ -303,6 +303,61 @@ object Sampling {
        |WHERE r.rk <= q.quota
        |ORDER BY r.source, r.rk""".stripMargin
 
+  val NumShards = 8
+
+  /** Shard salt — independent of [[SampleSalt]], so shard placement
+    * is uncorrelated with sample/split membership (the same hash fed
+    * to both would make shard 0 systematically 'train'-heavy). */
+  val ShardSalt = "graft-shard-v1"
+
+  /** Training-shard manifest: assign every document to one of
+    * [[NumShards]] shards by an id-pure hash and emit the per-shard
+    * manifest row a data loader verifies before consuming — doc
+    * count, char volume, id span, and an order-independent content
+    * digest (XOR of 60-bit keyed content fingerprints: commutative,
+    * so the digest is identical however partitions combine, and it
+    * covers BOTH text bytes and assignment, so a corrupted doc, a
+    * dropped doc, or a doc that migrated shards all flip it). This is
+    * the WebDataset/Megatron shard-build contract: assignment is a
+    * pure function of (salt, doc_id) — retries and re-runs land every
+    * doc in the same shard, and two independently built copies of a
+    * shard prove byte-equality by comparing ONE long. Cost: one
+    * projection + one [[NumShards]]-group hash aggregate, map-side
+    * combined; nothing is ordered, nothing collects. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val fp = conv(substring(md5(concat(lit(ShardSalt + ":"),
+        col("doc_id").cast("string"), lit(":"), md5(col("text")))), 1, 15),
+      16, 10).cast("long")
+    val shard = pmod(conv(substring(md5(concat(lit(ShardSalt + ":"),
+        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+      lit(NumShards.toLong))
+    Tables.documents(spark, dir)
+      .select(shard.as("shard"), col("doc_id"), length(col("text")).as("len"),
+        fp.as("fp"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("len")).cast("long").as("n_chars"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        expr("bit_xor(fp)").as("content_digest"))
+      .orderBy("shard")
+  }
+
+  def shardManifestOracle: String =
+    s"""WITH d AS (SELECT
+       |    CAST(concat('0x', substr(md5('$ShardSalt:' ||
+       |        CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % $NumShards
+       |      AS shard,
+       |    doc_id, length(text) AS len,
+       |    CAST(concat('0x', substr(md5('$ShardSalt:' ||
+       |        CAST(doc_id AS VARCHAR) || ':' || md5(text)), 1, 15))
+       |      AS BIGINT) AS fp
+       |  FROM documents)
+       |SELECT shard, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(len) AS BIGINT) AS n_chars,
+       |  MIN(doc_id) AS min_doc, MAX(doc_id) AS max_doc,
+       |  bit_xor(fp) AS content_digest
+       |FROM d GROUP BY shard ORDER BY shard""".stripMargin
+
   def stratifiedSampleOracle(n: Int): String =
     s"""SELECT doc_id, source, sample_hash, rk
        |FROM (SELECT doc_id, source, sample_hash,

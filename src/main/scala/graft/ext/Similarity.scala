@@ -979,6 +979,63 @@ object Similarity {
       |WHERE sc.cos < round(t.mu - 2.0 * t.sd, 9)
       |ORDER BY sc.vec_id""".stripMargin
 
+  // ── semantic decontamination: eval-set leakage in embedding space ──
+
+  /** Eval-slice selector: every 41st vec_id — deterministic, id-pure,
+    * the stand-in for a fixed benchmark suite (which at 100 TB is
+    * still only thousands of vectors: broadcast by construction). */
+  val DecontamEvalMod = 41
+
+  /** Contamination verdict threshold on the rounded cosine. */
+  val DecontamTau = 0.8
+
+  /** Semantic decontamination: for every EVAL vector, its nearest
+    * TRAIN vector by cosine and a contaminated verdict — the
+    * embedding-space companion to the n-gram scan
+    * ([[TextAnalysis.decontaminateNgrams]]): paraphrased or
+    * re-templated benchmark items share no 8-gram but sit at
+    * cosine ≈ 1, and THIS pass is how they're caught before an eval
+    * score is trusted. The eval set is the bounded side by
+    * construction (a benchmark suite, not a corpus slice), so it
+    * broadcasts and the train corpus is touched ONCE — the scored
+    * scan collapses through the native bounded-heap top-1, shipping
+    * tasks × |eval| rows, never the O(n·|eval|) scored frame. The
+    * report is |eval| rows: nearest train id, its cosine, the
+    * verdict — the audit artifact an eval release gates on. */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
+    val q = e.filter(col("vec_id") % DecontamEvalMod === 0)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val scored = spread(e.filter(col("vec_id") % DecontamEvalMod =!= 0))
+      .crossJoin(broadcast(q))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cos6(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
+    topKPerQuery(scored, 1)
+      .select(col("query_id").as("eval_id"),
+        col("neighbor_id").as("nearest_train_id"), col("cos_sim"),
+        (col("cos_sim") >= DecontamTau).as("contaminated"))
+      .orderBy("eval_id")
+  }
+
+  def decontaminateSemanticOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |scored AS (SELECT q.vec_id AS eval_id, t.vec_id AS neighbor_id,
+       |    round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) AS cos_sim
+       |  FROM n q, n t
+       |  WHERE q.vec_id % $DecontamEvalMod = 0
+       |    AND t.vec_id % $DecontamEvalMod <> 0),
+       |ranked AS (SELECT eval_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY eval_id
+       |                       ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT eval_id, neighbor_id AS nearest_train_id, cos_sim,
+       |  cos_sim >= $DecontamTau AS contaminated
+       |FROM ranked WHERE rk = 1 ORDER BY eval_id""".stripMargin
+
   /** Per-dimension embedding health profile: mean, standard
     * deviation, min/max, and a dead-dimension flag for every
     * coordinate — the sanity dashboard read before trusting an

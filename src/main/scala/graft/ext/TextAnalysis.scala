@@ -1472,11 +1472,23 @@ object TextAnalysis {
     * needed). The per-round argmax is a 1-row broadcast, the vocab
     * table localCheckpoints each round — no driver collect anywhere.
     * Output: merge table (rank, pair, new symbol, weighted count). */
+  // the learned merge table + encoded vocabulary are shared by three
+  // queries (merges, encode, fertility) — one slot per (session,
+  // corpus), the kmeansCentroids/logitWeights memo discipline; the
+  // held frames are localCheckpoint'd so replay never re-trains
+  private val bpeMemo = new graft.SessionDirMemo[(Seq[DataFrame], DataFrame)]
+
+  private[graft] def resetBpeMemo(): Unit = bpeMemo.reset()
+
   /** Shared BPE learner: the merge table per round plus the final
     * symbol representation of every vocabulary word after all
     * [[BpeMerges]] rounds (see [[bpeMerges]] for the algorithm notes). */
   private def bpeLearn(spark: SparkSession,
-                       dir: String): (Seq[DataFrame], DataFrame) = {
+                       dir: String): (Seq[DataFrame], DataFrame) =
+    bpeMemo.get(spark, dir) { bpeLearnUncached(spark, dir) }
+
+  private def bpeLearnUncached(spark: SparkSession,
+                               dir: String): (Seq[DataFrame], DataFrame) = {
     val words = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
@@ -1587,6 +1599,54 @@ object TextAnalysis {
        |  round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_syms), 6)
        |    AS chars_per_symbol
        |FROM dt JOIN enc USING (word) GROUP BY doc_id ORDER BY doc_id"""
+      .stripMargin
+
+  /** Tokenizer fertility per language — the standard tokenizer-eval
+    * table: fertility (symbols emitted per word) and compression
+    * (chars per symbol) under the learned merge table, split by
+    * language. A vocabulary trained on a skewed mix over-segments the
+    * under-represented languages (high fertility = longer sequences =
+    * more compute per content for those languages), and THIS is the
+    * report that shows it before training does. Same scale shape as
+    * [[bpeEncode]]: the encode work is per distinct WORD, the corpus
+    * is touched once at word granularity and partial-aggregates into
+    * |langs| rows; the learner itself is shared across all three BPE
+    * queries through the session memo (train once, audit thrice). */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val (_, reps) = bpeLearn(spark, dir)
+    val enc = reps.select(col("word"),
+      size(split(col("rep"), " ")).cast("long").as("n_syms"),
+      length(col("word")).cast("long").as("n_chars"))
+    Tables.documents(spark, dir)
+      .select(col("lang"), explode(tokens(col("text"))).as("word"))
+      .join(enc, Seq("word"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_words"),
+        sum("n_chars").as("n_chars"),
+        sum("n_syms").as("n_symbols"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_symbols"),
+        round(col("n_symbols").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_symbols"), 6)
+          .as("chars_per_symbol"))
+      .orderBy("lang")
+  }
+
+  def tokenizerFertilityOracle: String =
+    s"""$bpeLearnCtes,
+       |enc AS (SELECT word,
+       |    CAST(len(string_split(rep, ' ')) AS BIGINT) AS n_syms,
+       |    CAST(length(word) AS BIGINT) AS n_chars
+       |  FROM r$BpeMerges),
+       |dt AS (SELECT lang, unnest(ws) AS word
+       |  FROM (SELECT lang, $tokensSql AS ws FROM documents) t)
+       |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+       |  CAST(SUM(n_chars) AS BIGINT) AS n_chars,
+       |  CAST(SUM(n_syms) AS BIGINT) AS n_symbols,
+       |  round(CAST(SUM(n_syms) AS DOUBLE) / COUNT(*), 6) AS fertility,
+       |  round(CAST(SUM(n_chars) AS DOUBLE) / SUM(n_syms), 6)
+       |    AS chars_per_symbol
+       |FROM dt JOIN enc USING (word) GROUP BY lang ORDER BY lang"""
       .stripMargin
 
   // ── feature hashing: the fixed-width text featurizer ──

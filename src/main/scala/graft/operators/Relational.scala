@@ -2772,6 +2772,97 @@ object Relational {
       |  l_distinct < 3 AS below_l3
       |FROM g ORDER BY c_nationkey, c_mktsegment""".stripMargin
 
+  /** t-closeness — the third rung of the release-gate ladder after
+    * [[kAnonymityAudit]] (group size) and [[lDiversityAudit]] (value
+    * diversity): a diverse group still leaks when its sensitive-value
+    * DISTRIBUTION diverges from the table's (a group that is 90%
+    * top-band in a 10%-top-band population reveals band membership
+    * with 9× lift regardless of l). Per (nation, segment) QI group:
+    * total-variation distance ½·Σ|p−q| (the categorical metric) and
+    * the ordered earth-mover's distance Σ|cum(p−q)|/(m−1) (the
+    * t-closeness paper's metric for ordinal attributes — bands are
+    * ordered, so "all mass one band off" should score small and EMD
+    * is what says so). The only input-sized work is the ONE hash
+    * aggregation to QI×band cells (map-side combined); everything
+    * after runs on the bounded |QI|×|bands| frame — the band grid is
+    * densified by a broadcast cross join so absent cells contribute
+    * p=0, and both distances sum 9-dp-rounded deltas through decimals
+    * (the window cumsum too), so accumulation order can't flake the
+    * gate. */
+  def tClosenessAudit(spark: SparkSession, dir: String): DataFrame = {
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_band"))
+      .agg(count(lit(1)).as("cell"))
+      .localCheckpoint() // bounded |QI|×|bands| frame feeding 3 branches
+    val global = cells.groupBy(col("bal_band")).agg(sum(col("cell")).as("gcnt"))
+    val tot = global.agg(sum(col("gcnt")).as("n_total"),
+      count(lit(1)).as("n_bands"))
+    val gq = global.crossJoin(broadcast(tot))
+      .select(col("bal_band"), col("n_bands"),
+        (col("gcnt").cast("double") / col("n_total")).as("q"))
+    val groups = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("cell")).as("group_size"))
+    val grid = groups.crossJoin(broadcast(gq))
+      .join(cells, Seq("c_nationkey", "c_mktsegment", "bal_band"), "left")
+      .select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+        col("bal_band"), col("n_bands"),
+        round(coalesce(col("cell"), lit(0L)).cast("double") / col("group_size")
+          - col("q"), 9).as("d"))
+    val wCum = Window.partitionBy("c_nationkey", "c_mktsegment")
+      .orderBy("bal_band")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid
+      .withColumn("cum", sum(col("d").cast(DecimalType(38, 12))).over(wCum))
+      .groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(first(col("group_size")).as("group_size"),
+        first(col("n_bands")).as("m"),
+        sum(abs(col("d")).cast(DecimalType(38, 12))).as("sad"),
+        sum(abs(col("cum"))).as("scum"))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("group_size"),
+        round(col("sad").cast("double") * 0.5, 6).as("tvd"),
+        round(col("scum").cast("double") /
+          greatest(col("m") - 1L, lit(1L)), 6).as("emd"),
+        (round(col("scum").cast("double") /
+          greatest(col("m") - 1L, lit(1L)), 6) > 0.2).as("above_t02"))
+      .orderBy("c_nationkey", "c_mktsegment")
+  }
+
+  def tClosenessAuditOracle: String =
+    """WITH cells AS (SELECT c_nationkey, c_mktsegment,
+      |    floor(c_acctbal / 1000) AS bal_band,
+      |    CAST(COUNT(*) AS BIGINT) AS cell
+      |  FROM customer GROUP BY 1, 2, 3),
+      |gl AS (SELECT bal_band, CAST(SUM(cell) AS BIGINT) AS gcnt FROM cells
+      |  GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS n_total,
+      |    CAST(COUNT(*) AS BIGINT) AS n_bands FROM gl),
+      |gq AS (SELECT bal_band, n_bands,
+      |    CAST(gcnt AS DOUBLE) / n_total AS q FROM gl, tot),
+      |grp AS (SELECT c_nationkey, c_mktsegment,
+      |    CAST(SUM(cell) AS BIGINT) AS group_size FROM cells GROUP BY 1, 2),
+      |grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.group_size,
+      |    gq.bal_band, gq.n_bands,
+      |    round(CAST(COALESCE(c.cell, 0) AS DOUBLE) / g.group_size - gq.q, 9)
+      |      AS d
+      |  FROM grp g CROSS JOIN gq
+      |  LEFT JOIN cells c ON c.c_nationkey = g.c_nationkey
+      |    AND c.c_mktsegment = g.c_mktsegment AND c.bal_band = gq.bal_band),
+      |cum AS (SELECT *, SUM(CAST(d AS DECIMAL(38,12))) OVER (
+      |      PARTITION BY c_nationkey, c_mktsegment ORDER BY bal_band
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+      |  FROM grid),
+      |agg AS (SELECT c_nationkey, c_mktsegment,
+      |    MIN(group_size) AS group_size, MIN(n_bands) AS m,
+      |    CAST(SUM(CAST(abs(d) AS DECIMAL(38,12))) AS DOUBLE) AS sad,
+      |    CAST(SUM(abs(cd)) AS DOUBLE) AS scum
+      |  FROM cum GROUP BY 1, 2)
+      |SELECT c_nationkey, c_mktsegment, group_size,
+      |  round(sad * 0.5, 6) AS tvd,
+      |  round(scum / greatest(m - 1, 1), 6) AS emd,
+      |  round(scum / greatest(m - 1, 1), 6) > 0.2 AS above_t02
+      |FROM agg ORDER BY c_nationkey, c_mktsegment""".stripMargin
+
   /** Incremental view maintenance: merge a delta batch's PARTIAL
     * aggregates into a materialized per-priority revenue view without
     * touching the base data — the algebraic-aggregate property

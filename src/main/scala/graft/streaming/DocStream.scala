@@ -109,4 +109,36 @@ object DocStream {
        |  CAST(SUM(n_pii) AS BIGINT) AS n_matches
        |FROM t GROUP BY source ORDER BY source""".stripMargin
   }
+
+  /** The reference's flagship computation — word count — as an
+    * INCREMENTAL stream: counts maintained per micro-batch as
+    * documents arrive, closing the loop on SURVEY §2's P1/A5 for a
+    * corpus that ships continuously instead of as a snapshot. State
+    * is one row per distinct word (the vocabulary bound — exactly
+    * what the batch aggregation's hash table holds), sharded by the
+    * groupBy shuffle; the tokenize projection rides the ingest scan.
+    * Complete mode over a bounded replay for the oracle run (the
+    * SAME SQL as the batch `wordcount` query); a deployment runs
+    * update mode into an upsert-by-word sink. */
+  def streamingWordCount(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-wcstream")
+    EventStream.stageParquetCopy(
+      java.nio.file.Path.of(s"$dir/documents.parquet"),
+      streamDir, "documents.parquet")
+    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
+    val counts = stream
+      .select(graft.operators.WordCount.tokens(col("text")).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word")
+      .agg(count(lit(1)).as("cnt"))
+    val name = s"graft_stream_wc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = EventStream.withBoundedStateParallelism(spark) {
+      counts.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
+    try q.processAllAvailable() finally {
+      q.stop(); EventStream.deleteStaged(streamDir)
+    }
+    spark.table(name).orderBy("word")
+  }
 }

@@ -41,6 +41,32 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("containment dominates Jaccard and detects subset embedding exactly") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.unsafe.types.UTF8String
+    // the algebra dedup_containment relies on: for any two trigram
+    // sets, |∩|/min ≥ |∩|/∪ (both in [0,1]), and containment hits 1
+    // exactly when one doc's gram set embeds in the other's — the
+    // asymmetric relation a Jaccard threshold cannot express
+    val toks: Gen[List[String]] =
+      Gen.listOf(Gen.oneOf("a", "b", "c", "d", "e", "f", "g", "h"))
+    def grams(ts: List[String]): Set[String] = {
+      val arr = new GenericArrayData(ts.map(UTF8String.fromString).toArray[Any])
+      org.apache.spark.sql.graft.WordNGramsExpr.compute(arr, 3, true)
+        .toArray[AnyRef](org.apache.spark.sql.types.StringType)
+        .map(_.toString).toSet
+    }
+    check(Prop.forAll(toks, toks) { (a, b) =>
+      val (ga, gb) = (grams(a), grams(b))
+      val inter = (ga & gb).size.toDouble
+      val cont = inter / math.max(math.min(ga.size, gb.size), 1)
+      val jac = inter / math.max(ga.size + gb.size - inter, 1)
+      cont >= jac && cont <= 1.0 && jac <= 1.0 &&
+        ((cont == 1.0 && ga.nonEmpty && gb.nonEmpty) ==
+          (ga.nonEmpty && gb.nonEmpty && (ga.subsetOf(gb) || gb.subsetOf(ga))))
+    })
+  }
+
   test("wordcount map: token count is preserved by counting") {
     check(Prop.forAll(text) { s =>
       val kvs = wcMap("f", s)
