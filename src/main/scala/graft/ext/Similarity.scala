@@ -982,9 +982,17 @@ object Similarity {
   // ── semantic decontamination: eval-set leakage in embedding space ──
 
   /** Eval-slice selector: every 41st vec_id — deterministic, id-pure,
-    * the stand-in for a fixed benchmark suite (which at 100 TB is
-    * still only thousands of vectors: broadcast by construction). */
+    * the stand-in for a fixed benchmark suite. */
   val DecontamEvalMod = 41
+
+  /** Hard cap on the eval set: at most the first [[DecontamEvalCap]]
+    * selected ids. A benchmark suite is FIXED-SIZE — it does not grow
+    * with the corpus — and without the cap the mod selector alone
+    * would make the scored scan O(n²/mod) as the corpus scales (the
+    * 10× probe showed exactly that shape before the cap). With it,
+    * the eval side is ≤ [[DecontamEvalCap]] rows no matter the
+    * corpus: broadcast by construction, scan O(n·cap). */
+  val DecontamEvalCap = 256
 
   /** Contamination verdict threshold on the rounded cosine. */
   val DecontamTau = 0.8
@@ -1005,10 +1013,12 @@ object Similarity {
   def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsD(spark, dir)
       .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"))
-    val q = e.filter(col("vec_id") % DecontamEvalMod === 0)
+    val q = e.filter(col("vec_id") % DecontamEvalMod === 0 &&
+        col("vec_id") < DecontamEvalMod.toLong * DecontamEvalCap)
       .select(col("vec_id").as("query_id"), col("v").as("qv"),
         col("nrm").as("qn"))
-    val scored = spread(e.filter(col("vec_id") % DecontamEvalMod =!= 0))
+    val scored = spread(e.filter(!(col("vec_id") % DecontamEvalMod === 0 &&
+        col("vec_id") < DecontamEvalMod.toLong * DecontamEvalCap)))
       .crossJoin(broadcast(q))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         cos6(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
@@ -1027,7 +1037,9 @@ object Similarity {
        |    round(list_dot_product(q.v, t.v) / (q.nrm * t.nrm), 6) AS cos_sim
        |  FROM n q, n t
        |  WHERE q.vec_id % $DecontamEvalMod = 0
-       |    AND t.vec_id % $DecontamEvalMod <> 0),
+       |    AND q.vec_id < ${DecontamEvalMod.toLong * DecontamEvalCap}
+       |    AND NOT (t.vec_id % $DecontamEvalMod = 0
+       |      AND t.vec_id < ${DecontamEvalMod.toLong * DecontamEvalCap})),
        |ranked AS (SELECT eval_id, neighbor_id, cos_sim,
        |    row_number() OVER (PARTITION BY eval_id
        |                       ORDER BY cos_sim DESC, neighbor_id) AS rk

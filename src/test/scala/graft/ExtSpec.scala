@@ -284,4 +284,60 @@ class ExtSpec extends SparkSpec {
     // compression is real: words take distinct values (not one cell)
     assert(codes.map(_.getAs[Long]("pq_word")).distinct.length > 1)
   }
+
+  test("t-closeness: distances are valid, group sizes cover the table") {
+    val rows = graft.operators.Relational.tClosenessAudit(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tvd, emd) = (r.getAs[Double]("tvd"), r.getAs[Double]("emd"))
+      assert(tvd >= 0.0 && tvd <= 1.0, s"tvd $tvd outside [0,1]")
+      assert(emd >= 0.0 && emd <= 1.0, s"emd $emd outside [0,1]")
+      assert(r.getAs[Boolean]("above_t02") == (emd > 0.2))
+    }
+    // QI groups partition the table: sizes sum to the row count
+    assert(rows.map(_.getAs[Long]("group_size")).sum ==
+      Tables.customer(spark, sf0001).count())
+  }
+
+  test("shard manifest digest is partition-order-independent and covers every doc") {
+    val m = ext.Sampling.shardManifest(spark, sf0001).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sf0001).count(), "shards partition the corpus")
+    // the XOR digest must not depend on how partitions combine: a
+    // second run over a differently-partitioned scan is identical
+    val again = ext.Sampling.shardManifest(spark, sf0001).collect()
+    assert(m.map(_.toString).toSeq == again.map(_.toString).toSeq)
+    assert(m.map(_.getAs[Long]("content_digest")).distinct.length == m.length,
+      "distinct shards carry distinct digests (content actually feeds the digest)")
+  }
+
+  test("semantic decontamination: eval side is the capped slice, train side disjoint") {
+    val rows = ext.Similarity.decontaminateSemantic(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val cap = ext.Similarity.DecontamEvalMod.toLong * ext.Similarity.DecontamEvalCap
+    rows.foreach { r =>
+      val q = r.getAs[Long]("eval_id")
+      val n = r.getAs[Long]("nearest_train_id")
+      assert(q % ext.Similarity.DecontamEvalMod == 0 && q < cap)
+      assert(!(n % ext.Similarity.DecontamEvalMod == 0 && n < cap),
+        s"nearest train $n is itself an eval vector")
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0 && c <= 1.0)
+      assert(r.getAs[Boolean]("contaminated") == (c >= ext.Similarity.DecontamTau))
+    }
+    // one row per eval vector (top-1 per query, no drops)
+    assert(rows.map(_.getAs[Long]("eval_id")).distinct.length == rows.length)
+  }
+
+  test("tokenizer fertility: every word emits >= 1 symbol, symbols never exceed chars") {
+    val rows = TextAnalysis.tokenizerFertility(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("fertility") >= 1.0,
+        "a word encodes to at least one symbol")
+      assert(r.getAs[Long]("n_symbols") <= r.getAs[Long]("n_chars"),
+        "merging only ever shrinks the symbol count below chars")
+      assert(r.getAs[Double]("chars_per_symbol") >= 1.0)
+    }
+  }
 }
