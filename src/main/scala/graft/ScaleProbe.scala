@@ -127,6 +127,10 @@ object ScaleProbe {
       "tokenizer_fertility" -> (graft.ext.TextAnalysis.tokenizerFertility _),
       "decontaminate_semantic" -> (graft.ext.Similarity.decontaminateSemantic _),
       "shard_manifest" -> (graft.ext.Sampling.shardManifest _),
+      // delta×base bucket join: candidates bounded by the base-side cap
+      "dedup_incremental" -> ((s, d) => graft.ext.Dedup.incrementalDedup(s, d)),
+      "stream_quality_monitor" ->
+        ((s, d) => graft.streaming.DocStream.streamingQualityMonitor(s, d)),
     )
 
     def time(fn: => Unit): Double = {

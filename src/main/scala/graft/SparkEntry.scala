@@ -352,6 +352,11 @@ object SparkEntry {
     "decontaminate_semantic" -> Similarity.decontaminateSemantic _,
     // deterministic training-shard assignment + order-free set digests
     "shard_manifest" -> Sampling.shardManifest _,
+    // today's batch vs the standing corpus: the daily-crawl dedup shape
+    "dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
+    // scan-on-ingest quality gate per (source, reason)
+    "stream_quality_monitor" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingQualityMonitor(s, dir)),
     // the reference's flagship wordcount as an incremental stream
     "stream_wordcount" -> ((s, dir) =>
       graft.streaming.DocStream.streamingWordCount(s, dir)),
@@ -622,6 +627,9 @@ object SparkEntry {
     "tokenizer_fertility" -> TextAnalysis.tokenizerFertilityOracle,
     "decontaminate_semantic" -> Similarity.decontaminateSemanticOracle,
     "shard_manifest" -> Sampling.shardManifestOracle,
+    "dedup_incremental" -> Dedup.incrementalDedupOracle,
+    "stream_quality_monitor" ->
+      graft.streaming.DocStream.streamingQualityMonitorOracle,
     // the streaming replay must converge to the batch answer exactly
     "stream_wordcount" ->
       """SELECT w AS word, COUNT(*) AS cnt FROM (

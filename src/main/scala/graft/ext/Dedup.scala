@@ -348,6 +348,104 @@ object Dedup {
        |SELECT d1, d2, est_jaccard FROM est
        |WHERE est_jaccard >= $PairThreshold ORDER BY d1, d2""".stripMargin
 
+  // ── incremental dedup: today's batch against the standing corpus ──
+
+  /** Delta selector: doc_id ≡ 9 (mod 10) is "today's batch" — a
+    * deterministic ~10% slice standing in for the daily crawl drop. */
+  val DeltaMod = 10
+
+  /** Incremental near-dup screen: every DELTA document's best MinHash
+    * match in the BASE corpus — the shape production dedup actually
+    * runs daily (a new batch lands; the question is "is this new doc a
+    * near-copy of anything we already hold", never "re-pair the whole
+    * lake"). One signature pass covers both sides; the bucket join is
+    * delta×base within shared LSH bands only, with the base side of
+    * every bucket capped at the [[MaxBucket]] smallest ids (the star
+    * cap's incremental analog: a boilerplate mega-bucket contributes
+    * O(cap) candidates per delta doc, never O(|bucket|) — and because
+    * capped-out base members of such a bucket are near-identical to
+    * the retained ones, the BEST-match estimate is unaffected where it
+    * matters). Per delta doc: argmax-by-estimate base match (min-id
+    * tiebreak), and unmatched deltas still report a row with is_dup =
+    * false — the verdict column a downstream keep/drop filter joins
+    * on. At 100 TB: base signatures are a standing table maintained
+    * incrementally; only the delta is re-signed, and the shuffle keys
+    * are band buckets — |delta| + touched buckets, not the lake. */
+  def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val isDelta = col("doc_id") % DeltaMod === (DeltaMod - 1)
+    val rowsPerBand = NumPerms / NumBands
+    val bands = signatureArray(docs)
+      .select(col("doc_id"), col("sig"),
+        posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
+          md5(array_join(slice(col("sig"), b * rowsPerBand + 1,
+            lit(rowsPerBand)), ",")))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band_id"),
+        col("col").as("band_key"))
+      .persist() // both join sides read it; unpersisted = two sig passes
+    val w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    val base = bands.filter(!isDelta)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MaxBucket) // plans as a partial WindowGroupLimit
+      .select(col("band_id"), col("band_key"),
+        col("doc_id").as("b"), col("sig").as("bs"))
+    val est = bands.filter(isDelta)
+      .select(col("band_id"), col("band_key"),
+        col("doc_id").as("q"), col("sig").as("qs"))
+      .join(base, Seq("band_id", "band_key"))
+      .select(col("q"), col("b"),
+        (graft.functions.ArrayEqCount(col("qs"), col("bs")).cast("double")
+          / NumPerms).as("est"))
+      .distinct() // the same pair can collide in both bands
+    // argmax by (est desc, base id asc) — struct max with negated id
+    val best = est.groupBy("q")
+      .agg(max(struct(col("est"), (-col("b")).as("nb"))).as("m"))
+      .select(col("q").as("doc_id"), (-col("m.nb")).as("best_match"),
+        col("m.est").as("est_jaccard"))
+    docs.filter(isDelta).select(col("doc_id"))
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("best_match"), col("est_jaccard"),
+        coalesce(col("est_jaccard") >= PairThreshold, lit(false)).as("is_dup"))
+      .orderBy("doc_id")
+  }
+
+  def incrementalDedupOracle: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, list_distinct($tokensSql) AS ws FROM documents),
+       |th AS (SELECT doc_id, ${tokHashSql("w")} AS h
+       |       FROM (SELECT doc_id, unnest(ws) AS w FROM toks) u),
+       |sig AS (SELECT doc_id, k,
+       |       MIN(((4099*k + 8191) * h + (9973*k + 104729)) % $MinhashPrime) AS mh
+       |       FROM th CROSS JOIN range(${NumPerms}) r(k)
+       |       GROUP BY doc_id, k),
+       |band AS (SELECT doc_id, k // ${NumPerms / NumBands} AS band_id,
+       |       md5(string_agg(mh::VARCHAR, ',' ORDER BY k)) AS band_key
+       |       FROM sig GROUP BY doc_id, k // ${NumPerms / NumBands}),
+       |base AS (SELECT band_id, band_key, doc_id AS b,
+       |       row_number() OVER (PARTITION BY band_id, band_key
+       |                          ORDER BY doc_id) AS rk
+       |       FROM band WHERE doc_id % $DeltaMod <> ${DeltaMod - 1}),
+       |cand AS (SELECT DISTINCT d.doc_id AS q, base.b
+       |       FROM band d JOIN base
+       |         ON d.band_id = base.band_id AND d.band_key = base.band_key
+       |       WHERE d.doc_id % $DeltaMod = ${DeltaMod - 1}
+       |         AND base.rk <= $MaxBucket),
+       |est AS (SELECT c.q, c.b,
+       |       CAST(COUNT(*) FILTER (s1.mh = s2.mh) AS DOUBLE) / $NumPerms AS est
+       |       FROM cand c
+       |       JOIN sig s1 ON s1.doc_id = c.q
+       |       JOIN sig s2 ON s2.doc_id = c.b AND s1.k = s2.k
+       |       GROUP BY c.q, c.b),
+       |best AS (SELECT q AS doc_id, b AS best_match, est AS est_jaccard,
+       |       row_number() OVER (PARTITION BY q ORDER BY est DESC, b) AS rn
+       |       FROM est)
+       |SELECT d.doc_id, best.best_match, best.est_jaccard,
+       |  COALESCE(best.est_jaccard >= $PairThreshold, false) AS is_dup
+       |FROM (SELECT doc_id FROM documents
+       |      WHERE doc_id % $DeltaMod = ${DeltaMod - 1}) d
+       |LEFT JOIN best ON best.doc_id = d.doc_id AND best.rn = 1
+       |ORDER BY d.doc_id""".stripMargin
+
   // ── SimHash ──
 
   val SimhashBits = 32

@@ -875,34 +875,54 @@ object TextAnalysis {
     * Thresholds sit inside the fixture's metric distribution so every
     * rule actually fires (p05 n_tokens=16, p25 stopword_ratio=0.04,
     * p25 distinct_ratio=0.36). */
-  def qualityFilterReasons(spark: SparkSession, dir: String): DataFrame = {
-    val ws = tokens(col("text"))
+  /** First-failing-rule quality verdict for one document's text — the
+    * cascade shared by the batch report and the streaming
+    * scan-on-ingest monitor (same expression, same oracle SQL). */
+  private[graft] def qualityReason(text: Column): Column = {
+    val ws = tokens(text)
     val nTok = size(ws).cast("long")
     val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
     val nDist = size(array_distinct(ws)).cast("long")
-    val reason = when(nTok < 20, "too_short")
+    when(nTok < 20, "too_short")
       .when(nStop.cast("double") / nTok < 0.02, "low_stopword")
       .when(nDist.cast("double") / nTok < 0.35, "low_diversity")
       .otherwise("pass")
+  }
+
+  /** Oracle twin of [[qualityReason]], over a relation exposing
+    * `n_tokens`, `n_stop`, `n_dist`. */
+  private[graft] def qualityReasonCaseSql: String =
+    """CASE WHEN n_tokens < 20 THEN 'too_short'
+      |       WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.02 THEN 'low_stopword'
+      |       WHEN CAST(n_dist AS DOUBLE) / n_tokens < 0.35 THEN 'low_diversity'
+      |       ELSE 'pass' END""".stripMargin
+
+  /** The token-list SQL expression, for oracle builders outside this
+    * package (the streaming monitor's twin). */
+  private[graft] def tokensSqlShared: String = tokensSql
+
+  /** The measures feeding [[qualityReasonCaseSql]], as a SELECT-list
+    * fragment over a relation exposing `ws` (the token list). */
+  private[graft] def qualityMeasuresSql: String =
+    s"""CAST(len(ws) AS BIGINT) AS n_tokens,
+       |  CAST(len(list_filter(ws, w -> w IN ($stopwordsSqlList))) AS BIGINT) AS n_stop,
+       |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_dist""".stripMargin
+
+  def qualityFilterReasons(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
-      .select(reason.as("reason"), nTok.as("n_tokens"))
+      .select(qualityReason(col("text")).as("reason"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"))
       .groupBy("reason")
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
       .orderBy("reason")
-  }
 
   def qualityFilterReasonsOracle: String =
     s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
        |m AS (SELECT
-       |  CAST(len(ws) AS BIGINT) AS n_tokens,
-       |  CAST(len(list_filter(ws, w -> w IN ($stopwordsSqlList))) AS BIGINT) AS n_stop,
-       |  CAST(len(list_distinct(ws)) AS BIGINT) AS n_dist
+       |  $qualityMeasuresSql
        |  FROM t),
        |r AS (SELECT n_tokens,
-       |  CASE WHEN n_tokens < 20 THEN 'too_short'
-       |       WHEN CAST(n_stop AS DOUBLE) / n_tokens < 0.02 THEN 'low_stopword'
-       |       WHEN CAST(n_dist AS DOUBLE) / n_tokens < 0.35 THEN 'low_diversity'
-       |       ELSE 'pass' END AS reason
+       |  $qualityReasonCaseSql AS reason
        |  FROM m)
        |SELECT reason, COUNT(*) AS n_docs,
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens

@@ -110,6 +110,55 @@ object DocStream {
        |FROM t GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Streaming quality monitor — scan-on-ingest, per (source, reason):
+    * running doc and token counts under the SAME first-failing-rule
+    * cascade the batch report uses ([[graft.ext.TextAnalysis
+    * .qualityReason]] — one shared expression, one shared oracle
+    * CASE). The question a live ingest answers is "which feed started
+    * shipping garbage, and which rule is it failing" — a pass-rate
+    * collapse on one source is a crawler regression you want at
+    * ingest time, not at the next batch sweep. The quality projection
+    * rides the ingest scan (no second pass over stored bytes); state
+    * is \|sources\|×4 rows, sharded by the groupBy shuffle. Complete
+    * mode over a bounded replay for the oracle run; a deployment
+    * runs update mode into a dashboard upsert. */
+  def streamingQualityMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-qualstream")
+    EventStream.stageParquetCopy(
+      java.nio.file.Path.of(s"$dir/documents.parquet"),
+      streamDir, "documents.parquet")
+    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
+    val monitored = stream
+      .select(col("source"),
+        graft.ext.TextAnalysis.qualityReason(col("text")).as("reason"),
+        size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .groupBy("source", "reason")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    val name = s"graft_stream_qual_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = EventStream.withBoundedStateParallelism(spark) {
+      monitored.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
+    try q.processAllAvailable() finally {
+      q.stop(); EventStream.deleteStaged(streamDir)
+    }
+    spark.table(name).orderBy("source", "reason")
+  }
+
+  def streamingQualityMonitorOracle: String =
+    s"""WITH t AS (SELECT source,
+       |    ${graft.ext.TextAnalysis.tokensSqlShared} AS ws FROM documents),
+       |m AS (SELECT source,
+       |  ${graft.ext.TextAnalysis.qualityMeasuresSql}
+       |  FROM t),
+       |r AS (SELECT source, n_tokens,
+       |  ${graft.ext.TextAnalysis.qualityReasonCaseSql} AS reason
+       |  FROM m)
+       |SELECT source, reason, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+       |FROM r GROUP BY source, reason ORDER BY source, reason""".stripMargin
+
   /** The reference's flagship computation — word count — as an
     * INCREMENTAL stream: counts maintained per micro-batch as
     * documents arrive, closing the loop on SURVEY §2's P1/A5 for a

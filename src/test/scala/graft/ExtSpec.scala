@@ -329,6 +329,29 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("eval_id")).distinct.length == rows.length)
   }
 
+  test("incremental dedup: one row per delta doc, matches point into the base") {
+    val rows = Dedup.incrementalDedup(spark, sf0001).collect()
+    val deltaIds = Tables.documents(spark, sf0001)
+      .filter(col("doc_id") % Dedup.DeltaMod === (Dedup.DeltaMod - 1))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).toSet == deltaIds,
+      "exactly the delta slice is screened, matched or not")
+    assert(rows.map(_.getAs[Long]("doc_id")).distinct.length == rows.length)
+    rows.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("best_match"))) {
+        val b = r.getAs[Long]("best_match")
+        assert(b % Dedup.DeltaMod != Dedup.DeltaMod - 1,
+          s"best match $b is itself a delta doc")
+        val est = r.getAs[Double]("est_jaccard")
+        assert(est >= 0.0 && est <= 1.0)
+        assert(r.getAs[Boolean]("is_dup") == (est >= Dedup.PairThreshold))
+      } else assert(!r.getAs[Boolean]("is_dup"), "unmatched delta cannot be a dup")
+    }
+    // deterministic: the argmax tiebreak pins a unique answer
+    val again = Dedup.incrementalDedup(spark, sf0001).collect()
+    assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
+  }
+
   test("tokenizer fertility: every word emits >= 1 symbol, symbols never exceed chars") {
     val rows = TextAnalysis.tokenizerFertility(spark, sf0001).collect()
     assert(rows.nonEmpty)

@@ -3,7 +3,7 @@ package graft
 import java.sql.Timestamp
 
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, count, lit, size, sum}
 import org.apache.spark.sql.streaming.OutputMode
 
 import graft.streaming.EventStream
@@ -212,5 +212,25 @@ class StreamingSpec extends SparkSpec {
       .collect().map(key).toSet
     assert(outerDedicated == outerDerived,
       s"left_outer dedicated vs derived: ${outerDedicated.size} vs ${outerDerived.size} rows")
+  }
+
+  test("streaming quality monitor converges to the batch quality rollup") {
+    import spark.implicits._
+    val streamed = graft.streaming.DocStream
+      .streamingQualityMonitor(spark, sf0001)
+      .as[(String, String, Long, Long)].collect().toSet
+    val batch = Tables.documents(spark, sf0001)
+      .select(col("source"),
+        graft.ext.TextAnalysis.qualityReason(col("text")).as("reason"),
+        size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+          .as("n_tokens"))
+      .groupBy("source", "reason")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+      .as[(String, String, Long, Long)].collect().toSet
+    assert(streamed == batch,
+      s"stream/batch divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    // every reason bucket that fires is one of the contracted four
+    assert(streamed.map(_._2).subsetOf(
+      Set("pass", "too_short", "low_stopword", "low_diversity")))
   }
 }
