@@ -336,6 +336,128 @@ class HostileFixtureSpec extends SparkSpec {
         s"nothing); got ${flagged.map(_.getLong(0)).toSeq}")
   }
 
+  test("incremental dedup: the mega-cluster's delta slice is caught against a capped base") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Dedup.incrementalDedup(spark, hostileDir)
+      .filter(col("doc_id") >= 50000000L && col("doc_id") < 50003000L)
+      .collect()
+    assert(rows.nonEmpty, "the mega cluster has delta members (ids ending in 9)")
+    // 3,000 near-identical docs: every delta member has an identical
+    // base twin (same variant), and the 64-smallest-ids base cap keeps
+    // the candidate set bounded WITHOUT losing the best match — the
+    // cap's correctness claim, asserted on the worst shape
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("is_dup"),
+        s"mega delta ${r.getAs[Long]("doc_id")} must match the base corpus")
+      assert(r.getAs[Double]("est_jaccard") >= 0.75)
+      val b = r.getAs[Long]("best_match")
+      assert(b % graft.ext.Dedup.DeltaMod != graft.ext.Dedup.DeltaMod - 1)
+    }
+  }
+
+  test("streaming quality monitor: empty and sub-20-token docs land in too_short, totals cover the corpus") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.streaming.DocStream
+      .streamingQualityMonitor(spark, hostileDir).collect()
+    // srctiny is all degenerate (empty/whitespace/2-token/…): every one
+    // of its docs fails too_short, none may disappear
+    val tiny = rows.filter(_.getAs[String]("source") == "srctiny")
+    assert(tiny.map(_.getAs[String]("reason")).toSet == Set("too_short"))
+    assert(tiny.map(_.getAs[Long]("n_docs")).sum == 5L)
+    // srcmega's 10-token template also fails too_short — 3,000 strong
+    val mega = rows.filter(r => r.getAs[String]("source") == "srcmega" &&
+      r.getAs[String]("reason") == "too_short")
+    assert(mega.map(_.getAs[Long]("n_docs")).sum == 3000L)
+    // nothing is dropped: per-source doc counts sum to the corpus
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, hostileDir).count())
+  }
+
+  test("calibration stays a 10-row report with bounded scores on the all-ties fixture") {
+    import org.apache.spark.sql.functions._
+    // the hostile lineitem pins every 'R' row to one price/quantity —
+    // a degenerate feature distribution the GD probe must survive with
+    // a full bin grid (empty bins NULL, never dropped) and valid scores
+    val rows = graft.ext.Learn.calibrationBins(spark, hostileDir).collect()
+    assert(rows.length == graft.ext.Learn.CalibBins,
+      s"bin grid must densify to exactly ${graft.ext.Learn.CalibBins} rows")
+    assert(rows.map(_.getAs[Long]("bin")).toSeq == (0L until 10L).toSeq)
+    rows.foreach { r =>
+      val ece = r.getAs[Double]("ece"); val brier = r.getAs[Double]("brier")
+      assert(ece >= 0.0 && ece <= 1.0 && !ece.isNaN)
+      assert(brier >= 0.0 && brier <= 1.0 && !brier.isNaN)
+      if (r.getAs[Long]("n_preds") == 0L)
+        assert(r.isNullAt(r.fieldIndex("avg_pred")),
+          "an empty bin reports NULL, never a fabricated mean")
+    }
+  }
+
+  test("streaming wordcount equals the batch aggregate on the degenerate corpus") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // empty/whitespace docs contribute zero tokens, the mega cluster
+    // contributes 3,000× its template — the stream must converge to
+    // the batch answer exactly, dropped-empty-token contract included
+    val streamed = graft.streaming.DocStream.streamingWordCount(spark, hostileDir)
+      .as[(String, Long)].collect().toSet
+    val batch = graft.operators.WordCount
+      .wordCount(Tables.documents(spark, hostileDir), "text")
+      .as[(String, Long)].collect().toSet
+    assert(streamed == batch,
+      s"divergence: ${(streamed diff batch).take(3)} vs ${(batch diff streamed).take(3)}")
+    assert(!streamed.exists(_._1.isEmpty), "empty tokens never surface")
+  }
+
+  test("semantic decontamination: zero-norm and identical train vectors stay survivable") {
+    import org.apache.spark.sql.functions._
+    // the hostile embeddings carry a zero-norm vector and a 100-member
+    // identical block; the report must still be one bounded row per
+    // eval vector with finite scores (zero-norm scores 0, ranks last)
+    val rows = graft.ext.Similarity.decontaminateSemantic(spark, hostileDir)
+      .collect()
+    val evalN = Tables.embeddings(spark, hostileDir)
+      .filter(col("vec_id") % graft.ext.Similarity.DecontamEvalMod === 0 &&
+        col("vec_id") < graft.ext.Similarity.DecontamEvalMod.toLong *
+          graft.ext.Similarity.DecontamEvalCap)
+      .count()
+    assert(rows.length == evalN, "one row per eval vector, none dropped")
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(!c.isNaN && c >= -1.0 && c <= 1.0)
+    }
+    // the identical-block evals (vec_id < 100 ∩ mod-41: 0, 41, 82) have
+    // bit-identical train twins in the block → cosine 1, contaminated
+    val block = rows.filter(_.getAs[Long]("eval_id") < 100L)
+    assert(block.nonEmpty && block.forall(_.getAs[Boolean]("contaminated")),
+      "identical-block eval vectors must flag as contaminated")
+  }
+
+  test("shard manifest and t-closeness degrade to exact reports on degenerate shapes") {
+    import org.apache.spark.sql.functions._
+    // empty-text docs hash fine (md5('' ) is defined); shards still
+    // partition the corpus exactly
+    val m = graft.ext.Sampling.shardManifest(spark, hostileDir).collect()
+    assert(m.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, hostileDir).count())
+    // ONE balance band (every customer identical): the densified grid
+    // collapses to m=1, both distances are exactly 0 (p=q=1), and the
+    // m−1 EMD divisor must hit its greatest(…,1) guard, not divide by 0
+    val out = "/tmp/graft_oneband_fixture_v1"
+    if (!new java.io.File(s"$out/_built").exists()) {
+      spark.read.parquet(s"$sf0001/customer.parquet")
+        .withColumn("c_acctbal", lit(500.0))
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      new java.io.File(s"$out/_built").createNewFile()
+    }
+    val t = graft.operators.Relational.tClosenessAudit(spark, out).collect()
+    assert(t.nonEmpty)
+    t.foreach { r =>
+      assert(r.getAs[Double]("tvd") == 0.0 && r.getAs[Double]("emd") == 0.0,
+        s"single-band table: every group's distribution IS the global one: $r")
+      assert(!r.getAs[Boolean]("above_t02"))
+    }
+  }
+
   test("every query survives the hostile-shaped corpus (no throw, no hang)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
