@@ -245,4 +245,44 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
       s"no corpus-sized join allowed in the screen:\n$plan")
   }
+
+  test("incremental dedup pre-limits the base side per bucket before its exchange") {
+    val plan = graft.ext.Dedup.incrementalDedup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    // the rk <= MaxBucket filter must plan as a WindowGroupLimit whose
+    // Partial arm runs BEFORE the bucket exchange: a mega-bucket then
+    // ships at most cap rows per upstream partition, never the bucket
+    assert(plan.contains("WindowGroupLimit"),
+      s"base cap must plan as a window group limit:\n$plan")
+    assert(plan.contains("Partial"),
+      s"the group limit needs its partial (pre-shuffle) arm:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("semantic decontamination broadcasts the eval side and folds through the bounded heap") {
+    val plan = graft.ext.Similarity.decontaminateSemantic(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"),
+      s"the capped eval set must broadcast, the corpus scans once:\n$plan")
+    assert(plan.contains("graft_bounded_topk") &&
+      plan.contains("partial_graft_bounded_topk"),
+      s"top-1 must fold through the heap aggregate (partial map-side), " +
+        s"not a global window:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"nothing corpus-pairwise:\n$plan")
+  }
+
+  test("shard manifest is one projection + one aggregation: no join, one exchange") {
+    val plan = graft.ext.Sampling.shardManifest(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"manifest must not join:\n$plan")
+    // one shuffle for the 8-group aggregate (plus the output sort's
+    // range exchange) — and the aggregate must partial map-side
+    assert(plan.contains("HashAggregate"),
+      s"digest/count rollup is a hash aggregate:\n$plan")
+    assert(
+      "Exchange hashpartitioning".r.findAllIn(plan).size == 1,
+      s"exactly one hash exchange (the 8-group rollup):\n$plan")
+  }
 }
