@@ -131,6 +131,11 @@ object ScaleProbe {
       "dedup_incremental" -> ((s, d) => graft.ext.Dedup.incrementalDedup(s, d)),
       "stream_quality_monitor" ->
         ((s, d) => graft.streaming.DocStream.streamingQualityMonitor(s, d)),
+      "dp_release_counts" -> (graft.operators.Relational.dpReleaseCounts _),
+      "frame_scene_cuts" -> ((s, d) => graft.ext.Dedup.frameSceneCuts(s, d)),
+      // the forget cascade's only join is the lineitem semi join
+      "tombstone_purge_audit" ->
+        (graft.operators.Relational.tombstonePurgeAudit _),
     )
 
     def time(fn: => Unit): Double = {

@@ -357,6 +357,12 @@ object SparkEntry {
     // scan-on-ingest quality gate per (source, reason)
     "stream_quality_monitor" -> ((s, dir) =>
       graft.streaming.DocStream.streamingQualityMonitor(s, dir)),
+    // the privacy ladder's release mechanism: Laplace-noised counts
+    "dp_release_counts" -> Relational.dpReleaseCounts _,
+    // right-to-be-forgotten cascade: before/purged/after per table
+    "tombstone_purge_audit" -> Relational.tombstonePurgeAudit _,
+    // keyframe segmentation: adjacent-frame perceptual distance
+    "frame_scene_cuts" -> Dedup.frameSceneCuts _,
     // the reference's flagship wordcount as an incremental stream
     "stream_wordcount" -> ((s, dir) =>
       graft.streaming.DocStream.streamingWordCount(s, dir)),
@@ -630,6 +636,9 @@ object SparkEntry {
     "dedup_incremental" -> Dedup.incrementalDedupOracle,
     "stream_quality_monitor" ->
       graft.streaming.DocStream.streamingQualityMonitorOracle,
+    "dp_release_counts" -> Relational.dpReleaseCountsOracle,
+    "tombstone_purge_audit" -> Relational.tombstonePurgeAuditOracle,
+    "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,
     // the streaming replay must converge to the batch answer exactly
     "stream_wordcount" ->
       """SELECT w AS word, COUNT(*) AS cnt FROM (

@@ -950,6 +950,88 @@ object Dedup {
        |FROM ham WHERE hamming <= $PhashHamMax
        |ORDER BY asset1, frame1, asset2, frame2""".stripMargin
 
+  /** Scene-cut threshold: adjacent frames whose perceptual hashes
+    * differ in more than this many of the 64 bits start a new scene. */
+  val SceneCutMin = 24L
+
+  /** Scene-cut detection: per asset, the frames whose dHash differs
+    * from the PREVIOUS frame's by more than [[SceneCutMin]] bits —
+    * the keyframe-segmentation pass a video training pipeline runs
+    * before sampling (one frame per scene beats every-Nth when scenes
+    * are unequal, and scene boundaries are where captions/shot labels
+    * attach). Same declarative frame split + compiled
+    * [[graft.functions.DHashBands]] kernel as the near-dup family,
+    * then ONE window lag per asset (frames-per-asset is
+    * payload-bounded, so the partition is small by construction —
+    * this is the rare window whose partitioning is safe at any corpus
+    * size); only the 8 band longs per frame ever shuffle. Output: the
+    * scene-opening frames with their distance, plus frame 0 by
+    * convention (hamming NULL — every asset has at least one scene). */
+  def frameSceneCuts(spark: SparkSession, dir: String): DataFrame = {
+    val frameSize = 256
+    val hashed = Multimodal.assets(spark, dir).toDF()
+      .filter(length(col("payload")) >= frameSize)
+      .select(col("asset_id"),
+        explode(sequence(lit(0L),
+          ((length(col("payload")) - 1) / frameSize).cast("long")))
+          .as("frame_idx"),
+        col("payload"))
+      .select(col("asset_id"), col("frame_idx"),
+        expr(s"substring(payload, cast(frame_idx * $frameSize + 1 as int), $frameSize)")
+          .as("frame"))
+      .filter(length(col("frame")) === frameSize)
+      .select(col("asset_id"), col("frame_idx"),
+        graft.functions.DHashBands(col("frame")).as("bands"))
+    val w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    val hamming = (0 until 8).map { b =>
+      bit_count(element_at(col("bands"), b + 1)
+        .bitwiseXOR(element_at(col("prev"), b + 1)))
+    }.reduce(_ + _).cast("long")
+    hashed
+      .withColumn("prev", lag(col("bands"), 1).over(w))
+      .select(col("asset_id"), col("frame_idx"),
+        when(col("prev").isNotNull, hamming).as("hamming"))
+      .filter(col("prev").isNull || col("hamming") > SceneCutMin)
+      .drop("prev")
+      .orderBy("asset_id", "frame_idx")
+  }
+
+  def frameSceneCutsOracle: String =
+    s"""WITH d AS (SELECT doc_id, hex(CAST(text AS BLOB)) AS hxall,
+       |    octet_length(CAST(text AS BLOB)) AS n
+       |  FROM documents WHERE octet_length(CAST(text AS BLOB)) >= 256),
+       |fr0 AS (SELECT doc_id, hxall,
+       |    unnest(generate_series(0, (n - 1) // 256)) AS frame_idx FROM d),
+       |ff AS (SELECT doc_id, frame_idx,
+       |    substr(hxall, CAST(frame_idx * 512 AS BIGINT) + 1, 512) AS hx
+       |  FROM fr0),
+       |f AS (SELECT doc_id, frame_idx, hx FROM ff WHERE length(hx) = 512),
+       |smp AS (SELECT doc_id, frame_idx, i,
+       |    CAST('0x' || substr(hx, CAST(2 * ((i * 255) // $PhashBits) + 1
+       |      AS BIGINT), 2) AS BIGINT) AS s
+       |  FROM (SELECT doc_id, frame_idx, hx, unnest(range(${PhashBits + 1})) AS i
+       |        FROM f) t),
+       |bits AS (SELECT a.doc_id, a.frame_idx, a.i,
+       |    CASE WHEN a.s < b.s THEN 1 ELSE 0 END AS bit
+       |  FROM smp a JOIN smp b ON a.doc_id = b.doc_id
+       |    AND a.frame_idx = b.frame_idx AND b.i = a.i + 1
+       |  WHERE a.i < $PhashBits),
+       |bands AS (SELECT doc_id, frame_idx, i // 8 AS band_id,
+       |    CAST(SUM(bit << (i % 8)) AS BIGINT) AS band_val
+       |  FROM bits GROUP BY doc_id, frame_idx, i // 8),
+       |ham AS (SELECT a.doc_id, a.frame_idx,
+       |    CAST(SUM(bit_count(xor(a.band_val, p.band_val))) AS BIGINT) AS hamming
+       |  FROM bands a JOIN bands p ON p.doc_id = a.doc_id
+       |    AND p.frame_idx = a.frame_idx - 1 AND p.band_id = a.band_id
+       |  GROUP BY a.doc_id, a.frame_idx),
+       |first_frames AS (SELECT DISTINCT doc_id, CAST(0 AS BIGINT) AS frame_idx,
+       |    CAST(NULL AS BIGINT) AS hamming FROM f)
+       |SELECT doc_id AS asset_id, frame_idx, hamming FROM first_frames
+       |UNION ALL
+       |SELECT doc_id AS asset_id, frame_idx, hamming FROM ham
+       |WHERE hamming > $SceneCutMin
+       |ORDER BY asset_id, frame_idx""".stripMargin
+
   /** ASSET-level overlap from the frame pairs — the video-dedup
     * VERDICT: for each cross-asset pair, how many of the smaller
     * asset's full frames have a perceptual near-dup in the other

@@ -2670,6 +2670,132 @@ object Relational {
       |  group_size < 5 AS reidentifiable_at_k5
       |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin
 
+  /** Release noise scale: ε = 1 with sensitivity-1 counts → Laplace
+    * b = 1. */
+  val DpEpsilon = 1.0
+
+  /** Differentially-private count release — the MECHANISM the privacy
+    * ladder ([[kAnonymityAudit]] → [[lDiversityAudit]] →
+    * [[tClosenessAudit]]) gates toward: per-nation customer counts
+    * with Laplace(b = 1/ε) noise via inverse-CDF sampling, plus the
+    * per-cell absolute noise so the release's utility is itself
+    * auditable. One sensitivity-1 hash aggregation (map-side
+    * partials), then a pure projection — the noise costs nothing at
+    * any scale.
+    *
+    * Determinism caveat, stated loudly: the uniform draw is a salted
+    * md5 of the cell key, so the mechanism is REPRODUCIBLE — which is
+    * what lets two engines verify the release bit-for-bit, and what a
+    * production release must NOT do (a deterministic draw is not DP;
+    * swap the hash for real entropy at release time — the plan is
+    * identical). The (h+0.5)/2³² uniform is bounded away from 0 and 1
+    * by construction, so ln(1−2|u−½|) never sees 0; the ln rounds to
+    * 9 before use (libm-parity discipline, see header). */
+  def dpReleaseCounts(spark: SparkSession, dir: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("graft-dp-v1:"),
+      col("c_nationkey").cast("string"))), 1, 8), 16, 10).cast("long")
+    val u = (h.cast("double") + 0.5) / 4294967296.0
+    val lap = -signum(u - 0.5) *
+      round(log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 9) / DpEpsilon
+    Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("true_count"))
+      .select(col("c_nationkey"), col("true_count"),
+        round(col("true_count") + lap, 6).as("noised_count"),
+        round(abs(lap), 6).as("abs_noise"))
+      .orderBy("c_nationkey")
+  }
+
+  def dpReleaseCountsOracle: String =
+    s"""WITH g AS (SELECT c_nationkey, CAST(COUNT(*) AS BIGINT) AS true_count
+       |  FROM customer GROUP BY 1),
+       |n AS (SELECT c_nationkey, true_count,
+       |    (CAST(CAST(concat('0x', substr(md5('graft-dp-v1:' ||
+       |        CAST(c_nationkey AS VARCHAR)), 1, 8)) AS BIGINT) AS DOUBLE)
+       |      + 0.5) / 4294967296.0 AS u
+       |  FROM g),
+       |l AS (SELECT c_nationkey, true_count,
+       |    -sign(u - 0.5) * round(ln(1.0 - 2.0 * abs(u - 0.5)), 9)
+       |      / $DpEpsilon AS lap
+       |  FROM n)
+       |SELECT c_nationkey, true_count,
+       |  round(true_count + lap, 6) AS noised_count,
+       |  round(abs(lap), 6) AS abs_noise
+       |FROM l ORDER BY c_nationkey""".stripMargin
+
+  /** Deletion-list selection rate: ~2% of customers carry a pending
+    * erasure request in the fixture stand-in. */
+  val ForgetThreshold: Long = (0.02 * 4294967296L).toLong
+
+  /** Right-to-be-forgotten purge audit: how many rows each table
+    * loses when a deletion request set is applied, cascaded through
+    * the schema (customer → their orders → those orders' line items),
+    * with before/purged/after per table — the compliance artifact a
+    * deletion run must produce. The request set is a PURE FUNCTION of
+    * the customer key (salted-hash selection, the [[graft.ext
+    * .Sampling]] discipline): customer and orders purge with NO
+    * membership join at all (the selector is a projection on their
+    * own key column), and only lineitem — which doesn't carry the
+    * customer key — pays a join, a co-partitioned LEFT SEMI against
+    * the selected orders' keys. At 100 TB that is the minimum
+    * possible motion: one keyed semi join for the one table the key
+    * doesn't reach. Output: 3 rows, (table, rows_before, rows_purged,
+    * rows_after). */
+  def tombstonePurgeAudit(spark: SparkSession, dir: String): DataFrame = {
+    def selected(key: Column): Column =
+      conv(substring(md5(concat(lit("graft-forget-v1:"),
+        key.cast("string"))), 1, 8), 16, 10).cast("long") < ForgetThreshold
+    def report(df: DataFrame, table: String, sel: Column): DataFrame =
+      df.agg(count(lit(1)).as("rows_before"),
+          sum(when(sel, 1L).otherwise(0L)).as("rows_purged"))
+        .select(lit(table).as("table_name"), col("rows_before"),
+          col("rows_purged"),
+          (col("rows_before") - col("rows_purged")).as("rows_after"))
+    val cust = report(Tables.customer(spark, dir), "customer",
+      selected(col("c_custkey")))
+    val ord = report(Tables.orders(spark, dir), "orders",
+      selected(col("o_custkey")))
+    // one pass: LEFT join against the UNIQUE selected order keys (1:1,
+    // never row-multiplying) counts before and purged together
+    val selOrders = Tables.orders(spark, dir)
+      .filter(selected(col("o_custkey"))).select(col("o_orderkey"))
+    val li = Tables.lineitem(spark, dir).select(col("l_orderkey"))
+      .join(selOrders, col("l_orderkey") === col("o_orderkey"), "left")
+      .agg(count(lit(1)).as("rows_before"),
+        count(col("o_orderkey")).as("rows_purged"))
+      .select(lit("lineitem").as("table_name"), col("rows_before"),
+        col("rows_purged"),
+        (col("rows_before") - col("rows_purged")).as("rows_after"))
+    cust.unionByName(ord).unionByName(li).orderBy("table_name")
+  }
+
+  def tombstonePurgeAuditOracle: String = {
+    def selSql(key: String): String =
+      s"""CAST(concat('0x', substr(md5('graft-forget-v1:' ||
+         |      CAST($key AS VARCHAR)), 1, 8)) AS BIGINT) < $ForgetThreshold"""
+        .stripMargin
+    s"""WITH c AS (SELECT 'customer' AS table_name,
+       |    CAST(COUNT(*) AS BIGINT) AS rows_before,
+       |    CAST(SUM(CASE WHEN ${selSql("c_custkey")} THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS rows_purged
+       |  FROM customer),
+       |o AS (SELECT 'orders' AS table_name,
+       |    CAST(COUNT(*) AS BIGINT) AS rows_before,
+       |    CAST(SUM(CASE WHEN ${selSql("o_custkey")} THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS rows_purged
+       |  FROM orders),
+       |l AS (SELECT 'lineitem' AS table_name,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS rows_before,
+       |    (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem
+       |     WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+       |                          WHERE ${selSql("o_custkey")})) AS rows_purged),
+       |u AS (SELECT * FROM c UNION ALL SELECT * FROM o
+       |      UNION ALL SELECT * FROM l)
+       |SELECT table_name, rows_before, rows_purged,
+       |  rows_before - rows_purged AS rows_after
+       |FROM u ORDER BY table_name""".stripMargin
+  }
+
   /** Revenue concentration (Pareto) profile: customers ranked by
     * lifetime spend, cut into deciles, each decile reporting its
     * revenue share and the running cumulative share — "the top 10%
