@@ -991,8 +991,8 @@ object Dedup {
       .withColumn("prev", lag(col("bands"), 1).over(w))
       .select(col("asset_id"), col("frame_idx"),
         when(col("prev").isNotNull, hamming).as("hamming"))
-      .filter(col("prev").isNull || col("hamming") > SceneCutMin)
-      .drop("prev")
+      // NULL hamming ⟺ no previous frame ⟺ frame 0 (always a scene)
+      .filter(col("hamming").isNull || col("hamming") > SceneCutMin)
       .orderBy("asset_id", "frame_idx")
   }
 

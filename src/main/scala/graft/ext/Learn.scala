@@ -165,53 +165,87 @@ object Learn {
         round(col("n_correct").cast("double") / col("n_rows"), 6).as("accuracy"))
   }
 
-  /** Standardized feature frame (y, x1, x2, n) for the logistic probe
-    * — exact decimal means/variances broadcast onto the fact scan. */
-  private def logitStandardized(spark: SparkSession, dir: String): DataFrame = {
-    val raw = Tables.lineitem(spark, dir)
-      .select(when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
-        col("l_quantity").as("f1"), col("l_discount").as("f2"))
-    val st = raw.agg(count(lit(1)).as("n"),
+  /** GD TRAINING-set bound — the [[graft.ext.Similarity
+    * .TrainSampleCap]] recipe applied to the logistic probe: gradient
+    * steps refine weights on a deterministic orderkey-strided sample
+    * of ≤ ~this many rows (stride = ⌊n / cap⌋ — engine-mirrorable
+    * integer arithmetic), while standardization statistics and the
+    * final scoring/NLL pass still read the FULL corpus. Without the
+    * bound, cold training materializes the whole standardized fact
+    * table into a localCheckpoint and scans it three times — probed
+    * 23.9× at 100× data, the same full-corpus-training failure mode
+    * IVF and PQ already fixed. Below the cap the stride is 1 and
+    * training is exact-corpus — gate-scale results are unchanged. */
+  val LogitTrainCap = 32768L
+
+  /** Standardization statistics — (n, m1, m2, s1, s2), ONE corpus
+    * aggregation collected to the driver. Collecting rather than
+    * broadcasting means every downstream standardized frame is a PURE
+    * PROJECTION over the raw scan (literal means/σ — bit-identical to
+    * the broadcast form, a double survives the literal roundtrip
+    * exactly), so neither training nor scoring re-pays the decimal
+    * stats aggregation. */
+  private def logitStatsRow(spark: SparkSession,
+                            dir: String): (Long, Double, Double, Double, Double) = {
+    val raw = logitRaw(spark, dir)
+    val r = raw.agg(count(lit(1)).as("n"),
         (sum(col("f1").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("m1"),
         (sum(col("f2").cast(DecimalType(18, 2))).cast("double") / count(lit(1))).as("m2"),
         dsum12(col("f1") * col("f1")).as("q1"), dsum12(col("f2") * col("f2")).as("q2"))
       .select(col("n"), col("m1"), col("m2"),
         sqrt(col("q1") / col("n") - col("m1") * col("m1")).as("s1"),
         sqrt(col("q2") / col("n") - col("m2") * col("m2")).as("s2"))
-    raw.crossJoin(broadcast(st))
-      .select(col("y"), ((col("f1") - col("m1")) / col("s1")).as("x1"),
-        ((col("f2") - col("m2")) / col("s2")).as("x2"), col("n"))
+      .first()
+    (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
+  }
+
+  private def logitRaw(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey").as("okey"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
+        col("l_quantity").as("f1"), col("l_discount").as("f2"))
+
+  /** Standardized feature frame (okey, y, x1, x2) under the collected
+    * stats — a pure projection over the raw scan. */
+  private def logitStandardized(spark: SparkSession, dir: String,
+      st: (Long, Double, Double, Double, Double)): DataFrame = {
+    val (_, m1, m2, s1, s2) = st
+    logitRaw(spark, dir)
+      .select(col("okey"), col("y"),
+        ((col("f1") - lit(m1)) / lit(s1)).as("x1"),
+        ((col("f2") - lit(m2)) / lit(s2)).as("x2"))
   }
 
   // the trained state shared by the probe and the calibration audit —
-  // the checkpointed standardized frame AND the 3 trained doubles, one
-  // slot per (session, corpus), the kmeansCentroids/pqCodebook memo
-  // discipline; holding the frame too means the SECOND query of the
-  // pair scores over the already-materialized partitions instead of
-  // re-running scan → stats → broadcast → standardize. ScaleProbe
-  // resets it so probe timings stay honest cold runs including
-  // training.
-  private val logitMemo =
-    new graft.SessionDirMemo[(DataFrame, (Double, Double, Double))]
+  // the collected stats row and the 3 trained doubles, one slot per
+  // (session, corpus), the kmeansCentroids/pqCodebook memo discipline;
+  // ScaleProbe resets it so probe timings stay honest cold runs
+  // including the stats pass and training
+  private val logitMemo = new graft.SessionDirMemo[
+    ((Long, Double, Double, Double, Double), (Double, Double, Double))]
 
   private[graft] def resetLogitMemo(): Unit = logitMemo.reset()
 
-  private def logitState(spark: SparkSession,
-                         dir: String): (DataFrame, (Double, Double, Double)) =
+  private def logitState(spark: SparkSession, dir: String)
+      : ((Long, Double, Double, Double, Double), (Double, Double, Double)) =
     logitMemo.get(spark, dir) {
-      val x = logitStandardized(spark, dir)
-        // single-row-group fixture files scan as ONE split, so without a
-        // widening exchange every GD pass would run on one core; the
-        // checkpoint then holds session-parallelism partitions that all
-        // step scans AND both queries' scoring passes reuse (at cluster
-        // scale the scan itself is wide and this exchange is O(rows)
-        // next to steps × O(rows) saved)
+      val st = logitStatsRow(spark, dir)
+      // training reads the BOUNDED strided sample (LogitTrainCap; the
+      // stride is literal arithmetic off the collected count) — so the
+      // checkpoint materializes ≤ ~cap rows, never the corpus. The
+      // repartition widens the tiny-by-bytes sample across the
+      // session's cores (single-row-group fixture files scan as ONE
+      // split; AQE would coalesce the sample back to one partition and
+      // serialize every GD pass).
+      val stride = math.max(1L, st._1 / LogitTrainCap)
+      val x = logitStandardized(spark, dir, st)
+        .filter(col("okey") % stride === 0)
         .repartition(spark.sparkContext.defaultParallelism)
-        .localCheckpoint() // each unrolled step re-reads the standardized frame
+        .localCheckpoint() // each unrolled step re-reads the training sample
       // the weight vector is 3 doubles of convergence state — collect it
       // per step (like kmeansCentroids' centroid matrix) and inline the
       // values as literals, so every GD step is exactly ONE scan of the
-      // checkpointed frame; keeping the weights as a chained broadcast
+      // checkpointed sample; keeping the weights as a chained broadcast
       // frame nests each step's plan inside the next and re-executes the
       // earlier gradient aggregates at every broadcast. Driver rounding
       // uses the same BigDecimal HALF_UP scale-9 as Spark's round().
@@ -220,29 +254,32 @@ object Learn {
       var (w0, w1, w2) = (0.0, 0.0, 0.0)
       for (_ <- 1 to LogitSteps) {
         val g = x
-          .select(col("y"), col("x1"), col("x2"), col("n"),
+          .select(col("y"), col("x1"), col("x2"),
             round(lit(1.0) / (lit(1.0) +
               exp(-round(lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2"), 9))),
               6).as("s"))
-          .agg(first(col("n")).as("n"),
+          .agg(count(lit(1)).as("sn"),
             dsum12(col("y") - col("s")).as("g0"),
             dsum12((col("y") - col("s")) * col("x1")).as("g1"),
             dsum12((col("y") - col("s")) * col("x2")).as("g2"))
           .first()
+        // mean gradient over the TRAINING rows (== n below the cap)
         val n = g.getLong(0).toDouble
         w0 = r9(w0 + LogitLr * g.getDouble(1) / n)
         w1 = r9(w1 + LogitLr * g.getDouble(2) / n)
         w2 = r9(w2 + LogitLr * g.getDouble(3) / n)
       }
-      (x, (w0, w1, w2))
+      (st, (w0, w1, w2))
     }
 
-  /** Final-model scored frame (y, w0, w1, w2, s): one pass over the
-    * memoized checkpointed features under the trained weight
-    * literals. */
+  /** Final-model scored frame (y, w0, w1, w2, s): ONE full-corpus
+    * pure-projection scan under the collected stats and trained
+    * weight literals — the output contract reads everything; only
+    * training is sample-bounded. */
   private def logitScored(spark: SparkSession, dir: String): DataFrame = {
-    val (x, (w0, w1, w2)) = logitState(spark, dir)
-    x.select(col("y"), lit(w0).as("w0"), lit(w1).as("w1"), lit(w2).as("w2"),
+    val (st, (w0, w1, w2)) = logitState(spark, dir)
+    logitStandardized(spark, dir, st)
+      .select(col("y"), lit(w0).as("w0"), lit(w1).as("w1"), lit(w2).as("w2"),
         round(lit(1.0) / (lit(1.0) +
           exp(-round(lit(w0) + lit(w1) * col("x1") + lit(w2) * col("x2"), 9))),
           6).as("s"))
@@ -254,18 +291,19 @@ object Learn {
     * aggregate over it. */
   private def logitFinCtes: String = {
     def step(k: Int): String =
-      s"""g$k AS (SELECT MIN(x.n) AS n,
+      s"""g$k AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
          |    CAST(SUM(CAST(y - s AS DECIMAL(38,12))) AS DOUBLE) AS g0,
          |    CAST(SUM(CAST((y - s) * x1 AS DECIMAL(38,12))) AS DOUBLE) AS g1,
          |    CAST(SUM(CAST((y - s) * x2 AS DECIMAL(38,12))) AS DOUBLE) AS g2
-         |  FROM (SELECT y, x1, x2, n,
+         |  FROM (SELECT y, x1, x2,
          |      round(1.0 / (1.0 + exp(-round(w.w0 + w.w1 * x1 + w.w2 * x2, 9))), 6) AS s
-         |    FROM x, w${k - 1} w) x),
+         |    FROM xs, w${k - 1} w) x),
          |w$k AS (SELECT round(w.w0 + $LogitLr * g.g0 / g.n, 9) AS w0,
          |    round(w.w1 + $LogitLr * g.g1 / g.n, 9) AS w1,
          |    round(w.w2 + $LogitLr * g.g2 / g.n, 9) AS w2
          |  FROM w${k - 1} w, g$k g)""".stripMargin
-    s"""raw AS (SELECT CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
+    s"""raw AS (SELECT l_orderkey AS okey,
+       |      CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
        |      AS y, l_quantity AS f1, l_discount AS f2 FROM lineitem),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
        |    CAST(SUM(CAST(f1 AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS m1,
@@ -275,8 +313,10 @@ object Learn {
        |  FROM raw),
        |sd AS (SELECT n, m1, m2, sqrt(q1 / n - m1 * m1) AS s1,
        |    sqrt(q2 / n - m2 * m2) AS s2 FROM st),
-       |x AS (SELECT y, (f1 - m1) / s1 AS x1, (f2 - m2) / s2 AS x2, n
+       |x AS (SELECT okey, y, (f1 - m1) / s1 AS x1, (f2 - m2) / s2 AS x2, n
        |  FROM raw, sd),
+       |xs AS (SELECT * FROM x
+       |  WHERE okey % GREATEST(1, n // $LogitTrainCap) = 0),
        |w0 (w0, w1, w2) AS (VALUES (CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
        |    CAST(0.0 AS DOUBLE))),
        |${(1 to LogitSteps).map(step).mkString(",\n")},
