@@ -368,13 +368,19 @@ object SparkEntry {
       graft.streaming.DocStream.streamingWordCount(s, dir)),
   )
 
+  /** The word-count oracle — ONE definition shared by the batch query
+    * and its streaming twin, so the "verified against the SAME
+    * oracle" claim is structural: an edit to the tokenizer contract
+    * cannot silently decouple the two. */
+  private val wordCountOracle: String =
+    """SELECT w AS word, COUNT(*) AS cnt FROM (
+      |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS w
+      |  FROM documents) t
+      |WHERE w <> '' GROUP BY w ORDER BY word""".stripMargin
+
   /** DuckDB oracle SQL per query (same column names as the Spark side). */
   def oracleSql: Map[String, String] = Map(
-    "wordcount" ->
-      """SELECT w AS word, COUNT(*) AS cnt FROM (
-        |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS w
-        |  FROM documents) t
-        |WHERE w <> '' GROUP BY w ORDER BY word""".stripMargin,
+    "wordcount" -> wordCountOracle,
     "mr_wordcount" ->
       """SELECT w AS key, CAST(COUNT(*) AS VARCHAR) AS value FROM (
         |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS w
@@ -639,11 +645,8 @@ object SparkEntry {
     "dp_release_counts" -> Relational.dpReleaseCountsOracle,
     "tombstone_purge_audit" -> Relational.tombstonePurgeAuditOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,
-    // the streaming replay must converge to the batch answer exactly
-    "stream_wordcount" ->
-      """SELECT w AS word, COUNT(*) AS cnt FROM (
-        |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS w
-        |  FROM documents) t
-        |WHERE w <> '' GROUP BY w ORDER BY word""".stripMargin,
+    // the streaming replay must converge to the batch answer exactly —
+    // literally the same oracle object as "wordcount"
+    "stream_wordcount" -> wordCountOracle,
   )
 }

@@ -167,15 +167,19 @@ object Learn {
 
   /** GD TRAINING-set bound — the [[graft.ext.Similarity
     * .TrainSampleCap]] recipe applied to the logistic probe: gradient
-    * steps refine weights on a deterministic orderkey-strided sample
-    * of ≤ ~this many rows (stride = ⌊n / cap⌋ — engine-mirrorable
-    * integer arithmetic), while standardization statistics and the
-    * final scoring/NLL pass still read the FULL corpus. Without the
-    * bound, cold training materializes the whole standardized fact
-    * table into a localCheckpoint and scans it three times — probed
-    * 23.9× at 100× data, the same full-corpus-training failure mode
-    * IVF and PQ already fixed. Below the cap the stride is 1 and
-    * training is exact-corpus — gate-scale results are unchanged. */
+    * steps refine weights on a deterministic hash-thresholded sample
+    * of ~this many rows (keep iff the row's salted 32-bit hash <
+    * 2³²/⌊n/cap⌋ — engine-mirrorable integer arithmetic, and a TRUE
+    * 1/stride rate on any key distribution, where a modulo on the
+    * sparse business key would not be), while standardization
+    * statistics and the final scoring/NLL pass still read the FULL
+    * corpus. Without the bound, cold training materializes the whole
+    * standardized fact table into a localCheckpoint and scans it
+    * three times — probed 23.9× at 100× data, the same
+    * full-corpus-training failure mode IVF and PQ already fixed.
+    * Below the cap the stride is 1, the threshold is the whole hash
+    * range, and training is exact-corpus — gate-scale results are
+    * unchanged. */
   val LogitTrainCap = 32768L
 
   /** Standardization statistics — (n, m1, m2, s1, s2), ONE corpus
@@ -199,19 +203,28 @@ object Learn {
     (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))
   }
 
+  /** Raw feature frame; `shash` is a 32-bit salted md5 of the
+    * row-unique (orderkey, linenumber) key — the training sampler
+    * thresholds it, so the sample rate is 1/stride REGARDLESS of key
+    * distribution (a modulo on the sparse business key could select
+    * 4× the cap, or nothing at all, depending on which residues the
+    * key generator happens to emit). */
   private def logitRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.lineitem(spark, dir)
-      .select(col("l_orderkey").as("okey"),
+      .select(conv(substring(md5(concat(lit("graft-logit-v1:"),
+          col("l_orderkey").cast("string"), lit(":"),
+          col("l_linenumber").cast("string"))), 1, 8), 16, 10)
+          .cast("long").as("shash"),
         when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("y"),
         col("l_quantity").as("f1"), col("l_discount").as("f2"))
 
-  /** Standardized feature frame (okey, y, x1, x2) under the collected
+  /** Standardized feature frame (shash, y, x1, x2) under the collected
     * stats — a pure projection over the raw scan. */
   private def logitStandardized(spark: SparkSession, dir: String,
       st: (Long, Double, Double, Double, Double)): DataFrame = {
     val (_, m1, m2, s1, s2) = st
     logitRaw(spark, dir)
-      .select(col("okey"), col("y"),
+      .select(col("shash"), col("y"),
         ((col("f1") - lit(m1)) / lit(s1)).as("x1"),
         ((col("f2") - lit(m2)) / lit(s2)).as("x2"))
   }
@@ -230,16 +243,18 @@ object Learn {
       : ((Long, Double, Double, Double, Double), (Double, Double, Double)) =
     logitMemo.get(spark, dir) {
       val st = logitStatsRow(spark, dir)
-      // training reads the BOUNDED strided sample (LogitTrainCap; the
-      // stride is literal arithmetic off the collected count) — so the
-      // checkpoint materializes ≤ ~cap rows, never the corpus. The
-      // repartition widens the tiny-by-bytes sample across the
-      // session's cores (single-row-group fixture files scan as ONE
-      // split; AQE would coalesce the sample back to one partition and
-      // serialize every GD pass).
+      // training reads the BOUNDED hash-thresholded sample
+      // (LogitTrainCap; keep iff shash < 2³²/stride, stride literal
+      // arithmetic off the collected count — rate exactly 1/stride,
+      // whole threshold below stride 2 = gate-scale results
+      // unchanged) — so the checkpoint materializes ~cap rows, never
+      // the corpus. The repartition widens the tiny-by-bytes sample
+      // across the session's cores (single-row-group fixture files
+      // scan as ONE split; AQE would coalesce the sample back to one
+      // partition and serialize every GD pass).
       val stride = math.max(1L, st._1 / LogitTrainCap)
       val x = logitStandardized(spark, dir, st)
-        .filter(col("okey") % stride === 0)
+        .filter(col("shash") < 4294967296L / stride)
         .repartition(spark.sparkContext.defaultParallelism)
         .localCheckpoint() // each unrolled step re-reads the training sample
       // the weight vector is 3 doubles of convergence state — collect it
@@ -263,6 +278,11 @@ object Learn {
             dsum12((col("y") - col("s")) * col("x1")).as("g1"),
             dsum12((col("y") - col("s")) * col("x2")).as("g2"))
           .first()
+        // an empty sample would surface as NULL sums and NaN weights
+        // silently shared by TWO queries via the memo — fail loudly
+        if (g.getLong(0) == 0L)
+          throw new IllegalStateException(
+            "logit training sample is empty — corpus has no rows?")
         // mean gradient over the TRAINING rows (== n below the cap)
         val n = g.getLong(0).toDouble
         w0 = r9(w0 + LogitLr * g.getDouble(1) / n)
@@ -302,7 +322,10 @@ object Learn {
          |    round(w.w1 + $LogitLr * g.g1 / g.n, 9) AS w1,
          |    round(w.w2 + $LogitLr * g.g2 / g.n, 9) AS w2
          |  FROM w${k - 1} w, g$k g)""".stripMargin
-    s"""raw AS (SELECT l_orderkey AS okey,
+    s"""raw AS (SELECT
+       |      CAST(concat('0x', substr(md5('graft-logit-v1:' ||
+       |        CAST(l_orderkey AS VARCHAR) || ':' ||
+       |        CAST(l_linenumber AS VARCHAR)), 1, 8)) AS BIGINT) AS shash,
        |      CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END
        |      AS y, l_quantity AS f1, l_discount AS f2 FROM lineitem),
        |st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
@@ -313,10 +336,10 @@ object Learn {
        |  FROM raw),
        |sd AS (SELECT n, m1, m2, sqrt(q1 / n - m1 * m1) AS s1,
        |    sqrt(q2 / n - m2 * m2) AS s2 FROM st),
-       |x AS (SELECT okey, y, (f1 - m1) / s1 AS x1, (f2 - m2) / s2 AS x2, n
+       |x AS (SELECT shash, y, (f1 - m1) / s1 AS x1, (f2 - m2) / s2 AS x2, n
        |  FROM raw, sd),
        |xs AS (SELECT * FROM x
-       |  WHERE okey % GREATEST(1, n // $LogitTrainCap) = 0),
+       |  WHERE shash < 4294967296 // GREATEST(1, n // $LogitTrainCap)),
        |w0 (w0, w1, w2) AS (VALUES (CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
        |    CAST(0.0 AS DOUBLE))),
        |${(1 to LogitSteps).map(step).mkString(",\n")},

@@ -935,14 +935,20 @@ object Similarity {
       .select(col("vec_id"), col("label"),
         cos6(dot(col("v"), col("cv")), norm(col("v")), col("cn")).as("cos"))
     val c6 = col("cos").cast(DecimalType(18, 6))
+    // the centered second moment can land ~±n·c²·4e-16 NEGATIVE by
+    // double cancellation when every cosine in a label is identical —
+    // sqrt would be NaN, and NaN sorts above every double in BOTH
+    // engines, so `cos < mu − 2·NaN-σ` would flag the WHOLE label,
+    // inverting the degenerate-label contract; a σ=0 label honestly
+    // has nothing below its mean, so it flags nothing (NULL sd)
+    val cvar = col("s2") - col("s1") * col("s1") / col("n")
     val stats = scored.groupBy("label")
       .agg(count(lit(1)).as("n"),
         sum(c6).cast("double").as("s1"),
         sum(c6 * c6).cast("double").as("s2"))
       .select(col("label"), (col("s1") / col("n")).as("mu"),
-        when(col("n") > 1,
-          sqrt((col("s2") - col("s1") * col("s1") / col("n")) /
-            (col("n") - 1))).as("sd"))
+        when(col("n") > 1 && cvar > 0,
+          sqrt(cvar / (col("n") - 1))).as("sd"))
     scored.join(broadcast(stats), Seq("label"))
       .filter(col("cos") < round(col("mu") - lit(2.0) * col("sd"), 9))
       .select(col("vec_id"), col("label"), col("cos").as("cos_sim"),
@@ -971,7 +977,8 @@ object Similarity {
       |      AS DOUBLE) AS s2
       |  FROM scored GROUP BY label),
       |thr AS (SELECT label, s1 / n AS mu,
-      |    CASE WHEN n > 1 THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
+      |    CASE WHEN n > 1 AND (s2 - s1 * s1 / n) > 0
+      |         THEN sqrt((s2 - s1 * s1 / n) / (n - 1)) END AS sd
       |  FROM st)
       |SELECT sc.vec_id, sc.label, sc.cos AS cos_sim,
       |  round(t.mu, 6) AS label_mean, round(t.sd, 6) AS label_std
