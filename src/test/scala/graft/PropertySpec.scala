@@ -67,6 +67,35 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("laplace inverse-CDF: symmetric, zero at the median, monotone in the tails") {
+    // the dp_release_counts mechanism in scalar form: u ∈ (0,1) →
+    // −b·sgn(u−½)·ln(1−2|u−½|). The properties a release depends on:
+    // median draws add nothing, the map is antisymmetric around ½
+    // (no directional bias), and noise magnitude grows monotonically
+    // toward the tails (heavier u-extremes = larger |noise|).
+    def lap(u: Double): Double =
+      -math.signum(u - 0.5) * math.log(1.0 - 2.0 * math.abs(u - 0.5))
+    assert(lap(0.5) == 0.0)
+    // noShrink: scalacheck shrinking ignores the generator's map and
+    // walks u toward 0.0, outside the (h+0.5)/2³² domain the query
+    // guarantees (where ln(0) = −∞ is unreachable by construction)
+    val us: Gen[Double] =
+      Gen.choose(1L, 4294967295L).map(h => (h + 0.5) / 4294967296.0)
+    check(Prop.forAllNoShrink(us) { u =>
+      val x = lap(u)
+      java.lang.Double.isFinite(x) &&
+        math.abs(lap(1.0 - u) + x) < 1e-12 && // antisymmetry
+        // upper-half draws add, lower-half draws subtract
+        (math.signum(x) == math.signum(u - 0.5) || x == 0.0)
+    })
+    check(Prop.forAllNoShrink(us, us) { (a, b) =>
+      // monotone magnitude in distance from the median
+      val (near, far) = if (math.abs(a - 0.5) <= math.abs(b - 0.5)) (a, b)
+        else (b, a)
+      math.abs(lap(near)) <= math.abs(lap(far)) + 1e-12
+    })
+  }
+
   test("wordcount map: token count is preserved by counting") {
     check(Prop.forAll(text) { s =>
       val kvs = wcMap("f", s)
