@@ -458,6 +458,45 @@ class HostileFixtureSpec extends SparkSpec {
     }
   }
 
+  test("release mechanism, purge cascade, and scene cuts keep their arithmetic contracts") {
+    import org.apache.spark.sql.functions._
+    // DP release: noise is finite, the noised count differs from the
+    // true count by exactly the reported |noise| (self-consistency a
+    // release consumer can audit), and no cell is dropped
+    val dp = graft.operators.Relational.dpReleaseCounts(spark, hostileDir)
+      .collect()
+    assert(dp.nonEmpty)
+    dp.foreach { r =>
+      val t = r.getAs[Long]("true_count").toDouble
+      val nz = r.getAs[Double]("noised_count")
+      val a = r.getAs[Double]("abs_noise")
+      assert(!nz.isNaN && !a.isNaN && a >= 0.0)
+      assert(math.abs(math.abs(nz - t) - a) < 2e-6,
+        s"|noised - true| must equal abs_noise (±rounding): $r")
+    }
+    // forget cascade: the three tables balance exactly, and the
+    // lineitem purge is a superset-consistent cascade (purged line
+    // items can only come from purged orders' keys)
+    val tp = graft.operators.Relational.tombstonePurgeAudit(spark, hostileDir)
+      .collect()
+    assert(tp.map(_.getAs[String]("table_name")).toSeq ==
+      Seq("customer", "lineitem", "orders"))
+    tp.foreach { r =>
+      assert(r.getAs[Long]("rows_before") ==
+        r.getAs[Long]("rows_purged") + r.getAs[Long]("rows_after"))
+      assert(r.getAs[Long]("rows_purged") >= 0L)
+    }
+    // scene cuts: the 300 identical-frame assets must segment to
+    // EXACTLY one scene each — frame 0 with NULL hamming, no interior
+    // cut (identical frames have distance 0 < threshold)
+    val cuts = graft.ext.Dedup.frameSceneCuts(spark, hostileDir)
+      .filter(col("asset_id").between(80000000L, 80000299L)).collect()
+    assert(cuts.length == 300, s"one scene row per identical-frame asset, got ${cuts.length}")
+    assert(cuts.forall(r => r.getAs[Long]("frame_idx") == 0L &&
+      r.isNullAt(r.fieldIndex("hamming"))),
+      "an all-identical asset is ONE scene: frame 0, NULL distance")
+  }
+
   test("every query survives the hostile-shaped corpus (no throw, no hang)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
