@@ -133,6 +133,9 @@ object ScaleProbe {
         ((s, d) => graft.streaming.DocStream.streamingQualityMonitor(s, d)),
       "dp_release_counts" -> (graft.operators.Relational.dpReleaseCounts _),
       "frame_scene_cuts" -> ((s, d) => graft.ext.Dedup.frameSceneCuts(s, d)),
+      "psi_value_drift" -> (graft.operators.EventOps.psiValueDrift _),
+      "embedding_batch_drift" ->
+        (graft.ext.Similarity.embeddingBatchDrift _),
       // the forget cascade's only join is the lineitem semi join
       "tombstone_purge_audit" ->
         (graft.operators.Relational.tombstonePurgeAudit _),

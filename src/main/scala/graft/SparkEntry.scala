@@ -363,6 +363,10 @@ object SparkEntry {
     "tombstone_purge_audit" -> Relational.tombstonePurgeAudit _,
     // keyframe segmentation: adjacent-frame perceptual distance
     "frame_scene_cuts" -> Dedup.frameSceneCuts _,
+    // PSI feature-drift gate between the stream's time halves
+    "psi_value_drift" -> EventOps.psiValueDrift _,
+    // per-dim encoder-drift audit: base corpus vs the delta batch
+    "embedding_batch_drift" -> Similarity.embeddingBatchDrift _,
     // the reference's flagship wordcount as an incremental stream
     "stream_wordcount" -> ((s, dir) =>
       graft.streaming.DocStream.streamingWordCount(s, dir)),
@@ -645,6 +649,8 @@ object SparkEntry {
     "dp_release_counts" -> Relational.dpReleaseCountsOracle,
     "tombstone_purge_audit" -> Relational.tombstonePurgeAuditOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,
+    "psi_value_drift" -> EventOps.psiValueDriftOracle,
+    "embedding_batch_drift" -> Similarity.embeddingBatchDriftOracle,
     // the streaming replay must converge to the batch answer exactly —
     // literally the same oracle object as "wordcount"
     "stream_wordcount" -> wordCountOracle,

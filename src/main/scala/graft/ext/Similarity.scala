@@ -1055,6 +1055,79 @@ object Similarity {
        |  cos_sim >= $DecontamTau AS contaminated
        |FROM ranked WHERE rk = 1 ORDER BY eval_id""".stripMargin
 
+  /** Per-dimension encoder-drift audit between the standing corpus
+    * and the delta batch (the [[Dedup.DeltaMod]] slice — "today's
+    * ingest"): Welch t per coordinate on exact decimal sufficient
+    * statistics. A silently swapped or re-finetuned encoder shifts
+    * coordinate means long before any downstream metric moves, and a
+    * mixed-encoder embedding table poisons every ANN index built on
+    * it — THIS is the gate that catches it at ingest. One posexplode
+    * pass collapsing to a d-row frame via map-side-combined
+    * conditional aggregates (base and delta in the SAME pass — the
+    * corpus is scanned once, nothing joins); every moment is a
+    * decimal-exact sum, and the variance term carries the > 0
+    * cancellation guard (an all-identical dimension reports NULL t,
+    * never NaN). */
+  def embeddingBatchDrift(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    def d18(c: Column): Column = sum(c.cast(DecimalType(38, 18))).cast("double")
+    val isDelta = col("vec_id") % Dedup.DeltaMod === (Dedup.DeltaMod - 1)
+    val cells = embeddingsD(spark, dir)
+      .select(isDelta.as("is_delta"), posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("dim")
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("nb"),
+        d18(when(!col("is_delta"), col("x"))).as("sb"),
+        d18(when(!col("is_delta"), col("x") * col("x"))).as("qb"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("nd"),
+        d18(when(col("is_delta"), col("x"))).as("sd"),
+        d18(when(col("is_delta"), col("x") * col("x"))).as("qd"))
+    val mb = col("sb") / col("nb")
+    val md = col("sd") / col("nd")
+    val vb = (col("qb") - col("sb") * col("sb") / col("nb")) / (col("nb") - 1)
+    val vd = (col("qd") - col("sd") * col("sd") / col("nd")) / (col("nd") - 1)
+    val se2 = vb / col("nb") + vd / col("nd")
+    val t = when(col("nb") > 1 && col("nd") > 1 && se2 > 0,
+      round((md - mb) / sqrt(se2), 6))
+    cells.select(col("dim").cast("long").as("dim"),
+        col("nb").as("n_base"), col("nd").as("n_delta"),
+        round(mb, 6).as("mean_base"), round(md, 6).as("mean_delta"),
+        round(md - mb, 6).as("shift"), t.as("t_stat"),
+        coalesce(abs(t) > 4.0, lit(false)).as("drifted"))
+      .orderBy("dim")
+  }
+
+  def embeddingBatchDriftOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+       |  FROM embeddings),
+       |el AS (SELECT vec_id % ${Dedup.DeltaMod} = ${Dedup.DeltaMod - 1}
+       |      AS is_delta, pos, v[pos + 1] AS x
+       |  FROM (SELECT vec_id, v, unnest(range(len(v))) AS pos FROM e) t),
+       |cells AS (SELECT pos AS dim,
+       |    CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(SUM(CAST(CASE WHEN NOT is_delta THEN x END
+       |      AS DECIMAL(38,18))) AS DOUBLE) AS sb,
+       |    CAST(SUM(CAST(CASE WHEN NOT is_delta THEN x * x END
+       |      AS DECIMAL(38,18))) AS DOUBLE) AS qb,
+       |    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS nd,
+       |    CAST(SUM(CAST(CASE WHEN is_delta THEN x END
+       |      AS DECIMAL(38,18))) AS DOUBLE) AS sd,
+       |    CAST(SUM(CAST(CASE WHEN is_delta THEN x * x END
+       |      AS DECIMAL(38,18))) AS DOUBLE) AS qd
+       |  FROM el GROUP BY pos),
+       |m AS (SELECT dim, nb, nd, sb / nb AS mb, sd / nd AS md,
+       |    (qb - sb * sb / nb) / (nb - 1) AS vb,
+       |    (qd - sd * sd / nd) / (nd - 1) AS vd
+       |  FROM cells),
+       |w AS (SELECT dim, nb, nd, mb, md,
+       |    CASE WHEN nb > 1 AND nd > 1 AND (vb / nb + vd / nd) > 0
+       |         THEN round((md - mb) / sqrt(vb / nb + vd / nd), 6) END AS t
+       |  FROM m)
+       |SELECT CAST(dim AS BIGINT) AS dim, nb AS n_base, nd AS n_delta,
+       |  round(mb, 6) AS mean_base, round(md, 6) AS mean_delta,
+       |  round(md - mb, 6) AS shift, t AS t_stat,
+       |  COALESCE(abs(t) > 4.0, false) AS drifted
+       |FROM w ORDER BY dim""".stripMargin
+
   /** Per-dimension embedding health profile: mean, standard
     * deviation, min/max, and a dead-dimension flag for every
     * coordinate — the sanity dashboard read before trusting an

@@ -900,4 +900,101 @@ object EventOps {
       |  round(CAST(SUM(ien - ist) AS DOUBLE) /
       |    CAST(greatest(MAX(ien) - MIN(ist), 1) AS DOUBLE), 6) AS utilization
       |FROM g GROUP BY user_id ORDER BY user_id""".stripMargin
+
+  val PsiBins = 10
+
+  /** Population Stability Index of the event `value` distribution
+    * between the stream's first and second time half — the
+    * feature-drift gate every serving/feature pipeline runs between
+    * batches (PSI < 0.1 stable, > 0.25 drifted is the industry
+    * reading). Ten fixed-width bins over the base half's exact
+    * min/max, add-1 smoothing so empty bins contribute finite terms
+    * (no 0·ln 0), PSI = Σ (p−q)·ln(p/q) with each ln rounded to 9
+    * then decimal-summed (the partition-order-free discipline).
+    * Shape: one pass to the time midpoint + base range (scalar
+    * aggregate), one binning pass collapsing to ≤ 2×[[PsiBins]]
+    * cells via map-side partials, everything after on the bounded
+    * bin frame. Values outside the base range clamp into the edge
+    * bins (the standard PSI convention — new mass beyond the old
+    * range IS drift and must land somewhere countable). */
+  def psiValueDrift(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+    // µs sums stay < 2^53, so the double midpoint is exact and its
+    // long cast floors exactly like the oracle's integer division;
+    // a 0-row stream degrades to the all-empty grid (PSI = 0), not
+    // a NULL-collect crash
+    val midRow = ev.agg(min(col("us")).as("tmin"), max(col("us")).as("tmax"))
+      .select(((col("tmin") + col("tmax")) / 2).cast("long").as("mid"))
+      .first()
+    val mid = if (midRow.isNullAt(0)) 0L else midRow.getLong(0)
+    val base = ev.filter(col("us") <= mid)
+    val rng = base.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .first()
+    val (vmin, vmax) =
+      if (rng.isNullAt(0)) (0.0, 0.0) else (rng.getDouble(0), rng.getDouble(1))
+    val w = if (vmax > vmin) (vmax - vmin) / PsiBins else 1.0
+    val bin = least(greatest(
+      floor((col("value") - lit(vmin)) / lit(w)), lit(0.0)),
+      lit(PsiBins - 1.0)).cast("long")
+    val cells = ev
+      .select(bin.as("bin"), (col("us") <= mid).as("is_base"))
+      .groupBy("bin")
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("nd"))
+    // coalesce: an empty cells frame sums to NULL, and the smoothing
+    // must still yield the uniform p = q = 1/bins zero-PSI report
+    val tot = cells.agg(coalesce(sum(col("nb")), lit(0L)).as("tb"),
+      coalesce(sum(col("nd")), lit(0L)).as("td"))
+    val grid = spark.range(PsiBins).select(col("id").as("bin"))
+      .join(cells, Seq("bin"), "left")
+      .crossJoin(broadcast(tot))
+      .select(col("bin"),
+        coalesce(col("nb"), lit(0L)).as("n_base"),
+        coalesce(col("nd"), lit(0L)).as("n_delta"),
+        ((coalesce(col("nb"), lit(0L)) + 1).cast("double") /
+          (col("tb") + PsiBins)).as("p"),
+        ((coalesce(col("nd"), lit(0L)) + 1).cast("double") /
+          (col("td") + PsiBins)).as("q"))
+      .withColumn("psi_term",
+        round((col("p") - col("q")) * round(log(col("p") / col("q")), 9), 9))
+    val psi = grid.agg(
+        sum(col("psi_term").cast(DecimalType(38, 12))).cast("double").as("s"))
+      .select(round(col("s"), 6).as("psi"))
+    grid.crossJoin(broadcast(psi))
+      .select(col("bin"), col("n_base"), col("n_delta"),
+        round(col("p"), 6).as("p_base"), round(col("q"), 6).as("p_delta"),
+        col("psi_term"), col("psi"),
+        (col("psi") > 0.25).as("drifted"))
+      .orderBy("bin")
+  }
+
+  def psiValueDriftOracle: String =
+    s"""WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+       |mid AS (SELECT CAST((MIN(us) + MAX(us)) // 2 AS BIGINT) AS mid FROM ev),
+       |rng AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax
+       |  FROM ev, mid WHERE us <= mid),
+       |wd AS (SELECT vmin,
+       |    CASE WHEN vmax > vmin THEN (vmax - vmin) / $PsiBins ELSE 1.0 END
+       |      AS w FROM rng),
+       |cells AS (SELECT
+       |    CAST(LEAST(GREATEST(floor((value - vmin) / w), 0.0),
+       |      ${PsiBins - 1}.0) AS BIGINT) AS bin,
+       |    CAST(SUM(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(SUM(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT) AS nd
+       |  FROM ev, mid, wd GROUP BY 1),
+       |tot AS (SELECT CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS tb,
+       |    CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS td FROM cells),
+       |grid AS (SELECT r.range AS bin,
+       |    COALESCE(nb, 0) AS n_base, COALESCE(nd, 0) AS n_delta,
+       |    CAST(COALESCE(nb, 0) + 1 AS DOUBLE) / (tb + $PsiBins) AS p,
+       |    CAST(COALESCE(nd, 0) + 1 AS DOUBLE) / (td + $PsiBins) AS q
+       |  FROM range($PsiBins) r LEFT JOIN cells ON cells.bin = r.range, tot),
+       |terms AS (SELECT *,
+       |    round((p - q) * round(ln(p / q), 9), 9) AS psi_term FROM grid),
+       |psi AS (SELECT round(CAST(SUM(CAST(psi_term AS DECIMAL(38,12)))
+       |      AS DOUBLE), 6) AS psi FROM terms)
+       |SELECT bin, n_base, n_delta, round(p, 6) AS p_base,
+       |  round(q, 6) AS p_delta, psi_term, psi.psi, psi.psi > 0.25 AS drifted
+       |FROM terms, psi ORDER BY bin""".stripMargin
 }
