@@ -367,6 +367,9 @@ object SparkEntry {
     "psi_value_drift" -> EventOps.psiValueDrift _,
     // per-dim encoder-drift audit: base corpus vs the delta batch
     "embedding_batch_drift" -> Similarity.embeddingBatchDrift _,
+    // multiprobe LSH vs single-bucket vs exact: the recall-per-memory case
+    "sim_ann_lsh_multiprobe" -> ((s, dir) =>
+      Similarity.multiprobeRecallAudit(s, dir)),
     // the reference's flagship wordcount as an incremental stream
     "stream_wordcount" -> ((s, dir) =>
       graft.streaming.DocStream.streamingWordCount(s, dir)),
@@ -651,6 +654,7 @@ object SparkEntry {
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,
     "psi_value_drift" -> EventOps.psiValueDriftOracle,
     "embedding_batch_drift" -> Similarity.embeddingBatchDriftOracle,
+    "sim_ann_lsh_multiprobe" -> Similarity.multiprobeRecallAuditOracle,
     // the streaming replay must converge to the batch answer exactly —
     // literally the same oracle object as "wordcount"
     "stream_wordcount" -> wordCountOracle,

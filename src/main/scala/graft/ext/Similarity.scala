@@ -185,6 +185,124 @@ object Similarity {
     topKPerQuery(scored, k)
   }
 
+  /** Multi-probe LSH ANN (Lv et al.): the query probes its OWN bucket
+    * plus all [[NumPlanes]] buckets at Hamming distance 1 (one
+    * hyperplane bit flipped) — near neighbors that landed just across
+    * one hyperplane are recovered WITHOUT more hash tables, which is
+    * the whole point of multiprobe: recall of several tables at the
+    * index cost of one. Each corpus vector still lives in exactly one
+    * bucket, and the probe set is distinct by construction, so no
+    * candidate pair is scored twice — the join fans the bounded query
+    * side out ×(planes+1), never the corpus. */
+  def annLshMultiprobe(spark: SparkSession, dir: String,
+                       numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = embeddingsD(spark, dir)
+      .select(col("vec_id"), col("v"), norm(col("v")).as("nrm"),
+        lshBucket(col("v")).as("bucket"))
+    val probes = array(col("bucket") +: (0 until NumPlanes).map(p =>
+      col("bucket").bitwiseXOR(lit(1L << p))): _*)
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        col("nrm").as("qn"), explode(probes).as("bucket"))
+    val scored = e.join(q, Seq("bucket"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cos6(dot(col("qv"), col("v")), col("qn"), col("nrm")).as("cos_sim"))
+    topKPerQuery(scored, k)
+  }
+
+  /** The multiprobe case FOR itself, as an oracled report: per query,
+    * recall@10 of single-bucket LSH vs Hamming-1 multiprobe against
+    * the exact top-10 — the measured statement of what one flipped
+    * bit buys (9 probed buckets ≈ several hash tables' recall at one
+    * table's memory). Exact arm is panel-bounded (5 queries × one
+    * corpus scan); both approximate arms are ≤50-row broadcast
+    * frames. */
+  def multiprobeRecallAudit(spark: SparkSession, dir: String): DataFrame = {
+    val exact = bruteForceTopK(spark, dir, numQueries = 5, k = 10)
+      .select("query_id", "neighbor_id")
+    val single = annLsh(spark, dir, numQueries = 5, k = 10)
+      .select(col("query_id").as("s_q"), col("neighbor_id").as("s_n"))
+    val multi = annLshMultiprobe(spark, dir, numQueries = 5, k = 10)
+      .select(col("query_id").as("m_q"), col("neighbor_id").as("m_n"))
+    exact
+      .join(broadcast(single),
+        col("query_id") === col("s_q") && col("neighbor_id") === col("s_n"),
+        "left")
+      .join(broadcast(multi),
+        col("query_id") === col("m_q") && col("neighbor_id") === col("m_n"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"),
+        count(col("s_n")).as("n_hit_single"),
+        count(col("m_n")).as("n_hit_multi"))
+      .select(col("query_id"), col("n_exact"),
+        col("n_hit_single"),
+        round(col("n_hit_single").cast("double") / col("n_exact"), 6)
+          .as("recall_single"),
+        col("n_hit_multi"),
+        round(col("n_hit_multi").cast("double") / col("n_exact"), 6)
+          .as("recall_multi"))
+      .orderBy("query_id")
+  }
+
+  def multiprobeRecallAuditOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |exact AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+       |                 x.vec_id) AS rk
+       |    FROM n0 q, n0 x WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id) t
+       |  WHERE rk <= 10),
+       |proj AS (SELECT vec_id, p,
+       |    list_sum(list_transform(range(len(v)), j ->
+       |      v[j+1] * (CASE WHEN (j * 2654435761 + p * 40503) % 97 % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END))) AS s
+       |  FROM e CROSS JOIN range($NumPlanes) r(p)),
+       |bucket AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |nb AS (SELECT n0.vec_id, n0.v, n0.nrm, b.bucket
+       |  FROM n0 JOIN bucket b ON n0.vec_id = b.vec_id),
+       |single AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+       |                 x.vec_id) AS rk
+       |    FROM nb q JOIN nb x ON q.bucket = x.bucket AND x.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5) t
+       |  WHERE rk <= 10),
+       |pb AS (SELECT vec_id AS query_id, v, nrm,
+       |    unnest(list_concat([bucket], list_transform(range($NumPlanes),
+       |      p -> xor(bucket, (1::BIGINT << p))))) AS bucket
+       |  FROM nb WHERE vec_id < 5),
+       |multi AS (
+       |  SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+       |                 x.vec_id) AS rk
+       |    FROM pb q JOIN nb x ON q.bucket = x.bucket
+       |      AND x.vec_id <> q.query_id) t
+       |  WHERE rk <= 10)
+       |SELECT ex.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(s.neighbor_id) AS BIGINT) AS n_hit_single,
+       |  round(CAST(COUNT(s.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+       |    AS recall_single,
+       |  CAST(COUNT(m.neighbor_id) AS BIGINT) AS n_hit_multi,
+       |  round(CAST(COUNT(m.neighbor_id) AS DOUBLE) / COUNT(*), 6)
+       |    AS recall_multi
+       |FROM exact ex
+       |LEFT JOIN single s
+       |  ON ex.query_id = s.query_id AND ex.neighbor_id = s.neighbor_id
+       |LEFT JOIN multi m
+       |  ON ex.query_id = m.query_id AND ex.neighbor_id = m.neighbor_id
+       |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
+
   // ── int8 quantization (embedding compression) ──
 
   /** Symmetric per-vector int8 quantization: scale = max|x|/127,

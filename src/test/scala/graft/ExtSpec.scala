@@ -352,6 +352,24 @@ class ExtSpec extends SparkSpec {
     assert(rows.map(_.toString).toSeq == again.map(_.toString).toSeq)
   }
 
+  test("multiprobe LSH recall dominates single-bucket recall on every query") {
+    // a theorem, not a tendency: multiprobe candidates ⊇ the single
+    // bucket's, and an exact-top-k member can only be displaced from
+    // the approximate top-k by vectors that beat it globally — which
+    // are themselves exact-top-k. So per query recall_multi ≥
+    // recall_single, with equality only when the flipped-bit buckets
+    // add no exact neighbor.
+    val rows = ext.Similarity.multiprobeRecallAudit(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("recall_multi") >= r.getAs[Double]("recall_single"),
+        s"multiprobe must dominate: $r")
+      assert(r.getAs[Long]("n_hit_multi") <= r.getAs[Long]("n_exact"))
+    }
+    assert(rows.map(_.getAs[Double]("recall_multi")).sum >=
+      rows.map(_.getAs[Double]("recall_single")).sum)
+  }
+
   test("tokenizer fertility: every word emits >= 1 symbol, symbols never exceed chars") {
     val rows = TextAnalysis.tokenizerFertility(spark, sf0001).collect()
     assert(rows.nonEmpty)
