@@ -911,19 +911,22 @@ object EventOps {
     * min/max, add-1 smoothing so empty bins contribute finite terms
     * (no 0·ln 0), PSI = Σ (p−q)·ln(p/q) with each ln rounded to 9
     * then decimal-summed (the partition-order-free discipline).
-    * Shape: one pass to the time midpoint + base range (scalar
-    * aggregate), one binning pass collapsing to ≤ 2×[[PsiBins]]
-    * cells via map-side partials, everything after on the bounded
-    * bin frame. Values outside the base range clamp into the edge
-    * bins (the standard PSI convention — new mass beyond the old
-    * range IS drift and must land somewhere countable). */
+    * Shape: two scalar passes (the time midpoint, then the base
+    * half's value range — the range depends on the midpoint, so the
+    * sequencing is inherent), one binning pass collapsing to
+    * ≤ 2×[[PsiBins]] cells via map-side partials, everything after
+    * on the bounded bin frame. Values outside the base range clamp
+    * into the edge bins (the standard PSI convention — new mass
+    * beyond the old range IS drift and must land somewhere
+    * countable). A half with NO mass reports PSI NULL and verdict
+    * false: "base vs a fabricated uniform" is not a drift claim. */
   def psiValueDrift(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(unix_micros(col("ts")).as("us"), col("value"))
     // µs sums stay < 2^53, so the double midpoint is exact and its
     // long cast floors exactly like the oracle's integer division;
-    // a 0-row stream degrades to the all-empty grid (PSI = 0), not
-    // a NULL-collect crash
+    // a 0-row stream degrades to the empty grid (PSI NULL, verdict
+    // false — no population, no drift claim), not a NULL-collect crash
     val midRow = ev.agg(min(col("us")).as("tmin"), max(col("us")).as("tmax"))
       .select(((col("tmin") + col("tmax")) / 2).cast("long").as("mid"))
       .first()
@@ -949,15 +952,20 @@ object EventOps {
     val grid = spark.range(PsiBins).select(col("id").as("bin"))
       .join(cells, Seq("bin"), "left")
       .crossJoin(broadcast(tot))
-      .select(col("bin"),
+      .select(col("bin"), col("tb"), col("td"),
         coalesce(col("nb"), lit(0L)).as("n_base"),
         coalesce(col("nd"), lit(0L)).as("n_delta"),
         ((coalesce(col("nb"), lit(0L)) + 1).cast("double") /
           (col("tb") + PsiBins)).as("p"),
         ((coalesce(col("nd"), lit(0L)) + 1).cast("double") /
           (col("td") + PsiBins)).as("q"))
+      // an EMPTY half has no distribution to compare: its smoothed
+      // side is a fabricated uniform, and "base vs uniform" would
+      // trip the gate against a population that does not exist —
+      // PSI is NULL (verdict false) unless BOTH halves carry mass
       .withColumn("psi_term",
-        round((col("p") - col("q")) * round(log(col("p") / col("q")), 9), 9))
+        when(col("tb") > 0 && col("td") > 0,
+          round((col("p") - col("q")) * round(log(col("p") / col("q")), 9), 9)))
     val psi = grid.agg(
         sum(col("psi_term").cast(DecimalType(38, 12))).cast("double").as("s"))
       .select(round(col("s"), 6).as("psi"))
@@ -965,7 +973,7 @@ object EventOps {
       .select(col("bin"), col("n_base"), col("n_delta"),
         round(col("p"), 6).as("p_base"), round(col("q"), 6).as("p_delta"),
         col("psi_term"), col("psi"),
-        (col("psi") > 0.25).as("drifted"))
+        coalesce(col("psi") > 0.25, lit(false)).as("drifted"))
       .orderBy("bin")
   }
 
@@ -985,16 +993,19 @@ object EventOps {
        |  FROM ev, mid, wd GROUP BY 1),
        |tot AS (SELECT CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS tb,
        |    CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS td FROM cells),
-       |grid AS (SELECT r.range AS bin,
+       |grid AS (SELECT r.range AS bin, tb, td,
        |    COALESCE(nb, 0) AS n_base, COALESCE(nd, 0) AS n_delta,
        |    CAST(COALESCE(nb, 0) + 1 AS DOUBLE) / (tb + $PsiBins) AS p,
        |    CAST(COALESCE(nd, 0) + 1 AS DOUBLE) / (td + $PsiBins) AS q
        |  FROM range($PsiBins) r LEFT JOIN cells ON cells.bin = r.range, tot),
        |terms AS (SELECT *,
-       |    round((p - q) * round(ln(p / q), 9), 9) AS psi_term FROM grid),
+       |    CASE WHEN tb > 0 AND td > 0
+       |         THEN round((p - q) * round(ln(p / q), 9), 9) END AS psi_term
+       |  FROM grid),
        |psi AS (SELECT round(CAST(SUM(CAST(psi_term AS DECIMAL(38,12)))
        |      AS DOUBLE), 6) AS psi FROM terms)
        |SELECT bin, n_base, n_delta, round(p, 6) AS p_base,
-       |  round(q, 6) AS p_delta, psi_term, psi.psi, psi.psi > 0.25 AS drifted
+       |  round(q, 6) AS p_delta, psi_term, psi.psi,
+       |  COALESCE(psi.psi > 0.25, false) AS drifted
        |FROM terms, psi ORDER BY bin""".stripMargin
 }

@@ -474,18 +474,36 @@ class HostileFixtureSpec extends SparkSpec {
       assert(math.abs(math.abs(nz - t) - a) < 2e-6,
         s"|noised - true| must equal abs_noise (±rounding): $r")
     }
-    // forget cascade: the three tables balance exactly, and the
-    // lineitem purge is a superset-consistent cascade (purged line
-    // items can only come from purged orders' keys)
+    // forget cascade: recompute every purge count INDEPENDENTLY from
+    // the selector definition (it is a pure key function, so the test
+    // can re-derive it) — asserting the query's own before-purged
+    // identity would be a tautology
+    def sel(k: org.apache.spark.sql.Column) =
+      conv(substring(md5(concat(lit("graft-forget-v1:"), k.cast("string"))),
+        1, 8), 16, 10).cast("long") <
+        graft.operators.Relational.ForgetThreshold
+    val cust = Tables.customer(spark, hostileDir)
+    val ord = Tables.orders(spark, hostileDir)
+    val li = Tables.lineitem(spark, hostileDir)
+    val expect = Map(
+      "customer" -> (cust.count(), cust.filter(sel(col("c_custkey"))).count()),
+      "orders" -> (ord.count(), ord.filter(sel(col("o_custkey"))).count()),
+      "lineitem" -> (li.count(), li.join(
+        ord.filter(sel(col("o_custkey"))).select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi").count()))
     val tp = graft.operators.Relational.tombstonePurgeAudit(spark, hostileDir)
       .collect()
     assert(tp.map(_.getAs[String]("table_name")).toSeq ==
       Seq("customer", "lineitem", "orders"))
     tp.foreach { r =>
-      assert(r.getAs[Long]("rows_before") ==
-        r.getAs[Long]("rows_purged") + r.getAs[Long]("rows_after"))
-      assert(r.getAs[Long]("rows_purged") >= 0L)
+      val (eb, ep) = expect(r.getAs[String]("table_name"))
+      assert(r.getAs[Long]("rows_before") == eb &&
+        r.getAs[Long]("rows_purged") == ep &&
+        r.getAs[Long]("rows_after") == eb - ep,
+        s"independently recomputed purge mismatch: $r vs ($eb, $ep)")
     }
+    assert(expect("customer")._2 > 0L,
+      "the ~2% selector must fire on the fixture or the test is vacuous")
     // scene cuts: the 300 identical-frame assets must segment to
     // EXACTLY one scene each — frame 0 with NULL hamming, no interior
     // cut (identical frames have distance 0 < threshold)

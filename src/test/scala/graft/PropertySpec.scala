@@ -79,8 +79,10 @@ class PropertySpec extends SparkSpec {
     // noShrink: scalacheck shrinking ignores the generator's map and
     // walks u toward 0.0, outside the (h+0.5)/2³² domain the query
     // guarantees (where ln(0) = −∞ is unreachable by construction)
+    // h = 0 (the extreme-tail draw, u = 0.5/2³²) is reachable by the
+    // query's 8-hex-char hash and must be covered
     val us: Gen[Double] =
-      Gen.choose(1L, 4294967295L).map(h => (h + 0.5) / 4294967296.0)
+      Gen.choose(0L, 4294967295L).map(h => (h + 0.5) / 4294967296.0)
     check(Prop.forAllNoShrink(us) { u =>
       val x = lap(u)
       java.lang.Double.isFinite(x) &&
