@@ -134,6 +134,8 @@ object ScaleProbe {
       "dp_release_counts" -> (graft.operators.Relational.dpReleaseCounts _),
       "frame_scene_cuts" -> ((s, d) => graft.ext.Dedup.frameSceneCuts(s, d)),
       "psi_value_drift" -> (graft.operators.EventOps.psiValueDrift _),
+      "stream_psi_monitor" ->
+        ((s, d) => graft.streaming.EventStream.psiMonitorOverFiles(s, d)),
       "embedding_batch_drift" ->
         (graft.ext.Similarity.embeddingBatchDrift _),
       // the forget cascade's only join is the lineitem semi join

@@ -370,6 +370,9 @@ object SparkEntry {
     // multiprobe LSH vs single-bucket vs exact: the recall-per-memory case
     "sim_ann_lsh_multiprobe" -> ((s, dir) =>
       Similarity.multiprobeRecallAudit(s, dir)),
+    // fit-on-batch / score-on-stream PSI: drift caught at ingest
+    "stream_psi_monitor" -> ((s, dir) =>
+      graft.streaming.EventStream.psiMonitorOverFiles(s, dir)),
     // the reference's flagship wordcount as an incremental stream
     "stream_wordcount" -> ((s, dir) =>
       graft.streaming.DocStream.streamingWordCount(s, dir)),
@@ -655,6 +658,8 @@ object SparkEntry {
     "psi_value_drift" -> EventOps.psiValueDriftOracle,
     "embedding_batch_drift" -> Similarity.embeddingBatchDriftOracle,
     "sim_ann_lsh_multiprobe" -> Similarity.multiprobeRecallAuditOracle,
+    // the streamed monitor must equal the batch PSI — the same oracle
+    "stream_psi_monitor" -> EventOps.psiValueDriftOracle,
     // the streaming replay must converge to the batch answer exactly —
     // literally the same oracle object as "wordcount"
     "stream_wordcount" -> wordCountOracle,

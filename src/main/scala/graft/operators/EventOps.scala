@@ -920,7 +920,13 @@ object EventOps {
     * beyond the old range IS drift and must land somewhere
     * countable). A half with NO mass reports PSI NULL and verdict
     * false: "base vs a fabricated uniform" is not a drift claim. */
-  def psiValueDrift(spark: SparkSession, dir: String): DataFrame = {
+  /** The PSI reference profile fitted on the batch: time midpoint +
+    * the base half's binning range. Shared by the batch query and
+    * the scan-on-ingest streaming monitor (fit on batch, score on
+    * stream). */
+  private[graft] case class PsiProfile(mid: Long, vmin: Double, w: Double)
+
+  private[graft] def psiProfile(spark: SparkSession, dir: String): PsiProfile = {
     val ev = Tables.events(spark, dir)
       .select(unix_micros(col("ts")).as("us"), col("value"))
     // µs sums stay < 2^53, so the double midpoint is exact and its
@@ -931,20 +937,37 @@ object EventOps {
       .select(((col("tmin") + col("tmax")) / 2).cast("long").as("mid"))
       .first()
     val mid = if (midRow.isNullAt(0)) 0L else midRow.getLong(0)
-    val base = ev.filter(col("us") <= mid)
-    val rng = base.agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+    val rng = ev.filter(col("us") <= mid)
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
       .first()
     val (vmin, vmax) =
       if (rng.isNullAt(0)) (0.0, 0.0) else (rng.getDouble(0), rng.getDouble(1))
-    val w = if (vmax > vmin) (vmax - vmin) / PsiBins else 1.0
-    val bin = least(greatest(
-      floor((col("value") - lit(vmin)) / lit(w)), lit(0.0)),
+    PsiProfile(mid, vmin, if (vmax > vmin) (vmax - vmin) / PsiBins else 1.0)
+  }
+
+  /** Clamped fixed-width bin of `value` under the profile. */
+  private[graft] def psiBin(pf: PsiProfile): Column =
+    least(greatest(
+      floor((col("value") - lit(pf.vmin)) / lit(pf.w)), lit(0.0)),
       lit(PsiBins - 1.0)).cast("long")
-    val cells = ev
-      .select(bin.as("bin"), (col("us") <= mid).as("is_base"))
+
+  def psiValueDrift(spark: SparkSession, dir: String): DataFrame = {
+    val pf = psiProfile(spark, dir)
+    val cells = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"), col("value"))
+      .select(psiBin(pf).as("bin"), (col("us") <= pf.mid).as("is_base"))
       .groupBy("bin")
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("nd"))
+    psiAssemble(spark, cells)
+  }
+
+  /** Grid densification + smoothing + the PSI fold over a
+    * (bin, nb, nd) cell frame — the arithmetic both the batch query
+    * and the streaming monitor share, so their reports are one
+    * definition. */
+  private[graft] def psiAssemble(spark: SparkSession,
+                                 cells: DataFrame): DataFrame = {
     // coalesce: an empty cells frame sums to NULL, and the smoothing
     // must still yield the uniform p = q = 1/bins zero-PSI report
     val tot = cells.agg(coalesce(sum(col("nb")), lit(0L)).as("tb"),

@@ -542,6 +542,43 @@ object EventStream {
     """SELECT DISTINCT user_id, event_type FROM events
       |ORDER BY user_id, event_type""".stripMargin
 
+  /** PSI drift monitor in its DEPLOYMENT shape — fit on batch, score
+    * on stream: the reference profile (time midpoint + base-half bin
+    * range, [[graft.operators.EventOps.psiProfile]]) and the base bin
+    * distribution come from ONE batch pass over the standing data;
+    * the arriving half then bins ON INGEST through the broadcast
+    * profile literals, maintaining only [[graft.operators.EventOps
+    * .PsiBins]] rows of counting state. The final report runs through
+    * the SAME assembly arithmetic as the batch `psi_value_drift`
+    * (one shared definition) and verifies against the identical
+    * oracle — the fit-on-batch/score-on-stream pattern of
+    * `stream_outlier_score`, applied to distribution drift. */
+  def psiMonitorOverFiles(spark: org.apache.spark.sql.SparkSession,
+                          dir: String): DataFrame = {
+    import graft.operators.EventOps
+    val pf = EventOps.psiProfile(spark, dir)
+    val baseCells = graft.Tables.events(spark, dir)
+      .filter(unix_micros(col("ts")) <= pf.mid)
+      .select(EventOps.psiBin(pf).as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("nb"))
+    val (stream, streamDir, _) = stagedEventStream(spark, dir, "graft-psi-stream")
+    val name = s"graft_stream_psi_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withBoundedStateParallelism(spark) {
+      stream
+        .filter(unix_micros(col("ts")) > pf.mid) // the ARRIVING half
+        .select(EventOps.psiBin(pf).as("bin"))
+        .groupBy("bin").agg(count(lit(1)).as("nd"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
+    val cells = baseCells
+      .join(spark.table(name), Seq("bin"), "full_outer")
+      .select(col("bin"), coalesce(col("nb"), lit(0L)).as("nb"),
+        coalesce(col("nd"), lit(0L)).as("nd"))
+    EventOps.psiAssemble(spark, cells)
+  }
+
   /** Gap sessionizer on Spark 4's transformWithState API (arbitrary
     * stateful processing v2, RocksDB-backed): the same session fold as
     * [[sessionize]], but state lives in a typed [[ValueState]] inside a
