@@ -217,6 +217,8 @@ object SparkEntry {
     "grouping_sets_revenue" -> Relational.groupingSetsRevenue _,
     // ── composed curation pipeline (all four stages under the oracle) ──
     "pipeline_curate" -> ext.Pipeline.curateDocs _,
+    // per-stage dedup-campaign attribution: every cut point oracled
+    "pipeline_waterfall" -> ext.Pipeline.pipelineWaterfall _,
     // ── TPC-H round 4: EXISTS semi join with cross-table predicate,
     //    global-max scalar subquery, decorrelated per-group average,
     //    global-average + anti join ──
@@ -544,6 +546,7 @@ object SparkEntry {
     "grouping_sets_revenue" -> Relational.groupingSetsRevenueOracle,
     "dedup_shingle_signatures" -> Dedup.shingleSignaturesOracle,
     "pipeline_curate" -> ext.Pipeline.curateDocsOracle,
+    "pipeline_waterfall" -> ext.Pipeline.pipelineWaterfallOracle,
     "q4_priority_exists" -> Relational.q4Oracle,
     "q8_market_share" -> Relational.q8Oracle,
     "q12_priority_shipping" -> Relational.q12Oracle,

@@ -83,6 +83,69 @@ object Pipeline {
       .select(col("doc_id"), col("n_tokens"))
       .orderBy("doc_id")
 
+  /** The curation WATERFALL: one row per pipeline stage with the doc
+    * count entering, removed, and surviving, plus retention vs the
+    * raw input — the per-stage attribution every dedup campaign
+    * reports ("exact dedup took 4%, quality took 14%, near-dup took
+    * 5%"), which is what decides where the next unit of curation
+    * effort goes. The counts are [[curate]]'s own stage aggregates
+    * (output-of-aggregation scalars — the bounded-collect class);
+    * the report frame is 4 rows built from them, and the oracle
+    * re-derives every stage count from the same CTE chain as
+    * [[curateDocsOracle]], so the whole four-stage composition is
+    * verified at EVERY cut point, not just the final survivor set. */
+  def pipelineWaterfall(spark: SparkSession, dir: String): DataFrame = {
+    val (_, st) = curate(spark, dir)
+    def r6(num: Long): Option[Double] =
+      if (st.n_input > 0)
+        Some(BigDecimal(num.toDouble / st.n_input)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      else None
+    val rows = Seq(
+      ("0_input", st.n_input, 0L),
+      ("1_exact_dedup", st.n_after_exact, st.n_input - st.n_after_exact),
+      ("2_quality", st.n_after_quality, st.n_after_exact - st.n_after_quality),
+      ("3_neardup", st.n_after_neardup, st.n_after_quality - st.n_after_neardup))
+    import spark.implicits._
+    rows.map { case (stage, out, removed) =>
+      (stage, out, removed, r6(out)) }
+      .toDF("stage", "docs_out", "docs_removed", "retention")
+      .orderBy("stage")
+  }
+
+  def pipelineWaterfallOracle: String =
+    s"""WITH k0 AS (
+       |  SELECT doc_id, text,
+       |    MIN(doc_id) OVER (PARTITION BY
+       |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS keeper
+       |  FROM documents),
+       |quality AS (
+       |  SELECT doc_id, text, len(ws) AS n_tokens FROM (
+       |    SELECT doc_id, text, ${Dedup.tokensSqlPublic} AS ws
+       |    FROM k0 WHERE doc_id = keeper) t
+       |  WHERE len(ws) >= 10
+       |    AND CAST(len(list_filter(ws,
+       |      w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
+       |        / len(ws) <= 0.9),
+       |${Dedup.minhashEstCtesPublic("quality")},
+       |drops AS (SELECT DISTINCT d2 FROM est WHERE est_jaccard >= 0.9),
+       |s0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+       |s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM k0
+       |       WHERE doc_id = keeper),
+       |s2 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM quality),
+       |s3 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM quality
+       |       WHERE doc_id NOT IN (SELECT d2 FROM drops)),
+       |w AS (
+       |  SELECT '0_input' AS stage, s0.n AS docs_out,
+       |    CAST(0 AS BIGINT) AS docs_removed FROM s0
+       |  UNION ALL SELECT '1_exact_dedup', s1.n, s0.n - s1.n FROM s0, s1
+       |  UNION ALL SELECT '2_quality', s2.n, s1.n - s2.n FROM s1, s2
+       |  UNION ALL SELECT '3_neardup', s3.n, s2.n - s3.n FROM s2, s3)
+       |SELECT w.stage, w.docs_out, w.docs_removed,
+       |  CASE WHEN s0.n > 0
+       |       THEN round(CAST(w.docs_out AS DOUBLE) / s0.n, 6) END AS retention
+       |FROM w, s0 ORDER BY w.stage""".stripMargin
+
   /** Mirrors every stage: whitespace-normalized exact dedup, quality
     * thresholds, capped-LSH near-dup drop (greedy d2), token count.
     * DuckDB's regexp_replace needs the 'g' flag — it replaces only the
