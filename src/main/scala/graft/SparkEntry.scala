@@ -375,6 +375,9 @@ object SparkEntry {
     // fit-on-batch / score-on-stream PSI: drift caught at ingest
     "stream_psi_monitor" -> ((s, dir) =>
       graft.streaming.EventStream.psiMonitorOverFiles(s, dir)),
+    // the manifest maintained on ingest converges to the batch build
+    "stream_shard_manifest" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingShardManifest(s, dir)),
     // the reference's flagship wordcount as an incremental stream
     "stream_wordcount" -> ((s, dir) =>
       graft.streaming.DocStream.streamingWordCount(s, dir)),
@@ -663,6 +666,9 @@ object SparkEntry {
     "sim_ann_lsh_multiprobe" -> Similarity.multiprobeRecallAuditOracle,
     // the streamed monitor must equal the batch PSI — the same oracle
     "stream_psi_monitor" -> EventOps.psiValueDriftOracle,
+    // order-independent digest ⇒ the stream converges to the batch
+    // manifest exactly — literally the same oracle object
+    "stream_shard_manifest" -> Sampling.shardManifestOracle,
     // the streaming replay must converge to the batch answer exactly —
     // literally the same oracle object as "wordcount"
     "stream_wordcount" -> wordCountOracle,

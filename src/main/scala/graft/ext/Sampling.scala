@@ -324,23 +324,34 @@ object Sampling {
     * shard prove byte-equality by comparing ONE long. Cost: one
     * projection + one [[NumShards]]-group hash aggregate, map-side
     * combined; nothing is ordered, nothing collects. */
-  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
-    val fp = conv(substring(md5(concat(lit(ShardSalt + ":"),
+  /** 60-bit keyed content fingerprint — covers text bytes AND the
+    * doc id, so corruption, loss, and shard migration all flip the
+    * XOR digest. Shared with the streaming manifest twin. */
+  private[graft] def shardFp: Column =
+    conv(substring(md5(concat(lit(ShardSalt + ":"),
         col("doc_id").cast("string"), lit(":"), md5(col("text")))), 1, 15),
       16, 10).cast("long")
-    val shard = pmod(conv(substring(md5(concat(lit(ShardSalt + ":"),
-        col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
+
+  /** Deterministic shard of a doc id. Shared with the streaming twin. */
+  private[graft] def shardCol: Column =
+    pmod(conv(substring(md5(concat(lit(ShardSalt + ":"),
+      col("doc_id").cast("string"))), 1, 8), 16, 10).cast("long"),
       lit(NumShards.toLong))
-    Tables.documents(spark, dir)
-      .select(shard.as("shard"), col("doc_id"), length(col("text")).as("len"),
-        fp.as("fp"))
-      .groupBy("shard")
+
+  /** The manifest aggregation over a (shard, doc_id, len, fp) frame —
+    * one shape for the batch scan and the streaming ingest. */
+  private[graft] def shardManifestAgg(rows: DataFrame): DataFrame =
+    rows.groupBy("shard")
       .agg(count(lit(1)).as("n_docs"),
         sum(col("len")).cast("long").as("n_chars"),
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
         expr("bit_xor(fp)").as("content_digest"))
+
+  def shardManifest(spark: SparkSession, dir: String): DataFrame =
+    shardManifestAgg(Tables.documents(spark, dir)
+      .select(shardCol.as("shard"), col("doc_id"),
+        length(col("text")).as("len"), shardFp.as("fp")))
       .orderBy("shard")
-  }
 
   def shardManifestOracle: String =
     s"""WITH d AS (SELECT

@@ -159,6 +159,36 @@ object DocStream {
        |  CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
        |FROM r GROUP BY source, reason ORDER BY source, reason""".stripMargin
 
+  /** The shard manifest maintained ON INGEST — the property demo the
+    * XOR digest exists for: because assignment is id-pure and the
+    * digest is an order-independent fold, the manifest a stream
+    * converges to is BYTE-IDENTICAL to the one a batch build
+    * produces, however arrival interleaves — verified against the
+    * SAME oracle as the batch `shard_manifest`. State is
+    * [[graft.ext.Sampling.NumShards]] rows (counts + one running
+    * XOR each); the hash/fingerprint projections ride the ingest
+    * scan. A deployment runs update mode into a manifest upsert and
+    * ships shards whose digest went quiet. */
+  def streamingShardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val streamDir = java.nio.file.Files.createTempDirectory("graft-shardstream")
+    EventStream.stageParquetCopy(
+      java.nio.file.Path.of(s"$dir/documents.parquet"),
+      streamDir, "documents.parquet")
+    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
+    val manifest = graft.ext.Sampling.shardManifestAgg(
+      stream.select(graft.ext.Sampling.shardCol.as("shard"), col("doc_id"),
+        length(col("text")).as("len"), graft.ext.Sampling.shardFp.as("fp")))
+    val name = s"graft_stream_shard_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = EventStream.withBoundedStateParallelism(spark) {
+      manifest.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
+    try q.processAllAvailable() finally {
+      q.stop(); EventStream.deleteStaged(streamDir)
+    }
+    spark.table(name).orderBy("shard")
+  }
+
   /** The reference's flagship computation — word count — as an
     * INCREMENTAL stream: counts maintained per micro-batch as
     * documents arrive, closing the loop on SURVEY §2's P1/A5 for a
