@@ -136,6 +136,9 @@ object ScaleProbe {
       "psi_value_drift" -> (graft.operators.EventOps.psiValueDrift _),
       "stream_psi_monitor" ->
         ((s, d) => graft.streaming.EventStream.psiMonitorOverFiles(s, d)),
+      "stream_shard_manifest" ->
+        ((s, d) => graft.streaming.DocStream.streamingShardManifest(s, d)),
+      "pipeline_waterfall" -> (graft.ext.Pipeline.pipelineWaterfall _),
       "embedding_batch_drift" ->
         (graft.ext.Similarity.embeddingBatchDrift _),
       // the forget cascade's only join is the lineitem semi join
