@@ -95,7 +95,11 @@ object Pipeline {
     * [[curateDocsOracle]], so the whole four-stage composition is
     * verified at EVERY cut point, not just the final survivor set. */
   def pipelineWaterfall(spark: SparkSession, dir: String): DataFrame = {
-    val (_, st) = curate(spark, dir)
+    val (curated, st) = curate(spark, dir)
+    // only the four scalar counts are consumed here — releasing the
+    // survivor cache immediately (a discarded persist would otherwise
+    // pin executor storage until session end)
+    curated.unpersist()
     def r6(num: Long): Option[Double] =
       if (st.n_input > 0)
         Some(BigDecimal(num.toDouble / st.n_input)
@@ -114,21 +118,7 @@ object Pipeline {
   }
 
   def pipelineWaterfallOracle: String =
-    s"""WITH k0 AS (
-       |  SELECT doc_id, text,
-       |    MIN(doc_id) OVER (PARTITION BY
-       |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS keeper
-       |  FROM documents),
-       |quality AS (
-       |  SELECT doc_id, text, len(ws) AS n_tokens FROM (
-       |    SELECT doc_id, text, ${Dedup.tokensSqlPublic} AS ws
-       |    FROM k0 WHERE doc_id = keeper) t
-       |  WHERE len(ws) >= 10
-       |    AND CAST(len(list_filter(ws,
-       |      w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-       |        / len(ws) <= 0.9),
-       |${Dedup.minhashEstCtesPublic("quality")},
-       |drops AS (SELECT DISTINCT d2 FROM est WHERE est_jaccard >= 0.9),
+    s"""WITH $curationCtes,
        |s0 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
        |s1 AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM k0
        |       WHERE doc_id = keeper),
@@ -146,12 +136,15 @@ object Pipeline {
        |       THEN round(CAST(w.docs_out AS DOUBLE) / s0.n, 6) END AS retention
        |FROM w, s0 ORDER BY w.stage""".stripMargin
 
-  /** Mirrors every stage: whitespace-normalized exact dedup, quality
-    * thresholds, capped-LSH near-dup drop (greedy d2), token count.
-    * DuckDB's regexp_replace needs the 'g' flag — it replaces only the
-    * first match by default, unlike Spark. */
-  def curateDocsOracle: String =
-    s"""WITH k0 AS (
+  /** The pipeline's shared CTE chain (k0 → quality → est → drops),
+    * mirroring every stage: whitespace-normalized exact dedup, quality
+    * thresholds, capped-LSH near-dup candidates. ONE definition
+    * interpolated by BOTH the survivor-set and waterfall oracles — a
+    * threshold edit cannot drift them apart. DuckDB's regexp_replace
+    * needs the 'g' flag — it replaces only the first match by
+    * default, unlike Spark. */
+  private def curationCtes: String =
+    s"""k0 AS (
        |  SELECT doc_id, text,
        |    MIN(doc_id) OVER (PARTITION BY
        |      trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS keeper
@@ -165,7 +158,11 @@ object Pipeline {
        |      w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
        |        / len(ws) <= 0.9),
        |${Dedup.minhashEstCtesPublic("quality")},
-       |drops AS (SELECT DISTINCT d2 FROM est WHERE est_jaccard >= 0.9)
+       |drops AS (SELECT DISTINCT d2 FROM est WHERE est_jaccard >= 0.9)"""
+      .stripMargin
+
+  def curateDocsOracle: String =
+    s"""WITH $curationCtes
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
        |FROM quality WHERE doc_id NOT IN (SELECT d2 FROM drops)
        |ORDER BY doc_id""".stripMargin

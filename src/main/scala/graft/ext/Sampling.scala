@@ -310,20 +310,6 @@ object Sampling {
     * to both would make shard 0 systematically 'train'-heavy). */
   val ShardSalt = "graft-shard-v1"
 
-  /** Training-shard manifest: assign every document to one of
-    * [[NumShards]] shards by an id-pure hash and emit the per-shard
-    * manifest row a data loader verifies before consuming — doc
-    * count, char volume, id span, and an order-independent content
-    * digest (XOR of 60-bit keyed content fingerprints: commutative,
-    * so the digest is identical however partitions combine, and it
-    * covers BOTH text bytes and assignment, so a corrupted doc, a
-    * dropped doc, or a doc that migrated shards all flip it). This is
-    * the WebDataset/Megatron shard-build contract: assignment is a
-    * pure function of (salt, doc_id) — retries and re-runs land every
-    * doc in the same shard, and two independently built copies of a
-    * shard prove byte-equality by comparing ONE long. Cost: one
-    * projection + one [[NumShards]]-group hash aggregate, map-side
-    * combined; nothing is ordered, nothing collects. */
   /** 60-bit keyed content fingerprint — covers text bytes AND the
     * doc id, so corruption, loss, and shard migration all flip the
     * XOR digest. Shared with the streaming manifest twin. */
@@ -347,10 +333,28 @@ object Sampling {
         min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
         expr("bit_xor(fp)").as("content_digest"))
 
+  /** The (shard, doc_id, len, fp) projection over any documents
+    * frame — the batch scan and the streaming ingest share it. */
+  private[graft] def shardRows(docs: DataFrame): DataFrame =
+    docs.select(shardCol.as("shard"), col("doc_id"),
+      length(col("text")).as("len"), shardFp.as("fp"))
+
+  /** Training-shard manifest: assign every document to one of
+    * [[NumShards]] shards by an id-pure hash and emit the per-shard
+    * manifest row a data loader verifies before consuming — doc
+    * count, char volume, id span, and an order-independent content
+    * digest (XOR of 60-bit keyed content fingerprints: commutative,
+    * so the digest is identical however partitions combine, and it
+    * covers BOTH text bytes and assignment, so a corrupted doc, a
+    * dropped doc, or a doc that migrated shards all flip it). This is
+    * the WebDataset/Megatron shard-build contract: assignment is a
+    * pure function of (salt, doc_id) — retries and re-runs land every
+    * doc in the same shard, and two independently built copies of a
+    * shard prove byte-equality by comparing ONE long. Cost: one
+    * projection + one [[NumShards]]-group hash aggregate, map-side
+    * combined; nothing is ordered, nothing collects. */
   def shardManifest(spark: SparkSession, dir: String): DataFrame =
-    shardManifestAgg(Tables.documents(spark, dir)
-      .select(shardCol.as("shard"), col("doc_id"),
-        length(col("text")).as("len"), shardFp.as("fp")))
+    shardManifestAgg(shardRows(Tables.documents(spark, dir)))
       .orderBy("shard")
 
   def shardManifestOracle: String =

@@ -903,23 +903,6 @@ object EventOps {
 
   val PsiBins = 10
 
-  /** Population Stability Index of the event `value` distribution
-    * between the stream's first and second time half — the
-    * feature-drift gate every serving/feature pipeline runs between
-    * batches (PSI < 0.1 stable, > 0.25 drifted is the industry
-    * reading). Ten fixed-width bins over the base half's exact
-    * min/max, add-1 smoothing so empty bins contribute finite terms
-    * (no 0·ln 0), PSI = Σ (p−q)·ln(p/q) with each ln rounded to 9
-    * then decimal-summed (the partition-order-free discipline).
-    * Shape: two scalar passes (the time midpoint, then the base
-    * half's value range — the range depends on the midpoint, so the
-    * sequencing is inherent), one binning pass collapsing to
-    * ≤ 2×[[PsiBins]] cells via map-side partials, everything after
-    * on the bounded bin frame. Values outside the base range clamp
-    * into the edge bins (the standard PSI convention — new mass
-    * beyond the old range IS drift and must land somewhere
-    * countable). A half with NO mass reports PSI NULL and verdict
-    * false: "base vs a fabricated uniform" is not a drift claim. */
   /** The PSI reference profile fitted on the batch: time midpoint +
     * the base half's binning range. Shared by the batch query and
     * the scan-on-ingest streaming monitor (fit on batch, score on
@@ -951,6 +934,23 @@ object EventOps {
       floor((col("value") - lit(pf.vmin)) / lit(pf.w)), lit(0.0)),
       lit(PsiBins - 1.0)).cast("long")
 
+  /** Population Stability Index of the event `value` distribution
+    * between the stream's first and second time half — the
+    * feature-drift gate every serving/feature pipeline runs between
+    * batches (PSI < 0.1 stable, > 0.25 drifted is the industry
+    * reading). Ten fixed-width bins over the base half's exact
+    * min/max, add-1 smoothing so empty bins contribute finite terms
+    * (no 0·ln 0), PSI = Σ (p−q)·ln(p/q) with each ln rounded to 9
+    * then decimal-summed (the partition-order-free discipline).
+    * Shape: two scalar passes (the time midpoint, then the base
+    * half's value range — the range depends on the midpoint, so the
+    * sequencing is inherent), one binning pass collapsing to
+    * ≤ 2×[[PsiBins]] cells via map-side partials, everything after
+    * on the bounded bin frame. Values outside the base range clamp
+    * into the edge bins (the standard PSI convention — new mass
+    * beyond the old range IS drift and must land somewhere
+    * countable). A half with NO mass reports PSI NULL and verdict
+    * false: "base vs a fabricated uniform" is not a drift claim. */
   def psiValueDrift(spark: SparkSession, dir: String): DataFrame = {
     val pf = psiProfile(spark, dir)
     val cells = Tables.events(spark, dir)

@@ -16,6 +16,32 @@ object DocStream {
     StructField("lang", StringType), StructField("source", StringType),
     StructField("n_chars", LongType)))
 
+  /** ONE bounded-replay harness for every document-stream query:
+    * stage the corpus into a fresh directory (FileStreamSource wants
+    * a directory — the unit a deployment tails), open it with the
+    * shared schema, run `build`'s plan to completion in Complete mode
+    * against a memory sink, and return the final table. A harness fix
+    * (staging, cleanup, state parallelism) lands once, for all
+    * twins. */
+  private def runDocStream(spark: SparkSession, dir: String, tag: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft-$tag-stream")
+    EventStream.stageParquetCopy(
+      java.nio.file.Path.of(s"$dir/documents.parquet"),
+      streamDir, "documents.parquet")
+    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
+    val name =
+      s"graft_stream_${tag}_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = EventStream.withBoundedStateParallelism(spark) {
+      build(stream).writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
+    try q.processAllAvailable() finally {
+      q.stop(); EventStream.deleteStaged(streamDir)
+    }
+    spark.table(name)
+  }
+
   /** Streaming exact dedup: incrementally maintain, per content
     * fingerprint, the keeper (min doc_id) and the copy count. The
     * state store holds one entry per DISTINCT fingerprint — the
@@ -29,26 +55,12 @@ object DocStream {
     * verifies against the same SQL. Complete mode over a bounded file
     * stream for the oracle run; at scale this runs in update mode
     * with a sink that upserts by fingerprint. */
-  def streamingDedup(spark: SparkSession, dir: String): DataFrame = {
-    // FileStreamSource wants a directory (the unit a deployment tails)
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-docstream")
-    EventStream.stageParquetCopy(
-      java.nio.file.Path.of(s"$dir/documents.parquet"),
-      streamDir, "documents.parquet")
-    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
-    val deduped = stream
-      .groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
-    val name = s"graft_stream_dedup_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = EventStream.withBoundedStateParallelism(spark) {
-      deduped.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete).start()
-    }
-    try q.processAllAvailable() finally {
-      q.stop(); EventStream.deleteStaged(streamDir)
-    }
-    spark.table(name).orderBy("fp")
-  }
+  def streamingDedup(spark: SparkSession, dir: String): DataFrame =
+    runDocStream(spark, dir, "dedup") { stream =>
+      stream
+        .groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+    }.orderBy("fp")
 
   def streamingDedupOracle: String =
     """SELECT md5(text) AS fp, MIN(doc_id) AS keeper_id, COUNT(*) AS n_copies
@@ -64,34 +76,21 @@ object DocStream {
     * so no second pass over stored bytes ever happens. The per-doc
     * scan is exactly [[graft.ext.Pii.piiScan]]'s expressions, so the
     * bounded replay verifies against the same pattern set in SQL. */
-  def streamingPiiMonitor(spark: SparkSession, dir: String): DataFrame = {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-piistream")
-    EventStream.stageParquetCopy(
-      java.nio.file.Path.of(s"$dir/documents.parquet"),
-      streamDir, "documents.parquet")
-    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
-    val perDoc = graft.ext.Pii.Patterns.map { case (nm, pat, _) =>
-      regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$nm")
-    }
-    val total = graft.ext.Pii.Patterns
-      .map { case (nm, _, _) => col(s"n_$nm") }.reduce(_ + _)
-    val monitored = stream
-      .select(col("source") +: perDoc: _*)
-      .withColumn("n_pii", total)
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
-        sum(col("n_pii")).as("n_matches"))
-    val name = s"graft_stream_pii_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = EventStream.withBoundedStateParallelism(spark) {
-      monitored.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete).start()
-    }
-    try q.processAllAvailable() finally {
-      q.stop(); EventStream.deleteStaged(streamDir)
-    }
-    spark.table(name).orderBy("source")
-  }
+  def streamingPiiMonitor(spark: SparkSession, dir: String): DataFrame =
+    runDocStream(spark, dir, "pii") { stream =>
+      val perDoc = graft.ext.Pii.Patterns.map { case (nm, pat, _) =>
+        regexp_count(col("text"), lit(pat)).cast("long").as(s"n_$nm")
+      }
+      val total = graft.ext.Pii.Patterns
+        .map { case (nm, _, _) => col(s"n_$nm") }.reduce(_ + _)
+      stream
+        .select(col("source") +: perDoc: _*)
+        .withColumn("n_pii", total)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("n_pii") > 0, 1L).otherwise(0L)).as("n_docs_with_pii"),
+          sum(col("n_pii")).as("n_matches"))
+    }.orderBy("source")
 
   def streamingPiiMonitorOracle: String = {
     val counts = graft.ext.Pii.Patterns.map { case (nm, pat, _) =>
@@ -122,29 +121,16 @@ object DocStream {
     * is \|sources\|×4 rows, sharded by the groupBy shuffle. Complete
     * mode over a bounded replay for the oracle run; a deployment
     * runs update mode into a dashboard upsert. */
-  def streamingQualityMonitor(spark: SparkSession, dir: String): DataFrame = {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-qualstream")
-    EventStream.stageParquetCopy(
-      java.nio.file.Path.of(s"$dir/documents.parquet"),
-      streamDir, "documents.parquet")
-    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
-    val monitored = stream
-      .select(col("source"),
-        graft.ext.TextAnalysis.qualityReason(col("text")).as("reason"),
-        size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
-          .as("n_tokens"))
-      .groupBy("source", "reason")
-      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
-    val name = s"graft_stream_qual_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = EventStream.withBoundedStateParallelism(spark) {
-      monitored.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete).start()
-    }
-    try q.processAllAvailable() finally {
-      q.stop(); EventStream.deleteStaged(streamDir)
-    }
-    spark.table(name).orderBy("source", "reason")
-  }
+  def streamingQualityMonitor(spark: SparkSession, dir: String): DataFrame =
+    runDocStream(spark, dir, "qual") { stream =>
+      stream
+        .select(col("source"),
+          graft.ext.TextAnalysis.qualityReason(col("text")).as("reason"),
+          size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("n_tokens"))
+        .groupBy("source", "reason")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("total_tokens"))
+    }.orderBy("source", "reason")
 
   def streamingQualityMonitorOracle: String =
     s"""WITH t AS (SELECT source,
@@ -166,28 +152,14 @@ object DocStream {
     * produces, however arrival interleaves — verified against the
     * SAME oracle as the batch `shard_manifest`. State is
     * [[graft.ext.Sampling.NumShards]] rows (counts + one running
-    * XOR each); the hash/fingerprint projections ride the ingest
+    * XOR each); the hash/fingerprint projections (shared with the
+    * batch build, [[graft.ext.Sampling.shardRows]]) ride the ingest
     * scan. A deployment runs update mode into a manifest upsert and
     * ships shards whose digest went quiet. */
-  def streamingShardManifest(spark: SparkSession, dir: String): DataFrame = {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-shardstream")
-    EventStream.stageParquetCopy(
-      java.nio.file.Path.of(s"$dir/documents.parquet"),
-      streamDir, "documents.parquet")
-    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
-    val manifest = graft.ext.Sampling.shardManifestAgg(
-      stream.select(graft.ext.Sampling.shardCol.as("shard"), col("doc_id"),
-        length(col("text")).as("len"), graft.ext.Sampling.shardFp.as("fp")))
-    val name = s"graft_stream_shard_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = EventStream.withBoundedStateParallelism(spark) {
-      manifest.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete).start()
-    }
-    try q.processAllAvailable() finally {
-      q.stop(); EventStream.deleteStaged(streamDir)
-    }
-    spark.table(name).orderBy("shard")
-  }
+  def streamingShardManifest(spark: SparkSession, dir: String): DataFrame =
+    runDocStream(spark, dir, "shard") { stream =>
+      graft.ext.Sampling.shardManifestAgg(graft.ext.Sampling.shardRows(stream))
+    }.orderBy("shard")
 
   /** The reference's flagship computation — word count — as an
     * INCREMENTAL stream: counts maintained per micro-batch as
@@ -199,25 +171,12 @@ object DocStream {
     * Complete mode over a bounded replay for the oracle run (the
     * SAME SQL as the batch `wordcount` query); a deployment runs
     * update mode into an upsert-by-word sink. */
-  def streamingWordCount(spark: SparkSession, dir: String): DataFrame = {
-    val streamDir = java.nio.file.Files.createTempDirectory("graft-wcstream")
-    EventStream.stageParquetCopy(
-      java.nio.file.Path.of(s"$dir/documents.parquet"),
-      streamDir, "documents.parquet")
-    val stream = spark.readStream.schema(docSchema).parquet(streamDir.toString)
-    val counts = stream
-      .select(graft.operators.WordCount.tokens(col("text")).as("word"))
-      .filter(length(col("word")) > 0)
-      .groupBy("word")
-      .agg(count(lit(1)).as("cnt"))
-    val name = s"graft_stream_wc_${java.util.UUID.randomUUID().toString.replace("-", "")}"
-    val q = EventStream.withBoundedStateParallelism(spark) {
-      counts.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete).start()
-    }
-    try q.processAllAvailable() finally {
-      q.stop(); EventStream.deleteStaged(streamDir)
-    }
-    spark.table(name).orderBy("word")
-  }
+  def streamingWordCount(spark: SparkSession, dir: String): DataFrame =
+    runDocStream(spark, dir, "wc") { stream =>
+      stream
+        .select(graft.operators.WordCount.tokens(col("text")).as("word"))
+        .filter(length(col("word")) > 0)
+        .groupBy("word")
+        .agg(count(lit(1)).as("cnt"))
+    }.orderBy("word")
 }
