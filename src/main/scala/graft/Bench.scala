@@ -36,7 +36,16 @@ object Bench {
     // dev loop: SPARK_GRAFT_BENCH_ONLY=q1,q2 times just those queries
     val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+    // SPARK_GRAFT_BENCH_ORDER=reverse runs the suite in reverse name
+    // order — diffing per-query mins forward vs reverse isolates
+    // in-suite interference (JIT/codegen-cache/GC carry-over): a query
+    // whose cost depends on its position in the run order is being
+    // charged for its neighbors, not its plan.
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1) match {
+      case qs if sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse") => qs.reverse
+      case qs => qs
+    }
+    val results = ordered
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val times = (1 to iterations).flatMap { _ =>
@@ -75,12 +84,44 @@ object Bench {
     // captured stream, so a console copy of the full line would land in
     // the tail window and crowd out the parseable compact line
     val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"}"""
-    try java.nio.file.Files.write(
-      java.nio.file.Paths.get("target/bench_full.json"),
-      fullLine.getBytes("UTF-8"))
-    catch { case _: Throwable => () }
+    // TWO copies of the full map: target/ for local analysis, and the
+    // repo root so a driver-side run leaves the complete record in the
+    // working tree (the stdout line below is physically capped at ~2000
+    // chars by the run recorder — 255 queries do not fit — so the
+    // committed BENCH_FULL_LATEST.json IS the full disclosure).
+    for (p <- Seq("target/bench_full.json", "BENCH_FULL_LATEST.json"))
+      try java.nio.file.Files.write(
+        java.nio.file.Paths.get(p), fullLine.getBytes("UTF-8"))
+      catch { case _: Throwable => () }
 
-    val budget = 1500 // chars for the queries map on the stdout line
+    // Tripwire: compare this run's per-query times against the last
+    // committed full record (bench_baseline_perq.json — refreshed each
+    // round from a quiet-session run). Ratios are normalized by the
+    // session median so a uniformly slower box doesn't flag everything;
+    // a query whose normalized ratio exceeds 2x is a regression
+    // candidate that must be adjudicated, not inferred from display
+    // cutoffs.
+    val tripwire: Seq[String] = try {
+      val txt = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("bench_baseline_perq.json")), "UTF-8")
+      val entryRe = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+      val prior = entryRe.findAllMatchIn(txt)
+        .map(m => m.group(1) -> m.group(2).toDouble)
+        .filter { case (k, v) => k != "value" && v > 0 }.toMap
+      val ratios = best.collect {
+        case (k, s) if s > 0 && prior.get(k).exists(_ > 0.05) => (k, s / prior(k))
+      }
+      if (ratios.size < 8) Seq.empty
+      else {
+        val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
+        ratios.filter { case (k, r) => r / med > 2.0 && best.toMap.apply(k) > 0.3 }
+          .sortBy(-_._2).take(8)
+          .map { case (k, r) => "\"" + k + ":" + fmt(r / med) + "x\"" }
+      }
+    } catch { case _: Throwable => Seq.empty }
+    val trip = tripwire.mkString("[", ",", "]")
+
+    val budget = 1300 // chars for the queries map on the stdout line
     val entries = best.sortBy(-_._2).map { case (k, s) => "\"" + k + "\":" + fmt(s) }
     val shown = scala.collection.mutable.ArrayBuffer[String]()
     var used = 0
@@ -88,7 +129,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { shown += e; used += e.length + 1 }
     }
     val qs = shown.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir","queries_run":${best.size},"queries_shown":${shown.size}}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"tripwire":$trip,"iterations":$iterations,"sf":"$sfDir","queries_run":${best.size},"queries_shown":${shown.size},"full_map":"BENCH_FULL_LATEST.json"}""")
     spark.stop()
   }
 }

@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.execution.QueryExecution
+import org.apache.spark.sql.util.QueryExecutionListener
 
 /** Session factory for the graft engine.
   *
@@ -33,6 +35,58 @@ object GraftSession {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  /** Release `cached` frames after the next completed action on this
+    * session. For operators that return a LAZY result whose plan
+    * references a persisted intermediate from several branches (the
+    * persist is what stops N branch replays during the one action that
+    * materializes the result), there is no in-function point where
+    * unpersist is safe — so the release is hooked to action completion
+    * instead. The first action after registration is, in the
+    * build-then-run pattern every harness here uses (Bench, Verify,
+    * tests), exactly the action that consumed the cache.
+    *
+    * If a caller interleaves an unrelated action between building and
+    * running the frame, the cache is released early and the branches
+    * recompute — a performance fallback, never a correctness one. The
+    * failure mode this helper removes is worse: without it the persist
+    * pins executor storage until session end, and a long-lived session
+    * running many such queries accumulates dead cache (observed as the
+    * round-6 driver-bench memory-pressure suspect).
+    *
+    * The listener fires only for an action whose ANALYZED plan
+    * contains one of the cached frames' plans as a subtree (compared
+    * canonicalized). Without that guard, an unrelated action — or an
+    * eager step of the SAME operator's build, e.g. a localCheckpoint,
+    * whose completion event the async listener bus may deliver after
+    * registration — would release the caches before the run that
+    * needs them (measured: mad_price 2.8 → 4.4 s under the unguarded
+    * form — the any-next-action race replayed groupMedian's branches
+    * against an already-dropped cache). */
+  private[graft] def releaseAfterAction(spark: SparkSession,
+                                        cached: DataFrame*): Unit = {
+    val targets = cached.map(_.queryExecution.analyzed.canonicalized)
+    val listener = new QueryExecutionListener {
+      private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
+      // on any comparison failure err toward releasing: a leaked cache
+      // outlives the session, a recompute costs one pass
+      private def consumes(qe: QueryExecution): Boolean =
+        try qe.analyzed.exists(n => targets.exists(_ == n.canonicalized))
+        catch { case _: Throwable => true }
+      private def fire(qe: QueryExecution): Unit =
+        if (consumes(qe) && done.compareAndSet(false, true)) {
+          cached.foreach(df => try df.unpersist()
+                               catch { case _: Throwable => () })
+          try spark.listenerManager.unregister(this)
+          catch { case _: Throwable => () }
+        }
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit = fire(qe)
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = fire(qe)
+    }
+    spark.listenerManager.register(listener)
   }
 
   /** Tune an externally-created session (Verify/Bench own the builder). */

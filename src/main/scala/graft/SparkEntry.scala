@@ -356,6 +356,15 @@ object SparkEntry {
     "shard_manifest" -> Sampling.shardManifest _,
     // today's batch vs the standing corpus: the daily-crawl dedup shape
     "dedup_incremental" -> ((s, dir) => Dedup.incrementalDedup(s, dir)),
+    // the on-ingest twin: stream deltas vs the standing banded base
+    "stream_incremental_dedup" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingIncrementalDedup(s, dir)),
+    // verbatim cross-doc runs: per-doc duplicated-span fraction
+    "dedup_substring" -> ((s, dir) => Dedup.substringDedup(s, dir)),
+    // ...and the "what exactly is duplicated" top-runs report
+    "dedup_substring_runs" -> ((s, dir) => Dedup.substringRuns(s, dir)),
+    // standing-index maintenance: delta assignment + retrain gate
+    "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssign _,
     // scan-on-ingest quality gate per (source, reason)
     "stream_quality_monitor" -> ((s, dir) =>
       graft.streaming.DocStream.streamingQualityMonitor(s, dir)),
@@ -656,6 +665,11 @@ object SparkEntry {
     "decontaminate_semantic" -> Similarity.decontaminateSemanticOracle,
     "shard_manifest" -> Sampling.shardManifestOracle,
     "dedup_incremental" -> Dedup.incrementalDedupOracle,
+    // the stream converges to the batch screen exactly — same oracle
+    "stream_incremental_dedup" -> Dedup.incrementalDedupOracle,
+    "dedup_substring" -> Dedup.substringDedupOracle,
+    "dedup_substring_runs" -> Dedup.substringRunsOracle,
+    "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssignOracle,
     "stream_quality_monitor" ->
       graft.streaming.DocStream.streamingQualityMonitorOracle,
     "dp_release_counts" -> Relational.dpReleaseCountsOracle,

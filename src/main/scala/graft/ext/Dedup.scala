@@ -164,7 +164,7 @@ object Dedup {
     * word form (explode → codegen hash → partial-agg min); docs
     * shorter than the shingle width contribute no rows. */
   def shingleSignatures(spark: SparkSession, dir: String,
-                        width: Int = 5): DataFrame =
+                        width: Int = 5): DataFrame = {
     // The kernel concentrates all the work in the projection, so spread
     // the docs across the full core count first — a small parquet input
     // arrives as ONE split, and the kernel stage would otherwise run
@@ -174,14 +174,16 @@ object Dedup {
     // scale the scan has thousands of splits and this exchange is one
     // cheap extra pass. The persist stops the final sort's range
     // sampling from executing the kernel a second time.
-    Tables.documents(spark, dir)
+    val sig = Tables.documents(spark, dir)
       .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"),
         graft.functions.ShingleSig(lower(col("text")), width).as("sig"))
       .select(col("doc_id"), posexplode(col("sig")))
       .select(col("doc_id"), col("pos").cast("long").as("k"), col("col").as("mh"))
       .persist()
-      .orderBy("doc_id", "k")
+    graft.GraftSession.releaseAfterAction(spark, sig)
+    sig.orderBy("doc_id", "k")
+  }
 
   def shingleSignaturesOracle: String = shingleSignaturesOracle(5)
 
@@ -265,6 +267,7 @@ object Dedup {
     val sized = banded.withColumn("__bn",
       count(lit(1)).over(Window.partitionBy(keyCols.map(col): _*)))
       .persist()
+    graft.GraftSession.releaseAfterAction(banded.sparkSession, sized)
     def side(n: Int) = sized.filter(col("__bn") <= maxBucket).select(
       keyCols.map(col) ++ (col(idCol).as(s"d$n") +:
         payloadCols.map(c => col(c).as(s"$c$n"))): _*)
@@ -371,18 +374,55 @@ object Dedup {
     * on. At 100 TB: base signatures are a standing table maintained
     * incrementally; only the delta is re-signed, and the shuffle keys
     * are band buckets — |delta| + touched buckets, not the lake. */
+  /** (doc_id, sig, band_id, band_key) — the MinHash signature plus
+    * one row per LSH band. Pure projection + posexplode (no shuffle,
+    * no state), so it applies identically to a batch frame and a
+    * readStream — the property that lets the streaming twin
+    * ([[graft.streaming.DocStream.streamingIncrementalDedup]]) share
+    * THIS code and [[incrementalDedupOracle]] verbatim. */
+  private[graft] def bandedSigs(docs: DataFrame): DataFrame =
+    signatureArray(docs)
+      .select(col("doc_id"), col("sig"), posexplode(bandKeys(col("sig"))))
+      .select(col("doc_id"), col("sig"), col("pos").as("band_id"),
+        col("col").as("band_key"))
+
+  /** The per-band bucket keys of a signature array — md5 over each
+    * band's slice of the permutation mins. ONE expression for every
+    * band producer: [[bandedSigs]] (batch, aggregate-built
+    * signatures) and the streaming twin (projection-built
+    * [[signatureCol]] signatures — a readStream cannot host the
+    * signature aggregation AND the argmax, so it signs per-row; the
+    * bucket keys still come from here and therefore cannot drift). */
+  private[graft] def bandKeys(sig: Column): Column = {
+    val rowsPerBand = NumPerms / NumBands
+    transform(sequence(lit(0), lit(NumBands - 1)), b =>
+      md5(array_join(slice(sig, b * rowsPerBand + 1, lit(rowsPerBand)), ",")))
+  }
+
+  /** The standing-base side of the incremental screen: banded
+    * signatures of the non-delta corpus, each (band, key) bucket
+    * capped at the [[MaxBucket]] smallest ids (plans as a partial
+    * WindowGroupLimit). Shared by the batch and streaming twins. */
+  private[graft] def cappedBaseBands(docs: DataFrame): DataFrame = {
+    val isDelta = col("doc_id") % DeltaMod === (DeltaMod - 1)
+    val w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
+    bandedSigs(docs.filter(!isDelta))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= MaxBucket)
+      .select(col("band_id"), col("band_key"),
+        col("doc_id").as("b"), col("sig").as("bs"))
+  }
+
+  /** MinHash agreement estimate — the scoring kernel both twins use. */
+  private[graft] def estSig(qs: Column, bs: Column): Column =
+    graft.functions.ArrayEqCount(qs, bs).cast("double") / NumPerms
+
   def incrementalDedup(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val isDelta = col("doc_id") % DeltaMod === (DeltaMod - 1)
-    val rowsPerBand = NumPerms / NumBands
-    val bands = signatureArray(docs)
-      .select(col("doc_id"), col("sig"),
-        posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
-          md5(array_join(slice(col("sig"), b * rowsPerBand + 1,
-            lit(rowsPerBand)), ",")))))
-      .select(col("doc_id"), col("sig"), col("pos").as("band_id"),
-        col("col").as("band_key"))
+    val bands = bandedSigs(docs)
       .persist() // both join sides read it; unpersisted = two sig passes
+    graft.GraftSession.releaseAfterAction(spark, bands)
     val w = Window.partitionBy("band_id", "band_key").orderBy("doc_id")
     val base = bands.filter(!isDelta)
       .withColumn("rk", row_number().over(w))
@@ -393,9 +433,7 @@ object Dedup {
       .select(col("band_id"), col("band_key"),
         col("doc_id").as("q"), col("sig").as("qs"))
       .join(base, Seq("band_id", "band_key"))
-      .select(col("q"), col("b"),
-        (graft.functions.ArrayEqCount(col("qs"), col("bs")).cast("double")
-          / NumPerms).as("est"))
+      .select(col("q"), col("b"), estSig(col("qs"), col("bs")).as("est"))
       .distinct() // the same pair can collide in both bands
     // argmax by (est desc, base id asc) — struct max with negated id
     val best = est.groupBy("q")
@@ -568,6 +606,7 @@ object Dedup {
     // so |∩| = size(array_intersect) exactly.
     val grams = trigramSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
       .persist()
+    graft.GraftSession.releaseAfterAction(spark, cands, grams)
     val inter = size(array_intersect(col("g1"), col("g2")))
     // greatest(·,1) only bites when both gram sets are empty (0/0):
     // jaccard becomes 0 and the pair is filtered — matching the
@@ -644,6 +683,7 @@ object Dedup {
       .filter(col("doc_id") === col("k"))
       .select(col("doc_id"), col("text"))
     val grams = trigramSets(documents).persist()
+    graft.GraftSession.releaseAfterAction(docs.sparkSession, grams)
     val exploded = grams.select(col("doc_id"), explode(col("grams")).as("g"))
     val rare = exploded.groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") <= ContainDfCap)
@@ -765,6 +805,167 @@ object Dedup {
        |        AND m.doc_id > r.d1) u)
        |SELECT d1, d2, hamming FROM pairs
        |WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin
+
+  // ── cross-document exact-substring dedup (verbatim shared runs) ──
+
+  /** Minimum verbatim run length in tokens — also the k-gram width.
+    * Any window of exactly this many tokens appearing in ≥2 documents
+    * is detected, and maximal runs extend it: a run of L consecutive
+    * shared gram positions covers L + k − 1 tokens. The
+    * suffix-array-style operators (Lee et al., "Deduplicating
+    * Training Data Makes Language Models Better") use 50 BPE tokens
+    * at web scale; 8 word tokens is the same operator scaled to the
+    * fixture corpus' ~50-token documents. */
+  val RunGramTokens = 8
+
+  /** Per-position k-gram fingerprints + maximal shared runs — the
+    * shared spine of [[substringDedup]] and [[substringRuns]].
+    * Returns (toksDf = (doc_id, t, n_tokens), runs = (doc_id, cid,
+    * start_pos, span)).
+    *
+    * Scale shape: fingerprinting is a per-row explode + codegen'd
+    * md5-of-slice projection (no shuffle); "shared across ≥2 docs" is
+    * ONE window over the gram hash (min ≠ max doc_id — no
+    * count-distinct, no self-join, and the shuffle key is the gram
+    * hash, so it spreads uniformly no matter how skewed document
+    * sources are); run assembly is a per-doc gaps-and-islands window.
+    * Nothing is pairwise: a paragraph duplicated across a MILLION
+    * docs costs one window partition of a million rows — the
+    * degenerate bucket that would explode an all-pairs formulation
+    * into 10¹² candidates costs O(n log n) here, because spans are
+    * attributed per document, never per document PAIR. That is
+    * exactly why this operator (and not the MinHash/containment
+    * family, which must cap such buckets) is the right form for
+    * "remove the duplicated paragraph, keep the doc". */
+  private def substringRunFrames(docs: DataFrame): (DataFrame, DataFrame) = {
+    val k = RunGramTokens
+    val toksDf = docs
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .withColumn("n_tokens", size(col("t")).cast("long"))
+    val pos = toksDf.filter(col("n_tokens") >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - k)).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(k)))).as("g"))
+    // shared iff ≥2 distinct docs carry the gram: min ≠ max doc_id
+    // over the gram partition — one window pass, no second scan of
+    // the corpus and no countDistinct
+    val wg = Window.partitionBy("g")
+    val shared = pos
+      .withColumn("mn", min(col("doc_id")).over(wg))
+      .withColumn("mx", max(col("doc_id")).over(wg))
+      .filter(col("mn") < col("mx"))
+      .select(col("doc_id"), col("p"))
+    // gaps-and-islands: positions p1 < p2 cover overlapping-or-
+    // adjacent token intervals iff p2 − p1 ≤ k, so a gap > k starts a
+    // new run; merged runs cover max(p) − min(p) + k tokens exactly
+    // (never double-counted — the next run's first token starts
+    // strictly after this run's last)
+    val wd = Window.partitionBy("doc_id").orderBy("p")
+    val runs = shared
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(wd) > k, 1).otherwise(0))
+      .withColumn("cid", sum(col("brk")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "cid")
+      .agg(min(col("p")).cast("long").as("start_pos"),
+        (max(col("p")) - min(col("p")) + k).cast("long").as("span"))
+    (toksDf, runs)
+  }
+
+  /** Shared k-gram/run CTE chain — mirrors [[substringRunFrames]]
+    * step for step (same tokenizer, same md5-of-k-window fingerprint,
+    * same min≠max shared test, same gap>k island rule). */
+  private def substringRunsSql: String = {
+    val k = RunGramTokens
+    s"""toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |d AS (SELECT doc_id, t, CAST(len(t) AS BIGINT) AS n_tokens FROM toks),
+       |pos AS (SELECT doc_id, p,
+       |    md5(array_to_string(t[p + 1:p + $k], ' ')) AS g
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - ${k - 1})) AS p
+       |        FROM d WHERE n_tokens >= $k) u),
+       |sh AS (SELECT doc_id, p FROM (
+       |    SELECT doc_id, p,
+       |      min(doc_id) OVER (PARTITION BY g) AS mn,
+       |      max(doc_id) OVER (PARTITION BY g) AS mx
+       |    FROM pos) w WHERE mn < mx),
+       |br AS (SELECT doc_id, p,
+       |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $k
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM sh),
+       |cl AS (SELECT doc_id, p,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+       |                   ROWS UNBOUNDED PRECEDING) AS cid
+       |  FROM br),
+       |runs AS (SELECT doc_id, cid, CAST(MIN(p) AS BIGINT) AS start_pos,
+       |    CAST(MAX(p) - MIN(p) + $k AS BIGINT) AS span
+       |  FROM cl GROUP BY doc_id, cid)""".stripMargin
+  }
+
+  /** Cross-document exact-substring dedup: per document, the fraction
+    * of its tokens covered by verbatim runs of ≥ [[RunGramTokens]]
+    * tokens that also appear in at least one OTHER document — the
+    * Lee-et-al signal that drives "remove the duplicated paragraph,
+    * keep the document", which the whole-doc similarity family
+    * (MinHash / containment / SimHash) cannot produce: a unique doc
+    * with one boilerplate paragraph scores near-zero Jaccard against
+    * everything yet still ships duplicated spans into training. */
+  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
+    val (toksDf, runs) = substringRunFrames(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(sum(col("span")).as("dup_tokens"), count(lit(1)).as("n_runs"),
+        max(col("span")).as("longest_run"))
+    toksDf.select(col("doc_id"), col("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)), 6).as("dup_fraction"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      .orderBy("doc_id")
+  }
+
+  def substringDedupOracle: String =
+    s"""WITH $substringRunsSql,
+       |pd AS (SELECT doc_id, CAST(SUM(span) AS BIGINT) AS dup_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |    CAST(MAX(span) AS BIGINT) AS longest_run
+       |  FROM runs GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_tokens,
+       |  COALESCE(pd.dup_tokens, 0) AS dup_tokens,
+       |  round(COALESCE(pd.dup_tokens, 0) / GREATEST(d.n_tokens, 1), 6)
+       |    AS dup_fraction,
+       |  COALESCE(pd.n_runs, 0) AS n_runs,
+       |  COALESCE(pd.longest_run, 0) AS longest_run
+       |FROM d LEFT JOIN pd USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** The top shared verbatim runs — the "what exactly is duplicated"
+    * report behind [[substringDedup]]'s fractions: the longest
+    * maximal cross-doc spans, with the run content fingerprinted so
+    * identical spans in different documents carry the same md5.
+    * Bounded output (top `topN` by span, doc_id/start tiebreak —
+    * a total order, so LIMIT is deterministic). */
+  def substringRuns(spark: SparkSession, dir: String,
+                    topN: Int = 20): DataFrame = {
+    val (toksDf, runs) = substringRunFrames(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    runs.join(toksDf.select(col("doc_id"), col("t")), Seq("doc_id"))
+      .select(col("doc_id"), col("start_pos"), col("span").as("run_tokens"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("start_pos") + 1, col("span")))).as("run_md5"))
+      .orderBy(col("run_tokens").desc, col("doc_id"), col("start_pos"))
+      .limit(topN)
+  }
+
+  def substringRunsOracle: String =
+    s"""WITH $substringRunsSql
+       |SELECT r.doc_id, r.start_pos, r.span AS run_tokens,
+       |  md5(array_to_string(
+       |    d.t[r.start_pos + 1:r.start_pos + r.span], ' ')) AS run_md5
+       |FROM runs r JOIN d USING (doc_id)
+       |ORDER BY run_tokens DESC, doc_id, start_pos LIMIT 20""".stripMargin
 
   // ── perceptual-hash (dHash) near-dup over multimodal payloads ──
 

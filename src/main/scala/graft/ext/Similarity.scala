@@ -428,6 +428,7 @@ object Similarity {
   private[graft] def resetCentroidMemo(): Unit = {
     centroidMemo.reset()
     pqMemo.reset() // the PQ codebook is trained state of the same kind
+    baseCentroidMemo.reset() // the standing (base-trained) index too
   }
 
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
@@ -448,9 +449,24 @@ object Similarity {
     // TrainSampleCap); stride 1 below the cap = exact-corpus training
     val stride = math.max(1L, nTotal / TrainSampleCap)
     val train = if (stride == 1L) e else e.filter(col("vec_id") % stride === 0)
-    var cents: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
+    val seed: Seq[(Long, Seq[Double])] = e.filter(col("vec_id") < k)
       .orderBy("vec_id").collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val cents = lloydRefine(train, seed)
+    e.unpersist()
+    cents
+  }
+
+  /** The Lloyd refinement loop shared by the full-corpus and
+    * base-slice trainers: [[LloydIters]] assign→mean rounds with the
+    * engine-independence discipline documented on
+    * [[kmeansCentroids]] (sim round 6 / low-list tiebreak inside the
+    * compiled kernel; decimal-exact per-dim sums, mean round 9;
+    * empty lists keep their previous centroid). */
+  private def lloydRefine(train: DataFrame,
+                          seed: Seq[(Long, Seq[Double])]): Seq[(Long, Seq[Double])] = {
+    import org.apache.spark.sql.types.DecimalType
+    var cents = seed
     for (_ <- 1 to LloydIters) {
       val assigned = train.select(col("vec_id"), col("v"),
         graft.functions.NearestCentroids(col("v"), cents, 1)
@@ -466,7 +482,6 @@ object Similarity {
       }
       cents = cents.map { case (lid, old) => (lid, byList.getOrElse(lid, old)) }
     }
-    e.unpersist()
     cents
   }
 
@@ -531,8 +546,13 @@ object Similarity {
     * rounding discipline (sim round 6 / tie on list_id;
     * decimal-exact per-dim sums, mean round 9; empty lists keep old
     * centroids). */
-  private[ext] val ivfCommonSql: String = {
-    val iters = (1 to LloydIters).map { i =>
+  /** The LloydIters unrolled assign→mean CTE rounds — shared between
+    * the full-corpus chain ([[ivfCommonSql]]) and the base-slice
+    * chain ([[ivfBaseCommonSql]]); both define `smp` (the strided
+    * training sample) and `c0` (the seeds) upstream, which is all
+    * these rounds reference. */
+  private def lloydItersSql: String =
+    (1 to LloydIters).map { i =>
       s"""a$i AS (SELECT n.vec_id, n.v, c.list_id,
          |    row_number() OVER (PARTITION BY n.vec_id
          |      ORDER BY round(list_dot_product(n.v, c.cv)
@@ -548,6 +568,9 @@ object Similarity {
          |c$i AS (SELECT p.list_id, COALESCE(nc.cv, p.cv) AS cv
          |  FROM c${i - 1} p LEFT JOIN nc$i nc USING (list_id))""".stripMargin
     }.mkString(",\n")
+
+  private[ext] val ivfCommonSql: String = {
+    val iters = lloydItersSql
     s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
        |kp AS (SELECT $numListsSql AS k FROM e),
        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
@@ -588,6 +611,134 @@ object Similarity {
        |  FROM scored)
        |SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
        |FROM ranked WHERE rk <= 5 ORDER BY query_id, rk""".stripMargin
+
+  // ── standing-index maintenance: delta assignment, retrain gate ──
+
+  /** Standing-index centroids: trained on the BASE slice only
+    * (vec_id % [[Dedup.DeltaMod]] ≠ DeltaMod−1 — everything ingested
+    * before today), so today's delta batch can be ASSIGNED into the
+    * frozen lists without any Lloyd iteration running on the delta
+    * path. k and the [[TrainSampleCap]] stride come from the BASE
+    * count; seeds are the k smallest base vec_ids (the full-corpus
+    * trainer's dense-prefix rule `vec_id < k` cannot apply — the
+    * base slice has holes). Memoized separately from the full-corpus
+    * centroids: a standing index IS trained state, loaded, not
+    * rebuilt, on every maintenance tick. */
+  private val baseCentroidMemo =
+    new graft.SessionDirMemo[Seq[(Long, Seq[Double])]]
+
+  private[graft] def baseKmeansCentroids(
+      spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
+    baseCentroidMemo.get(spark, dir)(baseKmeansCentroidsUncached(spark, dir))
+
+  private def baseKmeansCentroidsUncached(
+      spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+    val isDelta = col("vec_id") % Dedup.DeltaMod === (Dedup.DeltaMod - 1)
+    val e = embeddingsD(spark, dir).filter(!isDelta)
+      .select(col("vec_id"), col("v")).persist()
+    val nBase = e.count()
+    val k = numLists(nBase)
+    val stride = math.max(1L, nBase / TrainSampleCap)
+    val train = if (stride == 1L) e else e.filter(col("vec_id") % stride === 0)
+    val seed: Seq[(Long, Seq[Double])] = e.orderBy("vec_id").limit(k).collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+    val cents = lloydRefine(train, seed)
+    e.unpersist()
+    cents
+  }
+
+  /** Standing-ANN-index maintenance tick: assign ONLY the delta batch
+    * into the frozen base-trained lists and report the membership
+    * delta per list, plus the retrain gate — `retrain_required` is
+    * [[embeddingBatchDrift]]'s corpus verdict (any dimension's Welch
+    * t beyond the gate ⇒ the encoder moved and the coarse quantizer
+    * no longer fits the incoming distribution). The decision this
+    * row answers daily: "keep appending to the standing lists, or
+    * schedule a rebuild". No Lloyd iteration runs on this path —
+    * assignment is one corpus scan through the compiled
+    * nearest-centroid kernel against the MEMOIZED standing centroids
+    * (cold-start builds them from the base slice once — index
+    * bootstrap, not maintenance); the drift verdict is a d-row
+    * aggregate of the same single-scan sufficient statistics the
+    * drift monitor publishes. */
+  def ivfDeltaAssign(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cents = baseKmeansCentroids(spark, dir)
+    val isDelta = col("vec_id") % Dedup.DeltaMod === (Dedup.DeltaMod - 1)
+    val assigned = embeddingsD(spark, dir)
+      .select(col("vec_id"), isDelta.as("is_delta"),
+        graft.functions.NearestCentroids(col("v"), cents, 1)
+          .getItem(0).as("a"))
+      .select(col("vec_id"), col("is_delta"),
+        col("a.list_id").cast("long").as("list_id"),
+        col("a.sim").as("centroid_sim"))
+    val verdict = embeddingBatchDrift(spark, dir)
+      .agg(coalesce(sum(when(col("drifted"), 1L).otherwise(0L)) > 0,
+        lit(false)).as("retrain_required"))
+    assigned.groupBy("list_id")
+      .agg(sum(when(!col("is_delta"), 1L).otherwise(0L)).as("n_base"),
+        sum(when(col("is_delta"), 1L).otherwise(0L)).as("n_delta"),
+        sum(when(col("is_delta"), col("centroid_sim"))
+          .cast(DecimalType(38, 18))).as("ds"))
+      .select(col("list_id"), col("n_base"), col("n_delta"),
+        round(when(col("n_delta") > 0,
+          col("ds").cast("double") / col("n_delta")), 6).as("delta_mean_sim"))
+      .crossJoin(broadcast(verdict)) // 1-row verdict: BNLJ, never cartesian
+      .orderBy("list_id")
+  }
+
+  /** Mirrors [[ivfDeltaAssign]]: the base-slice training chain (bb =
+    * base vectors, k/stride from the base count, seeds = k smallest
+    * base ids via row_number), the same unrolled Lloyd rounds, then
+    * primary assignment of ALL vectors against the frozen centroids
+    * and the drift monitor's aggregated verdict. */
+  private[ext] val ivfBaseCommonSql: String = {
+    val dm = Dedup.DeltaMod
+    s"""e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |bb AS (SELECT vec_id, v FROM e WHERE vec_id % $dm <> ${dm - 1}),
+       |kp AS (SELECT GREATEST($MinLists, LEAST($MaxLists,
+       |    CAST(ceil(sqrt(COUNT(*) / 2.0)) AS BIGINT))) AS k FROM bb),
+       |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |bn AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM bb),
+       |smp AS (SELECT * FROM bn WHERE vec_id %
+       |  (SELECT GREATEST(1, COUNT(*) // $TrainSampleCap) FROM bb) = 0),
+       |c0 AS (SELECT vec_id AS list_id, v AS cv FROM (
+       |    SELECT vec_id, v, row_number() OVER (ORDER BY vec_id) AS rn
+       |    FROM bb) s WHERE rn <= (SELECT k FROM kp)),
+       |$lloydItersSql,
+       |cents AS (SELECT list_id, cv, sqrt(list_dot_product(cv, cv)) AS cn
+       |  FROM c${LloydIters}),
+       |scoredc AS (SELECT n.vec_id, n.v, n.nrm, c.list_id,
+       |    round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) AS centroid_sim,
+       |    row_number() OVER (PARTITION BY n.vec_id
+       |                       ORDER BY round(list_dot_product(n.v, c.cv) / (n.nrm * c.cn), 6) DESC,
+       |                                c.list_id) AS probe_rank
+       |  FROM n CROSS JOIN cents c)""".stripMargin
+  }
+
+  def ivfDeltaAssignOracle: String = {
+    val dm = Dedup.DeltaMod
+    s"""WITH $ivfBaseCommonSql,
+       |prim AS (SELECT vec_id, vec_id % $dm = ${dm - 1} AS is_delta,
+       |    list_id, centroid_sim
+       |  FROM scoredc WHERE probe_rank = 1),
+       |pl AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+       |    CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_base,
+       |    CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_delta,
+       |    round(CAST(SUM(CAST(CASE WHEN is_delta THEN centroid_sim END
+       |        AS DECIMAL(38,18))) AS DOUBLE)
+       |      / NULLIF(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END), 0), 6)
+       |      AS delta_mean_sim
+       |  FROM prim GROUP BY list_id),
+       |drift AS (SELECT COALESCE(SUM(CASE WHEN drifted THEN 1 ELSE 0 END) > 0,
+       |    false) AS retrain_required
+       |  FROM ($embeddingBatchDriftOracle) dd)
+       |SELECT pl.list_id, pl.n_base, pl.n_delta, pl.delta_mean_sim,
+       |  drift.retrain_required
+       |FROM pl CROSS JOIN drift ORDER BY list_id""".stripMargin
+  }
 
   /** Per-list k-means quality report: member count, spherical inertia
     * (Σ cosine distance to the owning centroid), and the centroid

@@ -993,6 +993,7 @@ object Relational {
           col("l_shipdate") < ts("1995-04-01"), 1).otherwise(0).as("f"))
       .groupBy("l_partkey").agg(max(col("f")).as("in_window"))
       .persist()
+    graft.GraftSession.releaseAfterAction(spark, flags)
     val ordered = part.join(flags,
       col("p_partkey") === col("l_partkey"), "left_semi")
     ordered.join(flags.filter(col("in_window") === 1),
@@ -1985,6 +1986,7 @@ object Relational {
     val devs = vals.join(broadcast(med), Seq("g"))
       .select(col("g"), abs(col("v") - col("med")).as("v"))
       .persist()
+    graft.GraftSession.releaseAfterAction(spark, vals, devs)
     groupMedian(devs).withColumnRenamed("med", "mad")
       .join(broadcast(med), Seq("g"))
       .select(col("g").as("o_orderpriority"),

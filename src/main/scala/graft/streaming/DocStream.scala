@@ -161,6 +161,65 @@ object DocStream {
       graft.ext.Sampling.shardManifestAgg(graft.ext.Sampling.shardRows(stream))
     }.orderBy("shard")
 
+  /** Streaming incremental near-dup screen — the on-ingest twin of
+    * [[graft.ext.Dedup.incrementalDedup]]: delta documents arrive on
+    * the stream, are MinHash-signed and banded IN the ingest
+    * projection ([[graft.ext.Dedup.bandedSigs]] — the same expression
+    * tree, stateless, so it applies to a readStream unchanged), and
+    * matched against the STANDING corpus' banded signatures — a
+    * batch-built static frame with each band bucket capped at the
+    * [[graft.ext.Dedup.MaxBucket]] smallest ids, exactly the batch
+    * form's base side. The stream-static LEFT join is stateless
+    * (static side broadcast or bucket-co-partitioned by the planner;
+    * no watermark, no join state), so the only streaming state is the
+    * per-delta-doc argmax — one row per doc in today's batch, the
+    * emit-once upsert a production crawl gate runs in update mode.
+    *
+    * The batch `.distinct()` on colliding pairs is deliberately
+    * dropped: a pair colliding in both bands contributes the SAME
+    * (est, b) twice, and max(struct) is duplicate-insensitive — which
+    * is what keeps this a single streaming aggregation (distinct
+    * would be a second one, and chained streaming aggregations are
+    * not allowed). Unmatched deltas keep their banded rows through
+    * the left join (null base), carried as a (-1, -1.0) sentinel so
+    * the argmax stays null-free, and surface as is_dup = false.
+    * Verified against the SAME oracle as the batch form — the stream
+    * converges to the batch answer exactly. */
+  def streamingIncrementalDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Dedup
+    // the standing base is trained state: built once from the batch
+    // table, frozen via eager localCheckpoint so per-micro-batch
+    // re-reads of the static side don't re-run the signature pass
+    // (checkpoint blocks are ContextCleaner-freed, unlike a persist)
+    val base = Dedup.cappedBaseBands(
+      graft.Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .localCheckpoint()
+    val isDelta = col("doc_id") % Dedup.DeltaMod === (Dedup.DeltaMod - 1)
+    runDocStream(spark, dir, "incdedup") { stream =>
+      // sign per-row (signatureCol — pure projection): the aggregate-
+      // built batch signature would be a SECOND streaming aggregation
+      // ahead of the argmax, which Structured Streaming forbids. Same
+      // permutation family, same mins, same bandKeys ⇒ same buckets.
+      stream.filter(isDelta)
+        .select(col("doc_id"), Dedup.signatureCol(col("text")).as("sig"))
+        .select(col("doc_id"), col("sig"),
+          posexplode(Dedup.bandKeys(col("sig"))))
+        .select(col("pos").as("band_id"), col("col").as("band_key"),
+          col("doc_id").as("q"), col("sig").as("qs"))
+        .join(base, Seq("band_id", "band_key"), "left")
+        .select(col("q"),
+          coalesce(col("b"), lit(-1L)).as("b"),
+          coalesce(Dedup.estSig(col("qs"), col("bs")), lit(-1.0)).as("est"))
+        .groupBy(col("q"))
+        .agg(max(struct(col("est"), (-col("b")).as("nb"))).as("m"))
+        .select(col("q").as("doc_id"),
+          when(col("m.est") >= 0, -col("m.nb")).as("best_match"),
+          when(col("m.est") >= 0, col("m.est")).as("est_jaccard"),
+          coalesce(col("m.est") >= Dedup.PairThreshold, lit(false))
+            .as("is_dup"))
+    }.orderBy("doc_id")
+  }
+
   /** The reference's flagship computation — word count — as an
     * INCREMENTAL stream: counts maintained per micro-batch as
     * documents arrive, closing the loop on SURVEY §2's P1/A5 for a
