@@ -138,6 +138,15 @@ object ScaleProbe {
         ((s, d) => graft.streaming.EventStream.psiMonitorOverFiles(s, d)),
       "stream_shard_manifest" ->
         ((s, d) => graft.streaming.DocStream.streamingShardManifest(s, d)),
+      // round-7: substring runs are one gram window + one island
+      // window (nothing pairwise); the streaming screen's cost is the
+      // base signature build + ingest replay; delta assignment is one
+      // corpus scan against memoized standing centroids (memo reset
+      // per probe run ⇒ the probe includes the base-slice training)
+      "dedup_substring" -> (graft.ext.Dedup.substringDedup _),
+      "stream_incremental_dedup" ->
+        ((s, d) => graft.streaming.DocStream.streamingIncrementalDedup(s, d)),
+      "sim_ivf_delta_assign" -> (graft.ext.Similarity.ivfDeltaAssign _),
       "pipeline_waterfall" -> (graft.ext.Pipeline.pipelineWaterfall _),
       "embedding_batch_drift" ->
         (graft.ext.Similarity.embeddingBatchDrift _),

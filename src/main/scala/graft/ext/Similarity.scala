@@ -664,6 +664,14 @@ object Similarity {
   def ivfDeltaAssign(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val cents = baseKmeansCentroids(spark, dir)
+    // an empty standing index is a BOOTSTRAP error, not a maintenance
+    // state — assigning into zero lists must fail loudly (the staging
+    // contract), never emit an empty report a scheduler reads as "tick
+    // done"
+    require(cents.nonEmpty,
+      "standing IVF index is empty — no base vectors exist (every " +
+        s"vec_id ≡ ${Dedup.DeltaMod - 1} mod ${Dedup.DeltaMod}); " +
+        "bootstrap the index before running delta assignment")
     val isDelta = col("vec_id") % Dedup.DeltaMod === (Dedup.DeltaMod - 1)
     val assigned = embeddingsD(spark, dir)
       .select(col("vec_id"), isDelta.as("is_delta"),

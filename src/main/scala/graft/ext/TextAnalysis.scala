@@ -1507,15 +1507,45 @@ object TextAnalysis {
                        dir: String): (Seq[DataFrame], DataFrame) =
     bpeMemo.get(spark, dir) { bpeLearnUncached(spark, dir) }
 
+  /** Merge-TRAINING corpus bound: pair statistics come from a
+    * deterministic strided document sample of ≤ ~this many docs
+    * (stride = ⌊n_docs / cap⌋, `doc_id % stride = 0` — the
+    * [[graft.ext.Similarity.TrainSampleCap]] discipline, mirrored by
+    * the oracle). A merge table needs pair FREQUENCIES, not every
+    * occurrence; below the cap the stride is 1 and training is
+    * exact-corpus, so gate-scale results are unchanged. The encoded
+    * vocabulary the encode/fertility queries consume still covers the
+    * FULL corpus (they inner-join doc tokens against it), so when the
+    * stride bites, the learned merges are re-applied to the full
+    * vocabulary — 5 vocab-sized projection passes, vs 5 pair-count
+    * aggregations over an unbounded vocabulary without the cap (the
+    * round-6 sweep's worst 10× probe, 3.1, was exactly this term). */
+  val BpeTrainDocCap = 4096L
+
+  private def applyMerge(fr: DataFrame, best: DataFrame): DataFrame =
+    fr.crossJoin(broadcast(best))
+      .select(col("word"), col("cnt"),
+        regexp_replace(col("rep"),
+          concat(lit("\\b"), col("pair"), lit("\\b")),
+          regexp_replace(col("pair"), " ", "")).as("rep"))
+
   private def bpeLearnUncached(spark: SparkSession,
                                dir: String): (Seq[DataFrame], DataFrame) = {
-    val words = Tables.documents(spark, dir)
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.count()
+    val stride = math.max(1L, nDocs / BpeTrainDocCap)
+    val train =
+      if (stride == 1L) docs else docs.filter(col("doc_id") % stride === 0)
+    def vocab(src: DataFrame): DataFrame = src
       .select(explode(tokens(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
-    var reps = words.select(col("word"), col("cnt"),
-      array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " ")
-        .as("rep")).localCheckpoint()
+    def charRep(words: DataFrame): DataFrame =
+      words.select(col("word"), col("cnt"),
+        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " ")
+          .as("rep"))
+    var reps = charRep(vocab(train)).localCheckpoint()
     var merges = Seq.empty[DataFrame]
+    var bests = Seq.empty[DataFrame]
     for (k <- 1 to BpeMerges) {
       val pairs = reps.select(col("cnt"),
           explode(graft.functions.WordNGrams(
@@ -1523,18 +1553,18 @@ object TextAnalysis {
         .groupBy("pair").agg(sum("cnt").as("c"))
       val best = pairs.orderBy(col("c").desc, col("pair")).limit(1)
         .localCheckpoint()
+      bests = bests :+ best
       merges = merges :+ best.select(lit(k).as("merge_rank"),
         col("pair").as("merged_pair"),
         regexp_replace(col("pair"), " ", "").as("new_symbol"),
         col("c").as("pair_count"))
-      reps = reps.crossJoin(broadcast(best))
-        .select(col("word"), col("cnt"),
-          regexp_replace(col("rep"),
-            concat(lit("\\b"), col("pair"), lit("\\b")),
-            regexp_replace(col("pair"), " ", "")).as("rep"))
-        .localCheckpoint()
+      reps = applyMerge(reps, best).localCheckpoint()
     }
-    (merges, reps)
+    // stride 1 ⇒ the training vocabulary IS the full vocabulary
+    val fullReps =
+      if (stride == 1L) reps
+      else bests.foldLeft(charRep(vocab(docs)))(applyMerge).localCheckpoint()
+    (merges, fullReps)
   }
 
   def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
@@ -1557,13 +1587,32 @@ object TextAnalysis {
          |      split_part(b$k.pair, ' ', 2) || '\\b',
          |      replace(b$k.pair, ' ', ''), 'g') AS rep
          |  FROM r${k - 1}, b$k)""".stripMargin
+    // f-chain: the learned merges re-applied to the FULL vocabulary
+    // (wf) — mirrors bpeLearnUncached's fullReps; at gate scale the
+    // training stride is 1 so f_k ≡ r_k, but the SQL mirrors the
+    // engine's shape at any scale
+    def fiter(k: Int): String =
+      s"""f$k AS (SELECT word, cnt,
+         |    regexp_replace(rep, '\\b' || split_part(b$k.pair, ' ', 1) || ' ' ||
+         |      split_part(b$k.pair, ' ', 2) || '\\b',
+         |      replace(b$k.pair, ' ', ''), 'g') AS rep
+         |  FROM f${k - 1}, b$k)""".stripMargin
     s"""WITH w AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
        |  FROM (SELECT unnest(ws) AS w
-       |        FROM (SELECT $tokensSql AS ws FROM documents) t) u
+       |        FROM (SELECT $tokensSql AS ws FROM documents
+       |              WHERE doc_id % (SELECT GREATEST(1, COUNT(*) // $BpeTrainDocCap)
+       |                              FROM documents) = 0) t) u
        |  GROUP BY 1),
        |r0 AS (SELECT word, cnt,
        |  array_to_string(regexp_extract_all(word, '.'), ' ') AS rep FROM w),
-       |${(1 to BpeMerges).map(iter).mkString(",\n")}""".stripMargin
+       |${(1 to BpeMerges).map(iter).mkString(",\n")},
+       |wf AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(ws) AS w
+       |        FROM (SELECT $tokensSql AS ws FROM documents) t) u
+       |  GROUP BY 1),
+       |f0 AS (SELECT word, cnt,
+       |  array_to_string(regexp_extract_all(word, '.'), ' ') AS rep FROM wf),
+       |${(1 to BpeMerges).map(fiter).mkString(",\n")}""".stripMargin
   }
 
   def bpeMergesOracle: String = {
@@ -1610,7 +1659,7 @@ object TextAnalysis {
        |enc AS (SELECT word,
        |    CAST(len(string_split(rep, ' ')) AS BIGINT) AS n_syms,
        |    CAST(length(word) AS BIGINT) AS n_chars
-       |  FROM r$BpeMerges),
+       |  FROM f$BpeMerges),
        |dt AS (SELECT doc_id, unnest(ws) AS word
        |  FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t)
        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
@@ -1657,7 +1706,7 @@ object TextAnalysis {
        |enc AS (SELECT word,
        |    CAST(len(string_split(rep, ' ')) AS BIGINT) AS n_syms,
        |    CAST(length(word) AS BIGINT) AS n_chars
-       |  FROM r$BpeMerges),
+       |  FROM f$BpeMerges),
        |dt AS (SELECT lang, unnest(ws) AS word
        |  FROM (SELECT lang, $tokensSql AS ws FROM documents) t)
        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_words,

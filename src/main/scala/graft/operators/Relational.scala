@@ -2912,11 +2912,14 @@ object Relational {
     * ordered, so "all mass one band off" should score small and EMD
     * is what says so). The only input-sized work is the ONE hash
     * aggregation to QI×band cells (map-side combined); everything
-    * after runs on the bounded |QI|×|bands| frame — the band grid is
-    * densified by a broadcast cross join so absent cells contribute
-    * p=0, and both distances sum 9-dp-rounded deltas through decimals
-    * (the window cumsum too), so accumulation order can't flake the
-    * gate. */
+    * after runs on the bounded |QI|×|bands| frame — the band DOMAIN
+    * is the full integer range [min band, max band] (a globally-empty
+    * interior band still contributes its |cum| term and counts toward
+    * m — the t-closeness paper's ordinal domain, not just the
+    * realized bands), each group's grid is densified by a broadcast
+    * cross join so absent cells contribute p=0, and both distances
+    * sum 9-dp-rounded deltas through decimals (the window cumsum
+    * too), so accumulation order can't flake the gate. */
   def tClosenessAudit(spark: SparkSession, dir: String): DataFrame = {
     val cells = Tables.customer(spark, dir)
       .groupBy(col("c_nationkey"), col("c_mktsegment"),
@@ -2924,11 +2927,15 @@ object Relational {
       .agg(count(lit(1)).as("cell"))
       .localCheckpoint() // bounded |QI|×|bands| frame feeding 3 branches
     val global = cells.groupBy(col("bal_band")).agg(sum(col("cell")).as("gcnt"))
-    val tot = global.agg(sum(col("gcnt")).as("n_total"),
-      count(lit(1)).as("n_bands"))
-    val gq = global.crossJoin(broadcast(tot))
+    val tot = cells.agg(sum(col("cell")).as("n_total"),
+      min(col("bal_band")).as("b0"), max(col("bal_band")).as("b1"))
+    val gq = tot
+      .select(col("n_total"), (col("b1") - col("b0") + 1).as("n_bands"),
+        explode(sequence(col("b0"), col("b1"))).as("bal_band"))
+      .join(global, Seq("bal_band"), "left")
       .select(col("bal_band"), col("n_bands"),
-        (col("gcnt").cast("double") / col("n_total")).as("q"))
+        (coalesce(col("gcnt"), lit(0L)).cast("double") / col("n_total"))
+          .as("q"))
     val groups = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
       .agg(sum(col("cell")).as("group_size"))
     val grid = groups.crossJoin(broadcast(gq))
@@ -2963,10 +2970,14 @@ object Relational {
       |  FROM customer GROUP BY 1, 2, 3),
       |gl AS (SELECT bal_band, CAST(SUM(cell) AS BIGINT) AS gcnt FROM cells
       |  GROUP BY 1),
-      |tot AS (SELECT CAST(SUM(gcnt) AS BIGINT) AS n_total,
-      |    CAST(COUNT(*) AS BIGINT) AS n_bands FROM gl),
-      |gq AS (SELECT bal_band, n_bands,
-      |    CAST(gcnt AS DOUBLE) / n_total AS q FROM gl, tot),
+      |tot AS (SELECT CAST(SUM(cell) AS BIGINT) AS n_total,
+      |    CAST(MIN(bal_band) AS BIGINT) AS b0,
+      |    CAST(MAX(bal_band) AS BIGINT) AS b1 FROM cells),
+      |bands AS (SELECT unnest(range(b0, b1 + 1)) AS bal_band,
+      |    n_total, b1 - b0 + 1 AS n_bands FROM tot),
+      |gq AS (SELECT b.bal_band, b.n_bands,
+      |    CAST(COALESCE(gl.gcnt, 0) AS DOUBLE) / b.n_total AS q
+      |  FROM bands b LEFT JOIN gl ON gl.bal_band = b.bal_band),
       |grp AS (SELECT c_nationkey, c_mktsegment,
       |    CAST(SUM(cell) AS BIGINT) AS group_size FROM cells GROUP BY 1, 2),
       |grid AS (SELECT g.c_nationkey, g.c_mktsegment, g.group_size,

@@ -515,6 +515,253 @@ class HostileFixtureSpec extends SparkSpec {
       "an all-identical asset is ONE scene: frame 0, NULL distance")
   }
 
+  test("snapshot diff: fully disjoint snapshots report ONLY removed and added") {
+    import org.apache.spark.sql.functions._
+    // every key before the overlap window is shifted, every key after
+    // it is original, nothing in between: snapshot A and snapshot B
+    // share NO (partkey, suppkey) — the full-churn shape (a table
+    // rewritten wholesale between snapshots)
+    val out = "/tmp/graft_disjointsnap_fixture_v1"
+    if (!new java.io.File(s"$out/_built").exists()) {
+      val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val aOnly = li
+        .filter(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .withColumn("l_partkey", col("l_partkey") + 10000000L)
+      val bOnly = li
+        .filter(col("l_shipdate") >= lit("2000-01-01").cast("timestamp"))
+      aOnly.unionByName(bOnly)
+        .write.mode("overwrite").parquet(s"$out/lineitem.parquet")
+      new java.io.File(s"$out/_built").createNewFile()
+    }
+    val d = graft.operators.Relational.snapshotDiff(spark, out).collect()
+    assert(d.map(_.getString(0)).toSet == Set("added", "removed"),
+      s"disjoint snapshots must yield exactly added+removed: ${d.toSeq}")
+    val rem = d.find(_.getString(0) == "removed").get
+    assert(rem.getAs[Double]("qty_b") == 0.0 &&
+      rem.getAs[Double]("qty_delta") == -rem.getAs[Double]("qty_a"),
+      s"a removed-only action carries no B mass: $rem")
+    val add = d.find(_.getString(0) == "added").get
+    assert(add.getAs[Double]("qty_a") == 0.0 &&
+      add.getAs[Double]("qty_delta") == add.getAs[Double]("qty_b"),
+      s"an added-only action carries no A mass: $add")
+  }
+
+  test("t-closeness: a single-member QI group with an extreme band stays bounded") {
+    import org.apache.spark.sql.functions._
+    // one loner customer in its own (nation, segment) group whose
+    // balance sits ~10,000 bands beyond the population: the densified
+    // band domain stretches to cover it, every group's EMD divisor
+    // grows to the full range, and nothing may NaN or blow past the
+    // metric bounds
+    val out = "/tmp/graft_loner_fixture_v1"
+    if (!new java.io.File(s"$out/_built").exists()) {
+      val c = spark.read.parquet(s"$sf0001/customer.parquet")
+      def typed(name: String, v: org.apache.spark.sql.Column) =
+        v.cast(c.schema(name).dataType).as(name)
+      val loner = c.limit(1).select(c.schema.fieldNames.map {
+        case "c_custkey" => typed("c_custkey", lit(99999999L))
+        case "c_nationkey" => typed("c_nationkey", lit(77))
+        case "c_mktsegment" => typed("c_mktsegment", lit("LONERSEG"))
+        case "c_acctbal" => typed("c_acctbal", lit(9999999.0))
+        case other => col(other)
+      }.toSeq: _*)
+      c.unionByName(loner)
+        .write.mode("overwrite").parquet(s"$out/customer.parquet")
+      new java.io.File(s"$out/_built").createNewFile()
+    }
+    val rows = graft.operators.Relational.tClosenessAudit(spark, out).collect()
+    val loner = rows.filter(r => r.getAs[Number]("c_nationkey").intValue == 77)
+    assert(loner.length == 1 && loner(0).getAs[Long]("group_size") == 1L,
+      s"the single-member group must surface: ${loner.toSeq}")
+    rows.foreach { r =>
+      val tvd = r.getAs[Double]("tvd"); val emd = r.getAs[Double]("emd")
+      assert(!tvd.isNaN && tvd >= 0.0 && tvd <= 1.0, s"tvd out of bounds: $r")
+      assert(!emd.isNaN && emd >= 0.0 && emd <= 1.1, s"emd out of bounds: $r")
+    }
+    // the loner IS maximally far from the population distribution
+    assert(loner(0).getAs[Double]("tvd") > 0.99,
+      s"a singleton group concentrated on one extreme band must score ~1: ${loner(0)}")
+  }
+
+  test("incremental dedup (batch + stream): empty delta and delta-only corpora keep the contract") {
+    import org.apache.spark.sql.functions._
+    // empty DELTA: no doc_id ≡ 9 (mod 10) — today's crawl drop is
+    // empty; the screen reports zero rows, never a crash
+    val noDelta = "/tmp/graft_nodelta_fixture_v1"
+    if (!new java.io.File(s"$noDelta/_built").exists()) {
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .filter(col("doc_id") % graft.ext.Dedup.DeltaMod =!=
+          (graft.ext.Dedup.DeltaMod - 1))
+        .write.mode("overwrite").parquet(s"$noDelta/documents.parquet")
+      new java.io.File(s"$noDelta/_built").createNewFile()
+    }
+    assert(graft.ext.Dedup.incrementalDedup(spark, noDelta).count() == 0L)
+    assert(graft.streaming.DocStream
+      .streamingIncrementalDedup(spark, noDelta).count() == 0L)
+    // empty BASE: every doc is delta — nothing to match against, so
+    // every doc reports is_dup = false with NULL match, never a crash
+    val allDelta = "/tmp/graft_alldelta_fixture_v1"
+    if (!new java.io.File(s"$allDelta/_built").exists()) {
+      spark.read.parquet(s"$sf0001/documents.parquet")
+        .withColumn("doc_id",
+          col("doc_id") * graft.ext.Dedup.DeltaMod +
+            (graft.ext.Dedup.DeltaMod - 1))
+        .write.mode("overwrite").parquet(s"$allDelta/documents.parquet")
+      new java.io.File(s"$allDelta/_built").createNewFile()
+    }
+    val nDocs = Tables.documents(spark, allDelta).count()
+    for (rows <- Seq(
+        graft.ext.Dedup.incrementalDedup(spark, allDelta).collect(),
+        graft.streaming.DocStream
+          .streamingIncrementalDedup(spark, allDelta).collect())) {
+      assert(rows.length == nDocs, "every delta doc reports a row")
+      assert(rows.forall(r => !r.getAs[Boolean]("is_dup") &&
+        r.isNullAt(r.fieldIndex("best_match"))),
+        "an empty base can never produce a match")
+    }
+  }
+
+  test("streaming incremental dedup equals the batch screen on the mega-cluster shape") {
+    val streamed = graft.streaming.DocStream
+      .streamingIncrementalDedup(spark, hostileDir)
+      .collect().map(_.toSeq).toSet
+    val batch = graft.ext.Dedup.incrementalDedup(spark, hostileDir)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == batch,
+      s"twin divergence: ${(streamed diff batch).take(3)} vs " +
+        s"${(batch diff streamed).take(3)}")
+  }
+
+  test("scene cuts: a single-frame asset is one scene; sub-frame assets emit nothing") {
+    import org.apache.spark.sql.functions._
+    // assets with exactly ONE full 256-byte frame (length 256..511 —
+    // the partial tail frame is dropped by contract): no adjacent
+    // pair exists, so each yields exactly its opening-scene row with
+    // NULL distance
+    val oneFrame = Tables.documents(spark, hostileDir)
+      .filter(length(col("text")).between(256, 511))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(oneFrame.nonEmpty, "fixture must contain 1-frame assets")
+    val cuts = graft.ext.Dedup.frameSceneCuts(spark, hostileDir)
+      .filter(col("asset_id").isInCollection(oneFrame)).collect()
+    assert(cuts.length == oneFrame.size,
+      s"${cuts.length} scene rows for ${oneFrame.size} one-frame assets")
+    cuts.foreach { r =>
+      assert(r.getAs[Long]("frame_idx") == 0L &&
+        r.isNullAt(r.fieldIndex("hamming")),
+        s"a 1-frame asset opens its only scene at frame 0: $r")
+    }
+    // an asset below one full frame carries no hashable frame at all:
+    // zero rows (frames() still carries its partial bytes; SCENE
+    // segmentation needs a full dHash window), never a crash
+    assert(graft.ext.Dedup.frameSceneCuts(spark, hostileDir)
+      .filter(col("asset_id") === 60000002L).count() == 0L,
+      "sub-frame assets must not fabricate a scene row")
+  }
+
+  test("ANN family: corpus below the query band yields empty results; delta assign without a base fails loudly") {
+    import org.apache.spark.sql.functions._
+    // 16 vectors (ids 0..15): the fixed query band [16, 21) is EMPTY —
+    // every ANN query must return zero rows, never throw on the empty
+    // probe set
+    val tiny = "/tmp/graft_tinyemb_fixture_v1"
+    if (!new java.io.File(s"$tiny/_built").exists()) {
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter(col("vec_id") < 16L)
+        .write.mode("overwrite").parquet(s"$tiny/embeddings.parquet")
+      new java.io.File(s"$tiny/_built").createNewFile()
+    }
+    assert(graft.ext.Similarity.annIvf(spark, tiny).count() == 0L)
+    assert(graft.ext.Similarity.annIvfPq(spark, tiny).count() == 0L)
+    // no-delta embeddings: the maintenance tick reports every list
+    // with n_delta = 0, NULL mean sim, and no retrain demand
+    val noDelta = "/tmp/graft_nodeltaemb_fixture_v1"
+    if (!new java.io.File(s"$noDelta/_built").exists()) {
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .filter(col("vec_id") % 10L =!= 9L)
+        .write.mode("overwrite").parquet(s"$noDelta/embeddings.parquet")
+      new java.io.File(s"$noDelta/_built").createNewFile()
+    }
+    val ticks = graft.ext.Similarity.ivfDeltaAssign(spark, noDelta).collect()
+    assert(ticks.nonEmpty)
+    ticks.foreach { r =>
+      assert(r.getAs[Long]("n_delta") == 0L &&
+        r.isNullAt(r.fieldIndex("delta_mean_sim")) &&
+        !r.getAs[Boolean]("retrain_required"),
+        s"an empty delta is a quiet tick: $r")
+    }
+    // all-delta embeddings: NO standing index exists — bootstrap
+    // error, loud fail (the staging contract), never an empty report
+    val allDelta = "/tmp/graft_alldeltaemb_fixture_v1"
+    if (!new java.io.File(s"$allDelta/_built").exists()) {
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumn("vec_id", col("vec_id") * 10L + 9L)
+        .write.mode("overwrite").parquet(s"$allDelta/embeddings.parquet")
+      new java.io.File(s"$allDelta/_built").createNewFile()
+    }
+    intercept[IllegalArgumentException] {
+      graft.ext.Similarity.ivfDeltaAssign(spark, allDelta)
+    }
+  }
+
+  test("substring dedup: the mega template is fully covered; gramless docs report zero") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Dedup.substringDedup(spark, hostileDir).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // every mega doc is one 10-token run shared corpus-wide: full
+    // coverage, exactly one maximal run
+    val mega = rows.filter(r => r.getAs[Long]("doc_id") >= 50000000L &&
+      r.getAs[Long]("doc_id") < 50003000L)
+    assert(mega.length == 3000)
+    mega.foreach { r =>
+      assert(r.getAs[Double]("dup_fraction") == 1.0 &&
+        r.getAs[Long]("n_runs") == 1L &&
+        r.getAs[Long]("longest_run") == r.getAs[Long]("n_tokens"),
+        s"mega doc must be one fully-shared run: $r")
+    }
+    // sub-k-token docs (frames: ONE giant token; tiny: ≤ 3 tokens)
+    // carry no grams and must report zeros, never vanish
+    Seq(60000000L, 60000002L, 80000000L).foreach { id =>
+      val r = byId(id)
+      assert(r.getAs[Long]("dup_tokens") == 0L &&
+        r.getAs[Double]("dup_fraction") == 0.0 &&
+        r.getAs[Long]("n_runs") == 0L, s"gramless doc must report zeros: $r")
+    }
+  }
+
+  test("BPE: sampled merge training still encodes the FULL vocabulary") {
+    import org.apache.spark.sql.functions._
+    // a corpus over 2× BpeTrainDocCap (stride 2: merges train on half
+    // the docs) where EVERY doc carries a word unique to it — so half
+    // the vocabulary exists only OFF-sample. The encode join must
+    // still account for every token of every doc — the full-vocab
+    // application path the sf0.01 gate (stride 1) cannot exercise. A
+    // regression to sampled-vocab-only encoding silently drops the
+    // off-sample words from the token accounting.
+    val out = "/tmp/graft_bpebig_fixture_v1"
+    if (!new java.io.File(s"$out/_built").exists()) {
+      val base = spark.read.parquet(s"$sf0001/documents.parquet")
+      (0 until 17).map { k =>
+        base.withColumn("doc_id", col("doc_id") + lit(k * 100000L))
+          .withColumn("text",
+            concat(col("text"), lit(" uniq"), col("doc_id")))
+      }.reduce(_ unionByName _)
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      new java.io.File(s"$out/_built").createNewFile()
+    }
+    val docs = Tables.documents(spark, out)
+    assert(docs.count() > 2 * graft.ext.TextAnalysis.BpeTrainDocCap,
+      "fixture must exceed 2x the training cap or this test is vacuous")
+    val totTokens = docs
+      .select(explode(graft.ext.TextAnalysis.tokens(col("text")))).count()
+    val encTokens = graft.ext.TextAnalysis.bpeEncode(spark, out)
+      .agg(sum("n_tokens")).collect()(0).getLong(0)
+    assert(encTokens == totTokens,
+      s"encode must account for every token ($encTokens of $totTokens): " +
+        "off-sample vocabulary is being dropped")
+  }
+
   test("every query survives the hostile-shaped corpus (no throw, no hang)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
