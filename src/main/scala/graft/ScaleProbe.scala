@@ -147,6 +147,11 @@ object ScaleProbe {
       "stream_incremental_dedup" ->
         ((s, d) => graft.streaming.DocStream.streamingIncrementalDedup(s, d)),
       "sim_ivf_delta_assign" -> (graft.ext.Similarity.ivfDeltaAssign _),
+      // the ladder is one input-sized agg + bounded re-aggregations;
+      // the mixture plan is a wordcount-shape scan to |sources| rows
+      "k_generalization_ladder" ->
+        (graft.operators.Relational.kGeneralizationLadder _),
+      "mixture_budget" -> (graft.ext.Sampling.mixtureBudget _),
       "pipeline_waterfall" -> (graft.ext.Pipeline.pipelineWaterfall _),
       "embedding_batch_drift" ->
         (graft.ext.Similarity.embeddingBatchDrift _),

@@ -365,6 +365,13 @@ object SparkEntry {
     "dedup_substring_runs" -> ((s, dir) => Dedup.substringRuns(s, dir)),
     // standing-index maintenance: delta assignment + retrain gate
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssign _,
+    // the privacy FIX: finest generalization rung reaching k per cell
+    "k_generalization_ladder" -> Relational.kGeneralizationLadder _,
+    // token-budget mixture plan: weights, epochs, sample rates
+    "mixture_budget" -> Sampling.mixtureBudget _,
+    // ...and the same plan maintained on ingest (state = source counts)
+    "stream_mixture_monitor" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingMixtureMonitor(s, dir)),
     // scan-on-ingest quality gate per (source, reason)
     "stream_quality_monitor" -> ((s, dir) =>
       graft.streaming.DocStream.streamingQualityMonitor(s, dir)),
@@ -670,6 +677,10 @@ object SparkEntry {
     "dedup_substring" -> Dedup.substringDedupOracle,
     "dedup_substring_runs" -> Dedup.substringRunsOracle,
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssignOracle,
+    "k_generalization_ladder" -> Relational.kGeneralizationLadderOracle,
+    "mixture_budget" -> Sampling.mixtureBudgetOracle,
+    // the stream converges to the batch plan exactly — same oracle
+    "stream_mixture_monitor" -> Sampling.mixtureBudgetOracle,
     "stream_quality_monitor" ->
       graft.streaming.DocStream.streamingQualityMonitorOracle,
     "dp_release_counts" -> Relational.dpReleaseCountsOracle,

@@ -910,9 +910,12 @@ object Dedup {
     * (MinHash / containment / SimHash) cannot produce: a unique doc
     * with one boilerplate paragraph scores near-zero Jaccard against
     * everything yet still ships duplicated spans into training. */
-  def substringDedup(spark: SparkSession, dir: String): DataFrame = {
-    val (toksDf, runs) = substringRunFrames(
+  def substringDedup(spark: SparkSession, dir: String): DataFrame =
+    substringDedupDocs(
       Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def substringDedupDocs(docs: DataFrame): DataFrame = {
+    val (toksDf, runs) = substringRunFrames(docs)
     val perDoc = runs.groupBy("doc_id")
       .agg(sum(col("span")).as("dup_tokens"), count(lit(1)).as("n_runs"),
         max(col("span")).as("longest_run"))
@@ -948,9 +951,13 @@ object Dedup {
     * Bounded output (top `topN` by span, doc_id/start tiebreak —
     * a total order, so LIMIT is deterministic). */
   def substringRuns(spark: SparkSession, dir: String,
-                    topN: Int = 20): DataFrame = {
-    val (toksDf, runs) = substringRunFrames(
-      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+                    topN: Int = 20): DataFrame =
+    substringRunsDocs(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")), topN)
+
+  private[graft] def substringRunsDocs(docs: DataFrame,
+                                       topN: Int = 20): DataFrame = {
+    val (toksDf, runs) = substringRunFrames(docs)
     runs.join(toksDf.select(col("doc_id"), col("t")), Seq("doc_id"))
       .select(col("doc_id"), col("start_pos"), col("span").as("run_tokens"),
         md5(concat_ws(" ",

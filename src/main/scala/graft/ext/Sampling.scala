@@ -303,6 +303,79 @@ object Sampling {
        |WHERE r.rk <= q.quota
        |ORDER BY r.source, r.rk""".stripMargin
 
+  /** Token-budget mixture PLAN: the per-source table a pretraining
+    * data recipe is built from. [[temperatureSample]] picks DOCS
+    * under per-source quotas; this operator does the TOKEN
+    * accounting for a full budget: available tokens per source,
+    * temperature weight w_s ∝ available^0.5 (α < 1 upsamples small
+    * sources — the standard multilingual/pretraining mix knob),
+    * target tokens w_s·B for a budget B = the corpus total, and the
+    * two numbers a loader executes: `epochs` (target/available — >1
+    * means the source repeats; the small-source repetition factor
+    * quality work always reports) and `sample_rate` (the
+    * single-epoch Bernoulli rate, capped at 1). One corpus scan to
+    * |sources| rows (map-side combined token sums); every division
+    * happens on the bounded frame with round-9/decimal-sum
+    * normalization so both engines land on identical doubles. */
+  def mixtureBudget(spark: SparkSession, dir: String): DataFrame =
+    mixtureFromCounts(
+      Tables.documents(spark, dir)
+        .select(col("source"),
+          size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("available_tokens")))
+
+  /** The mixture arithmetic over a (source, available_tokens) frame —
+    * a pure view over |sources| rows, shared by the batch plan and
+    * the streaming monitor (whose state IS that frame, maintained on
+    * ingest), so the two cannot drift and verify against ONE oracle. */
+  private[graft] def mixtureFromCounts(counts: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val per = counts
+      .select(col("source"), col("available_tokens"),
+        round(sqrt(col("available_tokens").cast("double")), 9).as("pa"))
+    val z = per.agg(
+      sum(col("pa").cast(DecimalType(28, 12))).cast("double").as("z"),
+      sum(col("available_tokens")).as("budget"))
+    per.crossJoin(broadcast(z))
+      .select(col("source"), col("available_tokens"),
+        round(col("pa") / col("z"), 9).as("weight"),
+        floor(round(col("pa") / col("z"), 9) * col("budget"))
+          .cast("long").as("target_tokens"))
+      .select(col("source"), col("available_tokens"), col("weight"),
+        col("target_tokens"),
+        round(when(col("available_tokens") > 0,
+          col("target_tokens").cast("double") / col("available_tokens")), 6)
+          .as("epochs"),
+        round(when(col("available_tokens") > 0,
+          least(lit(1.0),
+            col("target_tokens").cast("double") / col("available_tokens"))), 6)
+          .as("sample_rate"))
+      .orderBy("source")
+  }
+
+  def mixtureBudgetOracle: String =
+    s"""WITH per AS (SELECT source,
+       |    CAST(SUM(len(${TextAnalysis.tokensSqlShared})) AS BIGINT)
+       |      AS available_tokens
+       |  FROM documents GROUP BY source),
+       |pa AS (SELECT source, available_tokens,
+       |    round(sqrt(CAST(available_tokens AS DOUBLE)), 9) AS pa FROM per),
+       |z AS (SELECT CAST(SUM(CAST(pa AS DECIMAL(28,12))) AS DOUBLE) AS z,
+       |    CAST(SUM(available_tokens) AS BIGINT) AS budget FROM pa),
+       |t AS (SELECT source, available_tokens,
+       |    round(pa / z.z, 9) AS weight,
+       |    CAST(floor(round(pa / z.z, 9) * z.budget) AS BIGINT)
+       |      AS target_tokens
+       |  FROM pa, z)
+       |SELECT source, available_tokens, weight, target_tokens,
+       |  round(CASE WHEN available_tokens > 0
+       |    THEN CAST(target_tokens AS DOUBLE) / available_tokens END, 6)
+       |    AS epochs,
+       |  round(CASE WHEN available_tokens > 0
+       |    THEN least(1.0, CAST(target_tokens AS DOUBLE) / available_tokens)
+       |    END, 6) AS sample_rate
+       |FROM t ORDER BY source""".stripMargin
+
   val NumShards = 8
 
   /** Shard salt — independent of [[SampleSalt]], so shard placement

@@ -2672,6 +2672,94 @@ object Relational {
       |  group_size < 5 AS reidentifiable_at_k5
       |FROM g GROUP BY group_size ORDER BY group_size""".stripMargin
 
+  /** Anonymity threshold for the generalization ladder. */
+  val GeneralizeK = 5
+
+  /** k-anonymity GENERALIZATION — the fix the audits gate toward:
+    * for every finest-level QI group, the first rung of a fixed
+    * generalization ladder at which its generalized group reaches
+    * k = [[GeneralizeK]], plus the group size actually released at
+    * that rung. The ladder coarsens one attribute at a time (the
+    * practical domain-hierarchy scheme; full Mondrian is a
+    * partitioner, this is the release policy):
+    *
+    *   L0 (nation, segment, $1k balance band)   — finest
+    *   L1 (nation, segment, $5k balance band)
+    *   L2 (nation, segment)                     — balance suppressed
+    *   L3 (nation)                              — segment suppressed
+    *   L4 (∗)                                   — fully suppressed
+    *
+    * Scale shape: ONE input-sized hash aggregation to L0 cells; every
+    * coarser rung re-aggregates the BOUNDED cell frame (L1's band is
+    * floor(band0 / 5) — nested-floor identity, so no second table
+    * scan), and the rung sizes broadcast back onto the cells. The
+    * output answers, per cell, "publish at which resolution" — the
+    * per-partition decision a release pipeline executes directly. */
+  def kGeneralizationLadder(spark: SparkSession, dir: String): DataFrame = {
+    val k = GeneralizeK
+    val cells = Tables.customer(spark, dir)
+      .groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000).as("bal_band"))
+      .agg(count(lit(1)).as("n0"))
+      .localCheckpoint() // bounded |QI| frame feeding every rung
+    val l1 = cells.groupBy(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("bal_band") / 5).as("band5"))
+      .agg(sum(col("n0")).as("n1"))
+    val l2 = cells.groupBy(col("c_nationkey"), col("c_mktsegment"))
+      .agg(sum(col("n0")).as("n2"))
+    val l3 = cells.groupBy(col("c_nationkey")).agg(sum(col("n0")).as("n3"))
+    val l4 = cells.agg(sum(col("n0")).as("n4"))
+    cells
+      .withColumn("band5", floor(col("bal_band") / 5))
+      .join(broadcast(l1), Seq("c_nationkey", "c_mktsegment", "band5"))
+      .join(broadcast(l2), Seq("c_nationkey", "c_mktsegment"))
+      .join(broadcast(l3), Seq("c_nationkey"))
+      .crossJoin(broadcast(l4))
+      .select(col("c_nationkey"), col("c_mktsegment"), col("bal_band"),
+        col("n0").as("group_size"),
+        when(col("n0") >= k, 0L).when(col("n1") >= k, 1L)
+          .when(col("n2") >= k, 2L).when(col("n3") >= k, 3L)
+          .otherwise(4L).as("release_level"),
+        when(col("n0") >= k, col("n0")).when(col("n1") >= k, col("n1"))
+          .when(col("n2") >= k, col("n2")).when(col("n3") >= k, col("n3"))
+          .otherwise(col("n4")).as("released_size"))
+      .orderBy("c_nationkey", "c_mktsegment", "bal_band")
+  }
+
+  def kGeneralizationLadderOracle: String = {
+    val k = GeneralizeK
+    s"""WITH cells AS (SELECT c_nationkey, c_mktsegment,
+       |    floor(c_acctbal / 1000) AS bal_band,
+       |    CAST(COUNT(*) AS BIGINT) AS n0
+       |  FROM customer GROUP BY 1, 2, 3),
+       |l1 AS (SELECT c_nationkey, c_mktsegment,
+       |    floor(bal_band / 5) AS band5, CAST(SUM(n0) AS BIGINT) AS n1
+       |  FROM cells GROUP BY 1, 2, 3),
+       |l2 AS (SELECT c_nationkey, c_mktsegment,
+       |    CAST(SUM(n0) AS BIGINT) AS n2 FROM cells GROUP BY 1, 2),
+       |l3 AS (SELECT c_nationkey, CAST(SUM(n0) AS BIGINT) AS n3
+       |  FROM cells GROUP BY 1),
+       |l4 AS (SELECT CAST(SUM(n0) AS BIGINT) AS n4 FROM cells)
+       |SELECT c.c_nationkey, c.c_mktsegment,
+       |  CAST(c.bal_band AS BIGINT) AS bal_band,
+       |  c.n0 AS group_size,
+       |  CAST(CASE WHEN c.n0 >= $k THEN 0 WHEN l1.n1 >= $k THEN 1
+       |       WHEN l2.n2 >= $k THEN 2 WHEN l3.n3 >= $k THEN 3
+       |       ELSE 4 END AS BIGINT) AS release_level,
+       |  CASE WHEN c.n0 >= $k THEN c.n0 WHEN l1.n1 >= $k THEN l1.n1
+       |       WHEN l2.n2 >= $k THEN l2.n2 WHEN l3.n3 >= $k THEN l3.n3
+       |       ELSE l4.n4 END AS released_size
+       |FROM cells c
+       |JOIN l1 ON l1.c_nationkey = c.c_nationkey
+       |  AND l1.c_mktsegment = c.c_mktsegment
+       |  AND l1.band5 = floor(c.bal_band / 5)
+       |JOIN l2 ON l2.c_nationkey = c.c_nationkey
+       |  AND l2.c_mktsegment = c.c_mktsegment
+       |JOIN l3 ON l3.c_nationkey = c.c_nationkey
+       |CROSS JOIN l4
+       |ORDER BY c.c_nationkey, c.c_mktsegment, c.bal_band""".stripMargin
+  }
+
   /** Release noise scale: ε = 1 with sensitivity-1 counts → Laplace
     * b = 1. */
   val DpEpsilon = 1.0

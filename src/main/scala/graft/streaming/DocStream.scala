@@ -220,6 +220,31 @@ object DocStream {
     }.orderBy("doc_id")
   }
 
+  /** The token-budget mixture plan maintained ON INGEST: per-source
+    * token counts are streaming state (one row per source, the same
+    * bound as the PII/quality monitors); the temperature-weight /
+    * epochs / sample-rate arithmetic is a pure VIEW over that
+    * |sources|-row state, applied to the converged table —
+    * [[graft.ext.Sampling.mixtureFromCounts]], the SAME projection
+    * the batch plan uses, so stream and batch verify against one
+    * oracle. This is the recipe dashboard a crawl operator watches:
+    * as a new feed ramps up, its weight and every other source's
+    * epochs shift live, and the next training run's mix is read
+    * straight off the state table. (The normalization is a second
+    * aggregation over sources — Structured Streaming forbids chaining
+    * it after the token aggregation, which is exactly why it rides as
+    * a view over state rather than inside the stream.) */
+  def streamingMixtureMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val state = runDocStream(spark, dir, "mix") { stream =>
+      stream
+        .select(col("source"),
+          size(graft.ext.TextAnalysis.tokens(col("text"))).cast("long")
+            .as("nt"))
+        .groupBy("source").agg(sum(col("nt")).as("available_tokens"))
+    }
+    graft.ext.Sampling.mixtureFromCounts(state).orderBy("source")
+  }
+
   /** The reference's flagship computation — word count — as an
     * INCREMENTAL stream: counts maintained per micro-batch as
     * documents arrive, closing the loop on SURVEY §2's P1/A5 for a

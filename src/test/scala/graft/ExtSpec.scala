@@ -381,4 +381,63 @@ class ExtSpec extends SparkSpec {
       assert(r.getAs[Double]("chars_per_symbol") >= 1.0)
     }
   }
+
+  test("substring dedup: run semantics on constructed corpora (threshold, islands, merge, cross-doc only)") {
+    import spark.implicits._
+    def toks(p: String, n: Int) = (1 to n).map(i => s"$p$i").mkString(" ")
+    val a8 = toks("a", 8); val b7 = toks("b", 7)
+    val r8 = toks("r", 8); val s8 = toks("s", 8); val m10 = toks("m", 10)
+    val docs = Seq(
+      // exactly one shared 8-token window (the threshold case)
+      (1L, s"$a8 tailxa tailya"),
+      (2L, s"$a8 tailxb tailyb"),
+      // a 7-token shared prefix: BELOW threshold, must not flag
+      (3L, s"$b7 ctail1 ctail2"),
+      (4L, s"$b7 dtail1 dtail2"),
+      // TWO disjoint shared runs separated by a 9-token unique gap
+      (5L, s"$r8 ${toks("g", 9)} $s8"),
+      (6L, s"$r8 ${toks("h", 9)} $s8"),
+      // overlapping shared windows must MERGE into one maximal run
+      (7L, m10),
+      (8L, s"$m10 htail1 htail2"),
+      // WITHIN-doc repetition alone is not cross-doc duplication
+      (9L, s"${toks("p", 8)} ${toks("p", 8)}"))
+      .toDF("doc_id", "text")
+    val rows = graft.ext.Dedup.substringDedupDocs(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def f(id: Long, c: String) = rows(id).getAs[Double](c)
+    def l(id: Long, c: String) = rows(id).getAs[Long](c)
+    // threshold: exactly-8 shared → one run of 8 over 10 tokens
+    for (id <- Seq(1L, 2L))
+      assert(l(id, "dup_tokens") == 8L && l(id, "n_runs") == 1L &&
+        f(id, "dup_fraction") == 0.8, s"doc $id: ${rows(id)}")
+    // 7 shared tokens: no 8-gram exists → zero
+    for (id <- Seq(3L, 4L))
+      assert(l(id, "dup_tokens") == 0L && l(id, "n_runs") == 0L,
+        s"sub-threshold run must not flag: ${rows(id)}")
+    // islands: two runs of 8 over 25 tokens, gap > k keeps them apart
+    for (id <- Seq(5L, 6L))
+      assert(l(id, "dup_tokens") == 16L && l(id, "n_runs") == 2L &&
+        l(id, "longest_run") == 8L, s"doc $id: ${rows(id)}")
+    // merge: three overlapping shared windows collapse to ONE 10-token
+    // run — doc 7 is fully covered, doc 8 keeps its unique tail
+    assert(l(7L, "n_runs") == 1L && f(7L, "dup_fraction") == 1.0 &&
+      l(7L, "longest_run") == 10L, s"${rows(7L)}")
+    assert(l(8L, "n_runs") == 1L && l(8L, "dup_tokens") == 10L &&
+      l(8L, "n_tokens") == 12L, s"${rows(8L)}")
+    // cross-doc ONLY: a doc repeating its own 8-gram twice shares with
+    // no other doc and must report zero
+    assert(l(9L, "dup_tokens") == 0L && l(9L, "n_runs") == 0L,
+      s"within-doc repetition is not cross-doc duplication: ${rows(9L)}")
+
+    // the runs report: identical spans in different docs carry the
+    // SAME content fingerprint, and ordering is (span desc, doc, pos)
+    val runs = graft.ext.Dedup.substringRunsDocs(docs, topN = 20).collect()
+    val top = runs.take(2)
+    assert(top.map(_.getAs[Long]("doc_id")).toSeq == Seq(7L, 8L) &&
+      top.forall(_.getAs[Long]("run_tokens") == 10L),
+      s"longest shared span first: ${runs.toSeq}")
+    assert(top(0).getAs[String]("run_md5") == top(1).getAs[String]("run_md5"),
+      "the same verbatim span must fingerprint identically in both docs")
+  }
 }
