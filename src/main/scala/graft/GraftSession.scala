@@ -63,7 +63,14 @@ object GraftSession {
     * registration — would release the caches before the run that
     * needs them (measured: mad_price 2.8 → 4.4 s under the unguarded
     * form — the any-next-action race replayed groupMedian's branches
-    * against an already-dropped cache). */
+    * against an already-dropped cache).
+    *
+    * Frames passed in ONE call share one lifecycle: the first action
+    * matching ANY of them releases ALL of them — right when they are
+    * consumed by the same final action (the usual case here). An
+    * operator whose build runs an eager step over a subset of them
+    * must not batch frames with different lifetimes; release the
+    * early-consumed frame synchronously instead (madPrice does). */
   private[graft] def releaseAfterAction(spark: SparkSession,
                                         cached: DataFrame*): Unit = {
     val targets = cached.map(_.queryExecution.analyzed.canonicalized)

@@ -144,6 +144,7 @@ object ScaleProbe {
       // corpus scan against memoized standing centroids (memo reset
       // per probe run ⇒ the probe includes the base-slice training)
       "dedup_substring" -> (graft.ext.Dedup.substringDedup _),
+      "dedup_substring_excise" -> (graft.ext.Dedup.substringExcise _),
       "stream_incremental_dedup" ->
         ((s, d) => graft.streaming.DocStream.streamingIncrementalDedup(s, d)),
       "sim_ivf_delta_assign" -> (graft.ext.Similarity.ivfDeltaAssign _),

@@ -363,6 +363,8 @@ object SparkEntry {
     "dedup_substring" -> ((s, dir) => Dedup.substringDedup(s, dir)),
     // ...and the "what exactly is duplicated" top-runs report
     "dedup_substring_runs" -> ((s, dir) => Dedup.substringRuns(s, dir)),
+    // ...and the transform: keep one copy of each run, cut the rest
+    "dedup_substring_excise" -> ((s, dir) => Dedup.substringExcise(s, dir)),
     // standing-index maintenance: delta assignment + retrain gate
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssign _,
     // the privacy FIX: finest generalization rung reaching k per cell
@@ -676,6 +678,7 @@ object SparkEntry {
     "stream_incremental_dedup" -> Dedup.incrementalDedupOracle,
     "dedup_substring" -> Dedup.substringDedupOracle,
     "dedup_substring_runs" -> Dedup.substringRunsOracle,
+    "dedup_substring_excise" -> Dedup.substringExciseOracle,
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssignOracle,
     "k_generalization_ladder" -> Relational.kGeneralizationLadderOracle,
     "mixture_budget" -> Sampling.mixtureBudgetOracle,

@@ -974,6 +974,84 @@ object Dedup {
        |FROM runs r JOIN d USING (doc_id)
        |ORDER BY run_tokens DESC, doc_id, start_pos LIMIT 20""".stripMargin
 
+  /** The EXCISION transform behind [[substringDedup]]'s report —
+    * "remove the duplicated paragraph, keep the document", executed:
+    * every maximal shared run keeps exactly ONE occurrence corpus-wide
+    * (the (min doc_id, min start) copy — deterministic, so retries
+    * excise identical spans) and is cut everywhere else; per doc the
+    * output carries the removal accounting and the md5 of the cleaned
+    * token stream (what a downstream writer would persist).
+    *
+    * Keeper policy is keyed on the EXACT run content (length + bytes):
+    * two docs whose maximal extents differ keep both — conservative
+    * under-removal by design; the fraction report remains the audit.
+    * Scale shape adds to the run spine: one |runs|-sized window for
+    * the keeper rank (runs, not tokens — boilerplate-heavy corpora
+    * have |runs| ≪ |tokens|), one per-doc interval list (clusters are
+    * disjoint in token space, so the list is small and membership
+    * filtering is |tokens|·|intervals| per doc, no shuffle). */
+  def substringExcise(spark: SparkSession, dir: String): DataFrame =
+    substringExciseDocs(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+
+  private[graft] def substringExciseDocs(docs: DataFrame): DataFrame = {
+    val (toksDf, runs) = substringRunFrames(docs)
+    val rm = runs.join(toksDf.select(col("doc_id"), col("t")), Seq("doc_id"))
+      .select(col("doc_id"), col("start_pos"), col("span"),
+        md5(concat_ws(" ",
+          slice(col("t"), col("start_pos") + 1, col("span")))).as("run_md5"))
+    val wk = Window.partitionBy("run_md5").orderBy("doc_id", "start_pos")
+    val rem = rm.withColumn("rn", row_number().over(wk))
+      .filter(col("rn") > 1)
+      .select(col("doc_id"), col("start_pos").as("s"),
+        (col("start_pos") + col("span")).as("e"), col("span"))
+    val ivs = rem.groupBy("doc_id")
+      .agg(collect_list(struct(col("s"), col("e"))).as("ivs"),
+        sum(col("span")).as("removed"))
+    toksDf.join(ivs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("removed"), lit(0L)).as("removed_tokens"),
+        (col("n_tokens") - coalesce(col("removed"), lit(0L)))
+          .as("kept_tokens"),
+        when(col("ivs").isNull, md5(array_join(col("t"), " ")))
+          .otherwise(md5(array_join(expr(
+            "transform(filter(sequence(0, size(t) - 1)," +
+              " x -> size(filter(ivs, v -> x >= v.s AND x < v.e)) = 0)," +
+              " x -> t[x])"), " ")))
+          .as("cleaned_md5"))
+      .orderBy("doc_id")
+  }
+
+  def substringExciseOracle: String =
+    s"""WITH $substringRunsSql,
+       |rm AS (SELECT r.doc_id, r.start_pos, r.span,
+       |    md5(array_to_string(
+       |      d.t[r.start_pos + 1:r.start_pos + r.span], ' ')) AS run_md5
+       |  FROM runs r JOIN d USING (doc_id)),
+       |rk AS (SELECT doc_id, start_pos, span,
+       |    row_number() OVER (PARTITION BY run_md5
+       |                       ORDER BY doc_id, start_pos) AS rn
+       |  FROM rm),
+       |rem AS (SELECT doc_id, start_pos AS s, start_pos + span AS e, span
+       |  FROM rk WHERE rn > 1),
+       |iv AS (SELECT doc_id, list(struct_pack(s := s, e := e)) AS ivs,
+       |    CAST(SUM(span) AS BIGINT) AS removed
+       |  FROM rem GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_tokens,
+       |  COALESCE(iv.removed, 0) AS removed_tokens,
+       |  d.n_tokens - COALESCE(iv.removed, 0) AS kept_tokens,
+       |  -- COALESCE(…, ''): DuckDB's array_to_string of an EMPTY list
+       |  -- is NULL where Spark's array_join is '' — a fully-excised
+       |  -- (or tokenless) doc must hash the empty stream, not NULL
+       |  CASE WHEN iv.doc_id IS NULL
+       |       THEN md5(COALESCE(array_to_string(d.t, ' '), ''))
+       |       ELSE md5(COALESCE(array_to_string(list_transform(
+       |         list_filter(range(len(d.t)),
+       |           x -> len(list_filter(iv.ivs,
+       |                 v -> x >= v.s AND x < v.e)) = 0),
+       |         x -> d.t[x + 1]), ' '), '')) END AS cleaned_md5
+       |FROM d LEFT JOIN iv USING (doc_id) ORDER BY doc_id""".stripMargin
+
   // ── perceptual-hash (dHash) near-dup over multimodal payloads ──
 
   val PhashBits = 64

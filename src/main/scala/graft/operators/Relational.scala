@@ -1983,10 +1983,16 @@ object Relational {
       .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
       .persist()
     val med = groupMedian(vals).localCheckpoint()
+    // devs is eagerly checkpointed too (groupMedian references it from
+    // several branches), which makes THIS the last consumer of vals —
+    // so vals can release synchronously, no listener needed. (A shared
+    // release-after-action listener is wrong here: the checkpoint
+    // action's plan contains vals, so it would release devs' cache
+    // alongside and the final action would replay devs per branch.)
     val devs = vals.join(broadcast(med), Seq("g"))
       .select(col("g"), abs(col("v") - col("med")).as("v"))
-      .persist()
-    graft.GraftSession.releaseAfterAction(spark, vals, devs)
+      .localCheckpoint()
+    vals.unpersist()
     groupMedian(devs).withColumnRenamed("med", "mad")
       .join(broadcast(med), Seq("g"))
       .select(col("g").as("o_orderpriority"),

@@ -439,5 +439,29 @@ class ExtSpec extends SparkSpec {
       s"longest shared span first: ${runs.toSeq}")
     assert(top(0).getAs[String]("run_md5") == top(1).getAs[String]("run_md5"),
       "the same verbatim span must fingerprint identically in both docs")
+
+    // EXCISION: exactly one copy of each shared run survives corpus-
+    // wide (the min-(doc, start) occurrence); everything else is cut,
+    // and the cleaned token stream is exactly the unshared remainder
+    def md5hex(str: String) =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(str.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val ex = graft.ext.Dedup.substringExciseDocs(docs)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    def rem(id: Long) = ex(id).getAs[Long]("removed_tokens")
+    def cleaned(id: Long) = ex(id).getAs[String]("cleaned_md5")
+    // doc 1 is the keeper of the a-run; doc 2 loses it, keeping tails
+    assert(rem(1L) == 0L && rem(2L) == 8L, s"${ex(1L)} / ${ex(2L)}")
+    assert(cleaned(2L) == md5hex("tailxb tailyb"), s"${ex(2L)}")
+    // doc 5 keeps BOTH runs; doc 6 loses both, keeping its gap tokens
+    assert(rem(5L) == 0L && rem(6L) == 16L &&
+      ex(6L).getAs[Long]("kept_tokens") == 9L, s"${ex(5L)} / ${ex(6L)}")
+    assert(cleaned(6L) == md5hex((1 to 9).map(i => s"h$i").mkString(" ")))
+    // doc 7 keeps the merged 10-token run; doc 8 keeps only its tail
+    assert(rem(7L) == 0L && rem(8L) == 10L, s"${ex(7L)} / ${ex(8L)}")
+    assert(cleaned(8L) == md5hex("htail1 htail2"), s"${ex(8L)}")
+    // untouched docs hash to their full token stream
+    assert(rem(9L) == 0L &&
+      cleaned(9L) == md5hex((toks("p", 8) + " " + toks("p", 8))))
   }
 }

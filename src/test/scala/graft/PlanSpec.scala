@@ -84,18 +84,29 @@ class PlanSpec extends SparkSpec {
     // fn executes a whole bounded stream and the returned plan is just
     // a memory-sink scan — nothing to inspect for join shape
     val skip = Set("dedup_groups", "mr_wordcount",
-      "stream_window_events", "stream_sessionize_events", "stream_dedup_docs",
-      "stream_interval_join", "stream_interval_join_outer", "stream_asof_join",
-      "stream_static_join", "stream_sessionize_tws", "stream_distinct_keys",
       // compose dedup_groups' driver-side iteration; same rationale
       "split_leakage_audit", "dedup_group_sizes")
-    SparkEntry.queries.filterNot(q => skip(q._1)).foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filterNot(q => skip(q._1) || q._1.startsWith("stream_"))
+      .foreach { case (name, fn) =>
       val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
       val badCross = plan.linesIterator.exists(l =>
         l.contains("Join Cross") && !l.contains("strategy=broadcast"))
       assert(!badCross && !plan.contains("CartesianProduct"),
         s"$name plans an un-broadcast cartesian product:\n$plan")
     }
+  }
+
+  test("substring family stays window-shaped: no gram self-join, only the report join") {
+    // the shared-gram detection must plan as ONE window over the gram
+    // hash — a gram self-join would square the shared-paragraph bucket
+    val p1 = graft.ext.Dedup.substringDedup(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert("Window".r.findAllIn(p1).nonEmpty, s"expected window spine:\n$p1")
+    val joins = "SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin".r
+      .findAllIn(p1).length
+    assert(joins <= 1,
+      s"expected at most the per-doc report join, got $joins joins:\n$p1")
   }
 
   test("optimizer rule rewrites the HOF dot product to the codegen'd kernel") {
