@@ -145,6 +145,8 @@ object ScaleProbe {
       // per probe run ⇒ the probe includes the base-slice training)
       "dedup_substring" -> (graft.ext.Dedup.substringDedup _),
       "dedup_substring_excise" -> (graft.ext.Dedup.substringExcise _),
+      "stream_substring_screen" ->
+        ((s, d) => graft.streaming.DocStream.streamingSubstringScreen(s, d)),
       "stream_incremental_dedup" ->
         ((s, d) => graft.streaming.DocStream.streamingIncrementalDedup(s, d)),
       "sim_ivf_delta_assign" -> (graft.ext.Similarity.ivfDeltaAssign _),

@@ -365,6 +365,9 @@ object SparkEntry {
     "dedup_substring_runs" -> ((s, dir) => Dedup.substringRuns(s, dir)),
     // ...and the transform: keep one copy of each run, cut the rest
     "dedup_substring_excise" -> ((s, dir) => Dedup.substringExcise(s, dir)),
+    // on-ingest verbatim-overlap screen vs the standing gram set
+    "stream_substring_screen" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingSubstringScreen(s, dir)),
     // standing-index maintenance: delta assignment + retrain gate
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssign _,
     // the privacy FIX: finest generalization rung reaching k per cell
@@ -679,6 +682,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.substringDedupOracle,
     "dedup_substring_runs" -> Dedup.substringRunsOracle,
     "dedup_substring_excise" -> Dedup.substringExciseOracle,
+    "stream_substring_screen" -> Dedup.substringScreenOracle,
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssignOracle,
     "k_generalization_ladder" -> Relational.kGeneralizationLadderOracle,
     "mixture_budget" -> Sampling.mixtureBudgetOracle,

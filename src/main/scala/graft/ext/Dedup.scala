@@ -818,6 +818,22 @@ object Dedup {
     * fixture corpus' ~50-token documents. */
   val RunGramTokens = 8
 
+  /** (doc_id, p, g) — every k-token window's md5 fingerprint. Pure
+    * tokenize + explode + codegen'd projection (no shuffle, no
+    * state), shared by the batch run spine and the streaming
+    * on-ingest screen ([[graft.streaming.DocStream
+    * .streamingSubstringScreen]]), so the fingerprints cannot drift
+    * between them. */
+  private[graft] def gramRows(docs: DataFrame): DataFrame = {
+    val k = RunGramTokens
+    docs.select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - k)).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(k)))).as("g"))
+  }
+
   /** Per-position k-gram fingerprints + maximal shared runs — the
     * shared spine of [[substringDedup]] and [[substringRuns]].
     * Returns (toksDf = (doc_id, t, n_tokens), runs = (doc_id, cid,
@@ -842,11 +858,7 @@ object Dedup {
     val toksDf = docs
       .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
       .withColumn("n_tokens", size(col("t")).cast("long"))
-    val pos = toksDf.filter(col("n_tokens") >= k)
-      .select(col("doc_id"), col("t"),
-        explode(sequence(lit(0), size(col("t")) - k)).as("p"))
-      .select(col("doc_id"), col("p"),
-        md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(k)))).as("g"))
+    val pos = gramRows(docs)
     // shared iff ≥2 distinct docs carry the gram: min ≠ max doc_id
     // over the gram partition — one window pass, no second scan of
     // the corpus and no countDistinct
@@ -1000,9 +1012,20 @@ object Dedup {
       .select(col("doc_id"), col("start_pos"), col("span"),
         md5(concat_ws(" ",
           slice(col("t"), col("start_pos") + 1, col("span")))).as("run_md5"))
-    val wk = Window.partitionBy("run_md5").orderBy("doc_id", "start_pos")
-    val rem = rm.withColumn("rn", row_number().over(wk))
-      .filter(col("rn") > 1)
+      .persist() // two references below; the frame is |runs|-sized
+    graft.GraftSession.releaseAfterAction(docs.sparkSession, rm)
+    // keeper = min (doc, start) per run content, as a map-side-combined
+    // struct-min aggregate + join — NOT a row_number window: a
+    // boilerplate run shared by a million docs would put all million
+    // occurrences into ONE sorted window partition, while the partial
+    // min shrinks that key to one row per task before the shuffle (the
+    // oracle's row_number form is semantically identical: rn=1 ⟺
+    // (doc, start) = min struct)
+    val keeper = rm.groupBy("run_md5")
+      .agg(min(struct(col("doc_id"), col("start_pos"))).as("k"))
+    val rem = rm.join(keeper, Seq("run_md5"))
+      .filter(!(col("doc_id") === col("k.doc_id") &&
+        col("start_pos") === col("k.start_pos")))
       .select(col("doc_id"), col("start_pos").as("s"),
         (col("start_pos") + col("span")).as("e"), col("span"))
     val ivs = rem.groupBy("doc_id")
@@ -1051,6 +1074,36 @@ object Dedup {
        |                 v -> x >= v.s AND x < v.e)) = 0),
        |         x -> d.t[x + 1]), ' '), '')) END AS cleaned_md5
        |FROM d LEFT JOIN iv USING (doc_id) ORDER BY doc_id""".stripMargin
+
+  /** Oracle for the ON-INGEST verbatim-overlap screen
+    * ([[graft.streaming.DocStream.streamingSubstringScreen]]): per
+    * DELTA doc, the fraction of its k-gram windows that already exist
+    * verbatim anywhere in the standing (non-delta) corpus — the
+    * cheap-at-ingest contamination signal (full maximal-run assembly
+    * stays a batch pass; the screen decides "quarantine for the batch
+    * dedup" the moment the doc lands). Flag at ≥ 0.5. */
+  def substringScreenOracle: String = {
+    val k = RunGramTokens
+    s"""WITH toks AS (SELECT doc_id, $tokensSql AS t FROM documents),
+       |d AS (SELECT doc_id, t FROM toks WHERE len(t) >= $k),
+       |pos AS (SELECT doc_id,
+       |    md5(array_to_string(t[p + 1:p + $k], ' ')) AS g
+       |  FROM (SELECT doc_id, t, unnest(range(len(t) - ${k - 1})) AS p
+       |        FROM d) u),
+       |bg AS (SELECT DISTINCT g FROM pos
+       |  WHERE doc_id % $DeltaMod <> ${DeltaMod - 1}),
+       |dp AS (SELECT doc_id, g FROM pos
+       |  WHERE doc_id % $DeltaMod = ${DeltaMod - 1})
+       |SELECT dp.doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       |  CAST(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_shared,
+       |  round(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) AS shared_fraction,
+       |  round(SUM(CASE WHEN bg.g IS NOT NULL THEN 1 ELSE 0 END)
+       |    / CAST(COUNT(*) AS DOUBLE), 6) >= 0.5 AS flagged
+       |FROM dp LEFT JOIN bg ON dp.g = bg.g
+       |GROUP BY dp.doc_id ORDER BY doc_id""".stripMargin
+  }
 
   // ── perceptual-hash (dHash) near-dup over multimodal payloads ──
 

@@ -220,6 +220,42 @@ object DocStream {
     }.orderBy("doc_id")
   }
 
+  /** On-ingest VERBATIM-overlap screen — the streaming complement of
+    * the batch substring family: every arriving delta document's
+    * k-gram windows ([[graft.ext.Dedup.gramRows]], the SAME
+    * fingerprint expression as the batch run spine) are matched
+    * against the standing corpus' distinct gram set via a stateless
+    * stream-static join, and the per-doc shared fraction is the
+    * single streaming aggregation. Maximal-run assembly (ordered
+    * windows over positions) deliberately stays a batch pass — the
+    * ingest decision is "how much of this doc already exists
+    * verbatim; quarantine it for the batch dedup", and that needs
+    * only the counts. State is one row per delta doc; at production
+    * scale the standing gram set is the co-partitioned join side (or
+    * a bloom pre-filter), maintained incrementally like the banded
+    * signature base. */
+  def streamingSubstringScreen(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Dedup
+    val isDelta = col("doc_id") % Dedup.DeltaMod === (Dedup.DeltaMod - 1)
+    val baseGrams = Dedup.gramRows(
+        graft.Tables.documents(spark, dir).filter(!isDelta)
+          .select(col("doc_id"), col("text")))
+      .select(col("g")).distinct()
+      .withColumn("hit", lit(1L))
+      .localCheckpoint() // frozen standing state, ContextCleaner-freed
+    runDocStream(spark, dir, "subscreen") { stream =>
+      Dedup.gramRows(stream.filter(isDelta)
+          .select(col("doc_id"), col("text")))
+        .join(baseGrams, Seq("g"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_shared"))
+        .select(col("doc_id"), col("n_grams"), col("n_shared"),
+          round(col("n_shared") / col("n_grams"), 6).as("shared_fraction"),
+          (round(col("n_shared") / col("n_grams"), 6) >= 0.5).as("flagged"))
+    }.orderBy("doc_id")
+  }
+
   /** The token-budget mixture plan maintained ON INGEST: per-source
     * token counts are streaming state (one row per source, the same
     * bound as the PII/quality monitors); the temperature-weight /

@@ -729,6 +729,21 @@ class HostileFixtureSpec extends SparkSpec {
     }
   }
 
+  test("on-ingest substring screen flags the mega-template deltas at full overlap") {
+    import org.apache.spark.sql.functions._
+    // every mega delta doc's 3 gram windows exist verbatim in its
+    // base-side variant twins → shared_fraction exactly 1.0, flagged
+    val rows = graft.streaming.DocStream
+      .streamingSubstringScreen(spark, hostileDir)
+      .filter(col("doc_id").between(50000000L, 50002999L)).collect()
+    assert(rows.nonEmpty, "mega cluster has delta members")
+    rows.foreach { r =>
+      assert(r.getAs[Double]("shared_fraction") == 1.0 &&
+        r.getAs[Boolean]("flagged"),
+        s"mega delta must screen at full verbatim overlap: $r")
+    }
+  }
+
   test("BPE: sampled merge training still encodes the FULL vocabulary") {
     import org.apache.spark.sql.functions._
     // a corpus over 2× BpeTrainDocCap (stride 2: merges train on half
