@@ -464,4 +464,37 @@ class ExtSpec extends SparkSpec {
     assert(rem(9L) == 0L &&
       cleaned(9L) == md5hex((toks("p", 8) + " " + toks("p", 8))))
   }
+
+  test("mixture budget conserves tokens and normalizes weights") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Sampling.mixtureBudget(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val avail = rows.map(_.getAs[Long]("available_tokens")).sum
+    val targets = rows.map(_.getAs[Long]("target_tokens")).sum
+    // budget = corpus total; floors lose < 1 token per source
+    assert(targets <= avail && avail - targets < rows.length,
+      s"targets $targets must fill the $avail budget up to per-source floors")
+    val wsum = rows.map(_.getAs[Double]("weight")).sum
+    assert(math.abs(wsum - 1.0) < 1e-6, s"weights must normalize: $wsum")
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("sample_rate")
+      assert(rate > 0.0 && rate <= 1.0, s"rate out of bounds: $r")
+      // epochs and rate agree: rate = min(1, epochs)
+      assert(math.abs(rate - math.min(1.0, r.getAs[Double]("epochs"))) < 1e-9)
+    }
+  }
+
+  test("ivf delta assignment covers the corpus exactly once") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Similarity.ivfDeltaAssign(spark, sf0001).collect()
+    val n = Tables.embeddings(spark, sf0001).count()
+    val nDelta = Tables.embeddings(spark, sf0001)
+      .filter(col("vec_id") % 10 === 9).count()
+    assert(rows.map(r => r.getAs[Long]("n_base") + r.getAs[Long]("n_delta")).sum == n,
+      "every vector lands in exactly one list")
+    assert(rows.map(_.getAs[Long]("n_delta")).sum == nDelta,
+      "the delta slice is fully assigned")
+    assert(rows.forall(r => !r.getAs[Boolean]("retrain_required")),
+      "the fixture corpus carries no encoder drift")
+  }
 }
