@@ -484,6 +484,33 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("a swapped encoder trips the drift gate and demands a retrain") {
+    import org.apache.spark.sql.functions._
+    // the gate fixture is drift-free, so retrain_required = false is
+    // all the oracle can ever check — this constructed corpus shifts
+    // every delta vector's coordinates by +2 (the
+    // silently-re-finetuned-encoder shape) and pins the TRUE arm:
+    // the Welch t explodes, the monitor flags, and the maintenance
+    // tick demands a rebuild instead of appending
+    val out = "/tmp/graft_drift_fixture_v1"
+    if (!new java.io.File(s"$out/_built").exists()) {
+      spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .withColumn("embedding",
+          when(col("vec_id") % 10 === 9,
+            expr("transform(embedding, x -> CAST(x + 2.0 AS FLOAT))"))
+            .otherwise(col("embedding")))
+        .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+      new java.io.File(s"$out/_built").createNewFile()
+    }
+    val drift = Similarity.embeddingBatchDrift(spark, out).collect()
+    assert(drift.forall(_.getAs[Boolean]("drifted")),
+      "a +2 shift on every coordinate must flag every dimension")
+    val tick = Similarity.ivfDeltaAssign(spark, out).collect()
+    assert(tick.nonEmpty &&
+      tick.forall(_.getAs[Boolean]("retrain_required")),
+      "the maintenance tick must carry the retrain demand")
+  }
+
   test("ivf delta assignment covers the corpus exactly once") {
     import org.apache.spark.sql.functions._
     val rows = graft.ext.Similarity.ivfDeltaAssign(spark, sf0001).collect()
