@@ -161,6 +161,18 @@ object ScaleProbe {
       // the forget cascade's only join is the lineitem semi join
       "tombstone_purge_audit" ->
         (graft.operators.Relational.tombstonePurgeAudit _),
+      // round-7b: metadata-scale planners (manifest aggregates +
+      // bounded post-work) and sketch set/size arithmetic (per-key
+      // partial aggs into fixed-size cells); kappa/padding are
+      // wordcount-shape projections into bounded aggregates
+      "compaction_plan" -> (graft.operators.Layout.compactionPlan _),
+      "clustering_depth" -> (graft.operators.Layout.clusteringDepth _),
+      "sketch_kmv_overlap" -> (graft.ext.Sketches.kmvOverlap _),
+      "sketch_join_size" -> (graft.ext.Sketches.joinSizeEstimate _),
+      "padding_waste_buckets" ->
+        (graft.ext.TextAnalysis.paddingWasteBuckets _),
+      "kappa_lang_agreement" ->
+        (graft.ext.TextAnalysis.kappaLangAgreement _),
     )
 
     def time(fn: => Unit): Double = {

@@ -136,6 +136,8 @@ object SparkEntry {
     "sample_weighted" -> ((s, dir) => Sampling.weightedSample(s, dir)),
     "chi2_priority_status" -> Relational.chi2PriorityStatus _,
     "zorder_lineitem" -> Layout.zorderLineitem _,
+    "compaction_plan" -> Layout.compactionPlan _,
+    "clustering_depth" -> Layout.clusteringDepth _,
     "mi_lang_source" -> TextAnalysis.miLangSource _,
     "winsorize_prices" -> Relational.winsorizePrices _,
     "inverted_index" -> ((s, dir) => TextAnalysis.invertedIndex(s, dir)),
@@ -277,6 +279,8 @@ object SparkEntry {
     "sketch_bloom_audit" -> graft.ext.Sketches.bloomFilterAudit _,
     "sketch_hll_distinct" -> graft.ext.Sketches.hllDistinct _,
     "sketch_hll_merge" -> graft.ext.Sketches.hllMergeSources _,
+    "sketch_kmv_overlap" -> graft.ext.Sketches.kmvOverlap _,
+    "sketch_join_size" -> graft.ext.Sketches.joinSizeEstimate _,
     "profile_lineitem" -> Relational.profileLineitem _,
     "argmax_customer" -> Relational.argmaxCustomer _,
     "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
@@ -318,6 +322,8 @@ object SparkEntry {
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTerms _,
     "doc_chunks" -> TextAnalysis.docChunks _,
     "doc_pack" -> TextAnalysis.docPack _,
+    "padding_waste_buckets" -> TextAnalysis.paddingWasteBuckets _,
+    "kappa_lang_agreement" -> TextAnalysis.kappaLangAgreement _,
     "sample_rebalance" -> ((s, dir) => Sampling.rebalanceSample(s, dir)),
     "dataset_split" -> Sampling.datasetSplit _,
     // stream-stream interval join (watermark-bounded state both sides)
@@ -500,6 +506,8 @@ object SparkEntry {
     "sample_weighted" -> Sampling.weightedSampleOracle,
     "chi2_priority_status" -> Relational.chi2PriorityStatusOracle,
     "zorder_lineitem" -> Layout.zorderLineitemOracle,
+    "compaction_plan" -> Layout.compactionPlanOracle,
+    "clustering_depth" -> Layout.clusteringDepthOracle,
     "mi_lang_source" -> TextAnalysis.miLangSourceOracle,
     "winsorize_prices" -> Relational.winsorizePricesOracle,
     "inverted_index" -> TextAnalysis.invertedIndexOracle,
@@ -625,6 +633,8 @@ object SparkEntry {
     "sketch_bloom_audit" -> graft.ext.Sketches.bloomFilterAuditOracle,
     "sketch_hll_distinct" -> graft.ext.Sketches.hllDistinctOracle,
     "sketch_hll_merge" -> graft.ext.Sketches.hllMergeSourcesOracle,
+    "sketch_kmv_overlap" -> graft.ext.Sketches.kmvOverlapOracle,
+    "sketch_join_size" -> graft.ext.Sketches.joinSizeEstimateOracle,
     "profile_lineitem" -> Relational.profileLineitemOracle,
     "argmax_customer" -> Relational.argmaxCustomerOracle,
     "scalar_regex_funcs" -> Relational.scalarRegexOracle,
@@ -656,6 +666,8 @@ object SparkEntry {
     "tfidf_top_terms" -> TextAnalysis.tfidfTopTermsOracle,
     "doc_chunks" -> TextAnalysis.docChunksOracle,
     "doc_pack" -> TextAnalysis.docPackOracle,
+    "padding_waste_buckets" -> TextAnalysis.paddingWasteBucketsOracle,
+    "kappa_lang_agreement" -> TextAnalysis.kappaLangAgreementOracle,
     "sample_rebalance" -> Sampling.rebalanceSampleOracle,
     "dataset_split" -> Sampling.datasetSplitOracle,
     "stream_interval_join" ->

@@ -78,6 +78,171 @@ object Sketches {
        |    AS rel_err
        |FROM tk, ex""".stripMargin
 
+  // ── KMV / theta-style set-intersection estimate ──
+
+  /** Distinct-customer OVERLAP between two order years (1995 ∩ 1996)
+    * estimated from two KMV sketches alone — the theta-sketch set
+    * operation that answers "how much do these corpora share?" without
+    * ever joining them. Per the theta framework: clip both sketches to
+    * θ = min(θ_A, θ_B) (each θ_X = its kth smallest hash; a set with
+    * < k distinct hashes is exact, θ_X = M). Every surviving hash is a
+    * uniform sample of the domain at rate θ/M, so
+    * |A∩B| ≈ n_both · M/θ and |A∪B| ≈ n_union · M/θ, and the Jaccard
+    * estimate n_both/n_union needs no scaling at all. When θ = M (both
+    * sides tiny) the estimates collapse to the exact counts — no
+    * special case, the same formula.
+    *
+    * Scale shape: each sketch is a per-set distinct (map-side partial
+    * hash agg) into a global top-k heap — O(k) memory per partition,
+    * k = [[KmvK]] rows out per side. All set arithmetic after that is
+    * on ≤ 2k rows. The exact intersection/union ride along as the
+    * accuracy audit (rel err ~ 1/√k); at 100 TB the exact arm is the
+    * one you drop, same acceptance-gate stance as [[kmvDistinct]]. */
+  def kmvOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables.orders(spark, dir)
+    def keys(y: Int): DataFrame = o
+      .filter(year(col("o_orderdate")) === y)
+      .select(col("o_custkey").as("k"), h32(col("o_custkey")).as("h"))
+    def sketch(y: Int): DataFrame =
+      keys(y).select("h").distinct().orderBy("h").limit(KmvK)
+    def thetaOf(s: DataFrame): DataFrame =
+      s.agg(when(count(lit(1)) < KmvK, lit(M32))
+        .otherwise(max("h")).as("theta"))
+    val sa = sketch(1995).cache()
+    val sb = sketch(1996).cache()
+    graft.GraftSession.releaseAfterAction(spark, sa, sb)
+    val theta = thetaOf(sa)
+      .crossJoin(broadcast(thetaOf(sb).withColumnRenamed("theta", "tb")))
+      .select(least(col("theta"), col("tb")).as("theta"))
+    def clip(s: DataFrame): DataFrame =
+      s.crossJoin(broadcast(theta)).filter(col("h") < col("theta")).select("h")
+    val both = clip(sa).join(clip(sb), Seq("h"), "left_semi")
+      .agg(count(lit(1)).as("n_both"))
+    val union = clip(sa).union(clip(sb)).distinct()
+      .agg(count(lit(1)).as("n_union"))
+    // exact arm: plain distinct-key set ops (dimension-sized, audit-only)
+    val ea = keys(1995).select("k").distinct()
+    val eb = keys(1996).select("k").distinct()
+    val exInter = ea.join(eb, Seq("k"), "left_semi")
+      .agg(count(lit(1)).as("exact_inter"))
+    val exUnion = ea.union(eb).distinct().agg(count(lit(1)).as("exact_union"))
+    both.crossJoin(broadcast(union)).crossJoin(broadcast(theta))
+      .crossJoin(broadcast(exInter)).crossJoin(broadcast(exUnion))
+      .select(
+        col("exact_inter"), col("exact_union"),
+        round(col("exact_inter").cast("double") / col("exact_union"), 6)
+          .as("exact_jaccard"),
+        round(col("n_both").cast("double") * M32 / col("theta"), 3)
+          .as("est_inter"),
+        round(col("n_union").cast("double") * M32 / col("theta"), 3)
+          .as("est_union"),
+        round(col("n_both").cast("double") / col("n_union"), 6)
+          .as("est_jaccard"))
+      .withColumn("rel_err_inter",
+        round(abs(col("est_inter") - col("exact_inter")) /
+          col("exact_inter"), 6))
+  }
+
+  def kmvOverlapOracle: String =
+    s"""WITH ka AS (SELECT DISTINCT o_custkey AS k, ${h32Sql("o_custkey")} AS h
+       |            FROM orders WHERE year(o_orderdate) = 1995),
+       |kb AS (SELECT DISTINCT o_custkey AS k, ${h32Sql("o_custkey")} AS h
+       |       FROM orders WHERE year(o_orderdate) = 1996),
+       |sa AS (SELECT h FROM ka ORDER BY h LIMIT $KmvK),
+       |sb AS (SELECT h FROM kb ORDER BY h LIMIT $KmvK),
+       |th AS (SELECT least(
+       |    (SELECT CASE WHEN COUNT(*) < $KmvK THEN $M32 ELSE max(h) END FROM sa),
+       |    (SELECT CASE WHEN COUNT(*) < $KmvK THEN $M32 ELSE max(h) END FROM sb))
+       |  AS theta),
+       |ca AS (SELECT h FROM sa, th WHERE h < theta),
+       |cb AS (SELECT h FROM sb, th WHERE h < theta),
+       |nb AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_both
+       |       FROM ca WHERE h IN (SELECT h FROM cb)),
+       |nu AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_union
+       |       FROM (SELECT h FROM ca UNION SELECT h FROM cb) u),
+       |ei AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_inter
+       |       FROM (SELECT DISTINCT k FROM ka) a
+       |       WHERE k IN (SELECT k FROM kb)),
+       |eu AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union
+       |       FROM (SELECT k FROM ka UNION SELECT k FROM kb) u)
+       |SELECT ei.exact_inter, eu.exact_union,
+       |  round(CAST(ei.exact_inter AS DOUBLE) / eu.exact_union, 6)
+       |    AS exact_jaccard,
+       |  round(CAST(nb.n_both AS DOUBLE) * $M32 / th.theta, 3) AS est_inter,
+       |  round(CAST(nu.n_union AS DOUBLE) * $M32 / th.theta, 3) AS est_union,
+       |  round(CAST(nb.n_both AS DOUBLE) / nu.n_union, 6) AS est_jaccard,
+       |  round(abs(round(CAST(nb.n_both AS DOUBLE) * $M32 / th.theta, 3)
+       |            - ei.exact_inter) / ei.exact_inter, 6) AS rel_err_inter
+       |FROM nb, nu, th, ei, eu""".stripMargin
+
+  // ── count-min join-cardinality estimate (sketch inner product) ──
+
+  /** Join SIZE |events ⋈ orders on user_id = o_custkey| (many-to-many
+    * both sides) estimated from two count-min sketches alone — the inner-product estimator the
+    * planner needs when choosing join order/strategy for tables it
+    * cannot afford to pre-join: est_i = Σ_b A_i[b]·B_i[b] for each
+    * hash row i, est = min_i. Like the point-query CM bound the
+    * estimate is ONE-SIDED (collisions only ever add mass):
+    * est ≥ exact always, and the row carries the exact size (computed
+    * from the two per-key count tables — never by materializing the
+    * join) as its own accuracy audit.
+    *
+    * Scale shape: each side collapses to per-key counts (map-side
+    * partial hash agg, |keys| rows), deposits into depth×width =
+    * [[CmsDepth]]×[[CmsWidth]] cells, and every operation after that
+    * touches ≤ depth·width rows per side. The exact arm joins the two
+    * count tables on the key — |keys|-sized, the audit you drop at
+    * 100 TB where the sketches (a few KB, mergeable per partition)
+    * are the whole point. Products/sums ride in DECIMAL(38,0): cell
+    * masses at petabyte row counts multiply past int64. */
+  def joinSizeEstimate(spark: SparkSession, dir: String): DataFrame = {
+    def sideCounts(df: DataFrame, key: String): DataFrame =
+      df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+    def sketch(counts: DataFrame): DataFrame = counts
+      .select(col("c"), h32(col("k")).as("h"),
+        explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("i"))
+      .select(col("i"), cmsBucket(col("h"), col("i")).as("b"), col("c"))
+      .groupBy("i", "b").agg(sum("c").as("cell"))
+    val ca = sideCounts(Tables.events(spark, dir), "user_id")
+    val cb = sideCounts(Tables.orders(spark, dir), "o_custkey")
+    val est = sketch(ca).withColumnRenamed("cell", "ca")
+      .join(sketch(cb).withColumnRenamed("cell", "cb"), Seq("i", "b"))
+      .groupBy("i")
+      .agg(sum((col("ca") * col("cb")).cast("decimal(38,0)")).as("est_i"))
+      .agg(min("est_i").cast("long").as("cms_join_size"))
+    val exact = ca.join(cb.withColumnRenamed("c", "cb"), Seq("k"))
+      .agg(sum((col("c") * col("cb")).cast("decimal(38,0)"))
+        .cast("long").as("exact_join_size"))
+    est.crossJoin(broadcast(exact))
+      .select(col("exact_join_size"), col("cms_join_size"),
+        (col("cms_join_size") - col("exact_join_size")).as("overcount"),
+        round((col("cms_join_size") - col("exact_join_size")).cast("double")
+          / col("exact_join_size"), 6).as("rel_err"))
+  }
+
+  def joinSizeEstimateOracle: String =
+    s"""WITH ca AS (SELECT user_id AS k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM events GROUP BY 1),
+       |cb AS (SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM orders GROUP BY 1),
+       |sa AS (SELECT i, ${cmsBucketSql(h32Sql("k"), "i")} AS b,
+       |    CAST(SUM(c) AS BIGINT) AS cell
+       |  FROM ca CROSS JOIN range($CmsDepth) r(i) GROUP BY 1, 2),
+       |sb AS (SELECT i, ${cmsBucketSql(h32Sql("k"), "i")} AS b,
+       |    CAST(SUM(c) AS BIGINT) AS cell
+       |  FROM cb CROSS JOIN range($CmsDepth) r(i) GROUP BY 1, 2),
+       |est AS (SELECT CAST(MIN(est_i) AS BIGINT) AS cms_join_size
+       |  FROM (SELECT sa.i, SUM(sa.cell * sb.cell) AS est_i
+       |        FROM sa JOIN sb ON sa.i = sb.i AND sa.b = sb.b
+       |        GROUP BY sa.i) t),
+       |ex AS (SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS exact_join_size
+       |  FROM ca JOIN cb USING (k))
+       |SELECT ex.exact_join_size, est.cms_join_size,
+       |  CAST(est.cms_join_size - ex.exact_join_size AS BIGINT) AS overcount,
+       |  round(CAST(est.cms_join_size - ex.exact_join_size AS DOUBLE)
+       |    / ex.exact_join_size, 6) AS rel_err
+       |FROM est, ex""".stripMargin
+
   // ── count-min sketch heavy hitters ──
 
   val CmsDepth = 4

@@ -176,6 +176,108 @@ object TextAnalysis {
        |ORDER BY doc_id""".stripMargin
   }
 
+  // ── chance-corrected annotator agreement (Cohen's kappa) ──
+
+  /** Cohen's kappa between the marker-word language classifier
+    * ([[langId]]'s argmax) and the gold `lang` label — the
+    * annotation-quality gate a labeling pipeline runs before trusting
+    * a cheap auto-labeler: raw accuracy (observed agreement p_o)
+    * overstates a classifier that just predicts the majority class,
+    * so kappa subtracts the agreement p_e two INDEPENDENT raters with
+    * these marginals would reach by chance:
+    * κ = (p_o − p_e)/(1 − p_e). Landis-Koch verdict bands ride along.
+    *
+    * One projection pass (the same marker-count argmax as langId,
+    * never re-joined) into a |classes|²-bounded confusion aggregate;
+    * p_e is the marginal inner product computed from that same tiny
+    * frame. Everything after the scan is O(|classes|²) rows —
+    * wordcount shape, holds at any corpus size. p_o and p_e are
+    * single divisions of exact integer counts rounded to 9, κ derived
+    * from the rounded pair rounded to 6, so both engines agree to the
+    * last digit. */
+  def kappaLangAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val scores = langMarkers.map { case (lang, ms) =>
+      lang -> size(filter(ws, w => w.isin(ms: _*))).cast("long")
+    }
+    val Seq(en, de, fr, es) = scores.map(_._2)
+    val pred = when(en + de + fr + es === 0, "und")
+      .when(en >= de && en >= fr && en >= es, "en")
+      .when(de >= fr && de >= es, "de")
+      .when(fr >= es, "fr")
+      .otherwise("es")
+    val conf = Tables.documents(spark, dir)
+      .select(col("lang").as("actual"), pred.as("predicted"))
+      .groupBy("actual", "predicted").agg(count(lit(1)).as("n"))
+      .localCheckpoint() // |classes|² rows; marginals + diag reuse it
+    val n = conf.agg(sum("n").as("nt"))
+    val po = conf.filter(col("actual") === col("predicted"))
+      .agg(coalesce(sum("n"), lit(0L)).as("agree"))
+    val pe = conf.groupBy("actual").agg(sum("n").as("ra"))
+      .join(conf.groupBy("predicted").agg(sum("n").as("cp")),
+        col("actual") === col("predicted"))
+      .agg(coalesce(sum(col("ra") * col("cp")), lit(0L)).as("rc"))
+    n.crossJoin(broadcast(po)).crossJoin(broadcast(pe))
+      .select(col("nt").as("n_docs"),
+        round(col("agree").cast("double") / col("nt"), 9).as("p_o"),
+        round(col("rc").cast("double") / (col("nt") * col("nt")), 9)
+          .as("p_e"))
+      // p_e = 1 (one class on both margins) makes κ 0/0 — contract
+      // NULL, stated explicitly because DuckDB's IEEE division would
+      // yield NaN where Spark (ANSI off) yields NULL
+      .withColumn("kappa",
+        when(col("p_e") < 1.0,
+          round(((col("p_o") - col("p_e")) / (lit(1.0) - col("p_e"))), 6)))
+      .withColumn("verdict",
+        when(col("kappa") >= 0.8, "almost_perfect")
+          .when(col("kappa") >= 0.6, "substantial")
+          .when(col("kappa") >= 0.4, "moderate")
+          .when(col("kappa") >= 0.2, "fair")
+          .otherwise("slight_or_worse"))
+  }
+
+  def kappaLangAgreementOracle: String = {
+    val scoreSql = langMarkers.map { case (lang, ms) =>
+      val list = ms.map(w => s"'$w'").mkString(", ")
+      s"CAST(len(list_filter(ws, w -> w IN ($list))) AS BIGINT) AS s_$lang"
+    }.mkString(",\n       |    ")
+    s"""WITH scored AS (SELECT lang AS actual,
+       |    $scoreSql
+       |  FROM (SELECT lang, $tokensSql AS ws FROM documents) t),
+       |conf AS (SELECT actual,
+       |    CASE WHEN s_en + s_de + s_fr + s_es = 0 THEN 'und'
+       |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+       |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+       |         WHEN s_fr >= s_es THEN 'fr'
+       |         ELSE 'es' END AS predicted,
+       |    CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM scored GROUP BY 1, 2),
+       |nt AS (SELECT CAST(SUM(n) AS BIGINT) AS nt FROM conf),
+       |po AS (SELECT CAST(COALESCE(SUM(n), 0) AS BIGINT) AS agree
+       |  FROM conf WHERE actual = predicted),
+       |pe AS (SELECT CAST(COALESCE(SUM(ra * cp), 0) AS BIGINT) AS rc
+       |  FROM (SELECT actual AS cls, SUM(n) AS ra FROM conf GROUP BY 1) r
+       |  JOIN (SELECT predicted AS cls, SUM(n) AS cp FROM conf GROUP BY 1) c
+       |  USING (cls)),
+       |base AS (SELECT nt.nt AS n_docs,
+       |    round(CAST(po.agree AS DOUBLE) / nt.nt, 9) AS p_o,
+       |    round(CAST(pe.rc AS DOUBLE) / (nt.nt * nt.nt), 9) AS p_e
+       |  FROM nt, po, pe)
+       |SELECT n_docs, p_o, p_e,
+       |  CASE WHEN p_e < 1.0 THEN round((p_o - p_e) / (1.0 - p_e), 6)
+       |       END AS kappa,
+       |  CASE WHEN p_e < 1.0 AND round((p_o - p_e) / (1.0 - p_e), 6) >= 0.8
+       |         THEN 'almost_perfect'
+       |       WHEN p_e < 1.0 AND round((p_o - p_e) / (1.0 - p_e), 6) >= 0.6
+       |         THEN 'substantial'
+       |       WHEN p_e < 1.0 AND round((p_o - p_e) / (1.0 - p_e), 6) >= 0.4
+       |         THEN 'moderate'
+       |       WHEN p_e < 1.0 AND round((p_o - p_e) / (1.0 - p_e), 6) >= 0.2
+       |         THEN 'fair'
+       |       ELSE 'slight_or_worse' END AS verdict
+       |FROM base""".stripMargin
+  }
+
   // ── array / null-handling function battery ──
 
   /** Array and null-handling functions over the token arrays (the
@@ -812,6 +914,47 @@ object TextAnalysis {
        |      AND CURRENT ROW) AS cum
        |  FROM (SELECT doc_id, source, $tokensSql AS ws FROM documents) t) c
        |ORDER BY source, doc_id""".stripMargin
+
+  /** Padding-waste accounting by power-of-two length bucket — the
+    * batching-efficiency audit run before fixed-shape training or
+    * batch inference: every doc padded up to the next power-of-two
+    * token length, per bucket the doc count, real token volume, padded
+    * volume, and the waste fraction 1 − real/padded. The bucket is
+    * computed with INTEGER bit arithmetic (1 << bitlength(n−1), n≤1
+    * → 1), never floating log2: an IEEE log2 that lands a hair above
+    * an exact power would mis-bucket boundary docs differently per
+    * engine, and boundary docs (n exactly a power of two) are the
+    * common case after chunking. One projection + one
+    * |buckets|-row hash aggregate with map-side partials — the same
+    * wordcount shape that holds at any corpus size. */
+  def paddingWasteBuckets(spark: SparkSession, dir: String): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("long")
+    Tables.documents(spark, dir)
+      .select(nTok.as("n_tokens"))
+      // shiftleft's Scala binding takes a literal shift; the SQL form
+      // accepts a column-valued one
+      .withColumn("bucket", when(col("n_tokens") <= 1, 1L)
+        .otherwise(expr(
+          "shiftleft(CAST(1 AS BIGINT), length(bin(n_tokens - 1)))")))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("real_tokens"))
+      .withColumn("padded_tokens", col("bucket") * col("n_docs"))
+      .withColumn("waste_frac",
+        round(lit(1.0) - col("real_tokens").cast("double") /
+          col("padded_tokens"), 6))
+      .orderBy("bucket")
+  }
+
+  def paddingWasteBucketsOracle: String =
+    s"""WITH t AS (SELECT CAST(len($tokensSql) AS BIGINT) AS n FROM documents),
+       |b AS (SELECT n, CASE WHEN n <= 1 THEN 1
+       |    ELSE (1::BIGINT << length(bin(n - 1))) END AS bucket FROM t)
+       |SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n) AS BIGINT) AS real_tokens,
+       |  CAST(bucket * COUNT(*) AS BIGINT) AS padded_tokens,
+       |  round(1.0 - CAST(SUM(n) AS DOUBLE) / (bucket * COUNT(*)), 6)
+       |    AS waste_frac
+       |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin
 
   def docChunksOracle: String =
     s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),

@@ -122,6 +122,172 @@ object Layout {
     spark.read.parquet(out).inputFiles.length
   }
 
+  // ── size-tiered small-file compaction planner ──
+
+  val SmallFileBytes = 300L
+  val TargetBytes = 1024L
+
+  /** Small-file compaction plan over a file manifest — the maintenance
+    * pass a lake table (Iceberg/Delta `OPTIMIZE` binpack) runs to keep
+    * scan task counts proportional to bytes, not file count. Files at
+    * or above [[SmallFileBytes]] pass through untouched (`keep`: one
+    * output per input, rewrite cost zero); files below it are
+    * quota-packed per directory in file-id order into
+    * [[TargetBytes]]-sized outputs (`compact`: bin =
+    * ⌊start_offset/target⌋ over the running byte sum — the same
+    * deterministic offset packing [[graft.ext.TextAnalysis.docPack]]
+    * uses for token budgets, here applied to the bytes domain). Each
+    * output row is one planned output file with its input count, byte
+    * total, and fill ratio.
+    *
+    * The local stand-in manifest is the documents table (file_id =
+    * doc_id, directory = source, bytes = n_chars). At 100 TB the real
+    * input is the table's file-level metadata — rows = FILES, millions
+    * not billions, a metadata-scale frame — and the per-directory
+    * window parallelizes across directories exactly like docPack's
+    * per-source packing. The plan itself never touches data bytes;
+    * executing it is a rewrite job whose output sizes this plan
+    * already bounds. */
+  def compactionPlan(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val files = Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id").as("file_id"),
+        col("n_chars").as("bytes"))
+    val keep = files.filter(col("bytes") >= SmallFileBytes)
+      .select(col("source"), lit("keep").as("action"),
+        col("file_id").as("out_id"), lit(1L).as("n_inputs"),
+        col("bytes").as("in_bytes"))
+    val w = Window.partitionBy("source").orderBy("file_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val compact = files.filter(col("bytes") < SmallFileBytes)
+      .withColumn("start_offset", sum(col("bytes")).over(w) - col("bytes"))
+      .withColumn("out_id",
+        floor(col("start_offset") / lit(TargetBytes.toDouble)).cast("long"))
+      .groupBy("source", "out_id")
+      .agg(count(lit(1)).as("n_inputs"), sum("bytes").as("in_bytes"))
+      .select(col("source"), lit("compact").as("action"), col("out_id"),
+        col("n_inputs"), col("in_bytes"))
+    keep.unionByName(compact)
+      .withColumn("fill_pct",
+        round(col("in_bytes").cast("double") / TargetBytes, 6))
+      .orderBy("source", "action", "out_id")
+  }
+
+  def compactionPlanOracle: String =
+    s"""WITH f AS (SELECT source, doc_id AS file_id, n_chars AS bytes
+       |           FROM documents),
+       |keep AS (SELECT source, 'keep' AS action, file_id AS out_id,
+       |    CAST(1 AS BIGINT) AS n_inputs, bytes AS in_bytes
+       |  FROM f WHERE bytes >= $SmallFileBytes),
+       |small AS (SELECT source, file_id, bytes,
+       |    SUM(bytes) OVER (PARTITION BY source ORDER BY file_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes
+       |      AS start_offset
+       |  FROM f WHERE bytes < $SmallFileBytes),
+       |comp AS (SELECT source, 'compact' AS action,
+       |    CAST(FLOOR(start_offset / $TargetBytes.0) AS BIGINT) AS out_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_inputs,
+       |    CAST(SUM(bytes) AS BIGINT) AS in_bytes
+       |  FROM small GROUP BY 1, 2, 3)
+       |SELECT source, action, out_id, n_inputs, in_bytes,
+       |  round(CAST(in_bytes AS DOUBLE) / $TargetBytes, 6) AS fill_pct
+       |FROM (SELECT * FROM keep UNION ALL SELECT * FROM comp) u
+       |ORDER BY source, action, out_id""".stripMargin
+
+  // ── clustering-depth metric (how sorted is the table on a key?) ──
+
+  val DepthFiles = 64
+
+  /** Clustering depth of a file layout on a key — the metadata metric
+    * lake warehouses expose (Snowflake `SYSTEM$CLUSTERING_DEPTH`,
+    * Iceberg/Delta file-stats overlap) to decide WHEN a re-cluster /
+    * z-order rewrite pays for itself: for each file's [min,max] key
+    * range, how many files' ranges cover its start point. Depth 1 =
+    * perfectly sorted (every key lives in exactly one file ⇒ min/max
+    * pruning reads one file); depth ≈ n_files = hash-scattered (every
+    * range overlaps every other ⇒ pruning reads everything). Computed
+    * for BOTH layouts of the same rows — `hash` (file =
+    * o_orderkey mod [[DepthFiles]]) and `sorted` (file = ntile over
+    * o_orderdate order) — so the metric itself demonstrates it
+    * discriminates: ~[[DepthFiles]] vs ~1 on identical data.
+    *
+    * The depth sweep is the endpoint-delta trick, not interval
+    * pairing: +1 at each file's min date, −1 the day after its max,
+    * one running sum per layout ordered by date = depth after each
+    * event point ('the day after' because footer ranges are
+    * inclusive). No file×file join exists at any scale; after the
+    * manifest aggregate (one pass over the table, n_files rows out)
+    * everything operates on ≤ 2·n_files event rows — at 100 TB the
+    * manifest comes straight from parquet footers / table metadata
+    * and the data is never scanned at all. (The global ntile window
+    * below exists only to FABRICATE the sorted stand-in manifest from
+    * row data at gate scale — a real table's file ranges are read,
+    * not computed; the production sorted layout is
+    * `repartitionByRange.sortWithinPartitions` as in [[zorderWrite]],
+    * which never funnels rows through one partition.) */
+  def clusteringDepth(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = Tables.orders(spark, dir)
+    val hashed = o.select(lit("hash").as("layout"),
+      pmod(col("o_orderkey"), lit(DepthFiles)).cast("long").as("file_id"),
+      col("o_orderdate").cast("date").as("d"))
+    val sorted = o.select(lit("sorted").as("layout"),
+      (ntile(DepthFiles).over(Window.orderBy(col("o_orderdate"),
+        col("o_orderkey"))) - 1).cast("long").as("file_id"),
+      col("o_orderdate").cast("date").as("d"))
+    val manifest = hashed.unionByName(sorted)
+      .groupBy("layout", "file_id")
+      .agg(min("d").as("min_d"), max("d").as("max_d"))
+    val events = manifest.select(col("layout"), col("min_d").as("p"),
+        lit(1L).as("delta"), lit(1L).as("n_starts"))
+      .unionByName(manifest.select(col("layout"),
+        date_add(col("max_d"), 1).as("p"),
+        lit(-1L).as("delta"), lit(0L).as("n_starts")))
+      .groupBy("layout", "p")
+      .agg(sum("delta").as("delta"), sum("n_starts").as("n_starts"))
+    val wl = Window.partitionBy("layout").orderBy("p")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events.withColumn("depth", sum("delta").over(wl))
+      .groupBy("layout")
+      .agg(max("depth").as("max_depth"),
+        round(sum(col("depth") * col("n_starts")).cast("double") /
+          sum("n_starts"), 6).as("avg_start_depth"),
+        sum("n_starts").as("n_files"))
+      .select(col("layout"), col("n_files"), col("max_depth"),
+        col("avg_start_depth"))
+      .orderBy("layout")
+  }
+
+  def clusteringDepthOracle: String =
+    s"""WITH rows_both AS (
+       |  SELECT 'hash' AS layout,
+       |    CAST(o_orderkey % $DepthFiles AS BIGINT) AS file_id,
+       |    CAST(o_orderdate AS DATE) AS d FROM orders
+       |  UNION ALL
+       |  SELECT 'sorted' AS layout,
+       |    CAST(ntile($DepthFiles) OVER (ORDER BY o_orderdate, o_orderkey)
+       |      - 1 AS BIGINT) AS file_id,
+       |    CAST(o_orderdate AS DATE) AS d FROM orders),
+       |manifest AS (SELECT layout, file_id, MIN(d) AS min_d, MAX(d) AS max_d
+       |  FROM rows_both GROUP BY layout, file_id),
+       |ev AS (SELECT layout, p, CAST(SUM(delta) AS BIGINT) AS delta,
+       |    CAST(SUM(n_starts) AS BIGINT) AS n_starts
+       |  FROM (
+       |    SELECT layout, min_d AS p, 1 AS delta, 1 AS n_starts FROM manifest
+       |    UNION ALL
+       |    SELECT layout, max_d + 1 AS p, -1 AS delta, 0 AS n_starts
+       |    FROM manifest) e
+       |  GROUP BY layout, p),
+       |dep AS (SELECT layout, p, n_starts,
+       |    SUM(delta) OVER (PARTITION BY layout ORDER BY p
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS depth
+       |  FROM ev)
+       |SELECT layout, CAST(SUM(n_starts) AS BIGINT) AS n_files,
+       |  CAST(MAX(depth) AS BIGINT) AS max_depth,
+       |  round(CAST(SUM(depth * n_starts) AS DOUBLE) / SUM(n_starts), 6)
+       |    AS avg_start_depth
+       |FROM dep GROUP BY layout ORDER BY layout""".stripMargin
+
   private def spreadSql(e: String): String = {
     val x0 = s"(($e) & 2147483647)"
     val x1 = s"(($x0 | ($x0 << 16)) & 281470681808895)"

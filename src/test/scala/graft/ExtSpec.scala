@@ -524,4 +524,114 @@ class ExtSpec extends SparkSpec {
     assert(rows.forall(r => !r.getAs[Boolean]("retrain_required")),
       "the fixture corpus carries no encoder drift")
   }
+
+  test("kmv overlap: theta estimates bounded, exact when both sets fit the sketch") {
+    import org.apache.spark.sql.functions._
+    val r = graft.ext.Sketches.kmvOverlap(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (ei, eu) = (row.getAs[Long]("exact_inter"), row.getAs[Long]("exact_union"))
+    assert(ei <= eu && ei >= 0)
+    val ej = row.getAs[Double]("est_jaccard")
+    assert(ej >= 0.0 && ej <= 1.0, s"jaccard estimate out of range: $ej")
+    // when both per-year key sets fit inside k, θ = M and the theta
+    // formula must COLLAPSE to the exact counts — no special case
+    val o = Tables.orders(spark, sf0001)
+    def card(y: Int) = o.filter(year(col("o_orderdate")) === y)
+      .select("o_custkey").distinct().count()
+    if (card(1995) < graft.ext.Sketches.KmvK &&
+        card(1996) < graft.ext.Sketches.KmvK) {
+      assert(row.getAs[Double]("est_inter") == ei.toDouble,
+        "exact-regime intersection estimate must equal the exact count")
+      assert(row.getAs[Double]("est_union") == eu.toDouble,
+        "exact-regime union estimate must equal the exact count")
+    } else assert(row.getAs[Double]("rel_err_inter") <= 0.25,
+      "sketch-regime error far outside the 1/sqrt(k) band")
+  }
+
+  test("compaction plan conserves files and bytes; bins bounded by target + one file") {
+    val plan = graft.operators.Layout.compactionPlan(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    assert(plan.map(_.getAs[Long]("n_inputs")).sum == docs.count(),
+      "every input file planned exactly once")
+    assert(plan.map(_.getAs[Long]("in_bytes")).sum ==
+      docs.agg(org.apache.spark.sql.functions.sum("n_chars"))
+        .head().getLong(0), "byte conservation")
+    val keeps = plan.filter(_.getAs[String]("action") == "keep")
+    assert(keeps.forall(r => r.getAs[Long]("n_inputs") == 1 &&
+      r.getAs[Long]("in_bytes") >= graft.operators.Layout.SmallFileBytes),
+      "keep rows are single large files")
+    val comps = plan.filter(_.getAs[String]("action") == "compact")
+    assert(comps.forall(_.getAs[Long]("in_bytes") <
+      graft.operators.Layout.TargetBytes + graft.operators.Layout.SmallFileBytes),
+      "quota packing can overflow a bin by at most one small file")
+    assert(comps.forall(_.getAs[Long]("in_bytes") > 0))
+  }
+
+  test("clustering depth: sorted layout near 1, hash layout saturates, depth bounded by files") {
+    val rows = graft.operators.Layout.clusteringDepth(spark, sf0001).collect()
+    assert(rows.length == 2)
+    val byLayout = rows.map(r => r.getAs[String]("layout") -> r).toMap
+    val (h, s) = (byLayout("hash"), byLayout("sorted"))
+    for (r <- rows) {
+      assert(r.getAs[Long]("n_files") <= graft.operators.Layout.DepthFiles)
+      assert(r.getAs[Long]("max_depth") >= 1 &&
+        r.getAs[Long]("max_depth") <= r.getAs[Long]("n_files"),
+        "depth is a count of overlapping files")
+      assert(r.getAs[Double]("avg_start_depth") >= 1.0)
+    }
+    // the metric must discriminate: hash ranges all span the date
+    // domain (depth ≈ n_files); a date-sorted layout tiles it
+    assert(h.getAs[Long]("max_depth") > s.getAs[Long]("max_depth"),
+      s"hash ${h.getAs[Long]("max_depth")} vs sorted ${s.getAs[Long]("max_depth")}")
+    assert(s.getAs[Double]("avg_start_depth") <= 3.0,
+      "date-sorted files overlap only at tile boundaries")
+  }
+
+  test("cms join-size estimate is one-sided and near-exact at sketch width") {
+    val r = graft.ext.Sketches.joinSizeEstimate(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (ex, est) = (row.getAs[Long]("exact_join_size"),
+      row.getAs[Long]("cms_join_size"))
+    assert(ex > 0, "fixture join must be non-empty")
+    assert(est >= ex, "CM inner product never underestimates")
+    assert(row.getAs[Long]("overcount") == est - ex)
+    // |keys| << width so collision mass should stay small
+    assert(row.getAs[Double]("rel_err") <= 0.5,
+      s"collision mass implausibly large: $row")
+  }
+
+  test("kappa: chance-corrected agreement below raw accuracy, verdict bands consistent") {
+    val r = graft.ext.TextAnalysis.kappaLangAgreement(spark, sf0001).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val (po, pe) = (row.getAs[Double]("p_o"), row.getAs[Double]("p_e"))
+    assert(po >= 0.0 && po <= 1.0 && pe > 0.0 && pe < 1.0)
+    val k = row.getAs[Double]("kappa")
+    assert(k <= 1.0, "kappa is bounded above by 1")
+    assert(k <= po + 1e-9, "chance correction cannot exceed raw agreement")
+    val expected =
+      if (k >= 0.8) "almost_perfect" else if (k >= 0.6) "substantial"
+      else if (k >= 0.4) "moderate" else if (k >= 0.2) "fair"
+      else "slight_or_worse"
+    assert(row.getAs[String]("verdict") == expected)
+  }
+
+  test("padding waste buckets: powers of two, doc and token conservation") {
+    val rows = graft.ext.TextAnalysis.paddingWasteBuckets(spark, sf0001).collect()
+    val docs = Tables.documents(spark, sf0001)
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == docs.count())
+    rows.foreach { r =>
+      val b = r.getAs[Long]("bucket")
+      assert(b >= 1 && (b & (b - 1)) == 0, s"bucket $b not a power of two")
+      val (real, padded) = (r.getAs[Long]("real_tokens"),
+        r.getAs[Long]("padded_tokens"))
+      assert(real <= padded, "padding never shrinks volume")
+      assert(b == 1 || real * 2 > padded,
+        "every doc in bucket b has > b/2 tokens, so waste < 1/2")
+      val w = r.getAs[Double]("waste_frac")
+      assert(w >= 0.0 && w < 1.0)
+    }
+  }
 }
