@@ -128,19 +128,25 @@ object Sketches {
     val exUnion = ea.union(eb).distinct().agg(count(lit(1)).as("exact_union"))
     both.crossJoin(broadcast(union)).crossJoin(broadcast(theta))
       .crossJoin(broadcast(exInter)).crossJoin(broadcast(exUnion))
+      // empty union / empty intersection make the ratios 0/0 —
+      // contracted NULL in both engines (DuckDB IEEE division would
+      // differ from Spark's ANSI-off NULL if inherited)
       .select(
         col("exact_inter"), col("exact_union"),
-        round(col("exact_inter").cast("double") / col("exact_union"), 6)
+        when(col("exact_union") > 0,
+          round(col("exact_inter").cast("double") / col("exact_union"), 6))
           .as("exact_jaccard"),
         round(col("n_both").cast("double") * M32 / col("theta"), 3)
           .as("est_inter"),
         round(col("n_union").cast("double") * M32 / col("theta"), 3)
           .as("est_union"),
-        round(col("n_both").cast("double") / col("n_union"), 6)
+        when(col("n_union") > 0,
+          round(col("n_both").cast("double") / col("n_union"), 6))
           .as("est_jaccard"))
       .withColumn("rel_err_inter",
-        round(abs(col("est_inter") - col("exact_inter")) /
-          col("exact_inter"), 6))
+        when(col("exact_inter") > 0,
+          round(abs(col("est_inter") - col("exact_inter")) /
+            col("exact_inter"), 6)))
   }
 
   def kmvOverlapOracle: String =
@@ -166,13 +172,18 @@ object Sketches {
        |eu AS (SELECT CAST(COUNT(*) AS BIGINT) AS exact_union
        |       FROM (SELECT k FROM ka UNION SELECT k FROM kb) u)
        |SELECT ei.exact_inter, eu.exact_union,
-       |  round(CAST(ei.exact_inter AS DOUBLE) / eu.exact_union, 6)
-       |    AS exact_jaccard,
+       |  CASE WHEN eu.exact_union > 0 THEN
+       |    round(CAST(ei.exact_inter AS DOUBLE) / eu.exact_union, 6)
+       |  END AS exact_jaccard,
        |  round(CAST(nb.n_both AS DOUBLE) * $M32 / th.theta, 3) AS est_inter,
        |  round(CAST(nu.n_union AS DOUBLE) * $M32 / th.theta, 3) AS est_union,
-       |  round(CAST(nb.n_both AS DOUBLE) / nu.n_union, 6) AS est_jaccard,
-       |  round(abs(round(CAST(nb.n_both AS DOUBLE) * $M32 / th.theta, 3)
-       |            - ei.exact_inter) / ei.exact_inter, 6) AS rel_err_inter
+       |  CASE WHEN nu.n_union > 0 THEN
+       |    round(CAST(nb.n_both AS DOUBLE) / nu.n_union, 6)
+       |  END AS est_jaccard,
+       |  CASE WHEN ei.exact_inter > 0 THEN
+       |    round(abs(round(CAST(nb.n_both AS DOUBLE) * $M32 / th.theta, 3)
+       |              - ei.exact_inter) / ei.exact_inter, 6)
+       |  END AS rel_err_inter
        |FROM nb, nu, th, ei, eu""".stripMargin
 
   // ── count-min join-cardinality estimate (sketch inner product) ──
@@ -214,10 +225,19 @@ object Sketches {
       .agg(sum((col("c") * col("cb")).cast("decimal(38,0)"))
         .cast("long").as("exact_join_size"))
     est.crossJoin(broadcast(exact))
+      // a disjoint-key join has exact size 0: rel_err is contracted
+      // NULL (DuckDB's IEEE x/0 would be inf, Spark's ANSI-off NULL —
+      // state the degenerate contract, don't inherit it); the empty
+      // sketch side also makes the inner product itself empty ⇒ NULL
+      // estimate, coalesced to the true 0
+      .select(coalesce(col("exact_join_size"), lit(0L))
+          .as("exact_join_size"),
+        coalesce(col("cms_join_size"), lit(0L)).as("cms_join_size"))
       .select(col("exact_join_size"), col("cms_join_size"),
         (col("cms_join_size") - col("exact_join_size")).as("overcount"),
-        round((col("cms_join_size") - col("exact_join_size")).cast("double")
-          / col("exact_join_size"), 6).as("rel_err"))
+        when(col("exact_join_size") > 0,
+          round((col("cms_join_size") - col("exact_join_size"))
+            .cast("double") / col("exact_join_size"), 6)).as("rel_err"))
   }
 
   def joinSizeEstimateOracle: String =
@@ -231,16 +251,19 @@ object Sketches {
        |sb AS (SELECT i, ${cmsBucketSql(h32Sql("k"), "i")} AS b,
        |    CAST(SUM(c) AS BIGINT) AS cell
        |  FROM cb CROSS JOIN range($CmsDepth) r(i) GROUP BY 1, 2),
-       |est AS (SELECT CAST(MIN(est_i) AS BIGINT) AS cms_join_size
+       |est AS (SELECT CAST(COALESCE(MIN(est_i), 0) AS BIGINT)
+       |    AS cms_join_size
        |  FROM (SELECT sa.i, SUM(sa.cell * sb.cell) AS est_i
        |        FROM sa JOIN sb ON sa.i = sb.i AND sa.b = sb.b
        |        GROUP BY sa.i) t),
-       |ex AS (SELECT CAST(SUM(ca.c * cb.c) AS BIGINT) AS exact_join_size
+       |ex AS (SELECT CAST(COALESCE(SUM(ca.c * cb.c), 0) AS BIGINT)
+       |    AS exact_join_size
        |  FROM ca JOIN cb USING (k))
        |SELECT ex.exact_join_size, est.cms_join_size,
        |  CAST(est.cms_join_size - ex.exact_join_size AS BIGINT) AS overcount,
-       |  round(CAST(est.cms_join_size - ex.exact_join_size AS DOUBLE)
-       |    / ex.exact_join_size, 6) AS rel_err
+       |  CASE WHEN ex.exact_join_size > 0
+       |    THEN round(CAST(est.cms_join_size - ex.exact_join_size AS DOUBLE)
+       |      / ex.exact_join_size, 6) END AS rel_err
        |FROM est, ex""".stripMargin
 
   // ── count-min sketch heavy hitters ──

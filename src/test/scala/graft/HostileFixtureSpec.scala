@@ -777,6 +777,64 @@ class HostileFixtureSpec extends SparkSpec {
         "off-sample vocabulary is being dropped")
   }
 
+  test("join-size sketch on the 0-row events table: zero everywhere, NULL rel_err") {
+    val r = graft.ext.Sketches.joinSizeEstimate(spark, hostileDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Long]("exact_join_size") == 0L)
+    assert(row.getAs[Long]("cms_join_size") == 0L,
+      "an empty side must estimate 0, not NULL")
+    assert(row.getAs[Long]("overcount") == 0L)
+    assert(row.isNullAt(row.fieldIndex("rel_err")),
+      "relative error of an empty join is contracted NULL, never inf/NaN")
+  }
+
+  test("kappa: a single-class corpus (p_e = 1) yields NULL kappa, never NaN") {
+    // both margins concentrated on one class: every doc is lang 'und'
+    // with marker-free text, so the classifier also answers 'und'
+    val out = "/tmp/graft_hostile_kappa_v1"
+    val marker = new java.io.File(s"$out/_built")
+    if (!marker.exists()) {
+      spark.range(20)
+        .select(col("id").as("doc_id"),
+          lit("zz yy xx ww vv").as("text"), lit("und").as("lang"),
+          lit("src0").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+    }
+    val r = graft.ext.TextAnalysis.kappaLangAgreement(spark, out).collect()
+    assert(r.length == 1)
+    val row = r.head
+    assert(row.getAs[Double]("p_o") == 1.0 && row.getAs[Double]("p_e") == 1.0)
+    assert(row.isNullAt(row.fieldIndex("kappa")),
+      "0/0 chance correction is contracted NULL")
+    assert(row.getAs[String]("verdict") == "slight_or_worse")
+  }
+
+  test("clustering depth: a single-date table saturates BOTH layouts to n_files") {
+    // every file's range is the same one-day point ⇒ depth = n_files
+    // regardless of layout — the metric must say 'reclustering cannot
+    // help', not divide by zero or drop the degenerate interior
+    val out = "/tmp/graft_hostile_depth_v1"
+    val marker = new java.io.File(s"$out/_built")
+    if (!marker.exists()) {
+      spark.read.parquet(s"$sf0001/orders.parquet")
+        .withColumn("o_orderdate",
+          to_timestamp(lit("1995-06-15 00:00:00")))
+        .write.mode("overwrite").parquet(s"$out/orders.parquet")
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+    }
+    val rows = graft.operators.Layout.clusteringDepth(spark, out).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      val nf = r.getAs[Long]("n_files")
+      assert(r.getAs[Long]("max_depth") == nf,
+        s"${r.getAs[String]("layout")}: single-date ranges all overlap")
+      assert(r.getAs[Double]("avg_start_depth") == nf.toDouble)
+    }
+  }
+
   test("every query survives the hostile-shaped corpus (no throw, no hang)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
