@@ -173,6 +173,10 @@ object ScaleProbe {
         (graft.ext.TextAnalysis.paddingWasteBuckets _),
       "kappa_lang_agreement" ->
         (graft.ext.TextAnalysis.kappaLangAgreement _),
+      // graded eval composes two bounded retrievals; the eval joins
+      // are queries×k-sized
+      "rank_eval_ndcg" ->
+        ((s: SparkSession, d: String) => graft.ext.Similarity.rankEvalNdcg(s, d)),
     )
 
     def time(fn: => Unit): Double = {

@@ -281,6 +281,8 @@ object SparkEntry {
     "sketch_hll_merge" -> graft.ext.Sketches.hllMergeSources _,
     "sketch_kmv_overlap" -> graft.ext.Sketches.kmvOverlap _,
     "sketch_join_size" -> graft.ext.Sketches.joinSizeEstimate _,
+    "rank_eval_ndcg" -> ((s: SparkSession, dir: String) =>
+      graft.ext.Similarity.rankEvalNdcg(s, dir)),
     "profile_lineitem" -> Relational.profileLineitem _,
     "argmax_customer" -> Relational.argmaxCustomer _,
     "scalar_regex_funcs" -> Relational.scalarRegexFuncs _,
@@ -635,6 +637,7 @@ object SparkEntry {
     "sketch_hll_merge" -> graft.ext.Sketches.hllMergeSourcesOracle,
     "sketch_kmv_overlap" -> graft.ext.Sketches.kmvOverlapOracle,
     "sketch_join_size" -> graft.ext.Sketches.joinSizeEstimateOracle,
+    "rank_eval_ndcg" -> graft.ext.Similarity.rankEvalNdcgOracle,
     "profile_lineitem" -> Relational.profileLineitemOracle,
     "argmax_customer" -> Relational.argmaxCustomerOracle,
     "scalar_regex_funcs" -> Relational.scalarRegexOracle,

@@ -1097,6 +1097,114 @@ object Similarity {
        |  ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id
        |GROUP BY ex.query_id ORDER BY ex.query_id""".stripMargin
 
+  /** Graded retrieval evaluation of the LSH-ANN arm against the exact
+    * ranking — NDCG@k + reciprocal rank per query, the IR-eval step a
+    * retrieval pipeline runs beyond plain recall (recall treats the
+    * 1st and 10th true neighbor as equal; NDCG charges the index for
+    * returning them in the wrong ORDER, RR for how deep the first
+    * true neighbor sits). Relevance grades are positional: the exact
+    * rank-r neighbor carries rel = k+1−r, anything outside the exact
+    * top-k carries 0. Each DCG term rel/log2(rank+1) is rounded to 9
+    * and decimal-summed (order-free), DCG/IDCG rounded to 6 before
+    * the final division, so both engines agree digit-for-digit.
+    *
+    * Scale shape: both arms are the existing bounded retrievals
+    * (broadcast query set, heap top-k — nothing new is scanned); the
+    * eval itself joins two queries×k frames and aggregates to one row
+    * per query. A query whose probe bucket came back empty still
+    * reports (exact spine, LEFT join): dcg = ndcg = rr = 0 — graded
+    * zeros, never a dropped row. */
+  def rankEvalNdcg(spark: SparkSession, dir: String,
+                   numQueries: Int = 5, k: Int = 10): DataFrame = {
+    def d12(c: Column): Column =
+      sum(c.cast(org.apache.spark.sql.types.DecimalType(38, 12)))
+        .cast("double")
+    val exact = bruteForceTopK(spark, dir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"),
+        (lit(k + 1L) - col("rk")).as("rel"), col("rk"))
+    val idcg = exact
+      .select(col("query_id"),
+        round(col("rel").cast("double") /
+          log2(col("rk").cast("double") + 1.0), 9).as("term"))
+      .groupBy("query_id")
+      .agg(round(d12(col("term")), 6).as("idcg"),
+        count(lit(1)).as("n_rel"))
+    val ann = annLsh(spark, dir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"), col("rk").as("a_rk"))
+    val scored = ann
+      .join(exact.select("query_id", "neighbor_id", "rel"),
+        Seq("query_id", "neighbor_id"), "left")
+      .withColumn("rel0", coalesce(col("rel"), lit(0L)))
+    val perQuery = scored
+      .groupBy("query_id")
+      .agg(
+        round(d12(round(col("rel0").cast("double") /
+          log2(col("a_rk").cast("double") + 1.0), 9)), 6).as("dcg"),
+        min(when(col("rel0") > 0, col("a_rk"))).as("first_hit_rank"))
+    idcg.join(perQuery, Seq("query_id"), "left")
+      .select(col("query_id"), col("n_rel"),
+        coalesce(col("dcg"), lit(0.0)).as("dcg"), col("idcg"),
+        when(col("idcg") > 0,
+          round(coalesce(col("dcg"), lit(0.0)) / col("idcg"), 6))
+          .otherwise(0.0).as("ndcg"),
+        coalesce(round(lit(1.0) / col("first_hit_rank"), 6), lit(0.0))
+          .as("rr"))
+      .orderBy("query_id")
+  }
+
+  def rankEvalNdcgOracle: String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |n0 AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM e),
+       |exact AS (
+       |  SELECT query_id, neighbor_id, 11 - rk AS rel, rk FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+       |                 x.vec_id) AS rk
+       |    FROM n0 q, n0 x WHERE q.vec_id < 5 AND x.vec_id <> q.vec_id) t
+       |  WHERE rk <= 10),
+       |idcg AS (SELECT query_id,
+       |    round(CAST(SUM(CAST(round(CAST(rel AS DOUBLE) / log2(rk + 1.0), 9)
+       |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS idcg,
+       |    CAST(COUNT(*) AS BIGINT) AS n_rel
+       |  FROM exact GROUP BY query_id),
+       |proj AS (SELECT vec_id, p,
+       |    list_sum(list_transform(range(len(v)), j ->
+       |      v[j+1] * (CASE WHEN (j * 2654435761 + p * 40503) % 97 % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END))) AS s
+       |  FROM e CROSS JOIN range(${NumPlanes}) r(p)),
+       |bucket AS (SELECT vec_id,
+       |    CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM proj GROUP BY vec_id),
+       |nb AS (SELECT n0.vec_id, n0.v, n0.nrm, b.bucket
+       |  FROM n0 JOIN bucket b ON n0.vec_id = b.vec_id),
+       |ann AS (
+       |  SELECT query_id, neighbor_id, rk AS a_rk FROM (
+       |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.vec_id
+       |        ORDER BY round(list_dot_product(q.v, x.v) / (q.nrm * x.nrm), 6) DESC,
+       |                 x.vec_id) AS rk
+       |    FROM nb q JOIN nb x ON q.bucket = x.bucket AND x.vec_id <> q.vec_id
+       |    WHERE q.vec_id < 5) t
+       |  WHERE rk <= 10),
+       |scored AS (SELECT a.query_id, a.a_rk,
+       |    COALESCE(ex.rel, 0) AS rel0
+       |  FROM ann a LEFT JOIN exact ex
+       |    ON ex.query_id = a.query_id AND ex.neighbor_id = a.neighbor_id),
+       |pq AS (SELECT query_id,
+       |    round(CAST(SUM(CAST(round(CAST(rel0 AS DOUBLE) / log2(a_rk + 1.0), 9)
+       |      AS DECIMAL(38,12))) AS DOUBLE), 6) AS dcg,
+       |    MIN(CASE WHEN rel0 > 0 THEN a_rk END) AS first_hit_rank
+       |  FROM scored GROUP BY query_id)
+       |SELECT i.query_id, i.n_rel,
+       |  COALESCE(pq.dcg, 0.0) AS dcg, i.idcg,
+       |  CASE WHEN i.idcg > 0
+       |    THEN round(COALESCE(pq.dcg, 0.0) / i.idcg, 6) ELSE 0.0
+       |  END AS ndcg,
+       |  COALESCE(round(1.0 / pq.first_hit_rank, 6), 0.0) AS rr
+       |FROM idcg i LEFT JOIN pq ON pq.query_id = i.query_id
+       |ORDER BY i.query_id""".stripMargin
+
   /** Per-label centroid + cohesion audit: the element-wise mean
     * vector of each label's members and the members' average cosine
     * to it — "are my classes/clusters tight", the embedding-quality

@@ -618,6 +618,30 @@ class ExtSpec extends SparkSpec {
     assert(row.getAs[String]("verdict") == expected)
   }
 
+  test("ndcg eval: bounded metrics, dcg never exceeds ideal, rr consistent with rank") {
+    val rows = graft.ext.Similarity.rankEvalNdcg(spark, sf0001).collect()
+    assert(rows.length == 5, "one eval row per query vector")
+    rows.foreach { r =>
+      val (dcg, idcg) = (r.getAs[Double]("dcg"), r.getAs[Double]("idcg"))
+      assert(idcg > 0.0, "ideal ranking of a non-empty truth set")
+      assert(dcg >= 0.0 && dcg <= idcg + 1e-9,
+        "graded gain cannot beat the ideal ordering")
+      val ndcg = r.getAs[Double]("ndcg")
+      assert(ndcg >= 0.0 && ndcg <= 1.0)
+      val rr = r.getAs[Double]("rr")
+      assert(rr == 0.0 || (rr >= 1.0 / 10 - 1e-9 && rr <= 1.0),
+        s"reciprocal rank out of band: $rr")
+      // a query with zero gain must also have no first hit
+      if (dcg == 0.0) assert(rr == 0.0)
+      if (rr == 0.0) assert(dcg == 0.0)
+    }
+    // at sf0.001 the 2^8 LSH buckets are sparse enough that all five
+    // queries may legitimately probe empty — the graded-zero contract
+    // (exact spine retained, dcg = rr = 0) is exactly what the rows
+    // above asserted; positive-gain behavior is pinned at the driver
+    // gate (sf0.01: non-zero ndcg oracle-verified)
+  }
+
   test("padding waste buckets: powers of two, doc and token conservation") {
     val rows = graft.ext.TextAnalysis.paddingWasteBuckets(spark, sf0001).collect()
     val docs = Tables.documents(spark, sf0001)
