@@ -410,6 +410,9 @@ object SparkEntry {
     // the reference's flagship wordcount as an incremental stream
     "stream_wordcount" -> ((s, dir) =>
       graft.streaming.DocStream.streamingWordCount(s, dir)),
+    // compaction trigger maintained on ingest: backlog totals per dir
+    "stream_compaction_monitor" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingCompactionMonitor(s, dir)),
   )
 
   /** The word-count oracle — ONE definition shared by the batch query
@@ -719,5 +722,7 @@ object SparkEntry {
     // the streaming replay must converge to the batch answer exactly —
     // literally the same oracle object as "wordcount"
     "stream_wordcount" -> wordCountOracle,
+    "stream_compaction_monitor" ->
+      graft.streaming.DocStream.streamingCompactionMonitorOracle,
   )
 }

@@ -281,6 +281,62 @@ object DocStream {
     graft.ext.Sampling.mixtureFromCounts(state).orderBy("source")
   }
 
+  /** Streaming small-file compaction monitor — the maintenance
+    * daemon's trigger side: per directory (source), the running count
+    * of small files, their byte backlog, and how many full
+    * [[graft.operators.Layout.TargetBytes]] output bins that backlog
+    * already fills. A lake ingests small files continuously; the
+    * decision "is a compaction rewrite due for THIS directory" is a
+    * quota question over running totals — exactly aggregation state,
+    * one row per directory. The monitor deliberately does NOT assign
+    * files to bins on ingest: bin assignment is an ordering decision
+    * ([[graft.operators.Layout.compactionPlan]]'s offset packing over
+    * file_id order) that belongs to the triggered rewrite job, which
+    * sees the frozen backlog; the stream maintains only
+    * order-independent totals, so retries and batch boundaries cannot
+    * change any emitted number. Invariant (pinned in StreamingSpec):
+    * the monitor's byte-quota bin estimate — full_bins (+1 if pending
+    * bytes remain) — bounds the batch plan's compact-bin count per
+    * directory from above, and from below within one: the plan packs
+    * each file wholly into the bin of its start offset, so its final
+    * bin may absorb one file's boundary overflow and save a bin the
+    * pure byte quota would open. */
+  def streamingCompactionMonitor(spark: SparkSession, dir: String): DataFrame =
+    runDocStream(spark, dir, "compact") { stream =>
+      stream
+        .select(col("source"), col("n_chars").as("bytes"))
+        .withColumn("small",
+          col("bytes") < graft.operators.Layout.SmallFileBytes)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_files"),
+          sum(when(col("small"), 1L).otherwise(0L)).as("n_small"),
+          sum(when(col("small"), col("bytes")).otherwise(0L))
+            .as("small_bytes"))
+    }
+      .withColumn("full_bins",
+        floor(col("small_bytes") / graft.operators.Layout.TargetBytes)
+          .cast("long"))
+      .withColumn("pending_bytes",
+        col("small_bytes") % graft.operators.Layout.TargetBytes)
+      .withColumn("compact_due", col("full_bins") >= 1)
+      .orderBy("source")
+
+  def streamingCompactionMonitorOracle: String = {
+    val small = graft.operators.Layout.SmallFileBytes
+    val target = graft.operators.Layout.TargetBytes
+    s"""WITH s AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_files,
+       |    CAST(SUM(CASE WHEN n_chars < $small THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_small,
+       |    CAST(SUM(CASE WHEN n_chars < $small THEN n_chars ELSE 0 END)
+       |      AS BIGINT) AS small_bytes
+       |  FROM documents GROUP BY source)
+       |SELECT source, n_files, n_small, small_bytes,
+       |  CAST(FLOOR(small_bytes / $target) AS BIGINT) AS full_bins,
+       |  CAST(small_bytes % $target AS BIGINT) AS pending_bytes,
+       |  FLOOR(small_bytes / $target) >= 1 AS compact_due
+       |FROM s ORDER BY source""".stripMargin
+  }
+
   /** The reference's flagship computation — word count — as an
     * INCREMENTAL stream: counts maintained per micro-batch as
     * documents arrive, closing the loop on SURVEY §2's P1/A5 for a

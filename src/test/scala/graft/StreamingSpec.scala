@@ -233,4 +233,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.map(_._2).subsetOf(
       Set("pass", "too_short", "low_stopword", "low_diversity")))
   }
+
+  test("streaming compaction monitor agrees with the batch plan's bin count") {
+    import spark.implicits._
+    // monitor: per directory, floor-full bins + any remainder bytes
+    val monitor = graft.streaming.DocStream
+      .streamingCompactionMonitor(spark, sf0001)
+      .select(col("source"), col("full_bins"), col("pending_bytes"))
+      .as[(String, Long, Long)].collect()
+      .map { case (s, fb, pb) => s -> (fb + (if (pb > 0) 1L else 0L)) }
+      .toMap
+    // batch plan: distinct compact out_ids per directory. The plan
+    // packs each file wholly into its start-offset bin, so its last
+    // bin can absorb one file's boundary overflow — the plan's bin
+    // count is the monitor's byte-quota estimate, or one less when
+    // such an overflow saves the final bin. Never more.
+    val plan = graft.operators.Layout.compactionPlan(spark, sf0001)
+      .filter(col("action") === "compact")
+      .groupBy("source").agg(count(lit(1)).as("bins"))
+      .as[(String, Long)].collect().toMap
+    assert(monitor.nonEmpty)
+    monitor.foreach { case (src, est) =>
+      val bins = plan.getOrElse(src, 0L)
+      assert(bins == est || bins == est - 1,
+        s"$src: plan=$bins monitor estimate=$est")
+    }
+  }
 }
