@@ -340,6 +340,10 @@ object SparkEntry {
       graft.streaming.EventStream.streamStaticJoinOverFiles(s, dir)),
     // split × dup-group leakage audit (train/eval contamination check)
     "split_leakage_audit" -> ((s, dir) => Dedup.splitLeakageAudit(s, dir)),
+    // ...and the FIX it gates toward: split by group representative
+    "group_safe_split" -> ((s, dir) => Dedup.groupSafeSplit(s, dir)),
+    // est-threshold calibration: precision/recall vs exact-Jaccard truth
+    "dedup_threshold_sweep" -> ((s, dir) => Dedup.thresholdSweep(s, dir)),
     // per-reason curation audit (first-failing-rule cascade)
     "quality_filter_reasons" -> TextAnalysis.qualityFilterReasons _,
     // dup-group size histogram + per-source corpus profile
@@ -378,6 +382,8 @@ object SparkEntry {
       graft.streaming.DocStream.streamingSubstringScreen(s, dir)),
     // standing-index maintenance: delta assignment + retrain gate
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssign _,
+    // index health: list-size skew + expected probe-cost factor
+    "ivf_balance_audit" -> Similarity.ivfBalanceAudit _,
     // the privacy FIX: finest generalization rung reaching k per cell
     "k_generalization_ladder" -> Relational.kGeneralizationLadder _,
     // token-budget mixture plan: weights, epochs, sample rates
@@ -413,6 +419,9 @@ object SparkEntry {
     // compaction trigger maintained on ingest: backlog totals per dir
     "stream_compaction_monitor" -> ((s, dir) =>
       graft.streaming.DocStream.streamingCompactionMonitor(s, dir)),
+    // fixed-memory distinct counter on ingest: HLL registers as state
+    "stream_hll_monitor" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingHllMonitor(s, dir)),
   )
 
   /** The word-count oracle — ONE definition shared by the batch query
@@ -681,6 +690,8 @@ object SparkEntry {
     "stream_static_join" ->
       graft.streaming.EventStream.streamStaticJoinOverFilesOracle,
     "split_leakage_audit" -> Dedup.splitLeakageAuditOracle,
+    "group_safe_split" -> Dedup.groupSafeSplitOracle,
+    "dedup_threshold_sweep" -> Dedup.thresholdSweepOracle,
     "quality_filter_reasons" -> TextAnalysis.qualityFilterReasonsOracle,
     "dedup_group_sizes" -> Dedup.duplicateGroupSizesOracle,
     "source_quality_profile" -> TextAnalysis.sourceQualityProfileOracle,
@@ -702,6 +713,7 @@ object SparkEntry {
     "dedup_substring_excise" -> Dedup.substringExciseOracle,
     "stream_substring_screen" -> Dedup.substringScreenOracle,
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssignOracle,
+    "ivf_balance_audit" -> Similarity.ivfBalanceAuditOracle,
     "k_generalization_ladder" -> Relational.kGeneralizationLadderOracle,
     "mixture_budget" -> Sampling.mixtureBudgetOracle,
     // the stream converges to the batch plan exactly — same oracle
@@ -724,5 +736,8 @@ object SparkEntry {
     "stream_wordcount" -> wordCountOracle,
     "stream_compaction_monitor" ->
       graft.streaming.DocStream.streamingCompactionMonitorOracle,
+    // the stream converges to the batch sketch exactly — literally the
+    // same oracle object as "sketch_hll_merge"
+    "stream_hll_monitor" -> graft.ext.Sketches.hllMergeSourcesOracle,
   )
 }

@@ -649,6 +649,108 @@ object Dedup {
        |  FROM inter) j
        |WHERE jaccard >= $minJaccard ORDER BY d1, d2""".stripMargin
 
+  /** Threshold calibration sweep — the table that picks
+    * [[PairThreshold]] instead of folklore-ing it: every LSH candidate
+    * pair (threshold 0 — the banding itself is the only pre-filter) is
+    * scored by BOTH the MinHash estimate and exact trigram Jaccard;
+    * truth = exact ≥ `truthJaccard`. For each candidate cut τ on the
+    * estimate (50%..95% by 5), the confusion counts and
+    * precision/recall of "est ≥ τ" as a predictor of true duplication.
+    * This is how the dedup knob is set operationally: sweep once on a
+    * sample, read the τ where precision crosses the removal budget's
+    * tolerance, run the fleet at that τ. Recall is measured over
+    * LSH-PROPOSED pairs — the banding's own recall is a separate,
+    * signature-design question ([[simRecallAudit]]'s domain); this
+    * sweep isolates the estimator's discrimination. Cost: the same
+    * candidate-bounded verify join as [[lshVerifiedJaccard]] plus a
+    * 10-row grid cross join over the (est, jaccard) pairs frame —
+    * nothing corpus-pairwise, and the grid multiplies a frame already
+    * bounded by the bucket cap. */
+  def thresholdSweep(spark: SparkSession, dir: String,
+                     truthJaccard: Double = 0.8): DataFrame = {
+    val keeper = min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("text"))))
+    val documents = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), keeper.as("k"))
+      .filter(col("doc_id") === col("k"))
+      .select(col("doc_id"), col("text"))
+    val cands = minhashPairs(documents, 0.0)
+      .persist() // endpoints + verify spine read it
+    val endpoints = cands.select(col("d1").as("doc_id"))
+      .union(cands.select(col("d2").as("doc_id"))).distinct()
+    val grams = trigramSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
+      .persist() // both endpoint sides read it
+    graft.GraftSession.releaseAfterAction(spark, cands, grams)
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    val scored = cands
+      .join(grams.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
+      .join(grams.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
+      .select(col("est_jaccard"),
+        (inter.cast("double") /
+          greatest(size(col("g1")) + size(col("g2")) - inter, lit(1)))
+          .as("jaccard"))
+    val pred = col("est_jaccard") >= col("threshold_pct") / lit(100.0)
+    val truth = col("jaccard") >= truthJaccard
+    val grid = spark.range(50, 100, 5).select(col("id").as("threshold_pct"))
+    scored.crossJoin(broadcast(grid))
+      .groupBy("threshold_pct")
+      .agg(count(lit(1)).as("n_cand"),
+        sum(when(truth, 1L).otherwise(0L)).as("n_truth"),
+        sum(when(pred, 1L).otherwise(0L)).as("n_pred"),
+        sum(when(pred && truth, 1L).otherwise(0L)).as("tp"),
+        sum(when(pred && !truth, 1L).otherwise(0L)).as("fp"),
+        sum(when(!pred && truth, 1L).otherwise(0L)).as("fn"))
+      .select(col("threshold_pct"), col("n_cand"), col("n_truth"),
+        col("n_pred"), col("tp"), col("fp"), col("fn"),
+        when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred")).as("precision"),
+        when(col("n_truth") > 0,
+          col("tp").cast("double") / col("n_truth")).as("recall"))
+      .orderBy("threshold_pct")
+  }
+
+  def thresholdSweepOracle: String = thresholdSweepOracle(0.8)
+
+  def thresholdSweepOracle(truthJaccard: Double): String =
+    s"""WITH keepers AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
+       |    FROM documents) d WHERE doc_id = k),
+       |${minhashEstCtes("keepers")},
+       |tokseq AS (SELECT doc_id, $tokensSql AS ws FROM keepers),
+       |tri AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+       |  FROM tokseq),
+       |scored AS (SELECT e.est_jaccard,
+       |    CAST(len(list_intersect(a.grams, b.grams)) AS DOUBLE) /
+       |      greatest(len(a.grams) + len(b.grams)
+       |        - len(list_intersect(a.grams, b.grams)), 1) AS jaccard
+       |  FROM est e
+       |  JOIN tri a ON a.doc_id = e.d1
+       |  JOIN tri b ON b.doc_id = e.d2),
+       |grid AS (SELECT range AS threshold_pct FROM range(50, 100, 5)),
+       |conf AS (SELECT threshold_pct,
+       |    CAST(COUNT(*) AS BIGINT) AS n_cand,
+       |    CAST(SUM(CASE WHEN jaccard >= $truthJaccard THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS n_truth,
+       |    CAST(SUM(CASE WHEN est_jaccard >= threshold_pct / 100.0
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n_pred,
+       |    CAST(SUM(CASE WHEN est_jaccard >= threshold_pct / 100.0
+       |      AND jaccard >= $truthJaccard THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+       |    CAST(SUM(CASE WHEN est_jaccard >= threshold_pct / 100.0
+       |      AND jaccard < $truthJaccard THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+       |    CAST(SUM(CASE WHEN est_jaccard < threshold_pct / 100.0
+       |      AND jaccard >= $truthJaccard THEN 1 ELSE 0 END) AS BIGINT) AS fn
+       |  FROM scored CROSS JOIN grid GROUP BY threshold_pct)
+       |SELECT threshold_pct, n_cand, n_truth, n_pred, tp, fp, fn,
+       |  CASE WHEN n_pred > 0 THEN CAST(tp AS DOUBLE) / n_pred END
+       |    AS precision,
+       |  CASE WHEN n_truth > 0 THEN CAST(tp AS DOUBLE) / n_truth END
+       |    AS recall
+       |FROM conf ORDER BY threshold_pct""".stripMargin
+
   // ── containment: the asymmetric near-dup metric Jaccard misses ──
 
   /** Trigram CONTAINMENT pairs: |∩| / min(|A|,|B|) — the asymmetric
@@ -1670,6 +1772,55 @@ object Dedup {
        |GROUP BY g.group_id
        |HAVING COUNT(DISTINCT s.split) > 1
        |ORDER BY g.group_id""".stripMargin
+
+  /** Group-safe split — the FIX [[splitLeakageAudit]] gates toward:
+    * re-assign every document to the split of its duplicate-group
+    * REPRESENTATIVE (the group's min doc_id), so a near-duplicate
+    * group can never straddle train/eval. The assignment stays a pure
+    * function of (salt, group_id): singletons (group_id = doc_id, the
+    * overwhelming majority) keep their naive split bit-for-bit, and
+    * only true group members can move — each reported with its naive
+    * assignment and a `moved` flag so the re-split's churn is
+    * auditable. Post-condition (pinned in ExtSpec): re-running the
+    * leakage audit against THIS assignment finds zero groups, and the
+    * split is still ~80/10/10 because group representatives hash
+    * uniformly. Cost over the audit: none — the same two hash joins,
+    * with the split CASE re-evaluated on group_id instead of doc_id
+    * (a projection, not a shuffle). */
+  def groupSafeSplit(spark: SparkSession, dir: String): DataFrame = {
+    val trainHi = (0.8 * 4294967296L).toLong
+    val valHi = (0.9 * 4294967296L).toLong
+    val groups = duplicateGroups(spark, dir)
+    val naive = Sampling.datasetSplit(spark, dir)
+      .select(col("doc_id"), col("split").as("naive_split"))
+    val gh = Sampling.sampleHash(col("group_id"))
+    groups.join(naive, Seq("doc_id"))
+      .withColumn("split",
+        when(gh < trainHi, "train").when(gh < valHi, "val")
+          .otherwise("test"))
+      .withColumn("moved", col("split") =!= col("naive_split"))
+      .select("doc_id", "group_id", "split", "naive_split", "moved")
+      .orderBy("doc_id")
+  }
+
+  def groupSafeSplitOracle: String =
+    s"""WITH RECURSIVE
+       |$minhashEstCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM est WHERE est_jaccard >= $PairThreshold
+       |          UNION ALL
+       |          SELECT d2, d1 FROM est WHERE est_jaccard >= $PairThreshold),
+       |reach AS (SELECT doc_id, doc_id AS label FROM documents
+       |          UNION
+       |          SELECT e.dst AS doc_id, r.label
+       |          FROM reach r JOIN edges e ON r.doc_id = e.src),
+       |groups AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS group_id
+       |           FROM reach GROUP BY doc_id)
+       |SELECT doc_id, group_id,
+       |  ${Sampling.splitCaseSql("group_id")} AS split,
+       |  ${Sampling.splitCaseSql("doc_id")} AS naive_split,
+       |  ${Sampling.splitCaseSql("group_id")} <>
+       |    ${Sampling.splitCaseSql("doc_id")} AS moved
+       |FROM groups ORDER BY doc_id""".stripMargin
 
   // ── embedding-cosine near-dup ──
 

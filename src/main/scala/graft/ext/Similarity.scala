@@ -511,6 +511,67 @@ object Similarity {
         col("centroid_sim"))
       .orderBy("vec_id")
 
+  /** IVF list-balance audit — the index-health table that predicts
+    * probe latency BEFORE queries pay for it: per realized list, its
+    * member count, corpus share, and balance ratio (1.0 = perfectly
+    * even); plus two constant summary columns every row carries —
+    * `skew_max` (largest list vs the even size: the straggler bound,
+    * since one probe of that list scans that many candidates) and
+    * `probe_cost_factor` (k·Σsᵢ²/n²: the expected single-probe scan
+    * cost relative to balanced, under the size-weighted routing a
+    * matching query distribution induces — the textbook reason skewed
+    * k-means lists slow ANN even when MEAN list size looks fine).
+    * Σsᵢ² is decimal-summed over the k-row frame so the factor is
+    * partition-order-free. Cost: the assignment pass [[ivfAssign]]
+    * already does, collapsed to k rows; every window here is over the
+    * k-row list frame (k = O(√n) — metadata scale), never the corpus.
+    * Lists left EMPTY by Lloyd (no vector's primary) are absent from
+    * the rows but still count in k — an empty list is wasted routing,
+    * not balance. */
+  def ivfBalanceAudit(spark: SparkSession, dir: String): DataFrame = {
+    val k = kmeansCentroids(spark, dir).size
+    val sizes = withAssignments(spark, dir)
+      .filter(col("probe_rank") === 1)
+      .groupBy(col("list_id").cast("long").as("list_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val all = Window.partitionBy()
+    sizes
+      .withColumn("total", sum(col("n_members")).over(all))
+      .withColumn("sumsq",
+        sum((col("n_members") * col("n_members")).cast("decimal(38,0)"))
+          .over(all))
+      .withColumn("maxm", max(col("n_members")).over(all))
+      .select(col("list_id"), col("n_members"),
+        round(col("n_members").cast("double") / col("total"), 6).as("share"),
+        round(col("n_members") * lit(k) / col("total").cast("double"), 6)
+          .as("balance"),
+        round(col("maxm") * lit(k) / col("total").cast("double"), 6)
+          .as("skew_max"),
+        round(lit(k) * col("sumsq").cast("double") /
+          (col("total").cast("double") * col("total")), 6)
+          .as("probe_cost_factor"))
+      .orderBy("list_id")
+  }
+
+  def ivfBalanceAuditOracle: String =
+    s"""WITH $ivfCommonSql,
+       |sizes AS (SELECT CAST(list_id AS BIGINT) AS list_id,
+       |    CAST(COUNT(*) AS BIGINT) AS n_members
+       |  FROM scoredc WHERE probe_rank = 1 GROUP BY 1),
+       |tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS total,
+       |    CAST(SUM(n_members * n_members) AS DOUBLE) AS sumsq,
+       |    CAST(MAX(n_members) AS BIGINT) AS maxm
+       |  FROM sizes)
+       |SELECT s.list_id, s.n_members,
+       |  round(CAST(s.n_members AS DOUBLE) / t.total, 6) AS share,
+       |  round(s.n_members * (SELECT k FROM kp) / CAST(t.total AS DOUBLE), 6)
+       |    AS balance,
+       |  round(t.maxm * (SELECT k FROM kp) / CAST(t.total AS DOUBLE), 6)
+       |    AS skew_max,
+       |  round((SELECT k FROM kp) * t.sumsq /
+       |    (CAST(t.total AS DOUBLE) * t.total), 6) AS probe_cost_factor
+       |FROM sizes s, tot t ORDER BY s.list_id""".stripMargin
+
   /** IVF ANN: probe the query's NProbe nearest lists, score only the
     * vectors whose PRIMARY list is probed — candidate set ≈
     * NProbe/numLists(n) of the corpus, the sub-linear scale path. */

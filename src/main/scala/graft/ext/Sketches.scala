@@ -429,9 +429,28 @@ object Sketches {
     * hash-verified, not assumed. This is the algebra a partitioned
     * 100 TB count-distinct rides: every partition sketches locally,
     * the driver folds registers. */
-  def hllMergeSources(spark: SparkSession, dir: String): DataFrame = {
-    val d = Tables.documents(spark, dir)
-      .select(col("source"), col("text"), h32(col("text")).as("h"))
+  /** Per-source HLL register table from any (source, text) frame —
+    * ONE map-side-partial hash agg to ≤ |sources|·[[HllM]] rows. The
+    * register max is the entire aggregation state, so this same plan
+    * IS the streaming form: [[graft.streaming.DocStream]]'s HLL
+    * monitor runs it verbatim over the ingest stream, state bounded
+    * identically. */
+  private[graft] def hllSourceRegs(d: DataFrame): DataFrame =
+    d.select(col("source").as("scope"),
+        (h32(col("text")) % HllM).as("bucket"),
+        shiftright(h32(col("text")), 8).as("w"))
+      .select(col("scope"), col("bucket"),
+        when(col("w") === 0, lit(25L))
+          .otherwise(lit(25L) - length(bin(col("w")))).as("rho"))
+      .groupBy("scope", "bucket").agg(max("rho").as("mj"))
+
+  /** Fold per-source registers to the union sketch, estimate every
+    * scope, and audit each against its exact distinct count (one
+    * batch pass over the same corpus — the verification arm). Shared
+    * by the batch query and the streaming twin, which therefore
+    * verify against the literal same oracle. */
+  private[graft] def hllMergeReport(spark: SparkSession, dir: String,
+                                    perSrcRegs: DataFrame): DataFrame = {
     def estFromRegs(regs: DataFrame): DataFrame =
       regs.groupBy("scope")
         .agg(count(lit(1)).as("present"),
@@ -444,18 +463,12 @@ object Sketches {
           when(col("raw") <= 2.5 * HllM && col("nz") > 0,
             round(lit(HllM.toDouble) * log(lit(HllM.toDouble) / col("nz")), 3))
             .otherwise(round(col("raw"), 3)).as("hll_estimate"))
-    val perSrcRegs = d
-      .select(col("source").as("scope"), (col("h") % HllM).as("bucket"),
-        shiftright(col("h"), 8).as("w"))
-      .select(col("scope"), col("bucket"),
-        when(col("w") === 0, lit(25L))
-          .otherwise(lit(25L) - length(bin(col("w")))).as("rho"))
-      .groupBy("scope", "bucket").agg(max("rho").as("mj"))
     // THE merge: union registers = per-bucket max over source registers
     val mergedRegs = perSrcRegs.groupBy("bucket")
       .agg(max("mj").as("mj")).select(lit("ALL").as("scope"),
         col("bucket"), col("mj"))
     val ests = estFromRegs(perSrcRegs.unionByName(mergedRegs))
+    val d = Tables.documents(spark, dir).select(col("source"), col("text"))
     val exacts = d.groupBy(col("source").as("scope"))
       .agg(countDistinct(col("text")).as("exact_distinct"))
       .unionByName(d.agg(countDistinct(col("text")).as("exact_distinct"))
@@ -466,6 +479,11 @@ object Sketches {
           col("exact_distinct"), 6).as("rel_err"))
       .orderBy("scope")
   }
+
+  def hllMergeSources(spark: SparkSession, dir: String): DataFrame =
+    hllMergeReport(spark, dir,
+      hllSourceRegs(Tables.documents(spark, dir)
+        .select(col("source"), col("text"))))
 
   def hllMergeSourcesOracle: String =
     s"""WITH d AS (SELECT source, text, ${h32Sql("text")} AS h FROM documents),

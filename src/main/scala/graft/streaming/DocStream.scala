@@ -281,6 +281,26 @@ object DocStream {
     graft.ext.Sampling.mixtureFromCounts(state).orderBy("source")
   }
 
+  /** Streaming HLL distinct-count monitor — the fixed-memory
+    * cardinality counter maintained on ingest: per (source, register
+    * bucket), the running max leading-zero rank. The state store holds
+    * at most |sources|·[[graft.ext.Sketches.HllM]] rows REGARDLESS of
+    * stream length — this is the property that makes HLL the streaming
+    * distinct counter, and because register max is commutative,
+    * idempotent, and order-independent, the converged state table is
+    * bit-identical to the batch sketch: [[graft.ext.Sketches
+    * .hllSourceRegs]] is run VERBATIM as the stream plan, the merge +
+    * estimate + exact-audit report is the same [[graft.ext.Sketches
+    * .hllMergeReport]] the batch query uses, and both verify against
+    * the literal same oracle object. Retries, micro-batch boundaries,
+    * and arrival order cannot change any register. */
+  def streamingHllMonitor(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.hllMergeReport(spark, dir,
+      runDocStream(spark, dir, "hll") { stream =>
+        graft.ext.Sketches.hllSourceRegs(
+          stream.select(col("source"), col("text")))
+      })
+
   /** Streaming small-file compaction monitor — the maintenance
     * daemon's trigger side: per directory (source), the running count
     * of small files, their byte backlog, and how many full

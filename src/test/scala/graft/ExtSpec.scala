@@ -88,6 +88,47 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("threshold sweep: confusion counts are coherent and monotone in tau") {
+    val rows = Dedup.thresholdSweep(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))
+      .sortBy(_._1)
+    assert(rows.length == 10 && rows.head._1 == 50 && rows.last._1 == 95)
+    rows.foreach { case (_, nCand, nTruth, nPred, tp, fp, fn) =>
+      assert(tp + fp == nPred)     // predictions partition into tp/fp
+      assert(tp + fn == nTruth)    // truth partitions into tp/fn
+      assert(nTruth <= nCand && nPred <= nCand)
+    }
+    // raising tau can only shrink the predicted set: n_pred and tp
+    // non-increasing, fn non-decreasing (n_cand and n_truth constant)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._4 <= lo._4 && hi._5 <= lo._5 && hi._7 >= lo._7)
+      assert(hi._2 == lo._2 && hi._3 == lo._3)
+    }
+  }
+
+  test("group-safe split: zero residual leakage, singletons untouched") {
+    val rows = Dedup.groupSafeSplit(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getString(3), r.getBoolean(4)))
+    assert(rows.length == 500)
+    // the post-condition the operator exists for: every group maps to
+    // exactly one split — the leakage audit on THIS assignment is empty
+    rows.groupBy(_._2).foreach { case (g, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"group $g still straddles splits")
+    }
+    // singletons (group_id = doc_id) keep the naive assignment verbatim
+    rows.filter(r => r._1 == r._2).foreach { r =>
+      assert(r._3 == r._4 && !r._5, s"singleton ${r._1} moved")
+    }
+    // moved ⟺ the two assignments disagree, and only group members move
+    rows.foreach { r => assert(r._5 == (r._3 != r._4)) }
+    // the re-split stays a split: all three classes still realized
+    assert(rows.map(_._3).distinct.sorted.sameElements(
+      Array("test", "train", "val")))
+  }
+
   test("brute-force top-k: nearest neighbor of a vector is itself-like vector") {
     val topk = Similarity.bruteForceTopK(spark, sf0001, numQueries = 3, k = 5)
     val rows = topk.collect()
