@@ -177,6 +177,21 @@ object ScaleProbe {
       // are queries×k-sized
       "rank_eval_ndcg" ->
         ((s: SparkSession, d: String) => graft.ext.Similarity.rankEvalNdcg(s, d)),
+      // round-7d additions: leakage fix, calibration sweep, streaming
+      // sketches, index health, KS gate
+      "group_safe_split" ->
+        ((s: SparkSession, d: String) => graft.ext.Dedup.groupSafeSplit(s, d)),
+      "dedup_threshold_sweep" ->
+        ((s: SparkSession, d: String) => graft.ext.Dedup.thresholdSweep(s, d)),
+      "stream_hll_monitor" ->
+        (graft.streaming.DocStream.streamingHllMonitor _),
+      "stream_cms_monitor" ->
+        (graft.streaming.DocStream.streamingCmsMonitor _),
+      "stream_compaction_monitor" ->
+        (graft.streaming.DocStream.streamingCompactionMonitor _),
+      "ivf_balance_audit" -> (graft.ext.Similarity.ivfBalanceAudit _),
+      "cluster_silhouette" -> (graft.ext.Similarity.clusterSilhouette _),
+      "ks_value_drift" -> (graft.operators.EventOps.ksValueDrift _),
     )
 
     def time(fn: => Unit): Double = {

@@ -384,6 +384,8 @@ object SparkEntry {
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssign _,
     // index health: list-size skew + expected probe-cost factor
     "ivf_balance_audit" -> Similarity.ivfBalanceAudit _,
+    // cluster quality: simplified silhouette from the assignment scan
+    "cluster_silhouette" -> Similarity.clusterSilhouette _,
     // the privacy FIX: finest generalization rung reaching k per cell
     "k_generalization_ladder" -> Relational.kGeneralizationLadder _,
     // token-budget mixture plan: weights, epochs, sample rates
@@ -402,6 +404,8 @@ object SparkEntry {
     "frame_scene_cuts" -> Dedup.frameSceneCuts _,
     // PSI feature-drift gate between the stream's time halves
     "psi_value_drift" -> EventOps.psiValueDrift _,
+    // ...and the exact nonparametric companion: KS sup-CDF-gap gate
+    "ks_value_drift" -> EventOps.ksValueDrift _,
     // per-dim encoder-drift audit: base corpus vs the delta batch
     "embedding_batch_drift" -> Similarity.embeddingBatchDrift _,
     // multiprobe LSH vs single-bucket vs exact: the recall-per-memory case
@@ -422,6 +426,9 @@ object SparkEntry {
     // fixed-memory distinct counter on ingest: HLL registers as state
     "stream_hll_monitor" -> ((s, dir) =>
       graft.streaming.DocStream.streamingHllMonitor(s, dir)),
+    // fixed-memory frequency sketch on ingest: CMS cells as state
+    "stream_cms_monitor" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingCmsMonitor(s, dir)),
   )
 
   /** The word-count oracle — ONE definition shared by the batch query
@@ -714,6 +721,7 @@ object SparkEntry {
     "stream_substring_screen" -> Dedup.substringScreenOracle,
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssignOracle,
     "ivf_balance_audit" -> Similarity.ivfBalanceAuditOracle,
+    "cluster_silhouette" -> Similarity.clusterSilhouetteOracle,
     "k_generalization_ladder" -> Relational.kGeneralizationLadderOracle,
     "mixture_budget" -> Sampling.mixtureBudgetOracle,
     // the stream converges to the batch plan exactly — same oracle
@@ -724,6 +732,7 @@ object SparkEntry {
     "tombstone_purge_audit" -> Relational.tombstonePurgeAuditOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,
     "psi_value_drift" -> EventOps.psiValueDriftOracle,
+    "ks_value_drift" -> EventOps.ksValueDriftOracle,
     "embedding_batch_drift" -> Similarity.embeddingBatchDriftOracle,
     "sim_ann_lsh_multiprobe" -> Similarity.multiprobeRecallAuditOracle,
     // the streamed monitor must equal the batch PSI — the same oracle
@@ -739,5 +748,7 @@ object SparkEntry {
     // the stream converges to the batch sketch exactly — literally the
     // same oracle object as "sketch_hll_merge"
     "stream_hll_monitor" -> graft.ext.Sketches.hllMergeSourcesOracle,
+    // same convergence argument, same oracle as "sketch_cms_heavy_hitters"
+    "stream_cms_monitor" -> graft.ext.Sketches.cmsHeavyHittersOracle,
   )
 }

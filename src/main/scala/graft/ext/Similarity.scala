@@ -572,6 +572,74 @@ object Similarity {
        |    (CAST(t.total AS DOUBLE) * t.total), 6) AS probe_cost_factor
        |FROM sizes s, tot t ORDER BY s.list_id""".stripMargin
 
+  /** Simplified-silhouette cluster-quality audit over the IVF
+    * k-means clustering — the one-table answer to "is this clustering
+    * worth indexing (or SemDeDup-ing) on": per vector, a = cosine
+    * distance to its OWN centroid, b = distance to the nearest OTHER
+    * centroid, s = (b − a)/max(a, b) ∈ [−1, 1] (Rousseeuw's
+    * simplified form: centroid distances instead of all-pairs member
+    * distances — the only form that scales, O(n·k) not O(n²)).
+    * Both distances fall out of the SAME assignment scan every IVF
+    * query already does ([[withAssignments]] keeps ranks 1 and 2),
+    * so the audit adds zero corpus passes. Per-list mean silhouette
+    * (low lists = mushy clusters that will route badly) plus the
+    * member-weighted corpus mean as a constant column. Terms are
+    * rounded then decimal-summed, so the means are
+    * partition-order-free; a vector equidistant-at-zero from both
+    * centroids (a = b = 0) contributes 0, not NaN. Requires k ≥ 2
+    * (rank 2 must exist) — a one-list corpus yields the empty audit,
+    * never a crash. */
+  def clusterSilhouette(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val ranked = withAssignments(spark, dir)
+      .filter(col("probe_rank") <= 2)
+      .groupBy("vec_id")
+      .agg(
+        max(when(col("probe_rank") === 1, col("list_id"))).as("list_id"),
+        max(when(col("probe_rank") === 1, col("centroid_sim"))).as("s1"),
+        max(when(col("probe_rank") === 2, col("centroid_sim"))).as("s2"))
+      .filter(col("s2").isNotNull)
+    val aDist = lit(1.0) - col("s1")
+    val bDist = lit(1.0) - col("s2")
+    val terms = ranked.select(col("list_id").cast("long").as("list_id"),
+      when(greatest(aDist, bDist) > 0,
+        round((col("s1") - col("s2")) / greatest(aDist, bDist), 9))
+        .otherwise(lit(0.0)).as("term"))
+    val all = Window.partitionBy()
+    terms.groupBy("list_id")
+      .agg(count(lit(1)).as("n_members"),
+        sum(col("term").cast(DecimalType(38, 12))).as("ts"))
+      .withColumn("gts", sum(col("ts")).over(all))
+      .withColumn("gn", sum(col("n_members")).over(all))
+      .select(col("list_id"), col("n_members"),
+        round(col("ts").cast("double") / col("n_members"), 6)
+          .as("mean_silhouette"),
+        round(col("gts").cast("double") / col("gn"), 6)
+          .as("corpus_silhouette"))
+      .orderBy("list_id")
+  }
+
+  def clusterSilhouetteOracle: String =
+    s"""WITH $ivfCommonSql,
+       |r1 AS (SELECT vec_id, CAST(list_id AS BIGINT) AS list_id,
+       |         centroid_sim AS s1 FROM scoredc WHERE probe_rank = 1),
+       |r2 AS (SELECT vec_id, centroid_sim AS s2 FROM scoredc
+       |       WHERE probe_rank = 2),
+       |t AS (SELECT r1.list_id,
+       |    CASE WHEN greatest(1.0 - s1, 1.0 - s2) > 0
+       |      THEN round((s1 - s2) / greatest(1.0 - s1, 1.0 - s2), 9)
+       |      ELSE 0.0 END AS term
+       |  FROM r1 JOIN r2 USING (vec_id)),
+       |pl AS (SELECT list_id, CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    SUM(CAST(term AS DECIMAL(38,12))) AS ts
+       |  FROM t GROUP BY list_id),
+       |g AS (SELECT SUM(ts) AS gts, CAST(SUM(n_members) AS BIGINT) AS gn
+       |  FROM pl)
+       |SELECT pl.list_id, pl.n_members,
+       |  round(CAST(pl.ts AS DOUBLE) / pl.n_members, 6) AS mean_silhouette,
+       |  round(CAST(g.gts AS DOUBLE) / g.gn, 6) AS corpus_silhouette
+       |FROM pl, g ORDER BY pl.list_id""".stripMargin
+
   /** IVF ANN: probe the query's NProbe nearest lists, score only the
     * vectors whose PRIMARY list is probed — candidate set ≈
     * NProbe/numLists(n) of the corpus, the sub-linear scale path. */

@@ -306,10 +306,36 @@ object Sketches {
         explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("i"))
       .select(col("i"), cmsBucket(col("h"), col("i")).as("b"), col("cw"))
       .groupBy("i", "b").agg(sum("cw").as("cell"))
+    cmsProbeReport(counts, rows)
+  }
+
+  /** CMS cell table built from raw token OCCURRENCES — the streaming
+    * build shape (a stream can't pre-count its vocabulary, so every
+    * occurrence deposits 1 into its [[CmsDepth]] buckets). Converges
+    * to exactly the batch cells: Σ over occurrences = Σ over
+    * (token, count), and the cells are plain sums — commutative and
+    * order-independent, so retries and batch boundaries can't move a
+    * counter. State: ≤ [[CmsDepth]]·[[CmsWidth]] rows at ANY stream
+    * length. */
+  private[graft] def cmsOccurrenceCells(d: DataFrame): DataFrame =
+    d.select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .select(h32(col("w")).as("h"),
+        explode(sequence(lit(0L), lit(CmsDepth - 1L))).as("i"))
+      .select(col("i"), cmsBucket(col("h"), col("i")).as("b"))
+      .groupBy("i", "b").agg(count(lit(1)).as("cell"))
+
+  /** Probe the top-25 exact tokens against a CMS cell table — the
+    * report arm shared by the batch sketch and the streaming monitor
+    * (which therefore verify against the literal same oracle).
+    * `counts` is the exact vocabulary count table (the audit side);
+    * `cells` any converged ([[CmsDepth]]×[[CmsWidth]])-bounded cell
+    * table. */
+  private[graft] def cmsProbeReport(counts: DataFrame,
+                                    cells: DataFrame): DataFrame = {
     val probes = counts.orderBy(col("cw").desc, col("w")).limit(25)
       .select(col("w"), col("cw"), h32(col("w")).as("h"))
     probes
-      .crossJoin(broadcast(rows.groupBy("i")
+      .crossJoin(broadcast(cells.groupBy("i")
         .agg(map_from_entries(collect_list(struct(col("b"), col("cell"))))
           .as("row_cells"))))
       .select(col("w"), col("cw"),
@@ -320,6 +346,13 @@ object Sketches {
         (col("cms_estimate") - col("cw")).as("overcount"))
       .orderBy(col("exact_count").desc, col("token"))
   }
+
+  /** Exact token counts for [[cmsProbeReport]]'s audit arm. */
+  private[graft] def exactTokenCounts(spark: SparkSession,
+                                      dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
 
   def cmsHeavyHittersOracle: String = {
     val toks = Dedup.tokensSqlPublic

@@ -1000,6 +1000,87 @@ object EventOps {
       .orderBy("bin")
   }
 
+  /** Exact two-sample Kolmogorov–Smirnov drift gate between the event
+    * stream's time halves — the nonparametric companion to
+    * [[psiValueDrift]]: PSI reads binned density shift (and depends on
+    * the bin grid); KS reads the supremum CDF gap on the RAW value
+    * domain, so it catches a pure location/scale shift a coarse grid
+    * can blur, and it carries a distribution-free critical value —
+    * D > 1.358·√((n₁+n₂)/(n₁·n₂)) rejects at α = 0.05, no calibration
+    * folklore needed. Exact, not sampled: per-value (base, delta)
+    * counts are a wordcount-shaped aggregate, cumulative counts come
+    * from ONE window over the DISTINCT-value frame (telemetry domains
+    * are quantized; an unbounded-cardinality domain would pre-quantize
+    * exactly like [[Nonparam.kruskalWallisSpend]]'s two-stage rank
+    * build), and the
+    * max gap is order-free (single IEEE divisions, no accumulation).
+    * One row out: sizes, D, where the gap peaks, the critical value,
+    * the verdict. An empty half ⇒ D NULL, drifted false — same
+    * no-population-no-claim contract as PSI. */
+  def ksValueDrift(spark: SparkSession, dir: String): DataFrame = {
+    val pf = psiProfile(spark, dir)
+    val perValue = Tables.events(spark, dir)
+      .select(col("value"), (unix_micros(col("ts")) <= pf.mid).as("is_base"))
+      .groupBy("value")
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("nd"))
+    val tot = perValue.agg(
+      coalesce(sum(col("nb")), lit(0L)).as("tb"),
+      coalesce(sum(col("nd")), lit(0L)).as("td"))
+    val w = Window.orderBy("value")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gaps = perValue
+      .withColumn("cb", sum(col("nb")).over(w))
+      .withColumn("cd", sum(col("nd")).over(w))
+      .crossJoin(broadcast(tot))
+      .filter(col("tb") > 0 && col("td") > 0)
+      .select(col("value"),
+        round(abs(col("cb").cast("double") / col("tb") -
+          col("cd").cast("double") / col("td")), 9).as("gap"))
+    // argmax by (gap desc, value asc) — struct max with negated value
+    val dRow = gaps
+      .agg(max(struct(col("gap").as("d"), (-col("value")).as("nv"))).as("m"))
+      .select(col("m.d").as("ks_d"), (-col("m.nv")).as("at_value"))
+    tot.crossJoin(broadcast(dRow))
+      .select(col("tb").as("n_base"), col("td").as("n_delta"),
+        col("ks_d"), col("at_value"),
+        when(col("tb") > 0 && col("td") > 0,
+          round(lit(1.358) * sqrt((col("tb") + col("td")).cast("double") /
+            (col("tb") * col("td"))), 9)).as("crit_05"))
+      .withColumn("drifted",
+        coalesce(col("ks_d") > col("crit_05"), lit(false)))
+  }
+
+  def ksValueDriftOracle: String =
+    s"""WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+       |mid AS (SELECT CAST((MIN(us) + MAX(us)) // 2 AS BIGINT) AS mid FROM ev),
+       |pv AS (SELECT value,
+       |    CAST(SUM(CASE WHEN us <= mid THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+       |    CAST(SUM(CASE WHEN us > mid THEN 1 ELSE 0 END) AS BIGINT) AS nd
+       |  FROM ev, mid GROUP BY value),
+       |tot AS (SELECT CAST(COALESCE(SUM(nb), 0) AS BIGINT) AS tb,
+       |    CAST(COALESCE(SUM(nd), 0) AS BIGINT) AS td FROM pv),
+       |cum AS (SELECT value,
+       |    SUM(nb) OVER (ORDER BY value
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cb,
+       |    SUM(nd) OVER (ORDER BY value
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cd
+       |  FROM pv),
+       |gaps AS (SELECT value,
+       |    round(abs(CAST(cb AS DOUBLE) / tb - CAST(cd AS DOUBLE) / td), 9)
+       |      AS gap
+       |  FROM cum, tot WHERE tb > 0 AND td > 0),
+       |d AS (SELECT gap AS ks_d, value AS at_value FROM gaps
+       |      ORDER BY gap DESC, value ASC LIMIT 1)
+       |SELECT t.tb AS n_base, t.td AS n_delta, d.ks_d, d.at_value,
+       |  CASE WHEN t.tb > 0 AND t.td > 0
+       |    THEN round(1.358 * sqrt(CAST(t.tb + t.td AS DOUBLE) /
+       |      (t.tb * t.td)), 9) END AS crit_05,
+       |  COALESCE(d.ks_d > (CASE WHEN t.tb > 0 AND t.td > 0
+       |    THEN round(1.358 * sqrt(CAST(t.tb + t.td AS DOUBLE) /
+       |      (t.tb * t.td)), 9) END), false) AS drifted
+       |FROM tot t LEFT JOIN d ON true""".stripMargin
+
   def psiValueDriftOracle: String =
     s"""WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
        |mid AS (SELECT CAST((MIN(us) + MAX(us)) // 2 AS BIGINT) AS mid FROM ev),

@@ -301,6 +301,27 @@ object DocStream {
           stream.select(col("source"), col("text")))
       })
 
+  /** Streaming count-min heavy-hitter monitor — the fixed-memory
+    * frequency sketch maintained on ingest: every arriving token
+    * occurrence deposits 1 into its [[graft.ext.Sketches.CmsDepth]]
+    * row buckets, so the aggregation state is the sketch itself —
+    * ≤ depth×width (4×512) counter rows at ANY stream length. Cells
+    * are plain sums (commutative, order-independent), so the
+    * converged state is bit-identical to the batch-built sketch and
+    * the probe report — top-25 exact tokens, min-over-rows lookup,
+    * one-sided overcount — is the same [[graft.ext.Sketches
+    * .cmsProbeReport]] the batch query uses, verified against the
+    * literal same oracle object. This is the "which tokens are
+    * exploding in the crawl, right now" monitor: the sketch answers
+    * point queries mid-stream without ever holding the vocabulary. */
+  def streamingCmsMonitor(spark: SparkSession, dir: String): DataFrame = {
+    val cells = runDocStream(spark, dir, "cms") { stream =>
+      graft.ext.Sketches.cmsOccurrenceCells(stream.select(col("text")))
+    }
+    graft.ext.Sketches.cmsProbeReport(
+      graft.ext.Sketches.exactTokenCounts(spark, dir), cells)
+  }
+
   /** Streaming small-file compaction monitor — the maintenance
     * daemon's trigger side: per directory (source), the running count
     * of small files, their byte backlog, and how many full

@@ -107,6 +107,37 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("index-health audits: balance/silhouette/KS keep their analytic bounds") {
+    // probe_cost_factor = k·Σs²/n² ≥ 1 by Cauchy–Schwarz, = 1 iff even;
+    // skew_max ≥ balance of any list; shares partition the corpus
+    val bal = Similarity.ivfBalanceAudit(spark, sf0001).collect()
+    assert(bal.nonEmpty)
+    val pcf = bal.head.getDouble(5)
+    assert(bal.forall(_.getDouble(5) == pcf)) // constant column
+    assert(pcf >= 1.0)
+    val skewMax = bal.head.getDouble(4)
+    assert(bal.forall(r => r.getDouble(3) <= skewMax + 1e-9))
+    assert(math.abs(bal.map(_.getDouble(2)).sum - 1.0) < 1e-4)
+    // silhouette ∈ [−1, 1]; corpus value = member-weighted list mean
+    val sil = Similarity.clusterSilhouette(spark, sf0001).collect()
+    assert(sil.nonEmpty)
+    sil.foreach { r =>
+      assert(r.getDouble(2) >= -1.0 - 1e-9 && r.getDouble(2) <= 1.0 + 1e-9)
+    }
+    val corpus = sil.head.getDouble(3)
+    val weighted = sil.map(r => r.getDouble(2) * r.getLong(1)).sum /
+      sil.map(_.getLong(1)).sum
+    assert(math.abs(corpus - weighted) < 1e-3, s"$corpus vs $weighted")
+    // KS: D ∈ [0, 1], the critical value is positive, verdict coherent
+    val ks = graft.operators.EventOps.ksValueDrift(spark, sf0001).collect()
+    assert(ks.length == 1)
+    val r = ks.head
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0)
+    assert(r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0)
+    assert(r.getDouble(4) > 0.0)
+    assert(r.getBoolean(5) == (r.getDouble(2) > r.getDouble(4)))
+  }
+
   test("group-safe split: zero residual leakage, singletons untouched") {
     val rows = Dedup.groupSafeSplit(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
