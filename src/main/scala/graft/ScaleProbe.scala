@@ -192,6 +192,10 @@ object ScaleProbe {
       "ivf_balance_audit" -> (graft.ext.Similarity.ivfBalanceAudit _),
       "cluster_silhouette" -> (graft.ext.Similarity.clusterSilhouette _),
       "ks_value_drift" -> (graft.operators.EventOps.ksValueDrift _),
+      "session_examples" -> (graft.operators.EventOps.sessionExamples _),
+      "quality_cut_tradeoff" ->
+        (graft.ext.TextAnalysis.qualityCutTradeoff _),
+      "bpe_merge_curve" -> (graft.ext.TextAnalysis.bpeMergeCurve _),
     )
 
     def time(fn: => Unit): Double = {

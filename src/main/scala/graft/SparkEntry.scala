@@ -96,6 +96,8 @@ object SparkEntry {
     // ── LLM-pipeline: text analysis ──
     "token_count" -> TextAnalysis.tokenCount _,
     "text_quality" -> TextAnalysis.textQuality _,
+    // the quality knob's operating curve: doc/token retention per cut
+    "quality_cut_tradeoff" -> TextAnalysis.qualityCutTradeoff _,
     "doc_length_deciles" -> TextAnalysis.docLengthDeciles _,
     "lang_id" -> TextAnalysis.langId _,
     "doc_fingerprint" -> TextAnalysis.fingerprint _,
@@ -150,11 +152,15 @@ object SparkEntry {
     "kl_source_divergence" -> TextAnalysis.klSourceDivergence _,
     "funnel_events" -> EventOps.funnelEvents _,
     "session_paths" -> ((s, dir) => EventOps.sessionPaths(s, dir)),
+    // behavioral telemetry → (context, target) next-event training pairs
+    "session_examples" -> EventOps.sessionExamples _,
     "gap_percentiles" -> EventOps.gapPercentiles _,
     "frame_dedup" -> Multimodal.frameDedup _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "zipf_profile" -> TextAnalysis.zipfProfile _,
     "bpe_encode" -> TextAnalysis.bpeEncode _,
+    // tokenizer training curve: compression per learned-merge prefix
+    "bpe_merge_curve" -> TextAnalysis.bpeMergeCurve _,
     "bm25_search" -> TextAnalysis.bm25Search _,
     "kruskal_wallis_spend" -> Nonparam.kruskalWallisSpend _,
     "numeric_profile_quantiles" -> Relational.numericProfileQuantiles _,
@@ -495,6 +501,7 @@ object SparkEntry {
     "stream_window_events" -> EventOps.timeWindowOracle,
     "token_count" -> TextAnalysis.tokenCountOracle,
     "text_quality" -> TextAnalysis.textQualityOracle,
+    "quality_cut_tradeoff" -> TextAnalysis.qualityCutTradeoffOracle,
     "doc_length_deciles" -> TextAnalysis.docLengthDecilesOracle,
     "lang_id" -> TextAnalysis.langIdOracle,
     "doc_fingerprint" -> TextAnalysis.fingerprintOracle,
@@ -541,11 +548,13 @@ object SparkEntry {
     "kl_source_divergence" -> TextAnalysis.klSourceDivergenceOracle,
     "funnel_events" -> EventOps.funnelEventsOracle,
     "session_paths" -> EventOps.sessionPathsOracle,
+    "session_examples" -> EventOps.sessionExamplesOracle,
     "gap_percentiles" -> EventOps.gapPercentilesOracle,
     "frame_dedup" -> Multimodal.frameDedupOracle,
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "zipf_profile" -> TextAnalysis.zipfProfileOracle,
     "bpe_encode" -> TextAnalysis.bpeEncodeOracle,
+    "bpe_merge_curve" -> TextAnalysis.bpeMergeCurveOracle,
     "bm25_search" -> TextAnalysis.bm25SearchOracle,
     "kruskal_wallis_spend" -> Nonparam.kruskalWallisSpendOracle,
     "numeric_profile_quantiles" -> Relational.numericProfileQuantilesOracle,

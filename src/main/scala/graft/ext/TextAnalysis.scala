@@ -132,6 +132,65 @@ object TextAnalysis {
        |FROM (SELECT doc_id, text, $tokensSql AS ws FROM documents) t
        |ORDER BY doc_id""".stripMargin
 
+  /** Quality-filter operating curve — the table that sets the
+    * stopword-density cut the way [[graft.ext.Dedup.thresholdSweep]]
+    * sets the dedup threshold: for each candidate cut τ (keep docs
+    * with stopword_ratio ≥ τ — natural prose carries function words;
+    * word salad and boilerplate don't), the surviving doc and TOKEN
+    * counts and retentions. Token retention is the number that
+    * matters — a pretraining budget is spent in tokens, and quality
+    * cuts bite token mass unevenly (long documents are
+    * disproportionately prose). Reading the curve: the τ where token
+    * retention falls off a cliff is where the filter starts eating
+    * signal, not noise. One corpus scan to (ratio, n_tokens) rows, a
+    * broadcast 10-row grid cross join, one aggregate — the same
+    * calibrate-once-then-run-the-fleet shape as the dedup sweep.
+    * Zero-token docs have NULL ratio and are cut at every τ (no
+    * tokens to keep either way). */
+  def qualityCutTradeoff(spark: SparkSession, dir: String): DataFrame = {
+    val ws = tokens(col("text"))
+    val nTok = size(ws).cast("long")
+    val nStop = size(filter(ws, w => w.isin(stopwords: _*))).cast("long")
+    val perDoc = Tables.documents(spark, dir).select(
+      nTok.as("n_tokens"),
+      when(nTok =!= 0, nStop.cast("double") / nTok).as("ratio"))
+    val grid = spark.range(0, 50, 5).select(col("id").as("cut_pct"))
+    val kept = col("ratio") >= col("cut_pct") / lit(100.0)
+    perDoc.crossJoin(broadcast(grid))
+      .groupBy("cut_pct")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(kept, 1L).otherwise(0L)).as("docs_kept"),
+        sum(col("n_tokens")).as("tokens_total"),
+        sum(when(kept, col("n_tokens")).otherwise(0L)).as("tokens_kept"))
+      .select(col("cut_pct"), col("n_docs"), col("docs_kept"),
+        col("tokens_total"), col("tokens_kept"),
+        round(col("docs_kept").cast("double") / col("n_docs"), 6)
+          .as("doc_retention"),
+        round(col("tokens_kept").cast("double") / col("tokens_total"), 6)
+          .as("token_retention"))
+      .orderBy("cut_pct")
+  }
+
+  def qualityCutTradeoffOracle: String =
+    s"""WITH perdoc AS (SELECT CAST(len(ws) AS BIGINT) AS n_tokens,
+       |    CAST(len(list_filter(ws, w -> w IN ($stopwordsSqlList)))
+       |      AS DOUBLE) / NULLIF(len(ws), 0) AS ratio
+       |  FROM (SELECT $tokensSql AS ws FROM documents) t),
+       |grid AS (SELECT range AS cut_pct FROM range(0, 50, 5)),
+       |agg AS (SELECT cut_pct,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(CASE WHEN ratio >= cut_pct / 100.0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS docs_kept,
+       |    CAST(SUM(n_tokens) AS BIGINT) AS tokens_total,
+       |    CAST(SUM(CASE WHEN ratio >= cut_pct / 100.0 THEN n_tokens
+       |      ELSE 0 END) AS BIGINT) AS tokens_kept
+       |  FROM perdoc CROSS JOIN grid GROUP BY cut_pct)
+       |SELECT cut_pct, n_docs, docs_kept, tokens_total, tokens_kept,
+       |  round(CAST(docs_kept AS DOUBLE) / n_docs, 6) AS doc_retention,
+       |  round(CAST(tokens_kept AS DOUBLE) / tokens_total, 6)
+       |    AS token_retention
+       |FROM agg ORDER BY cut_pct""".stripMargin
+
   // ── language identification (marker-word heuristic) ──
 
   private val langMarkers: Seq[(String, Seq[String])] = Seq(
@@ -1860,6 +1919,70 @@ object TextAnalysis {
        |    AS chars_per_symbol
        |FROM dt JOIN enc USING (word) GROUP BY lang ORDER BY lang"""
       .stripMargin
+
+  /** Tokenizer training curve — compression vs merge count, the
+    * "is another merge round worth it" table a tokenizer-training
+    * loop reads after every round: for every prefix of the learned
+    * merge table (0 merges = raw characters, through all
+    * [[BpeMerges]]), the corpus-weighted word/char/symbol totals,
+    * fertility (symbols per word — strictly non-increasing in m, the
+    * monotonicity ExtSpec pins), and chars-per-symbol compression.
+    * The marginal compression of round m is the curve's m−1 → m
+    * step; where it flattens is the vocabulary size the corpus
+    * actually supports — the same calibrate-the-knob shape as
+    * [[graft.ext.Dedup.thresholdSweep]], applied to vocab size.
+    * Training is NOT repeated per point: the memoized learner runs
+    * once ([[bpeLearn]] — shared with merges/encode/fertility), and
+    * each curve point re-applies one more learned merge to the
+    * VOCABULARY table (|vocab| rows) and takes one 1-row weighted
+    * aggregate; the corpus is never re-touched. */
+  def bpeMergeCurve(spark: SparkSession, dir: String): DataFrame = {
+    val (merges, _) = bpeLearn(spark, dir)
+    val vocab = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    def statsAt(m: Int, f: DataFrame): DataFrame =
+      f.agg(sum(col("cnt")).as("n_words"),
+        sum(col("cnt") * length(col("word")).cast("long")).as("n_chars"),
+        sum(col("cnt") * size(split(col("rep"), " ")).cast("long"))
+          .as("n_symbols"))
+        .select(lit(m.toLong).as("n_merges"), col("n_words"),
+          col("n_chars"), col("n_symbols"))
+    var fr = vocab.select(col("word"), col("cnt"),
+      array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " ")
+        .as("rep"))
+      .localCheckpoint()
+    var out = statsAt(0, fr)
+    for ((mf, i) <- merges.zipWithIndex) {
+      fr = applyMerge(fr, mf.select(col("merged_pair").as("pair")))
+        .localCheckpoint()
+      out = out.unionByName(statsAt(i + 1, fr))
+    }
+    out
+      .select(col("n_merges"), col("n_words"), col("n_chars"),
+        col("n_symbols"),
+        round(col("n_symbols").cast("double") / col("n_words"), 6)
+          .as("fertility"),
+        round(col("n_chars").cast("double") / col("n_symbols"), 6)
+          .as("chars_per_symbol"))
+      .orderBy("n_merges")
+  }
+
+  def bpeMergeCurveOracle: String = {
+    val points = (0 to BpeMerges).map(m =>
+      s"""SELECT CAST($m AS BIGINT) AS n_merges,
+         |  CAST(SUM(cnt) AS BIGINT) AS n_words,
+         |  CAST(SUM(cnt * length(word)) AS BIGINT) AS n_chars,
+         |  CAST(SUM(cnt * len(string_split(rep, ' '))) AS BIGINT)
+         |    AS n_symbols
+         |FROM f$m""".stripMargin).mkString("\nUNION ALL\n")
+    s"""$bpeLearnCtes,
+       |pts AS ($points)
+       |SELECT n_merges, n_words, n_chars, n_symbols,
+       |  round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS fertility,
+       |  round(CAST(n_chars AS DOUBLE) / n_symbols, 6) AS chars_per_symbol
+       |FROM pts ORDER BY n_merges""".stripMargin
+  }
 
   // ── feature hashing: the fixed-width text featurizer ──
 

@@ -159,6 +159,69 @@ object EventOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** Next-event-prediction training examples from the event stream —
+    * the pass that turns raw behavioral telemetry into supervised
+    * (context → target) pairs, the sequence-model analog of
+    * [[graft.ext.TextAnalysis.docChunks]]'s text windows: within each
+    * 30-minute-gap session (the SAME gaps-and-islands derivation as
+    * [[sessionize]], so "session" means one thing engine-wide), every
+    * event from position 2 on becomes one example whose context is
+    * the up-to-8 preceding event types in arrival order and whose
+    * target is its own type. Pure window work over the per-user
+    * partition the sessionization already shuffles — no self-join, no
+    * explode; the context window is a bounded-frame ordered
+    * collect_list, so example width is capped by construction. Output
+    * is loader-ready and deterministic: ties inside a timestamp break
+    * on event_id in both engines. */
+  def sessionExamples(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val gapUs = 30L * 60 * 1000000
+    val sessioned = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("is_new",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("is_new")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val bySession = Window.partitionBy("user_id", "session_id")
+      .orderBy("ts", "event_id")
+    sessioned
+      .withColumn("pos", row_number().over(bySession).cast("long"))
+      .withColumn("context", array_join(
+        collect_list(col("event_type")).over(bySession.rowsBetween(-8, -1)),
+        " "))
+      .filter(col("pos") >= 2)
+      .select(col("user_id"), col("session_id"), col("pos"),
+        col("context"), col("event_type").as("target"))
+      .orderBy("user_id", "session_id", "pos")
+  }
+
+  def sessionExamplesOracle: String =
+    """WITH ev AS (SELECT user_id, event_id, ts, event_type,
+      |    epoch_us(ts) AS us FROM events),
+      |lagged AS (SELECT *,
+      |    lag(us) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+      |      AS prev_us FROM ev),
+      |marked AS (SELECT *,
+      |    CASE WHEN prev_us IS NULL OR us - prev_us > 1800000000
+      |      THEN 1 ELSE 0 END AS is_new FROM lagged),
+      |sess AS (SELECT *,
+      |    CAST(SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS BIGINT) AS session_id FROM marked),
+      |ex AS (SELECT user_id, session_id,
+      |    CAST(row_number() OVER w AS BIGINT) AS pos,
+      |    array_to_string(list(event_type) OVER
+      |      (PARTITION BY user_id, session_id ORDER BY ts, event_id
+      |       ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING), ' ') AS context,
+      |    event_type AS target
+      |  FROM sess
+      |  WINDOW w AS (PARTITION BY user_id, session_id
+      |               ORDER BY ts, event_id))
+      |SELECT user_id, session_id, pos, context, target FROM ex
+      |WHERE pos >= 2 ORDER BY user_id, session_id, pos""".stripMargin
+
   /** Rolling 7-day active users per day — the WAU-style engagement
     * metric. Each event contributes to the 7 window-days it falls
     * inside, expressed as one `sequence` explode (bounded ×7 fan-out,

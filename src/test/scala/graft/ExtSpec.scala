@@ -138,6 +138,43 @@ class ExtSpec extends SparkSpec {
     assert(r.getBoolean(5) == (r.getDouble(2) > r.getDouble(4)))
   }
 
+  test("operating curves + session examples keep their structural contracts") {
+    // merge curve: words/chars constant in m; 0 merges ⇒ every char a
+    // symbol; each merge can only shrink the symbol count (fertility
+    // non-increasing) and never below one symbol per word
+    val curve = TextAnalysis.bpeMergeCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(curve.map(_._1).sameElements(0L to TextAnalysis.BpeMerges.toLong))
+    assert(curve.map(_._2).distinct.length == 1)
+    assert(curve.map(_._3).distinct.length == 1)
+    assert(curve.head._4 == curve.head._3) // m=0: symbols == chars
+    curve.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._4 <= lo._4, s"merge ${hi._1} grew symbols")
+    }
+    assert(curve.last._4 >= curve.last._2) // ≥ 1 symbol per word
+    // quality curve: retention non-increasing in the cut; cut 0 keeps
+    // every tokenized doc (ratio ≥ 0 always true for non-empty docs)
+    val qc = TextAnalysis.qualityCutTradeoff(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(4)))
+      .sortBy(_._1)
+    assert(qc.length == 10)
+    qc.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 <= lo._3 && hi._4 <= lo._4)
+    }
+    // session examples: context width ≤ 8, pos ≥ 2, target non-null
+    val ex = graft.operators.EventOps.sessionExamples(spark, sf0001)
+      .collect()
+    assert(ex.nonEmpty)
+    ex.foreach { r =>
+      assert(r.getLong(2) >= 2)
+      val ctx = r.getString(3).split(" ").filter(_.nonEmpty)
+      assert(ctx.length >= 1 && ctx.length <= 8)
+      assert(ctx.length == math.min(r.getLong(2) - 1, 8L))
+      assert(r.getString(4).nonEmpty)
+    }
+  }
+
   test("group-safe split: zero residual leakage, singletons untouched") {
     val rows = Dedup.groupSafeSplit(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
