@@ -196,6 +196,8 @@ object ScaleProbe {
       "quality_cut_tradeoff" ->
         (graft.ext.TextAnalysis.qualityCutTradeoff _),
       "bpe_merge_curve" -> (graft.ext.TextAnalysis.bpeMergeCurve _),
+      "quantize_bits_curve" ->
+        (graft.ext.Similarity.quantizeBitsCurve _),
     )
 
     def time(fn: => Unit): Double = {

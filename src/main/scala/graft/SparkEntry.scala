@@ -392,6 +392,8 @@ object SparkEntry {
     "ivf_balance_audit" -> Similarity.ivfBalanceAudit _,
     // cluster quality: simplified silhouette from the assignment scan
     "cluster_silhouette" -> Similarity.clusterSilhouette _,
+    // how many bits do embeddings need: MSE per quantization width
+    "quantize_bits_curve" -> Similarity.quantizeBitsCurve _,
     // the privacy FIX: finest generalization rung reaching k per cell
     "k_generalization_ladder" -> Relational.kGeneralizationLadder _,
     // token-budget mixture plan: weights, epochs, sample rates
@@ -731,6 +733,7 @@ object SparkEntry {
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssignOracle,
     "ivf_balance_audit" -> Similarity.ivfBalanceAuditOracle,
     "cluster_silhouette" -> Similarity.clusterSilhouetteOracle,
+    "quantize_bits_curve" -> Similarity.quantizeBitsCurveOracle,
     "k_generalization_ladder" -> Relational.kGeneralizationLadderOracle,
     "mixture_budget" -> Sampling.mixtureBudgetOracle,
     // the stream converges to the batch plan exactly — same oracle

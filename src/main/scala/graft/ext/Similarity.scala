@@ -1841,6 +1841,71 @@ object Similarity {
       |  round(MAX(abs(err)), 9) AS max_abs_err
       |FROM err GROUP BY pos ORDER BY dim""".stripMargin
 
+  /** Quantization bit-width curve — "how many bits do these
+    * embeddings actually need": per width b ∈ {2,4,6,8}, per-dim
+    * scalar quantization to 2^b−1 levels (the same min/max-range,
+    * floor(x+0.5) convention as [[quantizeEmbeddings]], so the b=8
+    * point of this curve IS that query's global row) and the
+    * corpus-wide reconstruction MSE and max error. The operating
+    * read: memory halves per 2-bit step, MSE rises ~4× per dropped
+    * bit (the uniform-quantizer 6 dB/bit law) — the knee where MSE
+    * crosses the downstream tolerance is the serving width. Same
+    * calibrate-the-knob shape as the dedup/quality sweeps. One
+    * posexplode pass joined to the broadcast d-row range table,
+    * multiplied by a broadcast 4-row grid; squared errors are
+    * rounded-then-decimal-summed so the MSE is partition-order-free.
+    * Zero-width dims reconstruct exactly (code 0 at dmin) at every
+    * width — the same degenerate-dim guard as the 8-bit quantizer. */
+  def quantizeBitsCurve(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val pe = embeddingsD(spark, dir)
+      .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val ranges = pe.groupBy("pos")
+      .agg(min("x").as("dmin"), max("x").as("dmax"))
+    val grid = spark.range(1, 5)
+      .select((col("id") * 2).as("bits"),
+        (pow(lit(2.0), (col("id") * 2).cast("double")).cast("long") - 1L)
+          .as("levels"))
+    val width = col("dmax") - col("dmin")
+    val code = when(width === 0.0, lit(0L)).otherwise(
+      floor((col("x") - col("dmin")) * col("levels") / width + 0.5)
+        .cast("long"))
+    pe.join(broadcast(ranges), Seq("pos"))
+      .crossJoin(broadcast(grid))
+      .select(col("bits"), col("levels"),
+        (col("x") - (col("dmin") + code * width / col("levels"))).as("err"))
+      .groupBy("bits", "levels")
+      .agg(count(lit(1)).as("n_values"),
+        sum(round(col("err") * col("err"), 12)
+          .cast(DecimalType(28, 14))).cast("double").as("sse"),
+        max(abs(col("err"))).as("mx"))
+      .select(col("bits"), col("levels"), col("n_values"),
+        round(col("sse") / col("n_values"), 9).as("mse"),
+        round(col("mx"), 9).as("max_abs_err"))
+      .orderBy("bits")
+  }
+
+  def quantizeBitsCurveOracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pe AS (SELECT vec_id, pos, v[pos + 1] AS x
+      |  FROM (SELECT vec_id, v, unnest(range(len(v))) AS pos FROM e) t),
+      |rg AS (SELECT pos, MIN(x) AS dmin, MAX(x) AS dmax FROM pe GROUP BY pos),
+      |grid AS (SELECT CAST(2 * range AS BIGINT) AS bits,
+      |    CAST((1 << (2 * range)) - 1 AS BIGINT) AS levels
+      |  FROM range(1, 5)),
+      |enc AS (SELECT g.bits, g.levels, pe.x, rg.dmin, rg.dmax,
+      |    CASE WHEN rg.dmax - rg.dmin = 0 THEN 0
+      |      ELSE CAST(floor((pe.x - rg.dmin) * g.levels /
+      |        (rg.dmax - rg.dmin) + 0.5) AS BIGINT) END AS code
+      |  FROM pe JOIN rg USING (pos) CROSS JOIN grid g),
+      |err AS (SELECT bits, levels,
+      |    x - (dmin + code * (dmax - dmin) / levels) AS err FROM enc)
+      |SELECT bits, levels, CAST(COUNT(*) AS BIGINT) AS n_values,
+      |  round(CAST(SUM(CAST(round(err * err, 12) AS DECIMAL(28,14)))
+      |    AS DOUBLE) / COUNT(*), 9) AS mse,
+      |  round(MAX(abs(err)), 9) AS max_abs_err
+      |FROM err GROUP BY bits, levels ORDER BY bits""".stripMargin
+
   // ── hard-negative mining: nearest other-label neighbor ──
 
   /** For every vector, its nearest neighbor carrying a DIFFERENT

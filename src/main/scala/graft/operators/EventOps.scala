@@ -1072,34 +1072,32 @@ object EventOps {
     * D > 1.358·√((n₁+n₂)/(n₁·n₂)) rejects at α = 0.05, no calibration
     * folklore needed. Exact, not sampled: per-value (base, delta)
     * counts are a wordcount-shaped aggregate, cumulative counts come
-    * from ONE window over the DISTINCT-value frame (telemetry domains
-    * are quantized; an unbounded-cardinality domain would pre-quantize
-    * exactly like [[Nonparam.kruskalWallisSpend]]'s two-stage rank
-    * build), and the
+    * from the SAME bucketed two-stage build every rank test here uses
+    * ([[Nonparam.cumByValue]] — per-bucket windows plus a
+    * domain-bounded prefix table, never a data-sized single-partition
+    * window), and the
     * max gap is order-free (single IEEE divisions, no accumulation).
     * One row out: sizes, D, where the gap peaks, the critical value,
     * the verdict. An empty half ⇒ D NULL, drifted false — same
     * no-population-no-claim contract as PSI. */
   def ksValueDrift(spark: SparkSession, dir: String): DataFrame = {
     val pf = psiProfile(spark, dir)
-    val perValue = Tables.events(spark, dir)
-      .select(col("value"), (unix_micros(col("ts")) <= pf.mid).as("is_base"))
-      .groupBy("value")
-      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("nb"),
-        sum(when(!col("is_base"), 1L).otherwise(0L)).as("nd"))
-    val tot = perValue.agg(
-      coalesce(sum(col("nb")), lit(0L)).as("tb"),
-      coalesce(sum(col("nd")), lit(0L)).as("td"))
-    val w = Window.orderBy("value")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val gaps = perValue
-      .withColumn("cb", sum(col("nb")).over(w))
-      .withColumn("cd", sum(col("nd")).over(w))
+    val byVal = Tables.events(spark, dir)
+      .select(col("value").as("x"),
+        (unix_micros(col("ts")) <= pf.mid).as("is_base"))
+      .groupBy("x")
+      .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("ca"),
+        sum(when(!col("is_base"), 1L).otherwise(0L)).as("cb"))
+    val tot = byVal.agg(
+      coalesce(sum(col("ca")), lit(0L)).as("tb"),
+      coalesce(sum(col("cb")), lit(0L)).as("td"))
+    val gaps = Nonparam.cumByValue(byVal, 10.0)
       .crossJoin(broadcast(tot))
       .filter(col("tb") > 0 && col("td") > 0)
-      .select(col("value"),
-        round(abs(col("cb").cast("double") / col("tb") -
-          col("cd").cast("double") / col("td")), 9).as("gap"))
+      .select(col("x").as("value"),
+        round(abs((col("cuma_excl") + col("ca")).cast("double") / col("tb") -
+          (col("cumb_excl") + col("cb")).cast("double") / col("td")), 9)
+          .as("gap"))
     // argmax by (gap desc, value asc) — struct max with negated value
     val dRow = gaps
       .agg(max(struct(col("gap").as("d"), (-col("value")).as("nv"))).as("m"))

@@ -35,7 +35,8 @@ object Nonparam {
     * the bucket granularity: domain/width buckets — pick it so bucket
     * count is 100s-1000s (the prefix table stays tiny) while each
     * bucket holds a bounded slice of distinct values. */
-  private def cumByValue(byVal: DataFrame, width: Double): DataFrame = {
+  private[operators] def cumByValue(byVal: DataFrame,
+                                    width: Double): DataFrame = {
     val b = byVal.withColumn("bkt", floor(col("x") / width).cast("long"))
     val wIn = Window.partitionBy("bkt").orderBy("x")
       .rowsBetween(Window.unboundedPreceding, -1)

@@ -162,6 +162,17 @@ class ExtSpec extends SparkSpec {
     qc.sliding(2).foreach { case Array(lo, hi) =>
       assert(hi._3 <= lo._3 && hi._4 <= lo._4)
     }
+    // quantization curve: MSE strictly improves with width (the
+    // 6 dB/bit law's direction), max err bounds respect level halving
+    val qb = Similarity.quantizeBitsCurve(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(qb.map(_._1).sameElements(Array(2L, 4L, 6L, 8L)))
+    assert(qb.map(_._2).sameElements(Array(3L, 15L, 63L, 255L)))
+    qb.sliding(2).foreach { case Array(lo, hi) =>
+      assert(hi._3 <= lo._3, s"${hi._1} bits worsened MSE")
+      assert(hi._4 <= lo._4 + 1e-12)
+    }
     // session examples: context width ≤ 8, pos ≥ 2, target non-null
     val ex = graft.operators.EventOps.sessionExamples(spark, sf0001)
       .collect()
