@@ -1788,16 +1788,12 @@ object Dedup {
     * with the split CASE re-evaluated on group_id instead of doc_id
     * (a projection, not a shuffle). */
   def groupSafeSplit(spark: SparkSession, dir: String): DataFrame = {
-    val trainHi = (0.8 * 4294967296L).toLong
-    val valHi = (0.9 * 4294967296L).toLong
     val groups = duplicateGroups(spark, dir)
     val naive = Sampling.datasetSplit(spark, dir)
       .select(col("doc_id"), col("split").as("naive_split"))
-    val gh = Sampling.sampleHash(col("group_id"))
     groups.join(naive, Seq("doc_id"))
       .withColumn("split",
-        when(gh < trainHi, "train").when(gh < valHi, "val")
-          .otherwise("test"))
+        Sampling.splitCase(Sampling.sampleHash(col("group_id"))))
       .withColumn("moved", col("split") =!= col("naive_split"))
       .select("doc_id", "group_id", "split", "naive_split", "moved")
       .orderBy("doc_id")

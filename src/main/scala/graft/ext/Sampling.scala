@@ -39,15 +39,22 @@ object Sampling {
   private[ext] def sampleHashSql(idExpr: String): String =
     s"CAST(concat('0x', substr(md5('$SampleSalt:' || $idExpr), 1, 8)) AS BIGINT)"
 
+  /** The 80/10/10 hash-range boundaries — ONE definition, shared by
+    * [[datasetSplit]], [[splitCase]], the SQL mirror, and the
+    * group-safe re-split, so the ratios cannot silently fork. */
+  private[ext] val TrainHi = (0.8 * 4294967296L).toLong
+  private[ext] val ValHi = (0.9 * 4294967296L).toLong
+
+  /** The split CASE over a 32-bit sample-hash column. */
+  private[ext] def splitCase(h: Column): Column =
+    when(h < TrainHi, "train").when(h < ValHi, "val").otherwise("test")
+
   /** Oracle mirror of [[datasetSplit]]'s hash-range CASE, for queries
     * that compose the split assignment (e.g. the leakage audit). */
-  private[ext] def splitCaseSql(idExpr: String): String = {
-    val trainHi = (0.8 * 4294967296L).toLong
-    val valHi = (0.9 * 4294967296L).toLong
-    s"""CASE WHEN ${sampleHashSql(idExpr)} < $trainHi THEN 'train'
-       |     WHEN ${sampleHashSql(idExpr)} < $valHi THEN 'val'
+  private[ext] def splitCaseSql(idExpr: String): String =
+    s"""CASE WHEN ${sampleHashSql(idExpr)} < $TrainHi THEN 'train'
+       |     WHEN ${sampleHashSql(idExpr)} < $ValHi THEN 'val'
        |     ELSE 'test' END""".stripMargin
-  }
 
   /** Bernoulli sample at `rate`: keep iff hash < rate·2^32. Exact
     * integer threshold — no float comparison ambiguity. */
@@ -81,22 +88,17 @@ object Sampling {
     * joined. Exact integer thresholds on the 32-bit hash — no float
     * boundary ambiguity. Zero shuffle: one codegen'd projection. */
   def datasetSplit(spark: SparkSession, dir: String): DataFrame = {
-    val trainHi = (0.8 * 4294967296L).toLong
-    val valHi = (0.9 * 4294967296L).toLong
     val h = sampleHash(col("doc_id"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), col("source"), h.as("sample_hash"),
-        when(h < trainHi, "train").when(h < valHi, "val")
-          .otherwise("test").as("split"))
+        splitCase(h).as("split"))
       .orderBy("doc_id")
   }
 
   def datasetSplitOracle: String = {
-    val trainHi = (0.8 * 4294967296L).toLong
-    val valHi = (0.9 * 4294967296L).toLong
     s"""SELECT doc_id, source, sample_hash,
-       |  CASE WHEN sample_hash < $trainHi THEN 'train'
-       |       WHEN sample_hash < $valHi THEN 'val'
+       |  CASE WHEN sample_hash < $TrainHi THEN 'train'
+       |       WHEN sample_hash < $ValHi THEN 'val'
        |       ELSE 'test' END AS split
        |FROM (SELECT doc_id, source,
        |        ${sampleHashSql("doc_id")} AS sample_hash

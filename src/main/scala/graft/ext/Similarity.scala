@@ -538,8 +538,10 @@ object Similarity {
     sizes
       .withColumn("total", sum(col("n_members")).over(all))
       .withColumn("sumsq",
-        sum((col("n_members") * col("n_members")).cast("decimal(38,0)"))
-          .over(all))
+        // square in decimal, not LongType: a degenerate >3e9-member
+        // list would wrap the long product silently before the cast
+        sum(col("n_members").cast("decimal(19,0)") *
+          col("n_members").cast("decimal(19,0)")).over(all))
       .withColumn("maxm", max(col("n_members")).over(all))
       .select(col("list_id"), col("n_members"),
         round(col("n_members").cast("double") / col("total"), 6).as("share"),
@@ -559,7 +561,8 @@ object Similarity {
        |    CAST(COUNT(*) AS BIGINT) AS n_members
        |  FROM scoredc WHERE probe_rank = 1 GROUP BY 1),
        |tot AS (SELECT CAST(SUM(n_members) AS BIGINT) AS total,
-       |    CAST(SUM(n_members * n_members) AS DOUBLE) AS sumsq,
+       |    CAST(SUM(CAST(n_members AS HUGEINT) * n_members) AS DOUBLE)
+       |      AS sumsq,
        |    CAST(MAX(n_members) AS BIGINT) AS maxm
        |  FROM sizes)
        |SELECT s.list_id, s.n_members,
@@ -1794,20 +1797,31 @@ object Similarity {
     * 100 TB the d-row min/max frame is a broadcast and the encode pass
     * is a pure scan — this query IS the scale shape, it just also
     * keeps the error audit. */
+  /** Level code for min/max-range scalar quantization at `levels`
+    * levels over (x, dmin, dmax) columns — THE encode convention
+    * (floor(x+0.5) rounding, zero-width dims code 0) shared by the
+    * int8 quantizer and [[quantizeBitsCurve]], so the curve's
+    * 255-level point IS the quantizer's arithmetic, structurally. */
+  private def quantCode(levels: Column): Column = {
+    val width = col("dmax") - col("dmin")
+    when(width === 0.0, lit(0L)).otherwise(
+      floor((col("x") - col("dmin")) * levels / width + 0.5).cast("long"))
+  }
+
+  /** Reconstruction error of `code` at `levels` levels. */
+  private def quantErr(code: Column, levels: Column): Column =
+    col("x") - (col("dmin") + code * (col("dmax") - col("dmin")) / levels)
+
   def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val pe = embeddingsD(spark, dir)
       .select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
     val ranges = pe.groupBy("pos")
       .agg(min("x").as("dmin"), max("x").as("dmax"))
-    val width = col("dmax") - col("dmin")
-    val code = when(width === 0.0, lit(0L)).otherwise(
-      floor((col("x") - col("dmin")) * 255.0 / width + 0.5).cast("long"))
     pe.join(broadcast(ranges), Seq("pos"))
       .select(col("pos"), col("x"), col("dmin"), col("dmax"),
-        code.as("code"))
-      .withColumn("err",
-        col("x") - (col("dmin") + col("code") * (col("dmax") - col("dmin")) / 255.0))
+        quantCode(lit(255.0)).as("code"))
+      .withColumn("err", quantErr(col("code"), lit(255.0)))
       .groupBy("pos")
       .agg(count(lit(1)).as("n_vecs"),
         round(first(col("dmin")), 9).as("dim_min"),
@@ -1866,14 +1880,10 @@ object Similarity {
       .select((col("id") * 2).as("bits"),
         (pow(lit(2.0), (col("id") * 2).cast("double")).cast("long") - 1L)
           .as("levels"))
-    val width = col("dmax") - col("dmin")
-    val code = when(width === 0.0, lit(0L)).otherwise(
-      floor((col("x") - col("dmin")) * col("levels") / width + 0.5)
-        .cast("long"))
     pe.join(broadcast(ranges), Seq("pos"))
       .crossJoin(broadcast(grid))
       .select(col("bits"), col("levels"),
-        (col("x") - (col("dmin") + code * width / col("levels"))).as("err"))
+        quantErr(quantCode(col("levels")), col("levels")).as("err"))
       .groupBy("bits", "levels")
       .agg(count(lit(1)).as("n_values"),
         sum(round(col("err") * col("err"), 12)

@@ -297,9 +297,7 @@ object Sketches {
     * overcount = collision mass. Every join here is vocab- or
     * sketch-sized; nothing rescans the corpus. */
   def cmsHeavyHitters(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables.documents(spark, dir)
-      .select(explode(TextAnalysis.tokens(col("text"))).as("w"))
-      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val counts = exactTokenCounts(spark, dir)
       .localCheckpoint() // sketch + probe reuse; don't rescan the corpus
     val rows = counts
       .select(col("cw"), h32(col("w")).as("h"),

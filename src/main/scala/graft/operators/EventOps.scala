@@ -142,22 +142,38 @@ object EventOps {
     * window passes over ONE shuffle (both windows partition by user_id,
     * so Spark reuses the same exchange), then a partial-agg groupBy that
     * stays partition-local for its user_id component. */
-  def sessionize(spark: SparkSession, dir: String): DataFrame = {
+  /** The engine's ONE definition of a session: 30-minute-gap
+    * gaps-and-islands over the per-user (ts, event_id) order,
+    * appending `session_id` to whatever payload columns the caller
+    * selected. Every session query ([[sessionize]], [[sessionPaths]],
+    * [[sessionExamples]]) derives from this helper, so a change to
+    * the gap convention or the tie-break cannot silently fork the
+    * meaning of "session" between them. */
+  /** The session gap bound — 30 minutes in µs, shared by the islands
+    * derivation and the transition filter. */
+  private val SessionGapUs = 30L * 60 * 1000000
+
+  private def withSessionIds(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val gapUs = 30L * 60 * 1000000
-    Tables.events(spark, dir)
-      .select("user_id", "event_id", "ts", "value")
+    val gapUs = SessionGapUs
+    events
       .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
       .withColumn("is_new",
         when(col("prev_us").isNull ||
           unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
       .withColumn("session_id",
-        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        sum(col("is_new")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .drop("prev_us", "is_new")
+  }
+
+  def sessionize(spark: SparkSession, dir: String): DataFrame =
+    withSessionIds(Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "value"))
       .groupBy("user_id", "session_id")
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
       .orderBy("user_id", "session_id")
-  }
 
   /** Next-event-prediction training examples from the event stream —
     * the pass that turns raw behavioral telemetry into supervised
@@ -174,16 +190,8 @@ object EventOps {
     * is loader-ready and deterministic: ties inside a timestamp break
     * on event_id in both engines. */
   def sessionExamples(spark: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val gapUs = 30L * 60 * 1000000
-    val sessioned = Tables.events(spark, dir)
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-      .withColumn("is_new",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
-      .withColumn("session_id", sum(col("is_new")).over(
-        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val sessioned = withSessionIds(Tables.events(spark, dir)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type")))
     val bySession = Window.partitionBy("user_id", "session_id")
       .orderBy("ts", "event_id")
     sessioned
@@ -316,16 +324,8 @@ object EventOps {
     * the path string; top-20 by TakeOrdered. Ties order by path text
     * so the cut is deterministic. */
   def sessionPaths(spark: SparkSession, dir: String, topK: Int = 20): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val gapUs = 30L * 60 * 1000000
-    Tables.events(spark, dir)
-      .select("user_id", "event_id", "ts", "event_type")
-      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
-      .withColumn("is_new",
-        when(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > gapUs, 1L).otherwise(0L))
-      .withColumn("session_id",
-        sum(col("is_new")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    withSessionIds(Tables.events(spark, dir)
+      .select("user_id", "event_id", "ts", "event_type"))
       .groupBy("user_id", "session_id")
       .agg(array_join(
         expr("transform(array_sort(collect_list(struct(ts, event_id, event_type))), x -> x.event_type)"),
@@ -766,7 +766,7 @@ object EventOps {
     * the |types|-row marginals; P from exact integer counts. */
   def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val gapUs = 30L * 60 * 1000000
+    val gapUs = SessionGapUs
     val pairs = Tables.events(spark, dir)
       .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
       .withColumn("next_type", lead(col("event_type"), 1).over(byUser))
@@ -972,17 +972,25 @@ object EventOps {
     * stream). */
   private[graft] case class PsiProfile(mid: Long, vmin: Double, w: Double)
 
+  /** Midpoint (epoch µs) of the event stream's time span — the
+    * base/delta boundary both drift gates (PSI, KS) split on. µs sums
+    * stay < 2^53, so the double midpoint is exact and its long cast
+    * floors exactly like the oracle's integer division; a 0-row
+    * stream degrades to mid 0 (empty halves — no population, no
+    * drift claim), not a NULL-collect crash. */
+  private[graft] def eventsMidUs(spark: SparkSession, dir: String): Long = {
+    val midRow = Tables.events(spark, dir)
+      .select(unix_micros(col("ts")).as("us"))
+      .agg(min(col("us")).as("tmin"), max(col("us")).as("tmax"))
+      .select(((col("tmin") + col("tmax")) / 2).cast("long").as("mid"))
+      .first()
+    if (midRow.isNullAt(0)) 0L else midRow.getLong(0)
+  }
+
   private[graft] def psiProfile(spark: SparkSession, dir: String): PsiProfile = {
     val ev = Tables.events(spark, dir)
       .select(unix_micros(col("ts")).as("us"), col("value"))
-    // µs sums stay < 2^53, so the double midpoint is exact and its
-    // long cast floors exactly like the oracle's integer division;
-    // a 0-row stream degrades to the empty grid (PSI NULL, verdict
-    // false — no population, no drift claim), not a NULL-collect crash
-    val midRow = ev.agg(min(col("us")).as("tmin"), max(col("us")).as("tmax"))
-      .select(((col("tmin") + col("tmax")) / 2).cast("long").as("mid"))
-      .first()
-    val mid = if (midRow.isNullAt(0)) 0L else midRow.getLong(0)
+    val mid = eventsMidUs(spark, dir)
     val rng = ev.filter(col("us") <= mid)
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
       .first()
@@ -1081,10 +1089,12 @@ object EventOps {
     * the verdict. An empty half ⇒ D NULL, drifted false — same
     * no-population-no-claim contract as PSI. */
   def ksValueDrift(spark: SparkSession, dir: String): DataFrame = {
-    val pf = psiProfile(spark, dir)
+    // only the midpoint — not psiProfile, whose second scan derives
+    // the bin grid KS deliberately doesn't use
+    val mid = eventsMidUs(spark, dir)
     val byVal = Tables.events(spark, dir)
       .select(col("value").as("x"),
-        (unix_micros(col("ts")) <= pf.mid).as("is_base"))
+        (unix_micros(col("ts")) <= mid).as("is_base"))
       .groupBy("x")
       .agg(sum(when(col("is_base"), 1L).otherwise(0L)).as("ca"),
         sum(when(!col("is_base"), 1L).otherwise(0L)).as("cb"))

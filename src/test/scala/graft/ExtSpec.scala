@@ -162,17 +162,19 @@ class ExtSpec extends SparkSpec {
     qc.sliding(2).foreach { case Array(lo, hi) =>
       assert(hi._3 <= lo._3 && hi._4 <= lo._4)
     }
-    // quantization curve: MSE strictly improves with width (the
-    // 6 dB/bit law's direction), max err bounds respect level halving
+    // quantization curve: pointwise improvement is only a TRUE
+    // invariant between NESTED level grids (L' a multiple of L puts
+    // every coarse point on the fine grid): 3 divides 15/63/255 and
+    // 15 divides 255, so those pairs must improve; 15→63 and 63→255
+    // are only the statistical 6 dB/bit tendency, not a contract
     val qb = Similarity.quantizeBitsCurve(spark, sf0001).collect()
-      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
-      .sortBy(_._1)
-    assert(qb.map(_._1).sameElements(Array(2L, 4L, 6L, 8L)))
-    assert(qb.map(_._2).sameElements(Array(3L, 15L, 63L, 255L)))
-    qb.sliding(2).foreach { case Array(lo, hi) =>
-      assert(hi._3 <= lo._3, s"${hi._1} bits worsened MSE")
-      assert(hi._4 <= lo._4 + 1e-12)
+      .map(r => r.getLong(1) -> (r.getDouble(3), r.getDouble(4))).toMap
+    assert(qb.keySet == Set(3L, 15L, 63L, 255L))
+    for ((lo, hi) <- Seq((3L, 15L), (3L, 63L), (3L, 255L), (15L, 255L))) {
+      assert(qb(hi)._1 <= qb(lo)._1, s"$hi levels worsened MSE vs $lo")
+      assert(qb(hi)._2 <= qb(lo)._2 + 1e-12)
     }
+    qb.values.foreach { case (mse, mx) => assert(mse >= 0 && mx >= 0) }
     // session examples: context width ≤ 8, pos ≥ 2, target non-null
     val ex = graft.operators.EventOps.sessionExamples(spark, sf0001)
       .collect()
