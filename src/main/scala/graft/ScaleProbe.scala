@@ -198,6 +198,9 @@ object ScaleProbe {
       "bpe_merge_curve" -> (graft.ext.TextAnalysis.bpeMergeCurve _),
       "quantize_bits_curve" ->
         (graft.ext.Similarity.quantizeBitsCurve _),
+      "sketch_kmv_merge" -> (graft.ext.Sketches.kmvMergeSources _),
+      "stream_kmv_monitor" ->
+        (graft.streaming.DocStream.streamingKmvMonitor _),
     )
 
     def time(fn: => Unit): Double = {

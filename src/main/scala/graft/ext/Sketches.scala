@@ -78,6 +78,93 @@ object Sketches {
        |    AS rel_err
        |FROM tk, ex""".stripMargin
 
+  // ── per-source KMV sketches: build, merge, estimate ──
+
+  /** Per-source KMV sketch over document text hashes — the k smallest
+    * DISTINCT hashes per source, via the native
+    * [[graft.functions.BoundedDistinctTopK]] aggregate (a duplicate
+    * hash must not occupy a slot or the k-th minimum drifts upward and
+    * the estimate biases LOW — the reason plain BoundedTopK is the
+    * wrong state algebra here). The aggregate is duplicate-idempotent,
+    * commutative, and order-independent with O(k) state per source, so
+    * this same plan IS the streaming form and its converged state
+    * equals the batch sketch exactly. */
+  private[graft] def kmvSourceSketch(d: DataFrame): DataFrame =
+    d.select(col("source").as("scope"), h32(col("text")).as("h"))
+      .groupBy("scope")
+      .agg(graft.functions.BoundedDistinctTopK(KmvK, struct(col("h")))
+        .as("hs"))
+      .select(col("scope"),
+        transform(col("hs"), x => x.getField("h")).as("hs"))
+
+  /** Fold per-source KMV sketches to the UNION sketch (union the hash
+    * sets, re-clip to the k smallest — the theta-union; global top-k ⊆
+    * union of per-source top-ks, so no information is missing) and
+    * estimate every scope against its exact distinct count. Shared by
+    * the batch query and the streaming twin — literal same oracle. */
+  private[graft] def kmvMergeReport(spark: SparkSession, dir: String,
+                                    sketches: DataFrame): DataFrame = {
+    val per = sketches.select(col("scope"),
+      size(col("hs")).cast("long").as("kf"), array_max(col("hs")).as("hk"))
+    val merged = sketches.select(explode(col("hs")).as("h")).distinct()
+      .orderBy("h").limit(KmvK) // ≤ |sources|·k input rows — sketch-sized
+      .agg(count(lit(1)).as("kf"), max(col("h")).as("hk"))
+      .select(lit("ALL").as("scope"), col("kf"), col("hk"))
+    val est = per.unionByName(merged)
+      .select(col("scope"), col("kf").as("n_retained"),
+        when(col("kf") < KmvK, col("kf").cast("double"))
+          .otherwise(round((col("kf") - 1).cast("double") * M32 / col("hk"), 3))
+          .as("kmv_estimate"))
+    val d = Tables.documents(spark, dir).select(col("source"), col("text"))
+    val exacts = d.groupBy(col("source").as("scope"))
+      .agg(countDistinct(col("text")).as("exact_distinct"))
+      .unionByName(d.agg(countDistinct(col("text")).as("exact_distinct"))
+        .select(lit("ALL").as("scope"), col("exact_distinct")))
+    est.join(exacts, Seq("scope"))
+      .select(col("scope"), col("exact_distinct"), col("n_retained"),
+        col("kmv_estimate"),
+        round(abs(col("kmv_estimate") - col("exact_distinct")) /
+          col("exact_distinct"), 6).as("rel_err"))
+      .orderBy("scope")
+  }
+
+  def kmvMergeSources(spark: SparkSession, dir: String): DataFrame =
+    kmvMergeReport(spark, dir,
+      kmvSourceSketch(Tables.documents(spark, dir)
+        .select(col("source"), col("text"))))
+
+  def kmvMergeSourcesOracle: String =
+    s"""WITH d AS (SELECT source, ${h32Sql("text")} AS h, text FROM documents),
+       |ph AS (SELECT DISTINCT source, h FROM d),
+       |ranked AS (SELECT source, h,
+       |    row_number() OVER (PARTITION BY source ORDER BY h) AS rk
+       |  FROM ph),
+       |clipped AS (SELECT source, h FROM ranked WHERE rk <= $KmvK),
+       |per AS (SELECT source AS scope, CAST(COUNT(*) AS BIGINT) AS kf,
+       |    CAST(MAX(h) AS BIGINT) AS hk
+       |  FROM clipped GROUP BY 1),
+       |mtop AS (SELECT h FROM (SELECT DISTINCT h FROM clipped) u
+       |  ORDER BY h LIMIT $KmvK),
+       |mstat AS (SELECT 'ALL' AS scope, CAST(COUNT(*) AS BIGINT) AS kf,
+       |    CAST(MAX(h) AS BIGINT) AS hk FROM mtop),
+       |allstats AS (SELECT * FROM per UNION ALL SELECT * FROM mstat),
+       |est AS (SELECT scope, kf AS n_retained,
+       |    CASE WHEN kf < $KmvK THEN CAST(kf AS DOUBLE)
+       |      ELSE round(CAST(kf - 1 AS DOUBLE) * $M32 / hk, 3) END
+       |      AS kmv_estimate
+       |  FROM allstats),
+       |ex AS (SELECT source AS scope,
+       |    CAST(COUNT(DISTINCT text) AS BIGINT) AS exact_distinct
+       |  FROM d GROUP BY 1
+       |  UNION ALL
+       |  SELECT 'ALL', CAST(COUNT(DISTINCT text) AS BIGINT) FROM d)
+       |SELECT est.scope AS scope, ex.exact_distinct, est.n_retained,
+       |  est.kmv_estimate,
+       |  round(abs(est.kmv_estimate - ex.exact_distinct) /
+       |    ex.exact_distinct, 6) AS rel_err
+       |FROM est JOIN ex ON est.scope = ex.scope
+       |ORDER BY est.scope""".stripMargin
+
   // ── KMV / theta-style set-intersection estimate ──
 
   /** Distinct-customer OVERLAP between two order years (1995 ∩ 1996)

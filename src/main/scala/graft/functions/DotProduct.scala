@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.graft.{ArrayEqCountExpr, BoundedTopKAgg, ColumnShim, DHashBandsExpr, DotProductExpr, LshBucketExpr, NearestCentroidsExpr, ShingleSigExpr, WordNGramsExpr}
+import org.apache.spark.sql.graft.{ArrayEqCountExpr, BoundedDistinctTopKAgg, BoundedTopKAgg, ColumnShim, DHashBandsExpr, DotProductExpr, LshBucketExpr, NearestCentroidsExpr, ShingleSigExpr, WordNGramsExpr}
 
 /** Public Column surface for the native codegen'd dot product
   * (see org.apache.spark.sql.graft.DotProductExpr for the rationale). */
@@ -30,6 +30,16 @@ object BoundedTopK {
   def apply(k: Int, ordered: Column): Column =
     ColumnShim.column(
       BoundedTopKAgg(ColumnShim.expression(ordered), k).toAggregateExpression())
+}
+
+/** Bounded DISTINCT top-k aggregate — the KMV sketch's state algebra:
+  * k smallest DISTINCT structs (duplicates never occupy a slot), as a
+  * sorted array (see org.apache.spark.sql.graft.BoundedDistinctTopKAgg). */
+object BoundedDistinctTopK {
+  def apply(k: Int, ordered: Column): Column =
+    ColumnShim.column(
+      BoundedDistinctTopKAgg(ColumnShim.expression(ordered), k)
+        .toAggregateExpression())
 }
 
 /** Random-hyperplane LSH bucket id of a double vector (codegen'd — one

@@ -301,6 +301,26 @@ object DocStream {
           stream.select(col("source"), col("text")))
       })
 
+  /** Streaming KMV distinct-count monitor — the third sketch state
+    * algebra on ingest, completing the trio: CMS cells are SUMS, HLL
+    * registers are MAXES, and KMV is a BOUNDED DISTINCT TOP-K — each
+    * order-independent and duplicate-safe, so each converges to its
+    * batch sketch exactly. State per source: at most
+    * [[graft.ext.Sketches.KmvK]] distinct hashes, maintained by the
+    * native [[graft.functions.BoundedDistinctTopK]] aggregate (the
+    * TreeSet heap that rejects duplicate hashes — the property the
+    * estimate's bias-freeness rests on). The merge + estimate + exact
+    * audit report is the same [[graft.ext.Sketches.kmvMergeReport]]
+    * the batch query uses: literal same oracle object. Unlike HLL,
+    * KMV supports set arithmetic (see sketch_kmv_overlap) — this
+    * monitor is the ingest side of that algebra. */
+  def streamingKmvMonitor(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.kmvMergeReport(spark, dir,
+      runDocStream(spark, dir, "kmv") { stream =>
+        graft.ext.Sketches.kmvSourceSketch(
+          stream.select(col("source"), col("text")))
+      })
+
   /** Streaming count-min heavy-hitter monitor — the fixed-memory
     * frequency sketch maintained on ingest: every arriving token
     * occurrence deposits 1 into its [[graft.ext.Sketches.CmsDepth]]

@@ -137,3 +137,118 @@ case class BoundedTopKAgg(
   override protected def withNewChildInternal(newChild: Expression): BoundedTopKAgg =
     copy(child = newChild)
 }
+
+/** Bounded DISTINCT top-k: the k smallest DISTINCT struct values under
+  * field-order ordering, as a sorted array.
+  *
+  * This is the KMV sketch's exact state algebra: a duplicate hash must
+  * NOT occupy a slot (it would push the k-th minimum upward and bias
+  * the cardinality estimate low), so the buffer is a TreeSet — dedupe
+  * and worst-eviction are both O(log k), memory O(k) per group
+  * regardless of how many duplicates the stream carries. Update,
+  * merge, and eval are all duplicate-idempotent and order-independent,
+  * which is what lets the streaming KMV monitor's converged state
+  * equal the batch sketch bit-for-bit. Everything else mirrors
+  * [[BoundedTopKAgg]]. */
+case class BoundedDistinctTopKAgg(
+    child: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.TreeSet[UnsafeRow]]
+  with UnaryLike[Expression] {
+
+  require(k > 0, s"bounded distinct top-k needs k > 0, got $k")
+
+  private def structType: StructType = child.dataType.asInstanceOf[StructType]
+
+  @transient private lazy val rowOrdering: Ordering[UnsafeRow] = {
+    val ord = TypeUtils.getInterpretedOrdering(structType)
+    new Ordering[UnsafeRow] {
+      override def compare(a: UnsafeRow, b: UnsafeRow): Int = ord.compare(a, b)
+    }
+  }
+
+  @transient private lazy val toUnsafe = UnsafeProjection.create(structType)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case s: StructType => TypeUtils.checkForOrderingExpr(s, prettyName)
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires a struct input, got ${other.catalogString}")
+  }
+
+  override def dataType: DataType = ArrayType(structType, containsNull = false)
+  override def nullable: Boolean = false
+  override def prettyName: String = "graft_bounded_distinct_topk"
+
+  override def createAggregationBuffer(): mutable.TreeSet[UnsafeRow] =
+    mutable.TreeSet.empty[UnsafeRow](rowOrdering)
+
+  private def insert(buf: mutable.TreeSet[UnsafeRow], row: UnsafeRow): Unit = {
+    if (buf.size < k) {
+      buf.add(row) // no-op on an ordering-equal duplicate
+    } else if (rowOrdering.compare(row, buf.last) < 0) {
+      if (buf.add(row)) buf.remove(buf.last) // evict the new worst
+    }
+  }
+
+  override def update(buf: mutable.TreeSet[UnsafeRow], input: InternalRow)
+      : mutable.TreeSet[UnsafeRow] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val candidate = toUnsafe(v.asInstanceOf[InternalRow])
+      // cheap reject before the copy: full and not better than worst
+      if (buf.size < k || rowOrdering.compare(candidate, buf.last) < 0) {
+        insert(buf, candidate.copy())
+      }
+    }
+    buf
+  }
+
+  override def merge(buf: mutable.TreeSet[UnsafeRow],
+                     other: mutable.TreeSet[UnsafeRow])
+      : mutable.TreeSet[UnsafeRow] = {
+    other.foreach(insert(buf, _))
+    buf
+  }
+
+  override def eval(buf: mutable.TreeSet[UnsafeRow]): Any =
+    new GenericArrayData(buf.toArray.asInstanceOf[Array[Any]]) // already sorted
+
+  override def serialize(buf: mutable.TreeSet[UnsafeRow]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val out = new DataOutputStream(bos)
+    out.writeInt(buf.size)
+    buf.foreach { row =>
+      val bytes = row.getBytes
+      out.writeInt(bytes.length)
+      out.write(bytes)
+    }
+    out.flush()
+    bos.toByteArray
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.TreeSet[UnsafeRow] = {
+    val in = new DataInputStream(new ByteArrayInputStream(bytes))
+    val buf = createAggregationBuffer()
+    val n = in.readInt()
+    var i = 0
+    while (i < n) {
+      val len = in.readInt()
+      val rowBytes = new Array[Byte](len)
+      in.readFully(rowBytes)
+      val row = new UnsafeRow(structType.size)
+      row.pointTo(rowBytes, len)
+      buf.add(row)
+      i += 1
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): BoundedDistinctTopKAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): BoundedDistinctTopKAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildInternal(newChild: Expression): BoundedDistinctTopKAgg =
+    copy(child = newChild)
+}

@@ -94,4 +94,24 @@ class TopKAggSpec extends SparkSpec {
     // rows BEFORE the exchange
     assert(plan.contains("partial_graft_bounded_topk"), s"no partial agg:\n$plan")
   }
+
+  test("distinct top-k: duplicates never occupy a slot, any partitioning") {
+    import spark.implicits._
+    import graft.functions.BoundedDistinctTopK
+    // heavy duplication at the low end: value v repeated 20 times each
+    val rows = (0L until 10L).flatMap(v => Seq.fill(20)(v)) ++ (10L until 50L)
+    def topOf(parts: Int, k: Int): Seq[Long] =
+      rows.toDF("v").repartition(parts)
+        .groupBy(lit(1).as("g"))
+        .agg(BoundedDistinctTopK(k, struct(col("v"))).as("top"))
+        .select(explode(col("top")).as("s"))
+        .select(col("s.v")).collect().map(_.getLong(0)).toSeq
+    // the k smallest DISTINCT values — duplicates must not crowd out
+    // 10..14 (plain BoundedTopK would return 0,0,0,... here)
+    assert(topOf(1, 15) == (0L until 15L))
+    assert(topOf(7, 15) == (0L until 15L))  // merge path dedupes too
+    assert(topOf(7, 1000) == (0L until 50L)) // k > domain: all, sorted
+    // eviction at the boundary: a late smaller value displaces the max
+    assert(topOf(3, 3) == Seq(0L, 1L, 2L))
+  }
 }
