@@ -199,6 +199,11 @@ object ScaleProbe {
       "quantize_bits_curve" ->
         (graft.ext.Similarity.quantizeBitsCurve _),
       "sketch_kmv_merge" -> (graft.ext.Sketches.kmvMergeSources _),
+      "decontaminate_substring" ->
+        ((s: SparkSession, d: String) => graft.ext.Dedup.decontaminateSubstring(s, d)),
+      "pseudonymize_customers" ->
+        (graft.operators.Relational.pseudonymizeCustomers _),
+      "training_readiness" -> (graft.ext.Pipeline.trainingReadiness _),
       "stream_kmv_monitor" ->
         (graft.streaming.DocStream.streamingKmvMonitor _),
     )

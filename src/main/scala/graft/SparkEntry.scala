@@ -383,6 +383,9 @@ object SparkEntry {
     "dedup_substring_runs" -> ((s, dir) => Dedup.substringRuns(s, dir)),
     // ...and the transform: keep one copy of each run, cut the rest
     "dedup_substring_excise" -> ((s, dir) => Dedup.substringExcise(s, dir)),
+    // verbatim-run decontamination: eval spans located inside train docs
+    "decontaminate_substring" -> ((s, dir) =>
+      Dedup.decontaminateSubstring(s, dir)),
     // on-ingest verbatim-overlap screen vs the standing gram set
     "stream_substring_screen" -> ((s, dir) =>
       graft.streaming.DocStream.streamingSubstringScreen(s, dir)),
@@ -408,6 +411,10 @@ object SparkEntry {
     "dp_release_counts" -> Relational.dpReleaseCounts _,
     // right-to-be-forgotten cascade: before/purged/after per table
     "tombstone_purge_audit" -> Relational.tombstonePurgeAudit _,
+    // the ladder's transform rung: keyed stable tokens for identifiers
+    "pseudonymize_customers" -> Relational.pseudonymizeCustomers _,
+    // the capstone gate table: every pre-training check, one verdict row
+    "training_readiness" -> graft.ext.Pipeline.trainingReadiness _,
     // keyframe segmentation: adjacent-frame perceptual distance
     "frame_scene_cuts" -> Dedup.frameSceneCuts _,
     // PSI feature-drift gate between the stream's time halves
@@ -437,6 +444,11 @@ object SparkEntry {
     // fixed-memory frequency sketch on ingest: CMS cells as state
     "stream_cms_monitor" -> ((s, dir) =>
       graft.streaming.DocStream.streamingCmsMonitor(s, dir)),
+    // per-source KMV sketches folded to the theta-union estimate
+    "sketch_kmv_merge" -> graft.ext.Sketches.kmvMergeSources _,
+    // ...and the same sketch maintained on ingest: distinct top-k state
+    "stream_kmv_monitor" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingKmvMonitor(s, dir)),
   )
 
   /** The word-count oracle — ONE definition shared by the batch query
@@ -729,6 +741,7 @@ object SparkEntry {
     "dedup_substring" -> Dedup.substringDedupOracle,
     "dedup_substring_runs" -> Dedup.substringRunsOracle,
     "dedup_substring_excise" -> Dedup.substringExciseOracle,
+    "decontaminate_substring" -> Dedup.decontaminateSubstringOracle,
     "stream_substring_screen" -> Dedup.substringScreenOracle,
     "sim_ivf_delta_assign" -> Similarity.ivfDeltaAssignOracle,
     "ivf_balance_audit" -> Similarity.ivfBalanceAuditOracle,
@@ -742,6 +755,8 @@ object SparkEntry {
       graft.streaming.DocStream.streamingQualityMonitorOracle,
     "dp_release_counts" -> Relational.dpReleaseCountsOracle,
     "tombstone_purge_audit" -> Relational.tombstonePurgeAuditOracle,
+    "pseudonymize_customers" -> Relational.pseudonymizeCustomersOracle,
+    "training_readiness" -> graft.ext.Pipeline.trainingReadinessOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,
     "psi_value_drift" -> EventOps.psiValueDriftOracle,
     "ks_value_drift" -> EventOps.ksValueDriftOracle,
@@ -762,5 +777,8 @@ object SparkEntry {
     "stream_hll_monitor" -> graft.ext.Sketches.hllMergeSourcesOracle,
     // same convergence argument, same oracle as "sketch_cms_heavy_hitters"
     "stream_cms_monitor" -> graft.ext.Sketches.cmsHeavyHittersOracle,
+    "sketch_kmv_merge" -> graft.ext.Sketches.kmvMergeSourcesOracle,
+    // the stream converges to the batch sketch — literal same oracle
+    "stream_kmv_monitor" -> graft.ext.Sketches.kmvMergeSourcesOracle,
   )
 }

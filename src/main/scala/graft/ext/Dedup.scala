@@ -1044,6 +1044,100 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Verbatim-run DECONTAMINATION — the third rung of the
+    * decontamination ladder, beside the 8-gram set-overlap check
+    * ([[TextAnalysis.decontaminate]]) and the embedding-space screen
+    * ([[Similarity.decontaminateSemantic]]): per TRAINING document,
+    * the maximal runs of ≥ [[RunGramTokens]] tokens that appear
+    * VERBATIM anywhere in the held-out eval slice (source =
+    * [[TextAnalysis.EvalSource]]), with the contaminated-token
+    * fraction. This is the Lee-et-al form of the check: set-overlap
+    * counts shared grams but cannot say "a 40-token span of the
+    * benchmark is inside this document"; runs can, and the span
+    * coordinates make surgical excision (not whole-doc dropping)
+    * possible. Same spine as [[substringDedup]] — per-position
+    * fingerprints from the shared [[gramRows]] kernel, so the
+    * dedup/screen/decontamination trio cannot drift — but the shared
+    * test is a semi-join against the BROADCAST eval gram set instead
+    * of the min≠max window: the eval slice is benchmark-sized by
+    * construction, so contamination detection costs one train-corpus
+    * gram scan, nothing pairwise, no corpus-keyed window at all. */
+  def decontaminateSubstring(spark: SparkSession, dir: String): DataFrame = {
+    val k = RunGramTokens
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val evalGrams = gramRows(
+      docs.filter(col("source") === TextAnalysis.EvalSource)
+        .select(col("doc_id"), col("text")))
+      .select(col("g")).distinct()
+    val train = docs.filter(col("source") =!= TextAnalysis.EvalSource)
+      .select(col("doc_id"), col("text"))
+    val contamPos = gramRows(train)
+      .join(broadcast(evalGrams), Seq("g"), "leftsemi")
+      .select(col("doc_id"), col("p"))
+    val wd = Window.partitionBy("doc_id").orderBy("p")
+    val runs = contamPos
+      .withColumn("brk",
+        when(col("p") - lag("p", 1).over(wd) > k, 1).otherwise(0))
+      .withColumn("cid", sum(col("brk")).over(
+        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("doc_id", "cid")
+      .agg((max(col("p")) - min(col("p")) + k).cast("long").as("span"))
+    val perDoc = runs.groupBy("doc_id")
+      .agg(sum(col("span")).as("contam_tokens"), count(lit(1)).as("n_runs"),
+        max(col("span")).as("longest_run"))
+    train
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("contam_tokens"), lit(0L)).as("contam_tokens"),
+        round(coalesce(col("contam_tokens"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)), 6).as("contam_fraction"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      .orderBy("doc_id")
+  }
+
+  def decontaminateSubstringOracle: String = {
+    val k = RunGramTokens
+    val ev = TextAnalysis.EvalSource
+    s"""WITH toks AS (SELECT doc_id, source, $tokensSql AS t FROM documents),
+       |d AS (SELECT doc_id, source, t, CAST(len(t) AS BIGINT) AS n_tokens
+       |  FROM toks),
+       |pos AS (SELECT doc_id, source, p,
+       |    md5(array_to_string(t[p + 1:p + $k], ' ')) AS g
+       |  FROM (SELECT doc_id, source, t,
+       |          unnest(range(len(t) - ${k - 1})) AS p
+       |        FROM d WHERE n_tokens >= $k) u),
+       |evg AS (SELECT DISTINCT g FROM pos WHERE source = '$ev'),
+       |sh AS (SELECT doc_id, p FROM pos
+       |  WHERE source <> '$ev' AND g IN (SELECT g FROM evg)),
+       |br AS (SELECT doc_id, p,
+       |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) > $k
+       |         THEN 1 ELSE 0 END AS brk
+       |  FROM sh),
+       |cl AS (SELECT doc_id, p,
+       |    SUM(brk) OVER (PARTITION BY doc_id ORDER BY p
+       |                   ROWS UNBOUNDED PRECEDING) AS cid
+       |  FROM br),
+       |runs AS (SELECT doc_id, cid,
+       |    CAST(MAX(p) - MIN(p) + $k AS BIGINT) AS span
+       |  FROM cl GROUP BY doc_id, cid),
+       |pd AS (SELECT doc_id, CAST(SUM(span) AS BIGINT) AS contam_tokens,
+       |    CAST(COUNT(*) AS BIGINT) AS n_runs,
+       |    CAST(MAX(span) AS BIGINT) AS longest_run
+       |  FROM runs GROUP BY doc_id)
+       |SELECT d.doc_id, d.n_tokens,
+       |  COALESCE(pd.contam_tokens, 0) AS contam_tokens,
+       |  round(COALESCE(pd.contam_tokens, 0) / GREATEST(d.n_tokens, 1), 6)
+       |    AS contam_fraction,
+       |  COALESCE(pd.n_runs, 0) AS n_runs,
+       |  COALESCE(pd.longest_run, 0) AS longest_run
+       |FROM d LEFT JOIN pd USING (doc_id)
+       |WHERE d.source <> '$ev' ORDER BY d.doc_id""".stripMargin
+  }
+
   def substringDedupOracle: String =
     s"""WITH $substringRunsSql,
        |pd AS (SELECT doc_id, CAST(SUM(span) AS BIGINT) AS dup_tokens,

@@ -166,4 +166,160 @@ object Pipeline {
        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens
        |FROM quality WHERE doc_id NOT IN (SELECT d2 FROM drops)
        |ORDER BY doc_id""".stripMargin
+
+  /** Training-readiness report — the one-table answer to "may I train
+    * on this corpus?": every pre-training gate this engine implements,
+    * each collapsed to its headline number, compared against a policy
+    * threshold, with a pass verdict. Seven checks: exact-duplicate
+    * rate, near-duplicate doc rate (docs in multi-member LSH groups),
+    * residual split leakage under the NAIVE split (the number
+    * [[graft.ext.Dedup.groupSafeSplit]] drives to zero), 8-gram and
+    * verbatim-run eval contamination rates (whose FIXes are dropping
+    * or [[graft.ext.Dedup.substringExcise]]-style excision), quality
+    * pass rate, and PII document rate ([[Pii.piiRedact]] is the fix).
+    * A failing row is the report working, not the report broken — on
+    * the gate fixture the leakage/contamination rows FAIL because the
+    * fixture plants cross-source duplicates, and each failing check
+    * names the operator that repairs it. Thresholds are policy knobs
+    * (documented literals, identical in the oracle); the value
+    * arithmetic is counts and single divisions, rounded to 6 — the
+    * whole report is deterministic. Cost: each check is a bounded
+    * aggregate over a pipeline this library already runs at scale
+    * (the CC pair graph, two gram scans, a quality scan, a PII
+    * scan); nothing new shuffles. */
+  def trainingReadiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val ev = TextAnalysis.EvalSource
+    def asCheck(name: String, v: DataFrame, threshold: Double,
+                lessIsGood: Boolean): DataFrame =
+      v.select(lit(name).as("check_name"), round(col("value"), 6).as("value"),
+        lit(threshold).as("threshold"),
+        (if (lessIsGood) round(col("value"), 6) <= threshold
+         else round(col("value"), 6) >= threshold).as("pass"))
+    val exactDup = docs.agg((lit(1.0) -
+      countDistinct(md5(col("text"))).cast("double") / count(lit(1)))
+      .as("value"))
+    val sizes = Dedup.duplicateGroups(spark, dir)
+      .groupBy("group_id").agg(count(lit(1)).as("sz"))
+    val nearDup = sizes.agg(
+      (sum(when(col("sz") >= 2, col("sz")).otherwise(0L)).cast("double") /
+        sum(col("sz"))).as("value"))
+    val leakage = Dedup.splitLeakageAudit(spark, dir)
+      .agg(count(lit(1)).cast("double").as("value"))
+    val nTrain = docs.filter(col("source") =!= ev)
+      .agg(count(lit(1)).as("nt"))
+    val ngram = TextAnalysis.decontaminate(spark, dir)
+      .agg(count(lit(1)).as("c")).crossJoin(broadcast(nTrain))
+      .select((col("c").cast("double") / col("nt")).as("value"))
+    val substr = Dedup.decontaminateSubstring(spark, dir)
+      .filter(col("contam_tokens") > 0)
+      .agg(count(lit(1)).as("c")).crossJoin(broadcast(nTrain))
+      .select((col("c").cast("double") / col("nt")).as("value"))
+    val quality = docs.agg(
+      (sum(when(TextAnalysis.qualityReason(col("text")) === "pass", 1L)
+        .otherwise(0L)).cast("double") / count(lit(1))).as("value"))
+    val pii = Pii.piiScan(spark, dir).agg(
+      (sum(when(col("has_pii"), 1L).otherwise(0L)).cast("double") /
+        count(lit(1))).as("value"))
+    Seq(
+      asCheck("exact_dup_rate", exactDup, 0.05, lessIsGood = true),
+      asCheck("near_dup_doc_rate", nearDup, 0.10, lessIsGood = true),
+      asCheck("split_leakage_groups", leakage, 0.0, lessIsGood = true),
+      asCheck("ngram_contaminated_rate", ngram, 0.02, lessIsGood = true),
+      asCheck("substring_contaminated_rate", substr, 0.02,
+        lessIsGood = true),
+      asCheck("quality_pass_rate", quality, 0.70, lessIsGood = false),
+      asCheck("pii_doc_rate", pii, 0.01, lessIsGood = true))
+      .reduce(_ unionByName _)
+      .orderBy("check_name")
+  }
+
+  def trainingReadinessOracle: String = {
+    val ev = TextAnalysis.EvalSource
+    val g8 = (0 until 8).map(o => s"ws[i+${o + 1}]").mkString(" || ' ' || ")
+    val piiHit = graft.ext.Pii.Patterns
+      .map { case (_, pat, _) => s"len(regexp_extract_all(text, '$pat'))" }
+      .mkString(" + ")
+    s"""WITH RECURSIVE
+       |${Dedup.minhashEstCtesPublic("documents")},
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM est
+       |            WHERE est_jaccard >= ${Dedup.PairThreshold}
+       |          UNION ALL
+       |          SELECT d2, d1 FROM est
+       |            WHERE est_jaccard >= ${Dedup.PairThreshold}),
+       |reach AS (SELECT doc_id, doc_id AS label FROM documents
+       |          UNION
+       |          SELECT e.dst AS doc_id, r.label
+       |          FROM reach r JOIN edges e ON r.doc_id = e.src),
+       |grp AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS group_id
+       |        FROM reach GROUP BY doc_id),
+       |sizes AS (SELECT group_id, CAST(COUNT(*) AS BIGINT) AS sz
+       |          FROM grp GROUP BY 1),
+       |splits AS (SELECT doc_id,
+       |    ${graft.ext.Sampling.splitCaseSql("doc_id")} AS split
+       |  FROM documents),
+       |leak AS (SELECT g.group_id FROM grp g JOIN splits s USING (doc_id)
+       |  GROUP BY g.group_id HAVING COUNT(DISTINCT s.split) > 1),
+       |tok AS (SELECT doc_id, source, ${Dedup.tokensSqlPublic} AS ws
+       |  FROM documents),
+       |g8 AS (SELECT doc_id, source,
+       |    list_distinct(list_transform(
+       |      range(greatest(len(ws) - 7, 0)), i -> $g8)) AS grams
+       |  FROM tok),
+       |evg8 AS (SELECT DISTINCT unnest(grams) AS g FROM g8
+       |  WHERE source = '$ev'),
+       |ng AS (SELECT DISTINCT doc_id FROM
+       |  (SELECT doc_id, unnest(grams) AS g FROM g8 WHERE source <> '$ev') t
+       |  WHERE g IN (SELECT g FROM evg8)),
+       |pos AS (SELECT doc_id, source, p,
+       |    md5(array_to_string(ws[p + 1:p + 8], ' ')) AS g
+       |  FROM (SELECT doc_id, source, ws, unnest(range(len(ws) - 7)) AS p
+       |        FROM tok WHERE len(ws) >= 8) u),
+       |evp AS (SELECT DISTINCT g FROM pos WHERE source = '$ev'),
+       |sdoc AS (SELECT DISTINCT doc_id FROM pos
+       |  WHERE source <> '$ev' AND g IN (SELECT g FROM evp)),
+       |qm AS (SELECT
+       |  ${TextAnalysis.qualityMeasuresSql}
+       |  FROM tok),
+       |qr AS (SELECT
+       |  ${TextAnalysis.qualityReasonCaseSql} AS reason
+       |  FROM qm),
+       |piid AS (SELECT doc_id, ($piiHit) > 0 AS has_pii FROM documents),
+       |base AS (SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       |    CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS nd FROM documents),
+       |ntr AS (SELECT CAST(COUNT(*) AS BIGINT) AS nt FROM documents
+       |  WHERE source <> '$ev'),
+       |rows AS (
+       |  SELECT 'exact_dup_rate' AS check_name,
+       |    round(1.0 - CAST(nd AS DOUBLE) / n, 6) AS value,
+       |    0.05 AS threshold FROM base
+       |  UNION ALL
+       |  SELECT 'near_dup_doc_rate',
+       |    round(CAST((SELECT COALESCE(SUM(CASE WHEN sz >= 2 THEN sz
+       |        ELSE 0 END), 0) FROM sizes) AS DOUBLE) /
+       |      (SELECT SUM(sz) FROM sizes), 6), 0.10
+       |  UNION ALL
+       |  SELECT 'split_leakage_groups',
+       |    round(CAST((SELECT COUNT(*) FROM leak) AS DOUBLE), 6), 0.0
+       |  UNION ALL
+       |  SELECT 'ngram_contaminated_rate',
+       |    round(CAST((SELECT COUNT(*) FROM ng) AS DOUBLE) /
+       |      (SELECT nt FROM ntr), 6), 0.02
+       |  UNION ALL
+       |  SELECT 'substring_contaminated_rate',
+       |    round(CAST((SELECT COUNT(*) FROM sdoc) AS DOUBLE) /
+       |      (SELECT nt FROM ntr), 6), 0.02
+       |  UNION ALL
+       |  SELECT 'quality_pass_rate',
+       |    round(CAST((SELECT COUNT(*) FROM qr WHERE reason = 'pass')
+       |      AS DOUBLE) / (SELECT COUNT(*) FROM qr), 6), 0.70
+       |  UNION ALL
+       |  SELECT 'pii_doc_rate',
+       |    round(CAST((SELECT COUNT(*) FROM piid WHERE has_pii)
+       |      AS DOUBLE) / (SELECT COUNT(*) FROM piid), 6), 0.01)
+       |SELECT check_name, value, threshold,
+       |  CASE WHEN check_name = 'quality_pass_rate'
+       |       THEN value >= threshold ELSE value <= threshold END AS pass
+       |FROM rows ORDER BY check_name""".stripMargin
+  }
 }

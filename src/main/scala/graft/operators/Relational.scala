@@ -2904,6 +2904,71 @@ object Relational {
     * back to ten rows. Row-count decile semantics
     * (⌊10·(rank−1)/n⌋) with a (spend desc, custkey) total order,
     * so both engines cut identical boundaries regardless of ties. */
+  /** Pseudonym salt. Production replaces this static salt with a
+    * keyed MAC (HMAC) whose secret lives in a KMS: the PLAN is
+    * identical (one projection), and rotating the key re-keys every
+    * pseudonym in one pass — the same verification-only stance as
+    * [[dpReleaseCounts]]' hash-seeded Laplace draw, documented loudly
+    * for the same reason. */
+  val PseudoSalt = "graft-pseudo-v1"
+
+  /** Keyed pseudonymization — the privacy ladder's TRANSFORM rung for
+    * direct identifiers, where generalization
+    * ([[kGeneralizationLadder]]) handles quasi-identifiers and
+    * [[tombstonePurgeAudit]] handles erasure: the customer's name is
+    * replaced by a salt-keyed stable token, the surrogate key is
+    * retained so every foreign-key join still works, and the balance
+    * collapses to the ladder's $1k band. Two audit columns make the
+    * release defensible instead of assumed: `n_orders` (referential
+    * integrity — the pseudonymized table still joins its fact table;
+    * one co-partitioned aggregate+join, the only shuffle that isn't
+    * the collision check) and `pseudo_collisions` (count of OTHER
+    * customers sharing this token — 64 bits of md5 make it 0, and the
+    * column proves it rather than asserting it). Stability matters
+    * operationally: the same customer pseudonymizes identically
+    * across tables and runs, so longitudinal analysis survives the
+    * release; unlinkability across releases comes from rotating the
+    * key. */
+  def pseudonymizeCustomers(spark: SparkSession, dir: String): DataFrame = {
+    val token = concat(lit("cust-"),
+      substring(md5(concat(lit(PseudoSalt + ":"),
+        col("c_custkey").cast("string"))), 1, 16))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), token.as("pseudonym"),
+        col("c_nationkey").cast("long").as("c_nationkey"),
+        col("c_mktsegment"),
+        (floor(col("c_acctbal") / 1000.0) * 1000).cast("long").as("bal_band"))
+    val n = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey").as("c_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+    val wp = Window.partitionBy("pseudonym")
+    c.join(n, Seq("c_custkey"), "left")
+      .withColumn("pseudo_collisions",
+        (count(lit(1)).over(wp) - 1).cast("long"))
+      .select(col("c_custkey"), col("pseudonym"), col("c_nationkey"),
+        col("c_mktsegment"), col("bal_band"),
+        coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+        col("pseudo_collisions"))
+      .orderBy("c_custkey")
+  }
+
+  def pseudonymizeCustomersOracle: String =
+    s"""WITH n AS (SELECT o_custkey AS c_custkey,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders
+       |  FROM orders GROUP BY 1),
+       |p AS (SELECT c_custkey,
+       |    'cust-' || substr(md5('$PseudoSalt:' ||
+       |      CAST(c_custkey AS VARCHAR)), 1, 16) AS pseudonym,
+       |    CAST(c_nationkey AS BIGINT) AS c_nationkey, c_mktsegment,
+       |    CAST(FLOOR(c_acctbal / 1000.0) * 1000 AS BIGINT) AS bal_band
+       |  FROM customer)
+       |SELECT p.c_custkey, p.pseudonym, p.c_nationkey, p.c_mktsegment,
+       |  p.bal_band, COALESCE(n.n_orders, 0) AS n_orders,
+       |  CAST(COUNT(*) OVER (PARTITION BY p.pseudonym) - 1 AS BIGINT)
+       |    AS pseudo_collisions
+       |FROM p LEFT JOIN n USING (c_custkey)
+       |ORDER BY p.c_custkey""".stripMargin
+
   def paretoRevenue(spark: SparkSession, dir: String): DataFrame = {
     val spend = Tables.orders(spark, dir)
       .groupBy(col("o_custkey"))

@@ -188,6 +188,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("verbatim decontamination: disjoint runs, bounded coverage, eval excluded") {
+    val rows = Dedup.decontaminateSubstring(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    val evalIds = Tables.documents(spark, sf0001)
+      .filter(col("source") === TextAnalysis.EvalSource)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    rows.foreach { case (id, nTok, contam, frac, nRuns, longest) =>
+      assert(!evalIds.contains(id)) // only TRAIN docs are audited
+      assert(contam >= 0 && contam <= nTok) // runs are disjoint intervals
+      assert(frac >= 0.0 && frac <= 1.0)
+      assert(longest <= contam && (nRuns == 0) == (contam == 0))
+    }
+    // the fixture plants verbatim copies across sources: signal exists
+    assert(rows.exists(_._3 > 0))
+  }
+
   test("group-safe split: zero residual leakage, singletons untouched") {
     val rows = Dedup.groupSafeSplit(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
