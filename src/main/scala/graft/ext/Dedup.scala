@@ -970,13 +970,20 @@ object Dedup {
       .withColumn("mx", max(col("doc_id")).over(wg))
       .filter(col("mn") < col("mx"))
       .select(col("doc_id"), col("p"))
-    // gaps-and-islands: positions p1 < p2 cover overlapping-or-
-    // adjacent token intervals iff p2 − p1 ≤ k, so a gap > k starts a
-    // new run; merged runs cover max(p) − min(p) + k tokens exactly
-    // (never double-counted — the next run's first token starts
-    // strictly after this run's last)
+    (toksDf, maximalRuns(shared, k))
+  }
+
+  /** Gaps-and-islands run assembly — THE one definition shared by the
+    * dedup spine and the decontamination query: positions p1 < p2
+    * cover overlapping-or-adjacent token intervals iff p2 − p1 ≤ k,
+    * so a gap > k starts a new run; merged runs cover
+    * max(p) − min(p) + k tokens exactly (never double-counted — the
+    * next run's first token starts strictly after this run's last).
+    * Input: (doc_id, p) marked positions. Output: (doc_id, cid,
+    * start_pos, span). */
+  private def maximalRuns(positions: DataFrame, k: Int): DataFrame = {
     val wd = Window.partitionBy("doc_id").orderBy("p")
-    val runs = shared
+    positions
       .withColumn("brk",
         when(col("p") - lag("p", 1).over(wd) > k, 1).otherwise(0))
       .withColumn("cid", sum(col("brk")).over(
@@ -984,7 +991,26 @@ object Dedup {
       .groupBy("doc_id", "cid")
       .agg(min(col("p")).cast("long").as("start_pos"),
         (max(col("p")) - min(col("p")) + k).cast("long").as("span"))
-    (toksDf, runs)
+  }
+
+  /** Per-doc rollup + report over a (doc_id, n_tokens) frame and a
+    * [[maximalRuns]] output — the LEFT-join/coalesce projection both
+    * run reports share; `prefix` names the covered-token columns
+    * (dup_* for the dedup report, contam_* for decontamination). */
+  private def runCoverageReport(docTokens: DataFrame, runs: DataFrame,
+                                prefix: String): DataFrame = {
+    val perDoc = runs.groupBy("doc_id")
+      .agg(sum(col("span")).as("cov"), count(lit(1)).as("n_runs"),
+        max(col("span")).as("longest_run"))
+    docTokens
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("cov"), lit(0L)).as(s"${prefix}_tokens"),
+        round(coalesce(col("cov"), lit(0L)) /
+          greatest(col("n_tokens"), lit(1L)), 6).as(s"${prefix}_fraction"),
+        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
+        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
+      .orderBy("doc_id")
   }
 
   /** Shared k-gram/run CTE chain — mirrors [[substringRunFrames]]
@@ -1030,18 +1056,8 @@ object Dedup {
 
   private[graft] def substringDedupDocs(docs: DataFrame): DataFrame = {
     val (toksDf, runs) = substringRunFrames(docs)
-    val perDoc = runs.groupBy("doc_id")
-      .agg(sum(col("span")).as("dup_tokens"), count(lit(1)).as("n_runs"),
-        max(col("span")).as("longest_run"))
-    toksDf.select(col("doc_id"), col("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
-        round(coalesce(col("dup_tokens"), lit(0L)) /
-          greatest(col("n_tokens"), lit(1L)), 6).as("dup_fraction"),
-        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
-        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
-      .orderBy("doc_id")
+    runCoverageReport(toksDf.select(col("doc_id"), col("n_tokens")),
+      runs, "dup")
   }
 
   /** Verbatim-run DECONTAMINATION — the third rung of the
@@ -1075,28 +1091,10 @@ object Dedup {
     val contamPos = gramRows(train)
       .join(broadcast(evalGrams), Seq("g"), "leftsemi")
       .select(col("doc_id"), col("p"))
-    val wd = Window.partitionBy("doc_id").orderBy("p")
-    val runs = contamPos
-      .withColumn("brk",
-        when(col("p") - lag("p", 1).over(wd) > k, 1).otherwise(0))
-      .withColumn("cid", sum(col("brk")).over(
-        wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-      .groupBy("doc_id", "cid")
-      .agg((max(col("p")) - min(col("p")) + k).cast("long").as("span"))
-    val perDoc = runs.groupBy("doc_id")
-      .agg(sum(col("span")).as("contam_tokens"), count(lit(1)).as("n_runs"),
-        max(col("span")).as("longest_run"))
-    train
-      .select(col("doc_id"),
-        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens"))
-      .join(perDoc, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_tokens"),
-        coalesce(col("contam_tokens"), lit(0L)).as("contam_tokens"),
-        round(coalesce(col("contam_tokens"), lit(0L)) /
-          greatest(col("n_tokens"), lit(1L)), 6).as("contam_fraction"),
-        coalesce(col("n_runs"), lit(0L)).as("n_runs"),
-        coalesce(col("longest_run"), lit(0L)).as("longest_run"))
-      .orderBy("doc_id")
+    runCoverageReport(
+      train.select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_tokens")),
+      maximalRuns(contamPos, k), "contam")
   }
 
   def decontaminateSubstringOracle: String = {
@@ -1832,8 +1830,16 @@ object Dedup {
     * distinct list so the output is deterministic at any parallelism.
     * At 100 TB both inputs derive from their own scale-safe pipelines
     * and the audit itself shuffles only (group_id, split) pairs. */
-  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame = {
-    val groups = duplicateGroups(spark, dir)
+  def splitLeakageAudit(spark: SparkSession, dir: String): DataFrame =
+    splitLeakageAuditFromGroups(spark, dir, duplicateGroups(spark, dir))
+
+  /** The audit over a caller-supplied groups frame — so a composed
+    * report ([[Pipeline.trainingReadiness]]) that also needs the
+    * groups for other checks resolves connected components ONCE, not
+    * once per check (duplicateGroups is eager: the pair graph and the
+    * union-find run at call time). */
+  private[graft] def splitLeakageAuditFromGroups(
+      spark: SparkSession, dir: String, groups: DataFrame): DataFrame = {
     val splits = Sampling.datasetSplit(spark, dir).select("doc_id", "split")
     groups.join(splits, Seq("doc_id"))
       .groupBy("group_id")

@@ -199,12 +199,15 @@ object Pipeline {
     val exactDup = docs.agg((lit(1.0) -
       countDistinct(md5(col("text"))).cast("double") / count(lit(1)))
       .as("value"))
-    val sizes = Dedup.duplicateGroups(spark, dir)
-      .groupBy("group_id").agg(count(lit(1)).as("sz"))
+    // resolve connected components ONCE — both the near-dup sizes and
+    // the leakage audit read the same groups frame (duplicateGroups is
+    // eager: the pair graph + union-find run at call time)
+    val groups = Dedup.duplicateGroups(spark, dir)
+    val sizes = groups.groupBy("group_id").agg(count(lit(1)).as("sz"))
     val nearDup = sizes.agg(
       (sum(when(col("sz") >= 2, col("sz")).otherwise(0L)).cast("double") /
         sum(col("sz"))).as("value"))
-    val leakage = Dedup.splitLeakageAudit(spark, dir)
+    val leakage = Dedup.splitLeakageAuditFromGroups(spark, dir, groups)
       .agg(count(lit(1)).cast("double").as("value"))
     val nTrain = docs.filter(col("source") =!= ev)
       .agg(count(lit(1)).as("nt"))
