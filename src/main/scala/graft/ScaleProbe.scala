@@ -204,6 +204,8 @@ object ScaleProbe {
       "pseudonymize_customers" ->
         (graft.operators.Relational.pseudonymizeCustomers _),
       "training_readiness" -> (graft.ext.Pipeline.trainingReadiness _),
+      "dedup_groups_cc" ->
+        ((s: SparkSession, d: String) => graft.ext.Dedup.duplicateGroups(s, d)),
       "stream_kmv_monitor" ->
         (graft.streaming.DocStream.streamingKmvMonitor _),
     )
