@@ -6,6 +6,26 @@ import graft.mr.MapReduce
   * machine-checked (SCALE.md records the full list). */
 class PlanSpec extends SparkSpec {
 
+  test("kmv sketch aggregates through the distinct bounded heap, partial-first") {
+    val plan = graft.ext.Sketches.kmvMergeSources(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), s"expected object hash agg:\n$plan")
+    // map-side partials: each task's sketch is clipped to k BEFORE the
+    // exchange, so the shuffle carries ≤ tasks × sources × k hashes
+    assert(plan.contains("partial_graft_bounded_distinct_topk"),
+      s"no partial distinct top-k:\n$plan")
+  }
+
+  test("session examples reuse the sessionization exchange") {
+    val plan = graft.operators.EventOps.sessionExamples(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    // the (user, session) windows are clustered by the user exchange
+    // the islands derivation already paid — a second exchange would
+    // mean the example windows re-shuffled per session key
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges:\n$plan")
+  }
+
   test("runJob with explicit reducer count shuffles exactly once") {
     import spark.implicits._
     val input = Seq(("f", "a b c a")).toDS()
