@@ -835,6 +835,30 @@ class HostileFixtureSpec extends SparkSpec {
     }
   }
 
+  test("training readiness on the hostile corpus: always 7 verdict rows") {
+    // the gate table's contract is structural: SEVEN named checks, in
+    // order, whatever the corpus looks like — a report that silently
+    // drops a failing check is worse than one that fails it
+    val rows = graft.ext.Pipeline.trainingReadiness(spark, hostileDir)
+      .collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq(
+      "exact_dup_rate", "near_dup_doc_rate", "ngram_contaminated_rate",
+      "pii_doc_rate", "quality_pass_rate", "split_leakage_groups",
+      "substring_contaminated_rate"))
+    // the hostile mega-cluster must trip the near-dup gate, and the
+    // thresholds/verdicts stay coherent on every row that has a value
+    val near = rows.find(_.getString(0) == "near_dup_doc_rate").get
+    assert(!near.isNullAt(1) && near.getDouble(1) > 0.10 && !near.getBoolean(3))
+    rows.foreach { r =>
+      if (!r.isNullAt(1) && !r.isNullAt(3)) {
+        val (v, t, p) = (r.getDouble(1), r.getDouble(2), r.getBoolean(3))
+        val expected =
+          if (r.getString(0) == "quality_pass_rate") v >= t else v <= t
+        assert(p == expected, s"${r.getString(0)}: verdict incoherent")
+      }
+    }
+  }
+
   test("every query survives the hostile-shaped corpus (no throw, no hang)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
