@@ -206,6 +206,7 @@ object ScaleProbe {
       "training_readiness" -> (graft.ext.Pipeline.trainingReadiness _),
       "dedup_groups_cc" ->
         ((s: SparkSession, d: String) => graft.ext.Dedup.duplicateGroups(s, d)),
+      "media_downsample" -> (graft.ext.Multimodal.mediaDownsample _),
       "stream_kmv_monitor" ->
         (graft.streaming.DocStream.streamingKmvMonitor _),
     )

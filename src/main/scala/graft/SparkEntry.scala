@@ -303,6 +303,8 @@ object SparkEntry {
     "window_range_frame" -> EventOps.windowRangeFrame _,
     "cohort_retention" -> EventOps.cohortRetention _,
     "multimodal_frames" -> Multimodal.frames _,
+    // the resize verb: strided decimation with verifiable output bytes
+    "media_downsample" -> Multimodal.mediaDownsample _,
     // LEFT OUTER stream-stream join (watermark-flushed non-matches)
     "stream_interval_join_outer" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinOuterOverFiles(s, dir)),
@@ -693,6 +695,7 @@ object SparkEntry {
     "window_range_frame" -> EventOps.windowRangeFrameOracle,
     "cohort_retention" -> EventOps.cohortRetentionOracle,
     "multimodal_frames" -> Multimodal.framesOracle,
+    "media_downsample" -> Multimodal.mediaDownsampleOracle,
     "stream_interval_join_outer" ->
       graft.streaming.EventStream.intervalJoinOuterOverFilesOracle,
     "stream_interval_join_full" ->

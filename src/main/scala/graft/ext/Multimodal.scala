@@ -176,6 +176,47 @@ object Multimodal {
       .orderBy("asset_id", "frame_idx")
   }
 
+  /** Strided downsample ("resize") of the opaque payload — the resize
+    * verb of the media pipeline, as a deterministic 4:1 decimation:
+    * each 4-byte group keeps its first byte (a real pipeline swaps
+    * this single projection for a codec-aware kernel; the Spark-side
+    * plumbing — schema, pure projection, no payload shuffle, verifiable
+    * output bytes — is exactly what ships). The decimation is one
+    * regexp_replace keeping group-leading characters, legal because
+    * fixture payloads are pure-ASCII (the frames family's verified
+    * premise); '.' excludes newlines identically in Java regex and
+    * RE2, and a trailing sub-4-byte remainder passes through unchanged
+    * in both engines, so the downsampled bytes are md5-verifiable
+    * bit-for-bit. Emits byte counts, the achieved ratio, and the
+    * thumbnail digest per asset. Nothing shuffles: one codegen'd scan,
+    * ORDER BY is the only exchange. */
+  def mediaDownsample(spark: SparkSession, dir: String): DataFrame = {
+    val ds = regexp_replace(col("payload").cast("string"), "(.).{3}", "$1")
+    assets(spark, dir).toDF()
+      .select(col("asset_id"), col("kind"),
+        length(col("payload")).cast("long").as("n_bytes"), ds.as("ds"))
+      .select(col("asset_id"), col("kind"), col("n_bytes"),
+        length(col("ds")).cast("long").as("ds_bytes"),
+        when(col("n_bytes") > 0,
+          round(length(col("ds")).cast("double") / col("n_bytes"), 6))
+          .as("ds_ratio"),
+        md5(col("ds")).as("ds_md5"))
+      .orderBy("asset_id")
+  }
+
+  def mediaDownsampleOracle: String =
+    """WITH d AS (SELECT doc_id AS asset_id,
+      |    'image/fake' AS kind,
+      |    text, CAST(length(text) AS BIGINT) AS n_bytes,
+      |    regexp_replace(text, '(.).{3}', '\1', 'g') AS ds
+      |  FROM documents)
+      |SELECT asset_id, kind, n_bytes,
+      |  CAST(length(ds) AS BIGINT) AS ds_bytes,
+      |  CASE WHEN n_bytes > 0
+      |    THEN round(CAST(length(ds) AS DOUBLE) / n_bytes, 6) END AS ds_ratio,
+      |  md5(ds) AS ds_md5
+      |FROM d ORDER BY asset_id""".stripMargin
+
   /** Cross-asset shared-frame detection: exact frames appearing in
     * MORE THAN ONE asset — the content-reuse check of the frame
     * pipeline (shared intros/ads/watermarks at video scale). One hash
