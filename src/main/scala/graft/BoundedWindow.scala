@@ -25,4 +25,8 @@ import org.apache.spark.sql.functions.lit
 object BoundedWindow {
   def orderBy(cols: Column*): WindowSpec =
     Window.partitionBy(lit(0)).orderBy(cols: _*)
+
+  /** Unordered whole-frame spec (global totals over a bounded report
+    * frame) — the declared form of `Window.partitionBy()`. */
+  def all: WindowSpec = Window.partitionBy(lit(0))
 }

@@ -119,6 +119,8 @@ object SparkEntry {
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupLsh(s, dir)),
     // transitive dup-group resolution (iterative min-label propagation)
     "dedup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
+    // incremental CC maintenance: delta fold into standing labels
+    "dedup_groups_delta" -> ((s, dir) => Dedup.dedupGroupsDelta(s, dir)),
     // ── LLM-pipeline: similarity search ──
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_buckets" -> Similarity.lshBuckets _,
@@ -305,6 +307,9 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.frames _,
     // the resize verb: strided decimation with verifiable output bytes
     "media_downsample" -> Multimodal.mediaDownsample _,
+    // CLIP-style caption↔asset hygiene: within-pair cosine vs the
+    // exact cross-pair null (moment algebra, no pairwise term)
+    "caption_frame_alignment" -> Multimodal.captionFrameAlignment _,
     // LEFT OUTER stream-stream join (watermark-flushed non-matches)
     "stream_interval_join_outer" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinOuterOverFiles(s, dir)),
@@ -417,6 +422,10 @@ object SparkEntry {
     "pseudonymize_customers" -> Relational.pseudonymizeCustomers _,
     // the capstone gate table: every pre-training check, one verdict row
     "training_readiness" -> graft.ext.Pipeline.trainingReadiness _,
+    // the per-ingest-batch form: standing state + delta screens; same
+    // oracle object as the batch gate (monitor discipline)
+    "training_readiness_delta" ->
+      (graft.ext.Pipeline.trainingReadinessDelta _),
     // keyframe segmentation: adjacent-frame perceptual distance
     "frame_scene_cuts" -> Dedup.frameSceneCuts _,
     // PSI feature-drift gate between the stream's time halves
@@ -530,6 +539,7 @@ object SparkEntry {
     "dedup_simhash_pairs" -> Dedup.simhashPairsOracle,
     "dedup_phash_pairs" -> Dedup.phashPairsOracle,
     "dedup_groups" -> Dedup.duplicateGroupsOracle,
+    "dedup_groups_delta" -> Dedup.dedupGroupsDeltaOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_lsh_verified" -> Dedup.lshVerifiedJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupLshOracle,
@@ -696,6 +706,7 @@ object SparkEntry {
     "cohort_retention" -> EventOps.cohortRetentionOracle,
     "multimodal_frames" -> Multimodal.framesOracle,
     "media_downsample" -> Multimodal.mediaDownsampleOracle,
+    "caption_frame_alignment" -> Multimodal.captionFrameAlignmentOracle,
     "stream_interval_join_outer" ->
       graft.streaming.EventStream.intervalJoinOuterOverFilesOracle,
     "stream_interval_join_full" ->
@@ -760,6 +771,8 @@ object SparkEntry {
     "tombstone_purge_audit" -> Relational.tombstonePurgeAuditOracle,
     "pseudonymize_customers" -> Relational.pseudonymizeCustomersOracle,
     "training_readiness" -> graft.ext.Pipeline.trainingReadinessOracle,
+    "training_readiness_delta" ->
+      graft.ext.Pipeline.trainingReadinessOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,
     "psi_value_drift" -> EventOps.psiValueDriftOracle,
     "ks_value_drift" -> EventOps.ksValueDriftOracle,

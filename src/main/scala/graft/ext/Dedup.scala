@@ -1696,8 +1696,28 @@ object Dedup {
   def duplicateGroupsWithStatus(spark: SparkSession, dir: String,
                                 threshold: Double = PairThreshold,
                                 maxIter: Int = 20): (DataFrame, Boolean, Int) = {
-    val pairs = minhashPairs(spark, dir, threshold)
-      .select(col("d1"), col("d2")).persist()
+    val pairs = minhashPairs(spark, dir, threshold).select(col("d1"), col("d2"))
+    val (labels, converged, iters) = componentLabels(spark, pairs, maxIter)
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val out = docs.join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("group_id"))
+      .orderBy("doc_id")
+    (out, converged, iters)
+  }
+
+  /** Canonical min-id component labels over an arbitrary (d1, d2)
+    * edge frame, ENDPOINTS ONLY — the resolution kernel behind
+    * [[duplicateGroupsWithStatus]] (full pair graph) and
+    * [[dedupGroupsDelta]] (the tiny contracted delta graph). Returns
+    * (labels(doc_id, label), converged, iterations); nodes that appear
+    * in no edge carry no row — callers coalesce to identity. Tiering
+    * as documented on [[duplicateGroupsWithStatus]]: driver union-find
+    * under [[DriverCcMaxEdges]], distributed pointer-jumping
+    * min-label propagation above it. */
+  private[graft] def componentLabels(spark: SparkSession, pairsIn: DataFrame,
+                                     maxIter: Int = 20): (DataFrame, Boolean, Int) = {
+    val pairs = pairsIn.select(col("d1"), col("d2")).persist()
     val edgeCount = pairs.count()
     if (edgeCount <= DriverCcMaxEdges) {
       val parent = new java.util.HashMap[Long, Long](
@@ -1721,14 +1741,11 @@ object Dedup {
       import spark.implicits._
       val labelRows = parent.keySet().asScala.toSeq.sorted
         .map(k => (k, find(k)))
-      val docs = Tables.documents(spark, dir).select(col("doc_id"))
-      val out = docs.join(broadcast(labelRows.toDF("doc_id", "label")),
-          Seq("doc_id"), "left")
-        .select(col("doc_id"),
-          coalesce(col("label"), col("doc_id")).as("group_id"))
-        .orderBy("doc_id")
       pairs.unpersist()
-      return (out, true, 0)
+      // a LocalRelation with known (small) stats: joins against it
+      // plan as broadcast without a hint, and callers that checkpoint
+      // or filter it first don't trip the unused-hint warning
+      return (labelRows.toDF("doc_id", "label"), true, 0)
     }
     // undirected edges, both directions
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -1766,15 +1783,9 @@ object Dedup {
       labels = next
       i += 1
     }
-    // non-endpoint docs are their own group; labels is checkpointed so
-    // the candidate-pair caches can be released now
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val out = docs.join(labels, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("group_id"))
-      .orderBy("doc_id")
+    // labels is checkpointed, so the edge caches can be released now
     pairs.unpersist(); edges.unpersist()
-    (out, converged, i)
+    (labels, converged, i)
   }
 
   /** Oracle for duplicateGroups: the same LSH pair graph, resolved by a
@@ -1793,6 +1804,155 @@ object Dedup {
        |          FROM reach r JOIN edges e ON r.doc_id = e.src)
        |SELECT doc_id, CAST(min(label) AS BIGINT) AS group_id
        |FROM reach GROUP BY doc_id ORDER BY doc_id""".stripMargin
+
+  // ── incremental connected components: fold the delta batch into ──
+  // ── standing group labels without re-resolving the corpus ──
+
+  /** Standing dedup state for the incremental-groups path: the full
+    * LSH pair graph at [[PairThreshold]] and the component labels of
+    * its BASE-BASE subgraph (both endpoints outside today's delta
+    * slice, doc_id % [[DeltaMod]] ≠ DeltaMod−1). Memoized per
+    * (session, corpus): in production both live as maintained tables —
+    * the banded-signature/pair store appended per ingest batch, and
+    * the standing label table this operator exists to maintain —
+    * LOADED, not rebuilt, on every gate tick; the single-slot memo is
+    * the fixture analog (no cross-run storage exists here). First call
+    * is index bootstrap; every later call pays only the delta fold.
+    *
+    * Deriving both sides from ONE pair set is what makes the
+    * incremental result PROVABLY identical to the from-scratch
+    * resolution: union-find is order-independent, so contracting the
+    * base-base subgraph first (standing min-id labels — each label is
+    * the min doc_id of its base component) and then unioning the
+    * delta-touching edges yields exactly CC(all pairs), and the merged
+    * component's canonical min-id is the min over {standing labels ∪
+    * delta ids} because every base member is ≥ its standing label. */
+  private val standingStateMemo =
+    new graft.SessionDirMemo[(DataFrame, DataFrame)]
+  private[graft] def resetStandingStateMemo(): Unit = standingStateMemo.reset()
+
+  private def isDeltaId(c: Column): Column = c % DeltaMod === (DeltaMod - 1)
+
+  private[graft] def standingDedupState(
+      spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    standingStateMemo.get(spark, dir) {
+      val pairs = minhashPairs(spark, dir, PairThreshold)
+        .select(col("d1"), col("d2")).localCheckpoint()
+      val basePairs =
+        pairs.filter(!isDeltaId(col("d1")) && !isDeltaId(col("d2")))
+      val (labels, converged, iters) = componentLabels(spark, basePairs)
+      if (!converged) throw new IllegalStateException(
+        s"standing-label bootstrap hit maxIter=$iters before fixpoint; " +
+          "labels would be non-canonical")
+      // labels is already materialized by componentLabels (a driver
+      // LocalRelation or a checkpointed propagation fixpoint) — safe
+      // to hold across calls without re-computation
+      (pairs, labels)
+    }
+
+  /** Incremental duplicate-group maintenance — the daily-gate form of
+    * [[duplicateGroups]]: fold today's delta batch (doc_id ≡
+    * DeltaMod−1, the same slice [[incrementalDedup]] screens) into the
+    * STANDING base-corpus group labels instead of re-resolving
+    * connected components over the whole lake. Steps, each bounded by
+    * the delta:
+    *   1. delta-touching edges, filtered from the standing pair store
+    *      (production: band only the delta against the standing
+    *      signature table — new edges, never a corpus re-pair);
+    *   2. contract base endpoints through their standing labels — the
+    *      semi join keeps only TOUCHED standing groups, so what gets
+    *      broadcast is |touched groups|, never the standing table;
+    *   3. resolve the contracted graph — delta docs + touched group
+    *      reps, O(|delta edges|) state — via [[componentLabels]];
+    *   4. re-canonicalize ONLY touched components: a broadcast remap
+    *      of moved group labels joined onto the standing table;
+    *      untouched components are never read by any iterative step.
+    * Output per doc: (doc_id, group_id, is_delta, moved) — `moved`
+    * marks exactly the re-canonicalized rows, the audit column that
+    * shows how little of the corpus a daily fold touches. Labels are
+    * identical to from-scratch [[duplicateGroups]] (provably — see
+    * [[standingDedupState]]); the oracle recomputes both resolutions
+    * independently and checks the `moved` delta too. At 100 TB the
+    * only corpus-sized work left on this path is the final label
+    * assembly — hash joins against broadcast remaps — while the 29 s
+    * corpus-wide CC re-resolution the batch gate pays (SCALE.md 100×
+    * sweep) drops out entirely. */
+  def dedupGroupsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, standing) = standingDedupState(spark, dir)
+    val deltaEdges =
+      pairs.filter(isDeltaId(col("d1")) || isDeltaId(col("d2")))
+    val ends = deltaEdges.select(col("d1").as("doc_id"))
+      .union(deltaEdges.select(col("d2").as("doc_id"))).distinct()
+    // touched standing groups only: semi join against the (small)
+    // delta-edge endpoint set, then the contraction joins broadcast
+    // the touched slice — never the full standing table
+    val touched = standing.join(broadcast(ends), Seq("doc_id"), "semi")
+      .localCheckpoint()
+    val contracted = deltaEdges
+      .join(broadcast(touched.toDF("d1", "l1")), Seq("d1"), "left")
+      .join(broadcast(touched.toDF("d2", "l2")), Seq("d2"), "left")
+      .select(coalesce(col("l1"), col("d1")).as("d1"),
+        coalesce(col("l2"), col("d2")).as("d2"))
+    val (fold, converged, iters) = componentLabels(spark, contracted)
+    if (!converged) throw new IllegalStateException(
+      s"delta fold hit maxIter=$iters before fixpoint")
+    // standing groups whose canonical label changed — the remap is
+    // |moved groups|-sized (nodes of the contracted graph at most)
+    val remap = fold
+      .filter(!isDeltaId(col("doc_id")) && col("label") =!= col("doc_id"))
+      .select(col("doc_id").as("g0"), col("label").as("g1"))
+    val deltaLabels = fold.filter(isDeltaId(col("doc_id")))
+    val docs = Tables.documents(spark, dir).select(col("doc_id"))
+    val baseOut = docs.filter(!isDeltaId(col("doc_id")))
+      .join(standing, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("g0"))
+      .join(broadcast(remap), Seq("g0"), "left")
+      .select(col("doc_id"),
+        coalesce(col("g1"), col("g0")).as("group_id"),
+        lit(false).as("is_delta"),
+        col("g1").isNotNull.as("moved"))
+    val deltaOut = docs.filter(isDeltaId(col("doc_id")))
+      .join(broadcast(deltaLabels), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("group_id"),
+        lit(true).as("is_delta"),
+        (coalesce(col("label"), col("doc_id")) =!= col("doc_id")).as("moved"))
+    baseOut.union(deltaOut).orderBy("doc_id")
+  }
+
+  /** Oracle: the full-graph resolution (groups) AND the base-base-only
+    * resolution (standing) recomputed independently; group_id must
+    * equal the former, `moved` the disagreement between the two — the
+    * incremental path is hash-checked against both the final labels
+    * and its own touched-set claim. */
+  def dedupGroupsDeltaOracle: String =
+    s"""WITH RECURSIVE
+       |$minhashEstCtes,
+       |edges AS (SELECT d1 AS src, d2 AS dst FROM est WHERE est_jaccard >= $PairThreshold
+       |          UNION ALL
+       |          SELECT d2, d1 FROM est WHERE est_jaccard >= $PairThreshold),
+       |reach AS (SELECT doc_id, doc_id AS label FROM documents
+       |          UNION
+       |          SELECT e.dst AS doc_id, r.label
+       |          FROM reach r JOIN edges e ON r.doc_id = e.src),
+       |groups AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS group_id
+       |           FROM reach GROUP BY doc_id),
+       |bedges AS (SELECT src, dst FROM edges
+       |           WHERE src % $DeltaMod <> ${DeltaMod - 1}
+       |             AND dst % $DeltaMod <> ${DeltaMod - 1}),
+       |breach AS (SELECT doc_id, doc_id AS label FROM documents
+       |           WHERE doc_id % $DeltaMod <> ${DeltaMod - 1}
+       |           UNION
+       |           SELECT e.dst AS doc_id, r.label
+       |           FROM breach r JOIN bedges e ON r.doc_id = e.src),
+       |bgroups AS (SELECT doc_id, CAST(min(label) AS BIGINT) AS standing
+       |            FROM breach GROUP BY doc_id)
+       |SELECT g.doc_id, g.group_id,
+       |  (g.doc_id % $DeltaMod = ${DeltaMod - 1}) AS is_delta,
+       |  (g.group_id <> coalesce(b.standing, g.doc_id)) AS moved
+       |FROM groups g LEFT JOIN bgroups b USING (doc_id)
+       |ORDER BY g.doc_id""".stripMargin
 
   /** Duplicate-group size histogram — the dedup report's headline
     * numbers: how many singletons, pairs, triples... survive

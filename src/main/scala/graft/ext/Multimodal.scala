@@ -310,4 +310,167 @@ object Multimodal {
        |      FROM fr WHERE frame_idx % $FrameStride = 0
        |      GROUP BY asset_id) s USING (asset_id)
        |ORDER BY asset_id""".stripMargin
+
+  // ── cross-modal alignment: is this caption attached to the right
+  // asset? ──
+
+  /** Mismatch gate: pairs whose within-pair cosine sits more than
+    * this many σ BELOW the cross-pair mean are flagged. */
+  val AlignZGate = 2.0
+
+  /** Caption↔asset alignment audit — the CLIP-style contrastive-pair
+    * hygiene check: for every (document caption, frame asset) pair,
+    * score the within-pair cosine between the asset's decoded feature
+    * vector ([[extractFeatures]]' 8 byte-bins — the honest stand-in
+    * for a real image encoder, same stub honesty as
+    * [[mediaDownsample]]) and the caption's embedding compressed to
+    * the same 8 dims (contiguous coordinate bins — the projection-head
+    * analog), then standardize against the EXACT cross-pair null: the
+    * mean/σ of cos(aᵢ, eⱼ) over all i≠j. A pair whose z sits below
+    * −[[AlignZGate]] is captioned wrong (or the encoder is).
+    *
+    * The null is computed WITHOUT forming any pair: with unit vectors,
+    * Σᵢⱼ aᵢ·eⱼ = Sa·Se and Σᵢⱼ (aᵢ·eⱼ)² = ⟨Ga, Ge⟩ where Sa/Se are the
+    * 8-dim coordinate sums and Ga/Ge the 8×8 second-moment (Gram)
+    * matrices — four single-pass aggregates into ≤64 cells, minus the
+    * diagonal's own single-pass sums. So the audit is two corpus scans
+    * (decode + embed), one co-keyed join for the diagonal, and
+    * broadcast scalars — no corpus×corpus term at any scale. Sums over
+    * rows go through decimal casts (order-independent); per-row folds
+    * (norms, dots) run in array order via the compiled DotProduct
+    * kernel, which DuckDB's list_dot_product reproduces exactly.
+    * Fixture honesty: payloads are UTF-8 of the caption text and the
+    * embeddings are synthetic, so within-pair scores genuinely draw
+    * from the null — honest zeros, like the PII scan: the report's
+    * value is the verified plumbing and the exact null algebra. */
+  def captionFrameAlignment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 18)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct(a, b)
+    def unit(v: org.apache.spark.sql.Column) = {
+      val n = sqrt(dot(v, v))
+      when(n > 0, transform(v, x => x / n))
+    }
+    // asset side: the decode stub's 8 byte-bin features, unit-normed
+    val a8 = extractFeatures(assets(spark, dir)).toDF()
+      .select(col("asset_id"), unit(col("features").cast("array<double>")).as("a"))
+    // caption side: the 64-dim embedding binned to 8 contiguous
+    // coordinate sums (sequential in-array folds), unit-normed
+    val e8raw = transform(sequence(lit(0), lit(7)), j => {
+      val d = size(col("v"))
+      val s = (j * d).cast("int") / 8
+      val e = ((j + lit(1)) * d).cast("int") / 8
+      aggregate(slice(col("v"), s.cast("int") + 1, (e - s).cast("int")),
+        lit(0.0), (acc, x) => acc + x)
+    })
+    val e8 = Similarity.embeddingsD(spark, dir)
+      .select(col("vec_id").as("asset_id"), unit(e8raw).as("e"))
+    // moment frames: coordinate sums and 8×8 Gram cells, decimal sums
+    def coordSums(df: DataFrame, c: String) = df.filter(col(c).isNotNull)
+      .select(posexplode(col(c)).as(Seq("k", "x")))
+      .groupBy("k").agg(sum(col("x").cast(dec)).cast("double").as(s"s_$c"))
+    def gramSums(df: DataFrame, c: String) = df.filter(col(c).isNotNull)
+      .select(posexplode(transform(sequence(lit(0), lit(63)), i =>
+        element_at(col(c), (i / 8).cast("int") + 1) *
+          element_at(col(c), (i % 8).cast("int") + 1))).as(Seq("k", "x")))
+      .groupBy("k").agg(sum(col("x").cast(dec)).cast("double").as(s"g_$c"))
+    val dotSS = coordSums(a8, "a").join(coordSums(e8, "e"), Seq("k"))
+      .agg(sum((col("s_a") * col("s_e")).cast(dec)).cast("double").as("ss"))
+    val dotGG = gramSums(a8, "a").join(gramSums(e8, "e"), Seq("k"))
+      .agg(sum((col("g_a") * col("g_e")).cast(dec)).cast("double").as("gg"))
+    val counts = a8.filter(col("a").isNotNull).agg(count(lit(1)).as("na"))
+      .crossJoin(broadcast(
+        e8.filter(col("e").isNotNull).agg(count(lit(1)).as("ne"))))
+    // the co-keyed diagonal: each asset against ITS OWN caption
+    val paired = a8.join(e8, Seq("asset_id"))
+      .select(col("asset_id"), dot(col("a"), col("e")).as("x"))
+    val diag = paired.filter(col("x").isNotNull).agg(
+      count(lit(1)).as("nd"),
+      sum(col("x").cast(dec)).cast("double").as("sx"),
+      sum((col("x") * col("x")).cast(dec)).cast("double").as("sx2"))
+    // all four sides are 1-row aggregates — every cross is a hinted
+    // broadcast BNLJ (the scalar-subquery pattern), never cartesian
+    val stats = dotSS.crossJoin(broadcast(dotGG))
+      .crossJoin(broadcast(counts)).crossJoin(broadcast(diag))
+      .select(
+        ((col("ss") - col("sx")) / (col("na") * col("ne") - col("nd")))
+          .as("mu"),
+        sqrt(greatest(
+          (col("gg") - col("sx2")) / (col("na") * col("ne") - col("nd")) -
+            pow((col("ss") - col("sx")) /
+              (col("na") * col("ne") - col("nd")), 2), lit(0.0)))
+          .as("sigma"))
+    paired
+      .crossJoin(broadcast(stats)) // 1-row stats: BNLJ, never cartesian
+      .select(col("asset_id"), round(col("x"), 6).as("cos_sim"),
+        round(when(col("sigma") > 0, (col("x") - col("mu")) / col("sigma")),
+          6).as("z"),
+        (round(when(col("sigma") > 0, (col("x") - col("mu")) / col("sigma")),
+          6) < -AlignZGate).as("mismatch"))
+      .orderBy("asset_id")
+  }
+
+  /** Mirrors [[captionFrameAlignment]]: byte bins from the hex dump
+    * (the [[featuresOracle]] mechanism, all 8 bins), coordinate bins
+    * by the same integer-division slicing, per-row folds via
+    * list_dot_product (sequential, like the compiled kernel), row
+    * sums via decimal casts. */
+  def captionFrameAlignmentOracle: String =
+    s"""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+       |    hex(CAST(text AS BLOB)) AS hx FROM documents),
+       |byt AS (SELECT doc_id, i % 8 AS k,
+       |    CAST('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2) AS BIGINT) AS b
+       |  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM d) t),
+       |bins AS (SELECT doc_id, k, SUM(b) AS bin FROM byt GROUP BY doc_id, k),
+       |dense AS (SELECT d.doc_id, kk.k,
+       |    CAST(CAST(COALESCE(bin, 0) / 255.0 AS REAL) AS DOUBLE) AS av
+       |  FROM d CROSS JOIN range(8) kk(k)
+       |  LEFT JOIN bins ON bins.doc_id = d.doc_id AND bins.k = kk.k),
+       |araw AS (SELECT doc_id AS asset_id, list(av ORDER BY k) AS al
+       |  FROM dense GROUP BY doc_id),
+       |aunit AS (SELECT asset_id,
+       |    CASE WHEN sqrt(list_dot_product(al, al)) > 0 THEN
+       |      list_transform(al, x -> x / sqrt(list_dot_product(al, al)))
+       |    END AS a FROM araw),
+       |eraw AS (SELECT vec_id AS asset_id,
+       |    list_transform(range(8), j -> COALESCE(list_sum(
+       |      v[(j*dd)//8 + 1 : ((j+1)*dd)//8]), 0.0)) AS el
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        len(embedding) AS dd FROM embeddings) e0),
+       |eunit AS (SELECT asset_id,
+       |    CASE WHEN sqrt(list_dot_product(el, el)) > 0 THEN
+       |      list_transform(el, x -> x / sqrt(list_dot_product(el, el)))
+       |    END AS e FROM eraw),
+       |sa AS (SELECT k, CAST(SUM(CAST(a[k+1] AS DECIMAL(38,18))) AS DOUBLE) AS s_a
+       |  FROM aunit CROSS JOIN range(8) kk(k) WHERE a IS NOT NULL GROUP BY k),
+       |se AS (SELECT k, CAST(SUM(CAST(e[k+1] AS DECIMAL(38,18))) AS DOUBLE) AS s_e
+       |  FROM eunit CROSS JOIN range(8) kk(k) WHERE e IS NOT NULL GROUP BY k),
+       |ga AS (SELECT k, CAST(SUM(CAST(a[k//8+1] * a[k%8+1]
+       |      AS DECIMAL(38,18))) AS DOUBLE) AS g_a
+       |  FROM aunit CROSS JOIN range(64) kk(k) WHERE a IS NOT NULL GROUP BY k),
+       |ge AS (SELECT k, CAST(SUM(CAST(e[k//8+1] * e[k%8+1]
+       |      AS DECIMAL(38,18))) AS DOUBLE) AS g_e
+       |  FROM eunit CROSS JOIN range(64) kk(k) WHERE e IS NOT NULL GROUP BY k),
+       |ss AS (SELECT CAST(SUM(CAST(s_a * s_e AS DECIMAL(38,18))) AS DOUBLE) AS ss
+       |  FROM sa JOIN se USING (k)),
+       |gg AS (SELECT CAST(SUM(CAST(g_a * g_e AS DECIMAL(38,18))) AS DOUBLE) AS gg
+       |  FROM ga JOIN ge USING (k)),
+       |cnt AS (SELECT (SELECT COUNT(*) FROM aunit WHERE a IS NOT NULL) AS na,
+       |  (SELECT COUNT(*) FROM eunit WHERE e IS NOT NULL) AS ne),
+       |paired AS (SELECT asset_id, list_dot_product(a, e) AS x
+       |  FROM aunit JOIN eunit USING (asset_id)),
+       |diag AS (SELECT COUNT(*) AS nd,
+       |    CAST(SUM(CAST(x AS DECIMAL(38,18))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(x * x AS DECIMAL(38,18))) AS DOUBLE) AS sx2
+       |  FROM paired WHERE x IS NOT NULL),
+       |stats AS (SELECT (ss - sx) / (na * ne - nd) AS mu,
+       |    sqrt(greatest((gg - sx2) / (na * ne - nd) -
+       |      ((ss - sx) / (na * ne - nd))^2, 0.0)) AS sigma
+       |  FROM ss, gg, cnt, diag)
+       |SELECT asset_id, round(x, 6) AS cos_sim,
+       |  round(CASE WHEN sigma > 0 THEN (x - mu) / sigma END, 6) AS z,
+       |  round(CASE WHEN sigma > 0 THEN (x - mu) / sigma END, 6)
+       |    < -$AlignZGate AS mismatch
+       |FROM paired, stats ORDER BY asset_id""".stripMargin
 }

@@ -534,7 +534,8 @@ object Similarity {
       .filter(col("probe_rank") === 1)
       .groupBy(col("list_id").cast("long").as("list_id"))
       .agg(count(lit(1)).as("n_members"))
-    val all = Window.partitionBy()
+    // k-row frame (one row per IVF list) — declared bounded
+    val all = graft.BoundedWindow.all
     sizes
       .withColumn("total", sum(col("n_members")).over(all))
       .withColumn("sumsq",
@@ -608,7 +609,8 @@ object Similarity {
       when(greatest(aDist, bDist) > 0,
         round((col("s1") - col("s2")) / greatest(aDist, bDist), 9))
         .otherwise(lit(0.0)).as("term"))
-    val all = Window.partitionBy()
+    // k-row frame (one row per IVF list) — declared bounded
+    val all = graft.BoundedWindow.all
     terms.groupBy("list_id")
       .agg(count(lit(1)).as("n_members"),
         sum(col("term").cast(DecimalType(38, 12))).as("ts"))

@@ -398,7 +398,7 @@ object TextAnalysis {
     * declarative transform-lambda form re-evaluates the embedded
     * tokenizer per element (interpreted, O(|tokens|²) per doc — 7× the
     * whole sf0.1 bench when it shipped that way). */
-  private def ngramArr(n: Int): Column =
+  private[ext] def ngramArr(n: Int): Column =
     graft.functions.WordNGrams(tokens(col("text")), n, distinct = true)
 
   private def ngramSqlArr(n: Int): String = {
@@ -1725,11 +1725,17 @@ object TextAnalysis {
   val BpeTrainDocCap = 4096L
 
   private def applyMerge(fr: DataFrame, best: DataFrame): DataFrame =
-    fr.crossJoin(broadcast(best))
+    // left join on TRUE, not crossJoin: when the corpus runs out of
+    // learnable pairs before the merge budget (best = 0 rows — fewer
+    // distinct adjacent pairs than rounds), the round must be a no-op
+    // that PRESERVES the vocabulary, not annihilate it to 0 rows the
+    // way a cross join against an empty build side would
+    fr.join(broadcast(best), lit(true), "left")
       .select(col("word"), col("cnt"),
-        regexp_replace(col("rep"),
-          concat(lit("\\b"), col("pair"), lit("\\b")),
-          regexp_replace(col("pair"), " ", "")).as("rep"))
+        when(col("pair").isNull, col("rep")).otherwise(
+          regexp_replace(col("rep"),
+            concat(lit("\\b"), col("pair"), lit("\\b")),
+            regexp_replace(col("pair"), " ", ""))).as("rep"))
 
   private def bpeLearnUncached(spark: SparkSession,
                                dir: String): (Seq[DataFrame], DataFrame) = {

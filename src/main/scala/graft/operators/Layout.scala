@@ -232,7 +232,9 @@ object Layout {
       pmod(col("o_orderkey"), lit(DepthFiles)).cast("long").as("file_id"),
       col("o_orderdate").cast("date").as("d"))
     val sorted = o.select(lit("sorted").as("layout"),
-      (ntile(DepthFiles).over(Window.orderBy(col("o_orderdate"),
+      // gate-scale manifest FABRICATION (see scaladoc above): declared
+      // bounded — a real table's ranges come from parquet footers
+      (ntile(DepthFiles).over(graft.BoundedWindow.orderBy(col("o_orderdate"),
         col("o_orderkey"))) - 1).cast("long").as("file_id"),
       col("o_orderdate").cast("date").as("d"))
     val manifest = hashed.unionByName(sorted)

@@ -88,6 +88,63 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("incremental groups: delta fold equals from-scratch resolution, touched set is exact") {
+    Dedup.resetStandingStateMemo()
+    val delta = Dedup.dedupGroupsDelta(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    val full = Dedup.duplicateGroups(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(delta.length == full.size)
+    // THE contract: incremental labels identical to from-scratch CC
+    delta.foreach { case (d, g, _, _) =>
+      assert(full(d) == g, s"doc $d: delta label $g != from-scratch ${full(d)}")
+    }
+    // is_delta marks exactly the ingest slice
+    delta.foreach { case (d, _, isD, _) =>
+      assert(isD == (d % Dedup.DeltaMod == Dedup.DeltaMod - 1))
+    }
+    // moved ⟺ the fold changed this doc's label vs its standing state:
+    // base docs against base-only CC, delta docs against self-label
+    val basePairs = Dedup.minhashPairs(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) =>
+        a % Dedup.DeltaMod != Dedup.DeltaMod - 1 &&
+          b % Dedup.DeltaMod != Dedup.DeltaMod - 1 }
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    basePairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra < rb) parent(rb) = ra else if (rb < ra) parent(ra) = rb
+    }
+    delta.foreach { case (d, g, isD, moved) =>
+      val standing = if (isD) d else find(d)
+      assert(moved == (g != standing),
+        s"doc $d: moved=$moved but standing=$standing group=$g")
+    }
+    // a second call must hit the memo (standing state loaded, not
+    // rebuilt) and stay bit-identical
+    val again = Dedup.dedupGroupsDelta(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    assert(again.sameElements(delta))
+  }
+
+  test("incremental readiness: delta gate equals batch gate row-for-row") {
+    graft.ext.Pipeline.resetReadyStateMemo()
+    Dedup.resetStandingStateMemo()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getBoolean(3)))
+    val batch = rows(graft.ext.Pipeline.trainingReadiness(spark, sf0001))
+    val delta = rows(graft.ext.Pipeline.trainingReadinessDelta(spark, sf0001))
+    assert(batch.length == 7 && delta.sameElements(batch),
+      s"delta gate diverged:\nbatch=${batch.mkString("\n")}\ndelta=${delta.mkString("\n")}")
+    // the second tick reads memoized standing state and must not move
+    val again = rows(graft.ext.Pipeline.trainingReadinessDelta(spark, sf0001))
+    assert(again.sameElements(batch))
+  }
+
   test("threshold sweep: confusion counts are coherent and monotone in tau") {
     val rows = Dedup.thresholdSweep(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -859,6 +859,134 @@ class HostileFixtureSpec extends SparkSpec {
     }
   }
 
+  test("media downsample: zero-byte payloads get NULL ratio, sub-4-byte payloads pass through") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.ext.Multimodal.mediaDownsample(spark, hostileDir)
+      .filter(col("n_bytes") < 4).collect()
+      .map(r => (r.getLong(2), r.getLong(3), if (r.isNullAt(4)) None
+        else Some(r.getDouble(4)), r.getString(5)))
+    assert(rows.exists(_._1 == 0L) && rows.exists(r => r._1 > 0 && r._1 < 4),
+      "fixture must carry zero-byte AND 1..3-byte payloads")
+    rows.foreach { case (n, dsn, ratio, _) =>
+      // remainder pass-through: below one 4-byte group nothing decimates
+      assert(dsn == n, s"sub-4-byte payload changed size: $n -> $dsn")
+      if (n == 0) assert(ratio.isEmpty, "0-byte ratio must be NULL (when guard)")
+      else assert(ratio.contains(1.0), s"pass-through ratio must be 1.0, got $ratio")
+    }
+    // the empty string's md5 is a fixed constant in every engine —
+    // the digest column stays well-defined even with no bytes
+    val empty = graft.ext.Multimodal.mediaDownsample(spark, hostileDir)
+      .filter(col("n_bytes") === 0).select("ds_md5").collect()
+    assert(empty.forall(_.getString(0) == "d41d8cd98f00b204e9800998ecf8427e"))
+  }
+
+  test("KMV merge: single source below k hits the exact branch, ALL row equals it") {
+    import org.apache.spark.sql.functions._
+    // one source, 10 distinct texts (≪ k=256): theta never clips, the
+    // estimate must be EXACT (kf < k branch) and the merged ALL sketch
+    // must coincide with the single per-source sketch
+    val out = "/tmp/graft_kmv_single_fixture_v1"
+    val marker = new java.io.File(s"$out/_built")
+    if (!marker.exists()) {
+      spark.range(10).select(col("id").as("doc_id"),
+          concat(lit("distinct text number "), col("id")).as("text"),
+          lit("en").as("lang"), lit("only_source").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+    }
+    val rows = graft.ext.Sketches.kmvMergeSources(spark, out).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("ALL", "only_source"))
+    rows.foreach { case (scope, exact, retained, est, relErr) =>
+      assert(exact == 10L && retained == 10L,
+        s"$scope: expected 10 retained/exact, got $retained/$exact")
+      assert(est == 10.0 && relErr == 0.0,
+        s"$scope: below-k sketch must be exact, got est=$est err=$relErr")
+    }
+  }
+
+  test("BPE merge curve: pair supply exhausted before the merge budget degrades to a flat tail") {
+    import org.apache.spark.sql.functions._
+    // every doc is the same two 2-char words: exactly TWO learnable
+    // merges ('a b' inside each word's split... actually 'ab'/'cd' are
+    // single-merge words) — far fewer distinct adjacent pairs than the
+    // 5-round budget, so later rounds must be no-ops, not annihilation
+    val out = "/tmp/graft_bpe_exhaust_fixture_v1"
+    val marker = new java.io.File(s"$out/_built")
+    if (!marker.exists()) {
+      spark.range(20).select(col("id").as("doc_id"),
+          lit("ab cd ab cd ab").as("text"),
+          lit("en").as("lang"), lit("src0").as("source"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+    }
+    graft.ext.TextAnalysis.resetBpeMemo()
+    val rows = graft.ext.TextAnalysis.bpeMergeCurve(spark, out).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(rows.length == graft.ext.TextAnalysis.BpeMerges + 1,
+      s"curve must keep one point per budgeted round, got ${rows.length}")
+    // n_words / n_chars are invariants of the vocabulary — if a spent
+    // round annihilated the vocab these would collapse to 0/NULL
+    assert(rows.map(_._2).distinct.length == 1 &&
+      rows.map(_._3).distinct.length == 1,
+      s"vocabulary mass must be constant across rounds:\n${rows.mkString("\n")}")
+    // symbols monotonically non-increasing, flat once pairs run out
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._4 <= a._4, "n_symbols must be non-increasing")
+    }
+    // the two distinct words are 2 chars each: after both merge, every
+    // word is 1 symbol — the floor; the tail of the curve sits ON it
+    assert(rows.last._4 == rows.last._2,
+      s"exhausted curve must reach 1 symbol/word: ${rows.last}")
+    graft.ext.TextAnalysis.resetBpeMemo() // don't leak the tiny learner
+  }
+
+  test("session examples: single-event sessions emit nothing, first targets carry 1-token context") {
+    import org.apache.spark.sql.functions._
+    // the contract under sparse sessions: an example needs ≥1 context
+    // event (pos ≥ 2), so a 1-event session contributes NO row and no
+    // emitted context is ever empty
+    val ex = graft.operators.EventOps.sessionExamples(spark, sf0001)
+    assert(ex.filter(col("pos") < 2).count() == 0)
+    assert(ex.filter(length(trim(col("context"))) === 0).count() == 0,
+      "no emitted example may carry an empty context")
+    // cross-check the drop: sessions with ≥2 events produce exactly
+    // (len − 1) examples, so singleton sessions are the whole gap
+    val perSession = ex.groupBy("user_id", "session_id")
+      .agg(count(lit(1)).as("n_ex"), max(col("pos")).as("max_pos")).collect()
+    perSession.foreach { r =>
+      assert(r.getLong(2) == r.getLong(3) - 1,
+        s"session ${r.get(0)}/${r.get(1)}: ${r.getLong(2)} examples for ${r.getLong(3)} events")
+    }
+  }
+
+  test("incremental gates on the hostile corpus: delta forms equal batch forms") {
+    // the strongest convergence evidence: the mega-cluster + empty
+    // events + gramless docs corpus, where every standing/delta
+    // boundary shape appears at once
+    graft.ext.Dedup.resetStandingStateMemo()
+    graft.ext.Pipeline.resetReadyStateMemo()
+    val full = graft.ext.Dedup.duplicateGroups(spark, hostileDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val delta = graft.ext.Dedup.dedupGroupsDelta(spark, hostileDir).collect()
+    assert(delta.length == full.size)
+    delta.foreach { r =>
+      assert(full(r.getLong(0)) == r.getLong(1),
+        s"doc ${r.getLong(0)}: incremental label diverged on hostile corpus")
+    }
+    val batchGate = graft.ext.Pipeline.trainingReadiness(spark, hostileDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(3)))
+    val deltaGate = graft.ext.Pipeline
+      .trainingReadinessDelta(spark, hostileDir)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getBoolean(3)))
+    assert(deltaGate.sameElements(batchGate),
+      s"hostile readiness diverged:\n${batchGate.mkString("\n")}\nvs\n${deltaGate.mkString("\n")}")
+  }
+
   test("every query survives the hostile-shaped corpus (no throw, no hang)") {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>

@@ -93,6 +93,31 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"no global window allowed:\n$plan")
   }
 
+  test("no corpus-sized frame enters an undeclared partitionless window") {
+    // A Window with an EMPTY partitionSpec funnels its whole input
+    // through ONE task — the parallelism collapse that killed round-1's
+    // dedup_groups. Queries that legitimately window a BOUNDED frame
+    // must declare it through graft.BoundedWindow (partitionBy(lit(0))
+    // — same single-task execution, explicit boundedness assertion).
+    // The declaration survives in the ANALYZED plan (the optimizer
+    // folds the constant away later), so here a truly empty
+    // partitionSpec means a bare Window.orderBy nobody vouched for.
+    val skip = Set("dedup_groups", "mr_wordcount",
+      "split_leakage_audit", "dedup_group_sizes")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skip(q._1) || q._1.startsWith("stream_"))
+      .flatMap { case (name, fn) =>
+        val bare = fn(spark, sf0001).queryExecution.analyzed.collect {
+          case w: org.apache.spark.sql.catalyst.plans.logical.Window
+            if w.partitionSpec.isEmpty => w
+        }
+        if (bare.nonEmpty) Some(name) else None
+      }
+    assert(offenders.isEmpty,
+      "bare global window (use graft.BoundedWindow if the frame is " +
+        s"provably bounded): ${offenders.mkString(", ")}")
+  }
+
   test("no headline query plans a cartesian product") {
     // dedup_groups iterates driver-side (checkpoint boundaries), so the
     // optimized plan is the right level to inspect for the rest; skip it
