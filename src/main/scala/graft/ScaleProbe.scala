@@ -220,6 +220,13 @@ object ScaleProbe {
         (graft.ext.Pipeline.trainingReadinessDelta _),
       "training_readiness_delta_fold" ->
         (graft.ext.Pipeline.trainingReadinessDelta _),
+      // two scans + 64-cell moment aggregates + the co-keyed diagonal
+      // join — growth should track the embedding/feature scans
+      "caption_frame_alignment" ->
+        (graft.ext.Multimodal.captionFrameAlignment _),
+      // on-ingest CC twin: stream-static bucket join + per-edge state
+      "stream_groups_monitor" ->
+        (graft.streaming.DocStream.streamingGroupsMonitor _),
     )
 
     def time(fn: => Unit): Double = {

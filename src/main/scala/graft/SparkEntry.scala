@@ -121,6 +121,9 @@ object SparkEntry {
     "dedup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
     // incremental CC maintenance: delta fold into standing labels
     "dedup_groups_delta" -> ((s, dir) => Dedup.dedupGroupsDelta(s, dir)),
+    // the on-ingest twin: edges streamed per arrival, same fold+oracle
+    "stream_groups_monitor" ->
+      ((s, dir) => graft.streaming.DocStream.streamingGroupsMonitor(s, dir)),
     // ── LLM-pipeline: similarity search ──
     "sim_brute_topk" -> ((s, dir) => Similarity.bruteForceTopK(s, dir)),
     "sim_lsh_buckets" -> Similarity.lshBuckets _,
@@ -540,6 +543,7 @@ object SparkEntry {
     "dedup_phash_pairs" -> Dedup.phashPairsOracle,
     "dedup_groups" -> Dedup.duplicateGroupsOracle,
     "dedup_groups_delta" -> Dedup.dedupGroupsDeltaOracle,
+    "stream_groups_monitor" -> Dedup.dedupGroupsDeltaOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_lsh_verified" -> Dedup.lshVerifiedJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupLshOracle,

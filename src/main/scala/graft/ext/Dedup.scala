@@ -1877,15 +1877,25 @@ object Dedup {
     * assembly — hash joins against broadcast remaps — while the 29 s
     * corpus-wide CC re-resolution the batch gate pays (SCALE.md 100×
     * sweep) drops out entirely. */
-  def dedupGroupsDelta(spark: SparkSession, dir: String): DataFrame = {
-    val (pairs, standing) = standingDedupState(spark, dir)
-    val deltaEdges =
-      pairs.filter(isDeltaId(col("d1")) || isDeltaId(col("d2")))
+  /** ONE maintenance fold: union a batch of `deltaEdges` into a
+    * `standing` endpoint-only label table and return the UPDATED
+    * endpoint-only table — the next tick's standing state, so daily
+    * folds COMPOSE (ExtSpec proves K sequential folds equal the
+    * one-shot resolution; union-find order-independence is exactly
+    * this associativity). Steps, each bounded by the batch:
+    * semi-select the touched standing slice, contract edge endpoints
+    * through it, resolve the contracted graph ([[componentLabels]] —
+    * O(|batch edges|) state), then relabel: old rows remap through
+    * the broadcast fold table, new endpoints append. Nodes absent
+    * from the table are implicit singletons throughout. */
+  private[graft] def foldDeltaEdges(spark: SparkSession,
+                                    deltaEdges: DataFrame,
+                                    standing: DataFrame): DataFrame = {
     val ends = deltaEdges.select(col("d1").as("doc_id"))
       .union(deltaEdges.select(col("d2").as("doc_id"))).distinct()
     // touched standing groups only: semi join against the (small)
-    // delta-edge endpoint set, then the contraction joins broadcast
-    // the touched slice — never the full standing table
+    // batch endpoint set, then the contraction joins broadcast the
+    // touched slice — never the full standing table
     val touched = standing.join(broadcast(ends), Seq("doc_id"), "semi")
       .localCheckpoint()
     val contracted = deltaEdges
@@ -1896,29 +1906,52 @@ object Dedup {
     val (fold, converged, iters) = componentLabels(spark, contracted)
     if (!converged) throw new IllegalStateException(
       s"delta fold hit maxIter=$iters before fixpoint")
-    // standing groups whose canonical label changed — the remap is
-    // |moved groups|-sized (nodes of the contracted graph at most)
-    val remap = fold
-      .filter(!isDeltaId(col("doc_id")) && col("label") =!= col("doc_id"))
-      .select(col("doc_id").as("g0"), col("label").as("g1"))
-    val deltaLabels = fold.filter(isDeltaId(col("doc_id")))
-    val docs = Tables.documents(spark, dir).select(col("doc_id"))
-    val baseOut = docs.filter(!isDeltaId(col("doc_id")))
-      .join(standing, Seq("doc_id"), "left")
-      .select(col("doc_id"),
-        coalesce(col("label"), col("doc_id")).as("g0"))
-      .join(broadcast(remap), Seq("g0"), "left")
-      .select(col("doc_id"),
-        coalesce(col("g1"), col("g0")).as("group_id"),
-        lit(false).as("is_delta"),
-        col("g1").isNotNull.as("moved"))
-    val deltaOut = docs.filter(isDeltaId(col("doc_id")))
-      .join(broadcast(deltaLabels), Seq("doc_id"), "left")
+    // relabel standing rows whose (group-label) node moved; fold
+    // nodes the table has never seen append as new endpoint rows.
+    // The remap join broadcasts the |fold|-sized table; the anti join
+    // against standing is one keyed hash join (standing is the big
+    // side only at lake scale, where it is a maintained keyed table).
+    val updatedOld = standing
+      .join(broadcast(fold.toDF("label", "l1")), Seq("label"), "left")
+      .select(col("doc_id"), coalesce(col("l1"), col("label")).as("label"))
+    val newRows = fold
+      .join(standing.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    updatedOld.unionByName(newRows)
+  }
+
+  def dedupGroupsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val (pairs, _) = standingDedupState(spark, dir)
+    groupsDeltaReport(spark, dir,
+      pairs.filter(isDeltaId(col("d1")) || isDeltaId(col("d2"))))
+  }
+
+  /** Fold a caller-supplied delta edge SET into the standing labels
+    * and assemble the per-doc report — shared by the batch form
+    * (edges filtered from the standing pair store) and the streaming
+    * twin ([[graft.streaming.DocStream.streamingGroupsMonitor]], edges
+    * derived on-ingest), so the two forms cannot drift and register
+    * the SAME oracle. Edge-set equality is the only contract: the
+    * fold is set-algebraic (union-find), so duplicate edges and
+    * orientation are immaterial. */
+  private[graft] def groupsDeltaReport(spark: SparkSession, dir: String,
+                                       deltaEdges: DataFrame): DataFrame = {
+    val (_, standing) = standingDedupState(spark, dir)
+    val updated = foldDeltaEdges(spark, deltaEdges, standing)
+    // before/after labels meet in ONE endpoint-sized frame (updated ⊇
+    // standing keys), then a single corpus-sized left join assembles
+    // the report — group_id from the maintained table, `moved` =
+    // this tick changed the doc's label vs its standing state
+    val lbl = updated
+      .join(standing.toDF("doc_id", "old"), Seq("doc_id"), "left")
+      .localCheckpoint()
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(lbl, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("group_id"),
-        lit(true).as("is_delta"),
-        (coalesce(col("label"), col("doc_id")) =!= col("doc_id")).as("moved"))
-    baseOut.union(deltaOut).orderBy("doc_id")
+        isDeltaId(col("doc_id")).as("is_delta"),
+        (coalesce(col("label"), col("doc_id")) =!=
+          coalesce(col("old"), col("doc_id"))).as("moved"))
+      .orderBy("doc_id")
   }
 
   /** Oracle: the full-graph resolution (groups) AND the base-base-only

@@ -416,4 +416,66 @@ object DocStream {
         .groupBy("word")
         .agg(count(lit(1)).as("cnt"))
     }.orderBy("word")
+
+  /** Streaming GROUP maintenance — the on-ingest twin of
+    * [[graft.ext.Dedup.dedupGroupsDelta]], closing the round-8
+    * incremental-CC story on the ingest path: delta documents arrive
+    * on the stream, are signed and banded in the ingest projection,
+    * and their threshold-passing LSH edges fall out of ONE
+    * stream-static bucket join against the standing banded-signature
+    * table; the per-edge distinct count is the single streaming
+    * aggregation (state = one row per delta-touching edge, bounded by
+    * the batch's own capped candidate set). After the replay, the
+    * edge SET feeds the shared fold
+    * ([[graft.ext.Dedup.groupsDeltaReport]]) — union-find stays a
+    * batch step by design, exactly like the substring family's
+    * maximal-run assembly: the per-arrival decision ("which standing
+    * groups does this doc touch") streams; the transitive closure is
+    * the per-tick fold. Registers the SAME oracle object as the batch
+    * form, so the streamed edge derivation is hash-checked to
+    * reproduce the batch pair topology EXACTLY — small buckets pair
+    * all-vs-all, buckets over [[graft.ext.Dedup.MaxBucket]] go star
+    * through the min-id rep, with bucket statistics (size, rep) read
+    * from the standing table the way a production deployment's
+    * maintained signature store would carry them. */
+  def streamingGroupsMonitor(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.Dedup
+    import org.apache.spark.sql.expressions.Window
+    // standing banded signatures + the bucket stats the capped pair
+    // topology needs (size, min-id rep): trained state, built once
+    // batch-side and checkpoint-frozen like the incdedup base
+    val w = Window.partitionBy("band_id", "band_key")
+    val sized = Dedup.bandedSigs(
+        graft.Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+      .withColumn("bn", count(lit(1)).over(w))
+      .withColumn("rep", min(col("doc_id")).over(w))
+      .select(col("band_id"), col("band_key"), col("doc_id").as("b"),
+        col("sig").as("bs"), col("bn"), col("rep"))
+      .localCheckpoint()
+    val isDelta = col("doc_id") % Dedup.DeltaMod === (Dedup.DeltaMod - 1)
+    val edges = runDocStream(spark, dir, "groups") { stream =>
+      stream.filter(isDelta)
+        .select(col("doc_id"), Dedup.signatureCol(col("text")).as("sig"))
+        .select(col("doc_id"), col("sig"),
+          posexplode(Dedup.bandKeys(col("sig"))))
+        .select(col("pos").as("band_id"), col("col").as("band_key"),
+          col("doc_id").as("q"), col("sig").as("qs"))
+        .join(sized, Seq("band_id", "band_key"))
+        // the batch topology, from the arriving doc's point of view:
+        // small bucket → pair with every other member; big bucket →
+        // only the (rep, member) star edges survive
+        .filter(col("b") =!= col("q") &&
+          (col("bn") <= Dedup.MaxBucket ||
+            col("b") === col("rep") || col("q") === col("rep")))
+        .select(least(col("q"), col("b")).as("d1"),
+          greatest(col("q"), col("b")).as("d2"),
+          Dedup.estSig(col("qs"), col("bs")).as("est"))
+        .filter(col("est") >= Dedup.PairThreshold)
+        // duplicate sightings (both endpoints delta, multi-band
+        // collisions) collapse in the one streaming aggregation;
+        // the fold is set-algebraic so only membership matters
+        .groupBy("d1", "d2").agg(count(lit(1)).as("n_hits"))
+    }
+    Dedup.groupsDeltaReport(spark, dir, edges.select(col("d1"), col("d2")))
+  }
 }

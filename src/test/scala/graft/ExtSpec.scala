@@ -145,6 +145,41 @@ class ExtSpec extends SparkSpec {
     assert(again.sameElements(batch))
   }
 
+  test("incremental groups: sequential daily folds compose to the one-shot resolution") {
+    // the production property: the standing label table ADVANCES tick
+    // by tick (each fold's output is the next fold's input), and K
+    // sequential folds land on exactly the from-scratch labels — an
+    // edge joins the fold of the tick its LATEST endpoint arrives in
+    Dedup.resetStandingStateMemo()
+    // sf0.01, not sf0.001: the tick split needs delta edges in BOTH
+    // id-decade parities, which the 500-doc fixture doesn't produce
+    val dir = "/root/testdata/sf0.01"
+    val (pairs, standing0) = Dedup.standingDedupState(spark, dir)
+    def tickOf(c: org.apache.spark.sql.Column) =
+      // integer arithmetic only (c / 10 would be DOUBLE division):
+      // base = 0, id ≡ 9 (mod 20) = tick 1, id ≡ 19 (mod 20) = tick 2
+      when(c % Dedup.DeltaMod =!= Dedup.DeltaMod - 1, 0)
+        .when(c % (2 * Dedup.DeltaMod) === Dedup.DeltaMod - 1, 1)
+        .otherwise(2)
+    val tagged = pairs.withColumn("tick",
+      greatest(tickOf(col("d1")), tickOf(col("d2"))))
+    val s1 = Dedup.foldDeltaEdges(spark,
+      tagged.filter(col("tick") === 1).select("d1", "d2"), standing0)
+    val s2 = Dedup.foldDeltaEdges(spark,
+      tagged.filter(col("tick") === 2).select("d1", "d2"), s1)
+    val seqLabels = s2.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val full = Dedup.duplicateGroups(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    full.foreach { case (d, g) =>
+      assert(seqLabels.getOrElse(d, d) == g,
+        s"doc $d: two-tick fold gave ${seqLabels.getOrElse(d, d)}, from-scratch $g")
+    }
+    // both ticks must be non-trivial or the composition test is vacuous
+    assert(tagged.filter(col("tick") === 1).count() > 0 &&
+      tagged.filter(col("tick") === 2).count() > 0,
+      "fixture must produce edges in BOTH ticks")
+  }
+
   test("threshold sweep: confusion counts are coherent and monotone in tau") {
     val rows = Dedup.thresholdSweep(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
