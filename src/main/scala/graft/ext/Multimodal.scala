@@ -364,7 +364,10 @@ object Multimodal {
       aggregate(slice(col("v"), s.cast("int") + 1, (e - s).cast("int")),
         lit(0.0), (acc, x) => acc + x)
     })
-    val e8 = Similarity.embeddingsD(spark, dir)
+    // spread: the embeddings table is a single parquet split even at
+    // sf0.1, and this frame feeds the binning fold, the Gram pass and
+    // the diagonal join — without the exchange they all run one-task
+    val e8 = Similarity.spread(Similarity.embeddingsD(spark, dir))
       .select(col("vec_id").as("asset_id"), unit(e8raw).as("e"))
     // moment frames: coordinate sums and 8×8 Gram cells, decimal sums
     def coordSums(df: DataFrame, c: String) = df.filter(col(c).isNotNull)
