@@ -227,6 +227,9 @@ object ScaleProbe {
       // on-ingest CC twin: stream-static bucket join + per-edge state
       "stream_groups_monitor" ->
         (graft.streaming.DocStream.streamingGroupsMonitor _),
+      // constraint gate: scan-aggs + one anti join per fk — linear
+      "data_contract_audit" ->
+        (graft.operators.Contract.dataContractAudit _),
     )
 
     def time(fn: => Unit): Double = {

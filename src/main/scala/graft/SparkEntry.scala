@@ -425,6 +425,9 @@ object SparkEntry {
     "pseudonymize_customers" -> Relational.pseudonymizeCustomers _,
     // the capstone gate table: every pre-training check, one verdict row
     "training_readiness" -> graft.ext.Pipeline.trainingReadiness _,
+    // constraint gate: pk/fk/not-null/domain verdicts per named check
+    "data_contract_audit" ->
+      (graft.operators.Contract.dataContractAudit _),
     // the per-ingest-batch form: standing state + delta screens; same
     // oracle object as the batch gate (monitor discipline)
     "training_readiness_delta" ->
@@ -775,6 +778,8 @@ object SparkEntry {
     "tombstone_purge_audit" -> Relational.tombstonePurgeAuditOracle,
     "pseudonymize_customers" -> Relational.pseudonymizeCustomersOracle,
     "training_readiness" -> graft.ext.Pipeline.trainingReadinessOracle,
+    "data_contract_audit" ->
+      graft.operators.Contract.dataContractAuditOracle,
     "training_readiness_delta" ->
       graft.ext.Pipeline.trainingReadinessOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,

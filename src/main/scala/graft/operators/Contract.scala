@@ -1,0 +1,167 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Data-contract audit — the constraint gate a lake pipeline runs
+  * before any analytics or curation touches a drop: primary-key
+  * uniqueness, referential integrity, not-null, and domain checks
+  * across every fixture table, one verdict row per named check (the
+  * dbt-test / expectation-suite verb).
+  *
+  * Scale shape: every row-local check (pk / not-null / domain) is one
+  * scan-aggregate with map-side partials — violation counting costs
+  * what the scan costs; every referential check is ONE left-anti hash
+  * join from the child's key projection against the parent's distinct
+  * key (keyed shuffle, broadcast when the parent is dimension-sized —
+  * AQE's call), so nothing is ever pairwise and the audit
+  * parallelizes like the underlying tables. All outputs are exact
+  * integer counts — no float surface anywhere, so the report is
+  * hash-stable by construction.
+  *
+  * Null semantics are pinned: a NULL never satisfies a domain
+  * predicate, so it counts as a violation of the domain check (the
+  * CASE WHEN <pred> THEN 0 ELSE 1 form, identical in both engines);
+  * referential checks audit non-null child keys only (the not-null
+  * checks own the nulls); composite-key uniqueness counts distinct
+  * key TUPLES (struct/ROW in both engines). */
+object Contract {
+
+  def dataContractAudit(spark: SparkSession, dir: String): DataFrame = {
+    def report(id: String, table: String, agg: DataFrame): DataFrame =
+      agg.select(lit(id).as("check_id"), lit(table).as("table_name"),
+        col("n_checked").cast("long").as("n_checked"),
+        col("n_violations").cast("long").as("n_violations"),
+        (col("n_violations") === 0).as("pass"))
+
+    // pk: duplicate mass = rows − distinct key tuples
+    def pk(id: String, table: String, df: DataFrame, keys: String*): DataFrame =
+      report(id, table, df.agg(count(lit(1)).as("n_checked"),
+        (count(lit(1)) - countDistinct(struct(keys.map(col): _*)))
+          .as("n_violations")))
+
+    // fk: orphaned non-null child keys (one anti join vs distinct parent)
+    def fk(id: String, table: String, child: DataFrame, key: String,
+           parent: DataFrame, pkey: String): DataFrame = {
+      val c = child.select(col(key)).filter(col(key).isNotNull)
+      val orphans = c
+        .join(parent.select(col(pkey).as(key)).distinct(), Seq(key), "left_anti")
+        .agg(count(lit(1)).as("n_violations"))
+      report(id, table, c.agg(count(lit(1)).as("n_checked"))
+        .crossJoin(broadcast(orphans))) // 1-row agg: BNLJ, never cartesian
+    }
+
+    // domain / not-null: NULL fails the predicate ⇒ counts as violation
+    def dom(id: String, table: String, df: DataFrame, ok: Column): DataFrame =
+      report(id, table, df.agg(count(lit(1)).as("n_checked"),
+        coalesce(sum(when(ok, 0L).otherwise(1L)), lit(0L)).as("n_violations")))
+
+    val cu = Tables.customer(spark, dir); val or = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir); val pa = Tables.part(spark, dir)
+    val su = Tables.supplier(spark, dir); val na = Tables.nation(spark, dir)
+    val re = Tables.region(spark, dir); val dc = Tables.documents(spark, dir)
+    val em = Tables.embeddings(spark, dir); val ev = Tables.events(spark, dir)
+
+    Seq(
+      pk("pk_customer", "customer", cu, "c_custkey"),
+      pk("pk_orders", "orders", or, "o_orderkey"),
+      pk("pk_lineitem", "lineitem", li, "l_orderkey", "l_linenumber"),
+      pk("pk_part", "part", pa, "p_partkey"),
+      pk("pk_supplier", "supplier", su, "s_suppkey"),
+      pk("pk_nation", "nation", na, "n_nationkey"),
+      pk("pk_region", "region", re, "r_regionkey"),
+      pk("pk_documents", "documents", dc, "doc_id"),
+      pk("pk_embeddings", "embeddings", em, "vec_id"),
+      pk("pk_events", "events", ev, "event_id"),
+      fk("fk_lineitem_orders", "lineitem", li, "l_orderkey", or, "o_orderkey"),
+      fk("fk_lineitem_part", "lineitem", li, "l_partkey", pa, "p_partkey"),
+      fk("fk_lineitem_supplier", "lineitem", li, "l_suppkey", su, "s_suppkey"),
+      fk("fk_orders_customer", "orders", or, "o_custkey", cu, "c_custkey"),
+      fk("fk_customer_nation", "customer", cu, "c_nationkey", na, "n_nationkey"),
+      fk("fk_supplier_nation", "supplier", su, "s_nationkey", na, "n_nationkey"),
+      fk("fk_nation_region", "nation", na, "n_regionkey", re, "r_regionkey"),
+      fk("fk_embeddings_documents", "embeddings", em, "vec_id", dc, "doc_id"),
+      dom("nn_orders_custkey", "orders", or, col("o_custkey").isNotNull),
+      dom("nn_events_ts", "events", ev, col("ts").isNotNull),
+      dom("nn_documents_text", "documents", dc, col("text").isNotNull),
+      dom("dom_lineitem_quantity", "lineitem", li, col("l_quantity") > 0),
+      dom("dom_lineitem_discount", "lineitem", li,
+        col("l_discount") >= 0 && col("l_discount") <= 1),
+      dom("dom_lineitem_returnflag", "lineitem", li,
+        col("l_returnflag").isin("A", "N", "R")),
+      dom("dom_orders_status", "orders", or,
+        col("o_orderstatus").isin("F", "O", "P")),
+      dom("dom_orders_totalprice", "orders", or, col("o_totalprice") > 0),
+      dom("dom_documents_nchars", "documents", dc,
+        col("n_chars") === length(col("text"))),
+      dom("dom_events_type", "events", ev,
+        col("event_type").isNotNull && length(col("event_type")) > 0))
+      .reduce(_ unionByName _)
+      .orderBy("check_id")
+  }
+
+  def dataContractAuditOracle: String = {
+    def pk(id: String, table: String, keys: String*): String = {
+      val tup =
+        if (keys.length == 1) keys.head else keys.mkString("ROW(", ", ", ")")
+      s"""SELECT '$id' AS check_id, '$table' AS table_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_checked,
+         |  CAST(COUNT(*) - COUNT(DISTINCT $tup) AS BIGINT) AS n_violations
+         |FROM $table""".stripMargin
+    }
+    def fk(id: String, table: String, key: String,
+           parent: String, pkey: String): String =
+      s"""SELECT '$id', '$table',
+         |  CAST((SELECT COUNT(*) FROM $table WHERE $key IS NOT NULL) AS BIGINT),
+         |  CAST((SELECT COUNT(*) FROM $table
+         |        WHERE $key IS NOT NULL
+         |          AND $key NOT IN (SELECT $pkey FROM $parent)) AS BIGINT)""".stripMargin
+    def dom(id: String, table: String, ok: String): String =
+      s"""SELECT '$id', '$table', CAST(COUNT(*) AS BIGINT),
+         |  CAST(COALESCE(SUM(CASE WHEN $ok THEN 0 ELSE 1 END), 0) AS BIGINT)
+         |FROM $table""".stripMargin
+    val rows = Seq(
+      pk("pk_customer", "customer", "c_custkey"),
+      pk("pk_orders", "orders", "o_orderkey"),
+      pk("pk_lineitem", "lineitem", "l_orderkey", "l_linenumber"),
+      pk("pk_part", "part", "p_partkey"),
+      pk("pk_supplier", "supplier", "s_suppkey"),
+      pk("pk_nation", "nation", "n_nationkey"),
+      pk("pk_region", "region", "r_regionkey"),
+      pk("pk_documents", "documents", "doc_id"),
+      pk("pk_embeddings", "embeddings", "vec_id"),
+      pk("pk_events", "events", "event_id"),
+      fk("fk_lineitem_orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      fk("fk_lineitem_part", "lineitem", "l_partkey", "part", "p_partkey"),
+      fk("fk_lineitem_supplier", "lineitem", "l_suppkey",
+        "supplier", "s_suppkey"),
+      fk("fk_orders_customer", "orders", "o_custkey", "customer", "c_custkey"),
+      fk("fk_customer_nation", "customer", "c_nationkey",
+        "nation", "n_nationkey"),
+      fk("fk_supplier_nation", "supplier", "s_nationkey",
+        "nation", "n_nationkey"),
+      fk("fk_nation_region", "nation", "n_regionkey", "region", "r_regionkey"),
+      fk("fk_embeddings_documents", "embeddings", "vec_id",
+        "documents", "doc_id"),
+      dom("nn_orders_custkey", "orders", "o_custkey IS NOT NULL"),
+      dom("nn_events_ts", "events", "ts IS NOT NULL"),
+      dom("nn_documents_text", "documents", "text IS NOT NULL"),
+      dom("dom_lineitem_quantity", "lineitem", "l_quantity > 0"),
+      dom("dom_lineitem_discount", "lineitem",
+        "l_discount >= 0 AND l_discount <= 1"),
+      dom("dom_lineitem_returnflag", "lineitem",
+        "l_returnflag IN ('A', 'N', 'R')"),
+      dom("dom_orders_status", "orders", "o_orderstatus IN ('F', 'O', 'P')"),
+      dom("dom_orders_totalprice", "orders", "o_totalprice > 0"),
+      dom("dom_documents_nchars", "documents", "n_chars = length(text)"),
+      dom("dom_events_type", "events",
+        "event_type IS NOT NULL AND length(event_type) > 0"))
+    s"""SELECT check_id, table_name, n_checked, n_violations,
+       |  n_violations = 0 AS pass
+       |FROM (${rows.mkString("\n", "\nUNION ALL\n", "\n")}) c(check_id,
+       |  table_name, n_checked, n_violations)
+       |ORDER BY check_id""".stripMargin
+  }
+}
