@@ -230,6 +230,9 @@ object ScaleProbe {
       // constraint gate: scan-aggs + one anti join per fk — linear
       "data_contract_audit" ->
         (graft.operators.Contract.dataContractAudit _),
+      // one scan into a 9-cell aggregate — wordcount shape
+      "benford_totalprice" ->
+        (graft.operators.Contract.benfordTotalprice _),
     )
 
     def time(fn: => Unit): Double = {

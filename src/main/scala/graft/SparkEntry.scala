@@ -428,6 +428,8 @@ object SparkEntry {
     // constraint gate: pk/fk/not-null/domain verdicts per named check
     "data_contract_audit" ->
       (graft.operators.Contract.dataContractAudit _),
+    "benford_totalprice" ->
+      (graft.operators.Contract.benfordTotalprice _),
     // the per-ingest-batch form: standing state + delta screens; same
     // oracle object as the batch gate (monitor discipline)
     "training_readiness_delta" ->
@@ -780,6 +782,8 @@ object SparkEntry {
     "training_readiness" -> graft.ext.Pipeline.trainingReadinessOracle,
     "data_contract_audit" ->
       graft.operators.Contract.dataContractAuditOracle,
+    "benford_totalprice" ->
+      graft.operators.Contract.benfordTotalpriceOracle,
     "training_readiness_delta" ->
       graft.ext.Pipeline.trainingReadinessOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,

@@ -102,6 +102,69 @@ object Contract {
       .orderBy("check_id")
   }
 
+  /** Benford first-digit audit over order totals — the numeric-
+    * integrity screen for fabricated or truncated monetary data:
+    * observed first-digit shares vs Benford's log₁₀(1 + 1/d), with
+    * per-digit chi-square contributions. Digit extraction is pinned
+    * engine-identical: round the double to an INTEGER (both engines
+    * round positive halves up), then take the first character of the
+    * integer's decimal string — no log10-of-double boundary risk, no
+    * double→string formatting ambiguity. The expected shares are ONE
+    * set of constants computed here and interpolated into both the
+    * Column expressions and the oracle SQL, so they cannot drift.
+    * Cost: one scan into a 9-cell hash aggregate; the 9-row digit
+    * grid is broadcast for densification (an absent digit is a
+    * 0-count row, not a missing row). */
+  def benfordTotalprice(spark: SparkSession, dir: String): DataFrame = {
+    val digits = spark.range(1, 10).select(col("id").as("digit"))
+    val counts = Tables.orders(spark, dir)
+      .select(substring(round(col("o_totalprice"), 0).cast("long")
+        .cast("string"), 1, 1).cast("long").as("digit"))
+      .groupBy("digit").agg(count(lit(1)).as("n_orders"))
+    val total = counts.agg(sum(col("n_orders")).as("n_total"))
+    digits.join(counts, Seq("digit"), "left")
+      .select(col("digit"), coalesce(col("n_orders"), lit(0L)).as("n_orders"))
+      .crossJoin(broadcast(total)) // 1-row total: BNLJ, never cartesian
+      .withColumn("expected_p", benfordExpected)
+      .select(col("digit"), col("n_orders"),
+        round(col("n_orders").cast("double") / col("n_total"), 6)
+          .as("observed_p"),
+        col("expected_p"),
+        round(pow(col("n_orders") - col("expected_p") * col("n_total"), 2) /
+          (col("expected_p") * col("n_total")), 6).as("chi2_term"))
+      .orderBy("digit")
+  }
+
+  /** log₁₀(1 + 1/d) rounded to 6, as a CASE over the digit — the ONE
+    * constant table both engines read (see [[benfordExpectedSql]]). */
+  private def benfordExpected: Column =
+    (1 to 9).foldLeft(lit(null).cast("double")) { (acc, d) =>
+      when(col("digit") === d, lit(benfordP(d))).otherwise(acc)
+    }
+  private def benfordP(d: Int): Double =
+    BigDecimal(math.log10(1.0 + 1.0 / d))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+  private def benfordExpectedSql: String =
+    (1 to 9).map(d => s"WHEN $d THEN ${benfordP(d)}")
+      .mkString("CASE digit ", " ", " END")
+
+  def benfordTotalpriceOracle: String =
+    s"""WITH c AS (SELECT CAST(substr(CAST(CAST(round(o_totalprice, 0)
+       |      AS BIGINT) AS VARCHAR), 1, 1) AS BIGINT) AS digit,
+       |    CAST(COUNT(*) AS BIGINT) AS n_orders
+       |  FROM orders GROUP BY 1),
+       |g AS (SELECT unnest(range(1, 10)) AS digit),
+       |t AS (SELECT CAST(SUM(n_orders) AS BIGINT) AS n_total FROM c),
+       |d AS (SELECT g.digit, COALESCE(c.n_orders, 0) AS n_orders,
+       |    $benfordExpectedSql AS expected_p
+       |  FROM g LEFT JOIN c USING (digit))
+       |SELECT digit, n_orders,
+       |  round(CAST(n_orders AS DOUBLE) / n_total, 6) AS observed_p,
+       |  expected_p,
+       |  round(pow(n_orders - expected_p * n_total, 2) /
+       |    (expected_p * n_total), 6) AS chi2_term
+       |FROM d, t ORDER BY digit""".stripMargin
+
   def dataContractAuditOracle: String = {
     def pk(id: String, table: String, keys: String*): String = {
       val tup =
