@@ -1850,33 +1850,6 @@ object Dedup {
       (pairs, labels)
     }
 
-  /** Incremental duplicate-group maintenance — the daily-gate form of
-    * [[duplicateGroups]]: fold today's delta batch (doc_id ≡
-    * DeltaMod−1, the same slice [[incrementalDedup]] screens) into the
-    * STANDING base-corpus group labels instead of re-resolving
-    * connected components over the whole lake. Steps, each bounded by
-    * the delta:
-    *   1. delta-touching edges, filtered from the standing pair store
-    *      (production: band only the delta against the standing
-    *      signature table — new edges, never a corpus re-pair);
-    *   2. contract base endpoints through their standing labels — the
-    *      semi join keeps only TOUCHED standing groups, so what gets
-    *      broadcast is |touched groups|, never the standing table;
-    *   3. resolve the contracted graph — delta docs + touched group
-    *      reps, O(|delta edges|) state — via [[componentLabels]];
-    *   4. re-canonicalize ONLY touched components: a broadcast remap
-    *      of moved group labels joined onto the standing table;
-    *      untouched components are never read by any iterative step.
-    * Output per doc: (doc_id, group_id, is_delta, moved) — `moved`
-    * marks exactly the re-canonicalized rows, the audit column that
-    * shows how little of the corpus a daily fold touches. Labels are
-    * identical to from-scratch [[duplicateGroups]] (provably — see
-    * [[standingDedupState]]); the oracle recomputes both resolutions
-    * independently and checks the `moved` delta too. At 100 TB the
-    * only corpus-sized work left on this path is the final label
-    * assembly — hash joins against broadcast remaps — while the 29 s
-    * corpus-wide CC re-resolution the batch gate pays (SCALE.md 100×
-    * sweep) drops out entirely. */
   /** ONE maintenance fold: union a batch of `deltaEdges` into a
     * `standing` endpoint-only label table and return the UPDATED
     * endpoint-only table — the next tick's standing state, so daily
@@ -1919,6 +1892,33 @@ object Dedup {
     updatedOld.unionByName(newRows)
   }
 
+  /** Incremental duplicate-group maintenance — the daily-gate form of
+    * [[duplicateGroups]]: fold today's delta batch (doc_id ≡
+    * DeltaMod−1, the same slice [[incrementalDedup]] screens) into the
+    * STANDING base-corpus group labels instead of re-resolving
+    * connected components over the whole lake. Steps, each bounded by
+    * the delta:
+    *   1. delta-touching edges, filtered from the standing pair store
+    *      (production: band only the delta against the standing
+    *      signature table — new edges, never a corpus re-pair);
+    *   2. contract base endpoints through their standing labels — the
+    *      semi join keeps only TOUCHED standing groups, so what gets
+    *      broadcast is |touched groups|, never the standing table;
+    *   3. resolve the contracted graph — delta docs + touched group
+    *      reps, O(|delta edges|) state — via [[componentLabels]];
+    *   4. re-canonicalize ONLY touched components: a broadcast remap
+    *      of moved group labels joined onto the standing table;
+    *      untouched components are never read by any iterative step.
+    * Output per doc: (doc_id, group_id, is_delta, moved) — `moved`
+    * marks exactly the re-canonicalized rows, the audit column that
+    * shows how little of the corpus a daily fold touches. Labels are
+    * identical to from-scratch [[duplicateGroups]] (provably — see
+    * [[standingDedupState]]); the oracle recomputes both resolutions
+    * independently and checks the `moved` delta too. At 100 TB the
+    * only corpus-sized work left on this path is the final label
+    * assembly — hash joins against broadcast remaps — while the 29 s
+    * corpus-wide CC re-resolution the batch gate pays (SCALE.md 100×
+    * sweep) drops out entirely. */
   def dedupGroupsDelta(spark: SparkSession, dir: String): DataFrame = {
     val (pairs, _) = standingDedupState(spark, dir)
     groupsDeltaReport(spark, dir,

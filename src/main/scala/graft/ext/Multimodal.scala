@@ -359,9 +359,13 @@ object Multimodal {
     // coordinate sums (sequential in-array folds), unit-normed
     val e8raw = transform(sequence(lit(0), lit(7)), j => {
       val d = size(col("v"))
-      val s = (j * d).cast("int") / 8
-      val e = ((j + lit(1)) * d).cast("int") / 8
-      aggregate(slice(col("v"), s.cast("int") + 1, (e - s).cast("int")),
+      // integer floor-division bounds (j*d and (j+1)*d are non-negative
+      // ints, so floor of the exact double quotient is the int quotient);
+      // slice length must be floor(e)−floor(s) — trunc(e−s) diverges for
+      // dims not divisible by 8 (d=12, j=1: 1 vs the correct 2)
+      val s = floor((j * d) / lit(8)).cast("int")
+      val e = floor(((j + lit(1)) * d) / lit(8)).cast("int")
+      aggregate(slice(col("v"), s + 1, e - s),
         lit(0.0), (acc, x) => acc + x)
     })
     // spread: the embeddings table is a single parquet split even at

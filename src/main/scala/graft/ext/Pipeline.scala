@@ -286,7 +286,11 @@ object Pipeline {
           TextAnalysis.qualityReason(col("text")) === "pass", 1L)
           .otherwise(0L)), lit(0L)),
         coalesce(sum(when(hasPiiCol, 1L).otherwise(0L)), lit(0L))).first()
+      // NULL-text docs hash to a NULL fingerprint; countDistinct (the
+      // batch gate and the shared oracle) skips NULLs, so the standing
+      // set must too or the delta gate diverges on NULL-text corpora
       val fpBase = base.select(md5(col("text")).as("fp"))
+        .filter(col("fp").isNotNull)
         .distinct().localCheckpoint()
       val ng = TextAnalysis.ngramArr(TextAnalysis.DecontamN)
       val evalNg = base.filter(col("source") === ev)
@@ -353,7 +357,8 @@ object Pipeline {
       (h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3))
     val n = st.nBase + nDelta
     val nTrain = st.nTrainBase + nTrainDelta
-    val newFp = delta.select(md5(col("text")).as("fp")).distinct()
+    val newFp = delta.select(md5(col("text")).as("fp"))
+      .filter(col("fp").isNotNull).distinct()
       .join(st.fpBase, Seq("fp"), "left_anti").count()
 
     // contamination, n-gram family
@@ -506,5 +511,110 @@ object Pipeline {
        |  CASE WHEN check_name = 'quality_pass_rate'
        |       THEN value >= threshold ELSE value <= threshold END AS pass
        |FROM rows ORDER BY check_name""".stripMargin
+  }
+
+  // ── delta-join IVM: a materialized JOIN view maintained per batch ──
+
+  /** The two slim keyed projections the maintained view joins — at
+    * lake scale these are the maintained tables themselves (fact keyed
+    * by order, dimension keyed by customer), not scans. */
+  private def ordersSlim(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+  private def custSlim(spark: SparkSession, dir: String): DataFrame =
+    Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+
+  /** Standing state of the join view: the materialized base view plus
+    * the two base sides it was built from (the delta-join algebra
+    * needs OLD sides, not current ones — folding ΔA against an
+    * already-updated B double-counts ΔA⋈ΔB). */
+  private[graft] final case class JoinViewState(
+      view: DataFrame, baseOrders: DataFrame, baseCust: DataFrame)
+
+  private val joinViewMemo = new graft.SessionDirMemo[JoinViewState]
+  private[graft] def resetJoinViewMemo(): Unit = joinViewMemo.reset()
+
+  /** The view definition — ONE place, shared by bootstrap and every
+    * fold term, so the maintained view cannot drift from its spec. */
+  private def enrichJoin(o: DataFrame, c: DataFrame): DataFrame =
+    o.join(c, col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey"), col("o_totalprice"))
+
+  private[graft] def joinViewState(spark: SparkSession,
+                                   dir: String): JoinViewState =
+    joinViewMemo.get(spark, dir) {
+      val bo = ordersSlim(spark, dir)
+        .filter(!isDeltaId(col("o_orderkey"))).localCheckpoint()
+      val bc = custSlim(spark, dir)
+        .filter(!isDeltaId(col("c_custkey"))).localCheckpoint()
+      JoinViewState(enrichJoin(bo, bc).localCheckpoint(), bo, bc)
+    }
+
+  /** ONE maintenance tick of the classic delta-join algebra for
+    * insert-only deltas on BOTH sides:
+    *
+    *   Δ(A⋈B) = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB
+    *
+    * Returns the UPDATED state (view ∪ ΔV, sides ∪ deltas) so ticks
+    * COMPOSE — ExtSpec proves K sequential folds equal the one-shot
+    * join, which holds because the three terms tile A_new⋈B_new −
+    * A_old⋈B_old exactly (the sides are disjoint by the delta split).
+    * Cost shape at 100 TB: every term is delta-bounded on at least one
+    * side — ΔA⋈B_old and A_old⋈ΔB broadcast the delta against the
+    * maintained (bucketed) base table, ΔA⋈ΔB is delta×delta; the
+    * standing view is APPENDED, never rebuilt, so the tick is
+    * O(|Δ| + |Δ-matched rows|) while the from-scratch refresh pays the
+    * full fact-scan join every day. */
+  private[graft] def foldJoinDelta(st: JoinViewState,
+                                   dO: DataFrame, dC: DataFrame): JoinViewState = {
+    val dv = enrichJoin(broadcast(dO), st.baseCust)
+      .unionByName(enrichJoin(st.baseOrders, broadcast(dC)))
+      .unionByName(enrichJoin(broadcast(dO), broadcast(dC)))
+    JoinViewState(st.view.unionByName(dv),
+      st.baseOrders.unionByName(dO), st.baseCust.unionByName(dC))
+  }
+
+  /** Incremental maintenance of a materialized JOIN view — the one
+    * incremental shape production lakes run daily that the aggregate
+    * ([[graft.operators.Relational.ivmPriorityRevenue]]), CC
+    * ([[graft.ext.Dedup.dedupGroupsDelta]]) and gate
+    * ([[trainingReadinessDelta]]) forms don't cover: orders enriched
+    * by customer attributes, maintained under an ingest batch that
+    * lands rows in BOTH the fact and the dimension (key ≡
+    * DeltaMod−1, the standing delta discipline). The standing view is
+    * memoized per (session, corpus) like the other standing states;
+    * the tick is [[foldJoinDelta]]. `src` attributes every row to its
+    * algebra term (standing / ΔA⋈B / A⋈ΔB / ΔA⋈ΔB) — recomputed from
+    * the keys, so the oracle checks term attribution too. The oracle
+    * is the from-scratch join of the FULL tables: fold result ≡
+    * re-derivation, the monitor discipline. */
+  def ivmJoinEnriched(spark: SparkSession, dir: String): DataFrame = {
+    val st = joinViewState(spark, dir)
+    val dO = ordersSlim(spark, dir).filter(isDeltaId(col("o_orderkey")))
+    val dC = custSlim(spark, dir).filter(isDeltaId(col("c_custkey")))
+    foldJoinDelta(st, dO, dC).view
+      .select(col("o_orderkey"), col("c_custkey"),
+        col("c_mktsegment"), col("c_nationkey"), col("o_totalprice"),
+        when(isDeltaId(col("o_orderkey")) && isDeltaId(col("c_custkey")),
+          lit("delta_both"))
+          .when(isDeltaId(col("o_orderkey")), lit("delta_fact"))
+          .when(isDeltaId(col("c_custkey")), lit("delta_dim"))
+          .otherwise(lit("standing")).as("src"))
+      .orderBy("o_orderkey")
+  }
+
+  def ivmJoinEnrichedOracle: String = {
+    val m = Dedup.DeltaMod
+    s"""SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, c.c_nationkey,
+       |  o.o_totalprice,
+       |  CASE WHEN o.o_orderkey % $m = ${m - 1}
+       |        AND c.c_custkey % $m = ${m - 1} THEN 'delta_both'
+       |       WHEN o.o_orderkey % $m = ${m - 1} THEN 'delta_fact'
+       |       WHEN c.c_custkey % $m = ${m - 1} THEN 'delta_dim'
+       |       ELSE 'standing' END AS src
+       |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+       |ORDER BY o.o_orderkey""".stripMargin
   }
 }

@@ -178,9 +178,10 @@ object Contract {
            parent: String, pkey: String): String =
       s"""SELECT '$id', '$table',
          |  CAST((SELECT COUNT(*) FROM $table WHERE $key IS NOT NULL) AS BIGINT),
-         |  CAST((SELECT COUNT(*) FROM $table
-         |        WHERE $key IS NOT NULL
-         |          AND $key NOT IN (SELECT $pkey FROM $parent)) AS BIGINT)""".stripMargin
+         |  CAST((SELECT COUNT(*) FROM $table c
+         |        WHERE c.$key IS NOT NULL
+         |          AND NOT EXISTS (SELECT 1 FROM $parent p
+         |                          WHERE p.$pkey = c.$key)) AS BIGINT)""".stripMargin
     def dom(id: String, table: String, ok: String): String =
       s"""SELECT '$id', '$table', CAST(COUNT(*) AS BIGINT),
          |  CAST(COALESCE(SUM(CASE WHEN $ok THEN 0 ELSE 1 END), 0) AS BIGINT)
