@@ -107,6 +107,11 @@ object ScaleProbe {
       // + the one full-corpus encode; ivfpq composes routing + ADC
       "pq_codes" -> (graft.ext.Similarity.pqCodes _),
       "sim_ann_ivfpq" -> (graft.ext.Similarity.annIvfPq _),
+      // round-9: the serving-path re-rank — adds one candidate-bounded
+      // exact join on top of ivfpq; growth should track ivfpq itself
+      "sim_ann_ivfpq_refine" -> (graft.ext.Similarity.annIvfPqRefine _),
+      // ANN-audited kNN: IVF routing + bounded panel join
+      "knn_audit_ann" -> (graft.ext.Learn.knnAuditAnn _),
       "trend_robust" -> (graft.operators.TimeSeries.trendRobust _),
       "ivf_recall_sweep" -> ((s, d) => graft.ext.Similarity.ivfRecallSweep(s, d)),
       "shuffle_skew_audit" -> (graft.operators.Relational.shuffleSkewAudit _),
@@ -227,6 +232,11 @@ object ScaleProbe {
       // on-ingest CC twin: stream-static bucket join + per-edge state
       "stream_groups_monitor" ->
         (graft.streaming.DocStream.streamingGroupsMonitor _),
+      // round-9: delta-join IVM — cold pays bootstrap (the base join)
+      // + fold; the _fold form is the real tick: three delta-bounded
+      // join terms appended to the standing view, O(|delta|)
+      "ivm_join_enriched" -> (graft.ext.Pipeline.ivmJoinEnriched _),
+      "ivm_join_enriched_fold" -> (graft.ext.Pipeline.ivmJoinEnriched _),
       // constraint gate: scan-aggs + one anti join per fk — linear
       "data_contract_audit" ->
         (graft.operators.Contract.dataContractAudit _),
@@ -252,12 +262,17 @@ object ScaleProbe {
         // standing pair/label/gram-index tables are loaded, not
         // rebuilt — warm them untimed (bootstrap), then time the
         // fold-only path
-        graft.ext.Dedup.standingDedupState(spark, dir)
-        if (name.startsWith("training_readiness"))
-          graft.ext.Pipeline.readyState(spark, dir)
+        if (name.startsWith("ivm_join"))
+          graft.ext.Pipeline.joinViewState(spark, dir)
+        else {
+          graft.ext.Dedup.standingDedupState(spark, dir)
+          if (name.startsWith("training_readiness"))
+            graft.ext.Pipeline.readyState(spark, dir)
+        }
       } else {
         graft.ext.Dedup.resetStandingStateMemo()
         graft.ext.Pipeline.resetReadyStateMemo()
+        graft.ext.Pipeline.resetJoinViewMemo()
       }
       time(fn(spark, dir).write.format("noop").mode("overwrite").save())
     }

@@ -215,6 +215,9 @@ object SparkEntry {
     "pq_codes" -> Similarity.pqCodes _,
     "sim_ann_pq" -> Similarity.annPq _,
     "sim_ann_ivfpq" -> Similarity.annIvfPq _,
+    // the re-rank stage that RECOVERS the recall ivfpq loses: exact
+    // re-scoring of the ADC top-k·4 pool (candidate-bounded join)
+    "sim_ann_ivfpq_refine" -> Similarity.annIvfPqRefine _,
     "rrf_fusion" -> Similarity.rrfFusion _,
     "frame_sample" -> Multimodal.frameSample _,
     "vocab_coverage" -> TextAnalysis.vocabCoverage _,
@@ -434,6 +437,9 @@ object SparkEntry {
     // oracle object as the batch gate (monitor discipline)
     "training_readiness_delta" ->
       (graft.ext.Pipeline.trainingReadinessDelta _),
+    // delta-join IVM: materialized join view folded under a two-sided
+    // delta batch (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB); oracle = from-scratch join
+    "ivm_join_enriched" -> (graft.ext.Pipeline.ivmJoinEnriched _),
     // keyframe segmentation: adjacent-frame perceptual distance
     "frame_scene_cuts" -> Dedup.frameSceneCuts _,
     // PSI feature-drift gate between the stream's time halves
@@ -629,6 +635,7 @@ object SparkEntry {
     "pq_codes" -> Similarity.pqCodesOracle,
     "sim_ann_pq" -> Similarity.annPqOracle,
     "sim_ann_ivfpq" -> Similarity.annIvfPqOracle,
+    "sim_ann_ivfpq_refine" -> Similarity.annIvfPqRefineOracle,
     "rrf_fusion" -> Similarity.rrfFusionOracle,
     "frame_sample" -> Multimodal.frameSampleOracle,
     "vocab_coverage" -> TextAnalysis.vocabCoverageOracle,
@@ -786,6 +793,7 @@ object SparkEntry {
       graft.operators.Contract.benfordTotalpriceOracle,
     "training_readiness_delta" ->
       graft.ext.Pipeline.trainingReadinessOracle,
+    "ivm_join_enriched" -> graft.ext.Pipeline.ivmJoinEnrichedOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,
     "psi_value_drift" -> EventOps.psiValueDriftOracle,
     "ks_value_drift" -> EventOps.ksValueDriftOracle,

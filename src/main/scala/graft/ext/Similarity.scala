@@ -2562,7 +2562,12 @@ object Similarity {
     * Both approximation losses (routing misses + quantization error)
     * land in this one number — the acceptance gate a serving deploy
     * reads. */
-  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+  /** The shared IVF-PQ serving scan: ADC inner-product scores for
+    * every (query, routed candidate) pair — [[annIvfPq]] takes its
+    * top-k directly, [[annIvfPqRefine]] takes a wider pool and
+    * re-ranks it exactly. One definition so the two stages cannot
+    * diverge on routing or quantization. */
+  private def ivfPqAdcScored(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     val assign = withAssignments(spark, dir).localCheckpoint()
@@ -2593,35 +2598,50 @@ object Similarity {
       .join(broadcast(cb), Seq("sub"))
       .select(col("query_id"), col("sub"), col("code"),
         round(dot(col("qx"), col("cv")), 9).as("pd"))
-    val scored = cand.join(enc, Seq("vec_id"))
+    cand.join(enc, Seq("vec_id"))
       .join(broadcast(lut), Seq("query_id", "sub", "code"))
       .groupBy("query_id", "vec_id")
       .agg(round(sum(col("pd").cast(DecimalType(28, 12))).cast("double"), 6)
         .as("cos_sim")) // approximate inner product, ranked like a score
       .select(col("query_id"), col("vec_id").as("neighbor_id"), col("cos_sim"))
-    val ann = topKPerQuery(scored, PqTopK)
-      .withColumnRenamed("cos_sim", "adc_ip")
-    // exact arm: full-precision inner-product top-k over the WHOLE
-    // corpus (not just probed lists) — the ground truth both losses
-    // are measured against
+  }
+
+  /** Exact full-precision inner-product top-k over the WHOLE corpus
+    * for the PQ query set — the ground truth every IVF-PQ recall
+    * number is measured against (query-set-bounded: broadcast queries
+    * × one corpus scan). */
+  private def ivfPqExactTopK(spark: SparkSession, dir: String): DataFrame = {
     val e = embeddingsD(spark, dir).select(col("vec_id"), col("v"))
     val q = e
       .filter(col("vec_id") >= QueryBase &&
         col("vec_id") < QueryBase + PqNumQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"))
-    val exact = topKPerQuery(
+    topKPerQuery(
       spread(e).join(broadcast(q), col("vec_id") =!= col("query_id"))
         .select(col("query_id"), col("vec_id").as("neighbor_id"),
           round(dot(col("qv"), col("v")), 6).as("cos_sim")),
       PqTopK).select(col("query_id"), col("neighbor_id"))
+  }
+
+  def annIvfPq(spark: SparkSession, dir: String): DataFrame = {
+    val scored = ivfPqAdcScored(spark, dir)
+    val ann = topKPerQuery(scored, PqTopK)
+      .withColumnRenamed("cos_sim", "adc_ip")
+    // exact arm: the ground truth both losses are measured against
+    val exact = ivfPqExactTopK(spark, dir)
     val rate = ann.join(exact, Seq("query_id", "neighbor_id"))
       .agg(round(count(lit(1)).cast("double")
         / lit(PqNumQueries * PqTopK), 6).as("recall_at_k"))
     ann.crossJoin(broadcast(rate)).orderBy("query_id", "rk")
   }
 
-  def annIvfPqOracle: String =
-    s"""WITH $ivfCommonSql,
+  /** The oracle CTE chain shared by [[annIvfPqOracle]] and
+    * [[annIvfPqRefineOracle]]: IVF routing + PQ encoding + ADC
+    * `scored` (query_id, neighbor_id, adc_ip) and the exact
+    * full-corpus ground truth `exact` — one definition, two oracles,
+    * mirroring the Scala-side split. */
+  private def ivfPqScoredSql: String =
+    s"""$ivfCommonSql,
        |${pqCommonSqlP("p")},
        |penc AS (SELECT vec_id, sub, code FROM pfin WHERE rk = 1),
        |mem AS (SELECT list_id, vec_id FROM scoredc WHERE probe_rank = 1),
@@ -2641,10 +2661,6 @@ object Similarity {
        |  JOIN lut l ON l.query_id = cd.query_id AND l.sub = pe2.sub
        |   AND l.code = pe2.code
        |  GROUP BY 1, 2),
-       |ann AS (SELECT query_id, neighbor_id, adc_ip, CAST(rk AS BIGINT) AS rk
-       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
-       |      ORDER BY adc_ip DESC, neighbor_id) AS rk FROM scored) t
-       |  WHERE rk <= $PqTopK),
        |exact AS (SELECT query_id, neighbor_id FROM (
        |    SELECT q.vec_id AS query_id, x.vec_id AS neighbor_id,
        |      row_number() OVER (PARTITION BY q.vec_id
@@ -2652,6 +2668,13 @@ object Similarity {
        |    FROM e q JOIN e x ON x.vec_id <> q.vec_id
        |    WHERE q.vec_id >= $QueryBase
        |      AND q.vec_id < ${QueryBase + PqNumQueries}) t
+       |  WHERE rk <= $PqTopK)""".stripMargin
+
+  def annIvfPqOracle: String =
+    s"""WITH $ivfPqScoredSql,
+       |ann AS (SELECT query_id, neighbor_id, adc_ip, CAST(rk AS BIGINT) AS rk
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_ip DESC, neighbor_id) AS rk FROM scored) t
        |  WHERE rk <= $PqTopK),
        |rate AS (SELECT round(CAST(COUNT(*) AS DOUBLE)
        |      / ${PqNumQueries * PqTopK}, 6) AS recall_at_k
@@ -2659,4 +2682,82 @@ object Similarity {
        |    ON a.query_id = ex.query_id AND a.neighbor_id = ex.neighbor_id)
        |SELECT a.query_id, a.neighbor_id, a.adc_ip, a.rk, rate.recall_at_k
        |FROM ann a, rate ORDER BY a.query_id, a.rk""".stripMargin
+
+  /** Candidates the refine stage re-ranks per query: [[PqTopK]] ×
+    * this. The FAISS-shape knob — wide enough to recover routing-
+    * survivable quantization misses, narrow enough that the exact
+    * re-scoring join stays candidate-bounded. */
+  val RefineMult = 4
+
+  /** The ANN refine (re-rank) stage — the standard serving fix for
+    * the recall [[annIvfPq]] proves quantization costs: take the ADC
+    * top-k·[[RefineMult]] pool, re-score JUST those candidates with
+    * exact full-precision vectors (one keyed join back to the corpus
+    * — |queries|×k·m lookups, never a scan), and emit the exact-
+    * re-ranked top-k. `recall_adc` (the unrefined operating point)
+    * and `recall_refined` ride on every row against the SAME exact
+    * ground truth; refined ≥ adc holds by construction — every ADC
+    * top-k hit is in the pool, and exact re-scoring can only move
+    * true neighbors UP within it (AnnSpec asserts it, the oracle
+    * recomputes both). At 100 TB the pool join is the only work this
+    * stage adds: candidate-bounded, broadcast on the pool side. */
+  def annIvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
+    val pool = topKPerQuery(ivfPqAdcScored(spark, dir),
+      PqTopK * RefineMult).localCheckpoint()
+    val e = embeddingsD(spark, dir).select(col("vec_id"), col("v"))
+    val q = e
+      .filter(col("vec_id") >= QueryBase &&
+        col("vec_id") < QueryBase + PqNumQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    // exact re-scoring of the pool only: broadcast the (queries×k·m)-
+    // row candidate list against the keyed corpus — one scan, output
+    // candidate-bounded
+    val rescored = e.withColumnRenamed("vec_id", "neighbor_id")
+      .join(broadcast(pool.select(col("query_id"), col("neighbor_id"))),
+        Seq("neighbor_id"))
+      .join(broadcast(q), Seq("query_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("v")), 6).as("cos_sim"))
+    val refined = topKPerQuery(rescored, PqTopK)
+      .withColumnRenamed("cos_sim", "exact_ip")
+    val exact = ivfPqExactTopK(spark, dir)
+    def rate(df: DataFrame, nm: String) =
+      df.select(col("query_id"), col("neighbor_id"))
+        .join(exact, Seq("query_id", "neighbor_id"))
+        .agg(round(count(lit(1)).cast("double")
+          / lit(PqNumQueries * PqTopK), 6).as(nm))
+    val rAdc = rate(pool.filter(col("rk") <= PqTopK), "recall_adc")
+    val rRef = rate(refined, "recall_refined")
+    refined.crossJoin(broadcast(rAdc)).crossJoin(broadcast(rRef))
+      .orderBy("query_id", "rk")
+  }
+
+  def annIvfPqRefineOracle: String =
+    s"""WITH $ivfPqScoredSql,
+       |pool AS (SELECT query_id, neighbor_id, rk
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY adc_ip DESC, neighbor_id) AS rk FROM scored) t
+       |  WHERE rk <= ${PqTopK * RefineMult}),
+       |resc AS (SELECT p.query_id, p.neighbor_id,
+       |    round(list_dot_product(q.v, x.v), 6) AS exact_ip
+       |  FROM pool p JOIN e q ON q.vec_id = p.query_id
+       |  JOIN e x ON x.vec_id = p.neighbor_id),
+       |refined AS (SELECT query_id, neighbor_id, exact_ip,
+       |    CAST(rk AS BIGINT) AS rk
+       |  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |      ORDER BY exact_ip DESC, neighbor_id) AS rk FROM resc) t
+       |  WHERE rk <= $PqTopK),
+       |radc AS (SELECT round(CAST(COUNT(*) AS DOUBLE)
+       |      / ${PqNumQueries * PqTopK}, 6) AS recall_adc
+       |  FROM (SELECT query_id, neighbor_id FROM pool
+       |        WHERE rk <= $PqTopK) a
+       |  JOIN exact ex ON a.query_id = ex.query_id
+       |   AND a.neighbor_id = ex.neighbor_id),
+       |rref AS (SELECT round(CAST(COUNT(*) AS DOUBLE)
+       |      / ${PqNumQueries * PqTopK}, 6) AS recall_refined
+       |  FROM refined a JOIN exact ex ON a.query_id = ex.query_id
+       |   AND a.neighbor_id = ex.neighbor_id)
+       |SELECT r.query_id, r.neighbor_id, r.exact_ip, r.rk,
+       |  radc.recall_adc, rref.recall_refined
+       |FROM refined r, radc, rref ORDER BY r.query_id, r.rk""".stripMargin
 }

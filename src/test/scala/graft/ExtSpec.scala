@@ -180,6 +180,49 @@ class ExtSpec extends SparkSpec {
       "fixture must produce edges in BOTH ticks")
   }
 
+  test("delta-join IVM: sequential folds compose to the from-scratch join") {
+    // the production property, join-shaped: the materialized view
+    // ADVANCES tick by tick under two-sided deltas, and K folds land
+    // exactly on the from-scratch join of everything ingested so far
+    graft.ext.Pipeline.resetJoinViewMemo()
+    val dir = "/root/testdata/sf0.01" // both id-decade parities needed
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val c = Tables.customer(spark, dir)
+      .select(col("c_custkey"), col("c_mktsegment"), col("c_nationkey"))
+    def tickOf(k: org.apache.spark.sql.Column) =
+      when(k % Dedup.DeltaMod =!= Dedup.DeltaMod - 1, 0)
+        .when(k % (2 * Dedup.DeltaMod) === Dedup.DeltaMod - 1, 1)
+        .otherwise(2)
+    val st0 = graft.ext.Pipeline.joinViewState(spark, dir)
+    val s1 = graft.ext.Pipeline.foldJoinDelta(st0,
+      o.filter(tickOf(col("o_orderkey")) === 1),
+      c.filter(tickOf(col("c_custkey")) === 1))
+    val s2 = graft.ext.Pipeline.foldJoinDelta(s1,
+      o.filter(tickOf(col("o_orderkey")) === 2),
+      c.filter(tickOf(col("c_custkey")) === 2))
+    def viewMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getInt(3), r.getDouble(4))).toMap
+    val folded = viewMap(s2.view)
+    val scratch = viewMap(
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"),
+          col("c_mktsegment"), col("c_nationkey"), col("o_totalprice")))
+    assert(folded.size == scratch.size, // o_orderkey unique ⇒ no dup rows
+      s"fold has ${folded.size} rows, from-scratch ${scratch.size}")
+    assert(folded == scratch)
+    // both ticks non-trivial on both sides or the test is vacuous
+    assert(o.filter(tickOf(col("o_orderkey")) === 1).count() > 0 &&
+      o.filter(tickOf(col("o_orderkey")) === 2).count() > 0 &&
+      c.filter(tickOf(col("c_custkey")) === 1).count() > 0 &&
+      c.filter(tickOf(col("c_custkey")) === 2).count() > 0)
+    // a second query call hits the standing-view memo and must not move
+    val q1 = graft.ext.Pipeline.ivmJoinEnriched(spark, dir).collect()
+    val q2 = graft.ext.Pipeline.ivmJoinEnriched(spark, dir).collect()
+    assert(q1.sameElements(q2))
+  }
+
   test("threshold sweep: confusion counts are coherent and monotone in tau") {
     val rows = Dedup.thresholdSweep(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
@@ -450,6 +493,35 @@ class ExtSpec extends SparkSpec {
       val k = r.getAs[Double]("recall_at_k")
       assert(k >= 0.0 && k <= 1.0)
     }
+  }
+
+  test("ANN refine recovers recall: refined >= adc, and rows are coherent") {
+    // the construction guarantee: every ADC-top-k ground-truth hit is
+    // in the k·RefineMult pool, and exact re-scoring can only move
+    // true neighbors UP within it (ties broken identically), so
+    // recall_refined >= recall_adc on ANY corpus
+    val rows = ext.Similarity.annIvfPqRefine(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    val rAdc = rows.head.getAs[Double]("recall_adc")
+    val rRef = rows.head.getAs[Double]("recall_refined")
+    assert(rRef >= rAdc, s"refine lost recall: adc=$rAdc refined=$rRef")
+    assert(rAdc >= 0.0 && rRef <= 1.0)
+    // the refined list is k rows per query, ranked by exact_ip desc
+    rows.groupBy(_.getAs[Long]("query_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rk"))
+      assert(sorted.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to sorted.length).toSeq, s"query $q rk gap")
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Double]("exact_ip") >= b.getAs[Double]("exact_ip"),
+            s"query $q not ranked by exact_ip")
+        case _ =>
+      }
+      // the adc arm matches sim_ann_ivfpq's published operating point
+    }
+    val ivfpq = ext.Similarity.annIvfPq(spark, sf0001).collect()
+    assert(ivfpq.head.getAs[Double]("recall_at_k") == rAdc,
+      "refine's recall_adc must equal sim_ann_ivfpq's recall_at_k")
   }
 
   test("k-means inertia report covers the corpus exactly once") {
