@@ -232,6 +232,10 @@ object ScaleProbe {
       // on-ingest CC twin: stream-static bucket join + per-edge state
       "stream_groups_monitor" ->
         (graft.streaming.DocStream.streamingGroupsMonitor _),
+      // on-ingest gate twin: streamed per-doc screen (state = one row
+      // per delta doc) + the shared per-tick fold
+      "stream_training_readiness" ->
+        (graft.streaming.DocStream.streamingTrainingReadiness _),
       // round-9: delta-join IVM — cold pays bootstrap (the base join)
       // + fold; the _fold form is the real tick: three delta-bounded
       // join terms appended to the standing view, O(|delta|)

@@ -440,6 +440,10 @@ object SparkEntry {
     // delta-join IVM: materialized join view folded under a two-sided
     // delta batch (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB); oracle = from-scratch join
     "ivm_join_enriched" -> (graft.ext.Pipeline.ivmJoinEnriched _),
+    // the gate's ON-INGEST twin: the per-doc screen kernel streamed,
+    // the same per-tick fold, the same oracle object — three forms
+    "stream_training_readiness" ->
+      ((s, dir) => graft.streaming.DocStream.streamingTrainingReadiness(s, dir)),
     // keyframe segmentation: adjacent-frame perceptual distance
     "frame_scene_cuts" -> Dedup.frameSceneCuts _,
     // PSI feature-drift gate between the stream's time halves
@@ -794,6 +798,8 @@ object SparkEntry {
     "training_readiness_delta" ->
       graft.ext.Pipeline.trainingReadinessOracle,
     "ivm_join_enriched" -> graft.ext.Pipeline.ivmJoinEnrichedOracle,
+    "stream_training_readiness" ->
+      graft.ext.Pipeline.trainingReadinessOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,
     "psi_value_drift" -> EventOps.psiValueDriftOracle,
     "ks_value_drift" -> EventOps.ksValueDriftOracle,

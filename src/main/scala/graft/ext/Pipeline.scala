@@ -342,55 +342,139 @@ object Pipeline {
     * execution forms, bit-identical results. */
   def trainingReadinessDelta(spark: SparkSession, dir: String): DataFrame = {
     val st = readyState(spark, dir)
-    val ev = TextAnalysis.EvalSource
     val delta = Tables.documents(spark, dir)
       .filter(isDeltaId(col("doc_id")))
-      .select(col("doc_id"), col("source"), col("text")).persist()
-    val h = delta.agg(
+      .select(col("doc_id"), col("source"), col("text"))
+    readinessFromDeltaScreen(spark, dir, deltaDocScreen(st)(delta))
+  }
+
+  /** The per-arriving-doc screen — ONE kernel shared verbatim by the
+    * batch delta gate and the streaming twin ([[graft.streaming
+    * .DocStream.streamingTrainingReadiness]]), so the two execution
+    * forms cannot drift: per delta doc, the flag projections (train /
+    * quality-pass / PII / content fingerprint — the same column
+    * expressions as the batch gate, coalesced to the batch
+    * `when(...).otherwise(0)` NULL semantics) plus hit flags against
+    * the STANDING eval gram sets of both contamination families.
+    * Streaming-legal by construction: three stateless projections of
+    * the input (a flag sentinel row per doc, the n-gram rows, the
+    * positional k-gram rows) union into one frame, the gram rows join
+    * the checkpoint-frozen standing sets stream-static, and the ONLY
+    * aggregation is the final groupBy(doc_id) — state is one row per
+    * delta doc, the quarantine verdict a crawl gate upserts. */
+  private[graft] def deltaDocScreen(st: ReadyState)(
+      docs: DataFrame): DataFrame = {
+    val ev = TextAnalysis.EvalSource
+    val ng = TextAnalysis.ngramArr(TextAnalysis.DecontamN)
+    def z = lit(0)
+    def nullI = lit(null).cast("int")
+    def hit(grams: DataFrame, standing: DataFrame): DataFrame =
+      grams.join(standing.select(col("g"), lit(1).as("h")), Seq("g"), "left")
+        .select(col("doc_id"), coalesce(col("h"), lit(0)).as("h"))
+    val docRows = docs.select(col("doc_id"),
+      coalesce((col("source") =!= ev).cast("int"), z).as("it"),
+      coalesce((TextAnalysis.qualityReason(col("text")) === "pass")
+        .cast("int"), z).as("qp"),
+      coalesce(hasPiiCol.cast("int"), z).as("hp"),
+      md5(col("text")).as("fp"), nullI.as("hng"), nullI.as("hss"))
+    val ngRows = hit(docs.select(col("doc_id"), explode(ng).as("g")),
+        st.evalNg)
+      .select(col("doc_id"), nullI.as("it"), nullI.as("qp"), nullI.as("hp"),
+        lit(null).cast("string").as("fp"), col("h").as("hng"),
+        nullI.as("hss"))
+    val ssRows = hit(Dedup.gramRows(docs.select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("g")), st.evalSs)
+      .select(col("doc_id"), nullI.as("it"), nullI.as("qp"), nullI.as("hp"),
+        lit(null).cast("string").as("fp"), nullI.as("hng"),
+        col("h").as("hss"))
+    docRows.unionByName(ngRows).unionByName(ssRows)
+      .groupBy("doc_id")
+      .agg(max(col("it")).as("it"), max(col("qp")).as("qp"),
+        max(col("hp")).as("hp"), max(col("fp")).as("fp"),
+        coalesce(max(col("hng")), lit(0)).as("hit_ng"),
+        coalesce(max(col("hss")), lit(0)).as("hit_ss"))
+  }
+
+  /** The per-tick FOLD shared by the batch delta gate and the
+    * streaming twin: assemble the seven verdict rows from standing
+    * state + the converged per-doc screen. Everything here is bounded
+    * by the delta (or by standing |touched| slices):
+    *   - exact/quality/PII: running counters + one aggregate over the
+    *     screen; new-fingerprint count is one anti join of the
+    *     screen's (non-NULL — countDistinct semantics) fingerprints
+    *     against the standing set.
+    *   - contamination, BOTH directions and families: the screen
+    *     already carries delta-train hits vs the STANDING eval gram
+    *     sets; this fold adds the NEW-eval-gram cross terms — new
+    *     grams (anti join, delta-sized) re-screen the delta train
+    *     docs AND the standing corpus through the standing train gram
+    *     index (keyed lookups, never a corpus re-scan). The
+    *     contaminated set is the union of standing ∪ all screens, so
+    *     the value converges to the batch gate exactly.
+    *   - near-dup rate & split leakage: read the incrementally
+    *     maintained group labels (provably identical to from-scratch).
+    * Emits the SAME seven rows with the same thresholds and rounding
+    * ([[asCheck]] is shared), and registers the SAME oracle object as
+    * `training_readiness` — one oracle, three execution forms. */
+  private[graft] def readinessFromDeltaScreen(
+      spark: SparkSession, dir: String, screen: DataFrame): DataFrame = {
+    val st = readyState(spark, dir)
+    val ev = TextAnalysis.EvalSource
+    val scr = screen.persist()
+    val h = scr.agg(
       count(lit(1)),
-      coalesce(sum(when(col("source") =!= ev, 1L).otherwise(0L)), lit(0L)),
-      coalesce(sum(when(
-        TextAnalysis.qualityReason(col("text")) === "pass", 1L)
-        .otherwise(0L)), lit(0L)),
-      coalesce(sum(when(hasPiiCol, 1L).otherwise(0L)), lit(0L))).first()
+      coalesce(sum(col("it").cast("long")), lit(0L)),
+      coalesce(sum(col("qp").cast("long")), lit(0L)),
+      coalesce(sum(col("hp").cast("long")), lit(0L))).first()
     val (nDelta, nTrainDelta, qualDelta, piiDelta) =
       (h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3))
     val n = st.nBase + nDelta
     val nTrain = st.nTrainBase + nTrainDelta
-    val newFp = delta.select(md5(col("text")).as("fp"))
+    val newFp = scr.select(col("fp"))
       .filter(col("fp").isNotNull).distinct()
       .join(st.fpBase, Seq("fp"), "left_anti").count()
 
-    // contamination, n-gram family
+    // NEW-eval-gram cross terms need the delta slice itself (the
+    // per-tick batch step, exactly like the CC fold's label assembly)
+    val delta = Tables.documents(spark, dir)
+      .filter(isDeltaId(col("doc_id")))
+      .select(col("doc_id"), col("source"), col("text")).persist()
     val ng = TextAnalysis.ngramArr(TextAnalysis.DecontamN)
-    val newEvalNg = delta.filter(col("source") === ev)
-      .select(explode(ng).as("g")).distinct()
-      .join(st.evalNg, Seq("g"), "left_anti").localCheckpoint()
-    val deltaContamNg = delta.filter(col("source") =!= ev)
-      .select(col("doc_id"), explode(ng).as("g"))
-      .join(st.evalNg.union(newEvalNg), Seq("g"), "leftsemi")
-      .select(col("doc_id")).distinct()
-    val baseNewContamNg = st.trainNgIdx
-      .join(broadcast(newEvalNg), Seq("g"), "leftsemi")
-      .select(col("doc_id")).distinct()
-    val nContamNg = st.contamNgBase.union(deltaContamNg)
-      .union(baseNewContamNg).distinct().count()
-
-    // contamination, verbatim-run (positional k-gram) family
-    val newEvalSs = Dedup.gramRows(delta.filter(col("source") === ev)
-        .select(col("doc_id"), col("text")))
-      .select(col("g")).distinct()
-      .join(st.evalSs, Seq("g"), "left_anti").localCheckpoint()
-    val deltaContamSs = Dedup.gramRows(delta.filter(col("source") =!= ev)
-        .select(col("doc_id"), col("text")))
-      .join(st.evalSs.union(newEvalSs), Seq("g"), "leftsemi")
-      .select(col("doc_id")).distinct()
-    val baseNewContamSs = st.trainSsIdx
-      .join(broadcast(newEvalSs), Seq("g"), "leftsemi")
-      .select(col("doc_id")).distinct()
-    val nContamSs = st.contamSsBase.union(deltaContamSs)
-      .union(baseNewContamSs).distinct().count()
+    def contam(newEval: DataFrame, deltaTrainGrams: DataFrame,
+               trainIdx: DataFrame, contamBase: DataFrame,
+               streamedHits: DataFrame): Long = {
+      val ne = newEval.localCheckpoint()
+      val deltaNewHits = deltaTrainGrams
+        .join(broadcast(ne), Seq("g"), "leftsemi")
+        .select(col("doc_id")).distinct()
+      val baseNewHits = trainIdx
+        .join(broadcast(ne), Seq("g"), "leftsemi")
+        .select(col("doc_id")).distinct()
+      contamBase.union(streamedHits).union(deltaNewHits).union(baseNewHits)
+        .distinct().count()
+    }
+    val nContamNg = contam(
+      delta.filter(col("source") === ev)
+        .select(explode(ng).as("g")).distinct()
+        .join(st.evalNg, Seq("g"), "left_anti"),
+      delta.filter(col("source") =!= ev)
+        .select(col("doc_id"), explode(ng).as("g")),
+      st.trainNgIdx, st.contamNgBase,
+      scr.filter(col("it") === 1 && col("hit_ng") === 1)
+        .select(col("doc_id")))
+    val nContamSs = contam(
+      Dedup.gramRows(delta.filter(col("source") === ev)
+          .select(col("doc_id"), col("text")))
+        .select(col("g")).distinct()
+        .join(st.evalSs, Seq("g"), "left_anti"),
+      Dedup.gramRows(delta.filter(col("source") =!= ev)
+          .select(col("doc_id"), col("text")))
+        .select(col("doc_id"), col("g")),
+      st.trainSsIdx, st.contamSsBase,
+      scr.filter(col("it") === 1 && col("hit_ss") === 1)
+        .select(col("doc_id")))
     delta.unpersist()
+    scr.unpersist()
 
     // the two group-structure rows read the incrementally maintained
     // labels — the whole point: no corpus-wide CC re-resolution here

@@ -417,6 +417,34 @@ object DocStream {
         .agg(count(lit(1)).as("cnt"))
     }.orderBy("word")
 
+  /** The training-readiness gate maintained ON INGEST — the streaming
+    * twin of [[graft.ext.Pipeline.trainingReadinessDelta]], closing
+    * the gate's incremental story on the ingest path: arriving delta
+    * documents flow through [[graft.ext.Pipeline.deltaDocScreen]]
+    * VERBATIM — the same kernel the batch delta gate runs — so the
+    * flag projections (train/quality/PII/fingerprint) and the
+    * standing-gram contamination hits ride the ingest scan, and the
+    * single streaming aggregation converges to one screen row per
+    * delta doc (the quarantine verdict a crawl gate upserts live).
+    * The per-tick fold ([[graft.ext.Pipeline
+    * .readinessFromDeltaScreen]] — new-eval-gram cross terms, the
+    * maintained group labels, the seven verdict rows) is shared too,
+    * so all three execution forms (batch gate, batch delta gate,
+    * stream) emit bit-identical rows and register the SAME oracle
+    * object. Gram-hit joins are stream-static against the
+    * checkpoint-frozen standing sets ([[graft.ext.Pipeline
+    * .readyState]]) — stateless, the incdedup/substring precedent. */
+  def streamingTrainingReadiness(spark: SparkSession, dir: String): DataFrame = {
+    import graft.ext.{Dedup, Pipeline}
+    val st = Pipeline.readyState(spark, dir)
+    val isDelta = col("doc_id") % Dedup.DeltaMod === (Dedup.DeltaMod - 1)
+    val screen = runDocStream(spark, dir, "ready") { stream =>
+      Pipeline.deltaDocScreen(st)(stream.filter(isDelta)
+        .select(col("doc_id"), col("source"), col("text")))
+    }
+    Pipeline.readinessFromDeltaScreen(spark, dir, screen)
+  }
+
   /** Streaming GROUP maintenance — the on-ingest twin of
     * [[graft.ext.Dedup.dedupGroupsDelta]], closing the round-8
     * incremental-CC story on the ingest path: delta documents arrive

@@ -6,6 +6,48 @@ import graft.mr.MapReduce
   * machine-checked (SCALE.md records the full list). */
 class PlanSpec extends SparkSpec {
 
+  /** Queries whose optimized plan DELIBERATELY contains a broadcast
+    * cross join — each is the 1-row-scalar / bounded-grid scored-scan
+    * pattern (a scalar stats frame, a k-row centroid/grid table, or a
+    * query-set panel joined onto a scan with no key), never a
+    * data×data cross. Audited by the cartesian test below; a new
+    * broadcast cross anywhere else fails the suite until it is
+    * justified here. */
+  private val CrossAllowlist: Set[String] = Set(
+    // 1-row scalar stats frame(s) broadcast back onto a scan or onto
+    // each other (the scalar-subquery pattern: totals, normalizers,
+    // test statistics, gate verdicts)
+    "acf_daily_revenue", "benford_price", "benford_totalprice",
+    "caption_frame_alignment", "chi2_priority_status", "corpus_summary",
+    "cusum_changepoint", "data_contract_audit", "dsir_weights",
+    "ewma_daily_revenue", "join_fanout_profile", "kappa_lang_agreement",
+    "kl_source_divergence", "kruskal_wallis_spend", "ks_test_events",
+    "ks_value_drift", "mi_lang_source", "mixture_budget",
+    "nb_lang_confusion", "pareto_revenue", "pca_power_embeddings",
+    "perplexity_bigram", "perplexity_unigram", "psi_drift_price",
+    "psi_value_drift", "q11_important_stock", "rfm_segments",
+    "seasonality_dow", "shuffle_skew_audit", "sketch_cms_heavy_hitters",
+    "sketch_hll_distinct", "sketch_join_size", "sketch_kmv_distinct",
+    "sketch_kmv_overlap", "t_closeness_audit", "training_readiness",
+    "ttest_urgent_spend",
+    // bounded parameter/threshold grid (4-10 rows) × a scan or a
+    // 1-row stats frame — the sweep-report pattern
+    "calibration_bins", "dedup_threshold_sweep", "k_generalization_ladder",
+    "quality_cut_tradeoff", "quantize_bits_curve",
+    // bounded query/candidate panel (k centroids, |queries|×k rows,
+    // recall scalars) joined keylessly onto a scored scan — the ANN
+    // audit pattern
+    "best_split_stump", "curriculum_order", "decontaminate_semantic",
+    "dim_recall_audit", "hard_negatives_ann", "ivf_recall_sweep",
+    "knn_audit_ann", "knn_label_audit", "rrf_fusion", "sample_temperature",
+    "sim_ann_ivfpq", "sim_ann_ivfpq_refine", "sim_ivf_delta_assign",
+    "triplet_mining_ann",
+    // vocabulary/dimension-bounded self-cross (tiny distinct sets:
+    // nation triangle, PMI word pairs over top terms, BM25 query terms,
+    // co-purchase pair grid over capped ids)
+    "bm25_search", "collocations_pmi", "copurchase_pairs",
+    "triangle_nations")
+
   test("kmv sketch aggregates through the distinct bounded heap, partial-first") {
     val plan = graft.ext.Sketches.kmvMergeSources(spark, sf0001)
       .queryExecution.executedPlan.toString
@@ -118,28 +160,37 @@ class PlanSpec extends SparkSpec {
         s"provably bounded): ${offenders.mkString(", ")}")
   }
 
-  test("no headline query plans a cartesian product") {
+  test("cartesian audit over ALL queries: un-broadcast crosses never, broadcast crosses only where declared") {
     // dedup_groups iterates driver-side (checkpoint boundaries), so the
     // optimized plan is the right level to inspect for the rest; skip it
     // and mr_wordcount (RDD-backed) whose plans aren't pure Catalyst.
     // A cross join whose build side is an explicitly-broadcast bounded
-    // table (e.g. 16 IVF centroids, 5 query vectors) is a deliberate
-    // scored scan, not a blow-up — only an UN-broadcast cross is fatal.
+    // table (e.g. 16 IVF centroids, 5 query vectors, a 1-row stats
+    // scalar) is a deliberate scored scan, not a blow-up — only an
+    // UN-broadcast cross is fatal ANYWHERE. Broadcast crosses are
+    // additionally pinned to the explicit allowlist below, so a new
+    // query can't quietly cross-join a frame that merely happens to
+    // fit the broadcast threshold at sf0.001.
     // also skip the run-to-completion streaming queries: invoking their
     // fn executes a whole bounded stream and the returned plan is just
     // a memory-sink scan — nothing to inspect for join shape
     val skip = Set("dedup_groups", "mr_wordcount",
       // compose dedup_groups' driver-side iteration; same rationale
       "split_leakage_audit", "dedup_group_sizes")
-    SparkEntry.queries
+    val crossers = SparkEntry.queries.toSeq.sortBy(_._1)
       .filterNot(q => skip(q._1) || q._1.startsWith("stream_"))
-      .foreach { case (name, fn) =>
-      val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
-      val badCross = plan.linesIterator.exists(l =>
-        l.contains("Join Cross") && !l.contains("strategy=broadcast"))
-      assert(!badCross && !plan.contains("CartesianProduct"),
-        s"$name plans an un-broadcast cartesian product:\n$plan")
-    }
+      .flatMap { case (name, fn) =>
+        val plan = fn(spark, sf0001).queryExecution.optimizedPlan.toString
+        val badCross = plan.linesIterator.exists(l =>
+          l.contains("Join Cross") && !l.contains("strategy=broadcast"))
+        assert(!badCross && !plan.contains("CartesianProduct"),
+          s"$name plans an un-broadcast cartesian product:\n$plan")
+        if (plan.contains("Join Cross")) Some(name) else None
+      }.toSet
+    assert(crossers == CrossAllowlist,
+      s"broadcast-cross allowlist drift — new: ${
+        (crossers -- CrossAllowlist).toSeq.sorted.mkString(", ")
+      }; stale: ${(CrossAllowlist -- crossers).toSeq.sorted.mkString(", ")}")
   }
 
   test("substring family stays window-shaped: no gram self-join, only the report join") {

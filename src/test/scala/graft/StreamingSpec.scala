@@ -234,6 +234,21 @@ class StreamingSpec extends SparkSpec {
       Set("pass", "too_short", "low_stopword", "low_diversity")))
   }
 
+  test("streaming readiness gate equals the batch gate row-for-row") {
+    // the three execution forms (batch gate, batch delta gate, stream)
+    // must emit bit-identical verdict rows — they register one oracle
+    graft.ext.Pipeline.resetReadyStateMemo()
+    graft.ext.Dedup.resetStandingStateMemo()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getBoolean(3)))
+    val batch = rows(graft.ext.Pipeline.trainingReadiness(spark, sf0001))
+    val stream = rows(graft.streaming.DocStream
+      .streamingTrainingReadiness(spark, sf0001))
+    assert(batch.length == 7 && stream.sameElements(batch),
+      s"stream gate diverged:\nbatch=${batch.mkString("\n")}\nstream=${stream.mkString("\n")}")
+  }
+
   test("streaming compaction monitor agrees with the batch plan's bin count") {
     import spark.implicits._
     // monitor: per directory, floor-full bins + any remainder bytes
