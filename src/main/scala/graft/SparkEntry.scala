@@ -316,6 +316,10 @@ object SparkEntry {
     // CLIP-style caption↔asset hygiene: within-pair cosine vs the
     // exact cross-pair null (moment algebra, no pairwise term)
     "caption_frame_alignment" -> Multimodal.captionFrameAlignment _,
+    // cross-modal retrieval: per-caption top-k assets in the shared
+    // space + diagonal recall audit (the pair-BUILDING twin of the
+    // alignment audit)
+    "caption_asset_topk" -> Multimodal.captionAssetTopK _,
     // LEFT OUTER stream-stream join (watermark-flushed non-matches)
     "stream_interval_join_outer" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinOuterOverFiles(s, dir)),
@@ -727,6 +731,7 @@ object SparkEntry {
     "multimodal_frames" -> Multimodal.framesOracle,
     "media_downsample" -> Multimodal.mediaDownsampleOracle,
     "caption_frame_alignment" -> Multimodal.captionFrameAlignmentOracle,
+    "caption_asset_topk" -> Multimodal.captionAssetTopKOracle,
     "stream_interval_join_outer" ->
       graft.streaming.EventStream.intervalJoinOuterOverFilesOracle,
     "stream_interval_join_full" ->

@@ -343,20 +343,27 @@ object Multimodal {
     * embeddings are synthetic, so within-pair scores genuinely draw
     * from the null — honest zeros, like the PII scan: the report's
     * value is the verified plumbing and the exact null algebra. */
-  def captionFrameAlignment(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    val dec = DecimalType(38, 18)
-    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
-      graft.functions.DotProduct(a, b)
-    def unit(v: org.apache.spark.sql.Column) = {
-      val n = sqrt(dot(v, v))
-      when(n > 0, transform(v, x => x / n))
-    }
-    // asset side: the decode stub's 8 byte-bin features, unit-normed
-    val a8 = extractFeatures(assets(spark, dir)).toDF()
-      .select(col("asset_id"), unit(col("features").cast("array<double>")).as("a"))
-    // caption side: the 64-dim embedding binned to 8 contiguous
-    // coordinate sums (sequential in-array folds), unit-normed
+  /** Unit-normalize an array<double> column; NULL (not a crash, not a
+    * junk direction) for the zero vector — callers filter. */
+  private[ext] def unitCol(v: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val n = sqrt(graft.functions.DotProduct(v, v))
+    when(n > 0, transform(v, x => x / n))
+  }
+
+  /** Asset side of the shared 8-dim space: the decode stub's 8
+    * byte-bin features, unit-normed (NULL for empty payloads). */
+  private[graft] def sharedSpaceAssets(spark: SparkSession, dir: String): DataFrame =
+    extractFeatures(assets(spark, dir)).toDF()
+      .select(col("asset_id"),
+        unitCol(col("features").cast("array<double>")).as("a"))
+
+  /** Caption side of the shared space: the 64-dim embedding binned to
+    * 8 contiguous coordinate sums (sequential in-array folds),
+    * unit-normed — the projection-head analog. Spread first: the
+    * embeddings table is a single parquet split even at sf0.1, and
+    * this frame feeds binning folds, Gram passes and scoring joins —
+    * without the exchange they all run one-task. */
+  private[graft] def sharedSpaceCaptions(spark: SparkSession, dir: String): DataFrame = {
     val e8raw = transform(sequence(lit(0), lit(7)), j => {
       val d = size(col("v"))
       // integer floor-division bounds (j*d and (j+1)*d are non-negative
@@ -368,11 +375,17 @@ object Multimodal {
       aggregate(slice(col("v"), s + 1, e - s),
         lit(0.0), (acc, x) => acc + x)
     })
-    // spread: the embeddings table is a single parquet split even at
-    // sf0.1, and this frame feeds the binning fold, the Gram pass and
-    // the diagonal join — without the exchange they all run one-task
-    val e8 = Similarity.spread(Similarity.embeddingsD(spark, dir))
-      .select(col("vec_id").as("asset_id"), unit(e8raw).as("e"))
+    Similarity.spread(Similarity.embeddingsD(spark, dir))
+      .select(col("vec_id").as("asset_id"), unitCol(e8raw).as("e"))
+  }
+
+  def captionFrameAlignment(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val dec = DecimalType(38, 18)
+    def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      graft.functions.DotProduct(a, b)
+    val a8 = sharedSpaceAssets(spark, dir)
+    val e8 = sharedSpaceCaptions(spark, dir)
     // moment frames: coordinate sums and 8×8 Gram cells, decimal sums
     def coordSums(df: DataFrame, c: String) = df.filter(col(c).isNotNull)
       .select(posexplode(col(c)).as(Seq("k", "x")))
@@ -480,4 +493,98 @@ object Multimodal {
        |  round(CASE WHEN sigma > 0 THEN (x - mu) / sigma END, 6)
        |    < -$AlignZGate AS mismatch
        |FROM paired, stats ORDER BY asset_id""".stripMargin
+
+  // ── cross-modal retrieval: which asset does this caption describe? ──
+
+  /** Every [[CaptionPanelMod]]-th caption forms the retrieval panel. */
+  val CaptionPanelMod = 10
+  val CaptionTopK = 5
+
+  /** Cross-modal retrieval — the operator that BUILDS contrastive
+    * pairs where [[captionFrameAlignment]] only audits existing ones:
+    * for each caption in a deterministic panel (vec_id ≡ 0 mod
+    * [[CaptionPanelMod]]), the top-[[CaptionTopK]] assets by cosine in
+    * the shared 8-dim space, plus the diagonal recall audit — `is_own`
+    * marks the caption's own asset among the hits and `hit_at_k` is
+    * the per-caption recall@k against the exact diagonal ground truth
+    * (caption i belongs to asset i by fixture construction).
+    *
+    * Scale shape: the panel is bounded (|corpus|/mod here; a fixed
+    * query file in production), broadcast keylessly onto the spread
+    * asset scan — O(n·|panel|) dot products of 8-dim vectors, never
+    * corpus×corpus — and ranking is the map-side bounded heap
+    * ([[Similarity.topKPerQuery]]): the shuffle carries
+    * tasks × panel × k rows, not the scored scan. The full-corpus
+    * retrieval form swaps the panel join for the LSH/IVF bucket join
+    * (`sim_ann_*`), shape unchanged — exactly the brute-vs-indexed
+    * ladder the similarity family already verifies. Zero-norm vectors
+    * (empty payloads decode to the zero feature vector) are NULL after
+    * unit-norm and excluded on BOTH sides — a zero vector has no
+    * direction, so it can neither query nor be retrieved. */
+  def captionAssetTopK(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = sharedSpaceAssets(spark, dir).filter(col("a").isNotNull)
+    val panel = sharedSpaceCaptions(spark, dir)
+      .filter(col("e").isNotNull && col("asset_id") % CaptionPanelMod === 0)
+      .select(col("asset_id").as("query_id"), col("e"))
+    val scored = corpus.crossJoin(broadcast(panel))
+      .select(col("query_id"), col("asset_id").as("neighbor_id"),
+        round(graft.functions.DotProduct(col("a"), col("e")), 6).as("cos_sim"))
+    // the recall window runs over ≤ k rows per caption AFTER the heap
+    // top-k — panel×k rows total, a bounded frame by construction
+    val w = Window.partitionBy("caption_id")
+    Similarity.topKPerQuery(scored, CaptionTopK)
+      .select(col("query_id").as("caption_id"),
+        col("neighbor_id").as("asset_id"), col("cos_sim"), col("rk"),
+        (col("neighbor_id") === col("query_id")).as("is_own"))
+      .withColumn("hit_at_k", max(col("is_own")).over(w))
+      .orderBy("caption_id", "rk")
+  }
+
+  /** Mirrors [[captionAssetTopK]]: same shared-space CTEs as the
+    * alignment oracle, panel filter, window ranking with the
+    * (cos desc, asset_id asc) tiebreak; hit_at_k windows over the
+    * top-k rows only (WHERE runs before window evaluation). */
+  def captionAssetTopKOracle: String =
+    s"""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+       |    hex(CAST(text AS BLOB)) AS hx FROM documents),
+       |byt AS (SELECT doc_id, i % 8 AS k,
+       |    CAST('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2) AS BIGINT) AS b
+       |  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM d) t),
+       |bins AS (SELECT doc_id, k, SUM(b) AS bin FROM byt GROUP BY doc_id, k),
+       |dense AS (SELECT d.doc_id, kk.k,
+       |    CAST(CAST(COALESCE(bin, 0) / 255.0 AS REAL) AS DOUBLE) AS av
+       |  FROM d CROSS JOIN range(8) kk(k)
+       |  LEFT JOIN bins ON bins.doc_id = d.doc_id AND bins.k = kk.k),
+       |araw AS (SELECT doc_id AS asset_id, list(av ORDER BY k) AS al
+       |  FROM dense GROUP BY doc_id),
+       |aunit AS (SELECT asset_id,
+       |    CASE WHEN sqrt(list_dot_product(al, al)) > 0 THEN
+       |      list_transform(al, x -> x / sqrt(list_dot_product(al, al)))
+       |    END AS a FROM araw),
+       |eraw AS (SELECT vec_id AS asset_id,
+       |    list_transform(range(8), j -> COALESCE(list_sum(
+       |      v[(j*dd)//8 + 1 : ((j+1)*dd)//8]), 0.0)) AS el
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        len(embedding) AS dd FROM embeddings) e0),
+       |eunit AS (SELECT asset_id,
+       |    CASE WHEN sqrt(list_dot_product(el, el)) > 0 THEN
+       |      list_transform(el, x -> x / sqrt(list_dot_product(el, el)))
+       |    END AS e FROM eraw),
+       |corpus AS (SELECT asset_id, a FROM aunit WHERE a IS NOT NULL),
+       |panel AS (SELECT asset_id AS query_id, e FROM eunit
+       |  WHERE e IS NOT NULL AND asset_id % $CaptionPanelMod = 0),
+       |scored AS (SELECT p.query_id, c.asset_id AS neighbor_id,
+       |    round(list_dot_product(c.a, p.e), 6) AS cos_sim
+       |  FROM corpus c CROSS JOIN panel p),
+       |ranked AS (SELECT query_id, neighbor_id, cos_sim,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_sim DESC, neighbor_id) AS rk
+       |  FROM scored)
+       |SELECT query_id AS caption_id, neighbor_id AS asset_id, cos_sim,
+       |  CAST(rk AS BIGINT) AS rk,
+       |  neighbor_id = query_id AS is_own,
+       |  max(neighbor_id = query_id) OVER (PARTITION BY query_id) AS hit_at_k
+       |FROM ranked WHERE rk <= $CaptionTopK
+       |ORDER BY caption_id, rk""".stripMargin
 }

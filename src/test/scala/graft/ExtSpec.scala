@@ -436,6 +436,36 @@ class ExtSpec extends SparkSpec {
     assert(resized.forall(_.features.length == 4))
   }
 
+  test("cross-modal retrieval: bounded panel, exact ranking, diagonal audit") {
+    val out = Multimodal.captionAssetTopK(spark, sf0001).collect()
+    assert(out.nonEmpty)
+    val byCaption = out.groupBy(_.getLong(0))
+    // panel = every CaptionPanelMod-th caption with a nonzero embedding
+    val expectedPanel = Multimodal.sharedSpaceCaptions(spark, sf0001)
+      .filter(col("e").isNotNull &&
+        col("asset_id") % Multimodal.CaptionPanelMod === 0).count()
+    assert(byCaption.size.toLong == expectedPanel,
+      s"panel ${byCaption.size} != $expectedPanel")
+    byCaption.foreach { case (cap, rs) =>
+      assert(rs.length <= Multimodal.CaptionTopK)
+      // rk contiguous from 1, cosine non-increasing with asset tiebreak
+      val sorted = rs.sortBy(_.getLong(3))
+      assert(sorted.map(_.getLong(3)).toSeq == (1L to rs.length).toSeq)
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          val (ca, cb) = (a.getDouble(2), b.getDouble(2))
+          assert(ca > cb || (ca == cb && a.getLong(1) < b.getLong(1)),
+            s"ranking violated for caption $cap")
+        case _ =>
+      }
+      // is_own marks exactly the diagonal; hit_at_k is its group max
+      rs.foreach { r =>
+        assert(r.getBoolean(4) == (r.getLong(1) == cap))
+        assert(r.getBoolean(5) == rs.exists(_.getLong(1) == cap))
+      }
+    }
+  }
+
   test("codegen'd LSH bucket kernel equals the HOF formulation") {
     import org.apache.spark.sql.functions._
     val e = Tables.embeddings(spark, sf0001)
