@@ -241,6 +241,14 @@ object ScaleProbe {
       // join terms appended to the standing view, O(|delta|)
       "ivm_join_enriched" -> (graft.ext.Pipeline.ivmJoinEnriched _),
       "ivm_join_enriched_fold" -> (graft.ext.Pipeline.ivmJoinEnriched _),
+      // cross-modal retrieval: panel-bounded broadcast scoring + heap
+      // top-k — growth should track the two feature scans
+      "caption_asset_topk" -> (graft.ext.Multimodal.captionAssetTopK _),
+      // incremental BPE: cold pays standing training + fold; the
+      // _fold form is the real tick — delta wordcount + per-round
+      // delta-sized pair counts against the standing pair tables
+      "bpe_merges_delta" -> (graft.ext.TextAnalysis.bpeMergesDelta _),
+      "bpe_merges_delta_fold" -> (graft.ext.TextAnalysis.bpeMergesDelta _),
       // constraint gate: scan-aggs + one anti join per fk — linear
       "data_contract_audit" ->
         (graft.operators.Contract.dataContractAudit _),
@@ -268,6 +276,8 @@ object ScaleProbe {
         // fold-only path
         if (name.startsWith("ivm_join"))
           graft.ext.Pipeline.joinViewState(spark, dir)
+        else if (name.startsWith("bpe_merges"))
+          graft.ext.TextAnalysis.warmBpeStanding(spark, dir)
         else {
           graft.ext.Dedup.standingDedupState(spark, dir)
           if (name.startsWith("training_readiness"))
@@ -277,6 +287,7 @@ object ScaleProbe {
         graft.ext.Dedup.resetStandingStateMemo()
         graft.ext.Pipeline.resetReadyStateMemo()
         graft.ext.Pipeline.resetJoinViewMemo()
+        graft.ext.TextAnalysis.resetBpeStandingMemo()
       }
       time(fn(spark, dir).write.format("noop").mode("overwrite").save())
     }

@@ -280,6 +280,9 @@ object SparkEntry {
     "perplexity_bigram" -> TextAnalysis.perplexityBigram _,
     "char_entropy" -> TextAnalysis.charEntropy _,
     "bpe_merges" -> TextAnalysis.bpeMerges _,
+    // incremental BPE: delta word counts folded into the standing
+    // pair statistics; cascade from the first diverging round only
+    "bpe_merges_delta" -> TextAnalysis.bpeMergesDelta _,
     "token_budget_select" -> TextAnalysis.tokenBudgetSelect _,
     "outlier_iqr" -> Relational.outlierIqr _,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpend _,
@@ -700,6 +703,7 @@ object SparkEntry {
     "perplexity_bigram" -> TextAnalysis.perplexityBigramOracle,
     "char_entropy" -> TextAnalysis.charEntropyOracle,
     "bpe_merges" -> TextAnalysis.bpeMergesOracle,
+    "bpe_merges_delta" -> TextAnalysis.bpeMergesDeltaOracle,
     "token_budget_select" -> TextAnalysis.tokenBudgetSelectOracle,
     "outlier_iqr" -> Relational.outlierIqrOracle,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpendOracle,

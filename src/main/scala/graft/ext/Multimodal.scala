@@ -496,8 +496,14 @@ object Multimodal {
 
   // ── cross-modal retrieval: which asset does this caption describe? ──
 
-  /** Every [[CaptionPanelMod]]-th caption forms the retrieval panel. */
+  /** The retrieval panel: every [[CaptionPanelMod]]-th caption, capped
+    * at [[CaptionPanelCap]] queries — a FIXED-size panel (ids 0, 10, …,
+    * 490), because the query set of a retrieval audit must not grow
+    * with the corpus (a mod-only panel would make the exact scoring
+    * pass O(n²/mod) — the 10× probe read 11 before the cap). The
+    * full-corpus form is the ANN ladder, not a wider exact panel. */
   val CaptionPanelMod = 10
+  val CaptionPanelCap = 50
   val CaptionTopK = 5
 
   /** Cross-modal retrieval — the operator that BUILDS contrastive
@@ -509,9 +515,9 @@ object Multimodal {
     * the per-caption recall@k against the exact diagonal ground truth
     * (caption i belongs to asset i by fixture construction).
     *
-    * Scale shape: the panel is bounded (|corpus|/mod here; a fixed
-    * query file in production), broadcast keylessly onto the spread
-    * asset scan — O(n·|panel|) dot products of 8-dim vectors, never
+    * Scale shape: the panel is bounded (≤ [[CaptionPanelCap]] queries
+    * here; a fixed query file in production), broadcast keylessly onto
+    * the spread asset scan — O(n·|panel|) dot products of 8-dim vectors, never
     * corpus×corpus — and ranking is the map-side bounded heap
     * ([[Similarity.topKPerQuery]]): the shuffle carries
     * tasks × panel × k rows, not the scored scan. The full-corpus
@@ -525,7 +531,8 @@ object Multimodal {
     import org.apache.spark.sql.expressions.Window
     val corpus = sharedSpaceAssets(spark, dir).filter(col("a").isNotNull)
     val panel = sharedSpaceCaptions(spark, dir)
-      .filter(col("e").isNotNull && col("asset_id") % CaptionPanelMod === 0)
+      .filter(col("e").isNotNull && col("asset_id") % CaptionPanelMod === 0 &&
+        col("asset_id") < CaptionPanelMod.toLong * CaptionPanelCap)
       .select(col("asset_id").as("query_id"), col("e"))
     val scored = corpus.crossJoin(broadcast(panel))
       .select(col("query_id"), col("asset_id").as("neighbor_id"),
@@ -573,7 +580,8 @@ object Multimodal {
        |    END AS e FROM eraw),
        |corpus AS (SELECT asset_id, a FROM aunit WHERE a IS NOT NULL),
        |panel AS (SELECT asset_id AS query_id, e FROM eunit
-       |  WHERE e IS NOT NULL AND asset_id % $CaptionPanelMod = 0),
+       |  WHERE e IS NOT NULL AND asset_id % $CaptionPanelMod = 0
+       |    AND asset_id < ${CaptionPanelMod.toLong * CaptionPanelCap}),
        |scored AS (SELECT p.query_id, c.asset_id AS neighbor_id,
        |    round(list_dot_product(c.a, p.e), 6) AS cos_sim
        |  FROM corpus c CROSS JOIN panel p),

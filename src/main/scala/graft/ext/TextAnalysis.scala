@@ -1737,6 +1737,28 @@ object TextAnalysis {
             concat(lit("\\b"), col("pair"), lit("\\b")),
             regexp_replace(col("pair"), " ", ""))).as("rep"))
 
+  /** Weighted vocabulary of a document frame (word → occurrence
+    * count) — BPE's working granularity; the corpus is never touched
+    * again after this one wordcount aggregation. */
+  private def bpeVocab(src: DataFrame): DataFrame = src
+    .select(explode(tokens(col("text"))).as("word"))
+    .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** Initial space-joined character representation per vocab word. */
+  private def bpeCharRep(words: DataFrame): DataFrame =
+    words.select(col("word"), col("cnt"),
+      array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " ")
+        .as("rep"))
+
+  /** Adjacent-pair statistics of a representation table, weighted by
+    * word frequency (the standard get_stats) — |vocab| rows in,
+    * |distinct pairs| rows out. */
+  private def bpePairCounts(reps: DataFrame): DataFrame =
+    reps.select(col("cnt"),
+        explode(graft.functions.WordNGrams(
+          split(col("rep"), " "), 2, distinct = false)).as("pair"))
+      .groupBy("pair").agg(sum("cnt").as("c"))
+
   private def bpeLearnUncached(spark: SparkSession,
                                dir: String): (Seq[DataFrame], DataFrame) = {
     val docs = Tables.documents(spark, dir)
@@ -1744,21 +1766,11 @@ object TextAnalysis {
     val stride = math.max(1L, nDocs / BpeTrainDocCap)
     val train =
       if (stride == 1L) docs else docs.filter(col("doc_id") % stride === 0)
-    def vocab(src: DataFrame): DataFrame = src
-      .select(explode(tokens(col("text"))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
-    def charRep(words: DataFrame): DataFrame =
-      words.select(col("word"), col("cnt"),
-        array_join(regexp_extract_all(col("word"), lit("."), lit(0)), " ")
-          .as("rep"))
-    var reps = charRep(vocab(train)).localCheckpoint()
+    var reps = bpeCharRep(bpeVocab(train)).localCheckpoint()
     var merges = Seq.empty[DataFrame]
     var bests = Seq.empty[DataFrame]
     for (k <- 1 to BpeMerges) {
-      val pairs = reps.select(col("cnt"),
-          explode(graft.functions.WordNGrams(
-            split(col("rep"), " "), 2, distinct = false)).as("pair"))
-        .groupBy("pair").agg(sum("cnt").as("c"))
+      val pairs = bpePairCounts(reps)
       val best = pairs.orderBy(col("c").desc, col("pair")).limit(1)
         .localCheckpoint()
       bests = bests :+ best
@@ -1771,7 +1783,7 @@ object TextAnalysis {
     // stride 1 ⇒ the training vocabulary IS the full vocabulary
     val fullReps =
       if (stride == 1L) reps
-      else bests.foldLeft(charRep(vocab(docs)))(applyMerge).localCheckpoint()
+      else bests.foldLeft(bpeCharRep(bpeVocab(docs)))(applyMerge).localCheckpoint()
     (merges, fullReps)
   }
 
@@ -1988,6 +2000,184 @@ object TextAnalysis {
        |  round(CAST(n_symbols AS DOUBLE) / n_words, 6) AS fertility,
        |  round(CAST(n_chars AS DOUBLE) / n_symbols, 6) AS chars_per_symbol
        |FROM pts ORDER BY n_merges""".stripMargin
+  }
+
+  // ── incremental BPE: fold a delta batch into the standing merges ──
+
+  /** Standing state for the incremental tokenizer tick, trained once
+    * per (session, corpus) on the BASE slice (doc_id %
+    * [[graft.ext.Dedup.DeltaMod]] ≠ DeltaMod−1, the lake's standing
+    * delta discipline): the chosen merge per round (a driver scalar —
+    * [[BpeMerges]] of them, the 1-row bounded-collect class), plus the
+    * per-round pair-count tables and vocabulary representations the
+    * fold reads (localCheckpoint'd; |vocab|-granularity — in
+    * production these are maintained tables, exactly the
+    * [[graft.ext.Dedup.standingDedupState]] memo discipline). */
+  private final case class BpeStanding(
+      bests: Seq[Option[(String, Long)]],
+      pairTables: Seq[DataFrame],
+      reps: Seq[DataFrame])
+
+  private val bpeStandingMemo = new graft.SessionDirMemo[BpeStanding]
+
+  private[graft] def resetBpeStandingMemo(): Unit = bpeStandingMemo.reset()
+
+  /** Probe hook: build (or re-read) the standing state untimed, so a
+    * `_fold` probe times only the maintenance tick. */
+  private[graft] def warmBpeStanding(spark: SparkSession, dir: String): Unit = {
+    bpeStanding(spark, dir); ()
+  }
+
+  private def bpeStanding(spark: SparkSession, dir: String): BpeStanding =
+    bpeStandingMemo.get(spark, dir) {
+      val m = Dedup.DeltaMod
+      val base = Tables.documents(spark, dir)
+        .filter(col("doc_id") % m =!= (m - 1))
+      val stride = math.max(1L, base.count() / BpeTrainDocCap)
+      val train =
+        if (stride == 1L) base else base.filter(col("doc_id") % stride === 0)
+      var reps = bpeCharRep(bpeVocab(train)).localCheckpoint()
+      var bests = Seq.empty[Option[(String, Long)]]
+      var pairTables = Seq.empty[DataFrame]
+      var repsSeq = Seq.empty[DataFrame]
+      for (_ <- 1 to BpeMerges) {
+        repsSeq = repsSeq :+ reps
+        val pairs = bpePairCounts(reps).localCheckpoint()
+        pairTables = pairTables :+ pairs
+        val best = pairs.orderBy(col("c").desc, col("pair")).limit(1)
+          .localCheckpoint()
+        // 1-row bounded collect: the chosen merge IS a driver scalar
+        // (the kmeansCentroids class — k×1 strings, never data)
+        bests = bests :+ best.collect().headOption
+          .map(r => (r.getString(0), r.getLong(1)))
+        reps = applyMerge(reps, best).localCheckpoint()
+      }
+      BpeStanding(bests, pairTables, repsSeq)
+    }
+
+  /** Incremental BPE merge maintenance — the daily-tick form of
+    * [[bpeMerges]]: fold the delta batch's word counts into the
+    * standing learner's PAIR statistics instead of retraining from the
+    * corpus. Pair counts are LINEAR in word counts (every round-k
+    * statistic is Σ_words cnt(w)·pairs(rep_{k−1}(w))), so as long as
+    * the merges chosen so far equal the standing ones,
+    * P_k(base ∪ delta) = P_k(base) ⊎ P_k(delta-under-standing-merges)
+    * — one keyed outer sum of the standing pair table against a
+    * delta-vocab-sized frame per round, and the argmax over it is
+    * provably the from-scratch choice. The tick therefore touches the
+    * corpus only for the delta wordcount; per round it does
+    * delta-sized pair counting plus one scan of the standing
+    * (vocab-granularity) pair table. The moment a round's argmax
+    * DIVERGES from the standing merge — the delta actually changed
+    * the tokenizer — later standing rounds are stale by construction,
+    * so the fold re-canonicalizes exactly like
+    * [[graft.ext.Dedup.dedupGroupsDelta]]'s touched components: it
+    * resumes the plain learner loop from the divergence round on the
+    * COMBINED vocabulary (base reps ∪ delta reps, counts summed — a
+    * vocab-sized union, never a corpus re-scan). Output = the
+    * from-scratch merge table over the converged corpus (the oracle
+    * recomputes it independently), plus `folded` marking the rounds
+    * served purely by the fold — the audit column that shows how much
+    * of the table a daily tick actually re-learned. Beyond
+    * [[BpeTrainDocCap]] both learners are sample-bounded (base-capped
+    * + full delta vs full-capped); at gate scale stride = 1 and the
+    * contract is exact equality. */
+  def bpeMergesDelta(spark: SparkSession, dir: String): DataFrame = {
+    val st = bpeStanding(spark, dir)
+    val m = Dedup.DeltaMod
+    val delta = Tables.documents(spark, dir)
+      .filter(col("doc_id") % m === (m - 1))
+    var dRep = bpeCharRep(bpeVocab(delta)).localCheckpoint()
+    var combined: Option[DataFrame] = None
+    var out = Seq.empty[DataFrame]
+    for (k <- 1 to BpeMerges) {
+      val (best, folded) = combined match {
+        case None =>
+          // fold path: standing pair table ⊎ delta pair counts
+          val pD = bpePairCounts(dRep)
+          val total = st.pairTables(k - 1).withColumnRenamed("c", "c_base")
+            .join(pD.withColumnRenamed("c", "c_delta"), Seq("pair"), "full")
+            .select(col("pair"),
+              (coalesce(col("c_base"), lit(0L)) +
+                coalesce(col("c_delta"), lit(0L))).as("c"))
+          val b = total.orderBy(col("c").desc, col("pair")).limit(1)
+            .localCheckpoint()
+          // 1-row bounded collect (the standing-trainer class): the
+          // divergence test compares two driver scalars
+          val same = b.collect().headOption.map(_.getString(0)) ==
+            st.bests(k - 1).map(_._1)
+          if (same) dRep = applyMerge(dRep, b).localCheckpoint()
+          else {
+            // cascade: merges 1..k still equal from-scratch (round k's
+            // argmax came from the exact combined counts), but later
+            // standing rounds are stale — resume the learner on the
+            // combined vocabulary at round k's output
+            val comb = st.reps(k - 1).unionByName(dRep)
+              .groupBy("word", "rep").agg(sum("cnt").as("cnt"))
+            combined = Some(applyMerge(comb, b).localCheckpoint())
+          }
+          (b, same)
+        case Some(c) =>
+          val b = bpePairCounts(c).orderBy(col("c").desc, col("pair"))
+            .limit(1).localCheckpoint()
+          combined = Some(applyMerge(c, b).localCheckpoint())
+          (b, false)
+      }
+      out = out :+ best.select(lit(k).as("merge_rank"),
+        col("pair").as("merged_pair"),
+        regexp_replace(col("pair"), " ", "").as("new_symbol"),
+        col("c").as("pair_count"), lit(folded).as("folded"))
+    }
+    out.reduce(_ unionByName _).orderBy("merge_rank")
+  }
+
+  /** One prefix-named BPE learner CTE chain over `documents WHERE
+    * <where>`, with the train-doc cap computed over the same slice —
+    * the parametrized form of [[bpeLearnCtes]]'s w/r/p/b chain. */
+  private def bpeChainSql(prefix: String, where: String): String = {
+    def iter(k: Int): String =
+      s"""${prefix}p$k AS (SELECT g AS pair, CAST(SUM(cnt) AS BIGINT) AS c
+         |  FROM (SELECT cnt, unnest(list_transform(
+         |      range(greatest(len(s) - 1, 0)), i -> s[i+1] || ' ' || s[i+2])) AS g
+         |    FROM (SELECT cnt, string_split(rep, ' ') AS s FROM ${prefix}r${k - 1}) t) u
+         |  GROUP BY g),
+         |${prefix}b$k AS (SELECT pair, c FROM ${prefix}p$k ORDER BY c DESC, pair LIMIT 1),
+         |${prefix}r$k AS (SELECT word, cnt,
+         |    regexp_replace(rep, '\\b' || split_part(${prefix}b$k.pair, ' ', 1) || ' ' ||
+         |      split_part(${prefix}b$k.pair, ' ', 2) || '\\b',
+         |      replace(${prefix}b$k.pair, ' ', ''), 'g') AS rep
+         |  FROM ${prefix}r${k - 1}, ${prefix}b$k)""".stripMargin
+    s"""${prefix}w AS (SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS cnt
+       |  FROM (SELECT unnest(ws) AS w
+       |        FROM (SELECT $tokensSql AS ws FROM documents
+       |              WHERE ($where) AND doc_id %
+       |                (SELECT GREATEST(1, COUNT(*) // $BpeTrainDocCap)
+       |                 FROM documents WHERE $where) = 0) t) u
+       |  GROUP BY 1),
+       |${prefix}r0 AS (SELECT word, cnt,
+       |  array_to_string(regexp_extract_all(word, '.'), ' ') AS rep FROM ${prefix}w),
+       |${(1 to BpeMerges).map(iter).mkString(",\n")}""".stripMargin
+  }
+
+  /** Mirrors [[bpeMergesDelta]] by recomputing BOTH learners from
+    * scratch: the full-corpus chain (b_k — what the fold must equal)
+    * and the base-slice chain (sb_k — the standing merges), with
+    * folded_k = every round ≤ k agreeing between the two (after the
+    * first disagreement the engine is on the cascade path). */
+  def bpeMergesDeltaOracle: String = {
+    val m = Dedup.DeltaMod
+    def foldedExpr(k: Int): String = (1 to k).map(i =>
+      s"(SELECT pair FROM b$i) IS NOT DISTINCT FROM (SELECT pair FROM sb$i)")
+      .mkString(" AND ")
+    val finals = (1 to BpeMerges).map(k =>
+      s"""SELECT $k AS merge_rank, pair AS merged_pair,
+         |  replace(pair, ' ', '') AS new_symbol, c AS pair_count,
+         |  (${foldedExpr(k)}) AS folded FROM b$k""".stripMargin)
+      .mkString("\nUNION ALL\n")
+    s"""WITH ${bpeChainSql("", "doc_id >= 0")},
+       |${bpeChainSql("s", s"doc_id % $m <> ${m - 1}")}
+       |$finals
+       |ORDER BY merge_rank""".stripMargin
   }
 
   // ── feature hashing: the fixed-width text featurizer ──

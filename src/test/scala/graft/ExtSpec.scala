@@ -273,6 +273,24 @@ class ExtSpec extends SparkSpec {
     assert(r.getBoolean(5) == (r.getDouble(2) > r.getDouble(4)))
   }
 
+  test("incremental BPE fold equals the from-scratch learner, memo replays stably") {
+    TextAnalysis.resetBpeMemo()
+    TextAnalysis.resetBpeStandingMemo()
+    def noFold(rs: Array[org.apache.spark.sql.Row]) = rs
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .sortBy(_._1).toSeq
+    val delta = TextAnalysis.bpeMergesDelta(spark, sf0001).collect()
+    val scratch = TextAnalysis.bpeMerges(spark, sf0001).collect()
+    assert(noFold(delta) == noFold(scratch),
+      "folded merge table must equal the from-scratch learner")
+    // a second tick reads the memoized standing state and replays
+    // bit-identically, folded flags included
+    val again = TextAnalysis.bpeMergesDelta(spark, sf0001).collect()
+    assert(delta.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+    TextAnalysis.resetBpeMemo()
+    TextAnalysis.resetBpeStandingMemo()
+  }
+
   test("operating curves + session examples keep their structural contracts") {
     // merge curve: words/chars constant in m; 0 merges ⇒ every char a
     // symbol; each merge can only shrink the symbol count (fertility
@@ -440,10 +458,13 @@ class ExtSpec extends SparkSpec {
     val out = Multimodal.captionAssetTopK(spark, sf0001).collect()
     assert(out.nonEmpty)
     val byCaption = out.groupBy(_.getLong(0))
-    // panel = every CaptionPanelMod-th caption with a nonzero embedding
+    // panel = every CaptionPanelMod-th caption with a nonzero
+    // embedding, capped at CaptionPanelCap fixed query ids
     val expectedPanel = Multimodal.sharedSpaceCaptions(spark, sf0001)
       .filter(col("e").isNotNull &&
-        col("asset_id") % Multimodal.CaptionPanelMod === 0).count()
+        col("asset_id") % Multimodal.CaptionPanelMod === 0 &&
+        col("asset_id") < Multimodal.CaptionPanelMod.toLong *
+          Multimodal.CaptionPanelCap).count()
     assert(byCaption.size.toLong == expectedPanel,
       s"panel ${byCaption.size} != $expectedPanel")
     byCaption.foreach { case (cap, rs) =>

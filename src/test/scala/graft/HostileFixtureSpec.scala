@@ -945,6 +945,48 @@ class HostileFixtureSpec extends SparkSpec {
     graft.ext.TextAnalysis.resetBpeMemo() // don't leak the tiny learner
   }
 
+  test("incremental BPE: divergence mid-table folds the prefix and cascades the tail") {
+    import org.apache.spark.sql.functions._
+    // engineered counts — base: ab×100, cd×60, ef×50; delta (ids ≡ 9
+    // mod 10): ef×20. Round 1 agrees on 'a b' (100); round 2 the
+    // standing learner picks 'c d' (60) but the delta pushes 'e f' to
+    // 70 — the fold must detect the flip, keep round 1 as folded, and
+    // re-learn rounds 2+ on the combined vocabulary; rounds 4-5 have
+    // no pairs left and must emit nothing (the exhaustion contract)
+    val out = "/tmp/graft_bpe_delta_fixture_v1"
+    val marker = new java.io.File(s"$out/_built")
+    if (!marker.exists()) {
+      val word10 = (w: String) => Seq.fill(10)(w).mkString(" ")
+      val base = (Seq(0L, 1L, 2L, 3L, 4L, 5L, 6L, 7L, 8L, 10L).map(
+          id => (id, word10("ab"))) ++
+        Seq(11L, 12L, 13L, 14L, 15L, 16L).map(id => (id, word10("cd"))) ++
+        Seq(17L, 18L, 20L, 21L, 22L).map(id => (id, word10("ef"))))
+      val delta = Seq(19L, 29L).map(id => (id, word10("ef")))
+      spark.createDataFrame(base ++ delta).toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("src0"))
+        .withColumn("n_chars", length(col("text")).cast("long"))
+        .write.mode("overwrite").parquet(s"$out/documents.parquet")
+      marker.getParentFile.mkdirs(); marker.createNewFile()
+    }
+    graft.ext.TextAnalysis.resetBpeMemo()
+    graft.ext.TextAnalysis.resetBpeStandingMemo()
+    val folded = graft.ext.TextAnalysis.bpeMergesDelta(spark, out).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    assert(folded.map(x => (x._1, x._2, x._3)).toSeq ==
+      Seq((1, "a b", 100L), (2, "e f", 70L), (3, "c d", 60L)),
+      s"cascade produced the wrong table:\n${folded.mkString("\n")}")
+    assert(folded.map(_._4).toSeq == Seq(true, false, false),
+      "round 1 must fold; the diverging round and its tail must refit")
+    // and the cascade output equals the from-scratch learner on the
+    // converged corpus — the same contract the sf0.01 oracle checks
+    val scratch = graft.ext.TextAnalysis.bpeMerges(spark, out).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(3))).sortBy(_._1)
+    assert(scratch.toSeq == folded.map(x => (x._1, x._2, x._3)).toSeq)
+    graft.ext.TextAnalysis.resetBpeMemo()
+    graft.ext.TextAnalysis.resetBpeStandingMemo()
+  }
+
   test("session examples: single-event sessions emit nothing, first targets carry 1-token context") {
     import org.apache.spark.sql.functions._
     // the contract under sparse sessions: an example needs ≥1 context
