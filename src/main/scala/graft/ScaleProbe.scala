@@ -241,6 +241,10 @@ object ScaleProbe {
       // join terms appended to the standing view, O(|delta|)
       "ivm_join_enriched" -> (graft.ext.Pipeline.ivmJoinEnriched _),
       "ivm_join_enriched_fold" -> (graft.ext.Pipeline.ivmJoinEnriched _),
+      // CDC IVM: signed retraction fold; _fold times the tick alone —
+      // two broadcast delta terms + touched-key-only consolidation
+      "ivm_join_cdc" -> (graft.ext.Pipeline.ivmJoinCdc _),
+      "ivm_join_cdc_fold" -> (graft.ext.Pipeline.ivmJoinCdc _),
       // cross-modal retrieval: panel-bounded broadcast scoring + heap
       // top-k — growth should track the two feature scans
       "caption_asset_topk" -> (graft.ext.Multimodal.captionAssetTopK _),
@@ -274,7 +278,9 @@ object ScaleProbe {
         // standing pair/label/gram-index tables are loaded, not
         // rebuilt — warm them untimed (bootstrap), then time the
         // fold-only path
-        if (name.startsWith("ivm_join"))
+        if (name.startsWith("ivm_join_cdc"))
+          graft.ext.Pipeline.cdcViewState(spark, dir)
+        else if (name.startsWith("ivm_join"))
           graft.ext.Pipeline.joinViewState(spark, dir)
         else if (name.startsWith("bpe_merges"))
           graft.ext.TextAnalysis.warmBpeStanding(spark, dir)
@@ -287,6 +293,7 @@ object ScaleProbe {
         graft.ext.Dedup.resetStandingStateMemo()
         graft.ext.Pipeline.resetReadyStateMemo()
         graft.ext.Pipeline.resetJoinViewMemo()
+        graft.ext.Pipeline.resetCdcViewMemo()
         graft.ext.TextAnalysis.resetBpeStandingMemo()
       }
       time(fn(spark, dir).write.format("noop").mode("overwrite").save())

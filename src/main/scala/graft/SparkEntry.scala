@@ -447,6 +447,9 @@ object SparkEntry {
     // delta-join IVM: materialized join view folded under a two-sided
     // delta batch (ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB); oracle = from-scratch join
     "ivm_join_enriched" -> (graft.ext.Pipeline.ivmJoinEnriched _),
+    // CDC IVM: signed (Z-set) retraction fold — updates re-emit,
+    // deletes retract, consolidation touches only delta-keyed rows
+    "ivm_join_cdc" -> (graft.ext.Pipeline.ivmJoinCdc _),
     // the gate's ON-INGEST twin: the per-doc screen kernel streamed,
     // the same per-tick fold, the same oracle object — three forms
     "stream_training_readiness" ->
@@ -807,6 +810,7 @@ object SparkEntry {
     "training_readiness_delta" ->
       graft.ext.Pipeline.trainingReadinessOracle,
     "ivm_join_enriched" -> graft.ext.Pipeline.ivmJoinEnrichedOracle,
+    "ivm_join_cdc" -> graft.ext.Pipeline.ivmJoinCdcOracle,
     "stream_training_readiness" ->
       graft.ext.Pipeline.trainingReadinessOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,

@@ -701,4 +701,130 @@ object Pipeline {
        |FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
        |ORDER BY o.o_orderkey""".stripMargin
   }
+
+  // ── CDC-join IVM: the view maintained under UPDATES and DELETES ──
+
+  /** Synthetic-but-deterministic CDC batch: dimension rows with
+    * c_custkey ≡ [[CdcUpdSlot]] (mod 10) receive an attribute UPDATE,
+    * fact rows with o_orderkey ≡ [[CdcDelSlot]] (mod 10) are DELETED.
+    * Slots deliberately differ from the insert slice (DeltaMod−1 = 9)
+    * so the three IVM forms exercise disjoint shapes. */
+  val CdcUpdSlot = 3
+  val CdcDelSlot = 7
+  val CdcNewSegment = "RESEGMENTED"
+
+  /** Standing state for the CDC view: the FULL materialized join (the
+    * lake's current view — CDC modifies in place, unlike the
+    * insert-only form whose base excludes the future delta). */
+  private val cdcViewMemo = new graft.SessionDirMemo[JoinViewState]
+  private[graft] def resetCdcViewMemo(): Unit = cdcViewMemo.reset()
+
+  private[graft] def cdcViewState(spark: SparkSession,
+                                  dir: String): JoinViewState =
+    cdcViewMemo.get(spark, dir) {
+      val ao = ordersSlim(spark, dir).localCheckpoint()
+      val ac = custSlim(spark, dir).localCheckpoint()
+      JoinViewState(enrichJoin(ao, ac).localCheckpoint(), ao, ac)
+    }
+
+  /** ONE maintenance tick of the SIGNED (Z-set) delta-join algebra —
+    * the retraction form the insert-only [[foldJoinDelta]] cannot
+    * express: a delete is a −1 row, an update is −old ⊎ +new, and the
+    * same three-term algebra with multiplied signs
+    *
+    *   ΔV = ΔA⋈B_old ∪ A_old⋈ΔB ∪ ΔA⋈ΔB,  s = s_A·s_B
+    *
+    * tiles A_new⋈B_new − A_old⋈B_old exactly (expand (A−delA)⋈
+    * (B−delB+newB): the six cross terms are precisely the signed sum).
+    * Consolidation NEVER touches the whole view: the keys present in
+    * ΔV are delta-bounded, so the view splits into an untouched
+    * anti-join slice (passed through untouched — the
+    * [[graft.ext.Dedup.foldDeltaEdges]] touched-slice discipline) and
+    * a semi-join slice that groups with ΔV summing signs, keeping net
+    * count > 0. Returns the updated state (consolidated view, sides
+    * with deletes removed and updates applied) so CDC ticks COMPOSE —
+    * ExtSpec folds a second batch and re-checks against re-derivation.
+    * Cost shape: both delta terms broadcast the CDC batch against a
+    * maintained keyed base; consolidation shuffles only
+    * |touched keys| + |ΔV| rows. */
+  private[graft] def foldJoinCdc(st: JoinViewState,
+                                 dO: DataFrame, dC: DataFrame): JoinViewState = {
+    val viewCols = Seq("o_orderkey", "c_custkey", "c_mktsegment",
+      "c_nationkey", "o_totalprice").map(col)
+    def term(o: DataFrame, c: DataFrame): DataFrame =
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(viewCols :+ (col("sA") * col("sB")).as("s"): _*)
+    val dV = term(broadcast(dO.withColumnRenamed("s", "sA")),
+        st.baseCust.withColumn("sB", lit(1L)))
+      .unionByName(term(st.baseOrders.withColumn("sA", lit(1L)),
+        broadcast(dC.withColumnRenamed("s", "sB"))))
+      .unionByName(term(broadcast(dO.withColumnRenamed("s", "sA")),
+        broadcast(dC.withColumnRenamed("s", "sB"))))
+    val touched = dV.select("o_orderkey").distinct().localCheckpoint()
+    val untouched =
+      st.view.join(broadcast(touched), Seq("o_orderkey"), "left_anti")
+    val consolidated = st.view
+      .join(broadcast(touched), Seq("o_orderkey"), "semi")
+      .withColumn("s", lit(1L)).unionByName(dV)
+      .groupBy(viewCols: _*).agg(sum("s").as("n"))
+      .filter(col("n") > 0).select(viewCols: _*)
+    // maintain the sides the same way: deletes drop, updates replace
+    val delO = dO.filter(col("s") < 0).select("o_orderkey")
+    val updC = dC.select("c_custkey").distinct()
+    val newOrders =
+      st.baseOrders.join(broadcast(delO), Seq("o_orderkey"), "left_anti")
+    val newCust =
+      st.baseCust.join(broadcast(updC), Seq("c_custkey"), "left_anti")
+        .unionByName(dC.filter(col("s") > 0).drop("s"))
+    JoinViewState(untouched.unionByName(consolidated),
+      newOrders, newCust)
+  }
+
+  /** The CDC batch the oracled query applies (shared with ExtSpec):
+    * −old/+new dimension rows for the updated segment slice, −1 fact
+    * rows for the deleted order slice. */
+  private[graft] def cdcBatch(st: JoinViewState): (DataFrame, DataFrame) = {
+    val oldDim = st.baseCust.filter(col("c_custkey") % 10 === CdcUpdSlot)
+    val dC = oldDim.withColumn("s", lit(-1L))
+      .unionByName(oldDim.withColumn("c_mktsegment", lit(CdcNewSegment))
+        .withColumn("s", lit(1L)))
+    val dO = st.baseOrders.filter(col("o_orderkey") % 10 === CdcDelSlot)
+      .withColumn("s", lit(-1L))
+    (dO, dC)
+  }
+
+  /** CDC maintenance of the materialized join view — the
+    * update/delete twin of [[ivmJoinEnriched]] (production CDC feeds
+    * carry all three verbs; insert-only IVM cannot retract a row the
+    * dimension just re-attributed). One [[foldJoinCdc]] tick applies
+    * the deterministic [[cdcBatch]]; the emitted view must equal the
+    * from-scratch join of the POST-CDC tables (the oracle re-derives
+    * it independently — a failed retraction would leave the old
+    * segment row behind and break the hash). `src` attributes rows to
+    * 'updated' (re-emitted by the dimension update) vs 'standing';
+    * deleted orders are simply absent. */
+  def ivmJoinCdc(spark: SparkSession, dir: String): DataFrame = {
+    val st = cdcViewState(spark, dir)
+    val (dO, dC) = cdcBatch(st)
+    foldJoinCdc(st, dO, dC).view
+      .select(col("o_orderkey"), col("c_custkey"), col("c_mktsegment"),
+        col("c_nationkey"), col("o_totalprice"),
+        when(col("c_custkey") % 10 === CdcUpdSlot, lit("updated"))
+          .otherwise(lit("standing")).as("src"))
+      .orderBy("o_orderkey")
+  }
+
+  def ivmJoinCdcOracle: String =
+    s"""WITH c2 AS (SELECT c_custkey,
+       |    CASE WHEN c_custkey % 10 = $CdcUpdSlot THEN '$CdcNewSegment'
+       |         ELSE c_mktsegment END AS c_mktsegment,
+       |    c_nationkey FROM customer),
+       |o2 AS (SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+       |       WHERE o_orderkey % 10 <> $CdcDelSlot)
+       |SELECT o.o_orderkey, c.c_custkey, c.c_mktsegment, c.c_nationkey,
+       |  o.o_totalprice,
+       |  CASE WHEN c.c_custkey % 10 = $CdcUpdSlot THEN 'updated'
+       |       ELSE 'standing' END AS src
+       |FROM o2 o JOIN c2 c ON o.o_custkey = c.c_custkey
+       |ORDER BY o.o_orderkey""".stripMargin
 }

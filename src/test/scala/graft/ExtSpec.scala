@@ -223,6 +223,56 @@ class ExtSpec extends SparkSpec {
     assert(q1.sameElements(q2))
   }
 
+  test("CDC-join IVM: signed folds retract exactly and compose across ticks") {
+    graft.ext.Pipeline.resetCdcViewMemo()
+    val dir = "/root/testdata/sf0.01"
+    def viewMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getString(2), r.getInt(3), r.getDouble(4))).toMap
+    // tick 1: the query's own batch (update slot 3, delete slot 7)
+    val st0 = graft.ext.Pipeline.cdcViewState(spark, dir)
+    val (dO1, dC1) = graft.ext.Pipeline.cdcBatch(st0)
+    val s1 = graft.ext.Pipeline.foldJoinCdc(st0, dO1, dC1)
+    // tick 2 on the UPDATED state: delete slot 5, re-update slot 3
+    // back to a second segment — updates of already-updated rows are
+    // the retraction case insert-only IVM cannot express
+    val oldDim = s1.baseCust
+      .filter(col("c_custkey") % 10 === graft.ext.Pipeline.CdcUpdSlot)
+    val dC2 = oldDim.withColumn("s", lit(-1L)).unionByName(
+      oldDim.withColumn("c_mktsegment", lit("MOVED_AGAIN"))
+        .withColumn("s", lit(1L)))
+    val dO2 = s1.baseOrders.filter(col("o_orderkey") % 10 === 5)
+      .withColumn("s", lit(-1L))
+    val s2 = graft.ext.Pipeline.foldJoinCdc(s1, dO2, dC2)
+    // from-scratch: both CDC batches applied to the raw tables
+    val o = Tables.orders(spark, dir).select(col("o_orderkey"),
+        col("o_custkey"), col("o_totalprice"))
+      .filter(col("o_orderkey") % 10 =!= graft.ext.Pipeline.CdcDelSlot &&
+        col("o_orderkey") % 10 =!= 5)
+    val c = Tables.customer(spark, dir).select(col("c_custkey"),
+      when(col("c_custkey") % 10 === graft.ext.Pipeline.CdcUpdSlot,
+        lit("MOVED_AGAIN")).otherwise(col("c_mktsegment"))
+        .as("c_mktsegment"),
+      col("c_nationkey"))
+    val folded = viewMap(s2.view)
+    val scratch = viewMap(
+      o.join(c, col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_custkey"),
+          col("c_mktsegment"), col("c_nationkey"), col("o_totalprice")))
+    assert(folded.size == scratch.size,
+      s"fold has ${folded.size} rows, from-scratch ${scratch.size}")
+    assert(folded == scratch)
+    // every updated customer's rows carry ONLY the latest segment —
+    // a failed retraction would leave the intermediate one behind
+    assert(!folded.values.exists(v =>
+      v._1 % 10 == graft.ext.Pipeline.CdcUpdSlot && v._2 != "MOVED_AGAIN"))
+    // memo stability of the query form
+    val q1 = graft.ext.Pipeline.ivmJoinCdc(spark, dir).collect()
+    val q2 = graft.ext.Pipeline.ivmJoinCdc(spark, dir).collect()
+    assert(q1.sameElements(q2))
+    graft.ext.Pipeline.resetCdcViewMemo()
+  }
+
   test("threshold sweep: confusion counts are coherent and monotone in tau") {
     val rows = Dedup.thresholdSweep(spark, sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
