@@ -248,6 +248,9 @@ object ScaleProbe {
       // cross-modal retrieval: panel-bounded broadcast scoring + heap
       // top-k — growth should track the two feature scans
       "caption_asset_topk" -> (graft.ext.Multimodal.captionAssetTopK _),
+      // indexed retrieval arm: bucket scan + ×9 panel probe fan-out
+      "caption_asset_topk_ann" ->
+        (graft.ext.Multimodal.captionAssetTopKAnn _),
       // incremental BPE: cold pays standing training + fold; the
       // _fold form is the real tick — delta wordcount + per-round
       // delta-sized pair counts against the standing pair tables

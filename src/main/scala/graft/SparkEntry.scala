@@ -323,6 +323,9 @@ object SparkEntry {
     // space + diagonal recall audit (the pair-BUILDING twin of the
     // alignment audit)
     "caption_asset_topk" -> Multimodal.captionAssetTopK _,
+    // the LSH-multiprobe scale path for the same retrieval, with the
+    // per-caption recall-vs-exact acceptance audit in the row
+    "caption_asset_topk_ann" -> Multimodal.captionAssetTopKAnn _,
     // LEFT OUTER stream-stream join (watermark-flushed non-matches)
     "stream_interval_join_outer" -> ((s, dir) =>
       graft.streaming.EventStream.intervalJoinOuterOverFiles(s, dir)),
@@ -739,6 +742,7 @@ object SparkEntry {
     "media_downsample" -> Multimodal.mediaDownsampleOracle,
     "caption_frame_alignment" -> Multimodal.captionFrameAlignmentOracle,
     "caption_asset_topk" -> Multimodal.captionAssetTopKOracle,
+    "caption_asset_topk_ann" -> Multimodal.captionAssetTopKAnnOracle,
     "stream_interval_join_outer" ->
       graft.streaming.EventStream.intervalJoinOuterOverFilesOracle,
     "stream_interval_join_full" ->

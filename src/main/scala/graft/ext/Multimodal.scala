@@ -595,4 +595,145 @@ object Multimodal {
        |  max(neighbor_id = query_id) OVER (PARTITION BY query_id) AS hit_at_k
        |FROM ranked WHERE rk <= $CaptionTopK
        |ORDER BY caption_id, rk""".stripMargin
+
+  /** The SCALE path for cross-modal retrieval, with its acceptance
+    * audit in the same row — the brute-vs-indexed ladder
+    * [[captionAssetTopK]]'s scaladoc promises: assets bucket once by
+    * random-hyperplane LSH in the shared 8-dim space
+    * ([[Similarity.lshBucket]] — sign-stable under the unit-norm, so
+    * caption and asset sides bucket consistently), each panel caption
+    * probes its own bucket plus all Hamming-1 flips (Lv et al.
+    * multiprobe — several tables' recall at one table's memory), and
+    * candidates score through the same bounded heap. Per caption the
+    * report carries recall@k against the EXACT panel retrieval
+    * (n_exact/n_hit/recall) and whether the diagonal asset survived
+    * the index (`own_in_ann`) — the number that decides if the index
+    * is good enough to BUILD contrastive pairs with, not just audit
+    * them. Cost shape: the corpus is scanned once to bucket and never
+    * fanned out (probes multiply the bounded panel side ×9); the
+    * bucket join replaces the exact form's panel broadcast, so
+    * per-caption work drops from O(n) to O(candidates in 9 of 256
+    * buckets). A caption whose probed buckets come back empty still
+    * reports (exact spine, LEFT join): recall 0, own_in_ann false —
+    * graded zeros, never a dropped row. */
+  def captionAssetTopKAnn(spark: SparkSession, dir: String): DataFrame = {
+    val corpus = sharedSpaceAssets(spark, dir).filter(col("a").isNotNull)
+      .select(col("asset_id"), col("a"),
+        Similarity.lshBucket(col("a")).as("bucket"))
+    val panel = sharedSpaceCaptions(spark, dir)
+      .filter(col("e").isNotNull && col("asset_id") % CaptionPanelMod === 0 &&
+        col("asset_id") < CaptionPanelMod.toLong * CaptionPanelCap)
+      .select(col("asset_id").as("query_id"), col("e"),
+        Similarity.lshBucket(col("e")).as("qb"))
+    val probes = array(col("qb") +: (0 until Similarity.NumPlanes).map(p =>
+      col("qb").bitwiseXOR(lit(1L << p))): _*)
+    val q = panel.select(col("query_id"), col("e"),
+      explode(probes).as("bucket"))
+    val scored = corpus.join(broadcast(q), Seq("bucket"))
+      .select(col("query_id"), col("asset_id").as("neighbor_id"),
+        round(graft.functions.DotProduct(col("a"), col("e")), 6).as("cos_sim"))
+    val ann = Similarity.topKPerQuery(scored, CaptionTopK).localCheckpoint()
+    val exact = captionAssetTopK(spark, dir)
+      .select(col("caption_id").as("query_id"),
+        col("asset_id").as("x_n"))
+    val ownHit = ann.groupBy("query_id")
+      .agg(max(col("neighbor_id") === col("query_id")).as("own_in_ann"))
+    exact
+      .join(broadcast(ann.select(col("query_id").as("a_q"),
+        col("neighbor_id").as("a_n"))),
+        col("query_id") === col("a_q") && col("x_n") === col("a_n"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("a_n")).as("n_hit"))
+      .join(broadcast(ownHit), Seq("query_id"), "left")
+      .select(col("query_id").as("caption_id"), col("n_exact"),
+        col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"),
+        coalesce(col("own_in_ann"), lit(false)).as("own_in_ann"))
+      .orderBy("caption_id")
+  }
+
+  /** Mirrors [[captionAssetTopKAnn]]: the shared-space CTEs, the
+    * 8-plane sign-mix bucket (the [[Similarity]] oracle formulation
+    * over the 8-dim unit lists), Hamming-1 probe fan-out on the panel
+    * side only, and the exact-vs-ann recall join. */
+  def captionAssetTopKAnnOracle: String =
+    s"""WITH d AS (SELECT doc_id, octet_length(CAST(text AS BLOB)) AS n,
+       |    hex(CAST(text AS BLOB)) AS hx FROM documents),
+       |byt AS (SELECT doc_id, i % 8 AS k,
+       |    CAST('0x' || substr(hx, CAST(2*i+1 AS BIGINT), 2) AS BIGINT) AS b
+       |  FROM (SELECT doc_id, hx, unnest(range(0, n)) AS i FROM d) t),
+       |bins AS (SELECT doc_id, k, SUM(b) AS bin FROM byt GROUP BY doc_id, k),
+       |dense AS (SELECT d.doc_id, kk.k,
+       |    CAST(CAST(COALESCE(bin, 0) / 255.0 AS REAL) AS DOUBLE) AS av
+       |  FROM d CROSS JOIN range(8) kk(k)
+       |  LEFT JOIN bins ON bins.doc_id = d.doc_id AND bins.k = kk.k),
+       |araw AS (SELECT doc_id AS asset_id, list(av ORDER BY k) AS al
+       |  FROM dense GROUP BY doc_id),
+       |aunit AS (SELECT asset_id,
+       |    CASE WHEN sqrt(list_dot_product(al, al)) > 0 THEN
+       |      list_transform(al, x -> x / sqrt(list_dot_product(al, al)))
+       |    END AS a FROM araw),
+       |eraw AS (SELECT vec_id AS asset_id,
+       |    list_transform(range(8), j -> COALESCE(list_sum(
+       |      v[(j*dd)//8 + 1 : ((j+1)*dd)//8]), 0.0)) AS el
+       |  FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+       |        len(embedding) AS dd FROM embeddings) e0),
+       |eunit AS (SELECT asset_id,
+       |    CASE WHEN sqrt(list_dot_product(el, el)) > 0 THEN
+       |      list_transform(el, x -> x / sqrt(list_dot_product(el, el)))
+       |    END AS e FROM eraw),
+       |aproj AS (SELECT asset_id, p,
+       |    list_sum(list_transform(range(8), j ->
+       |      a[j+1] * (CASE WHEN (j * 2654435761 + p * 40503) % 97 % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END))) AS s
+       |  FROM aunit CROSS JOIN range(${Similarity.NumPlanes}) r(p)
+       |  WHERE a IS NOT NULL),
+       |abuck AS (SELECT asset_id, CAST(SUM(CASE WHEN s > 0
+       |    THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS bucket
+       |  FROM aproj GROUP BY asset_id),
+       |corpus AS (SELECT au.asset_id, au.a, b.bucket
+       |  FROM aunit au JOIN abuck b USING (asset_id)
+       |  WHERE au.a IS NOT NULL),
+       |eproj AS (SELECT asset_id, p,
+       |    list_sum(list_transform(range(8), j ->
+       |      e[j+1] * (CASE WHEN (j * 2654435761 + p * 40503) % 97 % 2 = 0
+       |                     THEN 1.0 ELSE -1.0 END))) AS s
+       |  FROM eunit CROSS JOIN range(${Similarity.NumPlanes}) r(p)
+       |  WHERE e IS NOT NULL AND asset_id % $CaptionPanelMod = 0
+       |    AND asset_id < ${CaptionPanelMod.toLong * CaptionPanelCap}),
+       |ebuck AS (SELECT asset_id, CAST(SUM(CASE WHEN s > 0
+       |    THEN (1::BIGINT << p) ELSE 0 END) AS BIGINT) AS qb
+       |  FROM eproj GROUP BY asset_id),
+       |panel AS (SELECT eu.asset_id AS query_id, eu.e, b.qb
+       |  FROM eunit eu JOIN ebuck b USING (asset_id)),
+       |q AS (SELECT query_id, e, unnest(list_prepend(qb,
+       |    list_transform(range(${Similarity.NumPlanes}),
+       |      p -> xor(qb, 1::BIGINT << p)))) AS bucket
+       |  FROM panel),
+       |ann AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT q.query_id, c.asset_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY q.query_id
+       |        ORDER BY round(list_dot_product(c.a, q.e), 6) DESC,
+       |                 c.asset_id) AS rk
+       |    FROM corpus c JOIN q ON c.bucket = q.bucket) t
+       |  WHERE rk <= $CaptionTopK),
+       |exact AS (SELECT query_id, neighbor_id FROM (
+       |    SELECT p.query_id, c.asset_id AS neighbor_id,
+       |      row_number() OVER (PARTITION BY p.query_id
+       |        ORDER BY round(list_dot_product(c.a, p.e), 6) DESC,
+       |                 c.asset_id) AS rk
+       |    FROM corpus c CROSS JOIN panel p) t
+       |  WHERE rk <= $CaptionTopK),
+       |own AS (SELECT query_id, bool_or(neighbor_id = query_id) AS own_in_ann
+       |  FROM ann GROUP BY query_id)
+       |SELECT ex.query_id AS caption_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_exact,
+       |  CAST(COUNT(a.neighbor_id) AS BIGINT) AS n_hit,
+       |  round(CAST(COUNT(a.neighbor_id) AS DOUBLE) / COUNT(*), 6) AS recall,
+       |  COALESCE(ANY_VALUE(own.own_in_ann), false) AS own_in_ann
+       |FROM exact ex
+       |LEFT JOIN ann a ON ex.query_id = a.query_id
+       |  AND ex.neighbor_id = a.neighbor_id
+       |LEFT JOIN own ON ex.query_id = own.query_id
+       |GROUP BY ex.query_id ORDER BY caption_id""".stripMargin
 }

@@ -37,8 +37,8 @@ class PlanSpec extends SparkSpec {
     // bounded query/candidate panel (k centroids, |queries|×k rows,
     // recall scalars) joined keylessly onto a scored scan — the ANN
     // audit pattern
-    "best_split_stump", "caption_asset_topk", "curriculum_order",
-    "decontaminate_semantic",
+    "best_split_stump", "caption_asset_topk", "caption_asset_topk_ann",
+    "curriculum_order", "decontaminate_semantic",
     "dim_recall_audit", "hard_negatives_ann", "ivf_recall_sweep",
     "knn_audit_ann", "knn_label_audit", "rrf_fusion", "sample_temperature",
     "sim_ann_ivfpq", "sim_ann_ivfpq_refine", "sim_ivf_delta_assign",
