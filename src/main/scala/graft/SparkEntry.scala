@@ -121,6 +121,8 @@ object SparkEntry {
     "dedup_groups" -> ((s, dir) => Dedup.duplicateGroups(s, dir)),
     // incremental CC maintenance: delta fold into standing labels
     "dedup_groups_delta" -> ((s, dir) => Dedup.dedupGroupsDelta(s, dir)),
+    // density communities of the near-dup graph (LPA splits chains CC merges)
+    "dedup_communities_lpa" -> ((s, dir) => Dedup.dedupCommunitiesLpa(s, dir)),
     // the on-ingest twin: edges streamed per arrival, same fold+oracle
     "stream_groups_monitor" ->
       ((s, dir) => graft.streaming.DocStream.streamingGroupsMonitor(s, dir)),
@@ -255,6 +257,8 @@ object SparkEntry {
     "scd2_upsert" -> Relational.scd2Upsert _,
     "pagerank_nations" -> ((s, dir) => graft.ext.Graph.pagerankNations(s, dir)),
     "triangle_nations" -> graft.ext.Graph.triangleNations _,
+    // density communities via synchronous weighted label propagation
+    "lpa_communities" -> graft.ext.Graph.lpaCommunities _,
     "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHops _,
     "event_transitions" -> EventOps.eventTransitions _,
     "attribution_touch" -> EventOps.attributionTouch _,
@@ -275,6 +279,8 @@ object SparkEntry {
     "benford_price" -> Nonparam.benfordPrice _,
     "weighted_median_price" -> Nonparam.weightedMedianPrice _,
     "copurchase_pairs" -> Nonparam.copurchasePairs _,
+    // apriori-filtered directed rules with confidence + lift
+    "assoc_rules_parts" -> Nonparam.assocRulesParts _,
     "dedup_cdc_chunks" -> graft.ext.Dedup.cdcChunks _,
     "collocations_pmi" -> TextAnalysis.collocationsPmi _,
     "perplexity_bigram" -> TextAnalysis.perplexityBigram _,
@@ -298,6 +304,10 @@ object SparkEntry {
     "sketch_hll_merge" -> graft.ext.Sketches.hllMergeSources _,
     "sketch_kmv_overlap" -> graft.ext.Sketches.kmvOverlap _,
     "sketch_join_size" -> graft.ext.Sketches.joinSizeEstimate _,
+    // bottom-k-by-hash quantile sketch: sample vs exact order stats
+    "sketch_quantile_price" -> graft.ext.Sketches.quantileSketchPrice _,
+    // per-source quantile sketches folded to the corpus estimate
+    "sketch_quantile_merge" -> graft.ext.Sketches.quantileSketchMerge _,
     "rank_eval_ndcg" -> ((s: SparkSession, dir: String) =>
       graft.ext.Similarity.rankEvalNdcg(s, dir)),
     "profile_lineitem" -> Relational.profileLineitem _,
@@ -424,6 +434,8 @@ object SparkEntry {
     "k_generalization_ladder" -> Relational.kGeneralizationLadder _,
     // token-budget mixture plan: weights, epochs, sample rates
     "mixture_budget" -> Sampling.mixtureBudget _,
+    // DoReMi-style difficulty reweighting: EG rounds over domain losses
+    "mixture_reweight" -> Sampling.mixtureReweight _,
     // ...and the same plan maintained on ingest (state = source counts)
     "stream_mixture_monitor" -> ((s, dir) =>
       graft.streaming.DocStream.streamingMixtureMonitor(s, dir)),
@@ -491,6 +503,9 @@ object SparkEntry {
     // ...and the same sketch maintained on ingest: distinct top-k state
     "stream_kmv_monitor" -> ((s, dir) =>
       graft.streaming.DocStream.streamingKmvMonitor(s, dir)),
+    // bottom-k quantile sample maintained on ingest: the 4th algebra
+    "stream_quantile_monitor" -> ((s, dir) =>
+      graft.streaming.DocStream.streamingQuantileMonitor(s, dir)),
   )
 
   /** The word-count oracle — ONE definition shared by the batch query
@@ -683,6 +698,8 @@ object SparkEntry {
     "scd2_upsert" -> Relational.scd2UpsertOracle,
     "pagerank_nations" -> graft.ext.Graph.pagerankNationsOracle,
     "triangle_nations" -> graft.ext.Graph.triangleNationsOracle,
+    "dedup_communities_lpa" -> Dedup.dedupCommunitiesLpaOracle,
+    "lpa_communities" -> graft.ext.Graph.lpaCommunitiesOracle,
     "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHopsOracle,
     "event_transitions" -> EventOps.eventTransitionsOracle,
     "attribution_touch" -> EventOps.attributionTouchOracle,
@@ -704,6 +721,7 @@ object SparkEntry {
     "benford_price" -> Nonparam.benfordPriceOracle,
     "weighted_median_price" -> Nonparam.weightedMedianPriceOracle,
     "copurchase_pairs" -> Nonparam.copurchasePairsOracle,
+    "assoc_rules_parts" -> Nonparam.assocRulesPartsOracle,
     "dedup_cdc_chunks" -> graft.ext.Dedup.cdcChunksOracle,
     "collocations_pmi" -> TextAnalysis.collocationsPmiOracle,
     "perplexity_bigram" -> TextAnalysis.perplexityBigramOracle,
@@ -725,6 +743,8 @@ object SparkEntry {
     "sketch_hll_merge" -> graft.ext.Sketches.hllMergeSourcesOracle,
     "sketch_kmv_overlap" -> graft.ext.Sketches.kmvOverlapOracle,
     "sketch_join_size" -> graft.ext.Sketches.joinSizeEstimateOracle,
+    "sketch_quantile_price" -> graft.ext.Sketches.quantileSketchPriceOracle,
+    "sketch_quantile_merge" -> graft.ext.Sketches.quantileSketchMergeOracle,
     "rank_eval_ndcg" -> graft.ext.Similarity.rankEvalNdcgOracle,
     "profile_lineitem" -> Relational.profileLineitemOracle,
     "argmax_customer" -> Relational.argmaxCustomerOracle,
@@ -799,6 +819,7 @@ object SparkEntry {
     "quantize_bits_curve" -> Similarity.quantizeBitsCurveOracle,
     "k_generalization_ladder" -> Relational.kGeneralizationLadderOracle,
     "mixture_budget" -> Sampling.mixtureBudgetOracle,
+    "mixture_reweight" -> Sampling.mixtureReweightOracle,
     // the stream converges to the batch plan exactly — same oracle
     "stream_mixture_monitor" -> Sampling.mixtureBudgetOracle,
     "stream_quality_monitor" ->
@@ -840,5 +861,6 @@ object SparkEntry {
     "sketch_kmv_merge" -> graft.ext.Sketches.kmvMergeSourcesOracle,
     // the stream converges to the batch sketch — literal same oracle
     "stream_kmv_monitor" -> graft.ext.Sketches.kmvMergeSourcesOracle,
+    "stream_quantile_monitor" -> graft.ext.Sketches.quantileSketchMergeOracle,
   )
 }

@@ -219,6 +219,9 @@ object Dedup {
   val NumBands = 2 // 2 bands × 8 rows
   val PairThreshold = 0.75
 
+  /** Synchronous label-propagation rounds for [[dedupCommunitiesLpa]]. */
+  val LpaDocIters = 3
+
   /** Bucket-size cap: an LSH bucket larger than this switches from
     * all-pairs to STAR topology — every member pairs only with the
     * bucket's min-doc_id representative. A degenerate corpus (tiny
@@ -648,6 +651,116 @@ object Dedup {
        |  SELECT d1, d2, CAST(inter AS DOUBLE) / (n1 + n2 - inter) AS jaccard
        |  FROM inter) j
        |WHERE jaccard >= $minJaccard ORDER BY d1, d2""".stripMargin
+
+  /** Synchronous LPA rounds over a symmetric weighted edge frame
+    * (u, v, w: long) — the shared fold of [[dedupCommunitiesLpa]] and
+    * its fixture tests. Every node adopts the label carrying the most
+    * edge weight among its neighbors, ties to the smallest label, all
+    * nodes reading the PREVIOUS round (synchronous — no partition-
+    * order dependence); integer weights keep every mass sum exact, so
+    * the argmax is bit-deterministic at any partitioning. Each round
+    * is one shuffle join of the edge frame against the label vector
+    * plus a hash-agg argmax (max over struct(mass, −label)) — O(|E|)
+    * per round, no windows, labels checkpointed so round t doesn't
+    * replay rounds 1..t−1. Returns (v, lbl). */
+  private[graft] def lpaFold(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.localCheckpoint()
+    val nodes = und.select(col("u").as("v")).distinct().localCheckpoint()
+    var lbl = nodes.select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to iters) {
+      val mass = und
+        .join(lbl.select(col("v").as("nbr_"), col("lbl")),
+          col("v") === col("nbr_"))
+        .groupBy(col("u"), col("lbl")).agg(sum("w").as("mass"))
+      lbl = mass.groupBy(col("u"))
+        .agg(max(struct(col("mass"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("v"), (-col("m").getField("nl")).as("lbl"))
+        .localCheckpoint()
+    }
+    lbl
+  }
+
+  /** Near-dup COMMUNITIES by label propagation — the density
+    * complement to [[duplicateGroups]] (connected components). CC
+    * answers reachability: a chain a~b~c~…~z of borderline pairs is
+    * ONE group even though a and z share nothing, and the keep-one-
+    * per-group excision then drops documents that aren't actually
+    * duplicates of the keeper. LPA on the SAME verified edge set
+    * answers density: labels accumulate where edge weight concentrates,
+    * so a chained component splits at its thin bridges into tight
+    * clusters — the right excision granularity for boilerplate chains
+    * (the exact failure shape the star-capped mega-bucket probe
+    * builds). Edges are the [[lshVerifiedJaccard]] pairs (candidate-
+    * bounded by the banded LSH + bucket cap — never all-pairs) with
+    * weight = round(jaccard·10⁶) as an exact integer; [[LpaDocIters]]
+    * synchronous rounds via [[lpaFold]]. Output: every node of the
+    * near-dup graph with its community and the community size.
+    *
+    * Scale shape: the LSH verify pass is the only corpus-sized work
+    * (identical to dedup_lsh_verified); the fold is |E|-per-round with
+    * checkpointed labels — the dedup_groups discipline, minus CC's
+    * pointer-jumping (LPA is fixed-round by design: it's a heuristic
+    * whose fixed point needn't exist — oscillation is cut off, and
+    * determinism comes from the round count being part of the
+    * contract). */
+  def dedupCommunitiesLpa(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshVerifiedJaccard(spark, dir)
+      .select(col("d1"), col("d2"),
+        round(col("jaccard") * 1000000, 0).cast("long").as("w"))
+    val und = pairs.select(col("d1").as("u"), col("d2").as("v"), col("w"))
+      .unionByName(pairs.select(col("d2").as("u"), col("d1").as("v"), col("w")))
+    val lbl = lpaFold(und, LpaDocIters)
+    val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    lbl.join(broadcast(sizes), Seq("lbl"))
+      .select(col("v").as("doc_id"), col("lbl").as("community"),
+        col("community_size"))
+      .orderBy("doc_id")
+  }
+
+  def dedupCommunitiesLpaOracle: String = {
+    val rounds = (1 to LpaDocIters).map { i =>
+      val p = i - 1
+      s"""m$i AS (SELECT und.u, l$p.lbl, CAST(SUM(und.w) AS BIGINT) AS mass
+         |  FROM und JOIN l$p ON und.v = l$p.v GROUP BY 1, 2),
+         |w$i AS (SELECT u AS v, lbl, row_number()
+         |    OVER (PARTITION BY u ORDER BY mass DESC, lbl) AS rk FROM m$i),
+         |l$i AS (SELECT l$p.v, COALESCE(w$i.lbl, l$p.lbl) AS lbl
+         |  FROM l$p LEFT JOIN w$i ON l$p.v = w$i.v AND w$i.rk = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH keepers AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
+       |    FROM documents) d WHERE doc_id = k),
+       |${minhashEstCtes("keepers")},
+       |pairs AS (SELECT d1, d2 FROM est WHERE est_jaccard >= $PairThreshold),
+       |tokseq AS (SELECT doc_id, $tokensSql AS ws FROM keepers),
+       |tri AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+       |  FROM tokseq),
+       |g AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM tri),
+       |inter AS (SELECT p.d1, p.d2, a.n AS n1, b.n AS n2, COUNT(*) AS inter
+       |  FROM pairs p
+       |  JOIN g a ON a.doc_id = p.d1
+       |  JOIN g b ON b.doc_id = p.d2 AND b.g = a.g
+       |  GROUP BY p.d1, p.d2, a.n, b.n),
+       |ej AS (SELECT d1, d2,
+       |    CAST(round(CAST(inter AS DOUBLE) / (n1 + n2 - inter) * 1000000, 0)
+       |      AS BIGINT) AS w
+       |  FROM inter
+       |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5),
+       |und AS (SELECT d1 AS u, d2 AS v, w FROM ej
+       |  UNION ALL SELECT d2, d1, w FROM ej),
+       |l0 AS (SELECT DISTINCT u AS v, u AS lbl FROM und),
+       |$rounds,
+       |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+       |  FROM l$LpaDocIters GROUP BY 1)
+       |SELECT l.v AS doc_id, l.lbl AS community, sz.community_size
+       |FROM l$LpaDocIters l JOIN sz ON l.lbl = sz.lbl
+       |ORDER BY doc_id""".stripMargin
+  }
 
   /** Threshold calibration sweep — the table that picks
     * [[PairThreshold]] instead of folklore-ing it: every LSH candidate

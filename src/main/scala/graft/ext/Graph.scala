@@ -83,6 +83,94 @@ object Graph {
       .orderBy("n_name")
   }
 
+  val LpaIters = 3
+
+  /** Community detection on the undirected nation trade graph by
+    * synchronous label propagation — [[LpaIters]] rounds of "adopt the
+    * label carrying the most edge weight among my neighbors", the
+    * near-linear community heuristic (Raghavan et al. 2007) that
+    * complements [[pagerankNations]] (centrality) and the dedup CC
+    * fold (reachability): LPA finds DENSITY structure, which
+    * reachability cannot (the trade graph is one connected component).
+    *
+    * Determinism (the classic LPA pitfall, solved the engine way):
+    * updates are SYNCHRONOUS (all nodes read round t−1, so no
+    * partition-order dependence) and argmax ties break to the
+    * smallest label — expressed as max(struct(mass, −label)), a plain
+    * hash aggregate. Isolated nodes keep their previous label.
+    *
+    * Scale shape: the edge build is the only input-sized work (the
+    * same lineitem-scale join chain as pagerank, collapsed to
+    * ≤ |nations|² rows). Each round is one join of the edge table
+    * against the label vector — broadcast here; at web scale the same
+    * loop shuffle-joins on the node key with per-round checkpoints
+    * (the dedup_groups discipline), still O(|E|) per round with no
+    * windows. */
+  def lpaCommunities(spark: SparkSession, dir: String): DataFrame = {
+    val e0 = tradeEdges(spark, dir).filter(col("u") =!= col("v"))
+    val und = e0.select(col("u"), col("v"), col("w"))
+      .unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
+      .groupBy("u", "v").agg(sum("w").as("w")).localCheckpoint()
+    val nodes = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("v"), col("n_name")).localCheckpoint()
+    var lbl = nodes.select(col("v"), col("v").as("lbl"))
+    for (_ <- 1 to LpaIters) {
+      // two-stage argmax: per (node, label) mass, then max(struct)
+      val mass = und
+        .join(broadcast(lbl.select(col("v").as("nbr"), col("lbl"))),
+          col("v") === col("nbr"))
+        .groupBy(col("u"), col("lbl")).agg(sum("w").as("mass"))
+      val next = mass
+        .groupBy(col("u"))
+        .agg(max(struct(col("mass"), (-col("lbl")).as("nl"))).as("m"))
+        .select(col("u").as("v"), (-col("m").getField("nl")).as("lbl2"))
+      lbl = lbl.join(next, Seq("v"), "left")
+        .select(col("v"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+        .localCheckpoint()
+    }
+    val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
+    nodes.join(lbl, Seq("v")).join(broadcast(sizes), Seq("lbl"))
+      .select(col("n_name"), col("lbl").cast("long").as("community"),
+        col("community_size"))
+      .orderBy("n_name")
+  }
+
+  def lpaCommunitiesOracle: String = {
+    val base =
+      """WITH e0 AS (SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+        |    CAST(COUNT(*) AS BIGINT) AS w
+        |  FROM lineitem l
+        |  JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        |  GROUP BY 1, 2),
+        |und AS (SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+        |    SELECT u, v, w FROM e0 WHERE u <> v
+        |    UNION ALL SELECT v, u, w FROM e0 WHERE u <> v) t
+        |  GROUP BY 1, 2),
+        |l0 AS (SELECT n_nationkey AS v, n_nationkey AS lbl FROM nation)""".stripMargin
+    val rounds = (1 to LpaIters).map { i =>
+      val p = i - 1
+      s"""m$i AS (SELECT und.u, l$p.lbl, CAST(SUM(und.w) AS BIGINT) AS mass
+         |  FROM und JOIN l$p ON und.v = l$p.v GROUP BY 1, 2),
+         |w$i AS (SELECT u AS v, lbl, row_number()
+         |    OVER (PARTITION BY u ORDER BY mass DESC, lbl) AS rk FROM m$i),
+         |l$i AS (SELECT l$p.v, COALESCE(w$i.lbl, l$p.lbl) AS lbl
+         |  FROM l$p LEFT JOIN w$i ON l$p.v = w$i.v AND w$i.rk = 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""$base,
+       |$rounds,
+       |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
+       |  FROM l$LpaIters GROUP BY 1)
+       |SELECT n.n_name, CAST(l.lbl AS BIGINT) AS community,
+       |  sz.community_size
+       |FROM nation n
+       |JOIN l$LpaIters l ON n.n_nationkey = l.v
+       |JOIN sz ON l.lbl = sz.lbl
+       |ORDER BY n.n_name""".stripMargin
+  }
+
   // ── triangle census ──
 
   /** Triangle count + global clustering coefficient of the undirected

@@ -378,6 +378,101 @@ object Sampling {
        |    END, 6) AS sample_rate
        |FROM t ORDER BY source""".stripMargin
 
+  /** Exponentiated-gradient rounds of [[mixtureReweight]]. */
+  val ReweightIters = 5
+
+  /** DoReMi-style domain reweighting (Xie et al. 2023, simplified to
+    * the engine's deterministic-oracle discipline): instead of sizing
+    * the mixture by token AVAILABILITY ([[mixtureBudget]]'s
+    * temperature rule), size it by model DIFFICULTY — run
+    * [[ReweightIters]] exponentiated-gradient rounds
+    * w ← normalize(w·exp(ℓ_d − Σw·ℓ)), upweighting domains whose text
+    * the corpus-wide reference model finds hard (positive excess
+    * loss) and shrinking easy boilerplate-heavy ones. The loss proxy
+    * is the per-domain mean negative log-prob under the global
+    * unigram LM — the [[TextAnalysis.perplexityUnigram]] model
+    * grouped by source, the stand-in for DoReMi's proxy-model excess
+    * loss that stays fully cross-engine-reproducible.
+    *
+    * Scale shape: ONE corpus-sized pass (token explode → broadcast
+    * model join → per-source decimal-summed means), checkpointed to a
+    * |domains|-row frame; every EG round is two 1-row aggregates and
+    * a projection over that frame — iteration cost is independent of
+    * corpus size, exactly how the production loop (proxy losses in,
+    * weights out per round) behaves. Determinism: losses and weights
+    * are rounded (9) every round, per-round sums ride decimal casts,
+    * so both engines walk identical doubles through exp(). */
+  def mixtureReweight(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toksOf = Tables.documents(spark, dir)
+      .select(col("source"), explode(TextAnalysis.tokens(col("text"))).as("tok"))
+    val vocab = toksOf.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("tot"))
+    val model = vocab.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("c").cast("double") / col("tot").cast("double")), 9)
+          .as("logp"))
+    val loss = toksOf.join(broadcast(model), Seq("tok"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_tokens"),
+        round(negate(sum(col("logp").cast(DecimalType(28, 12))).cast("double") /
+          count(lit(1))), 9).as("loss"))
+      .localCheckpoint() // |domains| rows; the EG loop must not rescan
+    val nd = loss.agg(count(lit(1)).as("nd"))
+    var w = loss.crossJoin(broadcast(nd))
+      .select(col("source"), col("n_tokens"), col("loss"),
+        round(lit(1.0) / col("nd"), 9).as("w"))
+    for (_ <- 1 to ReweightIters) {
+      val mean = w.agg(
+        sum(round(col("w") * col("loss"), 12).cast(DecimalType(28, 14)))
+          .cast("double").as("m"))
+      val u = w.crossJoin(broadcast(mean))
+        .select(col("source"), col("n_tokens"), col("loss"),
+          round(col("w") * exp(round(col("loss") - col("m"), 9)), 12).as("u"))
+      val z = u.agg(sum(col("u").cast(DecimalType(28, 14)))
+        .cast("double").as("z"))
+      w = u.crossJoin(broadcast(z))
+        .select(col("source"), col("n_tokens"), col("loss"),
+          round(col("u") / col("z"), 9).as("w"))
+    }
+    w.select(col("source"), col("n_tokens"), col("loss"),
+        col("w").as("weight"))
+      .orderBy("source")
+  }
+
+  def mixtureReweightOracle: String = {
+    val rounds = (1 to ReweightIters).map { i =>
+      val p = i - 1
+      s"""mm$i AS (SELECT CAST(SUM(CAST(round(w * loss, 12)
+         |    AS DECIMAL(28,14))) AS DOUBLE) AS m FROM w$p),
+         |u$i AS (SELECT source, n_tokens, loss,
+         |    round(w * exp(round(loss - m, 9)), 12) AS u FROM w$p, mm$i),
+         |z$i AS (SELECT CAST(SUM(CAST(u AS DECIMAL(28,14))) AS DOUBLE) AS z
+         |  FROM u$i),
+         |w$i AS (SELECT source, n_tokens, loss, round(u / z, 9) AS w
+         |  FROM u$i, z$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tk AS (SELECT source, g AS tok
+       |  FROM (SELECT source, unnest(ws) AS g
+       |        FROM (SELECT source, ${TextAnalysis.tokensSql} AS ws
+       |              FROM documents) t) u),
+       |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM v),
+       |m AS (SELECT tok,
+       |    round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS logp
+       |  FROM v, tt),
+       |l AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    round(-(CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE)
+       |      / COUNT(*)), 9) AS loss
+       |  FROM tk JOIN m USING (tok) GROUP BY source),
+       |d AS (SELECT CAST(COUNT(*) AS BIGINT) AS nd FROM l),
+       |w0 AS (SELECT source, n_tokens, loss, round(1.0 / nd, 9) AS w
+       |  FROM l, d),
+       |$rounds
+       |SELECT source, n_tokens, loss, w AS weight
+       |FROM w$ReweightIters ORDER BY source""".stripMargin
+  }
+
   val NumShards = 8
 
   /** Shard salt — independent of [[SampleSalt]], so shard placement

@@ -273,6 +273,216 @@ object Sketches {
        |  END AS rel_err_inter
        |FROM nb, nu, th, ei, eu""".stripMargin
 
+  // ── bottom-k-by-hash quantile sketch ──
+
+  /** Sample size of the quantile sketch over lineitem prices. */
+  val QsK = 1024
+
+  /** Per-source quantile-sketch sample size over documents — small on
+    * purpose so the merged-ALL sketch is genuinely lossy at fixture
+    * scale and the rel_err columns exercise the estimator, while each
+    * tiny per-source sketch hits the k<K exact branch. */
+  val QsDocK = 64
+
+  /** The quantile probe points of the headline price sketch. */
+  val QsProbes: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95, 0.99)
+
+  /** Mergeable QUANTILE sketch completing the family's fourth state
+    * algebra: CMS cells are SUMS, HLL registers are MAXES, KMV is a
+    * bounded distinct top-k of KEY hashes — and quantiles come from a
+    * bounded top-k of ROW hashes with the measured value riding
+    * along. The rows whose identity-hash lands in the k global minima
+    * form a uniform-without-replacement size-k row sample (bottom-k /
+    * coordinated sampling), so the sample's order statistics estimate
+    * the population's with rel. rank error ~ 1/√k — and unlike KLL/
+    * t-digest the sketch is DETERMINISTIC (no RNG), duplicate-
+    * idempotent, order-independent, and mergeable by union + re-clip,
+    * which is what lets DuckDB rebuild it bit-for-bit and the driver
+    * hash-verify the whole row (the family discipline: a sketch you
+    * can oracle is a sketch you can trust cross-engine).
+    *
+    * This query: l_extendedprice quantiles at [[QsProbes]] estimated
+    * from a [[QsK]]-row sample vs the exact order statistics. Plan
+    * shape: the sample is ONE global [[graft.functions.BoundedTopK]]
+    * aggregate — an O(k) heap per partition feeding a k-item merge,
+    * no sort, no shuffle of data rows — and every estimate reads the
+    * resulting 1-row array. The exact arm is the shared histogram-
+    * locate fetch ([[graft.operators.Relational.valuesAtGroupRanks]],
+    * nothing sorts the corpus) and is the audit you drop at 100 TB.
+    * Both sides take the LOWER order statistic at rank
+    * 1+floor(q·(n−1)) — no interpolation, so a sample value equals a
+    * population value wherever the ranks coincide. */
+  def quantileSketchPrice(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(h32(concat_ws("-", col("l_orderkey"), col("l_linenumber"))).as("h"),
+        col("l_extendedprice").as("v"))
+    val sample = li
+      .agg(graft.functions.BoundedTopK(QsK, struct(col("h"), col("v"))).as("s"))
+      .select(sort_array(transform(col("s"), x => x.getField("v"))).as("vs"))
+    val probes = li.agg(count(lit(1)).as("n"))
+      .select(explode(array(QsProbes.map(lit(_)): _*)).as("q"), col("n"))
+      .select(col("q"), col("n"),
+        (floor(col("q") * (col("n") - lit(1))) + lit(1)).cast("long").as("rk"))
+      .localCheckpoint() // 5 rows; feeds the fetch and the final join
+    val exact = graft.operators.Relational.valuesAtGroupRanks(
+      li.select(lit("all").as("g"), col("v")),
+      probes.select(lit("all").as("g"), col("rk")).distinct())
+    probes
+      .join(broadcast(exact.select(col("rk"), col("v").as("exact_v"))), Seq("rk"))
+      .crossJoin(broadcast(sample))
+      .select(col("q"), col("n"),
+        size(col("vs")).cast("long").as("k_retained"),
+        col("exact_v"),
+        element_at(col("vs"),
+          (floor(col("q") * (size(col("vs")) - lit(1))) + lit(1)).cast("int"))
+          .as("est_v"))
+      .withColumn("rel_err",
+        round(abs(col("est_v") - col("exact_v")) / col("exact_v"), 6))
+      .orderBy("q")
+  }
+
+  def quantileSketchPriceOracle: String =
+    s"""WITH v AS (SELECT
+       |    ${h32Sql("concat_ws('-', l_orderkey, l_linenumber)")} AS h,
+       |    l_extendedprice AS v FROM lineitem),
+       |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM v),
+       |s AS (SELECT v FROM v ORDER BY h, v LIMIT $QsK),
+       |kk AS (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM s),
+       |sv AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM s),
+       |rv AS (SELECT v, row_number() OVER (ORDER BY v) AS rk FROM v),
+       |q AS (SELECT unnest([${QsProbes.mkString(", ")}]) AS q),
+       |tgt AS (SELECT q.q, n.n, kk.k,
+       |    CAST(floor(q.q * (n.n - 1)) + 1 AS BIGINT) AS rk_ex,
+       |    CAST(floor(q.q * (kk.k - 1)) + 1 AS BIGINT) AS rk_s
+       |  FROM q, n, kk)
+       |SELECT t.q, t.n, t.k AS k_retained, r.v AS exact_v, s2.v AS est_v,
+       |  round(abs(s2.v - r.v) / r.v, 6) AS rel_err
+       |FROM tgt t JOIN rv r ON r.rk = t.rk_ex JOIN sv s2 ON s2.rk = t.rk_s
+       |ORDER BY t.q""".stripMargin
+
+  /** Per-source quantile sketches over document lengths — the bottom-
+    * [[QsDocK]] row-hash sample per source, via the native
+    * [[graft.functions.BoundedDistinctTopK]] aggregate (a replayed
+    * arrival of the same row re-presents the identical (h, v) struct
+    * and must not occupy a second slot — the duplicate-idempotence
+    * that makes the SAME plan the streaming form, converging to the
+    * batch sketch exactly). NULL-length rows are excluded up front on
+    * both engines: a NULL value cannot carry an order statistic. */
+  private[graft] def qsSourceSketch(d: DataFrame): DataFrame =
+    d.filter(col("n_chars").isNotNull)
+      .select(col("source").as("scope"), h32(col("doc_id")).as("h"),
+        col("n_chars").cast("double").as("v"))
+      .groupBy("scope")
+      .agg(graft.functions.BoundedDistinctTopK(QsDocK,
+        struct(col("h"), col("v"))).as("s"))
+
+  /** Fold per-source quantile sketches to the corpus sketch (union
+    * the (hash, value) samples, re-clip to the k smallest hashes —
+    * the global bottom-k is a subset of the union of per-source
+    * bottom-ks, so no information is missing: the same theta-union
+    * argument as [[kmvMergeReport]]) and estimate p50/p90 of every
+    * scope against its exact order statistics. Shared by the batch
+    * query and the streaming twin — literal same oracle object. The
+    * exact arm (a per-scope histogram-locate fetch) is the audit you
+    * drop at 100 TB, where the sketches — k rows per source,
+    * mergeable per partition — are the whole point. */
+  private[graft] def qsMergeReport(spark: SparkSession, dir: String,
+                                   sketches: DataFrame): DataFrame = {
+    val merged = sketches.select(explode(col("s")).as("e")).distinct()
+      .select(col("e").getField("h").as("h"), col("e").getField("v").as("v"))
+      .agg(graft.functions.BoundedDistinctTopK(QsDocK,
+        struct(col("h"), col("v"))).as("s"))
+      .select(lit("ALL").as("scope"), col("s"))
+    val est = sketches.unionByName(merged)
+      .select(col("scope"),
+        sort_array(transform(col("s"), x => x.getField("v"))).as("vs"))
+      .select(col("scope"), size(col("vs")).cast("long").as("k_retained"),
+        element_at(col("vs"),
+          (floor(lit(0.5) * (size(col("vs")) - lit(1))) + lit(1)).cast("int"))
+          .as("est_p50"),
+        element_at(col("vs"),
+          (floor(lit(0.9) * (size(col("vs")) - lit(1))) + lit(1)).cast("int"))
+          .as("est_p90"))
+    val d = Tables.documents(spark, dir).filter(col("n_chars").isNotNull)
+      .select(col("source"), col("n_chars").cast("double").as("v"))
+    val vals = d.select(col("source").as("g"), col("v"))
+      .unionByName(d.select(lit("ALL").as("g"), col("v")))
+    val counts = vals.groupBy("g").agg(count(lit(1)).as("n")).localCheckpoint()
+    val probes = counts
+      .select(col("g"), col("n"), explode(array(lit(0.5), lit(0.9))).as("q"))
+      .select(col("g"), col("n"), col("q"),
+        (floor(col("q") * (col("n") - lit(1))) + lit(1)).cast("long").as("rk"))
+      .localCheckpoint()
+    val fetched = graft.operators.Relational.valuesAtGroupRanks(
+      vals, probes.select("g", "rk").distinct())
+    val exact = probes
+      .join(fetched, Seq("g", "rk"))
+      .groupBy(col("g").as("scope"))
+      .agg(max(col("n")).as("n_exact"),
+        max(when(col("q") === 0.5, col("v"))).as("exact_p50"),
+        max(when(col("q") === 0.9, col("v"))).as("exact_p90"))
+    est.join(exact, Seq("scope"))
+      .select(col("scope"), col("n_exact"), col("k_retained"),
+        col("exact_p50"), col("est_p50"),
+        round(abs(col("est_p50") - col("exact_p50")) / col("exact_p50"), 6)
+          .as("rel_err_p50"),
+        col("exact_p90"), col("est_p90"),
+        round(abs(col("est_p90") - col("exact_p90")) / col("exact_p90"), 6)
+          .as("rel_err_p90"))
+      .orderBy("scope")
+  }
+
+  def quantileSketchMerge(spark: SparkSession, dir: String): DataFrame =
+    qsMergeReport(spark, dir, qsSourceSketch(Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))))
+
+  def quantileSketchMergeOracle: String =
+    s"""WITH d AS (SELECT source, ${h32Sql("doc_id")} AS h,
+       |    CAST(n_chars AS DOUBLE) AS v
+       |  FROM documents WHERE n_chars IS NOT NULL),
+       |ranked AS (SELECT source, h, v,
+       |    row_number() OVER (PARTITION BY source ORDER BY h, v) AS rk
+       |  FROM d),
+       |clipped AS (SELECT source AS scope, h, v FROM ranked
+       |  WHERE rk <= $QsDocK),
+       |mr AS (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rk
+       |  FROM (SELECT DISTINCT h, v FROM clipped) u),
+       |sk AS (SELECT * FROM clipped
+       |  UNION ALL SELECT 'ALL', h, v FROM mr WHERE rk <= $QsDocK),
+       |sv AS (SELECT scope, v, row_number()
+       |    OVER (PARTITION BY scope ORDER BY v) AS rk FROM sk),
+       |kk AS (SELECT scope, CAST(COUNT(*) AS BIGINT) AS k FROM sk
+       |  GROUP BY 1),
+       |full_v AS (SELECT source AS scope, v FROM d
+       |  UNION ALL SELECT 'ALL', v FROM d),
+       |fv AS (SELECT scope, v, row_number()
+       |    OVER (PARTITION BY scope ORDER BY v) AS rk FROM full_v),
+       |nn AS (SELECT scope, CAST(COUNT(*) AS BIGINT) AS n FROM full_v
+       |  GROUP BY 1),
+       |est AS (SELECT kk.scope, kk.k,
+       |    e50.v AS est_p50, e90.v AS est_p90
+       |  FROM kk
+       |  JOIN sv e50 ON e50.scope = kk.scope
+       |    AND e50.rk = CAST(floor(0.5 * (kk.k - 1)) + 1 AS BIGINT)
+       |  JOIN sv e90 ON e90.scope = kk.scope
+       |    AND e90.rk = CAST(floor(0.9 * (kk.k - 1)) + 1 AS BIGINT)),
+       |ex AS (SELECT nn.scope, nn.n,
+       |    x50.v AS exact_p50, x90.v AS exact_p90
+       |  FROM nn
+       |  JOIN fv x50 ON x50.scope = nn.scope
+       |    AND x50.rk = CAST(floor(0.5 * (nn.n - 1)) + 1 AS BIGINT)
+       |  JOIN fv x90 ON x90.scope = nn.scope
+       |    AND x90.rk = CAST(floor(0.9 * (nn.n - 1)) + 1 AS BIGINT))
+       |SELECT est.scope, ex.n AS n_exact, est.k AS k_retained,
+       |  ex.exact_p50, est.est_p50,
+       |  round(abs(est.est_p50 - ex.exact_p50) / ex.exact_p50, 6)
+       |    AS rel_err_p50,
+       |  ex.exact_p90, est.est_p90,
+       |  round(abs(est.est_p90 - ex.exact_p90) / ex.exact_p90, 6)
+       |    AS rel_err_p90
+       |FROM est JOIN ex ON est.scope = ex.scope
+       |ORDER BY est.scope""".stripMargin
+
   // ── count-min join-cardinality estimate (sketch inner product) ──
 
   /** Join SIZE |events ⋈ orders on user_id = o_custkey| (many-to-many

@@ -29,6 +29,10 @@ import graft.Tables
   */
 object Nonparam {
 
+  /** Apriori support threshold for [[assocRulesParts]]: a pair must
+    * co-occur in at least this many orders before any rule is scored. */
+  val AssocMinSupport = 2
+
   /** Exclusive cumulative arm counts per distinct value, two-stage.
     * Input must have columns (x: double, ca: long, cb: long) with x
     * distinct; emits (x, ca, cb, cuma_excl, cumb_excl). `width` sets
@@ -374,6 +378,79 @@ object Nonparam {
       |FROM p JOIN pc c1 ON p.p1 = c1.l_partkey
       |  JOIN pc c2 ON p.p2 = c2.l_partkey, n
       |ORDER BY p.support DESC, p.p1, p.p2 LIMIT 20""".stripMargin
+
+  /** Association rules mined from the co-purchase pairs: for every
+    * frequent unordered part pair {a, b} (support ≥ [[AssocMinSupport]]
+    * orders), BOTH directed rules a→b and b→a with the three classic
+    * measures — support (co-occurrence count), confidence
+    * (supp(ab)/supp(antecedent) — the conditional attach rate a
+    * recommender thresholds on), and lift (confidence over the
+    * consequent's base rate — >1 ⇔ genuinely associated, not just
+    * popular). Top-20 by confidence.
+    *
+    * Scale shape: identical to [[copurchasePairs]] — the pair
+    * generation is a self-join ON THE ORDER KEY (co-partitioned,
+    * quadratic only in basket size), the per-part counts join back on
+    * part keys after the support filter has cut the pair set, and the
+    * final top-20 is a TakeOrderedAndProject. The support filter is
+    * the apriori step: downstream work is |frequent pairs|-sized, not
+    * |pairs|-sized. */
+  def assocRulesParts(spark: SparkSession, dir: String): DataFrame = {
+    val d = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val nOrders = d.select(col("l_orderkey")).distinct()
+      .agg(count(lit(1)).as("n_orders"))
+    val partCnt = d.groupBy("l_partkey").agg(count(lit(1)).as("pc"))
+    val pairs = d.select(col("l_orderkey"), col("l_partkey").as("p1"))
+      .join(d.select(col("l_orderkey"), col("l_partkey").as("p2")),
+        Seq("l_orderkey"))
+      .filter(col("p1") < col("p2"))
+      .groupBy("p1", "p2").agg(count(lit(1)).as("support"))
+      .filter(col("support") >= AssocMinSupport)
+    val rules = pairs.select(col("p1").as("antecedent"),
+        col("p2").as("consequent"), col("support"))
+      .unionByName(pairs.select(col("p2").as("antecedent"),
+        col("p1").as("consequent"), col("support")))
+    rules
+      .join(partCnt.select(col("l_partkey").as("antecedent"),
+        col("pc").as("n_antecedent")), Seq("antecedent"))
+      .join(partCnt.select(col("l_partkey").as("consequent"),
+        col("pc").as("n_consequent")), Seq("consequent"))
+      .crossJoin(broadcast(nOrders))
+      .select(col("antecedent"), col("consequent"), col("support"),
+        col("n_antecedent"), col("n_consequent"),
+        round(col("support").cast("double") /
+          col("n_antecedent").cast("double"), 6).as("confidence"),
+        round(col("support").cast("double") * col("n_orders").cast("double") /
+          (col("n_antecedent").cast("double") *
+            col("n_consequent").cast("double")), 6).as("lift"))
+      .orderBy(col("confidence").desc, col("antecedent"), col("consequent"))
+      .limit(20)
+  }
+
+  def assocRulesPartsOracle: String =
+    s"""WITH d AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+       |  FROM d),
+       |pc AS (SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS pc FROM d
+       |  GROUP BY 1),
+       |p AS (SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+       |    CAST(COUNT(*) AS BIGINT) AS support
+       |  FROM d a JOIN d b ON a.l_orderkey = b.l_orderkey
+       |    AND a.l_partkey < b.l_partkey
+       |  GROUP BY 1, 2
+       |  HAVING COUNT(*) >= $AssocMinSupport),
+       |r AS (SELECT p1 AS antecedent, p2 AS consequent, support FROM p
+       |  UNION ALL SELECT p2, p1, support FROM p)
+       |SELECT r.antecedent, r.consequent, r.support,
+       |  ca.pc AS n_antecedent, cc.pc AS n_consequent,
+       |  round(CAST(r.support AS DOUBLE) / ca.pc, 6) AS confidence,
+       |  round(CAST(r.support AS DOUBLE) * n.n_orders /
+       |    (CAST(ca.pc AS DOUBLE) * cc.pc), 6) AS lift
+       |FROM r JOIN pc ca ON r.antecedent = ca.l_partkey
+       |  JOIN pc cc ON r.consequent = cc.l_partkey, n
+       |ORDER BY confidence DESC, r.antecedent, r.consequent
+       |LIMIT 20""".stripMargin
 
   /** Kruskal-Wallis H across the five order priorities on spend — the
     * k-group generalization of [[mannWhitneySpend]] (one-way ANOVA on

@@ -321,6 +321,27 @@ object DocStream {
           stream.select(col("source"), col("text")))
       })
 
+  /** Streaming QUANTILE monitor — the fourth sketch state algebra on
+    * ingest: per source, the bottom-[[graft.ext.Sketches.QsDocK]]
+    * row-hash sample with document length riding along, maintained by
+    * the same native [[graft.functions.BoundedDistinctTopK]] aggregate
+    * as the KMV monitor (duplicate-idempotent, commutative, order-
+    * independent — a retried micro-batch re-presents identical
+    * (hash, value) structs and cannot occupy a second slot), so the
+    * converged state table is bit-identical to the batch sketch. The
+    * fold-to-corpus + p50/p90 estimate + exact-audit report is the
+    * same [[graft.ext.Sketches.qsMergeReport]] the batch query uses:
+    * literal same oracle object. This is the "what does the length
+    * distribution of the crawl look like, right now" monitor — the
+    * distributional twin of the KMV cardinality monitor, answering
+    * percentile questions mid-stream in O(k) state per source. */
+  def streamingQuantileMonitor(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.Sketches.qsMergeReport(spark, dir,
+      runDocStream(spark, dir, "qsk") { stream =>
+        graft.ext.Sketches.qsSourceSketch(
+          stream.select(col("doc_id"), col("source"), col("n_chars")))
+      })
+
   /** Streaming count-min heavy-hitter monitor — the fixed-memory
     * frequency sketch maintained on ingest: every arriving token
     * occurrence deposits 1 into its [[graft.ext.Sketches.CmsDepth]]

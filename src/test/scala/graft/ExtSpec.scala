@@ -88,6 +88,43 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("LPA communities split the bridged chain that connected components merge") {
+    import spark.implicits._
+    // two tight triangles (internal weight 10) joined by one weak
+    // bridge (weight 1): ONE component by reachability, TWO density
+    // communities — the boilerplate-chain shape where keep-one-per-CC
+    // over-excises and keep-one-per-community is right
+    val pairs = Seq((1L, 2L, 10L), (1L, 3L, 10L), (2L, 3L, 10L),
+      (4L, 5L, 10L), (4L, 6L, 10L), (5L, 6L, 10L), (3L, 4L, 1L))
+      .toDF("d1", "d2", "w")
+    val und = pairs.select(col("d1").as("u"), col("d2").as("v"), col("w"))
+      .unionByName(pairs.select(col("d2").as("u"), col("d1").as("v"), col("w")))
+    val lbl = Dedup.lpaFold(und, Dedup.LpaDocIters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Set(1L, 2L, 3L).map(lbl) == Set(1L), s"triangle A broke: $lbl")
+    assert(Set(4L, 5L, 6L).map(lbl) == Set(4L), s"triangle B broke: $lbl")
+    // ...and the fold is label-deterministic: a second run agrees
+    val again = Dedup.lpaFold(und, Dedup.LpaDocIters).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(again == lbl)
+  }
+
+  test("LPA on the fixture corpus refines connected components: every community sits inside one CC") {
+    val comm = Dedup.dedupCommunitiesLpa(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val groups = Dedup.duplicateGroups(spark, sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // LPA nodes ⊆ keeper docs with a verified edge; each community
+    // must never straddle two reachability components (communities
+    // REFINE components — the density-splits-chains direction is
+    // fixture-dependent, the refinement direction is an invariant)
+    comm.groupBy(_._2).values.foreach { members =>
+      val ccs = members.keys.map(groups).toSet
+      assert(ccs.size == 1,
+        s"community ${members.head._2} straddles components $ccs")
+    }
+  }
+
   test("incremental groups: delta fold equals from-scratch resolution, touched set is exact") {
     Dedup.resetStandingStateMemo()
     val delta = Dedup.dedupGroupsDelta(spark, sf0001).collect()

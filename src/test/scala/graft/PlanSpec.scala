@@ -17,7 +17,8 @@ class PlanSpec extends SparkSpec {
     // 1-row scalar stats frame(s) broadcast back onto a scan or onto
     // each other (the scalar-subquery pattern: totals, normalizers,
     // test statistics, gate verdicts)
-    "acf_daily_revenue", "benford_price", "benford_totalprice",
+    "acf_daily_revenue", "assoc_rules_parts", "benford_price",
+    "benford_totalprice", "mixture_reweight",
     "caption_frame_alignment", "chi2_priority_status", "corpus_summary",
     "cusum_changepoint", "data_contract_audit", "dsir_weights",
     "ewma_daily_revenue", "join_fanout_profile", "kappa_lang_agreement",
@@ -28,7 +29,8 @@ class PlanSpec extends SparkSpec {
     "psi_value_drift", "q11_important_stock", "rfm_segments",
     "seasonality_dow", "shuffle_skew_audit", "sketch_cms_heavy_hitters",
     "sketch_hll_distinct", "sketch_join_size", "sketch_kmv_distinct",
-    "sketch_kmv_overlap", "t_closeness_audit", "training_readiness",
+    "sketch_kmv_overlap", "sketch_quantile_price", "t_closeness_audit",
+    "training_readiness",
     "ttest_urgent_spend",
     // bounded parameter/threshold grid (4-10 rows) × a scan or a
     // 1-row stats frame — the sweep-report pattern

@@ -79,6 +79,74 @@ class SketchSpec extends SparkSpec {
     }
   }
 
+  test("bottom-k quantile sketch: oracled estimates land within sample error") {
+    val rows = ext.Sketches.quantileSketchPrice(spark, sf0001).collect()
+    assert(rows.length == ext.Sketches.QsProbes.length)
+    rows.foreach { r =>
+      // k=1024 → rank se ~ √(q(1−q)/k) ≤ 1.6%; the value-space error
+      // depends on local density — 20% is a generous 100×-slack band
+      // that still catches a broken estimator (wrong rank ⇒ ~O(1) err)
+      assert(r.getAs[Double]("rel_err") < 0.20,
+        s"q=${r.getAs[Double]("q")} rel_err ${r.getAs[Double]("rel_err")}")
+      assert(r.getAs[Long]("k_retained") ==
+        math.min(ext.Sketches.QsK.toLong, r.getAs[Long]("n")))
+    }
+  }
+
+  test("quantile sketch merge: folded per-source sample equals the from-scratch corpus sample") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val allRow = ext.Sketches
+      .qsMergeReport(spark, sf0001, ext.Sketches.qsSourceSketch(docs))
+      .filter(col("scope") === "ALL").collect().head
+    // from-scratch: the bottom-k over the whole corpus in one pass
+    val scratch = ext.Sketches
+      .qsSourceSketch(docs.withColumn("source", lit("ALL")))
+      .select(sort_array(transform(col("s"), x => x.getField("v"))).as("vs"))
+      .collect().head.getSeq[Double](0)
+    def fetch(q: Double): Double =
+      scratch((q * (scratch.length - 1)).floor.toInt)
+    assert(allRow.getAs[Long]("k_retained") == scratch.length.toLong)
+    assert(allRow.getAs[Double]("est_p50") == fetch(0.5),
+      "union + re-clip lost the global bottom-k at p50")
+    assert(allRow.getAs[Double]("est_p90") == fetch(0.9),
+      "union + re-clip lost the global bottom-k at p90")
+  }
+
+  test("quantile sketch state is duplicate-idempotent: a replayed corpus changes nothing") {
+    val docs = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    def arrays(d: org.apache.spark.sql.DataFrame): Map[String, Seq[Long]] =
+      ext.Sketches.qsSourceSketch(d)
+        .select(col("scope"), transform(col("s"), x => x.getField("h")).as("hs"))
+        .collect()
+        .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(arrays(docs.unionByName(docs)) == arrays(docs),
+      "replayed rows occupied sample slots — the streaming twin would drift")
+  }
+
+  test("quantile rank fetch stays in bounds on 1- and 2-row samples") {
+    import spark.implicits._
+    // a 1-doc and a 2-doc source: 1+floor(q(k−1)) must hit [1, k] at
+    // the extreme probes (q=0 → the min, q=1 → the max), never 0 or
+    // k+1 — and the lower-statistic convention means q=0.5 of a 2-row
+    // sample is the SMALLER value (rank 1+floor(0.5) = 1)
+    val d = Seq((1L, "one", 10L), (2L, "two", 5L), (3L, "two", 50L))
+      .toDF("doc_id", "source", "n_chars")
+    def fetch(q: Double) = element_at(col("vs"),
+      (floor(lit(q) * (size(col("vs")) - lit(1))) + lit(1)).cast("int"))
+    val est = ext.Sketches.qsSourceSketch(d)
+      .select(col("scope"),
+        sort_array(transform(col("s"), x => x.getField("v"))).as("vs"))
+      .select(col("scope"), fetch(1.0).as("hi"), fetch(0.5).as("mid"),
+        fetch(0.0).as("lo"))
+      .collect()
+      .map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(est("one") == ((10.0, 10.0, 10.0)))
+    assert(est("two") == ((50.0, 5.0, 5.0)))
+  }
+
   test("oracled bloom audit: zero false negatives, every build key hits") {
     val rows = ext.Sketches.bloomFilterAudit(spark, sf0001).collect()
     assert(rows.nonEmpty)
