@@ -262,6 +262,25 @@ object ScaleProbe {
       // one scan into a 9-cell aggregate — wordcount shape
       "benford_totalprice" ->
         (graft.operators.Contract.benfordTotalprice _),
+      // round-9b: quantile sketch is one bounded-heap agg (+ the exact
+      // fetch audit arm, which is the input-sized part); the merge
+      // form adds per-source heaps + a sketch-sized re-clip
+      "sketch_quantile_price" -> (graft.ext.Sketches.quantileSketchPrice _),
+      "sketch_quantile_merge" -> (graft.ext.Sketches.quantileSketchMerge _),
+      // LPA communities: the LSH verify pass + 3 label-join rounds
+      // over candidate-bounded edges — growth should track
+      // dedup_lsh_verified, the rounds are |E|-sized
+      "dedup_communities_lpa" ->
+        ((s: SparkSession, d: String) => graft.ext.Dedup.dedupCommunitiesLpa(s, d)),
+      // basket self-join bounded by per-order basket size; the rule
+      // scoring joins run on the apriori-filtered pair set
+      "assoc_rules_parts" -> (graft.operators.Nonparam.assocRulesParts _),
+      // one corpus pass to |domains| rows, then EG rounds on the
+      // checkpointed frame — iteration cost must be flat
+      "mixture_reweight" -> (graft.ext.Sampling.mixtureReweight _),
+      // bigram scan collapsed to a vocabulary graph; iterations join
+      // the broadcast rank vector against ≤|V|² edges
+      "textrank_keywords" -> (graft.ext.Graph.textrankKeywords _),
     )
 
     def time(fn: => Unit): Double = {

@@ -259,6 +259,8 @@ object SparkEntry {
     "triangle_nations" -> graft.ext.Graph.triangleNations _,
     // density communities via synchronous weighted label propagation
     "lpa_communities" -> graft.ext.Graph.lpaCommunities _,
+    // TextRank keywords: PageRank centrality on the word co-occurrence graph
+    "textrank_keywords" -> graft.ext.Graph.textrankKeywords _,
     "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHops _,
     "event_transitions" -> EventOps.eventTransitions _,
     "attribution_touch" -> EventOps.attributionTouch _,
@@ -700,6 +702,7 @@ object SparkEntry {
     "triangle_nations" -> graft.ext.Graph.triangleNationsOracle,
     "dedup_communities_lpa" -> Dedup.dedupCommunitiesLpaOracle,
     "lpa_communities" -> graft.ext.Graph.lpaCommunitiesOracle,
+    "textrank_keywords" -> graft.ext.Graph.textrankKeywordsOracle,
     "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHopsOracle,
     "event_transitions" -> EventOps.eventTransitionsOracle,
     "attribution_touch" -> EventOps.attributionTouchOracle,

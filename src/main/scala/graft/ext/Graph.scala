@@ -171,6 +171,106 @@ object Graph {
        |ORDER BY n.n_name""".stripMargin
   }
 
+  val TrMinFreq = 5
+  val TrTopK = 30
+
+  /** TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    * over the word CO-OCCURRENCE graph — nodes are corpus tokens with
+    * frequency ≥ [[TrMinFreq]] (the vocabulary cut that bounds the
+    * graph and drops hapax noise), edges are adjacent-token bigrams
+    * weighted by count, symmetrized (co-occurrence is undirected).
+    * Keywords = the [[TrTopK]] highest-scoring words after [[PrIters]]
+    * damped power iterations — centrality in the co-occurrence graph,
+    * the classic unsupervised tagger a curation pipeline runs to label
+    * shards.
+    *
+    * Scale shape: the bigram build is the corpus-sized work — one
+    * token-sequence scan exploded to (prev, next) pairs and hash-
+    * aggregated to ≤ |V|² edge rows (map-side partials); the frequency
+    * cut makes |V| a VOCABULARY, not a corpus, so the rank vector
+    * broadcasts (at 100 TB with a huge V the same loop shuffle-joins
+    * on the word key — the pagerank note). Same determinism contract
+    * as [[pagerankNations]]: contributions rounded 12 + decimal-
+    * summed, ranks rounded 9, dangling mass leaks, mirrored by the
+    * unrolled oracle; the final top-k is a bounded
+    * TakeOrderedAndProject with ties broken by word. */
+  def textrankKeywords(spark: SparkSession, dir: String): DataFrame = {
+    val ws = Tables.documents(spark, dir)
+      .select(TextAnalysis.tokens(col("text")).as("ws"))
+    val vf = ws.select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= TrMinFreq).select("w").localCheckpoint()
+    val bi = ws.filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(1, size(ws) - 1), i -> struct(ws[i-1] AS a, ws[i] AS b))"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .filter(col("a") =!= col("b"))
+      .join(broadcast(vf.withColumnRenamed("w", "a")), Seq("a"), "left_semi")
+      .join(broadcast(vf.withColumnRenamed("w", "b")), Seq("b"), "left_semi")
+      .groupBy("a", "b").agg(count(lit(1)).as("w"))
+    val und = bi.select(col("a").as("u"), col("b").as("v"), col("w"))
+      .unionByName(bi.select(col("b").as("u"), col("a").as("v"), col("w")))
+      .groupBy("u", "v").agg(sum("w").as("w")).localCheckpoint()
+    val outW = und.groupBy("u").agg(sum("w").cast("double").as("wout"))
+    val e = und.join(outW, Seq("u"))
+      .select(col("u"), col("v"),
+        (col("w").cast("double") / col("wout")).as("frac"))
+      .localCheckpoint()
+    val n = vf.count() // |vocab ≥ minfreq|: bounded, 1-long driver read
+    var pr = vf.select(col("w").as("v"), lit(1.0 / n).as("pr"))
+    for (_ <- 1 to PrIters) {
+      val contrib = e.join(broadcast(pr.withColumnRenamed("v", "u")
+          .withColumnRenamed("pr", "pru")), Seq("u"))
+        .select(col("v"), round(col("pru") * col("frac"), 12).as("t"))
+        .groupBy("v")
+        .agg(sum(col("t").cast(DecimalType(28, 14))).cast("double").as("s"))
+      pr = vf.select(col("w").as("v")).join(contrib, Seq("v"), "left")
+        .select(col("v"),
+          round(lit(0.15 / n) +
+            lit(Damping) * coalesce(col("s"), lit(0.0)), 9).as("pr"))
+    }
+    pr.select(col("v").as("word"), col("pr").as("score"))
+      .orderBy(col("score").desc, col("word"))
+      .limit(TrTopK)
+  }
+
+  def textrankKeywordsOracle: String = {
+    def iter(i: Int): String =
+      s"""c$i AS (SELECT e.v,
+         |  CAST(SUM(CAST(round(p.pr * e.frac, 12) AS DECIMAL(28,14))) AS DOUBLE) AS s
+         |  FROM e JOIN p${i - 1} p ON e.u = p.v GROUP BY e.v),
+         |p$i AS (SELECT vf.w AS v,
+         |  round(CAST(0.15 AS DOUBLE) / nn.n +
+         |        CAST(0.85 AS DOUBLE) * COALESCE(c$i.s, CAST(0 AS DOUBLE)), 9) AS pr
+         |  FROM vf CROSS JOIN nn LEFT JOIN c$i ON c$i.v = vf.w)"""
+        .stripMargin
+    s"""WITH tk AS (SELECT ${graft.ext.TextAnalysis.tokensSqlShared} AS ws
+       |  FROM documents),
+       |vf AS (SELECT g AS w FROM (SELECT unnest(ws) AS g FROM tk) t
+       |  GROUP BY 1 HAVING COUNT(*) >= $TrMinFreq),
+       |bg AS (SELECT p['a'] AS a, p['b'] AS b FROM (
+       |    SELECT unnest(list_transform(range(len(ws) - 1),
+       |      i -> {'a': ws[i+1], 'b': ws[i+2]})) AS p
+       |    FROM tk) t),
+       |e0 AS (SELECT a, b, CAST(COUNT(*) AS BIGINT) AS w FROM bg
+       |  WHERE a <> b AND a IN (SELECT w FROM vf)
+       |    AND b IN (SELECT w FROM vf)
+       |  GROUP BY 1, 2),
+       |und AS (SELECT u, v, CAST(SUM(w) AS BIGINT) AS w FROM (
+       |    SELECT a AS u, b AS v, w FROM e0
+       |    UNION ALL SELECT b, a, w FROM e0) t GROUP BY 1, 2),
+       |ow AS (SELECT u, CAST(SUM(w) AS DOUBLE) AS wout FROM und GROUP BY u),
+       |e AS (SELECT und.u, und.v, CAST(und.w AS DOUBLE) / ow.wout AS frac
+       |      FROM und JOIN ow USING (u)),
+       |nn AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM vf),
+       |p0 AS (SELECT w AS v, CAST(1.0 AS DOUBLE) / nn.n AS pr
+       |       FROM vf CROSS JOIN nn),
+       |${(1 to PrIters).map(iter).mkString(",\n")}
+       |SELECT p.v AS word, p.pr AS score FROM p$PrIters p
+       |ORDER BY score DESC, word LIMIT $TrTopK""".stripMargin
+  }
+
   // ── triangle census ──
 
   /** Triangle count + global clustering coefficient of the undirected

@@ -422,6 +422,7 @@ object Sampling {
     var w = loss.crossJoin(broadcast(nd))
       .select(col("source"), col("n_tokens"), col("loss"),
         round(lit(1.0) / col("nd"), 9).as("w"))
+      .localCheckpoint()
     for (_ <- 1 to ReweightIters) {
       val mean = w.agg(
         sum(round(col("w") * col("loss"), 12).cast(DecimalType(28, 14)))
@@ -429,11 +430,16 @@ object Sampling {
       val u = w.crossJoin(broadcast(mean))
         .select(col("source"), col("n_tokens"), col("loss"),
           round(col("w") * exp(round(col("loss") - col("m"), 9)), 12).as("u"))
+        .localCheckpoint() // |domains| rows; cuts the round's lineage so
+      // round t never re-derives rounds 1..t−1 (each re-derivation
+      // would re-broadcast every earlier 1-row aggregate — the cost
+      // compounds exponentially in plan evaluations, not data)
       val z = u.agg(sum(col("u").cast(DecimalType(28, 14)))
         .cast("double").as("z"))
       w = u.crossJoin(broadcast(z))
         .select(col("source"), col("n_tokens"), col("loss"),
           round(col("u") / col("z"), 9).as("w"))
+        .localCheckpoint()
     }
     w.select(col("source"), col("n_tokens"), col("loss"),
         col("w").as("weight"))

@@ -18,7 +18,7 @@ class PlanSpec extends SparkSpec {
     // each other (the scalar-subquery pattern: totals, normalizers,
     // test statistics, gate verdicts)
     "acf_daily_revenue", "assoc_rules_parts", "benford_price",
-    "benford_totalprice", "mixture_reweight",
+    "benford_totalprice",
     "caption_frame_alignment", "chi2_priority_status", "corpus_summary",
     "cusum_changepoint", "data_contract_audit", "dsir_weights",
     "ewma_daily_revenue", "join_fanout_profile", "kappa_lang_agreement",
