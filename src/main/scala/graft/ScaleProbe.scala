@@ -281,6 +281,14 @@ object ScaleProbe {
       // bigram scan collapsed to a vocabulary graph; iterations join
       // the broadcast rank vector against ≤|V|² edges
       "textrank_keywords" -> (graft.ext.Graph.textrankKeywords _),
+      // one scan ×B replicates map-side-collapsed to B rows — linear
+      // in the explode volume, everything after on the B-row frame
+      "bootstrap_mean_ci" -> (graft.operators.Nonparam.bootstrapMeanCi _),
+      // sufficient-stats fit + broadcast residual scoring + the
+      // histogram-locate rank fetch — regression-family growth
+      "conformal_price_interval" -> (graft.ext.Learn.conformalPriceInterval _),
+      // event scan → |users| subject rows → calendar-bounded day frame
+      "survival_km" -> (graft.operators.EventOps.survivalKm _),
     )
 
     def time(fn: => Unit): Double = {

@@ -283,6 +283,8 @@ object SparkEntry {
     "copurchase_pairs" -> Nonparam.copurchasePairs _,
     // apriori-filtered directed rules with confidence + lift
     "assoc_rules_parts" -> Nonparam.assocRulesParts _,
+    // Poisson-bootstrap CI: the distributed bootstrap, hash-deterministic
+    "bootstrap_mean_ci" -> Nonparam.bootstrapMeanCi _,
     "dedup_cdc_chunks" -> graft.ext.Dedup.cdcChunks _,
     "collocations_pmi" -> TextAnalysis.collocationsPmi _,
     "perplexity_bigram" -> TextAnalysis.perplexityBigram _,
@@ -325,6 +327,8 @@ object SparkEntry {
     "quantile_grid_price" -> Relational.quantileGridPrice _,
     "window_range_frame" -> EventOps.windowRangeFrame _,
     "cohort_retention" -> EventOps.cohortRetention _,
+    // censoring-aware time-to-event: Kaplan-Meier survival curve
+    "survival_km" -> EventOps.survivalKm _,
     "multimodal_frames" -> Multimodal.frames _,
     // the resize verb: strided decimation with verifiable output bytes
     "media_downsample" -> Multimodal.mediaDownsample _,
@@ -399,6 +403,8 @@ object SparkEntry {
     "embedding_outliers" -> Similarity.embeddingOutliers _,
     // reliability diagram + ECE/Brier for the logistic probe (shared model)
     "calibration_bins" -> Learn.calibrationBins _,
+    // split-conformal interval: distribution-free coverage wrapper
+    "conformal_price_interval" -> Learn.conformalPriceInterval _,
     // t-closeness: distributional disclosure, the third privacy rung
     "t_closeness_audit" -> Relational.tClosenessAudit _,
     // per-language fertility/compression under the learned BPE merges
@@ -725,6 +731,7 @@ object SparkEntry {
     "weighted_median_price" -> Nonparam.weightedMedianPriceOracle,
     "copurchase_pairs" -> Nonparam.copurchasePairsOracle,
     "assoc_rules_parts" -> Nonparam.assocRulesPartsOracle,
+    "bootstrap_mean_ci" -> Nonparam.bootstrapMeanCiOracle,
     "dedup_cdc_chunks" -> graft.ext.Dedup.cdcChunksOracle,
     "collocations_pmi" -> TextAnalysis.collocationsPmiOracle,
     "perplexity_bigram" -> TextAnalysis.perplexityBigramOracle,
@@ -761,6 +768,7 @@ object SparkEntry {
     "quantile_grid_price" -> Relational.quantileGridOracle,
     "window_range_frame" -> EventOps.windowRangeFrameOracle,
     "cohort_retention" -> EventOps.cohortRetentionOracle,
+    "survival_km" -> EventOps.survivalKmOracle,
     "multimodal_frames" -> Multimodal.framesOracle,
     "media_downsample" -> Multimodal.mediaDownsampleOracle,
     "caption_frame_alignment" -> Multimodal.captionFrameAlignmentOracle,
@@ -804,6 +812,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.containmentPairsOracle,
     "embedding_outliers" -> Similarity.embeddingOutliersOracle,
     "calibration_bins" -> Learn.calibrationBinsOracle,
+    "conformal_price_interval" -> Learn.conformalPriceIntervalOracle,
     "t_closeness_audit" -> Relational.tClosenessAuditOracle,
     "tokenizer_fertility" -> TextAnalysis.tokenizerFertilityOracle,
     "decontaminate_semantic" -> Similarity.decontaminateSemanticOracle,

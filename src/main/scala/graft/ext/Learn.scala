@@ -37,6 +37,103 @@ object Learn {
   private def dsum12(c: Column): Column =
     sum(c.cast(DecimalType(38, 12))).cast("double")
 
+  // ── split-conformal prediction interval ──
+
+  /** Conformal miscoverage level: the interval targets ≥ 90%. */
+  val ConformalAlpha = 0.1
+
+  /** Split-conformal prediction interval for the price~quantity
+    * regression — the distribution-free calibration wrapper every
+    * deployed predictor should ship with: fit on a TRAIN split,
+    * score absolute residuals on a disjoint CALIBRATION split, and
+    * take q̂ = the ⌈(n_cal+1)(1−α)⌉-th smallest calibration residual;
+    * then ŷ ± q̂ covers a fresh point with probability ≥ 1−α by
+    * exchangeability alone (Vovk et al.) — no Gaussian assumption, no
+    * asymptotics, valid at ANY model quality (a bad model just gets a
+    * wide honest interval). The train/cal split is the sampling
+    * family's deterministic salted hash (even/odd), so membership is
+    * reproducible, retry-safe, and oracle-reconstructible.
+    *
+    * Scale shape: the OLS fit is the [[graft.operators.Relational
+    * .regressionQtyPrice]] sufficient-statistics aggregate (one
+    * map-side-partial pass over train); residual scoring is a
+    * projection against the broadcast 1-row coefficient frame; the
+    * conformal quantile is the shared histogram-locate rank fetch —
+    * nothing sorts the corpus. Coefficients are rounded (6) BEFORE
+    * residual scoring so both engines walk identical doubles into the
+    * rank order. */
+  def conformalPriceInterval(spark: SparkSession, dir: String): DataFrame = {
+    def dsum2(c: Column): Column =
+      sum(c.cast(DecimalType(18, 2))).cast("double")
+    def dsum4(c: Column): Column =
+      sum(c.cast(DecimalType(27, 4))).cast("double")
+    val li = Tables.lineitem(spark, dir)
+      .select(concat_ws("-", col("l_orderkey"), col("l_linenumber")).as("id"),
+        col("l_quantity").as("x"), col("l_extendedprice").as("y"))
+      .withColumn("is_cal", pmod(Sampling.sampleHash(col("id")), lit(2)) === 1)
+    val slopeRaw = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val coef = li.filter(!col("is_cal"))
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum2(col("x")).as("sx"), dsum2(col("y")).as("sy"),
+        dsum4(col("x") * col("x")).as("sxx"),
+        dsum4(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_train"),
+        round(slopeRaw, 6).as("slope"),
+        round((col("sy") - slopeRaw * col("sx")) / col("n"), 6).as("intercept"))
+      .localCheckpoint() // 1 row; residuals + report both read it
+    val res = li.filter(col("is_cal"))
+      .crossJoin(broadcast(coef))
+      .select(round(abs(col("y") -
+        (col("intercept") + col("slope") * col("x"))), 6).as("r"))
+    val nc = res.agg(count(lit(1)).as("n_cal"))
+    val ranks = nc.select(lit("cal").as("g"),
+      least(ceil((col("n_cal") + 1) * (1 - ConformalAlpha)).cast("long"),
+        col("n_cal")).as("rk")).localCheckpoint()
+    val qhat = graft.operators.Relational.valuesAtGroupRanks(
+        res.select(lit("cal").as("g"), col("r").as("v")), ranks)
+      .select(col("v").as("qhat"))
+    val cov = res.crossJoin(broadcast(qhat))
+      .agg(round(sum(when(col("r") <= col("qhat"), 1L).otherwise(0L))
+        .cast("double") / count(lit(1)), 6).as("cal_coverage"))
+    coef.crossJoin(broadcast(nc)).crossJoin(broadcast(qhat))
+      .crossJoin(broadcast(cov))
+      .select(col("n_train"), col("n_cal"), col("slope"), col("intercept"),
+        col("qhat"), col("cal_coverage"),
+        lit(1 - ConformalAlpha).as("target_coverage"))
+  }
+
+  def conformalPriceIntervalOracle: String =
+    s"""WITH d AS (SELECT
+       |    ${Sampling.sampleHashSql("concat_ws('-', l_orderkey, l_linenumber)")}
+       |      % 2 = 1 AS is_cal,
+       |    l_quantity AS x, l_extendedprice AS y FROM lineitem),
+       |tr AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |    CAST(SUM(CAST(x AS DECIMAL(18,2))) AS DOUBLE) AS sx,
+       |    CAST(SUM(CAST(y AS DECIMAL(18,2))) AS DOUBLE) AS sy,
+       |    CAST(SUM(CAST(x*x AS DECIMAL(27,4))) AS DOUBLE) AS sxx,
+       |    CAST(SUM(CAST(x*y AS DECIMAL(27,4))) AS DOUBLE) AS sxy
+       |  FROM d WHERE NOT is_cal),
+       |cf AS (SELECT CAST(n AS BIGINT) AS n_train,
+       |    round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS slope,
+       |    round((sy - ((n*sxy - sx*sy) / (n*sxx - sx*sx)) * sx) / n, 6)
+       |      AS intercept
+       |  FROM tr),
+       |res AS (SELECT round(abs(y - (cf.intercept + cf.slope * x)), 6) AS r
+       |  FROM d, cf WHERE is_cal),
+       |nc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM res),
+       |kk AS (SELECT least(CAST(ceil((n_cal + 1) * ${1 - ConformalAlpha})
+       |    AS BIGINT), n_cal) AS k FROM nc),
+       |rv AS (SELECT r, row_number() OVER (ORDER BY r) AS rk FROM res),
+       |q AS (SELECT rv.r AS qhat FROM rv, kk WHERE rv.rk = kk.k),
+       |cov AS (SELECT round(CAST(SUM(CASE WHEN res.r <= q.qhat
+       |      THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS cal_coverage
+       |  FROM res, q)
+       |SELECT cf.n_train, nc.n_cal, cf.slope, cf.intercept, q.qhat,
+       |  cov.cal_coverage,
+       |  CAST(${1 - ConformalAlpha} AS DOUBLE) AS target_coverage
+       |FROM cf, nc, q, cov""".stripMargin
+
   // ── multinomial naive Bayes: lang from tokens ──
 
   /** Train a multinomial NB classifier for `lang` over document

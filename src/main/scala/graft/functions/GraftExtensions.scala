@@ -77,7 +77,19 @@ object GraftFunctions {
       arity("graft_lsh_bucket", 2)(es => LshBucketExpr(es.head,
         litInt("graft_lsh_bucket", "numPlanes")(es(1))))),
     ("graft_dhash_bands", classOf[DHashBandsExpr].getName,
-      arity("graft_dhash_bands", 1)(es => DHashBandsExpr(es.head))))
+      arity("graft_dhash_bands", 1)(es => DHashBandsExpr(es.head))),
+    // the two bounded-heap aggregates behind grouped top-k, the KMV
+    // sketch, and the quantile sketch — a raw AggregateFunction from
+    // the registry is wrapped by the analyzer, so plain SQL GROUP BY
+    // gets the same O(k)-per-group state algebra as the Column API
+    ("graft_topk", classOf[org.apache.spark.sql.graft.BoundedTopKAgg].getName,
+      arity("graft_topk", 2)(es => org.apache.spark.sql.graft.BoundedTopKAgg(
+        es.head, litInt("graft_topk", "k")(es(1))))),
+    ("graft_distinct_topk",
+      classOf[org.apache.spark.sql.graft.BoundedDistinctTopKAgg].getName,
+      arity("graft_distinct_topk", 2)(es =>
+        org.apache.spark.sql.graft.BoundedDistinctTopKAgg(
+          es.head, litInt("graft_distinct_topk", "k")(es(1))))))
 
   private[functions] val all
       : Seq[(FunctionIdentifier, ExpressionInfo, Builder)] =

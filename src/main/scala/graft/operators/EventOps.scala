@@ -663,6 +663,99 @@ object EventOps {
       |GROUP BY cohort_day, day
       |ORDER BY cohort_day, activity_day""".stripMargin
 
+  /** Kaplan-Meier survival curve for time-to-first-purchase — the
+    * censoring-aware sibling of [[cohortRetention]]: retention
+    * matrices silently treat "hasn't purchased YET" as "never will",
+    * biasing every rate downward; KM handles right-censoring exactly.
+    * Subject = user, origin = the user's first event, event = first
+    * 'purchase', duration in whole days; users with no purchase are
+    * censored at the corpus horizon (max ts). Ŝ(t) = Π_{s≤t}
+    * (1 − d_s/n_s) with n_s = subjects still at risk entering day s
+    * (the standard convention: same-day censorings count as at-risk).
+    *
+    * Determinism: durations come from MICROSECOND epochs (exact
+    * integers both engines — second-truncation order would otherwise
+    * flip day boundaries); the product is exp(Σ ln factor) with ln
+    * rounded to 9 and decimal-summed (the transcendental discipline),
+    * and a d=n day (factor 0) pins survival to exactly 0 from there
+    * on instead of feeding ln(0).
+    *
+    * Scale shape: one event scan collapses to |users| subject rows
+    * (map-side-partial min/conditional-min), then to the CALENDAR-
+    * bounded day frame — every window after that runs on ≤
+    * observation-window-days rows (the declared-bounded-frame rule,
+    * [[graft.BoundedWindow]]). */
+  def survivalKm(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("user_id"), col("ts"), col("event_type"))
+    val per = ev.groupBy("user_id").agg(
+      min(col("ts")).as("origin"),
+      min(when(col("event_type") === "purchase", col("ts"))).as("p_ts"))
+    val horizon = ev.agg(max(col("ts")).as("h"))
+    val durs = per.crossJoin(broadcast(horizon))
+      .select(
+        floor((unix_micros(coalesce(col("p_ts"), col("h"))) -
+          unix_micros(col("origin"))).cast("double") / 86400e6)
+          .cast("long").as("t_day"),
+        col("p_ts").isNotNull.as("is_event"))
+    val byDay = durs.groupBy("t_day").agg(
+      sum(when(col("is_event"), 1L).otherwise(0L)).as("n_events"),
+      sum(when(col("is_event"), 0L).otherwise(1L)).as("n_censored"))
+    val wPre = graft.BoundedWindow.orderBy(col("t_day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wPost = graft.BoundedWindow.orderBy(col("t_day"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    byDay
+      .withColumn("n_at_risk",
+        sum(col("n_events") + col("n_censored")).over(wPost))
+      .withColumn("f",
+        lit(1.0) - col("n_events").cast("double") / col("n_at_risk"))
+      .withColumn("logf", when(col("f") > 0, round(log(col("f")), 9)))
+      .withColumn("dead",
+        max(when(col("f") === 0, 1L).otherwise(0L)).over(wPre))
+      .select(col("t_day"), col("n_at_risk"), col("n_events"),
+        col("n_censored"),
+        when(col("dead") === 1, lit(0.0))
+          .otherwise(round(exp(
+            sum(col("logf").cast(DecimalType(28, 12))).over(wPre)
+              .cast("double")), 6)).as("survival"))
+      .orderBy("t_day")
+  }
+
+  def survivalKmOracle: String =
+    """WITH per AS (SELECT user_id, MIN(ts) AS origin,
+      |    MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS p_ts
+      |  FROM events GROUP BY user_id),
+      |h AS (SELECT MAX(ts) AS h FROM events),
+      |durs AS (SELECT CAST(floor(CAST(epoch_us(COALESCE(p_ts, h.h)) -
+      |      epoch_us(origin) AS DOUBLE) / 86400e6) AS BIGINT) AS t_day,
+      |    p_ts IS NOT NULL AS is_event
+      |  FROM per, h),
+      |bd AS (SELECT t_day,
+      |    CAST(SUM(CASE WHEN is_event THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_events,
+      |    CAST(SUM(CASE WHEN is_event THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_censored
+      |  FROM durs GROUP BY 1),
+      |km AS (SELECT t_day, n_events, n_censored,
+      |    CAST(SUM(n_events + n_censored) OVER (ORDER BY t_day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT)
+      |      AS n_at_risk
+      |  FROM bd),
+      |f AS (SELECT *, CAST(1 AS DOUBLE) -
+      |    CAST(n_events AS DOUBLE) / n_at_risk AS fct FROM km),
+      |lg AS (SELECT *,
+      |    CASE WHEN fct > 0 THEN round(ln(fct), 9) END AS logf,
+      |    MAX(CASE WHEN fct = 0 THEN 1 ELSE 0 END) OVER (ORDER BY t_day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS dead
+      |  FROM f)
+      |SELECT t_day, n_at_risk, n_events, n_censored,
+      |  CASE WHEN dead = 1 THEN CAST(0 AS DOUBLE)
+      |    ELSE round(exp(CAST(SUM(CAST(logf AS DECIMAL(28,12)))
+      |      OVER (ORDER BY t_day ROWS BETWEEN UNBOUNDED PRECEDING
+      |        AND CURRENT ROW) AS DOUBLE)), 6) END AS survival
+      |FROM lg ORDER BY t_day""".stripMargin
+
   /** Time-grid gap-fill: hourly event counts over the COMPLETE hour
     * grid between the first and last event — missing hours surface as
     * explicit zero rows (the resample/densify step of any time-series

@@ -379,6 +379,122 @@ object Nonparam {
       |  JOIN pc c2 ON p.p2 = c2.l_partkey, n
       |ORDER BY p.support DESC, p.p1, p.p2 LIMIT 20""".stripMargin
 
+  /** Bootstrap replicate count for [[bootstrapMeanCi]]. */
+  val BootReplicates = 32
+
+  /** Poisson(1) CDF thresholds for the deterministic inverse-CDF
+    * weight draw (k = number of thresholds below the uniform hash).
+    * Fixed 10-decimal literals so both engines compare the identical
+    * doubles — the tail is capped at 8 (P ≈ 1e-5 per draw). */
+  val PoissonCdf: Seq[Double] = Seq(
+    0.3678794412, 0.7357588823, 0.9196986029, 0.9810118431,
+    0.9963401532, 0.9994058152, 0.9999167589, 0.9999897508)
+
+  /** Bootstrap confidence interval for the mean order value — by the
+    * POISSON bootstrap, the resampling scheme that actually works
+    * distributed (per-row replicate weights w ~ Poisson(1) instead of
+    * drawing n rows with replacement, which would need global
+    * coordination; E[w]=1 preserves the resample-size expectation).
+    * Every weight is a pure hash of (row id, replicate id) through the
+    * fixed inverse-CDF ladder [[PoissonCdf]] — deterministic, retry-
+    * safe, and reconstructible by the oracle, the same no-rand() rule
+    * the sampling family lives by (a production run swaps the salt
+    * per experiment; the plan is identical).
+    *
+    * Scale shape: ONE fact scan exploded ×[[BootReplicates]], then a
+    * map-side-partial hash agg to B rows (replicate sums ride
+    * DECIMAL over 4-dp-rounded products so each replicate mean is
+    * partition-order-free); everything after — percentile endpoints,
+    * the moment-formula standard error — happens on the B-row frame.
+    * The percentile CI takes the lower order statistic at rank
+    * 1+floor(q·(B−1)) (the quantile-sketch convention). */
+  def bootstrapMeanCi(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val b = BootReplicates
+    val o = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice").as("x"))
+    // ONE md5 per row; the 32 replicate uniforms derive from it via
+    // the pairwise-independent affine family (the CMS/MinHash prime)
+    // — 32 multiplies instead of 32 digest rounds per row
+    val p = 2147483647L // 2^31-1, the sketch family's prime
+    val reps = o
+      .withColumn("h",
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 8),
+          16, 10).cast("long"))
+      .select(col("x"), col("h"),
+        explode(array((0 until b).map(lit(_)): _*)).as("r"))
+      .withColumn("u",
+        (((lit(4099L) * col("r") + 8191L) * col("h") +
+          (lit(9973L) * col("r") + 104729L)) % p).cast("double") / p)
+      .withColumn("w", PoissonCdf.zipWithIndex.foldRight(
+        lit(PoissonCdf.length).cast("long")) { case ((c, k), rest) =>
+          when(col("u") < c, lit(k.toLong)).otherwise(rest)
+        })
+    val means = reps.groupBy("r")
+      .agg((sum(round(col("w") * col("x"), 4).cast(DecimalType(28, 10)))
+          .cast("double") / sum(col("w"))).as("m0"))
+      .select(col("r"), round(col("m0"), 6).as("m"))
+    val ranked = means // B rows — bounded by construction
+      .select(col("m"), row_number().over(
+        graft.BoundedWindow.orderBy(col("m"), col("r"))).as("rk"))
+    val lo = 1 + math.floor(0.025 * (b - 1)).toLong
+    val hi = 1 + math.floor(0.975 * (b - 1)).toLong
+    val moments = means.agg(
+      sum(col("m").cast(DecimalType(28, 10))).cast("double").as("s1"),
+      sum(round(col("m") * col("m"), 6).cast(DecimalType(28, 10)))
+        .cast("double").as("s2"))
+    val point = o.agg(count(lit(1)).as("n_rows"),
+      round(sum(col("x").cast(DecimalType(28, 4))).cast("double") /
+        count(lit(1)), 6).as("point_mean"))
+    point
+      .crossJoin(broadcast(ranked.filter(col("rk") === lo)
+        .select(col("m").as("boot_lo"))))
+      .crossJoin(broadcast(ranked.filter(col("rk") === hi)
+        .select(col("m").as("boot_hi"))))
+      .crossJoin(broadcast(moments))
+      .select(col("n_rows"), col("point_mean"), col("boot_lo"), col("boot_hi"),
+        round(sqrt((col("s2") - col("s1") * col("s1") / b) / (b - 1)), 6)
+          .as("boot_se"),
+        lit(b.toLong).as("n_replicates"))
+  }
+
+  def bootstrapMeanCiOracle: String = {
+    val b = BootReplicates
+    val wCase = PoissonCdf.zipWithIndex
+      .map { case (c, k) => s"WHEN u < $c THEN $k" }
+      .mkString(" ") + s" ELSE ${PoissonCdf.length}"
+    val lo = 1 + math.floor(0.025 * (b - 1)).toLong
+    val hi = 1 + math.floor(0.975 * (b - 1)).toLong
+    s"""WITH reps AS (SELECT o_totalprice AS x, r.range AS r,
+       |    CAST((((4099 * r.range + 8191) *
+       |      CAST(concat('0x', substr(md5(CAST(o_orderkey AS VARCHAR)),
+       |        1, 8)) AS BIGINT) +
+       |      (9973 * r.range + 104729)) % 2147483647) AS DOUBLE)
+       |      / 2147483647 AS u
+       |  FROM orders CROSS JOIN range($b) r),
+       |wr AS (SELECT x, r, CAST(CASE $wCase END AS BIGINT) AS w FROM reps),
+       |means AS (SELECT r,
+       |    round(CAST(SUM(CAST(round(w * x, 4) AS DECIMAL(28,10)))
+       |      AS DOUBLE) / SUM(w), 6) AS m
+       |  FROM wr GROUP BY r),
+       |ranked AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk
+       |  FROM means),
+       |mom AS (SELECT CAST(SUM(CAST(m AS DECIMAL(28,10))) AS DOUBLE) AS s1,
+       |    CAST(SUM(CAST(round(m * m, 6) AS DECIMAL(28,10))) AS DOUBLE) AS s2
+       |  FROM means),
+       |pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       |    round(CAST(SUM(CAST(o_totalprice AS DECIMAL(28,4))) AS DOUBLE)
+       |      / COUNT(*), 6) AS point_mean
+       |  FROM orders)
+       |SELECT pt.n_rows, pt.point_mean,
+       |  (SELECT m FROM ranked WHERE rk = $lo) AS boot_lo,
+       |  (SELECT m FROM ranked WHERE rk = $hi) AS boot_hi,
+       |  round(sqrt((mom.s2 - mom.s1 * mom.s1 / $b) / ${b - 1}), 6)
+       |    AS boot_se,
+       |  CAST($b AS BIGINT) AS n_replicates
+       |FROM pt, mom""".stripMargin
+  }
+
   /** Association rules mined from the co-purchase pairs: for every
     * frequent unordered part pair {a, b} (support ≥ [[AssocMinSupport]]
     * orders), BOTH directed rules a→b and b→a with the three classic

@@ -8,6 +8,22 @@ import graft.ext.Learn
   * logistic GD probe, kNN label audit). */
 class LearnSpec extends SparkSpec {
 
+  test("split-conformal interval honors the finite-sample coverage bound") {
+    val r = ext.Learn.conformalPriceInterval(spark, sf0001).collect().head
+    val nCal = r.getAs[Long]("n_cal")
+    // the split partitions the table
+    assert(r.getAs[Long]("n_train") + nCal ==
+      Tables.lineitem(spark, sf0001).count())
+    // cal_coverage is k/n_cal by construction of the rank fetch, and
+    // k = ⌈(n+1)(1−α)⌉ makes it ≥ 1−α (the conformal guarantee's
+    // empirical face); it must also be < 1 here (k < n_cal at this n)
+    val cov = r.getAs[Double]("cal_coverage")
+    val target = r.getAs[Double]("target_coverage")
+    assert(cov >= target, s"calibration coverage $cov under target $target")
+    assert(cov < 1.0)
+    assert(r.getAs[Double]("qhat") > 0.0)
+  }
+
   test("nb confusion matrix partitions the corpus and accuracy matches it") {
     val rows = Learn.nbLangConfusion(spark, sf0001).collect()
     val total = rows.map(_.getAs[Long]("n_docs")).sum

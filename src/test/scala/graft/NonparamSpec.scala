@@ -59,6 +59,36 @@ class NonparamSpec extends SparkSpec {
     }
   }
 
+  test("poisson bootstrap: CI brackets the point mean at plausible width, weights are Poisson(1)-shaped") {
+    val r = operators.Nonparam.bootstrapMeanCi(spark, sf0001).collect().head
+    val (pm, lo, hi, se) = (r.getAs[Double]("point_mean"),
+      r.getAs[Double]("boot_lo"), r.getAs[Double]("boot_hi"),
+      r.getAs[Double]("boot_se"))
+    assert(lo < pm && pm < hi, s"CI [$lo, $hi] misses the mean $pm")
+    // the 95% percentile interval of B=32 replicate means spans
+    // roughly ±2 se; allow [1, 8]·se per side for bootstrap noise
+    assert(hi - lo > 2 * se && hi - lo < 16 * se,
+      s"CI width ${hi - lo} implausible vs se $se")
+    // the deterministic inverse-CDF draw must look Poisson(1): mean
+    // weight ≈ 1 (hash uniformity; 1500·32 draws → ±3σ ≈ 0.014)
+    import org.apache.spark.sql.functions._
+    val o = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), lit(0.0).as("x"))
+    val meanW = o.select(
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long").as("h"),
+        explode(array((0 until 32).map(lit(_)): _*)).as("r"))
+      .select(((((lit(4099L) * col("r") + 8191L) * col("h") +
+        (lit(9973L) * col("r") + 104729L)) % 2147483647L).cast("double") /
+        lit(2147483647L)).as("u"))
+      .select(operators.Nonparam.PoissonCdf.zipWithIndex.foldRight(
+        lit(operators.Nonparam.PoissonCdf.length).cast("long")) {
+          case ((c, k), rest) => when(col("u") < c, lit(k.toLong)).otherwise(rest)
+        }.as("w"))
+      .agg(avg("w")).collect().head.getDouble(0)
+    assert(math.abs(meanW - 1.0) < 0.05, s"mean weight $meanW drifts from 1")
+  }
+
   test("copurchase pair generation is a key join, not a cartesian") {
     val df = Nonparam.copurchasePairs(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

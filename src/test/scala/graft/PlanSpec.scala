@@ -18,8 +18,9 @@ class PlanSpec extends SparkSpec {
     // each other (the scalar-subquery pattern: totals, normalizers,
     // test statistics, gate verdicts)
     "acf_daily_revenue", "assoc_rules_parts", "benford_price",
-    "benford_totalprice",
-    "caption_frame_alignment", "chi2_priority_status", "corpus_summary",
+    "benford_totalprice", "bootstrap_mean_ci",
+    "caption_frame_alignment", "chi2_priority_status",
+    "conformal_price_interval", "corpus_summary",
     "cusum_changepoint", "data_contract_audit", "dsir_weights",
     "ewma_daily_revenue", "join_fanout_profile", "kappa_lang_agreement",
     "kl_source_divergence", "kruskal_wallis_spend", "ks_test_events",
@@ -28,6 +29,7 @@ class PlanSpec extends SparkSpec {
     "perplexity_bigram", "perplexity_unigram", "psi_drift_price",
     "psi_value_drift", "q11_important_stock", "rfm_segments",
     "seasonality_dow", "shuffle_skew_audit", "sketch_cms_heavy_hitters",
+    "survival_km",
     "sketch_hll_distinct", "sketch_join_size", "sketch_kmv_distinct",
     "sketch_kmv_overlap", "sketch_quantile_price", "t_closeness_audit",
     "training_readiness",

@@ -58,6 +58,35 @@ class SqlSurfaceSpec extends SparkSpec {
         graft.functions.DHashBands(col("text").cast("binary")).as("d"))
       .orderBy("doc_id")
     assert(dhashSql.collect().toSeq == dhashCol.collect().toSeq)
+    // the bounded-heap aggregates: a per-source bottom-k quantile-
+    // sketch sample written as plain SQL GROUP BY
+    Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+      .createOrReplaceTempView("docs_agg_v")
+    val topkSql = spark.sql(
+      """SELECT source, graft_distinct_topk(
+        |    named_struct('h', md5(CAST(doc_id AS STRING)),
+        |                 'v', CAST(n_chars AS DOUBLE)), 8) AS s
+        |FROM docs_agg_v GROUP BY source ORDER BY source""".stripMargin)
+    val topkCol = spark.table("docs_agg_v")
+      .groupBy("source")
+      .agg(graft.functions.BoundedDistinctTopK(8,
+        struct(md5(col("doc_id").cast("string")).as("h"),
+          col("n_chars").cast("double").as("v"))).as("s"))
+      .orderBy("source")
+    assert(topkSql.collect().toSeq == topkCol.collect().toSeq)
+    val plainTopkSql = spark.sql(
+      """SELECT source, graft_topk(
+        |    named_struct('v', CAST(n_chars AS DOUBLE),
+        |                 'id', CAST(doc_id AS BIGINT)), 3) AS s
+        |FROM docs_agg_v GROUP BY source ORDER BY source""".stripMargin)
+    val plainTopkCol = spark.table("docs_agg_v")
+      .groupBy("source")
+      .agg(graft.functions.BoundedTopK(3,
+        struct(col("n_chars").cast("double").as("v"),
+          col("doc_id").cast("bigint").as("id"))).as("s"))
+      .orderBy("source")
+    assert(plainTopkSql.collect().toSeq == plainTopkCol.collect().toSeq)
     // structural args must be literals — a column there is a user error
     val err = intercept[Exception](spark.sql(
       "SELECT graft_word_ngrams(toks, CAST(doc_id AS INT), false) FROM docs_v").collect())

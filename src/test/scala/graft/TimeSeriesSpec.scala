@@ -8,6 +8,44 @@ import graft.operators.TimeSeries
   * diagnostics (ACF, CUSUM, truncated EWMA, day-of-week profile). */
 class TimeSeriesSpec extends SparkSpec {
 
+  test("kaplan-meier: censoring removes at-risk mass without an event factor (hand-computed fixture)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // A,B purchase day 1; D purchases day 3 (the horizon); C never
+    // purchases → censored at day 3. KM: S(1) = 1−2/4 = 0.5,
+    // S(3) = 0.5·(1−1/2) = 0.25 — C reduces n_at_risk at t=3 but
+    // contributes no event factor (the bias retention matrices have)
+    val day = 86400L * 1000000L
+    val rows = Seq(
+      (1L, 0L, 10L, "signup"), (2L, 1 * day, 10L, "purchase"),
+      (3L, 0L, 11L, "signup"), (4L, 1 * day, 11L, "purchase"),
+      (5L, 0L, 12L, "signup"), // C: no purchase
+      (6L, 0L, 13L, "signup"), (7L, 3 * day, 13L, "purchase"))
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-km-fixture").toString
+    rows.toDF("event_id", "us", "user_id", "event_type")
+      .select(col("event_id"), timestamp_micros(col("us")).as("ts"),
+        col("user_id"), col("event_type"), lit(1.0).as("value"),
+        lit("{}").as("props"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val km = operators.EventOps.survivalKm(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))).toMap
+    assert(km == Map(1L -> ((4L, 2L, 0L, 0.5)), 3L -> ((2L, 1L, 1L, 0.25))),
+      s"unexpected KM table: $km")
+  }
+
+  test("kaplan-meier survival is monotone non-increasing with shrinking risk set") {
+    val rows = operators.EventOps.survivalKm(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getAs[Double]("survival") <= a.getAs[Double]("survival"))
+        assert(b.getAs[Long]("n_at_risk") < a.getAs[Long]("n_at_risk"))
+      case _ =>
+    }
+  }
+
   test("acf is bounded by 1 in magnitude at every lag") {
     val rows = TimeSeries.acfDailyRevenue(spark, sf0001).collect()
     assert(rows.map(_.getAs[Int]("lag")).sorted.toSeq == (1 to 7))
