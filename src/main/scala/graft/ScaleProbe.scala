@@ -289,6 +289,11 @@ object ScaleProbe {
       "conformal_price_interval" -> (graft.ext.Learn.conformalPriceInterval _),
       // event scan → |users| subject rows → calendar-bounded day frame
       "survival_km" -> (graft.operators.EventOps.survivalKm _),
+      // one fact scan to 4 sufficient-stat cells — wordcount shape
+      "did_segment_spend" -> (graft.operators.Relational.didSegmentSpend _),
+      // LSH verify + h-index rounds over cap-bounded neighbor lists
+      "dedup_kcore" ->
+        ((s: SparkSession, d: String) => graft.ext.Dedup.dedupKcore(s, d)),
     )
 
     def time(fn: => Unit): Double = {

@@ -123,6 +123,8 @@ object SparkEntry {
     "dedup_groups_delta" -> ((s, dir) => Dedup.dedupGroupsDelta(s, dir)),
     // density communities of the near-dup graph (LPA splits chains CC merges)
     "dedup_communities_lpa" -> ((s, dir) => Dedup.dedupCommunitiesLpa(s, dir)),
+    // k-core coreness: core boilerplate vs periphery via h-index rounds
+    "dedup_kcore" -> ((s, dir) => Dedup.dedupKcore(s, dir)),
     // the on-ingest twin: edges streamed per arrival, same fold+oracle
     "stream_groups_monitor" ->
       ((s, dir) => graft.streaming.DocStream.streamingGroupsMonitor(s, dir)),
@@ -296,6 +298,8 @@ object SparkEntry {
     "token_budget_select" -> TextAnalysis.tokenBudgetSelect _,
     "outlier_iqr" -> Relational.outlierIqr _,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpend _,
+    // causal 2x2: difference-in-differences with broadcast stats
+    "did_segment_spend" -> Relational.didSegmentSpend _,
     "ivm_priority_revenue" -> Relational.ivmPriorityRevenue _,
     "rfm_segments" -> Relational.rfmSegments _,
     "k_anonymity_audit" -> Relational.kAnonymityAudit _,
@@ -707,6 +711,7 @@ object SparkEntry {
     "pagerank_nations" -> graft.ext.Graph.pagerankNationsOracle,
     "triangle_nations" -> graft.ext.Graph.triangleNationsOracle,
     "dedup_communities_lpa" -> Dedup.dedupCommunitiesLpaOracle,
+    "dedup_kcore" -> Dedup.dedupKcoreOracle,
     "lpa_communities" -> graft.ext.Graph.lpaCommunitiesOracle,
     "textrank_keywords" -> graft.ext.Graph.textrankKeywordsOracle,
     "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHopsOracle,
@@ -741,6 +746,7 @@ object SparkEntry {
     "token_budget_select" -> TextAnalysis.tokenBudgetSelectOracle,
     "outlier_iqr" -> Relational.outlierIqrOracle,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpendOracle,
+    "did_segment_spend" -> Relational.didSegmentSpendOracle,
     "ivm_priority_revenue" -> Relational.ivmPriorityRevenueOracle,
     "rfm_segments" -> Relational.rfmSegmentsOracle,
     "k_anonymity_audit" -> Relational.kAnonymityAuditOracle,

@@ -703,12 +703,19 @@ object Dedup {
     * whose fixed point needn't exist — oscillation is cut off, and
     * determinism comes from the round count being part of the
     * contract). */
-  def dedupCommunitiesLpa(spark: SparkSession, dir: String): DataFrame = {
+  /** The symmetric weighted near-dup edge frame (u, v, w) both graph
+    * lenses read: [[lshVerifiedJaccard]] pairs with weight =
+    * round(jaccard·10⁶) as an exact integer. */
+  private[graft] def neardupEdges(spark: SparkSession, dir: String): DataFrame = {
     val pairs = lshVerifiedJaccard(spark, dir)
       .select(col("d1"), col("d2"),
         round(col("jaccard") * 1000000, 0).cast("long").as("w"))
-    val und = pairs.select(col("d1").as("u"), col("d2").as("v"), col("w"))
+    pairs.select(col("d1").as("u"), col("d2").as("v"), col("w"))
       .unionByName(pairs.select(col("d2").as("u"), col("d1").as("v"), col("w")))
+  }
+
+  def dedupCommunitiesLpa(spark: SparkSession, dir: String): DataFrame = {
+    val und = neardupEdges(spark, dir)
     val lbl = lpaFold(und, LpaDocIters)
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
     lbl.join(broadcast(sizes), Seq("lbl"))
@@ -759,6 +766,98 @@ object Dedup {
        |  FROM l$LpaDocIters GROUP BY 1)
        |SELECT l.v AS doc_id, l.lbl AS community, sz.community_size
        |FROM l$LpaDocIters l JOIN sz ON l.lbl = sz.lbl
+       |ORDER BY doc_id""".stripMargin
+  }
+
+  /** H-index coreness rounds for [[dedupKcore]]. */
+  val KcoreIters = 4
+
+  /** Synchronous h-index coreness rounds over a symmetric edge frame
+    * (u, v) — Lü et al. 2016: start from degree, repeatedly replace
+    * each node's value with the H-INDEX of its neighbors' values (the
+    * largest h such that ≥ h neighbors hold ≥ h); the fixpoint is
+    * exactly the k-core number. Each round is one join of the edge
+    * frame against the value vector plus a per-node window over
+    * NEIGHBOR LISTS (bounded by the LSH bucket caps — never a corpus
+    * partition) and a hash-agg; h is invariant to tie order inside
+    * the window, so the result is engine- and partition-
+    * deterministic even though row_number ties are not. */
+  private[graft] def kcoreFold(edges: DataFrame, iters: Int): DataFrame = {
+    val und = edges.select(col("u"), col("v")).distinct().localCheckpoint()
+    var c = und.groupBy("u").agg(count(lit(1)).as("c"))
+    for (_ <- 1 to iters) {
+      val nb = und
+        .join(c.select(col("u").as("v2"), col("c").as("cv")),
+          col("v") === col("v2"))
+        .select(col("u"), col("cv"))
+      c = nb.withColumn("rk", row_number().over(
+          Window.partitionBy("u").orderBy(col("cv").desc)).cast("long"))
+        .groupBy("u")
+        .agg(max(least(col("rk"), col("cv"))).as("c"))
+        .localCheckpoint()
+    }
+    c
+  }
+
+  /** K-core coreness of the near-dup graph — the third density lens
+    * beside [[dedupCommunitiesLpa]] (where does weight concentrate)
+    * and [[duplicateGroups]] (what is reachable): coreness separates
+    * CORE boilerplate (every member ≥ k mutual near-dups — the
+    * template family a curator deletes wholesale) from PERIPHERY
+    * (chain/tree attachments — borderline pairs reviewed one by one).
+    * Exact k-core numbers via [[KcoreIters]] h-index rounds from
+    * degree; the fixpoint identity (one more round changes nothing at
+    * fixture scale) is pinned in ExtSpec rather than claimed. Output:
+    * every node with degree and coreness. Scale shape: the LSH verify
+    * pass is the input-sized work; rounds are |E|-joins with windows
+    * over cap-bounded neighbor lists. */
+  def dedupKcore(spark: SparkSession, dir: String): DataFrame = {
+    val und = neardupEdges(spark, dir).select("u", "v")
+    val deg = und.groupBy("u").agg(count(lit(1)).as("degree"))
+    kcoreFold(und, KcoreIters)
+      .join(deg, Seq("u"))
+      .select(col("u").as("doc_id"), col("degree"), col("c").as("coreness"))
+      .orderBy("doc_id")
+  }
+
+  def dedupKcoreOracle: String = {
+    val rounds = (1 to KcoreIters).map { i =>
+      val p = i - 1
+      s"""r$i AS (SELECT e.u, c$p.c AS cv, row_number()
+         |    OVER (PARTITION BY e.u ORDER BY c$p.c DESC) AS rk
+         |  FROM und e JOIN c$p ON e.v = c$p.u),
+         |c$i AS (SELECT u, CAST(MAX(least(rk, cv)) AS BIGINT) AS c
+         |  FROM r$i GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH keepers AS (
+       |  SELECT doc_id, text FROM (
+       |    SELECT doc_id, text,
+       |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
+       |    FROM documents) d WHERE doc_id = k),
+       |${minhashEstCtes("keepers")},
+       |pairs AS (SELECT d1, d2 FROM est WHERE est_jaccard >= $PairThreshold),
+       |tokseq AS (SELECT doc_id, $tokensSql AS ws FROM keepers),
+       |tri AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+       |  FROM tokseq),
+       |g AS (SELECT doc_id, len(grams) AS n, unnest(grams) AS g FROM tri),
+       |inter AS (SELECT p.d1, p.d2, a.n AS n1, b.n AS n2, COUNT(*) AS inter
+       |  FROM pairs p
+       |  JOIN g a ON a.doc_id = p.d1
+       |  JOIN g b ON b.doc_id = p.d2 AND b.g = a.g
+       |  GROUP BY p.d1, p.d2, a.n, b.n),
+       |ej AS (SELECT d1, d2 FROM inter
+       |  WHERE CAST(inter AS DOUBLE) / (n1 + n2 - inter) >= 0.5),
+       |und AS (SELECT DISTINCT u, v FROM (
+       |  SELECT d1 AS u, d2 AS v FROM ej
+       |  UNION ALL SELECT d2, d1 FROM ej) t),
+       |c0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM und GROUP BY 1),
+       |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM und
+       |  GROUP BY 1),
+       |$rounds
+       |SELECT c$KcoreIters.u AS doc_id, dg.degree, c$KcoreIters.c AS coreness
+       |FROM c$KcoreIters JOIN dg ON c$KcoreIters.u = dg.u
        |ORDER BY doc_id""".stripMargin
   }
 

@@ -2650,6 +2650,93 @@ object Relational {
       |    AS welch_df
       |FROM a, b""".stripMargin
 
+  /** Difference-in-differences estimate of a segment's spend shift —
+    * the workhorse causal-analytics 2×2: treated = customers in the
+    * BUILDING market segment, post = orders from 1996 on, outcome =
+    * order value. DiD = (T,post − T,pre) − (C,post − C,pre) nets out
+    * both the segment's level difference and the common time trend —
+    * what a naive post-mean comparison cannot do. One fact scan to
+    * FOUR sufficient-statistic cells (count/sum/sum-of-squares ride
+    * exact decimals, map-side partials — the [[ttestUrgentSpend]]
+    * idiom), so the estimator costs a wordcount at any scale; the
+    * large-sample SE is √Σ s²_cell/n_cell over the 4-row frame.
+    * Output: the four cells, each row carrying the shared estimate /
+    * SE / t (the kruskal broadcast-stats convention). */
+  def didSegmentSpend(spark: SparkSession, dir: String): DataFrame = {
+    def dsum4(c: Column): Column =
+      sum(c.cast(DecimalType(30, 4))).cast("double")
+    val cells = Tables.orders(spark, dir)
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), col("c_mktsegment"))),
+        col("o_custkey") === col("c_custkey"))
+      .select(
+        when(col("c_mktsegment") === "BUILDING", "treated")
+          .otherwise("control").as("grp"),
+        when(col("o_orderdate") >= lit("1996-01-01").cast("timestamp"),
+          "post").otherwise("pre").as("period"),
+        col("o_totalprice").as("x"))
+      .groupBy("grp", "period")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum2(col("x")).as("s1"), dsum4(col("x") * col("x")).as("s2"))
+      .select(col("grp"), col("period"), col("n"),
+        (col("s1") / col("n")).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("variance"))
+      .localCheckpoint() // 4 rows; the pivot and the report both read it
+    val wide = cells.groupBy(lit(1).as("one"))
+      .agg(
+        max(when(col("grp") === "treated" && col("period") === "post",
+          col("mean"))).as("mtp"),
+        max(when(col("grp") === "treated" && col("period") === "pre",
+          col("mean"))).as("mtr"),
+        max(when(col("grp") === "control" && col("period") === "post",
+          col("mean"))).as("mcp"),
+        max(when(col("grp") === "control" && col("period") === "pre",
+          col("mean"))).as("mcr"),
+        sum(round(col("variance") / col("n"), 6).cast(DecimalType(28, 10)))
+          .cast("double").as("varsum"))
+      .select(
+        round((col("mtp") - col("mtr")) - (col("mcp") - col("mcr")), 6)
+          .as("did_estimate"),
+        round(sqrt(col("varsum")), 6).as("se_did"))
+      .withColumn("t_stat",
+        round(col("did_estimate") / col("se_did"), 6))
+    cells.crossJoin(broadcast(wide))
+      .select(col("grp"), col("period"), col("n").cast("long").as("n_orders"),
+        round(col("mean"), 6).as("mean_spend"),
+        col("did_estimate"), col("se_did"), col("t_stat"))
+      .orderBy("grp", "period")
+  }
+
+  def didSegmentSpendOracle: String =
+    """WITH cells AS (SELECT
+      |    CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'treated'
+      |      ELSE 'control' END AS grp,
+      |    CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01' THEN 'post'
+      |      ELSE 'pre' END AS period,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(o.o_totalprice*o.o_totalprice AS DECIMAL(30,4)))
+      |      AS DOUBLE) AS s2
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  GROUP BY 1, 2),
+      |m AS (SELECT grp, period, n, s1 / n AS mean,
+      |    (s2 - s1 * s1 / n) / (n - 1) AS variance FROM cells),
+      |wide AS (SELECT
+      |    round((MAX(CASE WHEN grp='treated' AND period='post' THEN mean END)
+      |      - MAX(CASE WHEN grp='treated' AND period='pre' THEN mean END))
+      |      - (MAX(CASE WHEN grp='control' AND period='post' THEN mean END)
+      |      - MAX(CASE WHEN grp='control' AND period='pre' THEN mean END)), 6)
+      |      AS did_estimate,
+      |    round(sqrt(CAST(SUM(CAST(round(variance / n, 6)
+      |      AS DECIMAL(28,10))) AS DOUBLE)), 6) AS se_did
+      |  FROM m)
+      |SELECT m.grp, m.period, CAST(m.n AS BIGINT) AS n_orders,
+      |  round(m.mean, 6) AS mean_spend,
+      |  wide.did_estimate, wide.se_did,
+      |  round(wide.did_estimate / wide.se_did, 6) AS t_stat
+      |FROM m, wide ORDER BY m.grp, m.period""".stripMargin
+
   /** k-anonymity audit of the customer table under the quasi-identifier
     * (nation, market segment, account-balance band): the group-size
     * histogram privacy review runs before releasing training data

@@ -125,6 +125,31 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("kcore h-index rounds: triangle=2, chain=1, bridged triangles all 2, and the round count is a fixpoint") {
+    import spark.implicits._
+    def fold(edges: Seq[(Long, Long)], iters: Int): Map[Long, Long] = {
+      val e = edges.toDF("u", "v")
+      val und = e.unionByName(e.select(col("v").as("u"), col("u").as("v")))
+      Dedup.kcoreFold(und, iters).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    val triangle = Seq((1L, 2L), (1L, 3L), (2L, 3L))
+    assert(fold(triangle, Dedup.KcoreIters).values.toSet == Set(2L))
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    assert(fold(chain, Dedup.KcoreIters).values.toSet == Set(1L))
+    // two triangles + a bridge: every node is in the 2-core (the
+    // bridge adds degree but no core) — degree 3 nodes still core 2
+    val bridged = triangle ++ Seq((4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    assert(fold(bridged, Dedup.KcoreIters).values.toSet == Set(2L))
+    // the published round count has CONVERGED on the fixture corpus:
+    // one more h-index round changes no node's coreness
+    val und = Dedup.neardupEdges(spark, sf0001).select("u", "v")
+    def m(i: Int) = Dedup.kcoreFold(und, i).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(Dedup.KcoreIters) == m(Dedup.KcoreIters + 1),
+      "h-index rounds not at fixpoint — raise KcoreIters")
+  }
+
   test("incremental groups: delta fold equals from-scratch resolution, touched set is exact") {
     Dedup.resetStandingStateMemo()
     val delta = Dedup.dedupGroupsDelta(spark, sf0001).collect()
