@@ -291,6 +291,9 @@ object ScaleProbe {
       "survival_km" -> (graft.operators.EventOps.survivalKm _),
       // one fact scan to 4 sufficient-stat cells — wordcount shape
       "did_segment_spend" -> (graft.operators.Relational.didSegmentSpend _),
+      // fact scan → |units| frame → two bounded aggregations
+      "cuped_segment_spend" ->
+        (graft.operators.Relational.cupedSegmentSpend _),
       // LSH verify + h-index rounds over cap-bounded neighbor lists
       "dedup_kcore" ->
         ((s: SparkSession, d: String) => graft.ext.Dedup.dedupKcore(s, d)),

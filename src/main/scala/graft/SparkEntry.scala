@@ -300,6 +300,8 @@ object SparkEntry {
     "ttest_urgent_spend" -> Relational.ttestUrgentSpend _,
     // causal 2x2: difference-in-differences with broadcast stats
     "did_segment_spend" -> Relational.didSegmentSpend _,
+    // CUPED pre-period covariate adjustment: shrink the SE, keep the mean
+    "cuped_segment_spend" -> Relational.cupedSegmentSpend _,
     "ivm_priority_revenue" -> Relational.ivmPriorityRevenue _,
     "rfm_segments" -> Relational.rfmSegments _,
     "k_anonymity_audit" -> Relational.kAnonymityAudit _,
@@ -747,6 +749,7 @@ object SparkEntry {
     "outlier_iqr" -> Relational.outlierIqrOracle,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpendOracle,
     "did_segment_spend" -> Relational.didSegmentSpendOracle,
+    "cuped_segment_spend" -> Relational.cupedSegmentSpendOracle,
     "ivm_priority_revenue" -> Relational.ivmPriorityRevenueOracle,
     "rfm_segments" -> Relational.rfmSegmentsOracle,
     "k_anonymity_audit" -> Relational.kAnonymityAuditOracle,

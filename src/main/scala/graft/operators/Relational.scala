@@ -2737,6 +2737,130 @@ object Relational {
       |  round(wide.did_estimate / wide.se_did, 6) AS t_stat
       |FROM m, wide ORDER BY m.grp, m.period""".stripMargin
 
+  /** CUPED variance reduction for the segment experiment — the third
+    * member of the experimentation family (t-test → DiD → CUPED): use
+    * each unit's PRE-period spend X as a control covariate for its
+    * post-period metric Y, Ỹ = Y − θ(X − X̄) with θ = cov(X,Y)/var(X)
+    * (Deng et al. 2013). E[Ỹ] = E[Y] per arm (θ and X̄ are GLOBAL, so
+    * the adjustment is mean-preserving under randomization) while
+    * var(Ỹ) = var(Y)(1 − ρ²) — the shrinkage every experimentation
+    * platform applies before the t-test, here measured honestly via
+    * the per-arm variance-reduction column and both standard errors.
+    *
+    * Scale shape: one fact scan to per-UNIT (customer) pre/post sums
+    * (map-side partials, |customers| rows), the θ/X̄ stats as one
+    * decimal-summed aggregate over that frame, the adjusted metric as
+    * a projection against the broadcast 1-row stats — two bounded
+    * aggregations after the unit collapse, never a second fact pass.
+    * Adjusted values are rounded (6) before the second moment pass so
+    * both engines square identical doubles. */
+  def cupedSegmentSpend(spark: SparkSession, dir: String): DataFrame = {
+    def dsumU(c: Column): Column =
+      sum(c.cast(DecimalType(30, 6))).cast("double")
+    val cut = lit("1996-01-01").cast("timestamp")
+    val units = Tables.orders(spark, dir)
+      .groupBy(col("o_custkey"))
+      .agg(
+        coalesce(sum(when(col("o_orderdate") < cut, col("o_totalprice"))
+          .cast(DecimalType(18, 2))).cast("double"), lit(0.0)).as("x"),
+        coalesce(sum(when(col("o_orderdate") >= cut, col("o_totalprice"))
+          .cast(DecimalType(18, 2))).cast("double"), lit(0.0)).as("y"))
+      .join(broadcast(Tables.customer(spark, dir)
+        .select(col("c_custkey"), when(col("c_mktsegment") === "BUILDING",
+          "treated").otherwise("control").as("arm"))),
+        col("o_custkey") === col("c_custkey"))
+      .select("arm", "x", "y")
+      .localCheckpoint() // |customers| rows; stats + adjusted pass read it
+    val stats = units.agg(count(lit(1)).cast("double").as("n"),
+        dsumU(col("x")).as("sx"), dsumU(col("y")).as("sy"),
+        dsumU(col("x") * col("x")).as("sxx"),
+        dsumU(col("x") * col("y")).as("sxy"))
+      .select(round(col("sx") / col("n"), 6).as("xbar"),
+        round((col("sxy") - col("sx") * col("sy") / col("n")) /
+          (col("sxx") - col("sx") * col("sx") / col("n")), 9).as("theta"))
+    val adj = units.crossJoin(broadcast(stats))
+      .select(col("arm"), col("y"),
+        round(col("y") - col("theta") * (col("x") - col("xbar")), 6).as("ya"))
+    val arms = adj.groupBy("arm")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsumU(col("y")).as("s1"), dsumU(col("y") * col("y")).as("s2"),
+        dsumU(col("ya")).as("a1"), dsumU(col("ya") * col("ya")).as("a2"))
+      .select(col("arm"), col("n"),
+        (col("s1") / col("n")).as("my"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("vy"),
+        (col("a1") / col("n")).as("ma"),
+        ((col("a2") - col("a1") * col("a1") / col("n")) / (col("n") - 1))
+          .as("va"))
+      .localCheckpoint() // 2 rows
+    val t = arms.filter(col("arm") === "treated")
+      .select(col("n").as("nt"), col("my").as("myt"), col("vy").as("vyt"),
+        col("ma").as("mat"), col("va").as("vat"))
+    val c = arms.filter(col("arm") === "control")
+      .select(col("n").as("nc"), col("my").as("myc"), col("vy").as("vyc"),
+        col("ma").as("mac"), col("va").as("vac"))
+    val est = t.crossJoin(broadcast(c))
+      .select(
+        round(col("mat") - col("mac"), 6).as("adj_diff"),
+        round(sqrt(col("vat") / col("nt") + col("vac") / col("nc")), 6)
+          .as("se_adj"),
+        round(sqrt(col("vyt") / col("nt") + col("vyc") / col("nc")), 6)
+          .as("se_unadj"))
+    arms.crossJoin(broadcast(est))
+      .select(col("arm"), col("n").cast("long").as("n_units"),
+        round(col("my"), 6).as("mean_y"),
+        round(col("ma"), 6).as("mean_y_adj"),
+        round(lit(1.0) - col("va") / col("vy"), 6).as("var_reduction"),
+        col("adj_diff"), col("se_adj"), col("se_unadj"))
+      .orderBy("arm")
+  }
+
+  def cupedSegmentSpendOracle: String =
+    """WITH units AS (SELECT o.o_custkey,
+      |    COALESCE(CAST(SUM(CASE WHEN o.o_orderdate < TIMESTAMP '1996-01-01'
+      |      THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+      |      AS x,
+      |    COALESCE(CAST(SUM(CASE WHEN o.o_orderdate >= TIMESTAMP '1996-01-01'
+      |      THEN CAST(o.o_totalprice AS DECIMAL(18,2)) END) AS DOUBLE), 0.0)
+      |      AS y
+      |  FROM orders o GROUP BY 1),
+      |u AS (SELECT CASE WHEN c.c_mktsegment = 'BUILDING' THEN 'treated'
+      |    ELSE 'control' END AS arm, units.x, units.y
+      |  FROM units JOIN customer c ON units.o_custkey = c.c_custkey),
+      |st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(x AS DECIMAL(30,6))) AS DOUBLE) AS sx,
+      |    CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS sy,
+      |    CAST(SUM(CAST(x*x AS DECIMAL(30,6))) AS DOUBLE) AS sxx,
+      |    CAST(SUM(CAST(x*y AS DECIMAL(30,6))) AS DOUBLE) AS sxy
+      |  FROM u),
+      |th AS (SELECT round(sx / n, 6) AS xbar,
+      |    round((sxy - sx * sy / n) / (sxx - sx * sx / n), 9) AS theta
+      |  FROM st),
+      |adj AS (SELECT arm, y,
+      |    round(y - th.theta * (x - th.xbar), 6) AS ya FROM u, th),
+      |arms AS (SELECT arm, CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(y AS DECIMAL(30,6))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(y*y AS DECIMAL(30,6))) AS DOUBLE) AS s2,
+      |    CAST(SUM(CAST(ya AS DECIMAL(30,6))) AS DOUBLE) AS a1,
+      |    CAST(SUM(CAST(ya*ya AS DECIMAL(30,6))) AS DOUBLE) AS a2
+      |  FROM adj GROUP BY 1),
+      |m AS (SELECT arm, n, s1 / n AS my,
+      |    (s2 - s1 * s1 / n) / (n - 1) AS vy,
+      |    a1 / n AS ma, (a2 - a1 * a1 / n) / (n - 1) AS va FROM arms),
+      |t AS (SELECT n AS nt, ma AS mat, va AS vat, vy AS vyt FROM m
+      |      WHERE arm = 'treated'),
+      |c AS (SELECT n AS nc, ma AS mac, va AS vac, vy AS vyc FROM m
+      |      WHERE arm = 'control'),
+      |est AS (SELECT round(t.mat - c.mac, 6) AS adj_diff,
+      |    round(sqrt(t.vat / t.nt + c.vac / c.nc), 6) AS se_adj,
+      |    round(sqrt(t.vyt / t.nt + c.vyc / c.nc), 6) AS se_unadj
+      |  FROM t, c)
+      |SELECT m.arm, CAST(m.n AS BIGINT) AS n_units,
+      |  round(m.my, 6) AS mean_y, round(m.ma, 6) AS mean_y_adj,
+      |  round(CAST(1 AS DOUBLE) - m.va / m.vy, 6) AS var_reduction,
+      |  est.adj_diff, est.se_adj, est.se_unadj
+      |FROM m, est ORDER BY m.arm""".stripMargin
+
   /** k-anonymity audit of the customer table under the quasi-identifier
     * (nation, market segment, account-balance band): the group-size
     * histogram privacy review runs before releasing training data

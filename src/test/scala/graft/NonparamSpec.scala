@@ -89,6 +89,30 @@ class NonparamSpec extends SparkSpec {
     assert(math.abs(meanW - 1.0) < 0.05, s"mean weight $meanW drifts from 1")
   }
 
+  test("experimentation family: DiD cell identity and CUPED's pooled-variance guarantee") {
+    val did = operators.Relational.didSegmentSpend(spark, sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("mean_spend"))
+      .toMap
+    val est = operators.Relational.didSegmentSpend(spark, sf0001).collect()
+      .head.getAs[Double]("did_estimate")
+    // the estimate IS the 2×2 cell identity (to output rounding)
+    val recomputed = (did(("treated", "post")) - did(("treated", "pre"))) -
+      (did(("control", "post")) - did(("control", "pre")))
+    assert(math.abs(est - recomputed) < 1e-4, s"$est vs $recomputed")
+    val cuped = operators.Relational.cupedSegmentSpend(spark, sf0001).collect()
+    // adj_diff is the adjusted-mean difference (internal consistency)
+    val byArm = cuped.map(r => r.getString(0) -> r).toMap
+    val adjDiff = byArm("treated").getAs[Double]("mean_y_adj") -
+      byArm("control").getAs[Double]("mean_y_adj")
+    assert(math.abs(byArm("treated").getAs[Double]("adj_diff") - adjDiff) < 1e-4)
+    // θ is the OLS minimizer, so the POOLED var(Ỹ) ≤ var(Y); per-arm
+    // reduction can dip epsilon-negative, never materially
+    cuped.foreach { r =>
+      val vr = r.getAs[Double]("var_reduction")
+      assert(vr > -0.05 && vr < 1.0, s"${r.getString(0)} var_reduction $vr")
+    }
+  }
+
   test("copurchase pair generation is a key join, not a cartesian") {
     val df = Nonparam.copurchasePairs(spark, sf0001)
     val plan = df.queryExecution.executedPlan.toString

@@ -21,7 +21,8 @@ class PlanSpec extends SparkSpec {
     "benford_totalprice", "bootstrap_mean_ci",
     "caption_frame_alignment", "chi2_priority_status",
     "conformal_price_interval", "corpus_summary",
-    "cusum_changepoint", "data_contract_audit", "did_segment_spend",
+    "cuped_segment_spend", "cusum_changepoint", "data_contract_audit",
+    "did_segment_spend",
     "dsir_weights",
     "ewma_daily_revenue", "join_fanout_profile", "kappa_lang_agreement",
     "kl_source_divergence", "kruskal_wallis_spend", "ks_test_events",
