@@ -45,7 +45,27 @@ object Bench {
       case qs if sys.env.get("SPARK_GRAFT_BENCH_ORDER").contains("reverse") => qs.reverse
       case qs => qs
     }
-    val results = ordered
+    // The interval-join family (stream_interval_join*) derives from ONE
+    // memoized streaming pass (EventStream.sharedIntervalJoinFull); the
+    // per-query min-of-N would otherwise bill the pass to whichever
+    // family member runs its first iteration and then discard it. Charge
+    // it honestly: reset the memo, time ONE cold materialization as its
+    // own line, and let the four queries report their warm derived cost
+    // — the line plus the family sums to the true total.
+    val sharedPass: Seq[(String, Seq[Double])] =
+      if (ordered.map(_._1).exists(n =>
+            n.startsWith("stream_interval_join") && only.forall(_.contains(n)))) {
+        graft.streaming.EventStream.resetIntervalMemo()
+        val t0 = System.nanoTime()
+        try {
+          graft.streaming.EventStream.primeSharedIntervalPass(spark, sfDir)
+          Seq(("stream_interval_shared_pass", Seq((System.nanoTime() - t0) / 1e9)))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] stream_interval_shared_pass failed: ${e.getMessage}")
+          Seq(("stream_interval_shared_pass", Seq.empty[Double]))
+        }
+      } else Seq.empty
+    val results = sharedPass ++ ordered
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val times = (1 to iterations).flatMap { _ =>
@@ -83,13 +103,21 @@ object Bench {
     // file only — sbt's logger echoes BOTH stdout and stderr into the
     // captured stream, so a console copy of the full line would land in
     // the tail window and crowd out the parseable compact line
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir"}"""
-    // TWO copies of the full map: target/ for local analysis, and the
-    // repo root so a driver-side run leaves the complete record in the
-    // working tree (the stdout line below is physically capped at ~2000
-    // chars by the run recorder — 255 queries do not fit — so the
-    // committed BENCH_FULL_LATEST.json IS the full disclosure).
-    for (p <- Seq("target/bench_full.json", "BENCH_FULL_LATEST.json"))
+    // Fixture vintage stamp: a regenerated corpus under the same path
+    // changes content-sensitive query costs, so a baseline captured on
+    // an older vintage must be detected, not silently compared against
+    // (the round-9 lesson). The stamp rides in the full map, travels
+    // into bench_baseline_perq.json when the baseline is refreshed from
+    // it, and the tripwire below refuses to adjudicate across vintages.
+    val fixtureFp = SessionDirMemo.fingerprint(sfDir)
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir","fixture_fingerprint":$fixtureFp}"""
+    // TWO copies of the full map: target/ for local analysis, and (by
+    // default) the repo root so a driver-side run leaves the complete
+    // record in the working tree. SPARK_GRAFT_BENCH_OUT redirects the
+    // second copy so ad-hoc/adjudication runs can't overwrite the
+    // committed record (a judge run clobbered it in round 9).
+    val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LATEST.json")
+    for (p <- Seq("target/bench_full.json", benchOut))
       try java.nio.file.Files.write(
         java.nio.file.Paths.get(p), fullLine.getBytes("UTF-8"))
       catch { case _: Throwable => () }
@@ -105,18 +133,28 @@ object Bench {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_baseline_perq.json")), "UTF-8")
       val entryRe = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+      val meta = Set("value", "fixture_fingerprint", "iterations")
       val prior = entryRe.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter { case (k, v) => k != "value" && v > 0 }.toMap
-      val ratios = best.collect {
-        case (k, s) if s > 0 && prior.get(k).exists(_ > 0.05) => (k, s / prior(k))
-      }
-      if (ratios.size < 8) Seq.empty
+        .filter { case (k, v) => !meta(k) && v > 0 }.toMap
+      // Cross-vintage ratios are content shift, not plan regressions —
+      // refuse to adjudicate them and say so loudly instead (a baseline
+      // without a stamp predates the stamp and is also stale).
+      val baselineFp = """"fixture_fingerprint":(-?\d+)""".r
+        .findFirstMatchIn(txt).map(_.group(1).toLong)
+      if (!baselineFp.contains(fixtureFp))
+        Seq("\"baseline_stale_fixture:re-baseline_required\"")
       else {
-        val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
-        ratios.filter { case (k, r) => r / med > 2.0 && best.toMap.apply(k) > 0.3 }
-          .sortBy(-_._2).take(8)
-          .map { case (k, r) => "\"" + k + ":" + fmt(r / med) + "x\"" }
+        val ratios = best.collect {
+          case (k, s) if s > 0 && prior.get(k).exists(_ > 0.05) => (k, s / prior(k))
+        }
+        if (ratios.size < 8) Seq.empty
+        else {
+          val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
+          ratios.filter { case (k, r) => r / med > 2.0 && best.toMap.apply(k) > 0.3 }
+            .sortBy(-_._2).take(8)
+            .map { case (k, r) => "\"" + k + ":" + fmt(r / med) + "x\"" }
+        }
       }
     } catch { case _: Throwable => Seq.empty }
     val trip = tripwire.mkString("[", ",", "]")
@@ -129,7 +167,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { shown += e; used += e.length + 1 }
     }
     val qs = shown.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"tripwire":$trip,"iterations":$iterations,"sf":"$sfDir","queries_run":${best.size},"queries_shown":${shown.size},"full_map":"BENCH_FULL_LATEST.json"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"tripwire":$trip,"iterations":$iterations,"sf":"$sfDir","queries_run":${best.size},"queries_shown":${shown.size},"fixture_fingerprint":$fixtureFp,"full_map":"$benchOut"}""")
     spark.stop()
   }
 }

@@ -154,6 +154,16 @@ object ScaleProbe {
         ((s, d) => graft.streaming.DocStream.streamingSubstringScreen(s, d)),
       "stream_incremental_dedup" ->
         ((s, d) => graft.streaming.DocStream.streamingIncrementalDedup(s, d)),
+      // round-10: the state-store scale check for the two heaviest
+      // streaming twins — state is O(|delta|) by construction
+      // (readiness: one screen row per delta doc; groups: one row per
+      // delta-touching LSH edge, capped-bucket-bounded), so per-tick
+      // cost must track the DELTA slice + the standing-state build,
+      // never the corpus replay
+      "stream_training_readiness" ->
+        ((s, d) => graft.streaming.DocStream.streamingTrainingReadiness(s, d)),
+      "stream_groups_monitor" ->
+        ((s, d) => graft.streaming.DocStream.streamingGroupsMonitor(s, d)),
       "sim_ivf_delta_assign" -> (graft.ext.Similarity.ivfDeltaAssign _),
       // the ladder is one input-sized agg + bounded re-aggregations;
       // the mixture plan is a wordcount-shape scan to |sources| rows

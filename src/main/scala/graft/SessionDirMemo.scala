@@ -21,10 +21,11 @@ import org.apache.spark.sql.SparkSession
   * order-independent (walk order commutes). Non-local paths the JVM
   * can't walk (hdfs://, s3://) fingerprint as 0 and fall back to the
   * path-only key. */
-private[graft] final class SessionDirMemo[T] {
-  @volatile private var slot: Option[((SparkSession, String, Long), T)] = None
-
-  private def fingerprint(dir: String): Long = {
+private[graft] object SessionDirMemo {
+  /** Metadata fingerprint of a fixture directory (see class doc).
+    * Shared by the memo keys, the durable ANN index artifact's
+    * staleness check, and Bench's baseline-vintage stamp. */
+  def fingerprint(dir: String): Long = {
     import scala.jdk.CollectionConverters._
     try {
       val root = java.nio.file.Paths.get(dir)
@@ -43,9 +44,13 @@ private[graft] final class SessionDirMemo[T] {
       } finally walk.close()
     } catch { case _: Exception => 0L }
   }
+}
+
+private[graft] final class SessionDirMemo[T] {
+  @volatile private var slot: Option[((SparkSession, String, Long), T)] = None
 
   def get(spark: SparkSession, dir: String)(compute: => T): T = synchronized {
-    val key = (spark, dir, fingerprint(dir))
+    val key = (spark, dir, SessionDirMemo.fingerprint(dir))
     slot match {
       case Some((k, v)) if k == key && !spark.sparkContext.isStopped => v
       case other =>
@@ -56,6 +61,12 @@ private[graft] final class SessionDirMemo[T] {
         slot = Some((key, v))
         v
     }
+  }
+
+  /** Seed the slot with an externally produced value (the durable
+    * ANN index artifact's load path) without running a trainer. */
+  def put(spark: SparkSession, dir: String, value: T): Unit = synchronized {
+    slot = Some(((spark, dir, SessionDirMemo.fingerprint(dir)), value))
   }
 
   def reset(): Unit = synchronized { slot = None }

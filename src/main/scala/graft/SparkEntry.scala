@@ -33,6 +33,15 @@ object SparkEntry {
         .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
       MapReduce.runJob(input, "wordcount", "wordcount").toDF()
     }),
+    // second registered plugin pair through the SAME runJob surface
+    // (U3 proven generically, not just for wordcount): inverted index —
+    // token → sorted distinct posting list of doc ids
+    "mr_inverted_index" -> ((s, dir) => {
+      import s.implicits._
+      val input = Tables.documents(s, dir)
+        .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      MapReduce.runJob(input, "inverted_index", "posting_list").toDF()
+    }),
     // prefix listing (S7/P2/F8)
     "list_prefix" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -138,6 +147,9 @@ object SparkEntry {
     "l_diversity_audit" -> Relational.lDiversityAudit _,
     "ivf_recall_sweep" -> ((s, dir) => Similarity.ivfRecallSweep(s, dir)),
     "sim_ann_ivf" -> ((s, dir) => Similarity.annIvf(s, dir)),
+    // same probe plan served through the DURABLE index artifact
+    // (train-once, reuse-across-sessions; staleness-guarded)
+    "ann_index_reuse" -> ((s, dir) => Similarity.annIvfIndexed(s, dir)),
     // ── LLM-pipeline: multimodal columns ──
     "multimodal_meta" -> Multimodal.meta _,
     "multimodal_features" -> Multimodal.features _,
@@ -540,6 +552,14 @@ object SparkEntry {
         |  SELECT unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS w
         |  FROM documents) t
         |WHERE w <> '' GROUP BY w ORDER BY key""".stripMargin,
+    "mr_inverted_index" ->
+      """SELECT w AS key, string_agg(doc_id, ',' ORDER BY doc_id) AS value FROM (
+        |  SELECT DISTINCT CAST(doc_id AS VARCHAR) AS doc_id, w FROM (
+        |    SELECT doc_id,
+        |      unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS w
+        |    FROM documents) u
+        |  WHERE w <> '') t
+        |GROUP BY w ORDER BY key""".stripMargin,
     "list_prefix" ->
       "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%' ORDER BY doc_id",
     "q1_pricing_summary" -> Relational.q1Oracle,
@@ -613,6 +633,8 @@ object SparkEntry {
     "l_diversity_audit" -> Relational.lDiversityAuditOracle,
     "ivf_recall_sweep" -> Similarity.ivfRecallSweepOracle,
     "sim_ann_ivf" -> Similarity.annIvfOracle,
+    // the artifact path must land on the SAME answer as the memo path
+    "ann_index_reuse" -> Similarity.annIvfOracle,
     "multimodal_meta" -> Multimodal.metaOracle,
     // stub decode is deterministic byte arithmetic → fully oracled
     "multimodal_features" -> Multimodal.featuresOracle,

@@ -717,8 +717,12 @@ object Dedup {
   def dedupCommunitiesLpa(spark: SparkSession, dir: String): DataFrame = {
     val und = neardupEdges(spark, dir)
     val lbl = lpaFold(und, LpaDocIters)
+    // no broadcast hint: sizes has one row per surviving label — up to
+    // |nodes| at corpus scale — so the join strategy must stay
+    // size-driven (AQE broadcasts it when measured small), matching
+    // lpaFold's shuffle-join discipline for the same-sized label vector
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
-    lbl.join(broadcast(sizes), Seq("lbl"))
+    lbl.join(sizes, Seq("lbl"))
       .select(col("v").as("doc_id"), col("lbl").as("community"),
         col("community_size"))
       .orderBy("doc_id")
@@ -785,19 +789,22 @@ object Dedup {
   private[graft] def kcoreFold(edges: DataFrame, iters: Int): DataFrame = {
     val und = edges.select(col("u"), col("v")).distinct().localCheckpoint()
     var c = und.groupBy("u").agg(count(lit(1)).as("c"))
-    for (_ <- 1 to iters) {
-      val nb = und
-        .join(c.select(col("u").as("v2"), col("c").as("cv")),
-          col("v") === col("v2"))
-        .select(col("u"), col("cv"))
-      c = nb.withColumn("rk", row_number().over(
-          Window.partitionBy("u").orderBy(col("cv").desc)).cast("long"))
-        .groupBy("u")
-        .agg(max(least(col("rk"), col("cv"))).as("c"))
-        .localCheckpoint()
-    }
+    for (_ <- 1 to iters) c = kcoreRound(und, c)
     c
   }
+
+  /** One synchronous h-index round: each node's value becomes the
+    * h-index of its neighbors' current values. */
+  private def kcoreRound(und: DataFrame, c: DataFrame): DataFrame =
+    und
+      .join(c.select(col("u").as("v2"), col("c").as("cv")),
+        col("v") === col("v2"))
+      .select(col("u"), col("cv"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("u").orderBy(col("cv").desc)).cast("long"))
+      .groupBy("u")
+      .agg(max(least(col("rk"), col("cv"))).as("c"))
+      .localCheckpoint()
 
   /** K-core coreness of the near-dup graph — the third density lens
     * beside [[dedupCommunitiesLpa]] (where does weight concentrate)
@@ -805,26 +812,41 @@ object Dedup {
     * CORE boilerplate (every member ≥ k mutual near-dups — the
     * template family a curator deletes wholesale) from PERIPHERY
     * (chain/tree attachments — borderline pairs reviewed one by one).
-    * Exact k-core numbers via [[KcoreIters]] h-index rounds from
-    * degree; the fixpoint identity (one more round changes nothing at
-    * fixture scale) is pinned in ExtSpec rather than claimed. Output:
-    * every node with degree and coreness. Scale shape: the LSH verify
-    * pass is the input-sized work; rounds are |E|-joins with windows
-    * over cap-bounded neighbor lists. */
+    * H-index rounds equal the true k-core number ONLY at the
+    * fixpoint, so the claim is verified per run, not assumed: one
+    * extra round runs after [[KcoreIters]] and the constant
+    * `converged` column reports whether it changed anything — false
+    * means `coreness` is still an upper bound mid-descent (deeper
+    * graph than the round budget), visible to every consumer instead
+    * of silently mislabeled. Output: every node with degree, coreness
+    * and the converged flag. Scale shape: the LSH verify pass is the
+    * input-sized work; rounds (including the verification round) are
+    * |E|-joins with windows over cap-bounded neighbor lists. */
   def dedupKcore(spark: SparkSession, dir: String): DataFrame = {
     // materialize the edge set ONCE: degree and the fold otherwise
     // each re-run the whole LSH verify pass (measured 9.0 → 5.6 s)
     val und = neardupEdges(spark, dir).select("u", "v").distinct()
       .localCheckpoint()
     val deg = und.groupBy("u").agg(count(lit(1)).as("degree"))
-    kcoreFold(und, KcoreIters)
+    val cFix = kcoreFold(und, KcoreIters)
+    val cNext = kcoreRound(und, cFix)
+    // 1-row convergence verdict rides every row (bounded crossJoin)
+    val verdict = cFix
+      .join(cNext.withColumnRenamed("c", "c_next"), Seq("u"))
+      .agg((count(when(col("c") =!= col("c_next"), lit(1))) === 0)
+        .as("converged"))
+    cFix
       .join(deg, Seq("u"))
-      .select(col("u").as("doc_id"), col("degree"), col("c").as("coreness"))
+      .crossJoin(broadcast(verdict))
+      .select(col("u").as("doc_id"), col("degree"),
+        col("c").as("coreness"), col("converged"))
       .orderBy("doc_id")
   }
 
   def dedupKcoreOracle: String = {
-    val rounds = (1 to KcoreIters).map { i =>
+    // KcoreIters rounds plus ONE verification round (c${KcoreIters+1})
+    // backing the converged column, mirroring the Spark side
+    val rounds = (1 to KcoreIters + 1).map { i =>
       val p = i - 1
       s"""r$i AS (SELECT e.u, c$p.c AS cv, row_number()
          |    OVER (PARTITION BY e.u ORDER BY c$p.c DESC) AS rk
@@ -858,9 +880,13 @@ object Dedup {
        |c0 AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS c FROM und GROUP BY 1),
        |dg AS (SELECT u, CAST(COUNT(*) AS BIGINT) AS degree FROM und
        |  GROUP BY 1),
-       |$rounds
-       |SELECT c$KcoreIters.u AS doc_id, dg.degree, c$KcoreIters.c AS coreness
-       |FROM c$KcoreIters JOIN dg ON c$KcoreIters.u = dg.u
+       |$rounds,
+       |cv AS (SELECT (SELECT COUNT(*) FROM c$KcoreIters a
+       |    JOIN c${KcoreIters + 1} b ON a.u = b.u AND a.c <> b.c) = 0
+       |  AS converged)
+       |SELECT c$KcoreIters.u AS doc_id, dg.degree,
+       |  c$KcoreIters.c AS coreness, cv.converged
+       |FROM c$KcoreIters JOIN dg ON c$KcoreIters.u = dg.u CROSS JOIN cv
        |ORDER BY doc_id""".stripMargin
   }
 
@@ -1875,28 +1901,50 @@ object Dedup {
   def duplicateGroups(spark: SparkSession, dir: String,
                       threshold: Double = PairThreshold,
                       maxIter: Int = 20): DataFrame = {
-    val (out, converged, iters) =
+    val (out, status) =
       duplicateGroupsWithStatus(spark, dir, threshold, maxIter)
-    if (!converged)
+    if (!status.converged)
       throw new IllegalStateException(
-        s"duplicateGroups hit maxIter=$iters before fixpoint; " +
+        s"duplicateGroups hit maxIter=${status.iterations} before fixpoint; " +
           "group ids would be non-canonical")
     out
   }
 
-  /** Edge-count cutoff for the driver-side union-find fast path: 2M
-    * edges ≈ tens of MB collected — far under any driver heap, and far
-    * above what LSH emits at bench scale. */
-  private val DriverCcMaxEdges = 2000000L
+  /** Execution status of a two-tier CC resolution — which tier ran is
+    * part of the run record, not something to infer: `tier` is
+    * "driver-union-find" or "distributed-propagation", `converged` is
+    * always true on the driver tier (union-find is exact in one pass),
+    * `iterations` counts propagation rounds, `edges` is the resolved
+    * graph size, and `driverEdgeBudget` is the byte-derived cutoff the
+    * tier choice was made against. */
+  final case class CcStatus(tier: String, converged: Boolean,
+                            iterations: Int, edges: Long,
+                            driverEdgeBudget: Long)
 
-  /** As [[duplicateGroups]], returning (groups, converged, iterations)
-    * so pipelines can detect a degraded result programmatically.
+  /** Driver-side union-find budget in EDGES, derived from BYTES — the
+    * honest knob is driver heap, not a fixed count (2M edges is
+    * nothing on a 128 GiB driver and reckless on a 1 GiB one). Each
+    * collected edge costs ~16 bytes of Row payload plus boxed HashMap
+    * entries for its endpoints (~200 bytes resident, measured order);
+    * budget 5% of Runtime.maxMemory so the fast path can never crowd
+    * the driver, clamped to [64k, 32M] (tiny test heaps still take the
+    * fast path at bench scale; giant heaps don't collect absurd
+    * graphs whose single-threaded resolve would dominate anyway). */
+  private[graft] def driverCcEdgeBudget: Long = {
+    val bytesPerEdge = 200L
+    val budget = (Runtime.getRuntime.maxMemory() * 0.05).toLong / bytesPerEdge
+    math.min(32000000L, math.max(65536L, budget))
+  }
+
+  /** As [[duplicateGroups]], returning (groups, [[CcStatus]]) so
+    * pipelines can detect a degraded result — and see which tier
+    * resolved the graph — programmatically.
     *
     * Two-tier execution — the standard shape for connected components
     * on a contracted graph:
     *   - The LSH pair graph is usually MINUSCULE next to the corpus
     *     (only near-dup endpoints appear). When it fits comfortably in
-    *     driver memory (≤ [[DriverCcMaxEdges]]), collect it and resolve
+    *     driver memory (≤ [[driverCcEdgeBudget]]), collect it and resolve
     *     components with union-find (path compression + union-by-min —
     *     the final root of every component is provably its min id, so
     *     the result is identical to label propagation, in one collect
@@ -1910,31 +1958,34 @@ object Dedup {
     * left join. */
   def duplicateGroupsWithStatus(spark: SparkSession, dir: String,
                                 threshold: Double = PairThreshold,
-                                maxIter: Int = 20): (DataFrame, Boolean, Int) = {
+                                maxIter: Int = 20): (DataFrame, CcStatus) = {
     val pairs = minhashPairs(spark, dir, threshold).select(col("d1"), col("d2"))
-    val (labels, converged, iters) = componentLabels(spark, pairs, maxIter)
+    val (labels, status) = componentLabels(spark, pairs, maxIter)
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val out = docs.join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("label"), col("doc_id")).as("group_id"))
       .orderBy("doc_id")
-    (out, converged, iters)
+    (out, status)
   }
 
   /** Canonical min-id component labels over an arbitrary (d1, d2)
     * edge frame, ENDPOINTS ONLY — the resolution kernel behind
     * [[duplicateGroupsWithStatus]] (full pair graph) and
     * [[dedupGroupsDelta]] (the tiny contracted delta graph). Returns
-    * (labels(doc_id, label), converged, iterations); nodes that appear
+    * (labels(doc_id, label), [[CcStatus]]); nodes that appear
     * in no edge carry no row — callers coalesce to identity. Tiering
     * as documented on [[duplicateGroupsWithStatus]]: driver union-find
-    * under [[DriverCcMaxEdges]], distributed pointer-jumping
-    * min-label propagation above it. */
+    * under [[driverCcEdgeBudget]] (overridable for tests via
+    * `maxDriverEdges`), distributed pointer-jumping min-label
+    * propagation above it. */
   private[graft] def componentLabels(spark: SparkSession, pairsIn: DataFrame,
-                                     maxIter: Int = 20): (DataFrame, Boolean, Int) = {
+                                     maxIter: Int = 20,
+                                     maxDriverEdges: Long = driverCcEdgeBudget)
+      : (DataFrame, CcStatus) = {
     val pairs = pairsIn.select(col("d1"), col("d2")).persist()
     val edgeCount = pairs.count()
-    if (edgeCount <= DriverCcMaxEdges) {
+    if (edgeCount <= maxDriverEdges) {
       val parent = new java.util.HashMap[Long, Long](
         math.max(16, (edgeCount * 2).toInt))
       def find(x0: Long): Long = {
@@ -1960,7 +2011,9 @@ object Dedup {
       // a LocalRelation with known (small) stats: joins against it
       // plan as broadcast without a hint, and callers that checkpoint
       // or filter it first don't trip the unused-hint warning
-      return (labelRows.toDF("doc_id", "label"), true, 0)
+      return (labelRows.toDF("doc_id", "label"),
+        CcStatus("driver-union-find", converged = true, iterations = 0,
+          edges = edgeCount, driverEdgeBudget = maxDriverEdges))
     }
     // undirected edges, both directions
     val edges = pairs.union(pairs.select(col("d2").as("d1"), col("d1").as("d2")))
@@ -2000,7 +2053,8 @@ object Dedup {
     }
     // labels is checkpointed, so the edge caches can be released now
     pairs.unpersist(); edges.unpersist()
-    (labels, converged, i)
+    (labels, CcStatus("distributed-propagation", converged, i,
+      edges = edgeCount, driverEdgeBudget = maxDriverEdges))
   }
 
   /** Oracle for duplicateGroups: the same LSH pair graph, resolved by a
@@ -2055,10 +2109,10 @@ object Dedup {
         .select(col("d1"), col("d2")).localCheckpoint()
       val basePairs =
         pairs.filter(!isDeltaId(col("d1")) && !isDeltaId(col("d2")))
-      val (labels, converged, iters) = componentLabels(spark, basePairs)
-      if (!converged) throw new IllegalStateException(
-        s"standing-label bootstrap hit maxIter=$iters before fixpoint; " +
-          "labels would be non-canonical")
+      val (labels, ccStatus) = componentLabels(spark, basePairs)
+      if (!ccStatus.converged) throw new IllegalStateException(
+        s"standing-label bootstrap hit maxIter=${ccStatus.iterations} " +
+          "before fixpoint; labels would be non-canonical")
       // labels is already materialized by componentLabels (a driver
       // LocalRelation or a checkpointed propagation fixpoint) — safe
       // to hold across calls without re-computation
@@ -2091,9 +2145,9 @@ object Dedup {
       .join(broadcast(touched.toDF("d2", "l2")), Seq("d2"), "left")
       .select(coalesce(col("l1"), col("d1")).as("d1"),
         coalesce(col("l2"), col("d2")).as("d2"))
-    val (fold, converged, iters) = componentLabels(spark, contracted)
-    if (!converged) throw new IllegalStateException(
-      s"delta fold hit maxIter=$iters before fixpoint")
+    val (fold, foldStatus) = componentLabels(spark, contracted)
+    if (!foldStatus.converged) throw new IllegalStateException(
+      s"delta fold hit maxIter=${foldStatus.iterations} before fixpoint")
     // relabel standing rows whose (group-label) node moved; fold
     // nodes the table has never seen append as new endpoint rows.
     // The remap join broadcasts the |fold|-sized table; the anti join

@@ -275,12 +275,15 @@ object Graph {
 
   /** Triangle count + global clustering coefficient of the undirected
     * nation trade graph. Canonical distributed shape: orient every
-    * undirected edge low→high, then triangles = edges(a,b) ⋈ edges(b,c)
-    * ⋈ edges(a,c) with a<b<c — each triangle counted exactly once, and
-    * the two joins are plain equi joins (the wedge join on b, the
-    * closing check on (a,c)). Degree-ordering is the standard skew
-    * guard at scale: wedges form at the LOW end of each edge, so
-    * high-degree hubs don't quadratically explode a single key.
+    * undirected edge toward its higher-(degree, id) endpoint, then
+    * triangles = one wedge equi-join on the low-order vertex plus one
+    * closing equi-join on the (middle, high) pair — each triangle
+    * counted exactly once, from its minimum-order vertex. Degree
+    * ordering (not id order) is the skew guard at scale: wedges form
+    * at the LOW-degree end of each edge, so a high-degree hub's
+    * out-neighborhood — and with it the wedge join's worst key — is
+    * bounded by O(√|E|) instead of the hub's full degree. The count is
+    * orientation-invariant, so the id-ordered oracle hashes identical.
     * Clustering = 3·triangles / wedges, wedges = Σ deg·(deg−1)/2 —
     * integers until the final division, rounded to 6. */
   def triangleNations(spark: SparkSession, dir: String): DataFrame = {
@@ -288,20 +291,47 @@ object Graph {
       .select(least(col("u"), col("v")).as("a"),
         greatest(col("u"), col("v")).as("b"))
       .distinct().localCheckpoint()
-    val wedges = und.select(explode(array(col("a"), col("b"))).as("n"))
+    val degrees = und.select(explode(array(col("a"), col("b"))).as("n"))
       .groupBy("n").agg(count(lit(1)).as("deg"))
+    val wedges = degrees
       .agg(sum(col("deg") * (col("deg") - 1) / 2).cast("long").as("wedges"),
         count(lit(1)).as("n_nodes"))
-    val tri = und.as("e1")
-      .join(und.as("e2"), col("e1.b") === col("e2.a"))
-      .select(col("e1.a").as("x"), col("e1.b").as("y"), col("e2.b").as("z"))
-      .join(und.as("e3"), col("x") === col("e3.a") && col("z") === col("e3.b"))
+    val oriented = orientByDegree(und).localCheckpoint()
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.s") === col("e2.s") && col("e1.okt") < col("e2.okt"))
+      .select(col("e1.t").as("x"), col("e2.t").as("z"))
+      .join(oriented.as("e3"), col("x") === col("e3.s") && col("z") === col("e3.t"))
       .agg(count(lit(1)).as("triangles"))
     val edges = und.agg(count(lit(1)).as("n_edges"))
     tri.crossJoin(broadcast(edges)).crossJoin(broadcast(wedges))
       .select(col("n_nodes"), col("n_edges"), col("triangles"),
         round(lit(3.0) * col("triangles") / col("wedges"), 6)
           .as("clustering_coeff"))
+  }
+
+  /** Orient a canonical undirected edge frame (columns a < b, deduped)
+    * toward the HIGHER-(degree, id) endpoint — the actual skew guard
+    * (not id order, which leaves the highest-id hub its full wedge
+    * set on a hub-skewed graph): every node's out-degree is bounded
+    * by O(√|E|) under degree ordering, so the wedge join key `s`
+    * never explodes on a hub. The (deg, id) struct is a total order,
+    * so exactly one orientation of every edge exists and each
+    * triangle is generated once — from its minimum-order vertex, with
+    * the closing edge oriented middle → maximum (compare `okt`).
+    * Returns (s, t, okt); GraphSpec's star probe pins the wedge-side
+    * boundedness this buys (0 hub wedges vs m·(m−1)/2 id-ordered). */
+  private[graft] def orientByDegree(und: DataFrame): DataFrame = {
+    val degrees = und.select(explode(array(col("a"), col("b"))).as("n"))
+      .groupBy("n").agg(count(lit(1)).as("deg"))
+    val ok = degrees.select(col("n"), struct(col("deg"), col("n")).as("ok"))
+    und
+      .join(ok.select(col("n").as("a"), col("ok").as("oka")), Seq("a"))
+      .join(ok.select(col("n").as("b"), col("ok").as("okb")), Seq("b"))
+      .select(
+        when(col("oka") < col("okb"), col("a")).otherwise(col("b")).as("s"),
+        when(col("oka") < col("okb"), col("b")).otherwise(col("a")).as("t"),
+        greatest(col("oka"), col("okb")).as("okt"))
   }
 
   def triangleNationsOracle: String =

@@ -434,7 +434,14 @@ object Similarity {
   private[graft] def kmeansCentroids(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] =
     centroidMemo.get(spark, dir)(kmeansCentroidsUncached(spark, dir))
 
+  /** Times each trainer ACTUALLY ran in this JVM — the observable that
+    * lets the artifact tests assert "the second session reused the
+    * stored index" instead of inferring it from timings. */
+  private[graft] val centroidTrainCount = new java.util.concurrent.atomic.AtomicLong
+  private[graft] val pqTrainCount = new java.util.concurrent.atomic.AtomicLong
+
   private def kmeansCentroidsUncached(spark: SparkSession, dir: String): Seq[(Long, Seq[Double])] = {
+    centroidTrainCount.incrementAndGet()
     import org.apache.spark.sql.types.DecimalType
     // the corpus is re-scored once per Lloyd iteration — cache it for
     // the loop, release before returning (driver-blocking, so the
@@ -670,6 +677,93 @@ object Similarity {
     // a (query, member) pair can only arise from one probed list (the
     // oracle's DISTINCT is a no-op for the same reason)
     topKPerQuery(scored, k)
+  }
+
+  // ── durable ANN index artifact: centroids + PQ codebook + vintage ──
+  // The session memos above die with the JVM; a production serving
+  // path shares ONE trained index across jobs and days. The artifact
+  // is the storage form of that shared state — written through the
+  // Catalog surface (the engine's named-dataset layer, as the
+  // reference's plugin registry was its only shared-artifact
+  // mechanism), stamped with the corpus vintage fingerprint so a
+  // regenerated corpus can never silently serve a stale index.
+
+  /** Default on-disk home for a corpus's index artifact, keyed by a
+    * digest of the fixture path — stable across sessions and rounds. */
+  private[graft] def annIndexDefaultPath(dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+    s"target/ann_index/$digest"
+  }
+
+  /** Write the trained IVF centroid matrix and PQ codebook as ONE
+    * parquet artifact via [[graft.Catalog]]: rows
+    * (kind ∈ {centroid, pq}, id1 = list_id | subspace, id2 = 0 | code,
+    * vec, fingerprint). Training goes through the session memos, so a
+    * warm session persists without retraining. Size is index-shaped —
+    * ≤ MaxLists + subspaces×codes rows of dim doubles — never
+    * corpus-shaped. */
+  def annIndexPersist(spark: SparkSession, dir: String, path: String): Unit = {
+    import spark.implicits._
+    val fp = graft.SessionDirMemo.fingerprint(dir)
+    val cents = kmeansCentroids(spark, dir)
+      .map { case (lid, cv) => ("centroid", lid, 0L, cv, fp) }
+    val cb = pqCodebook(spark, dir)
+      .map { case (s, c, cv) => ("pq", s.toLong, c.toLong, cv, fp) }
+    val key = s"ann_index/${new java.io.File(dir).getName}"
+    val cat = new graft.Catalog(spark)
+    cat.put(key, (cents ++ cb).toDF("kind", "id1", "id2", "vec", "fingerprint"))
+    cat.persist(key, path)
+  }
+
+  /** Read-through load of the durable index: if `path` holds an
+    * artifact whose fingerprint matches the corpus's CURRENT vintage,
+    * seed the session memos from it — every IVF/PQ-family query then
+    * serves from the stored index with zero training. On a missing,
+    * unreadable, or stale artifact, retrain (through the memo path)
+    * and rewrite the artifact for the next session. Returns true iff
+    * the stored index was fresh and reused. Loaded doubles are
+    * bit-identical to trained ones (parquet stores IEEE doubles
+    * exactly; rows re-sorted to the trainers' list_id / (sub, code)
+    * order), so results are indistinguishable from the memo path —
+    * ExtSpec asserts equality, the driver oracle hashes it. */
+  def annIndexLoadOrTrain(spark: SparkSession, dir: String,
+                          path: String): Boolean = {
+    val fp = graft.SessionDirMemo.fingerprint(dir)
+    val loaded: Option[(Seq[(Long, Seq[Double])], Seq[(Int, Int, Seq[Double])])] =
+      try {
+        val rows = spark.read.parquet(path).collect()
+        if (rows.isEmpty || rows.exists(_.getLong(4) != fp)) None
+        else {
+          val cents = rows.filter(_.getString(0) == "centroid")
+            .map(r => (r.getLong(1), r.getSeq[Double](3)))
+            .sortBy(_._1).toSeq
+          val cb = rows.filter(_.getString(0) == "pq")
+            .map(r => (r.getLong(1).toInt, r.getLong(2).toInt, r.getSeq[Double](3)))
+            .sortBy(t => (t._1, t._2)).toSeq
+          if (cents.isEmpty) None else Some((cents, cb))
+        }
+      } catch { case _: Exception => None }
+    loaded match {
+      case Some((cents, cb)) =>
+        centroidMemo.put(spark, dir, cents)
+        pqMemo.put(spark, dir, cb)
+        true
+      case None =>
+        annIndexPersist(spark, dir, path)
+        false
+    }
+  }
+
+  /** [[annIvf]] served through the DURABLE index artifact instead of
+    * session-trained state: load-or-train against the default artifact
+    * path, then run the identical probe plan. First run of a vintage
+    * trains once and writes the artifact; every later session — and
+    * every later round's bench — reuses it. Oracle-equal to
+    * [[annIvf]] by construction (same centroids bit-for-bit). */
+  def annIvfIndexed(spark: SparkSession, dir: String): DataFrame = {
+    annIndexLoadOrTrain(spark, dir, annIndexDefaultPath(dir))
+    annIvf(spark, dir)
   }
 
   /** Mirrors [[kmeansCentroids]]: k from the corpus count (the `kp`
@@ -2348,6 +2442,7 @@ object Similarity {
     pqMemo.get(spark, dir)(pqCodebookUncached(spark, dir))
 
   private def pqCodebookUncached(spark: SparkSession, dir: String): Seq[(Int, Int, Seq[Double])] = {
+    pqTrainCount.incrementAndGet()
     import spark.implicits._
     import org.apache.spark.sql.types.DecimalType
     // Lloyd refinement runs on the SAME ≤TrainSampleCap strided sample

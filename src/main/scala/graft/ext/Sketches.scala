@@ -442,7 +442,7 @@ object Sketches {
        |  FROM documents WHERE n_chars IS NOT NULL),
        |ranked AS (SELECT source, h, v,
        |    row_number() OVER (PARTITION BY source ORDER BY h, v) AS rk
-       |  FROM d),
+       |  FROM (SELECT DISTINCT source, h, v FROM d) dd),
        |clipped AS (SELECT source AS scope, h, v FROM ranked
        |  WHERE rk <= $QsDocK),
        |mr AS (SELECT h, v, row_number() OVER (ORDER BY h, v) AS rk

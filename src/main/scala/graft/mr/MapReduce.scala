@@ -60,6 +60,22 @@ object MapReduce {
         .filter(_.nonEmpty).map(w => (w.toLowerCase, "1")).toSeq
     })
     .registerReduce("wordcount", (_, values) => values.size.toString)
+    // Second REGISTERED job pair proving the U3 surface generically
+    // (the reference's plugin ABI supports arbitrary pairs,
+    // cmd/storage-node/main.go:699,1225 — ours must too, not just
+    // wordcount): a classic inverted index. map emits each token once
+    // per document with the document name as value; reduce renders the
+    // sorted distinct posting list. The reduce-side distinct guards
+    // against re-emitted postings if a caller's map skips the per-doc
+    // dedup — holistic-reduce buffering is one posting list (the ABI's
+    // documented cost; an incremental collect_set aggregator is the
+    // scale form, as with wordcount's groupBy().count() path).
+    .registerMap("inverted_index", { (name, contents) =>
+      contents.split("[^\\p{L}\\p{N}]+").iterator
+        .filter(_.nonEmpty).map(_.toLowerCase).toSeq.distinct
+        .map(w => (w, name))
+    })
+    .registerReduce("posting_list", (_, values) => values.distinct.sorted.mkString(","))
     // the registry generalizes beyond the reference's single hardcoded
     // pair (SURVEY U4): a grep-style filtering map, identity, and
     // numeric reducers

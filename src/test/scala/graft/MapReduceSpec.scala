@@ -22,6 +22,20 @@ class MapReduceSpec extends SparkSpec {
     assert(maxes == Map("a" -> "1", "b" -> "1", "c" -> "1"))
   }
 
+  test("inverted index plugin pair: distinct sorted postings through runJob") {
+    import spark.implicits._
+    val input = Seq(
+      ("docB", "Red green RED"), // repeated + mixed-case token: ONE posting
+      ("docA", "green blue"),
+      ("docC", "blue, blue; red!")).toDS()
+    val out = MapReduce.runJob(input, "inverted_index", "posting_list")
+      .collect().toMap
+    assert(out == Map(
+      "red" -> "docB,docC",
+      "green" -> "docA,docB",
+      "blue" -> "docA,docC"))
+  }
+
   test("identity map + concat reduce keep values grouped per file") {
     import spark.implicits._
     val input = Seq(("k1", "v1"), ("k1", "v2"), ("k2", "v3")).toDS()

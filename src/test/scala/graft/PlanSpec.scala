@@ -22,6 +22,7 @@ class PlanSpec extends SparkSpec {
     "caption_frame_alignment", "chi2_priority_status",
     "conformal_price_interval", "corpus_summary",
     "cuped_segment_spend", "cusum_changepoint", "data_contract_audit",
+    "dedup_kcore", // 1-row convergence verdict rides every row
     "did_segment_spend",
     "dsir_weights",
     "ewma_daily_revenue", "join_fanout_profile", "kappa_lang_agreement",
