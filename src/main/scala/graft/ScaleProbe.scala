@@ -164,6 +164,14 @@ object ScaleProbe {
         ((s, d) => graft.streaming.DocStream.streamingTrainingReadiness(s, d)),
       "stream_groups_monitor" ->
         ((s, d) => graft.streaming.DocStream.streamingGroupsMonitor(s, d)),
+      // round-10 additions: AUC is a value-domain histogram collapse
+      // (must stay flat); HITS rides the trade-edge build; SQ8 is a
+      // dequantize scan + brute scoring (linear in corpus, the recall
+      // audit's exact arm is the other linear term)
+      "auc_returns" -> (graft.ext.Learn.aucReturns _),
+      "hits_nations" -> (graft.ext.Graph.hitsNations _),
+      "sim_ann_sq8" -> ((s, d) => graft.ext.Similarity.annSq8(s, d)),
+      "event_freshness" -> (graft.operators.EventOps.eventFreshness _),
       "sim_ivf_delta_assign" -> (graft.ext.Similarity.ivfDeltaAssign _),
       // the ladder is one input-sized agg + bounded re-aggregations;
       // the mixture plan is a wordcount-shape scan to |sources| rows

@@ -230,6 +230,7 @@ object SparkEntry {
     "sample_temperature" -> Sampling.temperatureSample _,
     "pq_codes" -> Similarity.pqCodes _,
     "sim_ann_pq" -> Similarity.annPq _,
+    "sim_ann_sq8" -> ((sp, dir) => Similarity.annSq8(sp, dir)),
     "sim_ann_ivfpq" -> Similarity.annIvfPq _,
     // the re-rank stage that RECOVERS the recall ivfpq loses: exact
     // re-scoring of the ADC top-k·4 pool (candidate-bounded join)
@@ -273,6 +274,7 @@ object SparkEntry {
     "triangle_nations" -> graft.ext.Graph.triangleNations _,
     // density communities via synchronous weighted label propagation
     "lpa_communities" -> graft.ext.Graph.lpaCommunities _,
+    "hits_nations" -> graft.ext.Graph.hitsNations _,
     // TextRank keywords: PageRank centrality on the word co-occurrence graph
     "textrank_keywords" -> graft.ext.Graph.textrankKeywords _,
     "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHops _,
@@ -310,6 +312,8 @@ object SparkEntry {
     "token_budget_select" -> TextAnalysis.tokenBudgetSelect _,
     "outlier_iqr" -> Relational.outlierIqr _,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpend _,
+    "srm_check" -> Relational.srmCheck _,
+    "power_mde" -> Relational.powerMde _,
     // causal 2x2: difference-in-differences with broadcast stats
     "did_segment_spend" -> Relational.didSegmentSpend _,
     // CUPED pre-period covariate adjustment: shrink the SE, keep the mean
@@ -421,6 +425,7 @@ object SparkEntry {
     "embedding_outliers" -> Similarity.embeddingOutliers _,
     // reliability diagram + ECE/Brier for the logistic probe (shared model)
     "calibration_bins" -> Learn.calibrationBins _,
+    "auc_returns" -> Learn.aucReturns _,
     // split-conformal interval: distribution-free coverage wrapper
     "conformal_price_interval" -> Learn.conformalPriceInterval _,
     // t-closeness: distributional disclosure, the third privacy rung
@@ -499,6 +504,7 @@ object SparkEntry {
     "frame_scene_cuts" -> Dedup.frameSceneCuts _,
     // PSI feature-drift gate between the stream's time halves
     "psi_value_drift" -> EventOps.psiValueDrift _,
+    "event_freshness" -> EventOps.eventFreshness _,
     // ...and the exact nonparametric companion: KS sup-CDF-gap gate
     "ks_value_drift" -> EventOps.ksValueDrift _,
     // per-dim encoder-drift audit: base corpus vs the delta batch
@@ -507,6 +513,8 @@ object SparkEntry {
     "sim_ann_lsh_multiprobe" -> ((s, dir) =>
       Similarity.multiprobeRecallAudit(s, dir)),
     // fit-on-batch / score-on-stream PSI: drift caught at ingest
+    "stream_freshness_monitor" -> ((s, dir) =>
+      graft.streaming.EventStream.freshnessMonitorOverFiles(s, dir)),
     "stream_psi_monitor" -> ((s, dir) =>
       graft.streaming.EventStream.psiMonitorOverFiles(s, dir)),
     // the manifest maintained on ingest converges to the batch build
@@ -702,6 +710,7 @@ object SparkEntry {
     "sample_temperature" -> Sampling.temperatureSampleOracle,
     "pq_codes" -> Similarity.pqCodesOracle,
     "sim_ann_pq" -> Similarity.annPqOracle,
+    "sim_ann_sq8" -> Similarity.annSq8Oracle,
     "sim_ann_ivfpq" -> Similarity.annIvfPqOracle,
     "sim_ann_ivfpq_refine" -> Similarity.annIvfPqRefineOracle,
     "rrf_fusion" -> Similarity.rrfFusionOracle,
@@ -737,6 +746,7 @@ object SparkEntry {
     "dedup_communities_lpa" -> Dedup.dedupCommunitiesLpaOracle,
     "dedup_kcore" -> Dedup.dedupKcoreOracle,
     "lpa_communities" -> graft.ext.Graph.lpaCommunitiesOracle,
+    "hits_nations" -> graft.ext.Graph.hitsNationsOracle,
     "textrank_keywords" -> graft.ext.Graph.textrankKeywordsOracle,
     "bfs_trade_hops" -> graft.ext.Graph.bfsTradeHopsOracle,
     "event_transitions" -> EventOps.eventTransitionsOracle,
@@ -770,6 +780,8 @@ object SparkEntry {
     "token_budget_select" -> TextAnalysis.tokenBudgetSelectOracle,
     "outlier_iqr" -> Relational.outlierIqrOracle,
     "ttest_urgent_spend" -> Relational.ttestUrgentSpendOracle,
+    "srm_check" -> Relational.srmCheckOracle,
+    "power_mde" -> Relational.powerMdeOracle,
     "did_segment_spend" -> Relational.didSegmentSpendOracle,
     "cuped_segment_spend" -> Relational.cupedSegmentSpendOracle,
     "ivm_priority_revenue" -> Relational.ivmPriorityRevenueOracle,
@@ -843,6 +855,7 @@ object SparkEntry {
     "dedup_containment" -> Dedup.containmentPairsOracle,
     "embedding_outliers" -> Similarity.embeddingOutliersOracle,
     "calibration_bins" -> Learn.calibrationBinsOracle,
+    "auc_returns" -> Learn.aucReturnsOracle,
     "conformal_price_interval" -> Learn.conformalPriceIntervalOracle,
     "t_closeness_audit" -> Relational.tClosenessAuditOracle,
     "tokenizer_fertility" -> TextAnalysis.tokenizerFertilityOracle,
@@ -883,11 +896,13 @@ object SparkEntry {
       graft.ext.Pipeline.trainingReadinessOracle,
     "frame_scene_cuts" -> Dedup.frameSceneCutsOracle,
     "psi_value_drift" -> EventOps.psiValueDriftOracle,
+    "event_freshness" -> EventOps.eventFreshnessOracle,
     "ks_value_drift" -> EventOps.ksValueDriftOracle,
     "embedding_batch_drift" -> Similarity.embeddingBatchDriftOracle,
     "sim_ann_lsh_multiprobe" -> Similarity.multiprobeRecallAuditOracle,
     // the streamed monitor must equal the batch PSI — the same oracle
     "stream_psi_monitor" -> EventOps.psiValueDriftOracle,
+    "stream_freshness_monitor" -> EventOps.eventFreshnessOracle,
     // order-independent digest ⇒ the stream converges to the batch
     // manifest exactly — literally the same oracle object
     "stream_shard_manifest" -> Sampling.shardManifestOracle,

@@ -171,6 +171,99 @@ object Graph {
        |ORDER BY n.n_name""".stripMargin
   }
 
+  val HitsIters = 3
+
+  /** HITS hubs & authorities (Kleinberg 1999) over the DIRECTED
+    * weighted trade graph — the directionality lens PageRank's single
+    * score collapses: a hub nation SHIPS to many authorities
+    * (supplier side), an authority nation RECEIVES from many hubs
+    * (customer side). Exactly [[HitsIters]] synchronous mutual-
+    * reinforcement rounds from the all-ones vector: a ← Σ_{u→v} w·h(u)
+    * then h ← Σ_{u→v} w·a(v), each max-normalized (the standard HITS
+    * normalization, and max is order-free — no sum-normalization
+    * nondeterminism).
+    *
+    * Determinism: contributions round to 9 before an exact decimal
+    * sum (partition-order-free — the [[pagerankNations]] discipline),
+    * scores round to 9 after each normalization; the oracle unrolls
+    * the identical rounds and hashes bit-for-bit.
+    *
+    * Scale shape: the edge build is the only input-sized work (the
+    * same lineitem-scale chain as pagerank, collapsed to ≤ |nations|²
+    * rows and checkpointed once for all rounds). Each round is one
+    * join of the edge table against a score vector — broadcast here;
+    * at web scale the same loop shuffle-joins on the node key with
+    * per-round checkpoints, O(|E|) per round. The max-normalizer runs
+    * over the node-sized frame (declared bounded). */
+  def hitsNations(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val e = tradeEdges(spark, dir).filter(col("u") =!= col("v"))
+      .select(col("u"), col("v"), col("w").cast("double").as("w"))
+      .localCheckpoint()
+    val nodes = Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("id"), col("n_name")).localCheckpoint()
+    def pull(scores: DataFrame, scoreCol: String,
+             from: String, to: String): DataFrame = {
+      val raw = e
+        .join(broadcast(scores.withColumnRenamed("id", from)), Seq(from))
+        .select(col(to).as("id"),
+          round(col("w") * col(scoreCol), 9).as("t"))
+        .groupBy("id")
+        .agg(sum(col("t").cast(DecimalType(38, 12))).cast("double").as("s"))
+      raw.withColumn("mx", max(col("s")).over(graft.BoundedWindow.all))
+        .select(col("id"), round(col("s") / col("mx"), 9).as(scoreCol))
+    }
+    var h = nodes.select(col("id"), lit(1.0).as("h"))
+    var a = nodes.select(col("id"), lit(1.0).as("a"))
+    for (_ <- 1 to HitsIters) {
+      a = pull(h, "h", "u", "v").withColumnRenamed("h", "a")
+      h = pull(a, "a", "v", "u").withColumnRenamed("a", "h")
+    }
+    nodes
+      .join(h, Seq("id"), "left")
+      .join(a, Seq("id"), "left")
+      .select(col("n_name"),
+        round(coalesce(col("h"), lit(0.0)), 6).as("hub"),
+        round(coalesce(col("a"), lit(0.0)), 6).as("authority"))
+      .orderBy("n_name")
+  }
+
+  def hitsNationsOracle: String = {
+    val rounds = (1 to HitsIters).map { i =>
+      val p = i - 1
+      s"""ar$i AS (SELECT e0.v AS id,
+         |    CAST(SUM(CAST(round(e0.w * h$p.h, 9) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS s
+         |  FROM e0 JOIN h$p ON e0.u = h$p.id GROUP BY 1),
+         |a$i AS (SELECT id, round(s / (SELECT MAX(s) FROM ar$i), 9) AS a
+         |  FROM ar$i),
+         |hr$i AS (SELECT e0.u AS id,
+         |    CAST(SUM(CAST(round(e0.w * a$i.a, 9) AS DECIMAL(38,12)))
+         |      AS DOUBLE) AS s
+         |  FROM e0 JOIN a$i ON e0.v = a$i.id GROUP BY 1),
+         |h$i AS (SELECT id, round(s / (SELECT MAX(s) FROM hr$i), 9) AS h
+         |  FROM hr$i)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT u, v, CAST(w AS DOUBLE) AS w FROM (
+       |    SELECT s.s_nationkey AS u, c.c_nationkey AS v,
+       |      CAST(COUNT(*) AS BIGINT) AS w
+       |    FROM lineitem l
+       |    JOIN orders o ON l.l_orderkey = o.o_orderkey
+       |    JOIN customer c ON o.o_custkey = c.c_custkey
+       |    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+       |    GROUP BY 1, 2) t WHERE u <> v),
+       |h0 AS (SELECT n_nationkey AS id, CAST(1.0 AS DOUBLE) AS h
+       |  FROM nation),
+       |$rounds
+       |SELECT n.n_name,
+       |  round(COALESCE(h$HitsIters.h, 0.0), 6) AS hub,
+       |  round(COALESCE(a$HitsIters.a, 0.0), 6) AS authority
+       |FROM nation n
+       |LEFT JOIN h$HitsIters ON n.n_nationkey = h$HitsIters.id
+       |LEFT JOIN a$HitsIters ON n.n_nationkey = a$HitsIters.id
+       |ORDER BY n.n_name""".stripMargin
+  }
+
   val TrMinFreq = 5
   val TrTopK = 30
 

@@ -538,6 +538,66 @@ object Learn {
        |SELECT b.bin, b.n_preds, b.avg_pred, b.frac_pos, b.gap, tot.ece, tot.brier
        |FROM bins b, tot ORDER BY b.bin""".stripMargin
 
+  /** ROC AUC of l_discount as a predictor of returns — the
+    * rank-statistic companion to [[calibrationBins]] (calibration)
+    * and [[logisticReturns]] (fit): AUC = P(score of a random
+    * positive > score of a random negative), computed in the ONLY
+    * form that scales — the score-HISTOGRAM Mann-Whitney identity,
+    * never a per-row rank. One map-side-partial aggregate collapses
+    * the fact scan to one row per DISTINCT score (the value domain —
+    * 11 discount levels here, bounded at any corpus), cumulative
+    * counts run over that bounded frame (declared via BoundedWindow),
+    * and ties get the exact midrank (c+1)/2 — the textbook correction
+    * a naive row_number rank silently botches. U = Σ_pos midrank −
+    * n⁺(n⁺+1)/2, AUC = U/(n⁺·n⁻). Midranks are integers-or-halves so
+    * the decimal sums are exact; AUC ≈ 0.5 on this fixture is the
+    * honest answer (discount doesn't predict returns) — the query
+    * exists for its shape, the rank-sum plan any real score column
+    * reuses. */
+  def aucReturns(spark: SparkSession, dir: String): DataFrame = {
+    val h = Tables.lineitem(spark, dir)
+      .select(col("l_discount").cast("double").as("score"),
+        when(col("l_returnflag") === "R", 1.0).otherwise(0.0).as("pos"))
+      .groupBy("score")
+      .agg(count(lit(1)).cast("double").as("c"), sum(col("pos")).as("p"))
+    val w = graft.BoundedWindow.orderBy(col("score"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = h
+      .withColumn("cum", coalesce(sum(col("c")).over(w), lit(0.0)))
+      .select(col("c"), col("p"),
+        (col("cum") + (col("c") + 1) / 2).as("midrank"))
+    ranked
+      .agg(sum(col("p").cast(DecimalType(38, 1))).cast("double").as("npos"),
+        sum((col("c") - col("p")).cast(DecimalType(38, 1))).cast("double")
+          .as("nneg"),
+        sum((col("p") * col("midrank")).cast(DecimalType(38, 1)))
+          .cast("double").as("usum"))
+      .select(col("npos").cast("long").as("n_pos"),
+        col("nneg").cast("long").as("n_neg"),
+        round((col("usum") - col("npos") * (col("npos") + 1) / 2)
+          / (col("npos") * col("nneg")), 6).as("auc"))
+  }
+
+  def aucReturnsOracle: String =
+    """WITH h AS (SELECT CAST(l_discount AS DOUBLE) AS score,
+      |    CAST(COUNT(*) AS DOUBLE) AS c,
+      |    CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0.0 END)
+      |      AS DOUBLE) AS p
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT c, p,
+      |    COALESCE(SUM(c) OVER (ORDER BY score
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      + (c + 1) / 2 AS midrank
+      |  FROM h),
+      |s AS (SELECT
+      |    CAST(SUM(CAST(p AS DECIMAL(38,1))) AS DOUBLE) AS npos,
+      |    CAST(SUM(CAST(c - p AS DECIMAL(38,1))) AS DOUBLE) AS nneg,
+      |    CAST(SUM(CAST(p * midrank AS DECIMAL(38,1))) AS DOUBLE) AS usum
+      |  FROM r)
+      |SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
+      |  round((usum - npos * (npos + 1) / 2) / (npos * nneg), 6) AS auc
+      |FROM s""".stripMargin
+
   // ── kNN label-consistency audit over embeddings ──
 
   val KnnK = 10

@@ -1908,6 +1908,95 @@ object Similarity {
   private def quantErr(code: Column, levels: Column): Column =
     col("x") - (col("dmin") + code * (col("dmax") - col("dmin")) / levels)
 
+  /** SQ8 asymmetric ANN — the serving arm of [[quantizeEmbeddings]],
+    * completing the compression family's story the way
+    * [[annIvfPq]] completes PQ's: the corpus lives as int8 codes
+    * (4× memory cut, no codebook training at all — the step below
+    * PQ on the complexity ladder and FAISS's `SQ8` default), queries
+    * stay full-precision, and scoring is exact-query vs DEQUANTIZED
+    * corpus cosine (asymmetric distance — the error of ONE side, not
+    * two). Top-k per query plus the exact-recall@k audit riding every
+    * row, so the 8-bit fidelity loss is a measured number next to
+    * pq/ivfpq's. Plan: one posexplode pass to the broadcast d-row
+    * range table, dequantized vectors reassembled once (values
+    * rounded to 9 — both engines rebuild identical arrays), then the
+    * brute scoring shape ([[bruteForceTopK]]: broadcast queries, heap
+    * top-k, no shuffle of the corpus). At billion scale the same
+    * dequantize-scan rides under the IVF router exactly like ADC. */
+  def annSq8(spark: SparkSession, dir: String,
+             numQueries: Int = 5, k: Int = 5): DataFrame = {
+    val e = embeddingsD(spark, dir).select(col("vec_id"), col("v"))
+    val pe = e.select(col("vec_id"), posexplode(col("v")).as(Seq("pos", "x")))
+    val ranges = pe.groupBy("pos").agg(min("x").as("dmin"), max("x").as("dmax"))
+    val dqn = pe.join(broadcast(ranges), Seq("pos"))
+      .select(col("vec_id"), col("pos"),
+        round(col("dmin") + quantCode(lit(255.0))
+          * (col("dmax") - col("dmin")) / 255.0, 9).as("xq"))
+      .groupBy("vec_id")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("xq")))),
+        s => s.getField("xq")).as("vq"))
+      .select(col("vec_id"), col("vq"), norm(col("vq")).as("nrmq"))
+    val q = e.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"),
+        norm(col("v")).as("qn"))
+    val scored = spread(dqn)
+      .join(broadcast(q), col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        cos6(dot(col("qv"), col("vq")), col("qn"), col("nrmq")).as("cos_sim"))
+    val approx = topKPerQuery(scored, k)
+    val exact = bruteForceTopK(spark, dir, numQueries, k)
+      .select(col("query_id"), col("neighbor_id"))
+    val hits = approx.select(col("query_id"), col("neighbor_id"))
+      .join(exact, Seq("query_id", "neighbor_id"), "semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_hits"))
+    approx
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"), col("neighbor_id"), col("cos_sim"), col("rk"),
+        round(coalesce(col("n_hits"), lit(0L)) / lit(k.toDouble), 6)
+          .as("recall_at_k"))
+      .orderBy("query_id", "rk")
+  }
+
+  def annSq8Oracle: String =
+    """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pe AS (SELECT vec_id, pos, v[pos + 1] AS x
+      |  FROM (SELECT vec_id, v, unnest(range(len(v))) AS pos FROM e) t),
+      |rg AS (SELECT pos, MIN(x) AS dmin, MAX(x) AS dmax FROM pe GROUP BY pos),
+      |dq0 AS (SELECT pe.vec_id, pe.pos,
+      |    round(rg.dmin + (CASE WHEN rg.dmax - rg.dmin = 0 THEN 0
+      |      ELSE CAST(floor((pe.x - rg.dmin) * 255.0 / (rg.dmax - rg.dmin)
+      |        + 0.5) AS BIGINT) END) * (rg.dmax - rg.dmin) / 255.0, 9) AS xq
+      |  FROM pe JOIN rg USING (pos)),
+      |dqn AS (SELECT vec_id, vq, sqrt(list_dot_product(vq, vq)) AS nrmq
+      |  FROM (SELECT vec_id, list(xq ORDER BY pos) AS vq FROM dq0
+      |        GROUP BY vec_id) d),
+      |q AS (SELECT vec_id AS query_id, v AS qv,
+      |    sqrt(list_dot_product(v, v)) AS qn FROM e WHERE vec_id < 5),
+      |scored AS (SELECT q.query_id, d.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.qv, d.vq) / (q.qn * d.nrmq), 6) AS cos_sim
+      |  FROM q, dqn d WHERE d.vec_id <> q.query_id),
+      |ak AS (SELECT query_id, neighbor_id, cos_sim, CAST(rk AS BIGINT) AS rk
+      |  FROM (SELECT query_id, neighbor_id, cos_sim, row_number()
+      |      OVER (PARTITION BY query_id
+      |            ORDER BY cos_sim DESC, neighbor_id) AS rk
+      |    FROM scored) r WHERE rk <= 5),
+      |es AS (SELECT q.query_id, e2.vec_id AS neighbor_id,
+      |    round(list_dot_product(q.qv, e2.v)
+      |      / (q.qn * sqrt(list_dot_product(e2.v, e2.v))), 6) AS cs
+      |  FROM q, e e2 WHERE e2.vec_id <> q.query_id),
+      |ek AS (SELECT query_id, neighbor_id
+      |  FROM (SELECT query_id, neighbor_id, row_number()
+      |      OVER (PARTITION BY query_id ORDER BY cs DESC, neighbor_id) AS rk
+      |    FROM es) r WHERE rk <= 5),
+      |hits AS (SELECT a.query_id, CAST(COUNT(*) AS BIGINT) AS n_hits
+      |  FROM ak a JOIN ek ON a.query_id = ek.query_id
+      |    AND a.neighbor_id = ek.neighbor_id
+      |  GROUP BY 1)
+      |SELECT a.query_id, a.neighbor_id, a.cos_sim, a.rk,
+      |  round(COALESCE(h.n_hits, 0) / 5.0, 6) AS recall_at_k
+      |FROM ak a LEFT JOIN hits h ON a.query_id = h.query_id
+      |ORDER BY a.query_id, a.rk""".stripMargin
+
   def quantizeEmbeddings(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val pe = embeddingsD(spark, dir)

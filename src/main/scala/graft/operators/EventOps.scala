@@ -1276,4 +1276,47 @@ object EventOps {
        |  round(q, 6) AS p_delta, psi_term, psi.psi,
        |  COALESCE(psi.psi > 0.25, false) AS drifted
        |FROM terms, psi ORDER BY bin""".stripMargin
+
+  /** Ingest-freshness audit — the pipeline-operational table every
+    * lakehouse on-call reads first: per event type, volume, last-seen
+    * timestamp, and its LAG behind the freshest stream, with a stale
+    * flag at the 24 h SLA. "Now" is the corpus's own max timestamp
+    * (both engines see identical data, so the reference clock must
+    * come FROM the data — a wall clock would be unoracleable and
+    * retry-nondeterministic). One scan collapsed by a map-side-
+    * partial agg to |event types| rows; the global max is a second
+    * aggregate over that bounded frame (declared window), never a
+    * second scan. Lag arithmetic runs in exact integer microseconds
+    * until the final display division. */
+  def eventFreshness(spark: SparkSession, dir: String): DataFrame =
+    freshnessReport(Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts")))
+
+  /** Assemble the freshness table from a per-type
+    * (event_type, n_events, last_ts) frame — shared by the batch scan
+    * and the streaming monitor (count and max are order-free
+    * converging aggregates, so the streamed per-type frame equals the
+    * batch one exactly and both register the same oracle object). */
+  private[graft] def freshnessReport(per: DataFrame): DataFrame =
+    per
+      .withColumn("gmax_us",
+        max(unix_micros(col("last_ts"))).over(graft.BoundedWindow.all))
+      .select(col("event_type"), col("n_events"), col("last_ts"),
+        round((col("gmax_us") - unix_micros(col("last_ts"))) / 3600000000.0, 6)
+          .as("lag_hours"),
+        (col("gmax_us") - unix_micros(col("last_ts")) > 86400000000L)
+          .as("stale_24h"))
+      .orderBy("event_type")
+
+  def eventFreshnessOracle: String =
+    """WITH p AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |    MAX(ts) AS last_ts
+      |  FROM events GROUP BY 1),
+      |g AS (SELECT MAX(epoch_us(last_ts)) AS gmax_us FROM p)
+      |SELECT p.event_type, p.n_events, p.last_ts,
+      |  round((g.gmax_us - epoch_us(p.last_ts)) / 3600000000.0, 6)
+      |    AS lag_hours,
+      |  g.gmax_us - epoch_us(p.last_ts) > 86400000000 AS stale_24h
+      |FROM p, g ORDER BY p.event_type""".stripMargin
 }

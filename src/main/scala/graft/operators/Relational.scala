@@ -2650,6 +2650,103 @@ object Relational {
       |    AS welch_df
       |FROM a, b""".stripMargin
 
+  /** Sample-ratio-mismatch check — the experimentation-platform
+    * tripwire that runs BEFORE any effect estimate is trusted: units
+    * (customers) are hash-assigned to two arms by the engine-neutral
+    * md5-prefix convention (the [[graft.operators.SkewJoin]] /
+    * table-checksum idiom — deterministic, engine-mirrorable, no
+    * rand()), observed arm counts are compared to the designed 50/50
+    * split by the chi-square goodness-of-fit statistic (df=1 it
+    * reduces to (n_a−n_b)²/n), and the flag trips at the industry
+    * alarm threshold χ² > 10.828 (p < 0.001 — SRM checks run at
+    * extreme significance because a true mismatch means the
+    * ASSIGNMENT is broken and every downstream estimate is garbage).
+    * One scan, one map-side-partial aggregate to a single row —
+    * wordcount-shaped at any scale. */
+  def srmCheck(spark: SparkSession, dir: String): DataFrame = {
+    val armA = (conv(substring(md5(col("c_custkey").cast("string")), 1, 8),
+      16, 10).cast("long") % 2) === 0
+    Tables.customer(spark, dir)
+      .agg(count(lit(1)).as("n_total"),
+        sum(when(armA, 1L).otherwise(0L)).as("n_a"))
+      .select(col("n_total"), col("n_a"),
+        (col("n_total") - col("n_a")).as("n_b"),
+        round(pow(col("n_a") - (col("n_total") - col("n_a")), 2)
+          / col("n_total").cast("double"), 6).as("chi2"),
+        (pow(col("n_a") - (col("n_total") - col("n_a")), 2)
+          / col("n_total").cast("double") > 10.828).as("srm_detected"))
+  }
+
+  def srmCheckOracle: String =
+    """WITH a AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+      |    CAST(SUM(CASE WHEN CAST(concat('0x',
+      |        substr(md5(CAST(c_custkey AS VARCHAR)), 1, 8)) AS BIGINT)
+      |        % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a
+      |  FROM customer)
+      |SELECT n_total, n_a, n_total - n_a AS n_b,
+      |  round(pow(n_a - (n_total - n_a), 2) / CAST(n_total AS DOUBLE), 6)
+      |    AS chi2,
+      |  pow(n_a - (n_total - n_a), 2) / CAST(n_total AS DOUBLE) > 10.828
+      |    AS srm_detected
+      |FROM a""".stripMargin
+
+  /** Analytic power/MDE readout for the urgent-vs-rest experiment
+    * frame — "how small an effect could this design even see": with
+    * the per-arm (n, s²) sufficient statistics [[ttestUrgentSpend]]
+    * already computes, the minimum detectable effect at α = 0.05
+    * (two-sided) and power 0.80 is (z_{α/2} + z_{β})·SE =
+    * 2.8016·√(s²_a/n_a + s²_b/n_b) — the pre-registration number an
+    * experiment review asks for before launch, and the denominator of
+    * "is this test even worth running". The z constants are pinned
+    * literals (neither engine exposes a deterministic normal
+    * quantile); everything else is IEEE arithmetic on exact decimal
+    * sums. Same one-scan wordcount shape as the t-test. */
+  def powerMde(spark: SparkSession, dir: String): DataFrame = {
+    def dsum4(c: Column): Column =
+      sum(c.cast(DecimalType(30, 4))).cast("double")
+    val arms = Tables.orders(spark, dir)
+      .select(when(col("o_orderpriority") === "1-URGENT", "urgent")
+        .otherwise("rest").as("arm"), col("o_totalprice").as("x"))
+      .groupBy("arm")
+      .agg(count(lit(1)).cast("double").as("n"),
+        dsum2(col("x")).as("s1"), dsum4(col("x") * col("x")).as("s2"))
+      .select(col("arm"), col("n"), (col("s1") / col("n")).as("mean"),
+        ((col("s2") - col("s1") * col("s1") / col("n")) / (col("n") - 1))
+          .as("variance"))
+    val a = arms.filter(col("arm") === "urgent")
+      .select(col("n").as("na"), col("variance").as("va"))
+    val b = arms.filter(col("arm") === "rest")
+      .select(col("n").as("nb"), col("mean").as("mb"), col("variance").as("vb"))
+    a.crossJoin(broadcast(b))
+      .select(col("na").cast("long").as("n_urgent"),
+        col("nb").cast("long").as("n_rest"),
+        round(sqrt(col("va") / col("na") + col("vb") / col("nb")), 6).as("se"),
+        round(lit(2.8016) * sqrt(col("va") / col("na") + col("vb") / col("nb")), 6)
+          .as("mde_abs"),
+        round(lit(2.8016) * sqrt(col("va") / col("na") + col("vb") / col("nb"))
+          / col("mb"), 6).as("mde_rel"))
+  }
+
+  def powerMdeOracle: String =
+    """WITH arms AS (SELECT
+      |    CASE WHEN o_orderpriority = '1-URGENT' THEN 'urgent' ELSE 'rest'
+      |      END AS arm,
+      |    CAST(COUNT(*) AS DOUBLE) AS n,
+      |    CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS s1,
+      |    CAST(SUM(CAST(o_totalprice*o_totalprice AS DECIMAL(30,4))) AS DOUBLE)
+      |      AS s2
+      |  FROM orders GROUP BY 1),
+      |m AS (SELECT arm, n, s1 / n AS mean,
+      |    (s2 - s1 * s1 / n) / (n - 1) AS variance FROM arms),
+      |a AS (SELECT n AS na, variance AS va FROM m WHERE arm = 'urgent'),
+      |b AS (SELECT n AS nb, mean AS mb, variance AS vb FROM m
+      |      WHERE arm = 'rest')
+      |SELECT CAST(na AS BIGINT) AS n_urgent, CAST(nb AS BIGINT) AS n_rest,
+      |  round(sqrt(va / na + vb / nb), 6) AS se,
+      |  round(2.8016 * sqrt(va / na + vb / nb), 6) AS mde_abs,
+      |  round(2.8016 * sqrt(va / na + vb / nb) / mb, 6) AS mde_rel
+      |FROM a, b""".stripMargin
+
   /** Difference-in-differences estimate of a segment's spend shift —
     * the workhorse causal-analytics 2×2: treated = customers in the
     * BUILDING market segment, post = orders from 1996 on, outcome =

@@ -579,6 +579,34 @@ object EventStream {
     EventOps.psiAssemble(spark, cells)
   }
 
+  /** Ingest-freshness monitor maintained ON the stream — the
+    * streaming twin of [[graft.operators.EventOps.eventFreshness]]:
+    * per event type, volume and last-seen timestamp as ONE streaming
+    * aggregation (count is a sum, last_ts a max — both order-free and
+    * duplicate-safe under Complete-mode re-emission, so the converged
+    * state table equals the batch scan exactly). State is |event
+    * types| rows at any stream length — the O(state)-not-O(stream)
+    * monitor discipline of the sketch family. The lag/SLA assembly is
+    * the literal shared [[graft.operators.EventOps.freshnessReport]],
+    * so both forms register the SAME oracle object. This is the
+    * monitor a lakehouse actually keeps hot: "which ingest streams
+    * are current, right now" without rescanning the corpus. */
+  def freshnessMonitorOverFiles(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val (stream, streamDir, _) =
+      stagedEventStream(spark, dir, "graft-fresh-stream")
+    val name = s"graft_stream_fresh_${java.util.UUID.randomUUID().toString.replace("-", "")}"
+    val q = withBoundedStateParallelism(spark) {
+      stream
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_events"), max(col("ts")).as("last_ts"))
+        .writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete).start()
+    }
+    try q.processAllAvailable() finally { q.stop(); deleteStaged(streamDir) }
+    graft.operators.EventOps.freshnessReport(spark.table(name))
+  }
+
   /** Gap sessionizer on Spark 4's transformWithState API (arbitrary
     * stateful processing v2, RocksDB-backed): the same session fold as
     * [[sessionize]], but state lives in a typed [[ValueState]] inside a

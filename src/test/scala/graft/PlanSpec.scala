@@ -29,7 +29,8 @@ class PlanSpec extends SparkSpec {
     "kl_source_divergence", "kruskal_wallis_spend", "ks_test_events",
     "ks_value_drift", "mi_lang_source", "mixture_budget",
     "nb_lang_confusion", "pareto_revenue", "pca_power_embeddings",
-    "perplexity_bigram", "perplexity_unigram", "psi_drift_price",
+    "perplexity_bigram", "perplexity_unigram", "power_mde",
+    "psi_drift_price",
     "psi_value_drift", "q11_important_stock", "rfm_segments",
     "seasonality_dow", "shuffle_skew_audit", "sketch_cms_heavy_hitters",
     "survival_km",
