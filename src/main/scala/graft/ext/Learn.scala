@@ -574,8 +574,12 @@ object Learn {
           .cast("double").as("usum"))
       .select(col("npos").cast("long").as("n_pos"),
         col("nneg").cast("long").as("n_neg"),
-        round((col("usum") - col("npos") * (col("npos") + 1) / 2)
-          / (col("npos") * col("nneg")), 6).as("auc"))
+        // degenerate-slice guard: a corpus with one class has no rank
+        // statistic — report NULL, never NaN/divide-by-zero (the cos6
+        // zero-norm discipline)
+        when(col("npos") * col("nneg") > 0,
+          round((col("usum") - col("npos") * (col("npos") + 1) / 2)
+            / (col("npos") * col("nneg")), 6)).as("auc"))
   }
 
   def aucReturnsOracle: String =
@@ -595,7 +599,9 @@ object Learn {
       |    CAST(SUM(CAST(p * midrank AS DECIMAL(38,1))) AS DOUBLE) AS usum
       |  FROM r)
       |SELECT CAST(npos AS BIGINT) AS n_pos, CAST(nneg AS BIGINT) AS n_neg,
-      |  round((usum - npos * (npos + 1) / 2) / (npos * nneg), 6) AS auc
+      |  CASE WHEN npos * nneg > 0
+      |    THEN round((usum - npos * (npos + 1) / 2) / (npos * nneg), 6)
+      |  END AS auc
       |FROM s""".stripMargin
 
   // ── kNN label-consistency audit over embeddings ──
