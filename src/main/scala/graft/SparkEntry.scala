@@ -179,6 +179,8 @@ object SparkEntry {
     "frame_dedup" -> Multimodal.frameDedup _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "zipf_profile" -> TextAnalysis.zipfProfile _,
+    "vocab_richness" -> TextAnalysis.vocabRichness _,
+    "gini_sources" -> TextAnalysis.giniSources _,
     "bpe_encode" -> TextAnalysis.bpeEncode _,
     // tokenizer training curve: compression per learned-merge prefix
     "bpe_merge_curve" -> TextAnalysis.bpeMergeCurve _,
@@ -670,6 +672,8 @@ object SparkEntry {
     "frame_dedup" -> Multimodal.frameDedupOracle,
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "zipf_profile" -> TextAnalysis.zipfProfileOracle,
+    "vocab_richness" -> TextAnalysis.vocabRichnessOracle,
+    "gini_sources" -> TextAnalysis.giniSourcesOracle,
     "bpe_encode" -> TextAnalysis.bpeEncodeOracle,
     "bpe_merge_curve" -> TextAnalysis.bpeMergeCurveOracle,
     "bm25_search" -> TextAnalysis.bm25SearchOracle,

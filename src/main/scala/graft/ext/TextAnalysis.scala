@@ -1303,6 +1303,99 @@ object TextAnalysis {
        |    sqrt((n*sxx - sx*sx) * (n*syy - sy*sy)), 2), 6) AS r2
        |FROM g""".stripMargin
 
+  /** Vocabulary-richness estimators from the frequency-of-frequency
+    * spectrum — "how much vocabulary has this corpus NOT seen yet",
+    * the question a crawl-more-or-stop decision actually turns on:
+    * Good-Turing unseen mass P₀ = N₁/N (Gale & Sampson's leave-one-
+    * out identity: the probability the NEXT token is novel equals the
+    * hapax share) and the bias-corrected Chao1 richness floor
+    * V + N₁(N₁−1)/(2(N₂+1)) (Chao 1984 — a lower bound on TOTAL
+    * vocabulary including the unseen tail, finite even when no
+    * doubletons exist). Both read off the same two-level hash
+    * collapse: corpus → vocabulary counts (the wordcount shape) →
+    * frequency-of-frequencies (≤ max-count rows) → one row. Exact
+    * integers until the two final divisions. */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame = {
+    val tf = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c"))
+    val ff = tf.groupBy("c").agg(count(lit(1)).as("nf"))
+    ff.agg(
+        sum(col("c") * col("nf")).as("n_tokens"),
+        sum(col("nf")).as("vocab"),
+        coalesce(sum(when(col("c") === 1, col("nf"))), lit(0L)).as("n1"),
+        coalesce(sum(when(col("c") === 2, col("nf"))), lit(0L)).as("n2"))
+      .select(col("n_tokens").cast("long").as("n_tokens"),
+        col("vocab").cast("long").as("vocab"),
+        col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"),
+        round(col("n1").cast("double") / col("n_tokens"), 6)
+          .as("p0_good_turing"),
+        round(col("vocab") + col("n1").cast("double") * (col("n1") - 1)
+          / (lit(2.0) * (col("n2") + 1)), 6).as("chao1_richness"))
+  }
+
+  def vocabRichnessOracle: String =
+    s"""WITH tf AS (SELECT g AS tok, CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM (SELECT unnest(ws) AS g
+       |        FROM (SELECT $tokensSql AS ws FROM documents) t) u
+       |  GROUP BY 1),
+       |ff AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS nf FROM tf GROUP BY c),
+       |s AS (SELECT CAST(SUM(c * nf) AS BIGINT) AS n_tokens,
+       |    CAST(SUM(nf) AS BIGINT) AS vocab,
+       |    CAST(COALESCE(SUM(CASE WHEN c = 1 THEN nf END), 0) AS BIGINT)
+       |      AS n1,
+       |    CAST(COALESCE(SUM(CASE WHEN c = 2 THEN nf END), 0) AS BIGINT)
+       |      AS n2
+       |  FROM ff)
+       |SELECT n_tokens, vocab, n1, n2,
+       |  round(CAST(n1 AS DOUBLE) / n_tokens, 6) AS p0_good_turing,
+       |  round(vocab + CAST(n1 AS DOUBLE) * (n1 - 1) / (2.0 * (n2 + 1)), 6)
+       |    AS chao1_richness
+       |FROM s""".stripMargin
+
+  /** Gini coefficient of token volume across sources — the one-number
+    * mix-concentration audit beside [[klSourceDivergence]] (which
+    * source DIFFERS) and mixture_budget (what to do about it): 0 =
+    * every source contributes equally, →1 = one source IS the corpus.
+    * Computed by the rank identity G = 2·Σᵢ i·tᵢ / (n·Σt) − (n+1)/n
+    * over sources sorted ascending by volume — exact integers until
+    * the final division, and the only window runs over the
+    * |sources|-row frame (declared bounded), never the corpus. */
+  def giniSources(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val perSrc = Tables.documents(spark, dir)
+      .select(col("source"), explode(tokens(col("text"))).as("tok"))
+      .groupBy("source").agg(count(lit(1)).as("t"))
+    val ranked = perSrc.withColumn("rk",
+      row_number().over(
+        graft.BoundedWindow.orderBy(col("t"), col("source"))).cast("long"))
+    ranked.agg(count(lit(1)).as("n_sources"),
+        sum(col("t")).as("total_tokens"),
+        sum((col("rk") * col("t")).cast(DecimalType(38, 0))).as("rt"))
+      .select(col("n_sources").cast("long").as("n_sources"),
+        col("total_tokens").cast("long").as("total_tokens"),
+        round(lit(2.0) * col("rt").cast("double")
+            / (col("n_sources") * col("total_tokens"))
+          - (col("n_sources") + 1).cast("double") / col("n_sources"), 6)
+          .as("gini"))
+  }
+
+  def giniSourcesOracle: String =
+    s"""WITH per AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS t
+       |  FROM (SELECT source, unnest(ws) AS g
+       |        FROM (SELECT source, $tokensSql AS ws FROM documents) x) u
+       |  GROUP BY 1),
+       |r AS (SELECT t, row_number() OVER (ORDER BY t, source) AS rk
+       |  FROM per),
+       |s AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources,
+       |    CAST(SUM(t) AS BIGINT) AS total_tokens,
+       |    CAST(SUM(CAST(rk * t AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS rt
+       |  FROM r)
+       |SELECT n_sources, total_tokens,
+       |  round(2.0 * CAST(rt AS DOUBLE) / (n_sources * total_tokens)
+       |    - CAST(n_sources + 1 AS DOUBLE) / n_sources, 6) AS gini
+       |FROM s""".stripMargin
+
   /** Per-source KL divergence D(source ‖ corpus) over token
     * distributions — "which slice of my mix speaks a different
     * language": the drift metric run between ingest batches or data
