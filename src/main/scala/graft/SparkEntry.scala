@@ -180,6 +180,7 @@ object SparkEntry {
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "zipf_profile" -> TextAnalysis.zipfProfile _,
     "vocab_richness" -> TextAnalysis.vocabRichness _,
+    "span_corruption" -> TextAnalysis.spanCorruption _,
     "gini_sources" -> TextAnalysis.giniSources _,
     "bpe_encode" -> TextAnalysis.bpeEncode _,
     // tokenizer training curve: compression per learned-merge prefix
@@ -673,6 +674,7 @@ object SparkEntry {
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "zipf_profile" -> TextAnalysis.zipfProfileOracle,
     "vocab_richness" -> TextAnalysis.vocabRichnessOracle,
+    "span_corruption" -> TextAnalysis.spanCorruptionOracle,
     "gini_sources" -> TextAnalysis.giniSourcesOracle,
     "bpe_encode" -> TextAnalysis.bpeEncodeOracle,
     "bpe_merge_curve" -> TextAnalysis.bpeMergeCurveOracle,

@@ -974,6 +974,115 @@ object TextAnalysis {
        |  FROM (SELECT doc_id, source, $tokensSql AS ws FROM documents) t) c
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Span-corruption denoising pairs (T5-style, Raffel et al. 2020) —
+    * the objective-side data-prep step after curation: each document
+    * becomes an (input, target) pair where masked spans are replaced
+    * by numbered sentinels in the input and the target lists each
+    * sentinel followed by the tokens it hid. Masking is a
+    * DETERMINISTIC 15% token-level Bernoulli draw from the
+    * engine-neutral md5(doc_id:pos) convention (no rand() — the
+    * sampling-family rule: a task retry must re-derive the identical
+    * mask), with adjacent masked tokens merging into one span (the
+    * gap-islands identity, pos − rank over masked rows — the
+    * substring-runs idiom) and sentinels numbered <extra_id_k> in
+    * span order. Output per doc: token/mask/span counts + both
+    * rendered strings. Scale shape: one tokenize-explode, windows
+    * partitioned BY DOCUMENT (never corpus-global), and the pair is
+    * reassembled by an ordered struct-sort fold per doc — linear,
+    * loader-ready, deterministic. */
+  def spanCorruption(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("pos", "w")))
+    val flagged = toks.withColumn("m",
+      conv(substring(md5(concat_ws(":", col("doc_id"), col("pos"))), 1, 8),
+        16, 10).cast("long") % 100 < 15)
+    val masked = flagged.filter(col("m"))
+      .withColumn("grp", col("pos") - row_number().over(
+        Window.partitionBy("doc_id").orderBy("pos")))
+    val withK = masked
+      .withColumn("k", dense_rank().over(
+        Window.partitionBy("doc_id").orderBy("grp")).cast("long") - 1)
+      .withColumn("span_start", row_number().over(
+        Window.partitionBy("doc_id", "grp").orderBy("pos")) === 1)
+    val sentinel = concat(lit("<extra_id_"), col("k"), lit(">"))
+    val inputPieces = flagged.filter(!col("m"))
+      .select(col("doc_id"), col("pos"), lit(0).as("sub"), col("w").as("piece"))
+      .unionByName(withK.filter(col("span_start"))
+        .select(col("doc_id"), col("pos"), lit(0).as("sub"),
+          sentinel.as("piece")))
+    val targetPieces = withK.filter(col("span_start"))
+      .select(col("doc_id"), col("pos"), lit(0).as("sub"), sentinel.as("piece"))
+      .unionByName(withK.select(col("doc_id"), col("pos"), lit(1).as("sub"),
+        col("w").as("piece")))
+    def render(pieces: DataFrame, out: String): DataFrame =
+      pieces.groupBy("doc_id")
+        .agg(array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("sub"), col("piece")))),
+          s => s.getField("piece")), " ").as(out))
+    val counts = flagged.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("m"), 1L).otherwise(0L)).as("n_masked"))
+    val spans = withK.filter(col("span_start"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_spans"))
+    counts
+      .join(spans, Seq("doc_id"), "left")
+      .join(render(inputPieces, "input_text"), Seq("doc_id"), "left")
+      .join(render(targetPieces, "target_text"), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+      .orderBy("doc_id")
+  }
+
+  def spanCorruptionOracle: String =
+    s"""WITH toks AS (SELECT doc_id, pos, ws[pos + 1] AS w FROM (
+       |    SELECT doc_id, ws, unnest(range(len(ws))) AS pos
+       |    FROM (SELECT doc_id, $tokensSql AS ws FROM documents) d) t),
+       |flagged AS (SELECT doc_id, pos, w,
+       |    CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR) || ':'
+       |      || CAST(pos AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 15 AS m
+       |  FROM toks),
+       |masked AS (SELECT doc_id, pos, w,
+       |    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+       |  FROM flagged WHERE m),
+       |withk AS (SELECT doc_id, pos, w, grp,
+       |    dense_rank() OVER (PARTITION BY doc_id ORDER BY grp) - 1 AS k,
+       |    row_number() OVER (PARTITION BY doc_id, grp ORDER BY pos) = 1
+       |      AS span_start
+       |  FROM masked),
+       |ip AS (SELECT doc_id, pos, 0 AS sub, w AS piece FROM flagged
+       |    WHERE NOT m
+       |  UNION ALL
+       |  SELECT doc_id, pos, 0, '<extra_id_' || CAST(k AS VARCHAR) || '>'
+       |  FROM withk WHERE span_start),
+       |tp AS (SELECT doc_id, pos, 0 AS sub,
+       |    '<extra_id_' || CAST(k AS VARCHAR) || '>' AS piece
+       |  FROM withk WHERE span_start
+       |  UNION ALL
+       |  SELECT doc_id, pos, 1, w FROM withk),
+       |ir AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos, sub)
+       |    AS input_text FROM ip GROUP BY doc_id),
+       |tr AS (SELECT doc_id, string_agg(piece, ' ' ORDER BY pos, sub)
+       |    AS target_text FROM tp GROUP BY doc_id),
+       |cnt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+       |    CAST(COALESCE(SUM(CASE WHEN m THEN 1 END), 0) AS BIGINT)
+       |      AS n_masked
+       |  FROM flagged GROUP BY doc_id),
+       |sp AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_spans
+       |  FROM withk WHERE span_start GROUP BY doc_id)
+       |SELECT c.doc_id, c.n_tokens, c.n_masked,
+       |  CAST(COALESCE(sp.n_spans, 0) AS BIGINT) AS n_spans,
+       |  COALESCE(ir.input_text, '') AS input_text,
+       |  COALESCE(tr.target_text, '') AS target_text
+       |FROM cnt c
+       |LEFT JOIN sp ON c.doc_id = sp.doc_id
+       |LEFT JOIN ir ON c.doc_id = ir.doc_id
+       |LEFT JOIN tr ON c.doc_id = tr.doc_id
+       |ORDER BY c.doc_id""".stripMargin
+
   /** Padding-waste accounting by power-of-two length bucket — the
     * batching-efficiency audit run before fixed-shape training or
     * batch inference: every doc padded up to the next power-of-two
