@@ -65,7 +65,33 @@ object Bench {
           Seq(("stream_interval_shared_pass", Seq.empty[Double]))
         }
       } else Seq.empty
-    val results = sharedPass ++ ordered
+    // The near-dup pair-graph consumers (kcore/LPA/lsh_verified/sweep/
+    // groups) serve from ONE durable edges artifact; like the interval
+    // shared pass, the cold build must be billed as its own line, not
+    // to whichever consumer's first iteration hits a missing artifact.
+    // Reset (delete) the artifact, time one cold build+persist, and let
+    // the consumers report their warm load-only cost.
+    val edgesBuild: Seq[(String, Seq[Double])] =
+      if (ordered.map(_._1).exists(n =>
+            graft.ext.Dedup.edgesArtifactConsumers(n) && only.forall(_.contains(n)))) {
+        val t0 = System.nanoTime()
+        try {
+          graft.ext.Dedup.edgesArtifactReset(sfDir)
+          graft.ext.Dedup.edgesLoadOrBuild(spark, sfDir)
+          Seq(("dedup_edges_artifact_build", Seq((System.nanoTime() - t0) / 1e9)))
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] dedup_edges_artifact_build failed: ${e.getMessage}")
+          Seq(("dedup_edges_artifact_build", Seq.empty[Double]))
+        }
+      } else Seq.empty
+    // Interference probe (sampled at each query iteration start): the
+    // r7-r10 driver-session tripwires were all adjudicated as session
+    // noise by re-measurement; recording 1-minute load average and JVM
+    // free heap alongside each timing lets the NEXT adjudication
+    // attribute a spike from the record instead of re-running.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val probes = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
+    val results = sharedPass ++ edgesBuild ++ ordered
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
       val times = (1 to iterations).flatMap { _ =>
@@ -73,6 +99,9 @@ object Bench {
         // re-built plans by canonical form, so a warm iteration would
         // measure the cache, not the plan
         spark.catalog.clearCache()
+        val rt = Runtime.getRuntime
+        probes(name) = probes.getOrElse(name, Seq.empty) :+
+          f"[${osBean.getSystemLoadAverage}%.1f,${(rt.maxMemory - rt.totalMemory + rt.freeMemory) / (1 << 20)}]"
         val t0 = System.nanoTime()
         try {
           fn(spark, sfDir).write.format("noop").mode("overwrite").save()
@@ -110,17 +139,27 @@ object Bench {
     // into bench_baseline_perq.json when the baseline is refreshed from
     // it, and the tripwire below refuses to adjudicate across vintages.
     val fixtureFp = SessionDirMemo.fingerprint(sfDir)
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir","fixture_fingerprint":$fixtureFp}"""
+    // per-iteration [1-min load avg, free JVM heap MiB] at iteration
+    // start — the interference attribution record (see probe comment)
+    val sysProbe = probes.map { case (k, ps) =>
+      "\"" + k + "\":" + ps.mkString("[", ",", "]") }.mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir","fixture_fingerprint":$fixtureFp,"sys_probe":$sysProbe}"""
     // TWO copies of the full map: target/ for local analysis, and (by
     // default) the repo root so a driver-side run leaves the complete
     // record in the working tree. SPARK_GRAFT_BENCH_OUT redirects the
     // second copy so ad-hoc/adjudication runs can't overwrite the
-    // committed record (a judge run clobbered it in round 9).
+    // committed record (a judge run clobbered it in round 9). A
+    // swallowed write failure must not let the stdout line advertise a
+    // full map that was never written: create parents, warn on stderr.
     val benchOut = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL_LATEST.json")
     for (p <- Seq("target/bench_full.json", benchOut))
-      try java.nio.file.Files.write(
-        java.nio.file.Paths.get(p), fullLine.getBytes("UTF-8"))
-      catch { case _: Throwable => () }
+      try {
+        val path = java.nio.file.Paths.get(p)
+        Option(path.getParent).foreach(java.nio.file.Files.createDirectories(_))
+        java.nio.file.Files.write(path, fullLine.getBytes("UTF-8"))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] WARNING: full-map write to $p failed: ${e.getMessage}")
+      }
 
     // Tripwire: compare this run's per-query times against the last
     // committed full record (bench_baseline_perq.json — refreshed each
@@ -129,7 +168,16 @@ object Bench {
     // a query whose normalized ratio exceeds 2x is a regression
     // candidate that must be adjudicated, not inferred from display
     // cutoffs.
-    val tripwire: Seq[String] = try {
+    // a failed shared-pass prime means the four interval queries each
+    // absorbed the cold streaming pass into their first iteration and
+    // min-of-N hid it — flag the contamination instead of letting the
+    // mis-billing pass silently
+    val coldFlags: Seq[String] =
+      if (sharedPass.exists(_._2.isEmpty))
+        Seq("\"interval_family_cold_contaminated:prime_failed\"")
+      else Seq.empty
+    var tripwireTotal = 0
+    val tripwire: Seq[String] = coldFlags ++ (try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get("bench_baseline_perq.json")), "UTF-8")
       val entryRe = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
@@ -151,12 +199,18 @@ object Bench {
         if (ratios.size < 8) Seq.empty
         else {
           val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
-          ratios.filter { case (k, r) => r / med > 2.0 && best.toMap.apply(k) > 0.3 }
-            .sortBy(-_._2).take(8)
+          val movers = ratios
+            .filter { case (k, r) => r / med > 2.0 && best.toMap.apply(k) > 0.3 }
+            .sortBy(-_._2)
+          // the display is capped; the TOTAL must still be in the
+          // record so the committed line can't under-report movers
+          // (round 10: display showed 8 where the full map had 28)
+          tripwireTotal = movers.size
+          movers.take(8)
             .map { case (k, r) => "\"" + k + ":" + fmt(r / med) + "x\"" }
         }
       }
-    } catch { case _: Throwable => Seq.empty }
+    } catch { case _: Throwable => Seq.empty })
     val trip = tripwire.mkString("[", ",", "]")
 
     val budget = 1300 // chars for the queries map on the stdout line
@@ -167,7 +221,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { shown += e; used += e.length + 1 }
     }
     val qs = shown.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"tripwire":$trip,"iterations":$iterations,"sf":"$sfDir","queries_run":${best.size},"queries_shown":${shown.size},"fixture_fingerprint":$fixtureFp,"full_map":"$benchOut"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"tripwire":$trip,"tripwire_total":$tripwireTotal,"iterations":$iterations,"sf":"$sfDir","queries_run":${best.size},"queries_shown":${shown.size},"fixture_fingerprint":$fixtureFp,"full_map":"$benchOut"}""")
     spark.stop()
   }
 }

@@ -115,3 +115,44 @@ final class Catalog(spark: SparkSession) {
     parts(new java.io.File(path)).length
   }
 }
+
+object Catalog {
+  /** Stable digest of a fixture/corpus path for keying durable
+    * artifacts (ANN index, near-dup edge graph). The path is
+    * CANONICALIZED first — symlinks resolved, `.`/`..` folded,
+    * trailing-slash differences erased — so every spelling of the same
+    * directory keys the same artifact (a raw-string digest trained a
+    * separate index per spelling). */
+  def pathDigest(dir: String): String = {
+    val p = java.nio.file.Paths.get(dir)
+    val canonical =
+      try p.toRealPath().toString
+      catch { case _: Exception => p.toAbsolutePath.normalize.toString }
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
+  }
+
+  /** Artifact-store GC: durable artifacts accumulate one directory per
+    * corpus fingerprint/path digest under a family root (e.g.
+    * `target/ann_index/<digest>`); across vintages the store grows
+    * unboundedly. Keep the `keep` most-recently-modified children of
+    * `familyRoot`, delete the rest recursively. Returns the names
+    * purged (sorted). A missing root purges nothing. Stale artifacts
+    * are pure cache — a purged vintage that comes back retrains once
+    * (the load-or-build contract), so GC can never lose data. */
+  def purgeStale(familyRoot: String, keep: Int): Seq[String] = {
+    require(keep >= 0, "keep must be non-negative")
+    val root = new java.io.File(familyRoot)
+    val children = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    val stale = children.sortBy(-_.lastModified()).drop(keep)
+    stale.foreach { d =>
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+        f.delete(); ()
+      }
+      rm(d)
+    }
+    stale.map(_.getName).sorted.toSeq
+  }
+}

@@ -59,7 +59,22 @@ object ScaleProbe {
       "pagerank_nations" -> (graft.ext.Graph.pagerankNations _),
       "sketch_hll_distinct" -> (graft.ext.Sketches.hllDistinct _),
       "sketch_cms_heavy_hitters" -> (graft.ext.Sketches.cmsHeavyHitters _),
-      "perplexity_bigram" -> (graft.ext.TextAnalysis.perplexityBigram _),
+      "perplexity_bigram" -> ((s, d) => graft.ext.TextAnalysis.perplexityBigram(
+        s, d, graft.ext.TextAnalysis.PplFixtureBigramB)),
+      // post-cut LM family (r11): the model frame is top-V/top-B
+      // bounded, so only the token/bigram scan terms should scale
+      "perplexity_unigram" -> ((s, d) => graft.ext.TextAnalysis.perplexityUnigram(
+        s, d, graft.ext.TextAnalysis.PplFixtureVocabV)),
+      "kl_source_divergence" -> (graft.ext.TextAnalysis.klSourceDivergence _),
+      // durable pair-graph artifact (r11): the cold build is the
+      // input-sized LSH+verify pass; reuse must be load-only (the
+      // artifact is candidate-bounded, tiny next to the corpus)
+      "dedup_edges_build" -> ((s, d) => {
+        graft.ext.Dedup.edgesArtifactReset(d)
+        graft.ext.Dedup.edgesLoadOrBuild(s, d)
+      }),
+      "dedup_edges_reuse" ->
+        ((s, d) => graft.ext.Dedup.lshVerifiedFromArtifact(s, d)),
       // learning / retrieval / tokenizer / featurizer family (round-4):
       // each collapses the corpus to vocabulary- or dimension-sized
       // frames before any join — the probe checks that collapse holds.

@@ -123,6 +123,10 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccard(s, dir)),
     // full-corpus LSH candidates verified by exact trigram Jaccard
     "dedup_lsh_verified" -> ((s, dir) => Dedup.lshVerifiedJaccard(s, dir)),
+    // the same pairs served from the DURABLE artifact (load-or-build):
+    // oracled against the identical SQL as dedup_lsh_verified, proving
+    // artifact == recompute bit-for-bit
+    "dedup_edges_reuse" -> ((s, dir) => Dedup.lshVerifiedFromArtifact(s, dir)),
     // LSH-bucketed variant is the headline (no cross product); the
     // brute-force exact form stays as the test-only cross-check
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupLsh(s, dir)),
@@ -169,7 +173,10 @@ object SparkEntry {
     "stream_outlier_score" -> ((s, dir) =>
       graft.streaming.EventStream.outlierScoreOverFiles(s, dir)),
     "dedup_keep_best" -> Dedup.keepBest _,
-    "perplexity_unigram" -> TextAnalysis.perplexityUnigram _,
+    // fixture-pinned vocab bound (16 < the corpus's ~31 tokens) so the
+    // top-V cut and its OOV bucket are live paths in the oracled run
+    "perplexity_unigram" -> ((s, dir) =>
+      TextAnalysis.perplexityUnigram(s, dir, TextAnalysis.PplFixtureVocabV)),
     "kl_source_divergence" -> TextAnalysis.klSourceDivergence _,
     "funnel_events" -> EventOps.funnelEvents _,
     "session_paths" -> ((s, dir) => EventOps.sessionPaths(s, dir)),
@@ -306,7 +313,9 @@ object SparkEntry {
     "bootstrap_mean_ci" -> Nonparam.bootstrapMeanCi _,
     "dedup_cdc_chunks" -> graft.ext.Dedup.cdcChunks _,
     "collocations_pmi" -> TextAnalysis.collocationsPmi _,
-    "perplexity_bigram" -> TextAnalysis.perplexityBigram _,
+    // fixture-pinned bigram bound (256 < ~916 distinct) — see unigram
+    "perplexity_bigram" -> ((s, dir) =>
+      TextAnalysis.perplexityBigram(s, dir, TextAnalysis.PplFixtureBigramB)),
     "char_entropy" -> TextAnalysis.charEntropy _,
     "bpe_merges" -> TextAnalysis.bpeMerges _,
     // incremental BPE: delta word counts folded into the standing
@@ -634,6 +643,7 @@ object SparkEntry {
     "stream_groups_monitor" -> Dedup.dedupGroupsDeltaOracle,
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_lsh_verified" -> Dedup.lshVerifiedJaccardOracle,
+    "dedup_edges_reuse" -> Dedup.lshVerifiedJaccardOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupLshOracle,
     "sim_brute_topk" -> Similarity.bruteForceTopKOracle,
     "sim_lsh_buckets" -> Similarity.lshBucketsOracle,

@@ -626,6 +626,158 @@ object Dedup {
       .orderBy("d1", "d2")
   }
 
+  // ── durable near-dup pair-graph artifact ──
+  // The verified-pair pass above is the single most re-computed frame
+  // in the dedup family: kcore, LPA, the threshold sweep, and the CC
+  // groups each paid the full LSH+verify cost per query. A production
+  // pipeline computes the pair graph ONCE per corpus vintage and
+  // shares it across every graph/dedup consumer — this is the storage
+  // form of that shared state, written through the Catalog surface and
+  // stamped with the corpus fingerprint (the annIndexPersist template,
+  // Similarity.scala), maintained incrementally by [[foldDeltaEdges]].
+
+  /** Build counter — a test hook: ExtSpec pins that a session finding
+    * a fresh artifact runs ZERO LSH build passes. */
+  private[graft] val edgesBuildCount =
+    new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Registered queries that serve from the durable pair-graph
+    * artifact — Bench bills the cold build as its own line when any of
+    * these is selected, so consumers report warm load-only cost. */
+  val edgesArtifactConsumers: Set[String] = Set(
+    "dedup_kcore", "dedup_communities_lpa", "dedup_threshold_sweep",
+    "dedup_groups", "dedup_groups_delta", "dedup_group_sizes",
+    "dedup_edges_reuse", "split_leakage_audit", "training_readiness",
+    "training_readiness_delta", "stream_groups_monitor",
+    "stream_training_readiness")
+
+  /** Default on-disk home for a corpus's pair-graph artifact, keyed by
+    * the canonical fixture path (the [[graft.Catalog.pathDigest]]
+    * discipline). Under target/ by convention: `sbt clean` discards it
+    * and the next session rebuilds once — the artifact is a cache of a
+    * deterministic computation, never the source of truth. */
+  private[graft] def edgesArtifactDefaultPath(dir: String): String =
+    s"target/dedup_edges/${graft.Catalog.pathDigest(dir)}"
+
+  /** Delete a corpus's artifact (test/bench hook: Bench resets before
+    * timing the cold build as its own line). */
+  private[graft] def edgesArtifactReset(dir: String): Unit = {
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(rm)
+      f.delete(); ()
+    }
+    rm(new java.io.File(edgesArtifactDefaultPath(dir)))
+  }
+
+  /** The scored keeper-pair frame the artifact stores: over exact-
+    * dedup keepers, EVERY capped-bucket LSH candidate (est threshold
+    * 0 — banding is threshold-independent, so any downstream est cut
+    * is a filter over this frame), each verified with exact trigram
+    * Jaccard: (d1, d2, est_jaccard, jaccard). Same candidate-bounded
+    * shape as [[lshVerifiedJaccard]] — the bucket cap bounds the
+    * candidate set linearly at any corpus size. */
+  private def scoredKeeperPairs(spark: SparkSession, dir: String): DataFrame = {
+    val keeper = min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("text"))))
+    val documents = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), keeper.as("k"))
+      .filter(col("doc_id") === col("k"))
+      .select(col("doc_id"), col("text"))
+    val cands = minhashPairs(documents, 0.0).persist()
+    val endpoints = cands.select(col("d1").as("doc_id"))
+      .union(cands.select(col("d2").as("doc_id"))).distinct()
+    val grams = trigramSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
+      .persist()
+    graft.GraftSession.releaseAfterAction(spark, cands, grams)
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    cands
+      .join(grams.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
+      .join(grams.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("est_jaccard"),
+        (inter.cast("double") /
+          greatest(size(col("g1")) + size(col("g2")) - inter, lit(1)))
+          .as("jaccard"))
+  }
+
+  /** Build both pair frames and persist as ONE parquet artifact via
+    * [[graft.Catalog]]: rows (kind, d1, d2, est_jaccard, jaccard,
+    * fingerprint) with kind ∈ {verified, est_full, meta} —
+    * `verified` = [[scoredKeeperPairs]] (keepers, exact Jaccard),
+    * `est_full` = full-corpus capped candidates with estimates only
+    * (what the CC groups consume — exact duplicates are separate
+    * nodes there, so the keeper graph cannot serve it), `meta` = one
+    * sentinel row so an empty pair graph is still a valid fresh
+    * artifact. Size is candidate-bounded (bucket cap), never
+    * corpus-pairwise. */
+  def edgesArtifactPersist(spark: SparkSession, dir: String,
+                           path: String): Unit = {
+    edgesBuildCount.incrementAndGet()
+    val fp = graft.SessionDirMemo.fingerprint(dir)
+    def stamp(df: DataFrame, kind: String) = df.select(
+      lit(kind).as("kind"), col("d1"), col("d2"),
+      col("est_jaccard"), col("jaccard"), lit(fp).as("fingerprint"))
+    val verified = stamp(scoredKeeperPairs(spark, dir), "verified")
+    val estFull = stamp(
+      minhashPairs(Tables.documents(spark, dir), 0.0)
+        .withColumn("jaccard", lit(null).cast("double")), "est_full")
+    import spark.implicits._
+    val meta = Seq(("meta", -1L, -1L)).toDF("kind", "d1", "d2")
+      .select(col("kind"), col("d1"), col("d2"),
+        lit(null).cast("double").as("est_jaccard"),
+        lit(null).cast("double").as("jaccard"), lit(fp).as("fingerprint"))
+    val key = s"dedup_edges/${new java.io.File(dir).getName}"
+    val cat = new graft.Catalog(spark)
+    cat.put(key, verified.unionByName(estFull).unionByName(meta))
+    cat.persist(key, path)
+  }
+
+  /** Read-through load of the durable pair graph: if `path` holds an
+    * artifact whose meta row matches the corpus's CURRENT vintage,
+    * serve it (zero LSH passes this session); on a missing, unreadable
+    * or stale artifact, rebuild and rewrite for the next session.
+    * Freshness costs one filter-pushed read of the 1-row meta slice.
+    * Stored doubles are bit-exact (parquet IEEE), so artifact-served
+    * consumers hash identically to the recompute path — the driver
+    * oracle checks it per query, ExtSpec pins the equality. */
+  def edgesLoadOrBuild(spark: SparkSession, dir: String): DataFrame = {
+    val path = edgesArtifactDefaultPath(dir)
+    val fp = graft.SessionDirMemo.fingerprint(dir)
+    val fresh =
+      try spark.read.parquet(path).filter(col("kind") === "meta")
+        .select("fingerprint").collect().exists(_.getLong(0) == fp)
+      catch { case _: Exception => false }
+    if (!fresh) edgesArtifactPersist(spark, dir, path)
+    spark.read.parquet(path)
+  }
+
+  /** Verified keeper pairs (d1, d2, est_jaccard, jaccard) served from
+    * the durable artifact — the shared input of the graph lenses and
+    * the threshold sweep. */
+  private[graft] def verifiedPairsShared(spark: SparkSession,
+                                         dir: String): DataFrame =
+    edgesLoadOrBuild(spark, dir).filter(col("kind") === "verified")
+      .select(col("d1"), col("d2"), col("est_jaccard"), col("jaccard"))
+
+  /** Full-corpus estimate pairs (d1, d2, est_jaccard) served from the
+    * durable artifact — the CC groups' input. */
+  private[graft] def estPairsShared(spark: SparkSession,
+                                    dir: String): DataFrame =
+    edgesLoadOrBuild(spark, dir).filter(col("kind") === "est_full")
+      .select(col("d1"), col("d2"), col("est_jaccard"))
+
+  /** [[lshVerifiedJaccard]] served from the durable artifact instead
+    * of a fresh LSH pass — oracle-equal to the recompute path by
+    * construction (the artifact stores the recompute's exact doubles).
+    * Registered as `dedup_edges_reuse` against the SAME oracle SQL as
+    * `dedup_lsh_verified`. */
+  def lshVerifiedFromArtifact(spark: SparkSession, dir: String,
+                              minJaccard: Double = 0.5): DataFrame =
+    verifiedPairsShared(spark, dir)
+      .filter(col("est_jaccard") >= PairThreshold &&
+        col("jaccard") >= minJaccard)
+      .select(col("d1"), col("d2"), col("jaccard"))
+      .orderBy("d1", "d2")
+
   def lshVerifiedJaccardOracle: String = lshVerifiedJaccardOracle(0.5)
 
   def lshVerifiedJaccardOracle(minJaccard: Double): String =
@@ -704,10 +856,12 @@ object Dedup {
     * determinism comes from the round count being part of the
     * contract). */
   /** The symmetric weighted near-dup edge frame (u, v, w) both graph
-    * lenses read: [[lshVerifiedJaccard]] pairs with weight =
-    * round(jaccard·10⁶) as an exact integer. */
+    * lenses read: [[lshVerifiedJaccard]]-contract pairs with weight =
+    * round(jaccard·10⁶) as an exact integer — served from the durable
+    * artifact ([[edgesLoadOrBuild]]), so kcore and LPA pay load-only
+    * cost once the vintage's graph exists. */
   private[graft] def neardupEdges(spark: SparkSession, dir: String): DataFrame = {
-    val pairs = lshVerifiedJaccard(spark, dir)
+    val pairs = lshVerifiedFromArtifact(spark, dir)
       .select(col("d1"), col("d2"),
         round(col("jaccard") * 1000000, 0).cast("long").as("w"))
     pairs.select(col("d1").as("u"), col("d2").as("v"), col("w"))
@@ -909,27 +1063,10 @@ object Dedup {
     * bounded by the bucket cap. */
   def thresholdSweep(spark: SparkSession, dir: String,
                      truthJaccard: Double = 0.8): DataFrame = {
-    val keeper = min(col("doc_id"))
-      .over(Window.partitionBy(md5(col("text"))))
-    val documents = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), keeper.as("k"))
-      .filter(col("doc_id") === col("k"))
-      .select(col("doc_id"), col("text"))
-    val cands = minhashPairs(documents, 0.0)
-      .persist() // endpoints + verify spine read it
-    val endpoints = cands.select(col("d1").as("doc_id"))
-      .union(cands.select(col("d2").as("doc_id"))).distinct()
-    val grams = trigramSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
-      .persist() // both endpoint sides read it
-    graft.GraftSession.releaseAfterAction(spark, cands, grams)
-    val inter = size(array_intersect(col("g1"), col("g2")))
-    val scored = cands
-      .join(grams.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
-      .join(grams.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
-      .select(col("est_jaccard"),
-        (inter.cast("double") /
-          greatest(size(col("g1")) + size(col("g2")) - inter, lit(1)))
-          .as("jaccard"))
+    // the (est, exact) scored pairs ARE the artifact's verified kind —
+    // the sweep reads the shared graph instead of re-running LSH+verify
+    val scored = verifiedPairsShared(spark, dir)
+      .select(col("est_jaccard"), col("jaccard"))
     val pred = col("est_jaccard") >= col("threshold_pct") / lit(100.0)
     val truth = col("jaccard") >= truthJaccard
     val grid = spark.range(50, 100, 5).select(col("id").as("threshold_pct"))
@@ -1959,7 +2096,11 @@ object Dedup {
   def duplicateGroupsWithStatus(spark: SparkSession, dir: String,
                                 threshold: Double = PairThreshold,
                                 maxIter: Int = 20): (DataFrame, CcStatus) = {
-    val pairs = minhashPairs(spark, dir, threshold).select(col("d1"), col("d2"))
+    // est pairs from the durable artifact (stored at est threshold 0,
+    // so ANY threshold is a filter over it); the orderBy the direct
+    // minhashPairs path carried is irrelevant to CC
+    val pairs = estPairsShared(spark, dir)
+      .filter(col("est_jaccard") >= threshold).select(col("d1"), col("d2"))
     val (labels, status) = componentLabels(spark, pairs, maxIter)
     val docs = Tables.documents(spark, dir).select(col("doc_id"))
     val out = docs.join(labels, Seq("doc_id"), "left")
@@ -2105,7 +2246,8 @@ object Dedup {
   private[graft] def standingDedupState(
       spark: SparkSession, dir: String): (DataFrame, DataFrame) =
     standingStateMemo.get(spark, dir) {
-      val pairs = minhashPairs(spark, dir, PairThreshold)
+      val pairs = estPairsShared(spark, dir)
+        .filter(col("est_jaccard") >= PairThreshold)
         .select(col("d1"), col("d2")).localCheckpoint()
       val basePairs =
         pairs.filter(!isDeltaId(col("d1")) && !isDeltaId(col("d2")))

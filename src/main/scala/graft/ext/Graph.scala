@@ -213,8 +213,10 @@ object Graph {
       raw.withColumn("mx", max(col("s")).over(graft.BoundedWindow.all))
         .select(col("id"), round(col("s") / col("mx"), 9).as(scoreCol))
     }
+    // only h carries an initial state (all-ones); a is derived from h
+    // in the first half-step, so it has no independent starting vector
     var h = nodes.select(col("id"), lit(1.0).as("h"))
-    var a = nodes.select(col("id"), lit(1.0).as("a"))
+    var a: DataFrame = null
     for (_ <- 1 to HitsIters) {
       a = pull(h, "h", "u", "v").withColumnRenamed("h", "a")
       h = pull(a, "a", "v", "u").withColumnRenamed("a", "h")

@@ -210,8 +210,10 @@ object Sampling {
     * is pure hash order.
     *
     * Plan shape: the quota table is one groupBy over (source) plus a
-    * 1-row total — both tiny at any scale — broadcast into the rank
-    * filter. The rank window partitions by source; with a column quota
+    * 1-row total; per-source frames grow with the source count, so the
+    * quota join stays size-driven (AQE broadcasts it while measured
+    * small — the per-source-frame discipline klSourceDivergence and
+    * the LPA sizes join follow). The rank window partitions by source; with a column quota
     * Spark can't plan a WindowGroupLimit, so a skewed source pays one
     * sort — at 100 TB pre-prune with the fixed-n group limit
     * (stratifiedSample's shape, n = max quota) before this rank. */
@@ -228,7 +230,7 @@ object Sampling {
     docs.select(col("doc_id"), col("source"),
         sampleHash(col("doc_id")).as("sample_hash"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .join(broadcast(quota), Seq("source"))
+      .join(quota, Seq("source"))
       .filter(col("rk") <= col("quota"))
       .select("source", "doc_id", "rk", "n_docs", "quota")
       .orderBy("source", "rk")
@@ -257,7 +259,8 @@ object Sampling {
     * p_i ∝ n_i^α (α = [[TempAlpha]]) instead of raw frequency — the
     * standard LLM-pretraining mix knob (α<1 upsamples small sources,
     * α=1 is natural mix, α=0 is uniform = [[rebalanceSample]]). The
-    * weight table is |sources|-row and broadcast; selection is the
+    * weight table is |sources|-row, so its join stays size-driven
+    * (no forced hint — sources can be many at 100 TB); selection is the
     * same deterministic smallest-hash rank as the other samplers, so
     * re-runs and retries pick identical docs. α=0.5 makes n^α =
     * √n — IEEE-exact, so weights are engine-identical after the
@@ -280,7 +283,7 @@ object Sampling {
     docs.select(col("doc_id"), col("source"),
         sampleHash(col("doc_id")).as("sample_hash"))
       .withColumn("rk", row_number().over(w).cast("long"))
-      .join(broadcast(quota), Seq("source"))
+      .join(quota, Seq("source"))
       .filter(col("rk") <= col("quota"))
       .select("source", "doc_id", "rk", "n_docs", "weight", "quota")
       .orderBy("source", "rk")

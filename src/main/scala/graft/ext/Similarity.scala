@@ -689,12 +689,15 @@ object Similarity {
   // regenerated corpus can never silently serve a stale index.
 
   /** Default on-disk home for a corpus's index artifact, keyed by a
-    * digest of the fixture path — stable across sessions and rounds. */
-  private[graft] def annIndexDefaultPath(dir: String): String = {
-    val digest = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).take(8).map("%02x".format(_)).mkString
-    s"target/ann_index/$digest"
-  }
+    * digest of the CANONICAL fixture path (symlinks resolved, relative
+    * segments folded) so `sf0.1`, `./sf0.1/` and a symlink to either
+    * all key the same artifact — stable across sessions and rounds.
+    * Lives under target/ by convention: `sbt clean` discards the
+    * artifact and the next session retrains once (self-healing by
+    * design — the artifact is a cache of deterministic training, never
+    * the source of truth). */
+  private[graft] def annIndexDefaultPath(dir: String): String =
+    s"target/ann_index/${graft.Catalog.pathDigest(dir)}"
 
   /** Write the trained IVF centroid matrix and PQ codebook as ONE
     * parquet artifact via [[graft.Catalog]]: rows

@@ -1241,27 +1241,60 @@ object TextAnalysis {
 
   // ── unigram-LM perplexity: the language-model quality filter ──
 
+  /** Unigram-model vocabulary bound: the broadcast model frame is
+    * AT MOST this many rows plus the OOV bucket, whatever the corpus
+    * size — the [[DsirVocabV]] discipline applied to the perplexity
+    * screens. 64k tokens cover any natural-language corpus's head;
+    * everything below folds into one OOV bucket. */
+  val PplVocabV = 65536
+
+  /** Fixture-pinned vocabulary bound for the REGISTERED query: the
+    * synthetic corpus has ~31 distinct tokens, so a production-sized V
+    * would make the cut a structural no-op and leave the OOV scoring
+    * path dead at every scale the oracle checks. 16 < 31 forces real
+    * tail mass through the OOV bucket, so the oracle hashes both
+    * branches of the model. */
+  val PplFixtureVocabV = 16
+
   /** Per-document perplexity under a corpus-trained unigram model —
     * the classic LM-based quality screen (documents whose token
     * distribution diverges from the corpus norm score high and get
     * filtered/bucketed). Two passes, both scale-shaped: (1) the model
-    * is one hash aggregation (vocabulary-sized, broadcast — a 100 TB
-    * build truncates to top-V with an OOV bucket, same plan); (2)
-    * scoring re-joins the token stream against the broadcast model
-    * and averages log-probs per doc. Determinism: each ln p is
-    * rounded to 9 then decimal-summed (partition-order-free), the
-    * average and exp() re-rounded at the end. */
-  def perplexityUnigram(spark: SparkSession, dir: String): DataFrame = {
+    * is one hash aggregation CUT TO THE TOP-`vocabV` TOKENS (count
+    * desc, token asc — a TakeOrderedAndProject, per-partition heaps,
+    * never a global sort) with the remaining tail folded into ONE OOV
+    * bucket whose probability is the tail's total mass — so the
+    * broadcast frame is ≤ vocabV+1 rows at ANY corpus size, where the
+    * unbounded form broadcast one row per distinct corpus token
+    * (10⁸–10⁹ rows at 100 TB, the r10 weak mark); (2) scoring
+    * left-joins the token stream against the bounded model, OOV
+    * tokens taking the bucket's log-prob. Determinism: the cut's
+    * (count, token) order is total, each ln p is rounded to 9 then
+    * decimal-summed (partition-order-free), the average and exp()
+    * re-rounded at the end. */
+  def perplexityUnigram(spark: SparkSession, dir: String,
+                        vocabV: Int = PplVocabV): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val toksOf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val vocab = toksOf.groupBy("tok").agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).as("tot"))
-    val model = vocab.crossJoin(broadcast(total))
+    val top = vocab.orderBy(col("c").desc, col("tok")).limit(vocabV)
+    val topMass = top.agg(coalesce(sum(col("c")), lit(0L)).as("ctop"))
+    val model = top.crossJoin(broadcast(total))
       .select(col("tok"),
         round(log(col("c").cast("double") / col("tot").cast("double")), 9)
           .as("logp"))
-    toksOf.join(broadcast(model), Seq("tok"))
+    // 1-row OOV bucket: ln(tail mass / total); null (never consumed)
+    // when the cut covered the whole vocabulary
+    val oov = total.crossJoin(broadcast(topMass))
+      .select(when(col("tot") > col("ctop"),
+        round(log((col("tot") - col("ctop")).cast("double") /
+          col("tot").cast("double")), 9)).as("oov_logp"))
+    toksOf.join(broadcast(model), Seq("tok"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"),
+        coalesce(col("logp"), col("oov_logp")).as("logp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_tokens"),
         (sum(col("logp").cast(DecimalType(28, 12))).cast("double") /
@@ -1273,18 +1306,26 @@ object TextAnalysis {
   }
 
   def perplexityUnigramOracle: String =
+    perplexityUnigramOracle(PplFixtureVocabV)
+
+  def perplexityUnigramOracle(vocabV: Int): String =
     s"""WITH tk AS (SELECT doc_id, g AS tok
        |  FROM (SELECT doc_id, unnest(ws) AS g
        |        FROM (SELECT doc_id, $tokensSql AS ws FROM documents) t) u),
        |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
        |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM v),
+       |top AS (SELECT tok, c FROM v ORDER BY c DESC, tok LIMIT $vocabV),
+       |tm AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS ctop FROM top),
        |m AS (SELECT tok,
        |    round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS logp
-       |  FROM v, tt),
+       |  FROM top, tt),
+       |ov AS (SELECT CASE WHEN tot > ctop THEN
+       |    round(ln(CAST(tot - ctop AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+       |  END AS oov_logp FROM tt, tm),
        |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
-       |    CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
-       |      AS avg_logp
-       |  FROM tk JOIN m USING (tok) GROUP BY doc_id)
+       |    CAST(SUM(CAST(COALESCE(m.logp, ov.oov_logp) AS DECIMAL(28,12)))
+       |      AS DOUBLE) / COUNT(*) AS avg_logp
+       |  FROM tk LEFT JOIN m USING (tok), ov GROUP BY doc_id)
        |SELECT doc_id, n_tokens, round(avg_logp, 6) AS avg_logp,
        |  round(exp(-avg_logp), 6) AS ppl
        |FROM s ORDER BY doc_id""".stripMargin
@@ -1510,10 +1551,16 @@ object TextAnalysis {
     * language": the drift metric run between ingest batches or data
     * sources. Smoothed with the corpus support (every token the
     * corpus knows contributes; sources have a subset, so terms are
-    * restricted to the source's support — standard plug-in KL). Same
-    * scale shape as the unigram model: two hash aggregations to
-    * (source × token) and (token) counts, everything else on the
-    * tiny model frames; ln-terms rounded then decimal-summed. */
+    * restricted to the source's support — standard plug-in KL). Scale
+    * shape: two hash aggregations to (source × token) and (token)
+    * counts; the per-source totals and per-token corpus counts both
+    * grow with the corpus (one row per source / per distinct token),
+    * so NEITHER carries a broadcast hint — the join strategy stays
+    * size-driven and AQE broadcasts them only when measured small
+    * (the LPA community-size precedent; a forced hint here was the
+    * r10 weak mark — at 100 TB the corpus-count frame is 10⁸–10⁹
+    * rows). Only the 1-row grand total is hinted. Ln-terms rounded
+    * then decimal-summed. */
   def klSourceDivergence(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val toksOf = Tables.documents(spark, dir)
@@ -1524,8 +1571,8 @@ object TextAnalysis {
     val corpTot = corpus.agg(sum(col("cc")).as("tot"))
     val p = col("c").cast("double") / col("stot").cast("double")
     val q = col("cc").cast("double") / col("tot").cast("double")
-    bySrc.join(broadcast(srcTot), Seq("source"))
-      .join(broadcast(corpus), Seq("tok"))
+    bySrc.join(srcTot, Seq("source"))
+      .join(corpus, Seq("tok"))
       .crossJoin(broadcast(corpTot))
       .groupBy("source")
       .agg(count(lit(1)).as("n_terms"),
@@ -1619,8 +1666,10 @@ object TextAnalysis {
     val totD = col("tot").cast("double")
     val miTerm = round((d / totD) *
       log((d * totD) / (col("rn").cast("double") * col("cn").cast("double"))), 9)
+    // rowT is |langs|-bounded (hinted); colT grows with the source
+    // count, so its join stays size-driven (the per-source discipline)
     val mi = cells.join(broadcast(rowT), Seq("lang"))
-      .join(broadcast(colT), Seq("source"))
+      .join(colT, Seq("source"))
       .crossJoin(broadcast(tot))
       .agg(dsum(miTerm).as("mi_nats"), count(lit(1)).cast("long").as("n_cells"))
     def entropy(m: DataFrame, cnt: String, out: String): DataFrame = {
@@ -1721,19 +1770,39 @@ object TextAnalysis {
 
   // ── bigram-LM perplexity: the second-order quality screen ──
 
+  /** Bigram-model bound: the broadcast model frame is at most this
+    * many rows plus the 1-row backoff bucket. The bigram table grows
+    * ~linearly with corpus until saturation and is strictly larger
+    * than the vocabulary, so its bound is wider than [[PplVocabV]]. */
+  val PplBigramB = 1 << 20
+
+  /** Fixture-pinned bigram bound for the registered query — the
+    * synthetic corpus has ~916 distinct bigrams, so 256 forces ~2/3 of
+    * the bigram stream through the backoff bucket and the oracle
+    * hashes both scoring branches (same rationale as
+    * [[PplFixtureVocabV]]). */
+  val PplFixtureBigramB = 256
+
   /** Per-document perplexity under a corpus-trained add-1-smoothed
     * BIGRAM model — one order up from [[perplexityUnigram]]: P(w₂|w₁)
-    * = (c(w₁w₂)+1) / (c(w₁·)+V). Catches repetitive/scrambled text
-    * that unigram statistics can't see (word-salad scores fine on
-    * unigrams, terribly on bigrams). Same scale shape as the unigram
-    * screen: the model is one bigram-vocabulary-sized hash agg
-    * (truncate to top-V bigrams with a backoff bucket at 100 TB, same
-    * plan), scoring re-joins the per-doc bigram stream (compiled
-    * WordNGrams kernel) against the broadcast model. Determinism: ln
-    * terms rounded to 9 and decimal-summed; docs with fewer than 2
-    * tokens carry no bigrams and are reported with null scores rather
-    * than dropped. */
-  def perplexityBigram(spark: SparkSession, dir: String): DataFrame = {
+    * = (c(w₁w₂)+1) / (c(w₁·)+V) for the top-`bigramB` bigrams (count
+    * desc, bigram asc — TakeOrderedAndProject). Catches repetitive/
+    * scrambled text that unigram statistics can't see (word-salad
+    * scores fine on unigrams, terribly on bigrams). Bigrams outside
+    * the model take ONE global backoff bucket, P = 1/(T+V) — the add-1
+    * unseen floor with the corpus-level denominator (coarser than
+    * per-w₁ backoff, chosen deliberately: per-w₁ would need the
+    * vocabulary-sized c(w₁·) table at scoring time, re-introducing the
+    * unbounded broadcast this bound removes). The w₁ marginals join
+    * only the ≤B-row top frame (shuffle agg, AQE-sized — never forced
+    * broadcast), and the finished model is localCheckpointed at ≤B
+    * rows before the scoring broadcast — the [[DsirVocabV]]
+    * discipline. Determinism: the cut's (count, bigram) order is
+    * total, ln terms rounded to 9 and decimal-summed; docs with fewer
+    * than 2 tokens carry no bigrams and are reported with null scores
+    * rather than dropped. */
+  def perplexityBigram(spark: SparkSession, dir: String,
+                       bigramB: Int = PplBigramB): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val bigramsOf = Tables.documents(spark, dir)
       .select(col("doc_id"), tokens(col("text")).as("ws"))
@@ -1745,12 +1814,23 @@ object TextAnalysis {
     val vocab = Tables.documents(spark, dir)
       .select(explode(tokens(col("text"))).as("w"))
       .agg(countDistinct(col("w")).as("v"))
-    val model = bg.withColumn("w1", split(col("g"), " ").getItem(0))
+    val totB = bg.agg(coalesce(sum(col("cab")), lit(0L)).as("tb"))
+    val top = bg.orderBy(col("cab").desc, col("g")).limit(bigramB)
+    // ≤B rows after the cut; materialized so the scoring broadcast is
+    // rooted at a declared-bounded frame, not at the w1 join
+    val model = top.withColumn("w1", split(col("g"), " ").getItem(0))
       .join(w1, Seq("w1")).crossJoin(broadcast(vocab))
       .select(col("g"),
         round(log((col("cab") + 1).cast("double") /
           (col("cw1") + col("v")).cast("double")), 9).as("logp"))
-    val scored = bigramsOf.join(broadcast(model), Seq("g"))
+      .localCheckpoint()
+    val backoff = totB.crossJoin(broadcast(vocab))
+      .select(round(log(lit(1.0) /
+        (col("tb") + col("v")).cast("double")), 9).as("backoff_logp"))
+    val scored = bigramsOf.join(broadcast(model), Seq("g"), "left")
+      .crossJoin(broadcast(backoff))
+      .select(col("doc_id"),
+        coalesce(col("logp"), col("backoff_logp")).as("logp"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"),
         (sum(col("logp").cast(DecimalType(28, 12))).cast("double") /
@@ -1765,6 +1845,9 @@ object TextAnalysis {
   }
 
   def perplexityBigramOracle: String =
+    perplexityBigramOracle(PplFixtureBigramB)
+
+  def perplexityBigramOracle(bigramB: Int): String =
     s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
        |bs AS (SELECT doc_id, unnest(list_transform(
        |    range(greatest(len(ws) - 1, 0)),
@@ -1774,14 +1857,18 @@ object TextAnalysis {
        |         AS cw1 FROM bg GROUP BY 1),
        |vv AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v
        |  FROM (SELECT unnest(ws) AS w FROM t) u),
+       |tb AS (SELECT COALESCE(CAST(SUM(cab) AS BIGINT), 0) AS tb FROM bg),
+       |top AS (SELECT g, cab FROM bg ORDER BY cab DESC, g LIMIT $bigramB),
        |m AS (SELECT g,
-       |    round(ln(CAST(bg.cab + 1 AS DOUBLE) /
+       |    round(ln(CAST(top.cab + 1 AS DOUBLE) /
        |             CAST(w1.cw1 + vv.v AS DOUBLE)), 9) AS logp
-       |  FROM bg JOIN w1 ON w1.w1 = split_part(bg.g, ' ', 1), vv),
+       |  FROM top JOIN w1 ON w1.w1 = split_part(top.g, ' ', 1), vv),
+       |bk AS (SELECT round(ln(1.0 / CAST(tb.tb + vv.v AS DOUBLE)), 9)
+       |  AS backoff_logp FROM tb, vv),
        |s AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-       |    CAST(SUM(CAST(logp AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*)
-       |      AS avg_logp
-       |  FROM bs JOIN m USING (g) GROUP BY doc_id)
+       |    CAST(SUM(CAST(COALESCE(m.logp, bk.backoff_logp)
+       |      AS DECIMAL(28,12))) AS DOUBLE) / COUNT(*) AS avg_logp
+       |  FROM bs LEFT JOIN m USING (g), bk GROUP BY doc_id)
        |SELECT d.doc_id, COALESCE(s.n_bigrams, 0) AS n_bigrams,
        |  round(s.avg_logp, 6) AS avg_logp,
        |  round(exp(-s.avg_logp), 6) AS ppl

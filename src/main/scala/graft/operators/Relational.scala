@@ -1612,8 +1612,11 @@ object Relational {
     * aggregate over the SAME filtered offer set joined back on
     * (part, cost) — offers are built once, and the min-side equality is
     * exact (both sides select among identical IEEE division results).
-    * Dimensions (region→nation→supplier, filtered part) broadcast;
-    * the only fact-sized shuffle is the partsupp derivation itself. */
+    * Region→nation (25/5 rows) carry broadcast hints; the supplier and
+    * part sides GROW with scale factor, so their joins stay size-driven
+    * — AQE broadcasts them while measured small and falls back to a
+    * shuffle join at 100 TB, where a forced hint would OOM the build.
+    * The only fact-sized shuffle is the partsupp derivation itself. */
   def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
     val eur = Tables.region(spark, dir).filter(col("r_name") === "EUROPE")
     val natEur = Tables.nation(spark, dir).join(broadcast(eur),
@@ -1625,8 +1628,8 @@ object Relational {
       .filter(col("p_size") === 15)
       .select("p_partkey", "p_name")
     val offers = derivedPartsupp(spark, dir)
-      .join(broadcast(sup), col("ps_suppkey") === col("s_suppkey"))
-      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(sup, col("ps_suppkey") === col("s_suppkey"))
+      .join(parts, col("ps_partkey") === col("p_partkey"))
       .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_name",
         "ps_supplycost")
     val minCost = offers.groupBy(col("p_partkey").as("m_partkey"))
@@ -1675,12 +1678,12 @@ object Relational {
     Tables.lineitem(spark, dir)
       .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
         "l_extendedprice", "l_discount")
-      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"))
+      .join(redParts, col("l_partkey") === col("p_partkey"))
       .join(derivedPartsupp(spark, dir)
           .select("ps_partkey", "ps_suppkey", "ps_supplycost"),
         col("l_partkey") === col("ps_partkey") &&
           col("l_suppkey") === col("ps_suppkey"))
-      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(sup, col("l_suppkey") === col("s_suppkey"))
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_orderdate"),
         col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name").as("nation"),
@@ -1725,7 +1728,7 @@ object Relational {
         col("s_nationkey") === col("n_nationkey"))
       .select("s_suppkey")
     val ps = derivedPartsupp(spark, dir)
-      .join(broadcast(natSup), col("ps_suppkey") === col("s_suppkey"))
+      .join(natSup, col("ps_suppkey") === col("s_suppkey"))
       .select(col("ps_partkey"),
         (col("ps_supplycost") * col("ps_availqty")).as("v"))
     val perPart = ps.groupBy("ps_partkey").agg(dsum6(col("v")).as("value"))
@@ -1769,8 +1772,8 @@ object Relational {
         col("p_size").isin(1, 4, 7, 10, 13, 16, 19))
       .select("p_partkey", "p_brand", "p_type", "p_size")
     derivedPartsupp(spark, dir).select("ps_partkey", "ps_suppkey")
-      .join(broadcast(cleanSup), col("ps_suppkey") === col("s_suppkey"))
-      .join(broadcast(parts), col("ps_partkey") === col("p_partkey"))
+      .join(cleanSup, col("ps_suppkey") === col("s_suppkey"))
+      .join(parts, col("ps_partkey") === col("p_partkey"))
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct(col("ps_suppkey")).as("supplier_cnt"))
       .orderBy(desc("supplier_cnt"), col("p_brand"), col("p_type"),
@@ -1808,7 +1811,7 @@ object Relational {
       .groupBy("l_partkey", "l_suppkey")
       .agg(dsum2(col("l_quantity")).as("qty96"))
     val excess = derivedPartsupp(spark, dir)
-      .join(broadcast(smallParts), col("ps_partkey") === col("p_partkey"))
+      .join(smallParts, col("ps_partkey") === col("p_partkey"))
       .join(shipped96, col("ps_partkey") === col("l_partkey") &&
         col("ps_suppkey") === col("l_suppkey"))
       .filter(col("ps_availqty") > lit(3.5) * col("qty96"))

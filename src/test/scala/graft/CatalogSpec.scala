@@ -166,6 +166,40 @@ class CatalogSpec extends SparkSpec {
     assert(back.length == 1000 && back.head == 1L && back.last == 1000L)
   }
 
+  test("artifact-store GC keeps the newest K vintages and purges the rest") {
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-artifacts").toString
+    // four artifact vintages with distinct mtimes (oldest first)
+    val names = Seq("aaaa", "bbbb", "cccc", "dddd")
+    names.zipWithIndex.foreach { case (n, i) =>
+      val d = new java.io.File(root, n)
+      assert(d.mkdirs())
+      val f = new java.io.File(d, "part-0.parquet")
+      assert(f.createNewFile())
+      assert(d.setLastModified(1000000L * (i + 1)))
+    }
+    val purged = Catalog.purgeStale(root, keep = 2)
+    assert(purged == Seq("aaaa", "bbbb"), s"purged: $purged")
+    val left = new java.io.File(root).listFiles().map(_.getName).sorted.toSeq
+    assert(left == Seq("cccc", "dddd"))
+    // idempotent; keep larger than population purges nothing; missing
+    // root purges nothing
+    assert(Catalog.purgeStale(root, keep = 2).isEmpty)
+    assert(Catalog.purgeStale(root, keep = 99).isEmpty)
+    assert(Catalog.purgeStale(root + "/nope", keep = 1).isEmpty)
+  }
+
+  test("path digest is canonical: spellings and symlinks key one artifact") {
+    val real = java.nio.file.Files.createTempDirectory("graft-digest")
+    val d0 = Catalog.pathDigest(real.toString)
+    assert(Catalog.pathDigest(real.toString + "/") == d0)
+    assert(Catalog.pathDigest(real.toString + "/./") == d0)
+    val link = java.nio.file.Paths.get(real.toString + ".lnk")
+    java.nio.file.Files.createSymbolicLink(link, real)
+    assert(Catalog.pathDigest(link.toString) == d0,
+      "a symlink spelling must key the same artifact")
+  }
+
   test("graft_dot is callable from SQL after extension registration") {
     graft.functions.GraftFunctions.register(spark)
     val r = spark.sql(

@@ -1188,6 +1188,44 @@ class ExtSpec extends SparkSpec {
     assert(Similarity.annIndexLoadOrTrain(spark, sf0001, tampered))
   }
 
+  test("near-dup edges artifact: consumers serve from the stored graph with zero LSH builds; stale vintage rebuilds") {
+    Dedup.edgesArtifactReset(sf0001)
+    val recompute = Dedup.lshVerifiedJaccard(spark, sf0001).collect().toSeq
+    val b0 = Dedup.edgesBuildCount.get()
+    // first touch of a missing artifact builds + persists exactly once
+    val viaArtifact = Dedup.lshVerifiedFromArtifact(spark, sf0001)
+      .collect().toSeq
+    assert(Dedup.edgesBuildCount.get() == b0 + 1, "first touch builds once")
+    assert(viaArtifact == recompute,
+      "artifact-served pairs must equal the recompute bit-for-bit")
+    // "second session": nothing is memoized in-session (every consumer
+    // re-checks freshness from disk), so a fresh consumer chain is
+    // indistinguishable from a new JVM — and must build ZERO LSH passes
+    val b1 = Dedup.edgesBuildCount.get()
+    Dedup.dedupKcore(spark, sf0001).collect()
+    Dedup.thresholdSweep(spark, sf0001).collect()
+    Dedup.duplicateGroups(spark, sf0001).collect()
+    assert(Dedup.edgesBuildCount.get() == b1,
+      "consumers must serve from the stored graph, not rebuild")
+    // staleness: an artifact stamped with another vintage must be
+    // rebuilt (and rewritten — the self-heal contract)
+    val path = Dedup.edgesArtifactDefaultPath(sf0001)
+    val tamperDir = path + ".tamper"
+    spark.read.parquet(path).withColumn("fingerprint", lit(0L))
+      .write.mode("overwrite").parquet(tamperDir)
+    Dedup.edgesArtifactReset(sf0001)
+    assert(new java.io.File(tamperDir).renameTo(new java.io.File(path)))
+    val b2 = Dedup.edgesBuildCount.get()
+    assert(Dedup.lshVerifiedFromArtifact(spark, sf0001).collect().toSeq
+      == recompute)
+    assert(Dedup.edgesBuildCount.get() == b2 + 1,
+      "stale artifact must rebuild")
+    // healed: the rewrite restamped the current vintage — next consumer
+    // loads without building
+    Dedup.dedupCommunitiesLpa(spark, sf0001).collect()
+    assert(Dedup.edgesBuildCount.get() == b2 + 1)
+  }
+
   test("triangle orientation: degree order strips the hub's wedge set (star probe)") {
     import spark.implicits._
     val m = 200

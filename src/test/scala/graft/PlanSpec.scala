@@ -57,6 +57,223 @@ class PlanSpec extends SparkSpec {
     "bm25_search", "collocations_pmi", "copurchase_pairs",
     "triangle_nations")
 
+  /** Queries allowed to carry a broadcast HINT on a frame the
+    * structural classifier below cannot prove bounded. Every entry
+    * carries its justification; anything else that hints an unbounded
+    * build fails the audit until it is bounded (top-V cut — the
+    * perplexity fix), un-hinted (AQE size-drives — the q2/q9/q11/q16/
+    * q20 supplier/part fix, the KL/MI/sampler per-source fix), or
+    * justified here. */
+  private val DomainBoundedBroadcastAllowlist: Set[String] = Set(
+    // per-nation rank/score vectors: group-by over an unbounded edge
+    // stream whose key domain is ≤ |nation| = 25 at any TPC-H scale
+    "pagerank_nations", "hits_nations", "textrank_terms",
+    // declared brute-force ALL-PAIRS baselines whose documented scale
+    // path is the _ann twin (knn_audit_ann / triplet_mining_ann /
+    // hard_negatives_ann, all LSH/IVF-bucketed): the query side IS the
+    // corpus by design, and the scaladoc says so
+    "knn_label_audit", "triplet_mining", "hard_negative_mining",
+    // bucketed-rank quantile kernel: the broadcast frames are 64-row
+    // bucket offset/rank tables keyed by width_bucket output plus a
+    // ≤|grid| rank-row lookup — bounded by the bucket constant, opaque
+    // to the structural rules only because the rank column threads
+    // through a window
+    "conformal_price_interval", "sketch_quantile_merge",
+    // eval-slice contracts: the broadcast build is the EVAL corpus's
+    // gram/embedding set (source = the held-out benchmark slice) —
+    // bounded by the benchmark contract, not by corpus scale
+    "decontaminate_ngrams", "decontaminate_substring",
+    "decontaminate_semantic", "training_readiness",
+    // IVM delta-slice broadcasts: the hinted frames are the INGEST
+    // BATCH slices (delta modulo in the fixture) — bounded by batch
+    // size in production, corpus-fraction only in the fixture model
+    "ivm_join_enriched",
+    // grouping by the values of a 1-row stats scalar (n, mean) that
+    // rode a cross join onto the scan: ≤ 1 distinct group by
+    // construction
+    "cusum_changepoint",
+    // bucketed-rank kernel sibling of conformal/quantile_merge above
+    "sketch_quantile_price",
+    // modulo-windowed caption panel: asset_id % Mod = 0 AND
+    // asset_id < Mod·Cap selects ≤ CaptionPanelCap rows (a fixed query
+    // file in production) — modulo arithmetic is opaque to the
+    // literal-window rule
+    "caption_asset_topk", "caption_asset_topk_ann")
+
+  import org.apache.spark.sql.catalyst.plans.logical._
+  import org.apache.spark.sql.catalyst.plans.{LeftAnti, LeftSemi}
+
+  /** Structural cardinality boundedness of a logical subtree: true iff
+    * its row count is provably independent of corpus scale. Rules:
+    * literal frames, global limits (top-k cuts), and grouping-free
+    * aggregates are bounded; bounded-preserving unary ops pass
+    * through; joins need both sides bounded (semi/anti: the left);
+    * LogicalRDD (localCheckpoint) is bounded BY HOUSE RULE — every
+    * call site materializes a frame already cut to k/top-V (DSIR,
+    * IVF centroids, the bigram model); base-table scans are bounded
+    * only for the fixed dimension tables (nation, region). Generate
+    * (explode) passes through: every exploded array here is a fixed-k
+    * vector or a per-row token list of a bounded frame. Everything
+    * else — in particular a keyed Aggregate over an unbounded child —
+    * is UNBOUNDED: at 100 TB such a frame is vocabulary- or
+    * corpus-sized and a broadcast hint on it forces an OOM build
+    * (the r10 perplexity weak mark, caught here mechanically). */
+  private def boundedFrame(p: LogicalPlan): Boolean = p match {
+    case _: LocalRelation | _: OneRowRelation => true
+    case _: GlobalLimit => true
+    // grouping-free OR all-literal grouping (a folded lit("all")
+    // marker column) — exactly one output row
+    case a: Aggregate if a.groupingExpressions.forall(_.foldable) => true
+    // grouping over an ENUM-DOMAIN column: output ≤ |domain| rows at
+    // any scale. The registry lists only columns whose domain the data
+    // model fixes (TPC-H enums, nation/region keys, array positions ≤
+    // vector dim, IVF list ids ≤ k, A/B arms) — never ids, tokens, or
+    // text.
+    case a: Aggregate if a.groupingExpressions.forall(g =>
+      g.references.forall(r => BoundedDomainColumns(r.name.toLowerCase))) =>
+      true
+    case a: Aggregate => boundedFrame(a.child)
+    // a literal Range (parameter grids, power-iteration index frames)
+    case _: Range => true
+    // a filter pinning a DENSE UNIQUE id column to a literal window of
+    // ≤ 64 values — the ANN query-panel pattern (vec_id < 5,
+    // 16 ≤ vec_id < 21, vec_id = 0): ids are unique, so the row count
+    // is the window width at any corpus size
+    case f: Filter if boundsUniqueKey(f.condition) => true
+    case j: Join => j.joinType match {
+      case LeftSemi | LeftAnti => boundedFrame(j.left)
+      case _ => boundedFrame(j.left) && boundedFrame(j.right)
+    }
+    case u: Union => u.children.forall(boundedFrame)
+    case l if l.nodeName == "LogicalRDD" => true
+    case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+      lr.relation match {
+        case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+          fs.location.rootPaths.exists { rp =>
+            val s = rp.toString
+            s.endsWith("/nation.parquet") || s.endsWith("/region.parquet")
+          }
+        case _ => false
+      }
+    case other: UnaryNode => boundedFrame(other.child)
+    case _ => false
+  }
+
+  /** Columns whose value domain the data model fixes independently of
+    * corpus size — grouping by ONLY these yields a bounded frame.
+    * Each entry's bound: TPC-H enums (o_orderpriority 5, o_orderstatus
+    * 3, l_returnflag 3, l_linestatus 2, c_mktsegment 5), nation/region
+    * keys and names (25/5), A/B arms (2), embedding class labels
+    * (fixed label set), array position / subspace / code of fixed-dim
+    * vectors and PQ grids (dim, 8, 256), IVF list ids (≤ √n-capped
+    * MaxLists), threshold/grid steps (10-row sweeps). */
+  private val BoundedDomainColumns: Set[String] = Set(
+    "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus",
+    "c_mktsegment", "cls" /* mktsegment alias in the stump split */,
+    "n_nationkey", "n_name", "r_regionkey", "r_name",
+    "arm", "label", "pos", "dim", "sub", "code", "list_id",
+    "threshold_pct", "bkt" /* width_bucket output ≤ bucket constant */,
+    "dow" /* ≤ 7 */, "lang" /* fixed language-id set */,
+    "event_type", "from_type", "next_type" /* event-type enum */,
+    "bit" /* Bloom bit index ≤ filter size */,
+    // query_id exists only as the alias of a literal-windowed vec_id
+    // panel (≤64 ids — the Filter rule below); grouping by it is
+    // panel-sized
+    "query_id")
+
+  /** True iff the predicate pins a dense unique id (vec_id) to a
+    * literal window of ≤ 64 values: conjunctions of =, <, <=, >=, >
+    * against long/int literals; ids are non-negative, so a sole upper
+    * bound is a complete window. */
+  private def boundsUniqueKey(
+      cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions._
+    val UniqueKeys = Set("vec_id")
+    def lit(e: Expression): Option[Long] = e match {
+      case Literal(v: Long, _) => Some(v)
+      case Literal(v: Int, _) => Some(v.toLong)
+      case _ => None
+    }
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case x => Seq(x)
+    }
+    val bounds = scala.collection.mutable.Map[String, (Long, Option[Long])]()
+    def key(a: Expression): Option[String] = a match {
+      case ar: AttributeReference if UniqueKeys(ar.name.toLowerCase) =>
+        Some(ar.name.toLowerCase)
+      case _ => None
+    }
+    conjuncts(cond).foreach {
+      case EqualTo(a, l) => for (k <- key(a); v <- lit(l))
+        bounds(k) = (v, Some(v + 1))
+      case LessThan(a, l) => for (k <- key(a); v <- lit(l)) {
+        val (lo, _) = bounds.getOrElse(k, (0L, None)); bounds(k) = (lo, Some(v)) }
+      case LessThanOrEqual(a, l) => for (k <- key(a); v <- lit(l)) {
+        val (lo, _) = bounds.getOrElse(k, (0L, None)); bounds(k) = (lo, Some(v + 1)) }
+      case GreaterThanOrEqual(a, l) => for (k <- key(a); v <- lit(l)) {
+        val (_, hi) = bounds.getOrElse(k, (0L, None)); bounds(k) = (v, hi) }
+      case GreaterThan(a, l) => for (k <- key(a); v <- lit(l)) {
+        val (_, hi) = bounds.getOrElse(k, (0L, None)); bounds(k) = (v + 1, hi) }
+      case _ =>
+    }
+    bounds.values.exists { case (lo, hi) => hi.exists(h => h - lo <= 64) }
+  }
+
+  /** The (side, subtree) pairs of every broadcast-HINTED join build in
+    * an optimized plan whose build frame the classifier cannot prove
+    * bounded. Size-driven (unhinted/AQE) broadcasts are NOT flagged:
+    * they re-plan at real scale; only a forced hint survives to 100 TB. */
+  private def unboundedBroadcastBuilds(plan: LogicalPlan): Seq[String] = {
+    def isBcast(h: Option[HintInfo]) =
+      h.exists(_.strategy.exists(_.toString.startsWith("broadcast")))
+    plan.collect {
+      case j: Join =>
+        (if (isBcast(j.hint.leftHint) && !boundedFrame(j.left))
+          Seq(s"left of ${j.joinType} join") else Nil) ++
+        (if (isBcast(j.hint.rightHint) && !boundedFrame(j.right))
+          Seq(s"right of ${j.joinType} join") else Nil)
+    }.flatten
+  }
+
+  test("broadcast-boundedness audit over ALL queries: every hinted build side is a declared-bounded frame") {
+    val skip = Set("dedup_groups", "mr_wordcount",
+      "split_leakage_audit", "dedup_group_sizes")
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filterNot(q => skip(q._1) || q._1.startsWith("stream_"))
+      .flatMap { case (name, fn) =>
+        if (DomainBoundedBroadcastAllowlist(name)) None
+        else {
+          val bad = unboundedBroadcastBuilds(
+            fn(spark, sf0001).queryExecution.optimizedPlan)
+          if (bad.nonEmpty) Some(s"$name (${bad.mkString("; ")})") else None
+        }
+      }
+    assert(offenders.isEmpty,
+      "forced broadcast of a frame not provably bounded (cut it to " +
+        "top-V/top-k, drop the hint for AQE, or justify in the " +
+        s"domain-bounded allowlist): ${offenders.mkString(", ")}")
+  }
+
+  test("broadcast-boundedness classifier rejects a deliberately unbounded hinted build (negative control)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    // one row per distinct text — corpus-sized, exactly the frame the
+    // audit exists to keep out of forced broadcasts
+    val perText = docs.groupBy("text").agg(count(lit(1)).as("c"))
+    val bad = docs.join(broadcast(perText), Seq("text"))
+      .queryExecution.optimizedPlan
+    assert(unboundedBroadcastBuilds(bad).nonEmpty,
+      "classifier failed to flag a corpus-sized hinted broadcast")
+    // and the bounded form of the same join passes: a top-V cut makes
+    // the identical aggregate a legitimate broadcast model
+    val good = docs.join(
+      broadcast(perText.orderBy(col("c").desc, col("text")).limit(16)),
+      Seq("text")).queryExecution.optimizedPlan
+    assert(unboundedBroadcastBuilds(good).isEmpty,
+      "classifier flagged a top-V-cut broadcast it should accept")
+  }
+
   test("kmv sketch aggregates through the distinct bounded heap, partial-first") {
     val plan = graft.ext.Sketches.kmvMergeSources(spark, sf0001)
       .queryExecution.executedPlan.toString
