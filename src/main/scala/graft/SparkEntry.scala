@@ -127,6 +127,16 @@ object SparkEntry {
     // oracled against the identical SQL as dedup_lsh_verified, proving
     // artifact == recompute bit-for-bit
     "dedup_edges_reuse" -> ((s, dir) => Dedup.lshVerifiedFromArtifact(s, dir)),
+    // per-community excision report (keeper, removable tokens, edge
+    // cohesion) over the artifact-served near-dup graph
+    "dedup_community_profile" -> Dedup.dedupCommunityProfile _,
+    // query-directed containment provenance: top base docs containing
+    // each panel doc's trigram set
+    "containment_search" -> Dedup.containmentSearch _,
+    // worst PplSpanW-token window per doc under the bounded unigram
+    // model — span-level quality localization (fixture vocab bound)
+    "ppl_span_outliers" -> ((s, dir) =>
+      TextAnalysis.pplSpanOutliers(s, dir, TextAnalysis.PplFixtureVocabV)),
     // LSH-bucketed variant is the headline (no cross product); the
     // brute-force exact form stays as the test-only cross-check
     "dedup_embedding" -> ((s, dir) => Dedup.embeddingNearDupLsh(s, dir)),
@@ -644,6 +654,9 @@ object SparkEntry {
     "dedup_ngram_jaccard" -> Dedup.ngramJaccardOracle,
     "dedup_lsh_verified" -> Dedup.lshVerifiedJaccardOracle,
     "dedup_edges_reuse" -> Dedup.lshVerifiedJaccardOracle,
+    "dedup_community_profile" -> Dedup.dedupCommunityProfileOracle,
+    "containment_search" -> Dedup.containmentSearchOracle,
+    "ppl_span_outliers" -> TextAnalysis.pplSpanOutliersOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupLshOracle,
     "sim_brute_topk" -> Similarity.bruteForceTopKOracle,
     "sim_lsh_buckets" -> Similarity.lshBucketsOracle,

@@ -882,7 +882,12 @@ object Dedup {
       .orderBy("doc_id")
   }
 
-  def dedupCommunitiesLpaOracle: String = {
+  /** The shared CTE chain of the document-LPA oracles: keepers → LSH
+    * candidates → exact-verified weighted edges (`ej`, with integer
+    * w = round(jaccard·10⁶)) → symmetric frame `und` → LpaDocIters
+    * label rounds ending in `l<LpaDocIters>`. Consumers append their
+    * own report CTEs + SELECT. */
+  private def lpaOracleCtes: String = {
     val rounds = (1 to LpaDocIters).map { i =>
       val p = i - 1
       s"""m$i AS (SELECT und.u, l$p.lbl, CAST(SUM(und.w) AS BIGINT) AS mass
@@ -893,7 +898,7 @@ object Dedup {
          |  FROM l$p LEFT JOIN w$i ON l$p.v = w$i.v AND w$i.rk = 1)"""
         .stripMargin
     }.mkString(",\n")
-    s"""WITH keepers AS (
+    s"""keepers AS (
        |  SELECT doc_id, text FROM (
        |    SELECT doc_id, text,
        |      MIN(doc_id) OVER (PARTITION BY md5(text)) AS k
@@ -919,13 +924,151 @@ object Dedup {
        |und AS (SELECT d1 AS u, d2 AS v, w FROM ej
        |  UNION ALL SELECT d2, d1, w FROM ej),
        |l0 AS (SELECT DISTINCT u AS v, u AS lbl FROM und),
-       |$rounds,
+       |$rounds"""
+      .stripMargin
+  }
+
+  def dedupCommunitiesLpaOracle: String =
+    s"""WITH $lpaOracleCtes,
        |sz AS (SELECT lbl, CAST(COUNT(*) AS BIGINT) AS community_size
        |  FROM l$LpaDocIters GROUP BY 1)
        |SELECT l.v AS doc_id, l.lbl AS community, sz.community_size
        |FROM l$LpaDocIters l JOIN sz ON l.lbl = sz.lbl
        |ORDER BY doc_id""".stripMargin
+
+  /** Per-community excision report over the near-dup graph — the
+    * "what exactly would dedup remove" table a curation run publishes:
+    * for every LPA community ([[dedupCommunitiesLpa]]'s labels over
+    * the SAME artifact-served edge set), its member count, the keeper
+    * (min doc id — the excision policy's survivor), exact member
+    * token volume, the tokens excision would remove (total minus the
+    * keeper's), the internal verified-edge count and their mean
+    * Jaccard (community cohesion — a low mean flags a chained
+    * community that LPA kept together and deserves a lower
+    * threshold). Scale shape: the pair graph loads from the durable
+    * artifact (zero LSH), LPA rounds ride the |E|-frame, token counts
+    * are one corpus scan collapsed per doc; all report joins are
+    * label-keyed. Determinism: cohesion is derived from the INTEGER
+    * edge weights w = round(jaccard·10⁶) — Σw and counts are exact in
+    * both engines, the division happens once at the end. */
+  def dedupCommunityProfile(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = lshVerifiedFromArtifact(spark, dir)
+      .select(col("d1"), col("d2"),
+        round(col("jaccard") * 1000000, 0).cast("long").as("w"))
+    val lbl = lpaFold(neardupEdges(spark, dir), LpaDocIters)
+    val e = pairs
+      .join(lbl.select(col("v").as("d1"), col("lbl").as("c1")), Seq("d1"))
+      .join(lbl.select(col("v").as("d2"), col("lbl").as("c2")), Seq("d2"))
+      .filter(col("c1") === col("c2"))
+      .groupBy(col("c1").as("community"))
+      .agg(count(lit(1)).as("n_edges"), sum(col("w")).as("sw"))
+    val toks = Tables.documents(spark, dir)
+      .select(col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("n_toks"))
+    val members = lbl.join(toks, lbl("v") === toks("doc_id"))
+      .groupBy(col("lbl").as("community"))
+      .agg(count(lit(1)).as("n_members"),
+        min(col("v")).as("rep"),
+        sum(col("n_toks")).as("total_tokens"),
+        min_by(col("n_toks"), col("v")).as("rep_toks"))
+    members.join(e, Seq("community"), "left")
+      .select(col("community"), col("n_members"), col("rep"),
+        col("total_tokens"),
+        (col("total_tokens") - col("rep_toks")).as("removable_tokens"),
+        coalesce(col("n_edges"), lit(0L)).as("n_edges"),
+        round(col("sw").cast("double") /
+          (col("n_edges") * lit(1000000.0)), 6).as("mean_jaccard"))
+      .orderBy("community")
   }
+
+  def dedupCommunityProfileOracle: String =
+    s"""WITH $lpaOracleCtes,
+       |tc AS (SELECT doc_id,
+       |    CAST(len(${TextAnalysis.tokensSqlShared}) AS BIGINT) AS n_toks
+       |  FROM documents),
+       |mem AS (SELECT l.lbl AS community,
+       |    CAST(COUNT(*) AS BIGINT) AS n_members,
+       |    CAST(MIN(l.v) AS BIGINT) AS rep,
+       |    CAST(SUM(tc.n_toks) AS BIGINT) AS total_tokens,
+       |    CAST(MIN_BY(tc.n_toks, l.v) AS BIGINT) AS rep_toks
+       |  FROM l$LpaDocIters l JOIN tc ON l.v = tc.doc_id GROUP BY 1),
+       |eint AS (SELECT l1.lbl AS community,
+       |    CAST(COUNT(*) AS BIGINT) AS n_edges,
+       |    CAST(SUM(ej.w) AS BIGINT) AS sw
+       |  FROM ej
+       |  JOIN l$LpaDocIters l1 ON ej.d1 = l1.v
+       |  JOIN l$LpaDocIters l2 ON ej.d2 = l2.v AND l1.lbl = l2.lbl
+       |  GROUP BY 1)
+       |SELECT m.community, m.n_members, m.rep, m.total_tokens,
+       |  m.total_tokens - m.rep_toks AS removable_tokens,
+       |  CAST(COALESCE(e.n_edges, 0) AS BIGINT) AS n_edges,
+       |  round(CAST(e.sw AS DOUBLE) / (e.n_edges * 1000000.0), 6)
+       |    AS mean_jaccard
+       |FROM mem m LEFT JOIN eint e USING (community)
+       |ORDER BY community""".stripMargin
+
+  /** Containment PROVENANCE search: for each doc of a small query
+    * panel, the top-[[ContainmentTopK]] corpus documents ranked by
+    * trigram containment |Q∩B| / |Q| — "where does this document's
+    * content already live": the quote/inclusion detector run before
+    * admitting a doc whose text may be embedded inside a larger page
+    * ([[containmentPairs]] is the corpus-wide screen; this is the
+    * query-directed form a review UI calls). Scale shape: the panel's
+    * distinct-gram set is panel-bounded and broadcast; the corpus
+    * gram stream scans ONCE, survives the broadcast semi-match, and
+    * folds into per-(query, base) counts — no pairwise term, no
+    * corpus self-join; ranking is a per-query window over the
+    * match-count frame. Determinism: counts are exact integers,
+    * containment = inter/|Q| is one IEEE division, ties break on
+    * base_id. */
+  val ContainmentTopK = 3
+  val ContainmentPanelN = 5
+
+  def containmentSearch(spark: SparkSession, dir: String): DataFrame = {
+    val grams = trigramSets(
+      Tables.documents(spark, dir).select(col("doc_id"), col("text")))
+    val panel = grams.filter(col("doc_id") < ContainmentPanelN)
+      .select(col("doc_id").as("q"), explode(col("grams")).as("g"))
+    val qn = grams.filter(col("doc_id") < ContainmentPanelN)
+      .select(col("doc_id").as("q"), size(col("grams")).cast("long").as("qn"))
+    val matches = grams.filter(col("doc_id") >= ContainmentPanelN)
+      .select(col("doc_id").as("base_id"), explode(col("grams")).as("g"))
+      .join(broadcast(panel), Seq("g"))
+      .groupBy(col("q"), col("base_id"))
+      .agg(count(lit(1)).as("inter"))
+    val w = Window.partitionBy("q").orderBy(col("inter").desc, col("base_id"))
+    matches.withColumn("rk", row_number().over(w).cast("long"))
+      .filter(col("rk") <= ContainmentTopK)
+      .join(broadcast(qn), Seq("q"))
+      .select(col("q").as("query_doc"), col("base_id"), col("rk"),
+        col("inter"),
+        round(col("inter").cast("double") / col("qn"), 6).as("containment"))
+      .orderBy("query_doc", "rk")
+  }
+
+  def containmentSearchOracle: String =
+    s"""WITH toks AS (SELECT doc_id, ${TextAnalysis.tokensSqlShared} AS ws
+       |  FROM documents),
+       |tri AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+       |  FROM toks),
+       |panel AS (SELECT doc_id AS q, unnest(grams) AS g FROM tri
+       |  WHERE doc_id < $ContainmentPanelN),
+       |qn AS (SELECT doc_id AS q, CAST(len(grams) AS BIGINT) AS qn FROM tri
+       |  WHERE doc_id < $ContainmentPanelN),
+       |base AS (SELECT doc_id AS base_id, unnest(grams) AS g FROM tri
+       |  WHERE doc_id >= $ContainmentPanelN),
+       |m AS (SELECT p.q, b.base_id, CAST(COUNT(*) AS BIGINT) AS inter
+       |  FROM base b JOIN panel p ON b.g = p.g GROUP BY 1, 2),
+       |r AS (SELECT q, base_id, inter, CAST(row_number() OVER (
+       |    PARTITION BY q ORDER BY inter DESC, base_id) AS BIGINT) AS rk
+       |  FROM m)
+       |SELECT r.q AS query_doc, r.base_id, r.rk, r.inter,
+       |  round(CAST(r.inter AS DOUBLE) / qn.qn, 6) AS containment
+       |FROM r JOIN qn ON r.q = qn.q
+       |WHERE r.rk <= $ContainmentTopK
+       |ORDER BY query_doc, rk""".stripMargin
 
   /** H-index coreness rounds for [[dedupKcore]]. */
   val KcoreIters = 4

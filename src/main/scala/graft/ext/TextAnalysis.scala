@@ -1256,6 +1256,29 @@ object TextAnalysis {
     * branches of the model. */
   val PplFixtureVocabV = 16
 
+  /** The bounded unigram log-prob model shared by the perplexity
+    * screens: from a (doc_id, tok) position stream, the top-`vocabV`
+    * token frame with round-9 ln(c/total) (≤ vocabV rows —
+    * TakeOrderedAndProject) and the 1-row OOV bucket ln(tail/total)
+    * (null when the cut covered the whole vocabulary — then never
+    * consumed). Both frames are broadcast-safe by construction. */
+  private def unigramLogpModel(toksOfAll: DataFrame,
+                               vocabV: Int): (DataFrame, DataFrame) = {
+    val vocab = toksOfAll.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("tot"))
+    val top = vocab.orderBy(col("c").desc, col("tok")).limit(vocabV)
+    val topMass = top.agg(coalesce(sum(col("c")), lit(0L)).as("ctop"))
+    val model = top.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("c").cast("double") / col("tot").cast("double")), 9)
+          .as("logp"))
+    val oov = total.crossJoin(broadcast(topMass))
+      .select(when(col("tot") > col("ctop"),
+        round(log((col("tot") - col("ctop")).cast("double") /
+          col("tot").cast("double")), 9)).as("oov_logp"))
+    (model, oov)
+  }
+
   /** Per-document perplexity under a corpus-trained unigram model —
     * the classic LM-based quality screen (documents whose token
     * distribution diverges from the corpus norm score high and get
@@ -1277,20 +1300,7 @@ object TextAnalysis {
     import org.apache.spark.sql.types.DecimalType
     val toksOf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val vocab = toksOf.groupBy("tok").agg(count(lit(1)).as("c"))
-    val total = vocab.agg(sum(col("c")).as("tot"))
-    val top = vocab.orderBy(col("c").desc, col("tok")).limit(vocabV)
-    val topMass = top.agg(coalesce(sum(col("c")), lit(0L)).as("ctop"))
-    val model = top.crossJoin(broadcast(total))
-      .select(col("tok"),
-        round(log(col("c").cast("double") / col("tot").cast("double")), 9)
-          .as("logp"))
-    // 1-row OOV bucket: ln(tail mass / total); null (never consumed)
-    // when the cut covered the whole vocabulary
-    val oov = total.crossJoin(broadcast(topMass))
-      .select(when(col("tot") > col("ctop"),
-        round(log((col("tot") - col("ctop")).cast("double") /
-          col("tot").cast("double")), 9)).as("oov_logp"))
+    val (model, oov) = unigramLogpModel(toksOf, vocabV)
     toksOf.join(broadcast(model), Seq("tok"), "left")
       .crossJoin(broadcast(oov))
       .select(col("doc_id"),
@@ -1329,6 +1339,89 @@ object TextAnalysis {
        |SELECT doc_id, n_tokens, round(avg_logp, 6) AS avg_logp,
        |  round(exp(-avg_logp), 6) AS ppl
        |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Sliding-window width of the span-quality screen. */
+  val PplSpanW = 20
+
+  /** WORST span per document under the bounded unigram model — the
+    * localization step after [[perplexityUnigram]] flags a document:
+    * a doc-level perplexity says "something is off", the worst
+    * [[PplSpanW]]-token window says WHERE (the injected boilerplate,
+    * the base64 blob, the language switch), which is what a surgical
+    * excision or review UI needs. Every position scores through the
+    * same top-V + OOV model ([[unigramLogpModel]] — ≤V+1-row
+    * broadcast), window sums ride a per-document ROWS frame
+    * (partitioned by doc — no global window), and the per-doc argmin
+    * folds in the same aggregation. Documents shorter than the window
+    * emit no row (no complete span exists). Determinism: round-9
+    * logps decimal-summed per window (exact), the argmin ranks on the
+    * EXACT decimal sum with a position tiebreak, and the division
+    * happens once at the end. */
+  def pplSpanOutliers(spark: SparkSession, dir: String,
+                      vocabV: Int = PplVocabV): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val posToks = Tables.documents(spark, dir)
+      .select(col("doc_id"), posexplode(tokens(col("text"))).as(Seq("p", "tok")))
+    val (model, oov) = unigramLogpModel(
+      posToks.select(col("doc_id"), col("tok")), vocabV)
+    val lp = posToks.join(broadcast(model), Seq("tok"), "left")
+      .crossJoin(broadcast(oov))
+      .select(col("doc_id"), col("p"),
+        coalesce(col("logp"), col("oov_logp"))
+          .cast(DecimalType(28, 12)).as("logp"))
+    val spanW = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(Window.currentRow, PplSpanW - 1)
+    val docW = Window.partitionBy("doc_id")
+    val spans = lp
+      .withColumn("n_tokens", count(lit(1)).over(docW))
+      .withColumn("span_sum", sum(col("logp")).over(spanW))
+      .filter(col("p") <= col("n_tokens") - PplSpanW)
+    val rank = Window.partitionBy("doc_id")
+      .orderBy(col("span_sum").asc, col("p").asc)
+    spans.withColumn("rk", row_number().over(rank))
+      .filter(col("rk") === 1)
+      .select(col("doc_id"), col("n_tokens"), col("p").as("span_start"),
+        round(col("span_sum").cast("double") / PplSpanW, 6)
+          .as("span_avg_logp"),
+        round(exp(negate(col("span_sum").cast("double") / PplSpanW)), 6)
+          .as("span_ppl"))
+      .orderBy("doc_id")
+  }
+
+  def pplSpanOutliersOracle: String = pplSpanOutliersOracle(PplFixtureVocabV)
+
+  def pplSpanOutliersOracle(vocabV: Int): String =
+    s"""WITH t AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |tkp AS (SELECT doc_id, ws, unnest(range(len(ws))) AS p FROM t),
+       |tk AS (SELECT doc_id, p, ws[p + 1] AS tok FROM tkp),
+       |v AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS c FROM tk GROUP BY 1),
+       |tt AS (SELECT CAST(SUM(c) AS BIGINT) AS tot FROM v),
+       |top AS (SELECT tok, c FROM v ORDER BY c DESC, tok LIMIT $vocabV),
+       |tm AS (SELECT COALESCE(CAST(SUM(c) AS BIGINT), 0) AS ctop FROM top),
+       |m AS (SELECT tok,
+       |    round(ln(CAST(c AS DOUBLE) / CAST(tot AS DOUBLE)), 9) AS logp
+       |  FROM top, tt),
+       |ov AS (SELECT CASE WHEN tot > ctop THEN
+       |    round(ln(CAST(tot - ctop AS DOUBLE) / CAST(tot AS DOUBLE)), 9)
+       |  END AS oov_logp FROM tt, tm),
+       |lp AS (SELECT tk.doc_id, tk.p,
+       |    CAST(COALESCE(m.logp, ov.oov_logp) AS DECIMAL(28,12)) AS logp
+       |  FROM tk LEFT JOIN m USING (tok), ov),
+       |sp AS (SELECT doc_id, p,
+       |    CAST(COUNT(*) OVER (PARTITION BY doc_id) AS BIGINT) AS n_tokens,
+       |    SUM(logp) OVER (PARTITION BY doc_id ORDER BY p
+       |      ROWS BETWEEN CURRENT ROW AND ${PplSpanW - 1} FOLLOWING)
+       |      AS span_sum
+       |  FROM lp),
+       |r AS (SELECT doc_id, n_tokens, p, span_sum,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY span_sum, p) AS rk
+       |  FROM sp WHERE p <= n_tokens - $PplSpanW)
+       |SELECT doc_id, n_tokens, CAST(p AS INT) AS span_start,
+       |  round(CAST(span_sum AS DOUBLE) / $PplSpanW, 6) AS span_avg_logp,
+       |  round(exp(-(CAST(span_sum AS DOUBLE) / $PplSpanW)), 6) AS span_ppl
+       |FROM r WHERE rk = 1 ORDER BY doc_id""".stripMargin
 
   /** The dataset card in one row: corpus size, mix breadth, exact
     * token volume, and the exact-duplicate rate — the headline

@@ -29,7 +29,9 @@ class PlanSpec extends SparkSpec {
     "kl_source_divergence", "kruskal_wallis_spend", "ks_test_events",
     "ks_value_drift", "mi_lang_source", "mixture_budget",
     "nb_lang_confusion", "pareto_revenue", "pca_power_embeddings",
-    "perplexity_bigram", "perplexity_unigram", "power_mde",
+    "perplexity_bigram", "perplexity_unigram",
+    "ppl_span_outliers", // the unigram model's 1-row OOV bucket
+    "power_mde",
     "psi_drift_price",
     "psi_value_drift", "q11_important_stock", "rfm_segments",
     "seasonality_dow", "shuffle_skew_audit", "sketch_cms_heavy_hitters",
@@ -188,7 +190,7 @@ class PlanSpec extends SparkSpec {
   private def boundsUniqueKey(
       cond: org.apache.spark.sql.catalyst.expressions.Expression): Boolean = {
     import org.apache.spark.sql.catalyst.expressions._
-    val UniqueKeys = Set("vec_id")
+    val UniqueKeys = Set("vec_id", "doc_id")
     def lit(e: Expression): Option[Long] = e match {
       case Literal(v: Long, _) => Some(v)
       case Literal(v: Int, _) => Some(v.toLong)
