@@ -75,6 +75,13 @@ object ScaleProbe {
       }),
       "dedup_edges_reuse" ->
         ((s, d) => graft.ext.Dedup.lshVerifiedFromArtifact(s, d)),
+      // r11 curation reports: artifact-served community excision
+      // profile, span-level LM quality, panel containment search
+      "dedup_community_profile" ->
+        (graft.ext.Dedup.dedupCommunityProfile _),
+      "ppl_span_outliers" -> ((s, d) => graft.ext.TextAnalysis.pplSpanOutliers(
+        s, d, graft.ext.TextAnalysis.PplFixtureVocabV)),
+      "containment_search" -> (graft.ext.Dedup.containmentSearch _),
       // learning / retrieval / tokenizer / featurizer family (round-4):
       // each collapses the corpus to vocabulary- or dimension-sized
       // frames before any join — the probe checks that collapse holds.
