@@ -1226,6 +1226,75 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.edgesBuildCount.get() == b2 + 1)
   }
 
+  test("community profile: keeper is the min member, removable tokens are consistent, communities match the LPA labels") {
+    val prof = Dedup.dedupCommunityProfile(spark, sf0001).collect()
+    assert(prof.nonEmpty)
+    val lpa = Dedup.dedupCommunitiesLpa(spark, sf0001).collect()
+    // same community structure as the oracled LPA lens
+    val lpaSizes = lpa.groupBy(_.getAs[Long]("community"))
+      .view.mapValues(_.length.toLong).toMap
+    val profSizes = prof
+      .map(r => r.getAs[Long]("community") -> r.getAs[Long]("n_members")).toMap
+    assert(profSizes == lpaSizes, "profile communities must be LPA's")
+    // keeper = min member id; excision keeps exactly the keeper's tokens
+    val members = lpa.groupBy(_.getAs[Long]("community"))
+      .view.mapValues(_.map(_.getAs[Long]("doc_id")).min).toMap
+    prof.foreach { r =>
+      val c = r.getAs[Long]("community")
+      assert(r.getAs[Long]("rep") == members(c), s"rep of $c")
+      val removable = r.getAs[Long]("removable_tokens")
+      assert(removable >= 0 && removable < r.getAs[Long]("total_tokens"),
+        s"removable bounds for $c")
+      // cohesion only exists where internal edges do, and is a Jaccard
+      if (r.getAs[Long]("n_edges") > 0) {
+        val mj = r.getAs[Double]("mean_jaccard")
+        assert(mj >= 0.5 && mj <= 1.0, s"mean jaccard of $c = $mj")
+      } else assert(r.isNullAt(r.fieldIndex("mean_jaccard")))
+    }
+  }
+
+  test("containment search: ranked per query, containment is a unit fraction, panel never retrieves itself") {
+    val rows = Dedup.containmentSearch(spark, sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("query_doc")).foreach { case (q, rs) =>
+      assert(q < Dedup.ContainmentPanelN)
+      val byRk = rs.sortBy(_.getAs[Long]("rk"))
+      assert(byRk.map(_.getAs[Long]("rk")).toSeq ==
+        (1L to byRk.length).toSeq, s"dense ranks for $q")
+      // ranked by inter desc (ties by base_id asc)
+      val inters = byRk.map(_.getAs[Long]("inter")).toSeq
+      assert(inters == inters.sortBy(-_), s"rank order for $q")
+      byRk.foreach { r =>
+        assert(r.getAs[Long]("base_id") >= Dedup.ContainmentPanelN)
+        val cont = r.getAs[Double]("containment")
+        assert(cont > 0.0 && cont <= 1.0, s"containment $cont")
+      }
+    }
+  }
+
+  test("span outliers: every span is a complete in-doc window and only window-covered docs report") {
+    import spark.implicits._
+    val rows = graft.ext.TextAnalysis
+      .pplSpanOutliers(spark, sf0001,
+        graft.ext.TextAnalysis.PplFixtureVocabV).collect()
+    assert(rows.nonEmpty)
+    val w = graft.ext.TextAnalysis.PplSpanW
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val s = r.getAs[Int]("span_start")
+      assert(n >= w, s"doc ${r.getAs[Long]("doc_id")} too short to report")
+      assert(s >= 0 && s + w <= n, s"span [$s, ${s + w}) outside doc of $n")
+      assert(r.getAs[Double]("span_ppl") > 0.0)
+    }
+    // docs below the window width must NOT report
+    val docsBig = graft.Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        size(graft.ext.TextAnalysis.tokens(col("text"))).as("n"))
+      .filter(col("n") >= w).count()
+    assert(rows.length.toLong == docsBig,
+      s"${rows.length} reported vs $docsBig window-covered docs")
+  }
+
   test("triangle orientation: degree order strips the hub's wedge set (star probe)") {
     import spark.implicits._
     val m = 200
