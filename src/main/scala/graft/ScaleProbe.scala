@@ -82,6 +82,8 @@ object ScaleProbe {
       "ppl_span_outliers" -> ((s, d) => graft.ext.TextAnalysis.pplSpanOutliers(
         s, d, graft.ext.TextAnalysis.PplFixtureVocabV)),
       "containment_search" -> (graft.ext.Dedup.containmentSearch _),
+      // winnowing: gram scan + per-doc window min + sparse-set agg
+      "winnow_fingerprints" -> (graft.ext.Dedup.winnowFingerprints _),
       // learning / retrieval / tokenizer / featurizer family (round-4):
       // each collapses the corpus to vocabulary- or dimension-sized
       // frames before any join — the probe checks that collapse holds.

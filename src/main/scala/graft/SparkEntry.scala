@@ -133,6 +133,12 @@ object SparkEntry {
     // query-directed containment provenance: top base docs containing
     // each panel doc's trigram set
     "containment_search" -> Dedup.containmentSearch _,
+    // robust-winnowing fingerprints (the MOSS scheme) + cross-doc
+    // sharing report — the positional near-dup signal MinHash lacks
+    "winnow_fingerprints" -> Dedup.winnowFingerprints _,
+    // analytic banding planner for the family's actual (b, r): the
+    // collision-probability curve + threshold, scale-free
+    "lsh_plan_curve" -> Dedup.lshPlanCurve _,
     // worst PplSpanW-token window per doc under the bounded unigram
     // model — span-level quality localization (fixture vocab bound)
     "ppl_span_outliers" -> ((s, dir) =>
@@ -656,6 +662,8 @@ object SparkEntry {
     "dedup_edges_reuse" -> Dedup.lshVerifiedJaccardOracle,
     "dedup_community_profile" -> Dedup.dedupCommunityProfileOracle,
     "containment_search" -> Dedup.containmentSearchOracle,
+    "winnow_fingerprints" -> Dedup.winnowFingerprintsOracle,
+    "lsh_plan_curve" -> Dedup.lshPlanCurveOracle,
     "ppl_span_outliers" -> TextAnalysis.pplSpanOutliersOracle,
     "dedup_embedding" -> Dedup.embeddingNearDupLshOracle,
     "sim_brute_topk" -> Similarity.bruteForceTopKOracle,

@@ -1070,6 +1070,143 @@ object Dedup {
        |WHERE r.rk <= $ContainmentTopK
        |ORDER BY query_doc, rk""".stripMargin
 
+  /** Winnowing gram size (tokens per fingerprinted k-gram) and window
+    * width (grams per winnowing window) — Schleimer, Wilkerson &
+    * Aiken 2003 ("Winnowing: local algorithms for document
+    * fingerprinting", the MOSS scheme). Guarantee: any shared token
+    * run of at least WinnowW + WinnowK − 1 tokens shares a selected
+    * fingerprint, at expected density 2/(WinnowW+1) of the gram
+    * stream. */
+  val WinnowK = 4
+  val WinnowW = 5
+
+  /** Robust-winnowing document fingerprints + the cross-document
+    * sharing report: per document, its k-gram count, the number of
+    * WINNOWED fingerprints (per window of [[WinnowW]] consecutive
+    * gram hashes, the minimum hash — ties to the RIGHTMOST position,
+    * the "robust" rule that makes selection self-synchronizing across
+    * documents), and how many of its selected fingerprints also
+    * appear in another document's selected set — the positional
+    * near-dup signal MinHash (a whole-document set sketch) cannot
+    * give: winnowing GUARANTEES detection of any shared run of
+    * ≥ WinnowW+WinnowK−1 tokens while storing only ~2/(W+1) of the
+    * grams. Documents without one complete window (< WinnowK+WinnowW−1
+    * tokens) have no fingerprints and do not report. This report keeps
+    * fingerprint VALUES (the sharing signal); the positional
+    * bookkeeping the rightmost-tie rule governs in full MOSS is not
+    * part of the output, so the window min-hash value is the whole
+    * selection.
+    *
+    * Scale shape: one gram scan; the window min rides a per-document
+    * ROWS frame (never a global window); the sharing count is one
+    * hash aggregation keyed by fingerprint over the WINNOWED set —
+    * 2/(W+1)-dense, the whole point of the scheme. No broadcasts, no
+    * pairwise term. Determinism: hashes are md5 hex strings (binary
+    * collation in both engines), the rightmost-tie argmin is a
+    * struct-min on (hash, −position). */
+  def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
+    val k = WinnowK
+    val w = WinnowW
+    val grams = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokens(col("text")).as("t"))
+      .filter(size(col("t")) >= k)
+      .select(col("doc_id"), col("t"),
+        explode(sequence(lit(0), size(col("t")) - k)).as("p"))
+      .select(col("doc_id"), col("p"),
+        md5(concat_ws(" ", slice(col("t"), col("p") + 1, lit(k)))).as("h"))
+    val win = Window.partitionBy("doc_id").orderBy("p")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    val sel = grams
+      .withColumn("mh", min(col("h")).over(win))
+      .withColumn("wn", count(lit(1)).over(win))
+      .filter(col("wn") === w)
+      .select(col("doc_id"), col("mh").as("fh"))
+      .distinct()
+    val shared = sel.groupBy("fh").agg(countDistinct(col("doc_id")).as("nd"))
+    val perDoc = sel.join(shared, Seq("fh"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_selected"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_shared"))
+    val ng = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+    perDoc.join(ng, Seq("doc_id"))
+      .select(col("doc_id"), col("n_grams"), col("n_selected"),
+        col("n_shared"),
+        round(col("n_shared").cast("double") / col("n_selected"), 6)
+          .as("share_fraction"))
+      .orderBy("doc_id")
+  }
+
+  def winnowFingerprintsOracle: String = {
+    val k = WinnowK
+    val w = WinnowW
+    s"""WITH t AS (SELECT doc_id, ${TextAnalysis.tokensSqlShared} AS ws
+       |  FROM documents),
+       |g0 AS (SELECT doc_id, ws, unnest(range(len(ws) - ${k - 1})) AS p
+       |  FROM t WHERE len(ws) >= $k),
+       |g AS (SELECT doc_id, p,
+       |    md5(array_to_string(ws[p + 1:p + $k], ' ')) AS h FROM g0),
+       |we AS (SELECT doc_id, p AS e,
+       |    MIN(h) OVER wf AS mh, COUNT(*) OVER wf AS wn
+       |  FROM g WINDOW wf AS (PARTITION BY doc_id ORDER BY p
+       |    ROWS BETWEEN ${w - 1} PRECEDING AND CURRENT ROW)),
+       |sel AS (SELECT DISTINCT doc_id, mh AS fh FROM we WHERE wn = $w),
+       |sh AS (SELECT fh, COUNT(DISTINCT doc_id) AS nd FROM sel GROUP BY 1),
+       |pd AS (SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_selected,
+       |    CAST(SUM(CASE WHEN sh.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_shared
+       |  FROM sel s JOIN sh USING (fh) GROUP BY 1),
+       |ng AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams
+       |  FROM g GROUP BY 1)
+       |SELECT pd.doc_id, ng.n_grams, pd.n_selected, pd.n_shared,
+       |  round(CAST(pd.n_shared AS DOUBLE) / pd.n_selected, 6)
+       |    AS share_fraction
+       |FROM pd JOIN ng USING (doc_id) ORDER BY doc_id""".stripMargin
+  }
+
+  /** The banding planner: for the dedup family's ACTUAL MinHash
+    * parameters ([[NumPerms]] permutations in [[NumBands]] bands of r
+    * rows), the analytic candidate-collision probability
+    * P(τ) = 1 − (1 − τʳ)ᵇ on a 5%-step similarity grid, plus the
+    * curve's threshold s* = (1/b)^(1/r) — the table that justifies a
+    * banding choice BEFORE a corpus pass ([[thresholdSweep]] is the
+    * measured companion on real candidates). Pure computation on a
+    * 19-row literal grid — no scan, no shuffle, scale-free.
+    * Determinism: τʳ and (1−τʳ)ᵇ are built from explicit IEEE
+    * multiplication chains (no libm pow), s* from a sqrt chain —
+    * engine-identical bit-for-bit before the final rounding. */
+  def lshPlanCurve(spark: SparkSession, dir: String): DataFrame = {
+    val b = NumBands
+    val r = NumPerms / NumBands
+    require(r == 8 && b == 2,
+      "the pow-free multiplication/sqrt chains below are written for r=8, b=2")
+    val t = col("tau_pct").cast("double") / lit(100.0)
+    val t2 = t * t
+    val t4 = t2 * t2
+    val t8 = t4 * t4
+    val miss = (lit(1.0) - t8) * (lit(1.0) - t8)
+    // s* = (1/2)^(1/8) via an exact sqrt chain
+    val sStar = sqrt(sqrt(sqrt(lit(1.0) / b)))
+    spark.range(5, 100, 5).select(col("id").as("tau_pct"))
+      .select(col("tau_pct"), lit(b.toLong).as("bands"),
+        lit(r.toLong).as("rows_per_band"),
+        round(lit(1.0) - miss, 6).as("p_collision"),
+        round(sStar, 6).as("s_star"))
+      .orderBy("tau_pct")
+  }
+
+  def lshPlanCurveOracle: String = {
+    val b = NumBands
+    val r = NumPerms / NumBands
+    s"""WITH grid AS (SELECT unnest(range(5, 100, 5)) AS tau_pct),
+       |c AS (SELECT tau_pct, CAST(tau_pct AS DOUBLE) / 100.0 AS t FROM grid),
+       |p AS (SELECT tau_pct, ((t*t)*(t*t))*((t*t)*(t*t)) AS t8 FROM c)
+       |SELECT tau_pct, CAST($b AS BIGINT) AS bands,
+       |  CAST($r AS BIGINT) AS rows_per_band,
+       |  round(1.0 - (1.0 - t8) * (1.0 - t8), 6) AS p_collision,
+       |  round(sqrt(sqrt(sqrt(1.0 / $b))), 6) AS s_star
+       |FROM p ORDER BY tau_pct""".stripMargin
+  }
+
   /** H-index coreness rounds for [[dedupKcore]]. */
   val KcoreIters = 4
 
