@@ -57,14 +57,16 @@ object Graph {
     * The edge table and node list are localCheckpoint'ed so three
     * iterations don't replay the lineitem join chain. */
   def pagerankNations(spark: SparkSession, dir: String): DataFrame = {
-    val edges = tradeEdges(spark, dir).localCheckpoint()
+    // count-asserted bounds: edges ≤ |nation|² = 625, nodes = 25 at
+    // ANY TPC-H scale — the broadcast audit accepts only these tags
+    val edges = graft.BoundedCheckpoint(tradeEdges(spark, dir), 1024)
     val outW = edges.groupBy("u").agg(sum("w").as("wout"))
-    val e = edges.join(outW, "u")
+    val e = graft.BoundedCheckpoint(edges.join(outW, "u")
       .select(col("u"), col("v"),
-        (col("w").cast("double") / col("wout").cast("double")).as("frac"))
-      .localCheckpoint()
-    val nodes = Tables.nation(spark, dir)
-      .select(col("n_nationkey").as("v"), col("n_name")).localCheckpoint()
+        (col("w").cast("double") / col("wout").cast("double")).as("frac")),
+      1024)
+    val nodes = graft.BoundedCheckpoint(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("v"), col("n_name")), 64)
     val n = nodes.count() // |nations|: bounded domain, 1-row driver read
     var pr = nodes.select(col("v"), lit(1.0 / n).as("pr"))
     for (_ <- 1 to PrIters) {
@@ -110,9 +112,10 @@ object Graph {
     val e0 = tradeEdges(spark, dir).filter(col("u") =!= col("v"))
     val und = e0.select(col("u"), col("v"), col("w"))
       .unionByName(e0.select(col("v").as("u"), col("u").as("v"), col("w")))
-      .groupBy("u", "v").agg(sum("w").as("w")).localCheckpoint()
-    val nodes = Tables.nation(spark, dir)
-      .select(col("n_nationkey").as("v"), col("n_name")).localCheckpoint()
+      .groupBy("u", "v").agg(sum("w").as("w"))
+      .transform(graft.BoundedCheckpoint(_, 1024)) // ≤ |nation|² = 625
+    val nodes = graft.BoundedCheckpoint(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("v"), col("n_name")), 64) // = 25
     var lbl = nodes.select(col("v"), col("v").as("lbl"))
     for (_ <- 1 to LpaIters) {
       // two-stage argmax: per (node, label) mass, then max(struct)
@@ -124,9 +127,9 @@ object Graph {
         .groupBy(col("u"))
         .agg(max(struct(col("mass"), (-col("lbl")).as("nl"))).as("m"))
         .select(col("u").as("v"), (-col("m").getField("nl")).as("lbl2"))
-      lbl = lbl.join(next, Seq("v"), "left")
-        .select(col("v"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-        .localCheckpoint()
+      lbl = graft.BoundedCheckpoint(lbl.join(next, Seq("v"), "left")
+        .select(col("v"), coalesce(col("lbl2"), col("lbl")).as("lbl")),
+        64) // ≤ |nation| = 25 labels per round
     }
     val sizes = lbl.groupBy("lbl").agg(count(lit(1)).as("community_size"))
     nodes.join(lbl, Seq("v")).join(broadcast(sizes), Seq("lbl"))
@@ -197,11 +200,12 @@ object Graph {
     * over the node-sized frame (declared bounded). */
   def hitsNations(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val e = tradeEdges(spark, dir).filter(col("u") =!= col("v"))
-      .select(col("u"), col("v"), col("w").cast("double").as("w"))
-      .localCheckpoint()
-    val nodes = Tables.nation(spark, dir)
-      .select(col("n_nationkey").as("id"), col("n_name")).localCheckpoint()
+    val e = graft.BoundedCheckpoint(
+      tradeEdges(spark, dir).filter(col("u") =!= col("v"))
+        .select(col("u"), col("v"), col("w").cast("double").as("w")),
+      1024) // ≤ |nation|² = 625
+    val nodes = graft.BoundedCheckpoint(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("id"), col("n_name")), 64) // = 25
     def pull(scores: DataFrame, scoreCol: String,
              from: String, to: String): DataFrame = {
       val raw = e
@@ -465,10 +469,11 @@ object Graph {
     * discipline). Unreached nations report hops = -1 (fixture nations
     * all trade, but the query must not silently drop them). */
   def bfsTradeHops(spark: SparkSession, dir: String): DataFrame = {
-    val e = tradeEdges(spark, dir).filter(col("u") =!= col("v"))
-      .select("u", "v").localCheckpoint()
-    val nodes = Tables.nation(spark, dir)
-      .select(col("n_nationkey").as("v"), col("n_name")).localCheckpoint()
+    val e = graft.BoundedCheckpoint(
+      tradeEdges(spark, dir).filter(col("u") =!= col("v")).select("u", "v"),
+      1024) // ≤ |nation|² = 625
+    val nodes = graft.BoundedCheckpoint(Tables.nation(spark, dir)
+      .select(col("n_nationkey").as("v"), col("n_name")), 64) // = 25
     var dist = nodes.select(col("v"),
       when(col("v") === 0, lit(0L)).as("d")) // null = unreached
     for (_ <- 1 to BfsIters) {

@@ -167,7 +167,12 @@ object Learn {
       .select(col("lang").as("m_lang"),
         round(log(col("nd").cast("double") / col("ndt").cast("double")), 9)
           .as("logprior"))
-    val scores = tf.join(broadcast(model), Seq("tok"))
+    // NO forced hint on the model join: the dense model is
+    // |lang| × |vocab| — vocabulary-sized, so the build grows with the
+    // corpus; AQE size-drives the broadcast at fixture scale and
+    // re-plans to a shuffle join when a real vocabulary outgrows it
+    // (the KL/LPA/q2 hint-drop precedent)
+    val scores = tf.join(model, Seq("tok"))
       .groupBy("doc_id", "lang", "m_lang")
       .agg(dsum12(col("tf").cast("double") * col("logp")).as("ll"))
       .join(broadcast(prior), Seq("m_lang"))

@@ -2889,8 +2889,9 @@ object Similarity {
     * recomputes both). At 100 TB the pool join is the only work this
     * stage adds: candidate-bounded, broadcast on the pool side. */
   def annIvfPqRefine(spark: SparkSession, dir: String): DataFrame = {
-    val pool = topKPerQuery(ivfPqAdcScored(spark, dir),
-      PqTopK * RefineMult).localCheckpoint()
+    val pool = graft.BoundedCheckpoint(
+      topKPerQuery(ivfPqAdcScored(spark, dir), PqTopK * RefineMult),
+      PqNumQueries.toLong * PqTopK * RefineMult) // candidate-bounded
     val e = embeddingsD(spark, dir).select(col("vec_id"), col("v"))
     val q = e
       .filter(col("vec_id") >= QueryBase &&

@@ -768,7 +768,7 @@ object TextAnalysis {
     val vocab = toks.groupBy("w").agg(count(lit(1)).as("cc"),
         count(when(col("source") === EvalSource, 1)).as("ct"))
       .orderBy(col("cc").desc, col("w")).limit(DsirVocabV)
-      .localCheckpoint()
+      .transform(graft.BoundedCheckpoint(_, DsirVocabV)) // the top-V cut
     val stats = vocab.agg(count(lit(1)).as("vsz"), sum("cc").as("nc"),
       sum(col("ct")).as("nt"))
     val ratio = vocab.crossJoin(broadcast(stats))
@@ -1916,7 +1916,7 @@ object TextAnalysis {
       .select(col("g"),
         round(log((col("cab") + 1).cast("double") /
           (col("cw1") + col("v")).cast("double")), 9).as("logp"))
-      .localCheckpoint()
+      .transform(graft.BoundedCheckpoint(_, bigramB)) // the top-B cut
     val backoff = totB.crossJoin(broadcast(vocab))
       .select(round(log(lit(1.0) /
         (col("tb") + col("v")).cast("double")), 9).as("backoff_logp"))
@@ -2650,7 +2650,10 @@ object TextAnalysis {
       .select(col("n_docs"),
         (col("total_len").cast("double") / col("n_docs")).as("avgdl"))
     val qtf = tf.filter(col("term").isin(Bm25Query: _*))
-    val df = qtf.groupBy("term").agg(count(lit(1)).as("df"))
+    // ≤ |query| rows (the isin cut); count-asserted so the broadcast
+    // classifies bounded — the query set is a fixed panel, never corpus
+    val df = graft.BoundedCheckpoint(
+      qtf.groupBy("term").agg(count(lit(1)).as("df")), Bm25Query.size.toLong)
     val contrib = qtf
       .join(broadcast(df), Seq("term"))
       .join(dl, Seq("doc_id"))

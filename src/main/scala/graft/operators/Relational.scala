@@ -1985,7 +1985,7 @@ object Relational {
     val vals = Tables.orders(spark, dir)
       .select(col("o_orderpriority").as("g"), col("o_totalprice").as("v"))
       .persist()
-    val med = groupMedian(vals).localCheckpoint()
+    val med = graft.BoundedCheckpoint(groupMedian(vals), 16) // ≤ 5 groups
     // devs is eagerly checkpointed too (groupMedian references it from
     // several branches), which makes THIS the last consumer of vals —
     // so vals can release synchronously, no listener needed. (A shared
@@ -2292,14 +2292,16 @@ object Relational {
       .select(col("g_rf"), col("q"),
         (floor(col("h")) + 1).cast("long").as("lo_rk"),
         (col("h") - floor(col("h"))).as("frac"))
-      .localCheckpoint() // tiny; reused by the fetch and both joins below
+      // |l_returnflag| × 2 quantiles ≤ 6 rows; count-asserted so the
+      // downstream broadcast classifies bounded
+      .transform(graft.BoundedCheckpoint(_, 64))
     // ONE order-statistic fetch: every bracketing rank at once
     val needed = qs.select(col("g_rf").as("g"),
         explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
     val valueAt = valuesAtGroupRanks(vals, needed)
       // ≤ a few rows per group; eager-materialize so the two bracketing
       // joins below don't each replay the order-statistic fetch
-      .localCheckpoint()
+      .transform(graft.BoundedCheckpoint(_, 64))
     val quantiles = qs
       .join(valueAt.select(col("g").as("g_rf"),
         col("rk").as("lo_rk"), col("v").as("lo_v")), Seq("g_rf", "lo_rk"))
@@ -2892,7 +2894,7 @@ object Relational {
         (col("a1") / col("n")).as("ma"),
         ((col("a2") - col("a1") * col("a1") / col("n")) / (col("n") - 1))
           .as("va"))
-      .localCheckpoint() // 2 rows
+      .transform(graft.BoundedCheckpoint(_, 4)) // 2 arms, count-asserted
     val t = arms.filter(col("arm") === "treated")
       .select(col("n").as("nt"), col("my").as("myt"), col("vy").as("vyt"),
         col("ma").as("mat"), col("va").as("vat"))
@@ -3018,7 +3020,9 @@ object Relational {
       .groupBy(col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).as("bal_band"))
       .agg(count(lit(1)).as("n0"))
-      .localCheckpoint() // bounded |QI| frame feeding every rung
+      // |QI| ≤ 25 nations × 5 segments × 11 acctbal bands (TPC-H fixes
+      // the acctbal domain) — count-asserted
+      .transform(graft.BoundedCheckpoint(_, 4096))
     val l1 = cells.groupBy(col("c_nationkey"), col("c_mktsegment"),
         floor(col("bal_band") / 5).as("band5"))
       .agg(sum(col("n0")).as("n1"))
@@ -3395,7 +3399,8 @@ object Relational {
       .groupBy(col("c_nationkey"), col("c_mktsegment"),
         floor(col("c_acctbal") / 1000).as("bal_band"))
       .agg(count(lit(1)).as("cell"))
-      .localCheckpoint() // bounded |QI|×|bands| frame feeding 3 branches
+      // |QI|×|bands| ≤ 25 × 5 × 11 (fixed TPC-H domains), count-asserted
+      .transform(graft.BoundedCheckpoint(_, 4096))
     val global = cells.groupBy(col("bal_band")).agg(sum(col("cell")).as("gcnt"))
     val tot = cells.agg(sum(col("cell")).as("n_total"),
       min(col("bal_band")).as("b0"), max(col("bal_band")).as("b1"))
@@ -3630,13 +3635,14 @@ object Relational {
       .select(col("g_q"), col("q"),
         (floor(col("h")) + 1).cast("long").as("lo_rk"),
         (col("h") - floor(col("h"))).as("frac"))
-      .localCheckpoint() // tiny; reused by the fetch and both joins below
+      // |event_type| × 2 quantiles ≤ 10 rows; count-asserted bound
+      .transform(graft.BoundedCheckpoint(_, 64))
     val needed = qs.select(col("g_q").as("g"),
       explode(array(col("lo_rk"), col("lo_rk") + 1)).as("rk")).distinct()
     val valueAt = valuesAtGroupRanks(ev, needed)
       // ≤ a few rows per group; eager-materialize so the two bracketing
       // joins below don't each replay the order-statistic fetch
-      .localCheckpoint()
+      .transform(graft.BoundedCheckpoint(_, 64))
     val quantiles = qs
       .join(valueAt.select(col("g").as("g_q"),
         col("rk").as("lo_rk"), col("v").as("lo_v")), Seq("g_q", "lo_rk"))

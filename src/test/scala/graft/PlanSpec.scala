@@ -67,9 +67,14 @@ class PlanSpec extends SparkSpec {
     * q20 supplier/part fix, the KL/MI/sampler per-source fix), or
     * justified here. */
   private val DomainBoundedBroadcastAllowlist: Set[String] = Set(
-    // per-nation rank/score vectors: group-by over an unbounded edge
-    // stream whose key domain is ≤ |nation| = 25 at any TPC-H scale
-    "pagerank_nations", "hits_nations", "textrank_terms",
+    // (pagerank_nations / hits_nations / bfs / lpa left this list in
+    // round 12: their rank/label vectors now flow through
+    // graft.BoundedCheckpoint, so the classifier PROVES the ≤ |nation|
+    // bound instead of taking it on justification)
+    // vocabulary-sized rank vector: the TrMinFreq vocabulary cut bounds
+    // the graph to |V| — a vocabulary, not a corpus; the scaladoc
+    // documents the shuffle-join form for a 100 TB-scale V
+    "textrank_keywords",
     // declared brute-force ALL-PAIRS baselines whose documented scale
     // path is the _ann twin (knn_audit_ann / triplet_mining_ann /
     // hard_negatives_ann, all LSH/IVF-bucketed): the query side IS the
@@ -87,9 +92,10 @@ class PlanSpec extends SparkSpec {
     "decontaminate_ngrams", "decontaminate_substring",
     "decontaminate_semantic", "training_readiness",
     // IVM delta-slice broadcasts: the hinted frames are the INGEST
-    // BATCH slices (delta modulo in the fixture) — bounded by batch
-    // size in production, corpus-fraction only in the fixture model
-    "ivm_join_enriched",
+    // BATCH slices (delta modulo in the fixture; CDC batch + its
+    // touched-key set for the signed form) — bounded by batch size in
+    // production, corpus-fraction only in the fixture model
+    "ivm_join_enriched", "ivm_join_cdc",
     // grouping by the values of a 1-row stats scalar (n, mean) that
     // rode a cross join onto the scan: ≤ 1 distinct group by
     // construction
@@ -110,9 +116,11 @@ class PlanSpec extends SparkSpec {
     * literal frames, global limits (top-k cuts), and grouping-free
     * aggregates are bounded; bounded-preserving unary ops pass
     * through; joins need both sides bounded (semi/anti: the left);
-    * LogicalRDD (localCheckpoint) is bounded BY HOUSE RULE — every
-    * call site materializes a frame already cut to k/top-V (DSIR,
-    * IVF centroids, the bigram model); base-table scans are bounded
+    * LogicalRDD (localCheckpoint) is bounded ONLY when produced by
+    * [[graft.BoundedCheckpoint]] — a count-asserted materialization
+    * point (the r11 "bounded by house rule" escape hatch, closed: a
+    * raw localCheckpoint + hint now FAILS, see the negative control);
+    * base-table scans are bounded
     * only for the fixed dimension tables (nation, region). Generate
     * (explode) passes through: every exploded array here is a fixed-k
     * vector or a per-row token list of a bounded frame. Everything
@@ -147,7 +155,7 @@ class PlanSpec extends SparkSpec {
       case _ => boundedFrame(j.left) && boundedFrame(j.right)
     }
     case u: Union => u.children.forall(boundedFrame)
-    case l if l.nodeName == "LogicalRDD" => true
+    case l if l.nodeName == "LogicalRDD" => BoundedCheckpoint.isTagged(l)
     case lr: org.apache.spark.sql.execution.datasources.LogicalRelation =>
       lr.relation match {
         case fs: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
@@ -178,6 +186,10 @@ class PlanSpec extends SparkSpec {
     "dow" /* ≤ 7 */, "lang" /* fixed language-id set */,
     "event_type", "from_type", "next_type" /* event-type enum */,
     "bit" /* Bloom bit index ≤ filter size */,
+    // sketch/matrix cell indices: i = CMS depth row ≤ CmsDepth / Gram
+    // row ≤ PcaDims, j = Gram column ≤ PcaDims, b = CMS bucket ≤
+    // CmsWidth — all fixed structure constants, never data values
+    "i", "j", "b",
     // query_id exists only as the alias of a literal-windowed vec_id
     // panel (≤64 ids — the Filter rule below); grouping by it is
     // panel-sized
@@ -274,6 +286,30 @@ class PlanSpec extends SparkSpec {
       Seq("text")).queryExecution.optimizedPlan
     assert(unboundedBroadcastBuilds(good).isEmpty,
       "classifier flagged a top-V-cut broadcast it should accept")
+  }
+
+  test("raw localCheckpoint + hint fails; the same frame through BoundedCheckpoint passes (negative control)") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sf0001)
+    val model = docs.groupBy("source").agg(count(lit(1)).as("c"))
+    // the laundering move the r11 house rule would have let through:
+    // checkpoint erases the plan into a LogicalRDD, then force the hint
+    val raw = docs.join(broadcast(model.localCheckpoint()), Seq("source"))
+      .queryExecution.optimizedPlan
+    assert(unboundedBroadcastBuilds(raw).nonEmpty,
+      "an untagged checkpointed frame must NOT classify as bounded")
+    // the blessed path: identical frame, count-asserted at creation
+    val blessed = docs.join(
+      broadcast(graft.BoundedCheckpoint(model, maxRows = 64)), Seq("source"))
+      .queryExecution.optimizedPlan
+    assert(unboundedBroadcastBuilds(blessed).isEmpty,
+      "a BoundedCheckpoint-tagged frame must classify as bounded")
+    // and the assertion itself bites: a corpus-sized frame fails at
+    // creation, never reaching a broadcast build
+    val oversize = intercept[IllegalArgumentException] {
+      graft.BoundedCheckpoint(docs, maxRows = 10)
+    }
+    assert(oversize.getMessage.contains("declared bound"))
   }
 
   test("kmv sketch aggregates through the distinct bounded heap, partial-first") {
