@@ -11,6 +11,9 @@ import org.apache.spark.sql.SparkSession
   * first so JVM/codegen startup cost isn't billed to the first query.
   */
 object Bench {
+  /** Consumes the canary hash so the JIT cannot eliminate the spin. */
+  @volatile private var canarySink: Long = 0L
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -91,34 +94,52 @@ object Bench {
     // attribute a spike from the record instead of re-running.
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val probes = scala.collection.mutable.LinkedHashMap[String, Seq[String]]()
-    val results = sharedPass ++ edgesBuild ++ ordered
+    // Machine-speed canary: a FIXED amount of single-threaded CPU work
+    // (a deterministic 64-bit hash fold, ~100 ms on this box) timed
+    // immediately before every query iteration. Round 11's worst
+    // interference window (34.8× on one query) ran at in-container
+    // load average 2-3 with ~80 GB free heap — external contention is
+    // invisible to sys_probe. Fixed work converts wall clock into a
+    // machine-speed ratio: a canary running 3× slow during a query's
+    // window PROVES the box (not the plan) was slow, so a committed
+    // record self-adjudicates without re-measurement. The loop is
+    // data-dependent on its own accumulator (no DCE, no vectorization
+    // shortcuts) and the result is consumed via a sink field.
+    val canaries = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    def cpuCanary(): Double = {
+      val t0 = System.nanoTime()
+      var h = 1469598103934665603L // FNV-1a offset basis
+      var i = 0
+      while (i < 40000000) { h = (h ^ i) * 1099511628211L; h ^= (h >>> 33); i += 1 }
+      canarySink = h
+      (System.nanoTime() - t0) / 1e9
+    }
+    def timeOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Option[Double] = {
+      // drop cached intermediates between runs: CacheManager matches
+      // re-built plans by canonical form, so a warm iteration would
+      // measure the cache, not the plan
+      spark.catalog.clearCache()
+      val rt = Runtime.getRuntime
+      probes(name) = probes.getOrElse(name, Seq.empty) :+
+        f"[${osBean.getSystemLoadAverage}%.1f,${(rt.maxMemory - rt.totalMemory + rt.freeMemory) / (1 << 20)}]"
+      canaries(name) = canaries.getOrElse(name, Seq.empty) :+ cpuCanary()
+      val t0 = System.nanoTime()
+      try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        Some((System.nanoTime() - t0) / 1e9)
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        None
+      }
+    }
+    val queryFns = ordered.toMap
+    val results0 = sharedPass ++ edgesBuild ++ ordered
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
-      val times = (1 to iterations).flatMap { _ =>
-        // drop cached intermediates between runs: CacheManager matches
-        // re-built plans by canonical form, so a warm iteration would
-        // measure the cache, not the plan
-        spark.catalog.clearCache()
-        val rt = Runtime.getRuntime
-        probes(name) = probes.getOrElse(name, Seq.empty) :+
-          f"[${osBean.getSystemLoadAverage}%.1f,${(rt.maxMemory - rt.totalMemory + rt.freeMemory) / (1 << 20)}]"
-        val t0 = System.nanoTime()
-        try {
-          fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-          Some((System.nanoTime() - t0) / 1e9)
-        } catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          None
-        }
+        (name, (1 to iterations).flatMap(_ => timeOnce(name, fn)))
       }
-      (name, times)
-    }
     // a failed query must not masquerade as a fast one: report -1
     def fmt(s: Double) = BigDecimal(s).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
-    val best = results.map { case (k, ts) => (k, if (ts.nonEmpty) ts.min else -1.0) }
-    val failed = results.filter(_._2.isEmpty).map("\"" + _._1 + "\"")
-      .mkString("[", ",", "]")
-    val total = results.flatMap(_._2.minOption).sum
 
     // Full per-query detail goes to stderr (and a file) for local
     // analysis; the stdout JSON line must stay SHORT. The harness that
@@ -127,11 +148,6 @@ object Bench {
     // to parse (observed in round 2). The stdout line therefore carries
     // the slowest queries up to a character budget — the omitted ones
     // are the sub-second tail — plus the all-queries total.
-    val fullQs = best.map { case (k, s) => "\"" + k + "\":" + fmt(s) }
-      .mkString("{", ",", "}")
-    // file only — sbt's logger echoes BOTH stdout and stderr into the
-    // captured stream, so a console copy of the full line would land in
-    // the tail window and crowd out the parseable compact line
     // Fixture vintage stamp: a regenerated corpus under the same path
     // changes content-sensitive query costs, so a baseline captured on
     // an older vintage must be detected, not silently compared against
@@ -139,11 +155,122 @@ object Bench {
     // into bench_baseline_perq.json when the baseline is refreshed from
     // it, and the tripwire below refuses to adjudicate across vintages.
     val fixtureFp = SessionDirMemo.fingerprint(sfDir)
+
+    // Tripwire: compare this run's per-query times against the last
+    // committed full record (bench_baseline_perq.json — refreshed each
+    // round from a quiet-session run). Ratios are normalized by the
+    // session median so a uniformly slower box doesn't flag everything;
+    // a query whose normalized ratio exceeds 2x is a regression
+    // candidate that must be adjudicated, not inferred from display
+    // cutoffs. Returns (normalized-ratio movers sorted worst-first,
+    // flags) — callers decide display and self-healing.
+    def computeMovers(best: Seq[(String, Double)])
+        : (Seq[(String, Double)], Seq[String]) =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get("bench_baseline_perq.json")), "UTF-8")
+        val entryRe = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
+        val meta = Set("value", "fixture_fingerprint", "iterations",
+          "canary_median")
+        val prior = entryRe.findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, v) => !meta(k) && v > 0 }.toMap
+        // Cross-vintage ratios are content shift, not plan regressions —
+        // refuse to adjudicate them and say so loudly instead (a baseline
+        // without a stamp predates the stamp and is also stale).
+        val baselineFp = """"fixture_fingerprint":(-?\d+)""".r
+          .findFirstMatchIn(txt).map(_.group(1).toLong)
+        if (!baselineFp.contains(fixtureFp))
+          (Seq.empty, Seq("\"baseline_stale_fixture:re-baseline_required\""))
+        else {
+          val ratios = best.collect {
+            case (k, s) if s > 0 && prior.get(k).exists(_ > 0.05) => (k, s / prior(k))
+          }
+          if (ratios.size < 8) (Seq.empty, Seq.empty)
+          else {
+            val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
+            (ratios.map { case (k, r) => (k, r / med) }
+              .filter { case (k, r) => r > 2.0 && best.toMap.apply(k) > 0.3 }
+              .sortBy(-_._2), Seq.empty)
+          }
+        }
+      } catch { case _: Throwable => (Seq.empty, Seq.empty) }
+
+    def bestOf(rs: Seq[(String, Seq[Double])]): Seq[(String, Double)] =
+      rs.map { case (k, ts) => (k, if (ts.nonEmpty) ts.min else -1.0) }
+
+    // Record self-healing: a polluted session writes its interference
+    // into the committed record (round 11: 22 raw movers, one at
+    // 34.8×, all later adjudicated as noise). When the mover count
+    // exceeds a threshold at record time, re-run JUST the tripwired
+    // queries once more in-session, min-merge ONLY those, and disclose
+    // the re-measurement in the record (`re_measured`) — bounding the
+    // damage one bad wall-clock window can do. The two deliberate
+    // cold-build lines are exempt: re-running them warm would falsify
+    // the very cost they exist to bill.
+    val healThreshold =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAL_THRESHOLD", "6").toInt
+    val coldLines = Set("stream_interval_shared_pass", "dedup_edges_artifact_build")
+    val (movers0, flags0) = computeMovers(bestOf(results0))
+    val healable = movers0.map(_._1).filterNot(coldLines).filter(queryFns.contains)
+    val (results, reMeasured) =
+      if (movers0.size > healThreshold && healable.nonEmpty) {
+        System.err.println(s"[bench] tripwire_total=${movers0.size} > " +
+          s"$healThreshold: re-measuring ${healable.size} movers once")
+        val extra = healable.map(n => n -> timeOnce(n, queryFns(n)).toSeq).toMap
+        (results0.map { case (k, ts) => (k, ts ++ extra.getOrElse(k, Seq.empty)) },
+          healable)
+      } else (results0, Seq.empty)
+
+    val best = bestOf(results)
+    val failed = results.filter(_._2.isEmpty).map("\"" + _._1 + "\"")
+      .mkString("[", ",", "]")
+    val total = results.flatMap(_._2.minOption).sum
+    val (movers, staleFlags) = computeMovers(best)
+
+    // a failed shared-pass prime means the four interval queries each
+    // absorbed the cold streaming pass into their first iteration and
+    // min-of-N hid it — flag the contamination instead of letting the
+    // mis-billing pass silently
+    val coldFlags: Seq[String] =
+      if (sharedPass.exists(_._2.isEmpty))
+        Seq("\"interval_family_cold_contaminated:prime_failed\"")
+      else Seq.empty
+
+    // Machine-speed context for each mover: its own window's best
+    // canary vs the session median canary. A mover whose canary ratio
+    // is ALSO elevated was measured on a slow machine window — the
+    // record self-adjudicates interference vs plan regression without
+    // a re-run (round 11's 34.8× window would have carried its own
+    // exoneration). min (not median) per query: one quiet iteration
+    // proves the machine COULD run at speed in that window.
+    val canaryBest = canaries.map { case (k, cs) => (k, cs.min) }.toMap
+    val canaryMedian = {
+      val all = canaries.values.flatten.toSeq.sorted
+      if (all.isEmpty) 0.0 else all(all.size / 2)
+    }
+    def canaryRatio(q: String): String =
+      canaryBest.get(q).filter(_ => canaryMedian > 0)
+        .map(c => "@c" + fmt(c / canaryMedian)) .getOrElse("")
+    val tripwireTotal = movers.size
+    val tripwire: Seq[String] = coldFlags ++ staleFlags ++ flags0.diff(staleFlags) ++
+      movers.take(8).map { case (k, r) =>
+        "\"" + k + ":" + fmt(r) + "x" + canaryRatio(k) + "\"" }
+    val trip = tripwire.mkString("[", ",", "]")
+    val reMeasuredJson = reMeasured.map("\"" + _ + "\"").mkString("[", ",", "]")
+
+    val fullQs = best.map { case (k, s) => "\"" + k + "\":" + fmt(s) }
+      .mkString("{", ",", "}")
     // per-iteration [1-min load avg, free JVM heap MiB] at iteration
     // start — the interference attribution record (see probe comment)
     val sysProbe = probes.map { case (k, ps) =>
       "\"" + k + "\":" + ps.mkString("[", ",", "]") }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"iterations":$iterations,"sf":"$sfDir","fixture_fingerprint":$fixtureFp,"sys_probe":$sysProbe}"""
+    // per-iteration canary seconds (fixed work, see cpuCanary): the
+    // machine-speed record, keyed like sys_probe
+    val canaryMap = canaries.map { case (k, cs) =>
+      "\"" + k + "\":" + cs.map(fmt).mkString("[", ",", "]") }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$fullQs,"failed":$failed,"tripwire":$trip,"tripwire_total":$tripwireTotal,"re_measured":$reMeasuredJson,"iterations":$iterations,"sf":"$sfDir","fixture_fingerprint":$fixtureFp,"canary_median":${fmt(canaryMedian)},"cpu_canary":$canaryMap,"sys_probe":$sysProbe}"""
     // TWO copies of the full map: target/ for local analysis, and (by
     // default) the repo root so a driver-side run leaves the complete
     // record in the working tree. SPARK_GRAFT_BENCH_OUT redirects the
@@ -161,58 +288,6 @@ object Bench {
         System.err.println(s"[bench] WARNING: full-map write to $p failed: ${e.getMessage}")
       }
 
-    // Tripwire: compare this run's per-query times against the last
-    // committed full record (bench_baseline_perq.json — refreshed each
-    // round from a quiet-session run). Ratios are normalized by the
-    // session median so a uniformly slower box doesn't flag everything;
-    // a query whose normalized ratio exceeds 2x is a regression
-    // candidate that must be adjudicated, not inferred from display
-    // cutoffs.
-    // a failed shared-pass prime means the four interval queries each
-    // absorbed the cold streaming pass into their first iteration and
-    // min-of-N hid it — flag the contamination instead of letting the
-    // mis-billing pass silently
-    val coldFlags: Seq[String] =
-      if (sharedPass.exists(_._2.isEmpty))
-        Seq("\"interval_family_cold_contaminated:prime_failed\"")
-      else Seq.empty
-    var tripwireTotal = 0
-    val tripwire: Seq[String] = coldFlags ++ (try {
-      val txt = new String(java.nio.file.Files.readAllBytes(
-        java.nio.file.Paths.get("bench_baseline_perq.json")), "UTF-8")
-      val entryRe = """"([A-Za-z0-9_]+)":(-?\d+(?:\.\d+)?)""".r
-      val meta = Set("value", "fixture_fingerprint", "iterations")
-      val prior = entryRe.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble)
-        .filter { case (k, v) => !meta(k) && v > 0 }.toMap
-      // Cross-vintage ratios are content shift, not plan regressions —
-      // refuse to adjudicate them and say so loudly instead (a baseline
-      // without a stamp predates the stamp and is also stale).
-      val baselineFp = """"fixture_fingerprint":(-?\d+)""".r
-        .findFirstMatchIn(txt).map(_.group(1).toLong)
-      if (!baselineFp.contains(fixtureFp))
-        Seq("\"baseline_stale_fixture:re-baseline_required\"")
-      else {
-        val ratios = best.collect {
-          case (k, s) if s > 0 && prior.get(k).exists(_ > 0.05) => (k, s / prior(k))
-        }
-        if (ratios.size < 8) Seq.empty
-        else {
-          val med = ratios.map(_._2).sorted.apply(ratios.size / 2)
-          val movers = ratios
-            .filter { case (k, r) => r / med > 2.0 && best.toMap.apply(k) > 0.3 }
-            .sortBy(-_._2)
-          // the display is capped; the TOTAL must still be in the
-          // record so the committed line can't under-report movers
-          // (round 10: display showed 8 where the full map had 28)
-          tripwireTotal = movers.size
-          movers.take(8)
-            .map { case (k, r) => "\"" + k + ":" + fmt(r / med) + "x\"" }
-        }
-      }
-    } catch { case _: Throwable => Seq.empty })
-    val trip = tripwire.mkString("[", ",", "]")
-
     val budget = 1300 // chars for the queries map on the stdout line
     val entries = best.sortBy(-_._2).map { case (k, s) => "\"" + k + "\":" + fmt(s) }
     val shown = scala.collection.mutable.ArrayBuffer[String]()
@@ -221,7 +296,7 @@ object Bench {
       if (used + e.length + 1 <= budget) { shown += e; used += e.length + 1 }
     }
     val qs = shown.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"tripwire":$trip,"tripwire_total":$tripwireTotal,"iterations":$iterations,"sf":"$sfDir","queries_run":${best.size},"queries_shown":${shown.size},"fixture_fingerprint":$fixtureFp,"full_map":"$benchOut"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"failed":$failed,"tripwire":$trip,"tripwire_total":$tripwireTotal,"re_measured":$reMeasuredJson,"canary_median":${fmt(canaryMedian)},"iterations":$iterations,"sf":"$sfDir","queries_run":${best.size},"queries_shown":${shown.size},"fixture_fingerprint":$fixtureFp,"full_map":"$benchOut"}""")
     spark.stop()
   }
 }
