@@ -117,6 +117,36 @@ final class Catalog(spark: SparkSession) {
 }
 
 object Catalog {
+  /** Root directory for durable artifacts (ANN index, near-dup edge
+    * graph). Overridable via the `graft.artifact.dir` system property
+    * or the `SPARK_GRAFT_ARTIFACT_DIR` env var; defaults to
+    * `.graft-artifacts/` (git-ignored) — NOT `target/`, where
+    * `sbt clean` silently discarded every vintage and the next session
+    * paid a full retrain/rebuild (the round-11 "homed under target/"
+    * watch item). Artifacts remain pure cache: deleting the root never
+    * loses data, it costs one load-or-build pass per family. */
+  def artifactRoot: String = artifactRootFrom(
+    sys.props.get("graft.artifact.dir"),
+    sys.env.get("SPARK_GRAFT_ARTIFACT_DIR"))
+
+  /** Resolution order, factored for testability (a test must not
+    * mutate global props: suites share one forked JVM). */
+  private[graft] def artifactRootFrom(prop: Option[String],
+                                      env: Option[String]): String =
+    prop.orElse(env).getOrElse(".graft-artifacts")
+
+  /** Canonical on-disk home for one family's artifact of one corpus:
+    * `<root>/<family>/<pathDigest(dir)>`. */
+  def artifactPath(family: String, dir: String): String =
+    s"$artifactRoot/$family/${pathDigest(dir)}"
+
+  /** Vintages each artifact family keeps on disk; older ones are GC'd
+    * by [[purgeStale]] from the family's persist path (wired into
+    * `edgesArtifactPersist` / `annIndexPersist`). Override with
+    * `SPARK_GRAFT_ARTIFACT_KEEP`. */
+  def artifactKeep: Int =
+    sys.env.get("SPARK_GRAFT_ARTIFACT_KEEP").map(_.toInt).getOrElse(6)
+
   /** Stable digest of a fixture/corpus path for keying durable
     * artifacts (ANN index, near-dup edge graph). The path is
     * CANONICALIZED first — symlinks resolved, `.`/`..` folded,

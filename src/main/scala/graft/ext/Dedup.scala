@@ -651,13 +651,14 @@ object Dedup {
     "training_readiness_delta", "stream_groups_monitor",
     "stream_training_readiness")
 
-  /** Default on-disk home for a corpus's pair-graph artifact, keyed by
-    * the canonical fixture path (the [[graft.Catalog.pathDigest]]
-    * discipline). Under target/ by convention: `sbt clean` discards it
-    * and the next session rebuilds once — the artifact is a cache of a
-    * deterministic computation, never the source of truth. */
+  /** Default on-disk home for a corpus's pair-graph artifact:
+    * `<artifactRoot>/dedup_edges/<pathDigest>` (see
+    * [[graft.Catalog.artifactRoot]] — env-overridable, survives
+    * `sbt clean`). The artifact is a cache of a deterministic
+    * computation, never the source of truth: a deleted vintage
+    * self-heals by one rebuild. */
   private[graft] def edgesArtifactDefaultPath(dir: String): String =
-    s"target/dedup_edges/${graft.Catalog.pathDigest(dir)}"
+    graft.Catalog.artifactPath("dedup_edges", dir)
 
   /** Delete a corpus's artifact (test/bench hook: Bench resets before
     * timing the cold build as its own line). */
@@ -729,6 +730,11 @@ object Dedup {
     val cat = new graft.Catalog(spark)
     cat.put(key, verified.unionByName(estFull).unionByName(meta))
     cat.persist(key, path)
+    // self-GC: the store accumulates one child per corpus vintage;
+    // keep the newest N, evict the rest (pure cache — an evicted
+    // vintage that comes back rebuilds once, CatalogSpec proves it)
+    Option(new java.io.File(path).getParent).foreach(
+      graft.Catalog.purgeStale(_, graft.Catalog.artifactKeep))
   }
 
   /** Read-through load of the durable pair graph: if `path` holds an

@@ -691,13 +691,13 @@ object Similarity {
   /** Default on-disk home for a corpus's index artifact, keyed by a
     * digest of the CANONICAL fixture path (symlinks resolved, relative
     * segments folded) so `sf0.1`, `./sf0.1/` and a symlink to either
-    * all key the same artifact — stable across sessions and rounds.
-    * Lives under target/ by convention: `sbt clean` discards the
-    * artifact and the next session retrains once (self-healing by
+    * all key the same artifact — stable across sessions and rounds,
+    * under [[graft.Catalog.artifactRoot]] (env-overridable; survives
+    * `sbt clean`, unlike the round-11 target/ home). Self-healing by
     * design — the artifact is a cache of deterministic training, never
-    * the source of truth). */
+    * the source of truth. */
   private[graft] def annIndexDefaultPath(dir: String): String =
-    s"target/ann_index/${graft.Catalog.pathDigest(dir)}"
+    graft.Catalog.artifactPath("ann_index", dir)
 
   /** Write the trained IVF centroid matrix and PQ codebook as ONE
     * parquet artifact via [[graft.Catalog]]: rows
@@ -717,6 +717,9 @@ object Similarity {
     val cat = new graft.Catalog(spark)
     cat.put(key, (cents ++ cb).toDF("kind", "id1", "id2", "vec", "fingerprint"))
     cat.persist(key, path)
+    // self-GC across vintages (the edgesArtifactPersist discipline)
+    Option(new java.io.File(path).getParent).foreach(
+      graft.Catalog.purgeStale(_, graft.Catalog.artifactKeep))
   }
 
   /** Read-through load of the durable index: if `path` holds an

@@ -189,6 +189,46 @@ class CatalogSpec extends SparkSpec {
     assert(Catalog.purgeStale(root + "/nope", keep = 1).isEmpty)
   }
 
+  test("artifact root resolves prop over env over the .graft-artifacts default") {
+    assert(Catalog.artifactRootFrom(Some("/p"), Some("/e")) == "/p")
+    assert(Catalog.artifactRootFrom(None, Some("/e")) == "/e")
+    assert(Catalog.artifactRootFrom(None, None) == ".graft-artifacts")
+    // and the composed path shape the families key by
+    assert(Catalog.artifactPath("fam", "/tmp") ==
+      s"${Catalog.artifactRoot}/fam/${Catalog.pathDigest("/tmp")}")
+  }
+
+  test("edges artifact writer self-GCs stale vintages; an evicted vintage heals by rebuild") {
+    // the round-11 gap: purgeStale existed but nothing called it — the
+    // store grew one directory per corpus vintage forever. The writer
+    // now GCs its family root after every persist (keep = artifactKeep,
+    // newest-first by mtime).
+    val keep = Catalog.artifactKeep
+    val fam = java.nio.file.Files.createTempDirectory("graft-gc")
+      .toString + "/dedup_edges"
+    // keep+1 fake stale vintages, oldest first — the real persist below
+    // makes keep+2 children, so the two oldest must go
+    (1 to keep + 1).foreach { i =>
+      val d = new java.io.File(fam, f"vintage$i%02d")
+      assert(d.mkdirs())
+      assert(d.setLastModified(1000000000000L + i * 60000L))
+    }
+    val digest = Catalog.pathDigest(sf0001)
+    graft.ext.Dedup.edgesArtifactPersist(spark, sf0001, s"$fam/$digest")
+    val left = new java.io.File(fam).listFiles().map(_.getName).toSet
+    assert(left.contains(digest), s"fresh artifact must survive its own GC: $left")
+    assert(!left.contains("vintage01") && !left.contains("vintage02"),
+      s"the two oldest vintages must be evicted: $left")
+    assert(left.size == keep, s"expected $keep survivors, got $left")
+    // eviction is never data loss: the artifact is a cache, so a purged
+    // vintage rebuilds from the corpus on the next persist/load
+    val healed = new java.io.File(fam, "vintage01")
+    graft.ext.Dedup.edgesArtifactPersist(spark, sf0001, healed.toString)
+    assert(spark.read.parquet(healed.toString)
+      .filter(org.apache.spark.sql.functions.col("kind") === "meta").count() == 1,
+      "rebuilt vintage must be a complete artifact")
+  }
+
   test("path digest is canonical: spellings and symlinks key one artifact") {
     val real = java.nio.file.Files.createTempDirectory("graft-digest")
     val d0 = Catalog.pathDigest(real.toString)
