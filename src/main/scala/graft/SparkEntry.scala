@@ -42,6 +42,26 @@ object SparkEntry {
         .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
       MapReduce.runJob(input, "inverted_index", "posting_list").toDF()
     }),
+    // third plugin pair, run END-TO-END through the reference's file
+    // ABI: explicit reducer count (the `-reducers N` path), the
+    // multi-part TSV sink with `<outputKey>-reduce-<i>` renames
+    // (A7/A8), then the renamed parts read back as the result — so the
+    // oracle hash verifies the full job→sink→files→parse loop, not
+    // just the in-memory frame
+    "mr_token_docfreq" -> ((s, dir) => {
+      import s.implicits._
+      val input = Tables.documents(s, dir)
+        .select(col("doc_id").cast("string"), col("text")).as[(String, String)]
+      val job = MapReduce.runJob(input, "inverted_index", "distinct_count",
+        numPartitions = Some(4))
+      val out = java.nio.file.Files.createTempDirectory("graft-mr-df")
+        .toString + "/out"
+      MapReduce.writeTsv(job, out, single = false, outputKey = Some("docfreq"))
+      s.read.text(out + "/docfreq-reduce-*")
+        .select(split(col("value"), "\t").getItem(0).as("key"),
+          split(col("value"), "\t").getItem(1).as("value"))
+        .orderBy("key")
+    }),
     // prefix listing (S7/P2/F8)
     "list_prefix" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -596,6 +616,12 @@ object SparkEntry {
         |    FROM documents) u
         |  WHERE w <> '') t
         |GROUP BY w ORDER BY key""".stripMargin,
+    "mr_token_docfreq" ->
+      """SELECT w AS key, CAST(COUNT(DISTINCT doc_id) AS VARCHAR) AS value FROM (
+        |  SELECT doc_id,
+        |    unnest(string_split_regex(lower(text), '[^\p{L}\p{N}]+')) AS w
+        |  FROM documents) t
+        |WHERE w <> '' GROUP BY w ORDER BY key""".stripMargin,
     "list_prefix" ->
       "SELECT doc_id, source FROM documents WHERE source LIKE 'src1%' ORDER BY doc_id",
     "q1_pricing_summary" -> Relational.q1Oracle,

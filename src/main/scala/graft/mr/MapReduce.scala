@@ -76,6 +76,12 @@ object MapReduce {
         .map(w => (w, name))
     })
     .registerReduce("posting_list", (_, values) => values.distinct.sorted.mkString(","))
+    // Third registered pair (round 12): distinct-count — with the
+    // inverted_index map it computes document frequency per token, the
+    // df leg of TF-IDF through the faithful ABI. Holistic on one key's
+    // posting list (the ABI's documented cost); the engine-native scale
+    // form is approx_count_distinct / the KMV sketch family.
+    .registerReduce("distinct_count", (_, values) => values.distinct.size.toString)
     // the registry generalizes beyond the reference's single hardcoded
     // pair (SURVEY U4): a grep-style filtering map, identity, and
     // numeric reducers
