@@ -339,6 +339,30 @@ object ScaleProbe {
       // LSH verify + h-index rounds over cap-bounded neighbor lists
       "dedup_kcore" ->
         ((s: SparkSession, d: String) => graft.ext.Dedup.dedupKcore(s, d)),
+      // round-12: the coverage curve is a wordcount collapse + top-V
+      // cut + bounded window (model-frame terms must stay flat); the
+      // inflation report is one md5-partitioned window + |sources|
+      // aggregate; the MR docfreq job round-trips the A7/A8 file sink
+      // so the probe watches the sink+parse loop too
+      "vocab_coverage_curve" -> ((s: SparkSession, d: String) =>
+        graft.ext.TextAnalysis.vocabCoverageCurve(
+          s, d, graft.ext.TextAnalysis.VocabCovFixtureTopV)),
+      "dedup_token_inflation" -> (graft.ext.Dedup.dedupTokenInflation _),
+      "mr_token_docfreq" -> SparkEntry.queries("mr_token_docfreq"),
+      // Heaps fit = two wordcount-shaped collapses to the 10-bucket
+      // grid; burstiness = the inverted-index shuffle into a bounded
+      // heap — both must stay scan-dominated
+      "heaps_law_fit" -> (graft.ext.TextAnalysis.heapsLawFit _),
+      "term_burstiness" -> (graft.ext.TextAnalysis.termBurstiness _),
+      // the interval family's one-time shared streaming pass (the
+      // bench line): memo reset so the probe times the COLD stream-
+      // stream full-outer replay — per-micro-batch state commits are
+      // the cost; growth should track the events ingest scan
+      "stream_interval_shared_pass" -> ((s: SparkSession, d: String) => {
+        graft.streaming.EventStream.resetIntervalMemo()
+        val n = graft.streaming.EventStream.primeSharedIntervalPass(s, d)
+        s.range(1).select(lit(n).as("pass_rows"))
+      }),
     )
 
     def time(fn: => Unit): Double = {

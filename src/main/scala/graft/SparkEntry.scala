@@ -222,6 +222,16 @@ object SparkEntry {
     "frame_dedup" -> Multimodal.frameDedup _,
     "embedding_centroids" -> Similarity.embeddingCentroids _,
     "zipf_profile" -> TextAnalysis.zipfProfile _,
+    // vocab-truncation planning: coverage of token occurrences by the
+    // top-k vocabulary (fixture-pinned top-V so the cut is live)
+    "vocab_coverage_curve" -> ((s, dir) => TextAnalysis.vocabCoverageCurve(
+      s, dir, TextAnalysis.VocabCovFixtureTopV)),
+    // dedup impact accounting: per-source duplicate token inflation
+    "dedup_token_inflation" -> Dedup.dedupTokenInflation _,
+    // vocabulary growth exponent over doc-prefix buckets (Heaps' law)
+    "heaps_law_fit" -> TextAnalysis.heapsLawFit _,
+    // Church–Gale burstiness panel for the top-volume terms
+    "term_burstiness" -> TextAnalysis.termBurstiness _,
     "vocab_richness" -> TextAnalysis.vocabRichness _,
     "span_corruption" -> TextAnalysis.spanCorruption _,
     "gini_sources" -> TextAnalysis.giniSources _,
@@ -730,6 +740,10 @@ object SparkEntry {
     "frame_dedup" -> Multimodal.frameDedupOracle,
     "embedding_centroids" -> Similarity.embeddingCentroidsOracle,
     "zipf_profile" -> TextAnalysis.zipfProfileOracle,
+    "vocab_coverage_curve" -> TextAnalysis.vocabCoverageCurveOracle,
+    "dedup_token_inflation" -> Dedup.dedupTokenInflationOracle,
+    "heaps_law_fit" -> TextAnalysis.heapsLawFitOracle,
+    "term_burstiness" -> TextAnalysis.termBurstinessOracle,
     "vocab_richness" -> TextAnalysis.vocabRichnessOracle,
     "span_corruption" -> TextAnalysis.spanCorruptionOracle,
     "gini_sources" -> TextAnalysis.giniSourcesOracle,

@@ -3059,4 +3059,58 @@ object Dedup {
        |    CAST(COUNT(*) AS DOUBLE), 6) AS dup_chunk_ratio
        |FROM chunks GROUP BY source ORDER BY source""".stripMargin
   }
+
+  // ── duplicate token inflation: dedup impact accounting ──
+
+  /** Per-source token inflation from exact duplicates — the accounting
+    * table behind "how much of this source's token budget is copies":
+    * total tokens vs tokens over exact-dedup keepers (md5(text),
+    * min-doc_id keeper — the [[exactDedup]] rule), and their ratio.
+    * A source whose docs duplicate ANOTHER source's keepers honestly
+    * reports keeper_tokens < total_tokens (the keeper belongs to
+    * whichever source holds the minimum doc_id, as in the CC groups).
+    *
+    * Scale shape: one projection, one md5-partitioned window (the
+    * dedup_exact shuffle), one |sources|-row aggregate with map-side
+    * partials — no joins, nothing pairwise. Counts are exact longs;
+    * the one inflation division rounds to 6 (null when a source keeps
+    * no tokens at all). */
+  def dedupTokenInflation(spark: SparkSession, dir: String): DataFrame = {
+    val keeper = min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("text"))))
+    Tables.documents(spark, dir)
+      .select(col("source"), col("doc_id"),
+        size(TextAnalysis.tokens(col("text"))).cast("long").as("nt"),
+        (col("doc_id") === keeper).as("is_keeper"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("is_keeper"), 1)).as("n_keeper_docs"),
+        sum(col("nt")).as("total_tokens"),
+        coalesce(sum(when(col("is_keeper"), col("nt"))), lit(0L))
+          .as("keeper_tokens"))
+      .select(col("source"), col("n_docs"), col("n_keeper_docs"),
+        col("total_tokens"), col("keeper_tokens"),
+        when(col("keeper_tokens") > 0,
+          round(col("total_tokens").cast("double") / col("keeper_tokens"), 6))
+          .as("inflation"))
+      .orderBy("source")
+  }
+
+  def dedupTokenInflationOracle: String =
+    s"""WITH d AS (SELECT source, doc_id,
+       |    CAST(len(${TextAnalysis.tokensSqlShared}) AS BIGINT) AS nt,
+       |    doc_id = MIN(doc_id) OVER (PARTITION BY md5(text)) AS is_keeper
+       |  FROM documents)
+       |SELECT source, COUNT(*) AS n_docs,
+       |  CAST(COUNT(CASE WHEN is_keeper THEN 1 END) AS BIGINT)
+       |    AS n_keeper_docs,
+       |  CAST(SUM(nt) AS BIGINT) AS total_tokens,
+       |  CAST(COALESCE(SUM(CASE WHEN is_keeper THEN nt END), 0) AS BIGINT)
+       |    AS keeper_tokens,
+       |  CASE WHEN COALESCE(SUM(CASE WHEN is_keeper THEN nt END), 0) > 0
+       |    THEN round(CAST(SUM(nt) AS DOUBLE) /
+       |      COALESCE(SUM(CASE WHEN is_keeper THEN nt END), 0), 6) END
+       |    AS inflation
+       |FROM d GROUP BY source ORDER BY source""".stripMargin
 }
+

@@ -2766,4 +2766,245 @@ object TextAnalysis {
        |    AS BIGINT) AS n_distinct_oov
        |FROM tok LEFT JOIN vocab v ON tok.term = v.term
        |GROUP BY source ORDER BY source""".stripMargin
+
+  // ── vocabulary coverage curve: truncation planning ──
+
+  /** Ranks the coverage curve reports (≤ [[VocabCovFixtureTopV]] so
+    * every grid point exists under the registered fixture cut). */
+  val VocabCovGrid: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L)
+  /** Production top-V default for the coverage cut. */
+  val VocabCovTopV = 65536
+  /** Registered/fixture bound: BELOW the fixture vocabulary (31
+    * tokens), so the truncation branch is LIVE and oracled — the
+    * [[PplFixtureVocabV]] discipline. */
+  val VocabCovFixtureTopV = 16
+
+  /** Vocabulary coverage curve — the tokenizer/vocab-truncation
+    * planning table: for each rank k in [[VocabCovGrid]], the fraction
+    * of ALL token occurrences covered by the k most frequent tokens.
+    * This is the curve a vocab-size decision (BPE budget, embedding
+    * table rows, OOV-rate forecast) reads off.
+    *
+    * Scale shape: one corpus token scan collapses to vocabulary-sized
+    * counts (map-side partials); the top-V cut is a
+    * TakeOrderedAndProject (per-partition heaps, O(V) driver memory)
+    * materialized through [[graft.BoundedCheckpoint]], so the rank/
+    * cumsum window runs on a DECLARED-bounded ≤V-row frame
+    * (BoundedWindow) and the 1-row occurrence total broadcasts back.
+    * Cumulative counts are exact longs; the single coverage division
+    * rounds to 6. */
+  def vocabCoverageCurve(spark: SparkSession, dir: String,
+                         topV: Int = VocabCovTopV): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = Tables.documents(spark, dir)
+      .select(explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cw"))
+    val total = counts.agg(coalesce(sum("cw"), lit(0L)).as("total_occurrences"))
+    val top = graft.BoundedCheckpoint(
+      counts.orderBy(col("cw").desc, col("w")).limit(topV), topV)
+    val ord = graft.BoundedWindow.orderBy(col("cw").desc, col("w"))
+    top
+      .withColumn("k", row_number().over(ord).cast("long"))
+      .withColumn("covered",
+        sum("cw").over(ord.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .filter(col("k").isin(VocabCovGrid: _*))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("covered"), col("total_occurrences"),
+        round(col("covered").cast("double") / col("total_occurrences"), 6)
+          .as("coverage"))
+      .orderBy("k")
+  }
+
+  def vocabCoverageCurveOracle: String = vocabCoverageCurveOracle(VocabCovFixtureTopV)
+
+  def vocabCoverageCurveOracle(topV: Int): String =
+    s"""WITH t AS (SELECT $tokensSql AS ws FROM documents),
+       |c AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS cw
+       |  FROM (SELECT unnest(ws) AS w FROM t) u GROUP BY w),
+       |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS total_occurrences FROM c),
+       |top AS (SELECT w, cw FROM c ORDER BY cw DESC, w LIMIT $topV),
+       |r AS (SELECT cw,
+       |    CAST(row_number() OVER (ORDER BY cw DESC, w) AS BIGINT) AS k,
+       |    CAST(SUM(cw) OVER (ORDER BY cw DESC, w
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |      AS covered
+       |  FROM top)
+       |SELECT r.k, r.covered, tot.total_occurrences,
+       |  round(CAST(r.covered AS DOUBLE) / tot.total_occurrences, 6)
+       |    AS coverage
+       |FROM r, tot WHERE r.k IN (${VocabCovGrid.mkString(", ")})
+       |ORDER BY k""".stripMargin
+
+  // ── Heaps' law fit: vocabulary growth exponent ──
+
+  /** Prefix buckets for the vocabulary-growth curve. */
+  val HeapsBuckets = 10
+
+  /** Heaps' law fit — the vocabulary-growth curve V(n) ≈ K·nᵝ over
+    * [[HeapsBuckets]] doc-id-ordered corpus prefixes, plus the OLS
+    * exponent β from ln V ~ ln n over the grid points. Natural-
+    * language corpora sit near β ≈ 0.4–0.6; β drifting toward 1 means
+    * the crawl keeps finding novel vocabulary (keep crawling / raise
+    * the BPE budget), β → 0 means saturation. Companion to the
+    * frequency-spectrum estimators in [[vocabRichness]] (how much is
+    * unseen) — this one says how fast the unseen is being found.
+    *
+    * Scale shape: per-term FIRST-occurrence doc (one wordcount-shaped
+    * hash agg to vocabulary size — a term's vocab contribution enters
+    * at its min doc_id, so no per-prefix distinct pass) and per-doc
+    * token counts (one scan to |docs| rows); both collapse to the
+    * bucket grid by integer division against the broadcast 1-row max
+    * doc id, and the cumulative curve + OLS fit run on the ≤10-row
+    * frame (BoundedWindow). Exact longs until the two ln projections;
+    * the fit uses decimal sums of 9-rounded terms (the [[zipfProfile]]
+    * discipline) so hashes are partition-order-free. */
+  def heapsLawFit(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    def dsum(c: Column): Column =
+      sum(c.cast(DecimalType(28, 12))).cast("double")
+    val docs = Tables.documents(spark, dir)
+    val maxDoc = docs.agg(max(col("doc_id")).as("max_doc"))
+    val b = HeapsBuckets
+    def bucketOf(doc: Column): Column =
+      (doc * b / (col("max_doc") + 1L)).cast("long") + 1L
+    // per-term first-occurrence doc → new-vocab count per bucket
+    val firstSeen = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w").agg(min(col("doc_id")).as("first_doc"))
+      .crossJoin(broadcast(maxDoc))
+      .groupBy(bucketOf(col("first_doc")).as("bucket"))
+      .agg(count(lit(1)).as("new_vocab"))
+    // per-doc token counts → docs/tokens per bucket
+    val perBucket = docs
+      .select(col("doc_id"), size(tokens(col("text"))).cast("long").as("nt"))
+      .crossJoin(broadcast(maxDoc))
+      .groupBy(bucketOf(col("doc_id")).as("bucket"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("nt")).as("n_tokens"))
+    val wB = graft.BoundedWindow.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val curve = perBucket
+      .join(firstSeen, Seq("bucket"), "left")
+      .select(col("bucket"),
+        sum(col("n_docs")).over(wB).as("cum_docs"),
+        sum(col("n_tokens")).over(wB).as("cum_tokens"),
+        sum(coalesce(col("new_vocab"), lit(0L))).over(wB).as("cum_vocab"))
+    val xy = curve.select(col("bucket"), col("cum_docs"),
+      col("cum_tokens"), col("cum_vocab"),
+      round(log(col("cum_tokens").cast("double")), 9).as("x"),
+      round(log(col("cum_vocab").cast("double")), 9).as("y"))
+    val fit = xy.agg(count(lit(1)).cast("double").as("n"),
+        dsum(col("x")).as("sx"), dsum(col("y")).as("sy"),
+        dsum(col("x") * col("x")).as("sxx"),
+        dsum(col("x") * col("y")).as("sxy"))
+      // + 0.0 normalizes IEEE −0.0 (a flat fixture curve slopes to
+      // −0.0 in one engine and +0.0 in the other; they hash apart)
+      .select((round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6) + lit(0.0))
+        .as("heaps_beta"))
+    xy.crossJoin(broadcast(fit))
+      .select(col("bucket"), col("cum_docs"), col("cum_tokens"),
+        col("cum_vocab"), col("heaps_beta"))
+      .orderBy("bucket")
+  }
+
+  def heapsLawFitOracle: String =
+    s"""WITH md AS (SELECT MAX(doc_id) AS max_doc FROM documents),
+       |fs AS (SELECT ((w.g * $HeapsBuckets) // (md.max_doc + 1))
+       |      + 1 AS bucket, CAST(COUNT(*) AS BIGINT) AS new_vocab
+       |  FROM (SELECT tok, MIN(doc_id) AS g FROM (
+       |      SELECT doc_id, unnest($tokensSql) AS tok FROM documents) u
+       |    GROUP BY tok) w, md
+       |  GROUP BY 1),
+       |pb AS (SELECT ((d.doc_id * $HeapsBuckets) // (md.max_doc + 1))
+       |      + 1 AS bucket,
+       |    CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |    CAST(SUM(len($tokensSql)) AS BIGINT) AS n_tokens
+       |  FROM documents d, md GROUP BY 1),
+       |curve AS (SELECT pb.bucket,
+       |    CAST(SUM(pb.n_docs) OVER w AS BIGINT) AS cum_docs,
+       |    CAST(SUM(pb.n_tokens) OVER w AS BIGINT) AS cum_tokens,
+       |    CAST(SUM(COALESCE(fs.new_vocab, 0)) OVER w AS BIGINT)
+       |      AS cum_vocab
+       |  FROM pb LEFT JOIN fs ON pb.bucket = fs.bucket
+       |  WINDOW w AS (ORDER BY pb.bucket
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |xy AS (SELECT bucket, cum_docs, cum_tokens, cum_vocab,
+       |    round(ln(CAST(cum_tokens AS DOUBLE)), 9) AS x,
+       |    round(ln(CAST(cum_vocab AS DOUBLE)), 9) AS y
+       |  FROM curve),
+       |fit AS (SELECT round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) + 0.0
+       |    AS heaps_beta
+       |  FROM (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+       |      CAST(SUM(CAST(x AS DECIMAL(28,12))) AS DOUBLE) AS sx,
+       |      CAST(SUM(CAST(y AS DECIMAL(28,12))) AS DOUBLE) AS sy,
+       |      CAST(SUM(CAST(x*x AS DECIMAL(28,12))) AS DOUBLE) AS sxx,
+       |      CAST(SUM(CAST(x*y AS DECIMAL(28,12))) AS DOUBLE) AS sxy
+       |    FROM xy) g)
+       |SELECT xy.bucket, xy.cum_docs, xy.cum_tokens, xy.cum_vocab,
+       |  fit.heaps_beta
+       |FROM xy, fit ORDER BY bucket""".stripMargin
+
+  // ── term burstiness: Church–Gale contagion statistics ──
+
+  /** Report size for the burstiness panel. */
+  val BurstTopK = 20
+
+  /** Term burstiness for the [[BurstTopK]] highest-volume terms —
+    * Church & Gale's observation that content words are "contagious":
+    * their occurrences clump into few documents instead of spreading
+    * Poisson-thin. Per term: collection frequency cf, document
+    * frequency df, burst = cf/df (mean occurrences per CONTAINING
+    * doc; ≈1 = function-word-like, ≫1 = topical/boilerplate), and the
+    * variance-to-mean ratio over ALL docs including zeros (Poisson
+    * ⇒ VMR ≈ 1; VMR ≫ 1 flags templated/boilerplate tokens that
+    * per-doc quality scores miss). The stopword-vs-content split this
+    * exposes feeds the quality-scoring stopword list and the
+    * boilerplate n-gram screen.
+    *
+    * Scale shape: one token scan → per-(term, doc) counts (the
+    * inverted-index shuffle) → per-term sufficient statistics (cf, df,
+    * Σx² — map-side partials) → a bounded top-k heap; VMR needs the
+    * total doc count, a broadcast 1-row frame. Zeros never
+    * materialize: Σx² over all docs equals Σx² over containing docs,
+    * and the mean over N docs is cf/N. Exact longs; the two final
+    * ratios round to 6. */
+  def termBurstiness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir)
+    val nDocs = docs.agg(count(lit(1)).as("n_all_docs"))
+    val perTermDoc = docs
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy("w", "doc_id").agg(count(lit(1)).as("x"))
+    perTermDoc.groupBy("w")
+      .agg(sum(col("x")).as("cf"), count(lit(1)).as("df"),
+        sum(col("x") * col("x")).as("sxx"))
+      .orderBy(col("cf").desc, col("w")).limit(BurstTopK)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w"), col("cf"), col("df"),
+        round(col("cf").cast("double") / col("df"), 6).as("burst"),
+        round((col("sxx").cast("double") / col("n_all_docs") -
+          pow(col("cf").cast("double") / col("n_all_docs"), 2)) /
+          (col("cf").cast("double") / col("n_all_docs")), 6).as("vmr"))
+      .orderBy(col("cf").desc, col("w"))
+  }
+
+  def termBurstinessOracle: String =
+    s"""WITH nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_all_docs
+       |  FROM documents),
+       |td AS (SELECT w, doc_id, CAST(COUNT(*) AS BIGINT) AS x
+       |  FROM (SELECT doc_id, unnest($tokensSql) AS w FROM documents) u
+       |  GROUP BY w, doc_id),
+       |t AS (SELECT w, CAST(SUM(x) AS BIGINT) AS cf,
+       |    CAST(COUNT(*) AS BIGINT) AS df,
+       |    CAST(SUM(x * x) AS BIGINT) AS sxx
+       |  FROM td GROUP BY w
+       |  ORDER BY cf DESC, w LIMIT $BurstTopK)
+       |SELECT t.w, t.cf, t.df,
+       |  round(CAST(t.cf AS DOUBLE) / t.df, 6) AS burst,
+       |  round((CAST(t.sxx AS DOUBLE) / nd.n_all_docs -
+       |    pow(CAST(t.cf AS DOUBLE) / nd.n_all_docs, 2)) /
+       |    (CAST(t.cf AS DOUBLE) / nd.n_all_docs), 6) AS vmr
+       |FROM t, nd ORDER BY cf DESC, w""".stripMargin
 }
+

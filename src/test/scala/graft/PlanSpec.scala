@@ -38,7 +38,9 @@ class PlanSpec extends SparkSpec {
     "survival_km",
     "sketch_hll_distinct", "sketch_join_size", "sketch_kmv_distinct",
     "sketch_kmv_overlap", "sketch_quantile_price", "t_closeness_audit",
-    "training_readiness",
+    "training_readiness", "vocab_coverage_curve",
+    "heaps_law_fit",   // 1-row max-doc grid + 1-row OLS fit ride back
+    "term_burstiness", // 1-row doc-count normalizer onto the top-k heap
     "ttest_urgent_spend",
     // bounded parameter/threshold grid (4-10 rows) × a scan or a
     // 1-row stats frame — the sweep-report pattern
