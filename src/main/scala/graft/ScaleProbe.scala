@@ -27,6 +27,12 @@ object ScaleProbe {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // the streaming replay twins collect through a memory sink — a
+      // LOCAL-harness term (production writes a distributed sink); at
+      // 1000× the interval join's batch exceeds the 1g default, so
+      // probes may raise it (driver heap is sized via SPARK_DRIVER_MEM)
+      .config("spark.driver.maxResultSize",
+        sys.env.getOrElse("SPARK_GRAFT_MAX_RESULT", "1g"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftSession.tune(spark)
@@ -354,6 +360,11 @@ object ScaleProbe {
       // heap — both must stay scan-dominated
       "heaps_law_fit" -> (graft.ext.TextAnalysis.heapsLawFit _),
       "term_burstiness" -> (graft.ext.TextAnalysis.termBurstiness _),
+      // lang mix = two bounded re-aggregations of the (source×lang)
+      // collapse; calibration rides the capped-bucket SimHash pairs +
+      // the endpoint-pruned trigram join (scoredKeeperPairs shape)
+      "source_lang_mix" -> (graft.ext.TextAnalysis.sourceLangMix _),
+      "simhash_calibration" -> (graft.ext.Dedup.simhashCalibration _),
       // the interval family's one-time shared streaming pass (the
       // bench line): memo reset so the probe times the COLD stream-
       // stream full-outer replay — per-micro-batch state commits are

@@ -232,6 +232,10 @@ object SparkEntry {
     "heaps_law_fit" -> TextAnalysis.heapsLawFit _,
     // Church–Gale burstiness panel for the top-volume terms
     "term_burstiness" -> TextAnalysis.termBurstiness _,
+    // per-source language-mix entropy + majority share
+    "source_lang_mix" -> TextAnalysis.sourceLangMix _,
+    // SimHash hamming→exact-Jaccard calibration curve
+    "simhash_calibration" -> Dedup.simhashCalibration _,
     "vocab_richness" -> TextAnalysis.vocabRichness _,
     "span_corruption" -> TextAnalysis.spanCorruption _,
     "gini_sources" -> TextAnalysis.giniSources _,
@@ -744,6 +748,8 @@ object SparkEntry {
     "dedup_token_inflation" -> Dedup.dedupTokenInflationOracle,
     "heaps_law_fit" -> TextAnalysis.heapsLawFitOracle,
     "term_burstiness" -> TextAnalysis.termBurstinessOracle,
+    "source_lang_mix" -> TextAnalysis.sourceLangMixOracle,
+    "simhash_calibration" -> Dedup.simhashCalibrationOracle,
     "vocab_richness" -> TextAnalysis.vocabRichnessOracle,
     "span_corruption" -> TextAnalysis.spanCorruptionOracle,
     "gini_sources" -> TextAnalysis.giniSourcesOracle,

@@ -1572,6 +1572,78 @@ object Dedup {
        |SELECT d1, d2, hamming FROM pairs
        |WHERE hamming <= 6 ORDER BY d1, d2""".stripMargin
 
+  /** SimHash Hamming→exact-Jaccard calibration curve — the measured
+    * answer to "what maxHamming threshold should the SimHash screen
+    * use": for each Hamming distance on the candidate pairs the
+    * banded SimHash pass surfaces, the count and the mean/min/max
+    * EXACT trigram Jaccard of those pairs. The minhash_error_audit
+    * twin for the other signature family: MinHash estimates a
+    * set-similarity directly, SimHash's bit distance only correlates
+    * with it — this curve is that correlation, measured on the
+    * corpus the threshold will screen.
+    *
+    * Scale shape: the pair set is the capped-bucket SimHash
+    * candidate frame (linear, never pairwise); exact Jaccard joins
+    * the pairs against per-endpoint trigram sets (leftsemi-pruned to
+    * pair endpoints, persisted for the two-sided join — the
+    * [[scoredKeeperPairs]] template); the report collapses to the
+    * ≤ maxHamming+1-row grid. Mean is a decimal sum of 9-rounded
+    * terms (partition-order-free); min/max are order-free already. */
+  def simhashCalibration(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    // persisted: consumed twice (endpoint pruning + the scored join)
+    val pairs = simhashPairs(spark, dir).persist()
+    val endpoints = pairs.select(col("d1").as("doc_id"))
+      .union(pairs.select(col("d2"))).distinct()
+    val grams = trigramSets(Tables.documents(spark, dir)
+      .join(endpoints, Seq("doc_id"), "leftsemi")).persist()
+    graft.GraftSession.releaseAfterAction(spark, pairs, grams)
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    val scored = pairs
+      .join(grams.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
+      .join(grams.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
+      .select(col("hamming"),
+        (inter.cast("double") /
+          greatest(size(col("g1")) + size(col("g2")) - inter, lit(1))).as("j"))
+    scored.groupBy("hamming")
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(round(col("j"), 9).cast(DecimalType(28, 12))).cast("double").as("sj"),
+        min(col("j")).as("mnj"), max(col("j")).as("mxj"))
+      .select(col("hamming"), col("n_pairs"),
+        round(col("sj") / col("n_pairs"), 6).as("mean_jaccard"),
+        round(col("mnj"), 6).as("min_jaccard"),
+        round(col("mxj"), 6).as("max_jaccard"))
+      .orderBy("hamming")
+  }
+
+  def simhashCalibrationOracle: String =
+    s"""WITH sp AS (SELECT d1, d2, hamming FROM (
+       |${simhashPairsOracle.linesIterator.map("  " + _).mkString("\n")}
+       |  ) sq),
+       |tokseq AS (SELECT doc_id, $tokensSql AS ws FROM documents),
+       |tri AS (SELECT doc_id,
+       |    list_distinct(list_transform(range(greatest(len(ws) - 2, 0)),
+       |      i -> ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3])) AS grams
+       |  FROM tokseq),
+       |nn AS (SELECT doc_id, len(grams) AS n FROM tri),
+       |gg AS (SELECT doc_id, unnest(grams) AS g FROM tri),
+       |iv AS (SELECT sp.d1, sp.d2, COUNT(*) AS inter
+       |  FROM sp JOIN gg a ON a.doc_id = sp.d1
+       |  JOIN gg b ON b.doc_id = sp.d2 AND b.g = a.g
+       |  GROUP BY sp.d1, sp.d2),
+       |scored AS (SELECT sp.hamming,
+       |    CAST(COALESCE(iv.inter, 0) AS DOUBLE) /
+       |      GREATEST(na.n + nb.n - COALESCE(iv.inter, 0), 1) AS j
+       |  FROM sp JOIN nn na ON na.doc_id = sp.d1
+       |  JOIN nn nb ON nb.doc_id = sp.d2
+       |  LEFT JOIN iv ON iv.d1 = sp.d1 AND iv.d2 = sp.d2)
+       |SELECT hamming, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       |  round(CAST(SUM(CAST(round(j, 9) AS DECIMAL(28,12))) AS DOUBLE)
+       |    / COUNT(*), 6) AS mean_jaccard,
+       |  round(MIN(j), 6) AS min_jaccard,
+       |  round(MAX(j), 6) AS max_jaccard
+       |FROM scored GROUP BY hamming ORDER BY hamming""".stripMargin
+
   // ── cross-document exact-substring dedup (verbatim shared runs) ──
 
   /** Minimum verbatim run length in tokens — also the k-gram width.

@@ -2946,6 +2946,65 @@ object TextAnalysis {
        |  fit.heaps_beta
        |FROM xy, fit ORDER BY bucket""".stripMargin
 
+  // ── per-source language mix: entropy + majority share ──
+
+  /** Per-source language-mix report — the curation table behind
+    * source-level language routing: per source, the doc count,
+    * distinct languages seen, the majority language (ties to the
+    * lexicographically smallest, deterministic), its share, and the
+    * Shannon entropy (nats) of the language distribution. A source
+    * whose entropy drifts up between vintages started mixing
+    * languages — the routing/lang-id assumptions need rechecking;
+    * entropy ≈ 0 sources can skip per-doc lang-id entirely at 100 TB.
+    *
+    * Scale shape: one scan collapses to the (source × lang) count
+    * frame (map-side partials); the per-source totals re-aggregate
+    * that bounded frame and join back size-driven (no hint — the
+    * per-source-frame rule); the report is |sources| rows. Counts
+    * exact; the entropy is a decimal sum of 9-rounded p·ln p terms
+    * (partition-order-free), the two ratios round to 6. */
+  def sourceLangMix(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val cnt = Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy("source")
+      .agg(sum("n").as("n_docs"), count(lit(1)).as("n_langs"),
+        max("n").as("maxn"))
+    val p = col("n").cast("double") / col("n_docs")
+    cnt.join(tot, Seq("source"))
+      .groupBy("source")
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("n_langs")).as("n_langs"),
+        min(when(col("n") === col("maxn"), col("lang"))).as("majority_lang"),
+        max(col("maxn")).as("maxn"),
+        sum(round(-p * log(p), 9).cast(DecimalType(28, 12)))
+          .cast("double").as("ent"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        col("majority_lang"),
+        round(col("maxn").cast("double") / col("n_docs"), 6)
+          .as("majority_share"),
+        round(col("ent"), 6).as("lang_entropy"))
+      .orderBy("source")
+  }
+
+  def sourceLangMixOracle: String =
+    s"""WITH c AS (SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+       |  FROM documents GROUP BY source, lang),
+       |t AS (SELECT source, CAST(SUM(n) AS BIGINT) AS n_docs,
+       |    CAST(COUNT(*) AS BIGINT) AS n_langs,
+       |    CAST(MAX(n) AS BIGINT) AS maxn
+       |  FROM c GROUP BY source)
+       |SELECT c.source, t.n_docs, t.n_langs,
+       |  MIN(CASE WHEN c.n = t.maxn THEN c.lang END) AS majority_lang,
+       |  round(CAST(t.maxn AS DOUBLE) / t.n_docs, 6) AS majority_share,
+       |  round(CAST(SUM(CAST(round(
+       |      -(CAST(c.n AS DOUBLE) / t.n_docs) *
+       |        ln(CAST(c.n AS DOUBLE) / t.n_docs), 9)
+       |    AS DECIMAL(28,12))) AS DOUBLE), 6) AS lang_entropy
+       |FROM c JOIN t USING (source)
+       |GROUP BY c.source, t.n_docs, t.n_langs, t.maxn
+       |ORDER BY source""".stripMargin
+
   // ── term burstiness: Church–Gale contagion statistics ──
 
   /** Report size for the burstiness panel. */
