@@ -365,6 +365,10 @@ object ScaleProbe {
       // the endpoint-pruned trigram join (scoredKeeperPairs shape)
       "source_lang_mix" -> (graft.ext.TextAnalysis.sourceLangMix _),
       "simhash_calibration" -> (graft.ext.Dedup.simhashCalibration _),
+      // on-ingest twin: replay cost must be the ingest scan; state is
+      // the (source×lang) count table, the fold is bounded-frame work
+      "stream_lang_mix_monitor" ->
+        (graft.streaming.DocStream.streamingLangMixMonitor _),
       // the interval family's one-time shared streaming pass (the
       // bench line): memo reset so the probe times the COLD stream-
       // stream full-outer replay — per-micro-batch state commits are

@@ -234,6 +234,8 @@ object SparkEntry {
     "term_burstiness" -> TextAnalysis.termBurstiness _,
     // per-source language-mix entropy + majority share
     "source_lang_mix" -> TextAnalysis.sourceLangMix _,
+    // on-ingest twin: streamed (source,lang) counts + the shared fold
+    "stream_lang_mix_monitor" -> (graft.streaming.DocStream.streamingLangMixMonitor _),
     // SimHash hamming→exact-Jaccard calibration curve
     "simhash_calibration" -> Dedup.simhashCalibration _,
     "vocab_richness" -> TextAnalysis.vocabRichness _,
@@ -749,6 +751,7 @@ object SparkEntry {
     "heaps_law_fit" -> TextAnalysis.heapsLawFitOracle,
     "term_burstiness" -> TextAnalysis.termBurstinessOracle,
     "source_lang_mix" -> TextAnalysis.sourceLangMixOracle,
+    "stream_lang_mix_monitor" -> graft.streaming.DocStream.streamingLangMixMonitorOracle,
     "simhash_calibration" -> Dedup.simhashCalibrationOracle,
     "vocab_richness" -> TextAnalysis.vocabRichnessOracle,
     "span_corruption" -> TextAnalysis.spanCorruptionOracle,

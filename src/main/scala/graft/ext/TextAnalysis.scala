@@ -2963,10 +2963,16 @@ object TextAnalysis {
     * per-source-frame rule); the report is |sources| rows. Counts
     * exact; the entropy is a decimal sum of 9-rounded p·ln p terms
     * (partition-order-free), the two ratios round to 6. */
-  def sourceLangMix(spark: SparkSession, dir: String): DataFrame = {
+  def sourceLangMix(spark: SparkSession, dir: String): DataFrame =
+    langMixReport(Tables.documents(spark, dir)
+      .groupBy("source", "lang").agg(count(lit(1)).as("n")))
+
+  /** The per-source mix fold over a (source, lang, n) count frame —
+    * shared by the batch report above and the streaming monitor's
+    * post-replay fold ([[graft.streaming.DocStream
+    * .streamingLangMixMonitor]]), so the two cannot drift. */
+  private[graft] def langMixReport(cnt: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val cnt = Tables.documents(spark, dir)
-      .groupBy("source", "lang").agg(count(lit(1)).as("n"))
     val tot = cnt.groupBy("source")
       .agg(sum("n").as("n_docs"), count(lit(1)).as("n_langs"),
         max("n").as("maxn"))

@@ -109,6 +109,32 @@ object DocStream {
        |FROM t GROUP BY source ORDER BY source""".stripMargin
   }
 
+  /** Streaming language-mix monitor — the on-ingest twin of
+    * [[graft.ext.TextAnalysis.sourceLangMix]]: the stream maintains
+    * the (source, lang) count table (ONE streaming aggregation —
+    * state is \|sources\|×\|langs\| rows, sharded by the groupBy
+    * shuffle), and the entropy/majority fold runs on that monitor
+    * table post-replay through the SAME [[graft.ext.TextAnalysis
+    * .langMixReport]] the batch report uses — a deployment runs
+    * update mode into a count upsert and re-folds the (tiny) mix
+    * table per dashboard tick. Chained streaming aggregations are
+    * forbidden, so the two-level shape is forced — and honest: the
+    * second level is bounded-frame work, not stream work. Verified
+    * against the SAME oracle as the batch form. */
+  def streamingLangMixMonitor(spark: SparkSession, dir: String): DataFrame =
+    graft.ext.TextAnalysis.langMixReport(
+      // checkpoint materializes the \|sources\|×\|langs\| monitor
+      // table (the deployment's upsert table) — and gives the fold's
+      // self-join fresh attribute ids (a memory-sink view joined with
+      // its own aggregate otherwise conflicts at resolution)
+      runDocStream(spark, dir, "langmix") { stream =>
+        stream.groupBy(col("source"), col("lang"))
+          .agg(count(lit(1)).as("n"))
+      }.localCheckpoint())
+
+  def streamingLangMixMonitorOracle: String =
+    graft.ext.TextAnalysis.sourceLangMixOracle
+
   /** Streaming quality monitor — scan-on-ingest, per (source, reason):
     * running doc and token counts under the SAME first-failing-rule
     * cascade the batch report uses ([[graft.ext.TextAnalysis
