@@ -288,17 +288,24 @@ object Dedup {
     smallPairs.select(out: _*).union(starPairs.select(out: _*))
   }
 
-  /** LSH pairs over any (doc_id, text) frame. Buckets at or below
-    * `maxBucket` pair all-vs-all; larger buckets go star (see
-    * [[MaxBucket]]), so no bucket ever contributes O(n²) candidates. */
-  def minhashPairs(corpus: DataFrame, threshold: Double,
-                   maxBucket: Int = MaxBucket): DataFrame = {
+  /** (doc_id, sig, band_id, band_key) banding of a corpus — the
+    * signature pipeline up to (but not including) the bucket join.
+    * Band keys are per-doc (md5 of signature slices), so filtering
+    * this frame to a doc subset equals banding that subset directly —
+    * which lets the artifact build compute ONE signature pass and
+    * derive both the keeper and the full-corpus candidate sets. */
+  private[ext] def minhashBands(corpus: DataFrame): DataFrame = {
     val docs = signatureArray(corpus)
     val rowsPerBand = NumPerms / NumBands
-    val bands = docs.select(col("doc_id"), col("sig"),
+    docs.select(col("doc_id"), col("sig"),
         posexplode(transform(sequence(lit(0), lit(NumBands - 1)), b =>
           md5(array_join(slice(col("sig"), b * rowsPerBand + 1, lit(rowsPerBand)), ",")))))
       .select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_key"))
+  }
+
+  /** Capped candidate pairs + estimated Jaccard from a banded frame. */
+  private[ext] def minhashPairsFromBands(bands: DataFrame, threshold: Double,
+                                         maxBucket: Int): DataFrame =
     cappedBucketPairs(bands, Seq("band_id", "band_key"), "doc_id", Seq("sig"), maxBucket)
       .select(col("d1"), col("d2"),
         (graft.functions.ArrayEqCount(col("sig1"), col("sig2")).cast("double")
@@ -306,7 +313,13 @@ object Dedup {
       .distinct()
       .filter(col("est_jaccard") >= threshold)
       .orderBy("d1", "d2")
-  }
+
+  /** LSH pairs over any (doc_id, text) frame. Buckets at or below
+    * `maxBucket` pair all-vs-all; larger buckets go star (see
+    * [[MaxBucket]]), so no bucket ever contributes O(n²) candidates. */
+  def minhashPairs(corpus: DataFrame, threshold: Double,
+                   maxBucket: Int = MaxBucket): DataFrame =
+    minhashPairsFromBands(minhashBands(corpus), threshold, maxBucket)
 
   /** Shared CTE stack (tokens → signatures → capped candidate pairs →
     * estimated jaccard) reused by the pairs, groups, and verified
@@ -492,25 +505,27 @@ object Dedup {
   val SimhashBits = 32
 
   /** 32-bit SimHash over the distinct token set: bit b of the signature
-    * is 1 iff Σ_w (2·bit_b(h(w))−1) > 0. Explode + two partial-agg
-    * hash aggregates — all codegen'd; map-side combine bounds the
-    * shuffle at |docs|×|bits| rows. */
+    * is 1 iff Σ_w (2·bit_b(h(w))−1) > 0. ONE hash aggregate over the
+    * (doc, token-hash) rows with the 32 bit-sums as constant-shift
+    * aggregate columns (h ≥ 0, so `(h >> b) % 2` is exactly bit b) —
+    * the previous form exploded every token row ×32 bits through TWO
+    * aggregates, inflating the aggregate input 32× to compute the same
+    * 32 integers. Map-side combine bounds the shuffle at one row per
+    * doc per partition; 32 long buffers stay well inside whole-stage
+    * codegen's field budget. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    // h < 2^32 and 2^b ≤ 2^31, so h / 2^b is a pure binary shift —
-    // exact in double arithmetic; floor+%2 extracts bit b.
-    def bitOf(h: Column, b: Column): Column =
-      floor(h / pow(lit(2.0), b)).cast("long") % 2L
+    val bitSums = (0 until SimhashBits).map(b =>
+      sum((shiftright(col("h"), b) % 2L) * 2L - 1L).as(s"_b$b"))
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(array_distinct(toks(col("text")))).as("w"))
       .select(col("doc_id"),
         conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
-      .select(col("doc_id"), col("h"),
-        explode(sequence(lit(0), lit(SimhashBits - 1))).as("b"))
-      .groupBy("doc_id", "b")
-      .agg(sum(bitOf(col("h"), col("b")) * 2L - 1L).as("s"))
       .groupBy("doc_id")
-      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("b")).cast("long"))
-        .otherwise(0L)).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"),
+        (0 until SimhashBits).map(b =>
+          when(col(s"_b$b") > 0, lit(1L << b)).otherwise(0L))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 
@@ -670,46 +685,25 @@ object Dedup {
     rm(new java.io.File(edgesArtifactDefaultPath(dir)))
   }
 
-  /** The scored keeper-pair frame the artifact stores: over exact-
-    * dedup keepers, EVERY capped-bucket LSH candidate (est threshold
-    * 0 — banding is threshold-independent, so any downstream est cut
-    * is a filter over this frame), each verified with exact trigram
-    * Jaccard: (d1, d2, est_jaccard, jaccard). Same candidate-bounded
-    * shape as [[lshVerifiedJaccard]] — the bucket cap bounds the
-    * candidate set linearly at any corpus size. */
-  private def scoredKeeperPairs(spark: SparkSession, dir: String): DataFrame = {
-    val keeper = min(col("doc_id"))
-      .over(Window.partitionBy(md5(col("text"))))
-    val documents = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), keeper.as("k"))
-      .filter(col("doc_id") === col("k"))
-      .select(col("doc_id"), col("text"))
-    val cands = minhashPairs(documents, 0.0).persist()
-    val endpoints = cands.select(col("d1").as("doc_id"))
-      .union(cands.select(col("d2").as("doc_id"))).distinct()
-    val grams = trigramSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
-      .persist()
-    graft.GraftSession.releaseAfterAction(spark, cands, grams)
-    val inter = size(array_intersect(col("g1"), col("g2")))
-    cands
-      .join(grams.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
-      .join(grams.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
-      .select(col("d1"), col("d2"), col("est_jaccard"),
-        (inter.cast("double") /
-          greatest(size(col("g1")) + size(col("g2")) - inter, lit(1)))
-          .as("jaccard"))
-  }
-
   /** Build both pair frames and persist as ONE parquet artifact via
     * [[graft.Catalog]]: rows (kind, d1, d2, est_jaccard, jaccard,
     * fingerprint) with kind ∈ {verified, est_full, meta} —
-    * `verified` = [[scoredKeeperPairs]] (keepers, exact Jaccard),
-    * `est_full` = full-corpus capped candidates with estimates only
-    * (what the CC groups consume — exact duplicates are separate
-    * nodes there, so the keeper graph cannot serve it), `meta` = one
-    * sentinel row so an empty pair graph is still a valid fresh
-    * artifact. Size is candidate-bounded (bucket cap), never
-    * corpus-pairwise. */
+    * `verified` = keeper pairs with exact trigram Jaccard (over
+    * exact-dedup keepers, EVERY capped-bucket LSH candidate at est
+    * threshold 0 — banding is threshold-independent, so any downstream
+    * est cut is a filter over this frame), `est_full` = full-corpus
+    * capped candidates with estimates only (what the CC groups
+    * consume — exact duplicates are separate nodes there, so the
+    * keeper graph cannot serve it), `meta` = one sentinel row so an
+    * empty pair graph is still a valid fresh artifact. Size is
+    * candidate-bounded (bucket cap), never corpus-pairwise.
+    *
+    * ONE signature/banding pass serves BOTH stored frames: the
+    * full-corpus banding is persisted, and the keeper-subset banding
+    * is a semi-join filter of it — signatures and band keys are
+    * per-doc, so the filtered frame is bit-identical to banding the
+    * keeper corpus directly (the build previously tokenized + hashed
+    * + min-aggregated the corpus twice, once per frame). */
   def edgesArtifactPersist(spark: SparkSession, dir: String,
                            path: String): Unit = {
     edgesBuildCount.incrementAndGet()
@@ -717,9 +711,32 @@ object Dedup {
     def stamp(df: DataFrame, kind: String) = df.select(
       lit(kind).as("kind"), col("d1"), col("d2"),
       col("est_jaccard"), col("jaccard"), lit(fp).as("fingerprint"))
-    val verified = stamp(scoredKeeperPairs(spark, dir), "verified")
+    val allBands = minhashBands(Tables.documents(spark, dir)).persist()
+    val keeper = min(col("doc_id"))
+      .over(Window.partitionBy(md5(col("text"))))
+    val keepers = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), keeper.as("k"))
+      .filter(col("doc_id") === col("k"))
+      .select(col("doc_id"), col("text")).persist()
+    val cands = minhashPairsFromBands(
+        allBands.join(keepers.select("doc_id"), Seq("doc_id"), "leftsemi"),
+        0.0, MaxBucket).persist()
+    val endpoints = cands.select(col("d1").as("doc_id"))
+      .union(cands.select(col("d2").as("doc_id"))).distinct()
+    val grams = trigramSets(keepers.join(endpoints, Seq("doc_id"), "leftsemi"))
+      .persist()
+    graft.GraftSession.releaseAfterAction(spark, allBands, keepers, cands, grams)
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    val scored = cands
+      .join(grams.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
+      .join(grams.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
+      .select(col("d1"), col("d2"), col("est_jaccard"),
+        (inter.cast("double") /
+          greatest(size(col("g1")) + size(col("g2")) - inter, lit(1)))
+          .as("jaccard"))
+    val verified = stamp(scored, "verified")
     val estFull = stamp(
-      minhashPairs(Tables.documents(spark, dir), 0.0)
+      minhashPairsFromBands(allBands, 0.0, MaxBucket)
         .withColumn("jaccard", lit(null).cast("double")), "est_full")
     import spark.implicits._
     val meta = Seq(("meta", -1L, -1L)).toDF("kind", "d1", "d2")

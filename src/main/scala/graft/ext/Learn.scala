@@ -82,10 +82,16 @@ object Learn {
         round(slopeRaw, 6).as("slope"),
         round((col("sy") - slopeRaw * col("sx")) / col("n"), 6).as("intercept"))
       .localCheckpoint() // 1 row; residuals + report both read it
+    // checkpointed: the residual projection (a fact scan + per-row md5
+    // split hash) feeds the count, the rank fetch AND the coverage
+    // pass — three independent consumers that each re-paid the
+    // scan+digest (exchange reuse only dedupes within the fetch).
+    // One eager materialization (|cal| single-double rows) serves all.
     val res = li.filter(col("is_cal"))
       .crossJoin(broadcast(coef))
       .select(round(abs(col("y") -
         (col("intercept") + col("slope") * col("x"))), 6).as("r"))
+      .localCheckpoint()
     val nc = res.agg(count(lit(1)).as("n_cal"))
     val ranks = nc.select(lit("cal").as("g"),
       least(ceil((col("n_cal") + 1) * (1 - ConformalAlpha)).cast("long"),

@@ -384,8 +384,12 @@ object Multimodal {
     val dec = DecimalType(38, 18)
     def dot(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       graft.functions.DotProduct(a, b)
-    val a8 = sharedSpaceAssets(spark, dir)
-    val e8 = sharedSpaceCaptions(spark, dir)
+    // both sides feed FOUR branches each (coordinate sums, Gram cells,
+    // the count, the diagonal join): persist or every branch re-pays
+    // the decode/binning projection — 4 corpus scans per side at 100 TB
+    val a8 = sharedSpaceAssets(spark, dir).persist()
+    val e8 = sharedSpaceCaptions(spark, dir).persist()
+    graft.GraftSession.releaseAfterAction(spark, a8, e8)
     // moment frames: coordinate sums and 8×8 Gram cells, decimal sums
     def coordSums(df: DataFrame, c: String) = df.filter(col(c).isNotNull)
       .select(posexplode(col(c)).as(Seq("k", "x")))

@@ -25,6 +25,37 @@ object Pipeline {
                            n_after_quality: Long, n_after_neardup: Long,
                            total_tokens: Long)
 
+  /** Stage 1: exact dedup on normalized text (keeper = min doc_id) —
+    * one lazy definition shared by the stats path and the stats-free
+    * survivor query so the two cannot drift. */
+  private def exactKeepers(docs: DataFrame): DataFrame = docs
+    .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    .withColumn("keeper",
+      min(col("doc_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("norm")))
+    .filter(col("doc_id") === col("keeper"))
+    .drop("norm", "keeper")
+
+  /** Stage 2: quality filter (projection-only), lazily defined. */
+  private def qualityFrame(keepers: DataFrame, minTokens: Long,
+                           maxStopwordRatio: Double): DataFrame = {
+    val ws = TextAnalysis.tokens(col("text"))
+    keepers
+      .withColumn("n_tokens", size(ws).cast("long"))
+      .withColumn("stop_ratio",
+        size(filter(ws, w => w.isin("the", "a", "of", "and", "to", "in", "is", "it")))
+          .cast("double") / col("n_tokens"))
+      .filter(col("n_tokens") >= minTokens && col("stop_ratio") <= maxStopwordRatio)
+      .drop("stop_ratio")
+  }
+
+  /** Stage 3: near-dup drop set over the survivors (greedy
+    * keep-the-smaller-id per high-similarity LSH pair). */
+  private def nearDupDrops(quality: DataFrame,
+                           nearDupThreshold: Double): DataFrame =
+    Dedup.minhashPairs(quality, threshold = nearDupThreshold)
+      .select(col("d2").as("doc_id")).distinct()
+
   /** Curate the documents table: returns (curated corpus, stage stats).
     * Thresholds tuned for the fixture corpus; parameters in a real run. */
   def curate(spark: SparkSession, dir: String,
@@ -33,27 +64,12 @@ object Pipeline {
     val docs = Tables.documents(spark, dir)
     val nInput = docs.count()
 
-    // 1. exact dedup on normalized text (keeper = min doc_id)
-    val keepers = docs
-      .withColumn("norm", trim(regexp_replace(lower(col("text")), "\\s+", " ")))
-      .withColumn("keeper",
-        min(col("doc_id")).over(
-          org.apache.spark.sql.expressions.Window.partitionBy("norm")))
-      .filter(col("doc_id") === col("keeper"))
-      .drop("norm", "keeper")
+    val keepers = exactKeepers(docs)
     val nExact = keepers.count()
 
-    // 2. quality filter (projection-only). Persisted: reused by the
-    // survivor-join below and the final stats.
-    val ws = TextAnalysis.tokens(col("text"))
-    val quality = keepers
-      .withColumn("n_tokens", size(ws).cast("long"))
-      .withColumn("stop_ratio",
-        size(filter(ws, w => w.isin("the", "a", "of", "and", "to", "in", "is", "it")))
-          .cast("double") / col("n_tokens"))
-      .filter(col("n_tokens") >= minTokens && col("stop_ratio") <= maxStopwordRatio)
-      .drop("stop_ratio")
-      .persist()
+    // quality is persisted: reused by the survivor-join below and the
+    // final stats
+    val quality = qualityFrame(keepers, minTokens, maxStopwordRatio).persist()
     val nQuality = quality.count()
 
     // 3. near-dup removal over the SURVIVORS only (LSH on the already-
@@ -62,8 +78,7 @@ object Pipeline {
     // survivors by construction, so no content is lost. (Transitive
     // chains A≈B≈C may keep C when B was dropped — the standard greedy
     // trade-off vs. Dedup.duplicateGroups' connected components.)
-    val drops = Dedup.minhashPairs(quality, threshold = nearDupThreshold)
-      .select(col("d2").as("doc_id")).distinct()
+    val drops = nearDupDrops(quality, nearDupThreshold)
     val curated = quality.join(drops, Seq("doc_id"), "left_anti").persist()
     val nFinal = curated.count()
 
@@ -77,11 +92,20 @@ object Pipeline {
 
   /** The curated corpus as a verifiable query: (doc_id, n_tokens) of
     * every surviving document — the whole four-stage pipeline under
-    * the driver's oracle gate. */
-  def curateDocs(spark: SparkSession, dir: String): DataFrame =
-    curate(spark, dir)._1
-      .select(col("doc_id"), col("n_tokens"))
-      .orderBy("doc_id")
+    * the driver's oracle gate. Built from the SAME lazy stage
+    * definitions as [[curate]] but without the five per-stage count
+    * actions (the waterfall's deliverable, dead weight here): the
+    * survivor set is one lazy plan; `quality` is persisted because the
+    * LSH drop-set and the anti-join spine both read it, and released
+    * after the consuming action. */
+  def curateDocs(spark: SparkSession, dir: String): DataFrame = {
+    val quality = qualityFrame(
+      exactKeepers(Tables.documents(spark, dir)), 10, 0.9).persist()
+    val curated = quality.join(nearDupDrops(quality, 0.9),
+      Seq("doc_id"), "left_anti")
+    graft.GraftSession.releaseAfterAction(spark, quality)
+    curated.select(col("doc_id"), col("n_tokens")).orderBy("doc_id")
+  }
 
   /** The curation WATERFALL: one row per pipeline stage with the doc
     * count entering, removed, and surviving, plus retention vs the

@@ -430,10 +430,21 @@ object Nonparam {
         lit(PoissonCdf.length).cast("long")) { case ((c, k), rest) =>
           when(col("u") < c, lit(k.toLong)).otherwise(rest)
         })
-    val means = reps.groupBy("r")
-      .agg((sum(round(col("w") * col("x"), 4).cast(DecimalType(28, 10)))
-          .cast("double") / sum(col("w"))).as("m0"))
-      .select(col("r"), round(col("m0"), 6).as("m"))
+    // B rows, count-asserted and materialized ONCE: the three
+    // downstream branches (both rank fetches + the moment aggregate)
+    // otherwise each replay the exploded fact pass — AQE's exchange
+    // reuse caught most of that at runtime, but the checkpoint makes
+    // the single-pass shape structural (and the broadcast audit can
+    // PROVE the bound instead of classifying through the window).
+    // (A 2·b-aggregate-column single-pass form was tried here and
+    // measured SLOWER: ~130 aggregate buffer fields fall out of
+    // whole-stage codegen, and the Poisson ladder evaluates per
+    // buffer instead of once per exploded row.)
+    val means = graft.BoundedCheckpoint(
+      reps.groupBy("r")
+        .agg((sum(round(col("w") * col("x"), 4).cast(DecimalType(28, 10)))
+            .cast("double") / sum(col("w"))).as("m0"))
+        .select(col("r"), round(col("m0"), 6).as("m")), b)
     val ranked = means // B rows — bounded by construction
       .select(col("m"), row_number().over(
         graft.BoundedWindow.orderBy(col("m"), col("r"))).as("rk"))
