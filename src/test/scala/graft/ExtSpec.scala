@@ -1226,6 +1226,53 @@ class ExtSpec extends SparkSpec {
     assert(Dedup.edgesBuildCount.get() == b2 + 1)
   }
 
+  test("edges artifact: shared-banding keeper pairs equal banding the keeper corpus directly") {
+    // the r12 build computes ONE full-corpus banding and derives the
+    // keeper candidate set as a semi-join filter of it; this pins the
+    // invariance that justifies the sharing — signatures and band keys
+    // are per-doc, so filtering the banded frame to the keeper subset
+    // yields exactly the pairs of banding that subset from scratch
+    Dedup.edgesArtifactReset(sf0001)
+    val shared = Dedup.verifiedPairsShared(spark, sf0001) // forces a build
+      .select("d1", "d2", "est_jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val keeperW = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val keepers = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"),
+        min(col("doc_id")).over(keeperW).as("k"))
+      .filter(col("doc_id") === col("k"))
+      .select(col("doc_id"), col("text"))
+    val direct = Dedup.minhashPairs(keepers, 0.0).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(shared == direct,
+      "shared-banding candidate pairs must equal the direct keeper banding")
+  }
+
+  test("simhash: one-aggregate bit sums equal the per-bit definition") {
+    // the r12 form computes the 32 bit-sums as constant-shift aggregate
+    // columns in ONE hash aggregate; this pins it against the literal
+    // definition (bit b set iff the ±1 sum over distinct-token hashes
+    // is positive), computed here the slow per-bit way
+    val perBit = Tables.documents(spark, sf0001)
+      .select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text")))).as("w"))
+      .select(col("doc_id"),
+        conv(substring(md5(col("w")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), col("h"),
+        explode(sequence(lit(0), lit(Dedup.SimhashBits - 1))).as("b"))
+      .groupBy("doc_id", "b")
+      .agg(sum(floor(col("h") / pow(lit(2.0), col("b"))).cast("long")
+        % 2L * 2L - 1L).as("s"))
+      .groupBy("doc_id")
+      .agg(sum(when(col("s") > 0, pow(lit(2.0), col("b")).cast("long"))
+        .otherwise(0L)).as("simhash"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = Dedup.simhash(spark, sf0001)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == perBit, "single-aggregate simhash diverged from definition")
+  }
+
   test("community profile: keeper is the min member, removable tokens are consistent, communities match the LPA labels") {
     val prof = Dedup.dedupCommunityProfile(spark, sf0001).collect()
     assert(prof.nonEmpty)
