@@ -32,6 +32,27 @@ object Bench {
     // warmup: exercise parquet scan + shuffle + codegen paths once
     SparkEntry.queries.get("q1_pricing_summary")
       .foreach(fn => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+    // streaming warmup (r13 measurement fix, disclosed in
+    // OPTIMIZATION_r13.md): the Structured Streaming machinery
+    // (micro-batch planner, state-store codegen, offset/commit logs,
+    // memory sink) JITs on FIRST use — measured ~4-8 s of one-time
+    // compilation that the old record billed to whichever stream_*
+    // line ran first (the interval shared pass, alphabetically-first
+    // in the cold-line block, absorbed most of it: 7.8 s billed vs
+    // ~3.0 s warm for identical work). That is session cost, not plan
+    // cost — the same class the q1 warmup above already shields batch
+    // queries from. One cheap bounded replay (watermark dedup state +
+    // one stateful aggregate) warms the shared machinery; per-line
+    // numbers then measure plans. Old-methodology numbers are kept in
+    // OPTIMIZATION_r13.md alongside the new ones.
+    try {
+      graft.streaming.EventStream.distinctKeysOverFiles(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+      graft.streaming.EventStream.windowedCountsOverFiles(spark, sfDir)
+        .write.format("noop").mode("overwrite").save()
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] streaming warmup failed: ${e.getMessage}")
+    }
 
     // min of N iterations per query: one GC pause / noisy-neighbor
     // spike shouldn't masquerade as a plan regression
@@ -87,6 +108,67 @@ object Bench {
           Seq(("dedup_edges_artifact_build", Seq.empty[Double]))
         }
       } else Seq.empty
+    // The remaining memo-served trained state (k-means centroids, the
+    // PQ codebook, the base-slice index, logit calibration, the BPE
+    // learner + its standing fold state, readiness state, standing
+    // dedup labels, the two IVM views) was never reset per run:
+    // whichever family member ran FIRST paid the training in its
+    // iteration 1 and min-of-N discarded it, so the record billed NO
+    // training anywhere — the same mis-billing class the two explicit
+    // cold lines above exist to prevent (r12 verdict item 3). Reset
+    // every memo and time ONE explicit cold build per family; the
+    // members then honestly report warm serve-from-state cost, and the
+    // build lines plus the members sum to each family's true total.
+    // Full runs always bill them; a BENCH_ONLY subset bills a family
+    // only when its build line is named (the dev loop keeps the old
+    // warm-subset behavior). Build order follows dependency: the
+    // standing dedup labels load the edges artifact the line above
+    // just rebuilt; readiness reads the same standing-label memo.
+    val memoBuilds: Seq[(String, Seq[Double])] = {
+      val families: Seq[(String, () => Unit, () => Unit)] = Seq(
+        ("kmeans_centroids_train_build",
+          // one reset drops all three slots of the ANN index family
+          () => graft.ext.Similarity.resetCentroidMemo(),
+          () => { graft.ext.Similarity.kmeansCentroids(spark, sfDir); () }),
+        ("pq_codebook_train_build", () => (),
+          () => { graft.ext.Similarity.pqCodebook(spark, sfDir); () }),
+        ("base_centroids_train_build", () => (),
+          () => { graft.ext.Similarity.baseKmeansCentroids(spark, sfDir); () }),
+        ("logit_calibration_train_build",
+          () => graft.ext.Learn.resetLogitMemo(),
+          () => graft.ext.Learn.warmLogitState(spark, sfDir)),
+        ("bpe_merges_train_build",
+          () => graft.ext.TextAnalysis.resetBpeMemo(),
+          () => graft.ext.TextAnalysis.warmBpeLearn(spark, sfDir)),
+        ("bpe_standing_state_build",
+          () => graft.ext.TextAnalysis.resetBpeStandingMemo(),
+          () => graft.ext.TextAnalysis.warmBpeStanding(spark, sfDir)),
+        ("dedup_standing_labels_build",
+          () => graft.ext.Dedup.resetStandingStateMemo(),
+          () => { graft.ext.Dedup.standingDedupState(spark, sfDir); () }),
+        ("readiness_state_build",
+          () => graft.ext.Pipeline.resetReadyStateMemo(),
+          () => { graft.ext.Pipeline.readyState(spark, sfDir); () }),
+        ("ivm_join_view_build",
+          () => graft.ext.Pipeline.resetJoinViewMemo(),
+          () => { graft.ext.Pipeline.joinViewState(spark, sfDir); () }),
+        ("ivm_cdc_view_build",
+          () => graft.ext.Pipeline.resetCdcViewMemo(),
+          () => { graft.ext.Pipeline.cdcViewState(spark, sfDir); () }))
+      families.flatMap { case (name, reset, prime) =>
+        if (!only.forall(_.contains(name))) None
+        else {
+          val t0 = System.nanoTime()
+          try {
+            reset(); prime()
+            Some((name, Seq((System.nanoTime() - t0) / 1e9)))
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Some((name, Seq.empty[Double]))
+          }
+        }
+      }
+    }
     // Interference probe (sampled at each query iteration start): the
     // r7-r10 driver-session tripwires were all adjudicated as session
     // noise by re-measurement; recording 1-minute load average and JVM
@@ -133,7 +215,7 @@ object Bench {
       }
     }
     val queryFns = ordered.toMap
-    val results0 = sharedPass ++ edgesBuild ++ ordered
+    val results0 = sharedPass ++ edgesBuild ++ memoBuilds ++ ordered
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .map { case (name, fn) =>
         (name, (1 to iterations).flatMap(_ => timeOnce(name, fn)))
@@ -210,7 +292,8 @@ object Bench {
     // the very cost they exist to bill.
     val healThreshold =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAL_THRESHOLD", "6").toInt
-    val coldLines = Set("stream_interval_shared_pass", "dedup_edges_artifact_build")
+    val coldLines = Set("stream_interval_shared_pass", "dedup_edges_artifact_build") ++
+      memoBuilds.map(_._1)
     val (movers0, flags0) = computeMovers(bestOf(results0))
     val healable = movers0.map(_._1).filterNot(coldLines).filter(queryFns.contains)
     val (results, reMeasured) =

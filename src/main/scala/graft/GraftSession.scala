@@ -72,8 +72,26 @@ object GraftSession {
     * must not batch frames with different lifetimes; release the
     * early-consumed frame synchronously instead (madPrice does). */
   private[graft] def releaseAfterAction(spark: SparkSession,
-                                        cached: DataFrame*): Unit = {
-    val targets = cached.map(_.queryExecution.analyzed.canonicalized)
+                                        cached: DataFrame*): Unit =
+    releaseWhenConsumed(spark, cached.map(_.queryExecution.analyzed.canonicalized), cached)
+
+  /** [[releaseAfterAction]], but keyed to the RETURNED query's plan
+    * instead of the cached frames' own plans. For cached frames that
+    * are subtrees of OTHER registered queries too (the shared-space
+    * frames of the multimodal family), the subtree match can fire on a
+    * sibling query's action and drop the caches before the owning
+    * query runs — this variant matches only an action whose plan
+    * contains `root` (the exact composed query the caches were built
+    * for), so a sibling's action passes through. */
+  private[graft] def releaseAfterActionOn(spark: SparkSession,
+                                          root: DataFrame,
+                                          cached: DataFrame*): Unit =
+    releaseWhenConsumed(spark, Seq(root.queryExecution.analyzed.canonicalized), cached)
+
+  private def releaseWhenConsumed(spark: SparkSession,
+                                  targetPlans: Seq[org.apache.spark.sql.catalyst.plans.logical.LogicalPlan],
+                                  cached: Seq[DataFrame]): Unit = {
+    val targets = targetPlans
     val listener = new QueryExecutionListener {
       private val done = new java.util.concurrent.atomic.AtomicBoolean(false)
       // on any comparison failure err toward releasing: a leaked cache

@@ -303,16 +303,23 @@ object Dedup {
       .select(col("doc_id"), col("sig"), col("pos").as("band_id"), col("col").as("band_key"))
   }
 
-  /** Capped candidate pairs + estimated Jaccard from a banded frame. */
+  /** Capped candidate pairs + estimated Jaccard from a banded frame.
+    * `sorted=false` skips the output sort for consumers that don't
+    * observe row order (the durable artifact build: parquet row order
+    * is invisible — every artifact consumer applies its own output
+    * sort, so the build's two range sorts were pure waste). */
   private[ext] def minhashPairsFromBands(bands: DataFrame, threshold: Double,
-                                         maxBucket: Int): DataFrame =
-    cappedBucketPairs(bands, Seq("band_id", "band_key"), "doc_id", Seq("sig"), maxBucket)
-      .select(col("d1"), col("d2"),
-        (graft.functions.ArrayEqCount(col("sig1"), col("sig2")).cast("double")
-          / NumPerms).as("est_jaccard"))
-      .distinct()
-      .filter(col("est_jaccard") >= threshold)
-      .orderBy("d1", "d2")
+                                         maxBucket: Int,
+                                         sorted: Boolean = true): DataFrame = {
+    val pairs =
+      cappedBucketPairs(bands, Seq("band_id", "band_key"), "doc_id", Seq("sig"), maxBucket)
+        .select(col("d1"), col("d2"),
+          (graft.functions.ArrayEqCount(col("sig1"), col("sig2")).cast("double")
+            / NumPerms).as("est_jaccard"))
+        .distinct()
+        .filter(col("est_jaccard") >= threshold)
+    if (sorted) pairs.orderBy("d1", "d2") else pairs
+  }
 
   /** LSH pairs over any (doc_id, text) frame. Buckets at or below
     * `maxBucket` pair all-vs-all; larger buckets go star (see
@@ -556,6 +563,20 @@ object Dedup {
       graft.functions.WordNGrams(toks(col("text")), 3, distinct = true)
         .as("grams"))
 
+  /** Distinct word trigram set as 64-bit xxhash64 fingerprints — the
+    * verify join's form (guide §2.3: the join shuffles and intersects
+    * gram SETS, never reads gram strings, so 8-byte fingerprints carry
+    * the identical set algebra at ~⅓ the exchange bytes and long-vs-
+    * long compares inside array_intersect). Equal to the string form's
+    * jaccard unless two distinct grams of one candidate pair collide
+    * in 64-bit space (≤ (m₁+m₂)²/2⁶⁵ per pair — ~10⁻¹¹ at 10⁴
+    * grams/doc; the DuckDB oracle computes the exact string-set value,
+    * so a realized collision fails the gate loudly instead of passing
+    * silently). Pinned hashed-vs-exact in ExtSpec. */
+  private def trigramHashSets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      graft.functions.WordNGramHashes(toks(col("text")), 3).as("grams"))
+
   def ngramJaccard(spark: SparkSession, dir: String, maxDocId: Long = 100): DataFrame = {
     val docs = trigramSets(Tables.documents(spark, dir)
       .filter(col("doc_id") < maxDocId))
@@ -620,9 +641,10 @@ object Dedup {
     // bounded by doc length) plus a projection. No gram explosion, no
     // per-gram shuffle, no re-aggregation — at scale the joined data
     // volume equals what the exploded form shuffled, with 3 fewer
-    // stages. Grams are distinct (trigramSets applies array_distinct),
-    // so |∩| = size(array_intersect) exactly.
-    val grams = trigramSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
+    // stages. Grams ride as DISTINCT 64-bit fingerprints (r13, guide
+    // §2.3 — see trigramHashSets for the collision-safety equality
+    // argument), so |∩| = size(array_intersect) over the hash sets.
+    val grams = trigramHashSets(documents.join(endpoints, Seq("doc_id"), "leftsemi"))
       .persist()
     graft.GraftSession.releaseAfterAction(spark, cands, grams)
     val inter = size(array_intersect(col("g1"), col("g2")))
@@ -711,20 +733,33 @@ object Dedup {
     def stamp(df: DataFrame, kind: String) = df.select(
       lit(kind).as("kind"), col("d1"), col("d2"),
       col("est_jaccard"), col("jaccard"), lit(fp).as("fingerprint"))
+    // Each shared frame is persisted AND eagerly filled (count) before
+    // the next stage builds on it: the artifact materializes through
+    // ONE parquet-write action whose parallel branches (verified +
+    // est_full) otherwise RACE the cache fill and recompute the shared
+    // subtree per branch — the same single-action race measured on the
+    // conformal persist in r12. The fills are one pass each; the write
+    // action then reads every stage warm. Row order inside the stored
+    // artifact is invisible (every consumer sorts its own output), so
+    // both pair derivations skip their output sort (sorted = false).
     val allBands = minhashBands(Tables.documents(spark, dir)).persist()
+    allBands.count()
     val keeper = min(col("doc_id"))
       .over(Window.partitionBy(md5(col("text"))))
     val keepers = Tables.documents(spark, dir)
       .select(col("doc_id"), col("text"), keeper.as("k"))
       .filter(col("doc_id") === col("k"))
       .select(col("doc_id"), col("text")).persist()
+    keepers.count()
     val cands = minhashPairsFromBands(
         allBands.join(keepers.select("doc_id"), Seq("doc_id"), "leftsemi"),
-        0.0, MaxBucket).persist()
+        0.0, MaxBucket, sorted = false).persist()
+    cands.count()
     val endpoints = cands.select(col("d1").as("doc_id"))
       .union(cands.select(col("d2").as("doc_id"))).distinct()
-    val grams = trigramSets(keepers.join(endpoints, Seq("doc_id"), "leftsemi"))
+    val grams = trigramHashSets(keepers.join(endpoints, Seq("doc_id"), "leftsemi"))
       .persist()
+    grams.count()
     graft.GraftSession.releaseAfterAction(spark, allBands, keepers, cands, grams)
     val inter = size(array_intersect(col("g1"), col("g2")))
     val scored = cands
@@ -736,7 +771,7 @@ object Dedup {
           .as("jaccard"))
     val verified = stamp(scored, "verified")
     val estFull = stamp(
-      minhashPairsFromBands(allBands, 0.0, MaxBucket)
+      minhashPairsFromBands(allBands, 0.0, MaxBucket, sorted = false)
         .withColumn("jaccard", lit(null).cast("double")), "est_full")
     import spark.implicits._
     val meta = Seq(("meta", -1L, -1L)).toDF("kind", "d1", "d2")
@@ -1612,7 +1647,9 @@ object Dedup {
     val pairs = simhashPairs(spark, dir).persist()
     val endpoints = pairs.select(col("d1").as("doc_id"))
       .union(pairs.select(col("d2"))).distinct()
-    val grams = trigramSets(Tables.documents(spark, dir)
+    // hashed gram sets (r13): same per-pair set algebra as the string
+    // form at ~⅓ the exchange bytes — see trigramHashSets
+    val grams = trigramHashSets(Tables.documents(spark, dir)
       .join(endpoints, Seq("doc_id"), "leftsemi")).persist()
     graft.GraftSession.releaseAfterAction(spark, pairs, grams)
     val inter = size(array_intersect(col("g1"), col("g2")))

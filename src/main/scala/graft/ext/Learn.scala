@@ -347,6 +347,13 @@ object Learn {
 
   private[graft] def resetLogitMemo(): Unit = logitMemo.reset()
 
+  /** Bench/probe hook: train (or re-read) the logit state untimed by
+    * its consumers, so the harness can bill the training as its own
+    * explicit cold line. */
+  private[graft] def warmLogitState(spark: SparkSession, dir: String): Unit = {
+    logitState(spark, dir); ()
+  }
+
   private def logitState(spark: SparkSession, dir: String)
       : ((Long, Double, Double, Double, Double), (Double, Double, Double)) =
     logitMemo.get(spark, dir) {

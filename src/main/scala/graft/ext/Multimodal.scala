@@ -389,7 +389,6 @@ object Multimodal {
     // the decode/binning projection — 4 corpus scans per side at 100 TB
     val a8 = sharedSpaceAssets(spark, dir).persist()
     val e8 = sharedSpaceCaptions(spark, dir).persist()
-    graft.GraftSession.releaseAfterAction(spark, a8, e8)
     // moment frames: coordinate sums and 8×8 Gram cells, decimal sums
     def coordSums(df: DataFrame, c: String) = df.filter(col(c).isNotNull)
       .select(posexplode(col(c)).as(Seq("k", "x")))
@@ -425,7 +424,7 @@ object Multimodal {
             pow((col("ss") - col("sx")) /
               (col("na") * col("ne") - col("nd")), 2), lit(0.0)))
           .as("sigma"))
-    paired
+    val out = paired
       .crossJoin(broadcast(stats)) // 1-row stats: BNLJ, never cartesian
       .select(col("asset_id"), round(col("x"), 6).as("cos_sim"),
         round(when(col("sigma") > 0, (col("x") - col("mu")) / col("sigma")),
@@ -433,6 +432,12 @@ object Multimodal {
         (round(when(col("sigma") > 0, (col("x") - col("mu")) / col("sigma")),
           6) < -AlignZGate).as("mismatch"))
       .orderBy("asset_id")
+    // release keyed to THIS query's plan (not the frames' own plans):
+    // a8/e8 are subtrees of other registered multimodal queries, so the
+    // subtree-matching variant could fire on a sibling's action and
+    // drop the caches before this query's own run (ADVICE r12)
+    graft.GraftSession.releaseAfterActionOn(spark, out, a8, e8)
+    out
   }
 
   /** Mirrors [[captionFrameAlignment]]: byte bins from the hex dump

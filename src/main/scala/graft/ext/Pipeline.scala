@@ -25,6 +25,16 @@ object Pipeline {
                            n_after_quality: Long, n_after_neardup: Long,
                            total_tokens: Long)
 
+  /** The curation thresholds — ONE definition consumed by [[curate]]'s
+    * parameter defaults AND [[curateDocs]]'s inline pipeline, so the
+    * oracle-gated survivor set cannot silently drift from the waterfall
+    * stats (they also appear as literals in [[curationCtes]], which the
+    * driver's oracle hash pins). Tuned for the fixture corpus;
+    * parameters in a real run. */
+  private[graft] val CurateMinTokens = 10L
+  private[graft] val CurateMaxStopwordRatio = 0.9
+  private[graft] val CurateNearDupThreshold = 0.9
+
   /** Stage 1: exact dedup on normalized text (keeper = min doc_id) —
     * one lazy definition shared by the stats path and the stats-free
     * survivor query so the two cannot drift. */
@@ -59,8 +69,10 @@ object Pipeline {
   /** Curate the documents table: returns (curated corpus, stage stats).
     * Thresholds tuned for the fixture corpus; parameters in a real run. */
   def curate(spark: SparkSession, dir: String,
-             minTokens: Long = 10, maxStopwordRatio: Double = 0.9,
-             nearDupThreshold: Double = 0.9): (DataFrame, CurationStats) = {
+             minTokens: Long = CurateMinTokens,
+             maxStopwordRatio: Double = CurateMaxStopwordRatio,
+             nearDupThreshold: Double = CurateNearDupThreshold)
+      : (DataFrame, CurationStats) = {
     val docs = Tables.documents(spark, dir)
     val nInput = docs.count()
 
@@ -100,8 +112,9 @@ object Pipeline {
     * after the consuming action. */
   def curateDocs(spark: SparkSession, dir: String): DataFrame = {
     val quality = qualityFrame(
-      exactKeepers(Tables.documents(spark, dir)), 10, 0.9).persist()
-    val curated = quality.join(nearDupDrops(quality, 0.9),
+      exactKeepers(Tables.documents(spark, dir)),
+      CurateMinTokens, CurateMaxStopwordRatio).persist()
+    val curated = quality.join(nearDupDrops(quality, CurateNearDupThreshold),
       Seq("doc_id"), "left_anti")
     graft.GraftSession.releaseAfterAction(spark, quality)
     curated.select(col("doc_id"), col("n_tokens")).orderBy("doc_id")
@@ -177,12 +190,13 @@ object Pipeline {
        |  SELECT doc_id, text, len(ws) AS n_tokens FROM (
        |    SELECT doc_id, text, ${Dedup.tokensSqlPublic} AS ws
        |    FROM k0 WHERE doc_id = keeper) t
-       |  WHERE len(ws) >= 10
+       |  WHERE len(ws) >= $CurateMinTokens
        |    AND CAST(len(list_filter(ws,
        |      w -> w IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE)
-       |        / len(ws) <= 0.9),
+       |        / len(ws) <= $CurateMaxStopwordRatio),
        |${Dedup.minhashEstCtesPublic("quality")},
-       |drops AS (SELECT DISTINCT d2 FROM est WHERE est_jaccard >= 0.9)"""
+       |drops AS (SELECT DISTINCT d2 FROM est
+       |          WHERE est_jaccard >= $CurateNearDupThreshold)"""
       .stripMargin
 
   def curateDocsOracle: String =
@@ -444,40 +458,39 @@ object Pipeline {
       spark: SparkSession, dir: String, screen: DataFrame): DataFrame = {
     val st = readyState(spark, dir)
     val ev = TextAnalysis.EvalSource
-    val scr = screen.persist()
-    val h = scr.agg(
-      count(lit(1)),
-      coalesce(sum(col("it").cast("long")), lit(0L)),
-      coalesce(sum(col("qp").cast("long")), lit(0L)),
-      coalesce(sum(col("hp").cast("long")), lit(0L))).first()
-    val (nDelta, nTrainDelta, qualDelta, piiDelta) =
-      (h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3))
-    val n = st.nBase + nDelta
-    val nTrain = st.nTrainBase + nTrainDelta
-    val newFp = scr.select(col("fp"))
-      .filter(col("fp").isNotNull).distinct()
-      .join(st.fpBase, Seq("fp"), "left_anti").count()
-
+    // The tick's scalar terms used to run as ~6 driver-sequenced
+    // actions (screen moments, the new-fingerprint anti-join count,
+    // and per contamination family an eager new-gram checkpoint plus
+    // a union-distinct count). They are all 1-row aggregates over the
+    // same two delta-bounded inputs, so they now ride ONE action: the
+    // screen and the delta slice are localCheckpoint'ed once each
+    // (single-action multi-branch reuse — persist() races its own
+    // cache fill across the parallel branches, the r12 conformal
+    // lesson), and the seven scalars cross-join into one collected
+    // row whose branches run as parallel stages of one job. The
+    // per-family new-gram frame stays lazy: both of its consumers
+    // broadcast the same subtree, which exchange reuse dedupes inside
+    // the one action.
+    val scr = screen.localCheckpoint()
     // NEW-eval-gram cross terms need the delta slice itself (the
     // per-tick batch step, exactly like the CC fold's label assembly)
     val delta = Tables.documents(spark, dir)
       .filter(isDeltaId(col("doc_id")))
-      .select(col("doc_id"), col("source"), col("text")).persist()
+      .select(col("doc_id"), col("source"), col("text")).localCheckpoint()
     val ng = TextAnalysis.ngramArr(TextAnalysis.DecontamN)
-    def contam(newEval: DataFrame, deltaTrainGrams: DataFrame,
-               trainIdx: DataFrame, contamBase: DataFrame,
-               streamedHits: DataFrame): Long = {
-      val ne = newEval.localCheckpoint()
+    def contamCount(newEval: DataFrame, deltaTrainGrams: DataFrame,
+                    trainIdx: DataFrame, contamBase: DataFrame,
+                    streamedHits: DataFrame, name: String): DataFrame = {
       val deltaNewHits = deltaTrainGrams
-        .join(broadcast(ne), Seq("g"), "leftsemi")
+        .join(broadcast(newEval), Seq("g"), "leftsemi")
         .select(col("doc_id")).distinct()
       val baseNewHits = trainIdx
-        .join(broadcast(ne), Seq("g"), "leftsemi")
+        .join(broadcast(newEval), Seq("g"), "leftsemi")
         .select(col("doc_id")).distinct()
       contamBase.union(streamedHits).union(deltaNewHits).union(baseNewHits)
-        .distinct().count()
+        .distinct().agg(count(lit(1)).as(name))
     }
-    val nContamNg = contam(
+    val contamNgC = contamCount(
       delta.filter(col("source") === ev)
         .select(explode(ng).as("g")).distinct()
         .join(st.evalNg, Seq("g"), "left_anti"),
@@ -485,8 +498,8 @@ object Pipeline {
         .select(col("doc_id"), explode(ng).as("g")),
       st.trainNgIdx, st.contamNgBase,
       scr.filter(col("it") === 1 && col("hit_ng") === 1)
-        .select(col("doc_id")))
-    val nContamSs = contam(
+        .select(col("doc_id")), "c_ng")
+    val contamSsC = contamCount(
       Dedup.gramRows(delta.filter(col("source") === ev)
           .select(col("doc_id"), col("text")))
         .select(col("g")).distinct()
@@ -496,9 +509,27 @@ object Pipeline {
         .select(col("doc_id"), col("g")),
       st.trainSsIdx, st.contamSsBase,
       scr.filter(col("it") === 1 && col("hit_ss") === 1)
-        .select(col("doc_id")))
-    delta.unpersist()
-    scr.unpersist()
+        .select(col("doc_id")), "c_ss")
+    val newFpC = scr.select(col("fp"))
+      .filter(col("fp").isNotNull).distinct()
+      .join(st.fpBase, Seq("fp"), "left_anti")
+      .agg(count(lit(1)).as("c_fp"))
+    val h = scr.agg(
+        count(lit(1)).as("c_n"),
+        coalesce(sum(col("it").cast("long")), lit(0L)).as("c_it"),
+        coalesce(sum(col("qp").cast("long")), lit(0L)).as("c_qp"),
+        coalesce(sum(col("hp").cast("long")), lit(0L)).as("c_hp"))
+      .crossJoin(broadcast(newFpC))
+      .crossJoin(broadcast(contamNgC))
+      .crossJoin(broadcast(contamSsC))
+      .first()
+    val (nDelta, nTrainDelta, qualDelta, piiDelta) =
+      (h.getLong(0), h.getLong(1), h.getLong(2), h.getLong(3))
+    val n = st.nBase + nDelta
+    val nTrain = st.nTrainBase + nTrainDelta
+    val newFp = h.getLong(4)
+    val nContamNg = h.getLong(5)
+    val nContamSs = h.getLong(6)
 
     // the two group-structure rows read the incrementally maintained
     // labels — the whole point: no corpus-wide CC re-resolution here

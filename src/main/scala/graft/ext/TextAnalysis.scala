@@ -2084,6 +2084,13 @@ object TextAnalysis {
 
   private[graft] def resetBpeMemo(): Unit = bpeMemo.reset()
 
+  /** Bench/probe hook: run (or re-read) the shared BPE learner untimed
+    * by its consumers, so the harness can bill the merge training as
+    * its own explicit cold line. */
+  private[graft] def warmBpeLearn(spark: SparkSession, dir: String): Unit = {
+    bpeLearn(spark, dir); ()
+  }
+
   /** Shared BPE learner: the merge table per round plus the final
     * symbol representation of every vocabulary word after all
     * [[BpeMerges]] rounds (see [[bpeMerges]] for the algorithm notes). */

@@ -57,6 +57,18 @@ object WordNGrams {
       WordNGramsExpr(ColumnShim.expression(tokens), n, distinct))
 }
 
+/** DISTINCT word n-grams of a token array as 64-bit xxhash64
+  * fingerprints (codegen'd kernel) — the shuffle-narrow form the LSH
+  * verify join consumes; see
+  * [[org.apache.spark.sql.graft.WordNGramHashesExpr]] for the
+  * collision-safety equality argument. */
+object WordNGramHashes {
+  def apply(tokens: Column, n: Int): Column =
+    ColumnShim.column(
+      org.apache.spark.sql.graft.WordNGramHashesExpr(
+        ColumnShim.expression(tokens), n))
+}
+
 /** 64-bit dHash of a binary payload as 8 byte-band values (codegen'd
   * kernel — see [[org.apache.spark.sql.graft.DHashBandsExpr]]). */
 object DHashBands {

@@ -70,6 +70,11 @@ object GraftFunctions {
       arity("graft_word_ngrams", 3)(es => WordNGramsExpr(es.head,
         litInt("graft_word_ngrams", "n")(es(1)),
         litBool("graft_word_ngrams", "distinct")(es(2))))),
+    ("graft_word_ngram_hashes",
+      classOf[org.apache.spark.sql.graft.WordNGramHashesExpr].getName,
+      arity("graft_word_ngram_hashes", 2)(es =>
+        org.apache.spark.sql.graft.WordNGramHashesExpr(es.head,
+          litInt("graft_word_ngram_hashes", "n")(es(1))))),
     ("graft_shingle_sig", classOf[ShingleSigExpr].getName,
       arity("graft_shingle_sig", 2)(es => ShingleSigExpr(es.head,
         litInt("graft_shingle_sig", "width")(es(1))))),

@@ -430,21 +430,25 @@ object Nonparam {
         lit(PoissonCdf.length).cast("long")) { case ((c, k), rest) =>
           when(col("u") < c, lit(k.toLong)).otherwise(rest)
         })
-    // B rows, count-asserted and materialized ONCE: the three
-    // downstream branches (both rank fetches + the moment aggregate)
-    // otherwise each replay the exploded fact pass — AQE's exchange
-    // reuse caught most of that at runtime, but the checkpoint makes
-    // the single-pass shape structural (and the broadcast audit can
-    // PROVE the bound instead of classifying through the window).
-    // (A 2·b-aggregate-column single-pass form was tried here and
+    // B rows, LAZY: the three downstream branches (both rank fetches +
+    // the moment aggregate) re-reference the exploded fact pass in the
+    // plan, but AQE exchange reuse dedupes them at runtime — the one
+    // action reads the replicate aggregate's exchange once. An eager
+    // BoundedCheckpoint here (r12) made the single-pass shape
+    // structural but cost a driver-sequenced extra action BEFORE the
+    // consumers ran: driver-measured 0.52×, quiet +16% — reverted
+    // (r13). The broadcast audit instead proves the bound structurally:
+    // grouping by "r" — the replicate index, explode of a ≤
+    // [[BootReplicates]]-literal array — yields ≤ b rows at any corpus
+    // size (PlanSpec's enum-domain grouping rule).
+    // (A 2·b-aggregate-column single-pass form was also tried and
     // measured SLOWER: ~130 aggregate buffer fields fall out of
     // whole-stage codegen, and the Poisson ladder evaluates per
     // buffer instead of once per exploded row.)
-    val means = graft.BoundedCheckpoint(
-      reps.groupBy("r")
-        .agg((sum(round(col("w") * col("x"), 4).cast(DecimalType(28, 10)))
-            .cast("double") / sum(col("w"))).as("m0"))
-        .select(col("r"), round(col("m0"), 6).as("m")), b)
+    val means = reps.groupBy("r")
+      .agg((sum(round(col("w") * col("x"), 4).cast(DecimalType(28, 10)))
+          .cast("double") / sum(col("w"))).as("m0"))
+      .select(col("r"), round(col("m0"), 6).as("m"))
     val ranked = means // B rows — bounded by construction
       .select(col("m"), row_number().over(
         graft.BoundedWindow.orderBy(col("m"), col("r"))).as("rk"))

@@ -1273,6 +1273,66 @@ class ExtSpec extends SparkSpec {
     assert(got == perBit, "single-aggregate simhash diverged from definition")
   }
 
+  test("hashed trigram verify join equals the exact string-gram form") {
+    // r13: the LSH verify joins intersect 64-bit xxhash64 gram
+    // fingerprints instead of gram strings (WordNGramHashesExpr — the
+    // collision-safety argument lives there). Pins (a) the kernel:
+    // the emitted hash set IS the distinct string-gram set mapped
+    // through xxhash64 (unicode, duplicate grams, sub-width and empty
+    // docs), and (b) the operator: lshVerifiedJaccard's hashed
+    // jaccard values equal the exact string-set recomputation (the
+    // pre-r13 shape) on the fixture corpus — i.e. zero realized
+    // collisions and identical set algebra.
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b c a b c d"), (2L, "a b"), (3L, ""),
+      (4L, "héllo wörld naïve héllo wörld naïve x"),
+      (5L, "z z z z z")).toDF("doc_id", "text")
+    val viaKernel = docs.select(col("doc_id"),
+        graft.functions.WordNGramHashes(
+          TextAnalysis.tokens(col("text")), 3).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    val viaStrings = docs.select(col("doc_id"),
+        graft.functions.WordNGrams(
+          TextAnalysis.tokens(col("text")), 3, distinct = true).as("gs"))
+      .select(col("doc_id"), transform(col("gs"), g => xxhash64(g)).as("hs"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toSet).toMap
+    assert(viaKernel == viaStrings,
+      "gram-hash kernel diverged from xxhash64 over the string grams")
+    // doc 1: windows (a b c)(b c a)(c a b)(a b c dup)(b c d) → 4 distinct
+    assert(viaKernel(1L).size == 4 && viaKernel(2L).isEmpty &&
+      viaKernel(5L).size == 1, "distinct gram-set sizes off")
+
+    val hashed = Dedup.lshVerifiedJaccard(spark, sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // exact string-gram recomputation of the same verify join
+    val keeperW = org.apache.spark.sql.expressions.Window
+      .partitionBy(md5(col("text")))
+    val keepers = Tables.documents(spark, sf0001)
+      .select(col("doc_id"), col("text"),
+        min(col("doc_id")).over(keeperW).as("k"))
+      .filter(col("doc_id") === col("k"))
+      .select(col("doc_id"), col("text"))
+    val cands = Dedup.minhashPairs(keepers, Dedup.PairThreshold)
+      .select(col("d1"), col("d2"))
+    val grams = keepers.select(col("doc_id"),
+      graft.functions.WordNGrams(
+        TextAnalysis.tokens(col("text")), 3, distinct = true).as("grams"))
+    val inter = size(array_intersect(col("g1"), col("g2")))
+    val exact = cands
+      .join(grams.select(col("doc_id").as("d1"), col("grams").as("g1")), Seq("d1"))
+      .join(grams.select(col("doc_id").as("d2"), col("grams").as("g2")), Seq("d2"))
+      .select(col("d1"), col("d2"),
+        (inter.cast("double") /
+          greatest(size(col("g1")) + size(col("g2")) - inter, lit(1)))
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.5)
+      .orderBy("d1", "d2")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(hashed == exact,
+      "hashed verify join diverged from the exact string-gram form")
+  }
+
   test("community profile: keeper is the min member, removable tokens are consistent, communities match the LPA labels") {
     val prof = Dedup.dedupCommunityProfile(spark, sf0001).collect()
     assert(prof.nonEmpty)

@@ -192,6 +192,12 @@ class PlanSpec extends SparkSpec {
     // row ≤ PcaDims, j = Gram column ≤ PcaDims, b = CMS bucket ≤
     // CmsWidth — all fixed structure constants, never data values
     "i", "j", "b",
+    // r = bootstrap replicate index, the explode of a
+    // Nonparam.BootReplicates-literal array: grouping by it yields
+    // ≤ BootReplicates rows at any corpus size (this is what lets
+    // bootstrap_mean_ci's replicate aggregate stay LAZY — r13 removed
+    // the eager BoundedCheckpoint that proved the same bound by count)
+    "r",
     // query_id exists only as the alias of a literal-windowed vec_id
     // panel (≤64 ids — the Filter rule below); grouping by it is
     // panel-sized
