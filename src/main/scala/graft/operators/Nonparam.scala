@@ -402,12 +402,30 @@ object Nonparam {
     * per experiment; the plan is identical).
     *
     * Scale shape: ONE fact scan exploded ×[[BootReplicates]], then a
-    * map-side-partial hash agg to B rows (replicate sums ride
-    * DECIMAL over 4-dp-rounded products so each replicate mean is
-    * partition-order-free); everything after — percentile endpoints,
-    * the moment-formula standard error — happens on the B-row frame.
-    * The percentile CI takes the lower order statistic at rank
-    * 1+floor(q·(B−1)) (the quantile-sketch convention). */
+    * map-side-partial hash agg to B rows; everything after —
+    * percentile endpoints, the moment-formula standard error —
+    * happens on the B-row frame. The percentile CI takes the lower
+    * order statistic at rank 1+floor(q·(B−1)) (the quantile-sketch
+    * convention).
+    *
+    * Replicate sums are partition-order-free EXACT integer sums of
+    * w·x in 1e-4 units ("cents"): w·x is a 2-dp value by domain
+    * (integer weight × 2-dp price), so cents = round(w·x·1e4) is the
+    * exact scaled value (the double's representation error at
+    * magnitude ≤ 1e7 is ≪ 0.5 at the 1e4 scale). The sum rides TWO
+    * long buffers (hi = cents DIV 1e6, lo = cents MOD 1e6) instead of
+    * one DECIMAL buffer: a decimal sum pays BigDecimal arithmetic per
+    * exploded row (measured 4.5–5.3 s vs 1.2–1.7 s at sf0.1×32
+    * replicates, scale-insensitive — r13 probe), while the split long
+    * sums stay in codegen'd integer arithmetic and remain
+    * overflow-safe far past fact scale (Σlo < 1e6·n overflows long at
+    * n ≈ 9e12 rows per replicate; Σhi ≤ (w·x/100)·n at ≈ 2e14 rows —
+    * both ≫ the ~1.5e11 orders rows of a 100 TB corpus). The exact
+    * recombination hi·1e6+lo → ·1e-4 runs in decimal on the B-row
+    * frame (double recombination would lose exactness past 2^53).
+    * Equivalence with the former DECIMAL(28,10) accumulator is pinned
+    * by NonparamSpec (identical replicate means on the fixture) and
+    * the full oracle gate. */
   def bootstrapMeanCi(spark: SparkSession, dir: String): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val b = BootReplicates
@@ -445,10 +463,20 @@ object Nonparam {
     // measured SLOWER: ~130 aggregate buffer fields fall out of
     // whole-stage codegen, and the Poisson ladder evaluates per
     // buffer instead of once per exploded row.)
-    val means = reps.groupBy("r")
-      .agg((sum(round(col("w") * col("x"), 4).cast(DecimalType(28, 10)))
-          .cast("double") / sum(col("w"))).as("m0"))
-      .select(col("r"), round(col("m0"), 6).as("m"))
+    val means = reps
+      // exact integer "cents" (1e-4 units) of the 2-dp product w·x —
+      // see the header: split-long sums replace the BigDecimal-bound
+      // DECIMAL accumulator (measured 3.5× on this stage, r13)
+      .select(col("r"), col("w"),
+        round(col("w") * col("x") * 10000).cast("long").as("cents"))
+      .groupBy("r")
+      .agg(sum(expr("cents DIV 1000000")).as("chi"),
+        sum(col("cents") % 1000000L).as("clo"),
+        sum(col("w")).as("ws"))
+      .select(col("r"), round(
+        ((col("chi").cast(DecimalType(38, 0)) * 1000000L + col("clo"))
+          * lit(new java.math.BigDecimal("0.0001"))).cast("double") /
+          col("ws"), 6).as("m"))
     val ranked = means // B rows — bounded by construction
       .select(col("m"), row_number().over(
         graft.BoundedWindow.orderBy(col("m"), col("r"))).as("rk"))
@@ -488,9 +516,13 @@ object Nonparam {
        |      / 2147483647 AS u
        |  FROM orders CROSS JOIN range($b) r),
        |wr AS (SELECT x, r, CAST(CASE $wCase END AS BIGINT) AS w FROM reps),
+       |-- exact integer sum of w·x in 1e-4 units, mirroring the Spark
+       |-- side's split-long accumulator (DuckDB's SUM(BIGINT) is
+       |-- HUGEINT, exact without the split); both engines then take
+       |-- the identical nearest-double of the same exact 4-dp sum
        |means AS (SELECT r,
-       |    round(CAST(SUM(CAST(round(w * x, 4) AS DECIMAL(28,10)))
-       |      AS DOUBLE) / SUM(w), 6) AS m
+       |    round(CAST(SUM(CAST(round(w * x * 10000) AS BIGINT))
+       |      AS DOUBLE) / 10000 / SUM(w), 6) AS m
        |  FROM wr GROUP BY r),
        |ranked AS (SELECT m, row_number() OVER (ORDER BY m, r) AS rk
        |  FROM means),

@@ -89,6 +89,52 @@ class NonparamSpec extends SparkSpec {
     assert(math.abs(meanW - 1.0) < 0.05, s"mean weight $meanW drifts from 1")
   }
 
+  test("bootstrap split-long replicate sums equal the DECIMAL(28,10) accumulator exactly") {
+    // r13 pinned equivalence: the hi/lo split-long "cents" aggregate
+    // (codegen integer sums, exact decimal recombination) must yield
+    // the SAME rounded replicate mean as the former decimal
+    // accumulator on every replicate — w·x is a 2-dp value (integer
+    // weight × 2-dp price), so both forms sum the identical exact
+    // 4-dp quantities; only the accumulator representation differs.
+    import org.apache.spark.sql.types.DecimalType
+    val p = 2147483647L
+    val reps = Tables.orders(spark, sf0001)
+      .select(col("o_orderkey"), col("o_totalprice").as("x"))
+      .withColumn("h",
+        conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+          .cast("long"))
+      .select(col("x"), col("h"),
+        explode(array((0 until 32).map(lit(_)): _*)).as("r"))
+      .withColumn("u",
+        (((lit(4099L) * col("r") + 8191L) * col("h") +
+          (lit(9973L) * col("r") + 104729L)) % p).cast("double") / p)
+      .withColumn("w", operators.Nonparam.PoissonCdf.zipWithIndex.foldRight(
+        lit(operators.Nonparam.PoissonCdf.length).cast("long")) {
+          case ((c, k), rest) => when(col("u") < c, lit(k.toLong)).otherwise(rest)
+        })
+    val decimalForm = reps.groupBy("r")
+      .agg((sum(round(col("w") * col("x"), 4).cast(DecimalType(28, 10)))
+          .cast("double") / sum(col("w"))).as("m0"))
+      .select(col("r"), round(col("m0"), 6).as("m"))
+      .orderBy("r").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    val splitForm = reps
+      .select(col("r"), col("w"),
+        round(col("w") * col("x") * 10000).cast("long").as("cents"))
+      .groupBy("r")
+      .agg(sum(expr("cents DIV 1000000")).as("chi"),
+        sum(col("cents") % 1000000L).as("clo"),
+        sum(col("w")).as("ws"))
+      .select(col("r"), round(
+        ((col("chi").cast(DecimalType(38, 0)) * 1000000L + col("clo"))
+          * lit(new java.math.BigDecimal("0.0001"))).cast("double") /
+          col("ws"), 6).as("m"))
+      .orderBy("r").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(decimalForm.length == 32 && splitForm.length == 32)
+    decimalForm.zip(splitForm).foreach { case ((r1, m1), (r2, m2)) =>
+      assert(r1 == r2 && m1 == m2, s"replicate $r1: $m1 vs $m2")
+    }
+  }
+
   test("experimentation family: DiD cell identity and CUPED's pooled-variance guarantee") {
     val did = operators.Relational.didSegmentSpend(spark, sf0001).collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("mean_spend"))
